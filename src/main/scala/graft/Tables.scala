@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver-provided parquet fixtures (TESTDATA.md).
+  *
+  * Design notes for scale (100 TB target):
+  *   - Reads are plain `spark.read.parquet` — schema comes from parquet
+  *     footers, so column pruning and predicate pushdown reach the scan
+  *     (verify via `.explain`: `ReadSchema` / `PushedFilters`).
+  *   - At warehouse scale the fact tables (lineitem/orders/events) would be
+  *     written partitioned by date (see `Warehouse.writePartitioned`); the
+  *     fixture files are single parquet files, which Spark still splits into
+  *     row-group-aligned input partitions (`spark.sql.files.maxPartitionBytes`).
+  *   - Dimension tables (region/nation/supplier/part/customer) are small by
+  *     construction (TPC-H star schema) — always broadcast them in joins.
+  *
+  * Mirrors the reference's source layer: parquet scan at
+  * dags/etl_spark_historical.py:178, CSV dimension at dags/zone_forecast.py:47.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables that should always be on the broadcast side of a join. */
+  val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as raw long (legacy conf) and
+    * rebuild a TimestampType column via integer µs division — lossless for
+    * the fixture's µs-precision values, and integer `div` avoids the
+    * double-precision overflow a `/ 1000` would hit on epoch-nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view (handy for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory with the scale-aware defaults every entrypoint shares. */
+object GraftSession {
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

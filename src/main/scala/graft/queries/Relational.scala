@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Core relational operator inventory (SURVEY.md §2.1–2.4, §2.7, §2.8),
+  * re-expressed over the TPC-H-ish fixtures. Each query is the Spark-first
+  * form of a reference operator; the oracle SQL states the same semantics
+  * for DuckDB.
+  *
+  * Scale notes: every aggregation here is hash-aggregatable with map-side
+  * partial aggregation; joins against dimension tables are explicitly
+  * `broadcast()` so no shuffle of the fact side on the join key is needed;
+  * fact-fact joins pre-aggregate both sides first (the reference's own
+  * shape, mart_daily_metrics.sql:16-62), which shrinks shuffle input from
+  * O(rows) to O(groups).
+  */
+object Relational {
+
+  /** S3+P1: parquet scan with projection/rename/cast pushed into the scan
+    * (etl_spark_historical.py:178-190). `.explain` shows ReadSchema with only
+    * the 5 referenced columns.
+    */
+  val s3ScanProject = QueryDef(
+    "s3_scan_project",
+    Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           |       CAST(l_quantity AS BIGINT) AS qty,
+           |       round(l_extendedprice, 4) AS price, l_returnflag AS flag
+           |FROM lineitem""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir).select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").cast("long").as("qty"),
+        r4(col("l_extendedprice")).as("price"),
+        col("l_returnflag").as("flag")))
+
+  /** P2+P3: null-drop on key columns + positive-value filters
+    * (etl_spark_historical.py:191-194). Filters reach the parquet scan as
+    * PushedFilters.
+    */
+  val p3PositiveFilter = QueryDef(
+    "p3_positive_filter",
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+           |FROM orders
+           |WHERE o_totalprice > 0 AND o_custkey IS NOT NULL
+           |  AND o_orderstatus IS NOT NULL AND o_totalprice > 50000""".stripMargin),
+    (spark, dir) =>
+      Tables.orders(spark, dir)
+        .na.drop(Seq("o_custkey", "o_orderstatus"))
+        .filter(col("o_totalprice") > 0 && col("o_totalprice") > 50000)
+        .select(col("o_orderkey"), col("o_custkey"), r4(col("o_totalprice")).as("total")))
+
+  /** P5: staging quality filter incl. the theta predicate between two columns
+    * of the same row (`dropoff > pickup`, stg_taxi_trips.sql:31-39).
+    */
+  val p5ThetaFilter = QueryDef(
+    "p5_theta_filter",
+    Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+           |FROM lineitem
+           |WHERE l_quantity > 0 AND l_extendedprice > 0
+           |  AND l_extendedprice > l_quantity * 1500
+           |  AND l_shipdate IS NOT NULL""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .na.drop(Seq("l_shipdate"))
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0 &&
+          col("l_extendedprice") > col("l_quantity") * 1500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty")))
+
+  /** P9: negated-conjunction sentinel exclusion
+    * (weather_historical_backfill.py:145).
+    */
+  val p9SentinelExclusion = QueryDef(
+    "p9_sentinel_exclusion",
+    Some("""SELECT count(*) AS n
+           |FROM lineitem
+           |WHERE NOT (l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity < 10)""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(!(col("l_returnflag") === "N" && col("l_linestatus") === "O" &&
+          col("l_quantity") < 10))
+        .agg(count(lit(1)).as("n")))
+
+  /** A4: daily metrics hash-agg — count / sum / avgs by day
+    * (mart_daily_metrics.sql:16-29). Partial aggregation map-side, one
+    * shuffle on the (tiny) day key.
+    */
+  val a4DailyAgg = QueryDef(
+    "a4_daily_agg",
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |       count(*) AS n_events,
+           |       round(sum(value), 4) AS total_value,
+           |       round(avg(value), 4) AS avg_value
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          r4(sum(col("value"))).as("total_value"),
+          r4(avg(col("value"))).as("avg_value")))
+
+  /** A5+F5: conditional weekend/weekday counts in the Snowflake 0=Sunday
+    * convention (mart_daily_metrics.sql:25-26; int_trips_enriched.sql:34-36).
+    */
+  val a5ConditionalCounts = QueryDef(
+    "a5_conditional_counts",
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       CAST(sum(CASE WHEN dayofweek(ts) IN (0,6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_n,
+           |       CAST(sum(CASE WHEN dayofweek(ts) IN (0,6) THEN 0 ELSE 1 END) AS BIGINT) AS weekday_n
+           |FROM events GROUP BY event_type""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(isWeekend(col("ts")), 1L).otherwise(0L)).as("weekend_n"),
+          sum(when(isWeekend(col("ts")), 0L).otherwise(1L)).as("weekday_n")))
+
+  /** A1+A2+F3: hourly hash-agg with min/max/avg and `max_by` argmax — the
+    * int_weather_hourly shape (int_weather_hourly.sql:12-35). Hour bucket is
+    * emitted as a canonical string for oracle parity.
+    */
+  val a1HourlyMaxBy = QueryDef(
+    "a1_hourly_max_by",
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           |       event_type,
+           |       count(*) AS n,
+           |       round(avg(value), 4) AS avg_value,
+           |       round(min(value), 4) AS min_value,
+           |       round(max(value), 4) AS max_value,
+           |       max_by(event_id, ts) AS latest_event_id,
+           |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(
+          tsStr(date_trunc("hour", col("ts"))).as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          r4(avg(col("value"))).as("avg_value"),
+          r4(min(col("value"))).as("min_value"),
+          r4(max(col("value"))).as("max_value"),
+          max_by(col("event_id"), col("ts")).as("latest_event_id"),
+          tsStr(max(col("ts"))).as("latest_ts")))
+
+  /** J2+A6: pre-aggregate both fact sides, then a left equi-join on the day
+    * key (mart_daily_metrics.sql:31-62). Aggregating before the join keeps
+    * the shuffle at O(days), not O(rows) — the load-bearing shape at 100 TB.
+    */
+  val j2AggThenJoin = QueryDef(
+    "j2_agg_then_join",
+    Some("""WITH daily_orders AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+           |         round(sum(o_totalprice), 4) AS revenue
+           |  FROM orders GROUP BY 1),
+           |daily_ship AS (
+           |  SELECT CAST(l_shipdate AS DATE) AS day,
+           |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_shipped
+           |  FROM lineitem GROUP BY 1)
+           |SELECT o.day, o.n_orders, o.revenue, s.qty_shipped
+           |FROM daily_orders o LEFT JOIN daily_ship s ON o.day = s.day""".stripMargin),
+    (spark, dir) => {
+      val dailyOrders = Tables.orders(spark, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("revenue"))
+      val dailyShip = Tables.lineitem(spark, dir)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_shipped"))
+      dailyOrders.join(dailyShip, Seq("day"), "left")
+    })
+
+  /** J1+A3+F8: left join with an equi key plus a non-equi LIKE residual,
+    * then aggregate over the joined shape (mart_trips_weather.sql:36-49).
+    * Customer side is dimension-sized → broadcast, no fact shuffle.
+    */
+  val j1LeftJoinResidual = QueryDef(
+    "j1_left_join_residual",
+    Some("""SELECT o.o_orderstatus AS status,
+           |       count(*) AS n,
+           |       count(c.c_name) AS matched,
+           |       round(avg(o.o_totalprice), 4) AS avg_total
+           |FROM orders o
+           |LEFT JOIN customer c
+           |  ON o.o_custkey = c.c_custkey AND lower(c.c_mktsegment) LIKE '%build%'
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey") &&
+            lower(c("c_mktsegment")).like("%build%"),
+          "left")
+        .groupBy(o("o_orderstatus").as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(c("c_name")).as("matched"),
+          r4(avg(o("o_totalprice"))).as("avg_total"))
+    })
+
+  /** J3: broadcast dimension join (zone lookup shape, zone_forecast.py:51-56). */
+  val j3BroadcastDim = QueryDef(
+    "j3_broadcast_dim",
+    Some("""SELECT p.p_brand AS brand, count(*) AS n,
+           |       round(sum(l.l_extendedprice), 4) AS revenue
+           |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val l = Tables.lineitem(spark, dir)
+      val p = Tables.part(spark, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+        .groupBy(p("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), r4(sum(l("l_extendedprice"))).as("revenue"))
+    })
+
+  /** J4: anti-join gap detection (missing-hours idiom,
+    * weather_historical_backfill.py:135-152) — event hours that have no
+    * 'purchase' observation. Both sides are DISTINCT-reduced before the
+    * anti-join, so the shuffle carries O(hours), not O(events).
+    */
+  val j4AntiJoin = QueryDef(
+    "j4_anti_join",
+    Some("""WITH all_hours AS (
+           |  SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts
+           |  FROM events),
+           |purchase_hours AS (
+           |  SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT a.hour_ts FROM all_hours a
+           |WHERE NOT EXISTS (SELECT 1 FROM purchase_hours p WHERE p.hour_ts = a.hour_ts)""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val allHours = e.select(tsStr(date_trunc("hour", col("ts"))).as("hour_ts")).distinct()
+      val purchaseHours = e.filter(col("event_type") === "purchase")
+        .select(tsStr(date_trunc("hour", col("ts"))).as("hour_ts")).distinct()
+      allHours.join(purchaseHours, Seq("hour_ts"), "left_anti")
+    })
+
+  /** J5: MERGE-insert-only dedup as anti-join + union append
+    * (etl_spark_historical.py:350-378). "Fact" = orders before 1997; "batch"
+    * = orders of 1996H2..1997 (overlapping) — re-loading overlap inserts 0
+    * dups. At scale the anti-join probe is restricted to the affected date
+    * partitions (partition pruning on the fact side).
+    */
+  val j5MergeInsertOnly = QueryDef(
+    "j5_merge_insert_only",
+    Some("""WITH fact AS (
+           |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+           |batch AS (
+           |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'),
+           |merged AS (
+           |  SELECT o_orderkey, o_orderstatus FROM fact
+           |  UNION ALL
+           |  SELECT b.o_orderkey, b.o_orderstatus FROM batch b
+           |  WHERE NOT EXISTS (SELECT 1 FROM fact f WHERE f.o_orderkey = b.o_orderkey))
+           |SELECT o_orderstatus AS status, count(*) AS n,
+           |       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+           |FROM merged GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val fact = orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val batch = orders.filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp"))
+      val inserts = batch.join(fact.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      fact.select(col("o_orderkey"), col("o_orderstatus"))
+        .unionByName(inserts.select(col("o_orderkey"), col("o_orderstatus")))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_checksum"))
+    })
+
+  /** A7+A9: group-pair (OD-matrix shape) agg + HAVING post-agg filter
+    * (mart_zone_analysis.sql:12-35).
+    */
+  val a7GroupPairHaving = QueryDef(
+    "a7_group_pair_having",
+    Some("""SELECT l_suppkey, l_returnflag, count(*) AS n,
+           |       round(avg(l_quantity), 4) AS avg_qty,
+           |       round(avg(l_extendedprice), 4) AS avg_price
+           |FROM lineitem
+           |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"))
+        .filter(col("n") >= 10))
+
+  /** A8: mode (most frequent value per group) with an explicit deterministic
+    * tiebreak — smallest value wins (mart_zone_analysis.sql:31; built-in
+    * `mode()` leaves ties unspecified, so both engines get the same
+    * two-level count + rank-1 formulation).
+    */
+  val a8Mode = QueryDef(
+    "a8_mode",
+    Some("""WITH counts AS (
+           |  SELECT l_returnflag, l_linenumber, count(*) AS cnt
+           |  FROM lineitem GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY l_returnflag ORDER BY cnt DESC, l_linenumber) AS rk
+           |  FROM counts)
+           |SELECT l_returnflag, l_linenumber AS mode_line, cnt
+           |FROM ranked WHERE rk = 1""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_linenumber"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_linenumber").as("mode_line"), col("cnt"))
+    })
+
+  /** A10+A12: global min/max scan agg + global count
+    * (weather_historical_backfill.py:101-106; etl_spark_historical.py:389).
+    */
+  val a10MinMax = QueryDef(
+    "a10_min_max",
+    Some("""SELECT count(*) AS n,
+           |       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+           |       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
+           |       round(min(l_extendedprice), 4) AS min_price,
+           |       round(max(l_extendedprice), 4) AS max_price
+           |FROM lineitem""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir).agg(
+        count(lit(1)).as("n"),
+        tsStr(min(col("l_shipdate"))).as("min_ship"),
+        tsStr(max(col("l_shipdate"))).as("max_ship"),
+        r4(min(col("l_extendedprice"))).as("min_price"),
+        r4(max(col("l_extendedprice"))).as("max_price")))
+
+  /** A11: DISTINCT projection of a truncated time bucket
+    * (weather_historical_backfill.py:136-146).
+    */
+  val a11DistinctHours = QueryDef(
+    "a11_distinct_hours",
+    Some("""SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts
+           |FROM events""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(tsStr(date_trunc("hour", col("ts"))).as("hour_ts"))
+        .distinct())
+
+  /** A13: daily roll-up with a boolean-sum flag (`precip day` shape,
+    * weather_future_realtime.py:30-34).
+    */
+  val a13FlagAgg = QueryDef(
+    "a13_flag_agg",
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |       round(avg(value), 4) AS avg_value,
+           |       CAST(CASE WHEN sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END) > 0
+           |            THEN 1 ELSE 0 END AS INT) AS is_error_day
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          r4(avg(col("value"))).as("avg_value"),
+          (sum(when(col("event_type") === "error", col("value")).otherwise(0.0)) > 0)
+            .cast("int").as("is_error_day")))
+
+  /** A14+J3: per-entity daily demand agg joined to a broadcast dim
+    * (zone_forecast.py:37-56) — events per (user, day) + customer lookup.
+    */
+  val a14EntityDaily = QueryDef(
+    "a14_entity_daily",
+    Some("""SELECT e.user_id, CAST(e.ts AS DATE) AS day, count(*) AS n,
+           |       round(avg(e.value), 4) AS avg_value, c.c_name
+           |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+           |GROUP BY 1, 2, 5""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val c = Tables.customer(spark, dir)
+      e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+        .groupBy(e("user_id"), e("ts").cast("date").as("day"), c("c_name"))
+        .agg(count(lit(1)).as("n"), r4(avg(e("value"))).as("avg_value"))
+        .select(col("user_id"), col("day"), col("n"), col("avg_value"), col("c_name"))
+    })
+
+  /** O2: top-k with a deterministic tiebreak (TakeOrderedAndProject —
+    * fare_forecasting_dag.py:36-37's ORDER BY … DESC LIMIT shape).
+    */
+  val o2TopK = QueryDef(
+    "o2_top_k",
+    Some("""SELECT o_orderkey, round(o_totalprice, 4) AS total
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    (spark, dir) =>
+      Tables.orders(spark, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), r4(col("o_totalprice")).as("total")))
+
+  /** U1: union of two branch projections with a lineage tag
+    * (Forecast_evaluation.py:78-86's concat shape).
+    */
+  val u1Union = QueryDef(
+    "u1_union",
+    Some("""SELECT 'high_value' AS src, event_id, round(value, 4) AS value
+           |FROM events WHERE value > 150
+           |UNION ALL
+           |SELECT 'error' AS src, event_id, round(value, 4) AS value
+           |FROM events WHERE event_type = 'error'""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val hi = e.filter(col("value") > 150)
+        .select(lit("high_value").as("src"), col("event_id"), r4(col("value")).as("value"))
+      val err = e.filter(col("event_type") === "error")
+        .select(lit("error").as("src"), col("event_id"), r4(col("value")).as("value"))
+      hi.unionByName(err)
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
+    a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
+    j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,
+    a7GroupPairHaving, a8Mode, a10MinMax, a11DistinctHours, a13FlagAgg,
+    a14EntityDaily, o2TopK, u1Union)
+}
