@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Quality
+
+/** Data-quality test operators as queries (SURVEY.md §2.11 Q1-Q4) — each is
+  * the count-violations SELECT that the dbt generic test compiles to.
+  */
+object QualityQ {
+
+  /** Q1+Q3: not_null + accepted_range over lineitem, one scan, one row.
+    * (models/staging/schema.yml:9-69 pattern.)
+    */
+  val q1NotNullRange = QueryDef(
+    "q1_notnull_range_suite",
+    Some("""SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
+           |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate_nulls,
+           |       CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity <= 0 OR l_quantity > 60)
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_oor,
+           |       CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1)
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_oor
+           |FROM lineitem""".stripMargin),
+    (spark, dir) =>
+      Quality.runSuite(Tables.lineitem(spark, dir), Seq(
+        Quality.notNullViolations("l_orderkey"),
+        Quality.notNullViolations("l_shipdate"),
+        Quality.rangeViolations("l_quantity", 0, 60, exclusiveMin = true),
+        Quality.rangeViolations("l_discount", 0, 0.1))))
+
+  /** Q2: unique — duplicate keys on the orders PK and the lineitem
+    * composite key (schema.yml:10-11's `unique` test). Emits counts of
+    * offending key-groups (0 rows each ⇒ both pass).
+    */
+  val q2Unique = QueryDef(
+    "q2_unique_keys",
+    Some("""SELECT 'orders_pk' AS test,
+           |       count(*) FILTER (WHERE cnt > 1) AS violating_keys
+           |FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+           |UNION ALL
+           |SELECT 'lineitem_composite' AS test,
+           |       count(*) FILTER (WHERE cnt > 1) AS violating_keys
+           |FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem GROUP BY 1, 2)""".stripMargin),
+    (spark, dir) => {
+      val o = Quality.duplicateKeyRows(Tables.orders(spark, dir), Seq("o_orderkey"))
+        .agg(count(lit(1)).as("violating_keys"))
+        .select(lit("orders_pk").as("test"), col("violating_keys"))
+      val l = Quality.duplicateKeyRows(Tables.lineitem(spark, dir),
+          Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).as("violating_keys"))
+        .select(lit("lineitem_composite").as("test"), col("violating_keys"))
+      o.unionByName(l)
+    })
+
+  /** Q4/T5: freshness SLA — age of max(ts) vs a fixed as-of instant with
+    * warn/error thresholds (sources.yml:13-15; deterministic clock).
+    */
+  val q4Freshness = QueryDef(
+    "q4_freshness",
+    Some("""SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           |       CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT) AS lag_hours,
+           |       CASE WHEN (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600.0 > 48 THEN 'error'
+           |            WHEN (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600.0 > 24 THEN 'warn'
+           |            ELSE 'ok' END AS status
+           |FROM events""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.Fns.tsStr
+      val asOf = lit("2024-02-01 00:00:00").cast("timestamp")
+      Tables.events(spark, dir).agg(
+        tsStr(max(col("ts"))).as("latest_ts"),
+        floor((unix_timestamp(asOf) - unix_timestamp(max(col("ts")))) / 3600).as("lag_hours"),
+        Quality.freshnessStatus(col("ts"), asOf, 24, 48).as("status"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness)
+}

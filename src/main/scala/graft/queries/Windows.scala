@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Window / time-series operators (SURVEY.md §2.6) + the SCD2 interval
+  * shape (§2.9 T7). These reconstruct the reference's FARE_DAILY_FEATURES
+  * lag/moving-average semantics (fare_model_training_dag.py:27-43 — its
+  * creating SQL is absent from the reference repo; semantics inferred from
+  * the consumer's column names).
+  *
+  * Scale notes: the daily-feature windows are unpartitioned ORDER BY
+  * trip_date — safe because the input is one row per *day* (O(years·365)
+  * rows after the pre-aggregation, not O(events)). Per-entity windows
+  * (w4, scd2) partition by the entity key and scale horizontally.
+  */
+object Windows {
+
+  /** Shared daily-revenue base: O(days) rows after aggregation. */
+  private def dailyRevenue(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(r4(avg(col("value"))).as("avg_value"), count(lit(1)).as("n"))
+
+  private val dailyRevenueSql =
+    """SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS avg_value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** W1+W2: lag(1) and lag(7) over the daily series
+    * (avg_fare_lag1/lag7 shape).
+    */
+  val w1Lag = QueryDef(
+    "w1_lag_features",
+    Some(s"""WITH daily AS ($dailyRevenueSql)
+            |SELECT day, avg_value,
+            |       lag(avg_value, 1) OVER (ORDER BY day) AS lag1,
+            |       lag(avg_value, 7) OVER (ORDER BY day) AS lag7
+            |FROM daily""".stripMargin),
+    (spark, dir) => {
+      val w = Window.orderBy(col("day"))
+      dailyRevenue(spark, dir)
+        .select(col("day"), col("avg_value"),
+          lag(col("avg_value"), 1).over(w).as("lag1"),
+          lag(col("avg_value"), 7).over(w).as("lag7"))
+    })
+
+  /** W3: trailing 7-row moving average (avg_fare_ma7 shape,
+    * rowsBetween(-6, 0)).
+    */
+  val w3MovingAvg = QueryDef(
+    "w3_moving_avg",
+    Some(s"""WITH daily AS ($dailyRevenueSql)
+            |SELECT day,
+            |       round(avg(avg_value) OVER (
+            |         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            |FROM daily""".stripMargin),
+    (spark, dir) => {
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      dailyRevenue(spark, dir)
+        .select(col("day"), r4(avg(col("avg_value")).over(w)).as("ma7"))
+    })
+
+  /** W4+O2: latest row per entity — row_number desc with a deterministic
+    * event_id tiebreak (fare_forecasting_dag.py:32-41's top-1-by-recency,
+    * generalized per key).
+    */
+  val w4Top1PerKey = QueryDef(
+    "w4_top1_per_key",
+    Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           |       round(value, 4) AS value
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+           |      FROM events) WHERE rk = 1""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"),
+          tsStr(col("ts")).as("ts_s"), r4(col("value")).as("value"))
+    })
+
+  /** W5: last-K slice via descending row_number (Forecast_evaluation.py:29-38's
+    * tail(7) over an ordered read).
+    */
+  val w5LastK = QueryDef(
+    "w5_last_k",
+    Some(s"""WITH daily AS ($dailyRevenueSql)
+            |SELECT day, avg_value, n
+            |FROM (SELECT *, row_number() OVER (ORDER BY day DESC) AS rk FROM daily)
+            |WHERE rk <= 7""".stripMargin),
+    (spark, dir) => {
+      val w = Window.orderBy(col("day").desc)
+      dailyRevenue(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 7)
+        .select(col("day"), col("avg_value"), col("n"))
+    })
+
+  /** T7 (SCD2, timestamp strategy): turn a change stream into validity
+    * intervals — valid_from = observation ts, valid_to = next observation's
+    * ts for the same key, open interval on the latest
+    * (snp_weather_observations.sql:13-21). Library form with
+    * hard-delete handling lives in `graft.operators.Scd2`.
+    */
+  val scd2Intervals = QueryDef(
+    "scd2_intervals",
+    Some("""SELECT user_id,
+           |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+           |       event_id,
+           |       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |            IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+           |FROM events""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(
+          col("user_id"),
+          tsStr(col("ts")).as("valid_from"),
+          tsStr(col("next_ts")).as("valid_to"),
+          col("event_id"),
+          col("next_ts").isNull.cast("int").as("is_current"))
+    })
+
+  /** T1/F3 (streaming tumbling window, batch-equivalent form): 6-hour
+    * tumbling windows via Spark's `window()` — the Structured Streaming
+    * path over the same data lives in `graft.streaming.EventsStreaming`
+    * and is exercised by its spec.
+    */
+  val t1TumblingWindow = QueryDef(
+    "t1_tumbling_window",
+    Some("""SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+           |                '%Y-%m-%d %H:%M:%S') AS window_start,
+           |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+
+  val all: Seq[QueryDef] = Seq(
+    w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals, t1TumblingWindow)
+}
