@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics,
+  * document fingerprinting. All pure `Column` expressions (codegen'd,
+  * no UDFs) so they stay inside whole-stage codegen over 100 TB of text.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (single-space convention of the fixtures).
+    * For messy real-world text use `tokensRegex`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenization: word pieces OR single non-space symbols. */
+  def tokensRegex(text: Column): Column =
+    // \p{L}+ letter runs, \d+ digit runs, else single non-space chars
+    regexp_extract_all(text, lit("[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** n-word shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Documents shorter than n words yield an empty set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Mean token length (0.0 for empty docs). */
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x)
+        .cast("double") / size(toks))
+  }
+
+  /** Fraction of tokens found in `stopwords` (language-ID / quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text))
+
+  /** Type-token ratio — lexical diversity (distinct tokens / tokens). */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set — the
+    * canonical bag-of-words identity used for fuzzy-exact dedup (robust to
+    * word order and repetition, cheap enough to compute in one pass).
+    */
+  def bowFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Exact-content fingerprint. */
+  def exactFingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit rolling-hash-style fingerprint of the token sequence:
+    * xxhash64 folded left over tokens — order-sensitive, constant memory.
+    */
+  def seqFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+}

