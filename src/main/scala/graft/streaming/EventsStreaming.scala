@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference's
+  * "real-time" layer is hourly Airflow micro-batches (weather_realtime_etl
+  * .py:30-33) with event-time stamping (T2), idempotent dedup (T3) and SLA
+  * freshness (T5); here the same semantics run as true streams:
+  *
+  *   - `windowedCounts`: tumbling event-time windows + watermark — the
+  *     int_weather_hourly aggregation as a stream.
+  *   - `dedupedStream`: `dropDuplicates` within the watermark — the
+  *     MERGE-insert-only idempotence (J5/T3) in streaming form.
+  *   - `sessionize`: flatMapGroupsWithState — per-key session windows
+  *     with a gap timeout (the custom-state operator Spark's built-in
+  *     windows don't express).
+  *
+  * At scale: watermark bounds state size; state is keyed by (window, type)
+  * or user_id and distributes across executors; checkpointing makes
+  * restarts exactly-once into idempotent sinks.
+  */
+object EventsStreaming {
+
+  /** Post-read schema of events.parquet under nanosAsLong (see
+    * Tables.events): ts arrives as epoch-nanos long.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (file-source micro-batches —
+    * the production shape: new parquet files land in the directory).
+    */
+  def readEventsDir(spark: SparkSession, streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Fixture adapter: the file source requires a directory, and the
+    * fixtures are single read-only files — stage a symlink dir per fixture.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file._
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    readEventsDir(spark, staged.toString)
+  }
+
+  /** Tumbling 6h windows per event_type with a 1h watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Watermarked exactly-once-per-key dedup (streaming J5). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  final case class SessionIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Session windows with a gap timeout: a session closes when no event
+    * arrives for `gapMinutes` (processing-time timeout in the streaming
+    * case; the batch spec drives it to completion and collects all open
+    * sessions on timeout).
+    */
+  def sessionize(events: Dataset[SessionIn], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            // fold the micro-batch's rows (event-time-ordered per group)
+            // into sessions; emit every closed session, keep the open one
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + r.value))
+                case Some(s) =>
+                  out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, r.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, r.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Drive a streaming query over the (finite) fixture to completion into
+    * an in-memory table; returns the result as a batch DataFrame.
+    */
+  def runToCompletion(stream: DataFrame, queryName: String,
+      mode: String = "append"): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Forecast
+import graft.operators.Multimodal
+
+class MlSpec extends AnyFunSuite {
+  import SparkTest._
+
+  lazy val features = Forecast.buildDailyFeatures(Tables.events(spark, sf))
+
+  test("feature table: lag/ma semantics (first rows null, ma7 = trailing mean)") {
+    val rows = features.orderBy("trip_date").collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("avg_fare_lag1")))
+    assert(rows(6).isNullAt(rows(6).fieldIndex("avg_fare_lag7")))
+    assert(!rows(7).isNullAt(rows(7).fieldIndex("avg_fare_lag7")))
+    // ma7 at row 7 = mean of avg_fare rows 1..7
+    val expMa = (1 to 7).map(rows(_).getAs[Double]("avg_fare")).sum / 7
+    assert(math.abs(rows(7).getAs[Double]("avg_fare_ma7") - expMa) < 1e-9)
+  }
+
+  test("train → forecast → eval chain produces sane outputs") {
+    val trained = Forecast.train(features)
+    assert(trained.holdoutMae >= 0 || trained.holdoutMae.isNaN)
+    val fc = Forecast.recursiveForecast(spark, trained.model, features, horizon = 7)
+    val fcRows = fc.collect()
+    assert(fcRows.length == 7)
+    assert(fcRows.forall(_.getAs[String]("model_version") == "rf_v1"))
+    // forecast dates are the 7 days following the last feature date
+    val lastDay = features.agg(max("trip_date")).head.getDate(0).toLocalDate
+    val dates = fcRows.map(_.getAs[java.sql.Date]("forecast_date").toLocalDate).sorted
+    assert(dates.head == lastDay.plusDays(1) && dates.last == lastDay.plusDays(7))
+
+    val eval = Forecast.evaluate(trained.model, features, k = 7).collect()
+    assert(eval.length == 8) // 7 days + ALL summary
+    assert(eval.count(_.getAs[String]("day") == "ALL") == 1)
+  }
+
+  test("model save/load roundtrip predicts identically") {
+    val trained = Forecast.train(features)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    trained.model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.regression.RandomForestRegressionModel.load(dir)
+    val a = Forecast.recursiveForecast(spark, trained.model, features)
+      .collect().map(_.getAs[Double]("predicted_avg_fare")).toSeq
+    val b = Forecast.recursiveForecast(spark, loaded, features)
+      .collect().map(_.getAs[Double]("predicted_avg_fare")).toSeq
+    assert(a == b)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  lazy val media = Multimodal.attachPayloads(Tables.documents(spark, sf))
+    .as[Multimodal.MediaRow]
+
+  test("payload plumbing: binary bytes survive the round trip") {
+    val r = media.filter(col("doc_id") === 0).head
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).head.getAs[String]("text")
+    assert(new String(r.payload, "UTF-8") == text)
+  }
+
+  test("decodeStub is deterministic and batch-shaped") {
+    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
+    assert(f1.forall(_.byte_len > 0))
+    // repartitioning must not change results (no partition-dependent state)
+    val f3 = Multimodal.decodeStub(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(f1.map(_.checksum).toSeq == f3.map(_.checksum).toSeq)
+  }
+
+  test("sampleFrames fans out every k-th frame for videos only") {
+    val feats = Multimodal.decodeStub(media)
+    val frames = Multimodal.sampleFrames(feats, everyK = 10).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 10 == 0))
+    val videoIds = feats.filter(_.media_type == "video").collect().map(_.doc_id).toSet
+    assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStreaming
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("streaming windowed counts equal the batch tumbling-window query") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    // complete mode so the finite source's full aggregation is observable
+    val got = EventsStreaming.runToCompletion(
+        EventsStreaming.windowedCounts(stream), "win_counts", mode = "complete")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(got == batch)
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val deduped = EventsStreaming.runToCompletion(
+      EventsStreaming.dedupedStream(stream), "dedup_stream")
+    assert(deduped.count() == deduped.select("event_id").distinct().count())
+    assert(deduped.count() == Tables.events(spark, sf).count()) // fixture has no dups
+  }
+
+  test("sessionize groups events into gap-separated sessions (batch-driven)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0), // same session (gap 10m < 30m)
+      (1L, "2024-01-01 02:00:00", 3.0), // new session
+      (2L, "2024-01-01 01:00:00", 4.0)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+      .as[EventsStreaming.SessionIn]
+    // batch Dataset drive: flatMapGroupsWithState works on batch Datasets too
+    // (state starts empty, no timeouts fire) — closed sessions are emitted,
+    // the last open session per key stays in (discarded) state, so assert on
+    // the closed ones.
+    val out = EventsStreaming.sessionize(rows, gapMinutes = 30).collect()
+    val u1Closed = out.filter(_.user_id == 1L)
+    assert(u1Closed.length == 1)
+    assert(u1Closed.head.n_events == 2 && u1Closed.head.total_value == 3.0)
+  }
+}
