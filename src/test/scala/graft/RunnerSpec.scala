@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.warehouse._
+
+class RunnerSpec extends AnyFunSuite {
+  import SparkTest.spark
+
+  test("reference pipeline runs end-to-end with quality gates green") {
+    val martDir = java.nio.file.Files.createTempDirectory("graft_marts").toString
+    val inputs = Map(
+      "raw_trips" -> TaxiFixtures.rawTrips,
+      "raw_weather" -> TaxiFixtures.rawWeather,
+      "zones" -> TaxiFixtures.zones)
+    val (built, results) = Runner.run(inputs, Runner.referencePipeline(martDir))
+    assert(results.map(_.name) ==
+      Seq("stg_taxi_trips", "stg_weather", "int_trips_enriched",
+        "int_weather_hourly", "mart_trips_weather", "mart_daily_metrics",
+        "mart_zone_analysis", "zone_demand"))
+    assert(results.forall(_.gateFailures.isEmpty))
+    // marts materialized and re-readable
+    assert(built("mart_daily_metrics").count() > 0)
+    assert(spark.read.parquet(s"$martDir/mart_daily_metrics").count() ==
+      built("mart_daily_metrics").count())
+  }
+
+  test("a failing quality gate aborts the run with a named violation") {
+    import spark.implicits._
+    val bad = Seq((1, "x"), (1, "y")).toDF("id", "v")
+    val stages = Seq(Runner.Stage("dup", Seq("in"),
+      m => m("in"), None, Seq(Runner.uniqueGate("id"))))
+    val e = intercept[IllegalArgumentException] {
+      Runner.run(Map("in" -> bad), stages)
+    }
+    assert(e.getMessage.contains("unique(id)"))
+  }
+
+  test("unresolvable dependencies are reported, not silently dropped") {
+    val stages = Seq(Runner.Stage("orphan", Seq("missing"), m => m("missing")))
+    val e = intercept[IllegalArgumentException] {
+      Runner.run(Map.empty, stages)
+    }
+    assert(e.getMessage.contains("orphan"))
+  }
+}
