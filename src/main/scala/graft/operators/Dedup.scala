@@ -40,6 +40,10 @@ object Dedup {
   /** k MinHash values over the doc's shingle set. Hash family:
     * xxhash64(seed_i, shingle) — deterministic, no RNG at runtime.
     * Empty shingle sets get Long.MaxValue components (never collide).
+    *
+    * Expression form (k nested transforms) — prefer `minhashSignatures`
+    * for bulk computation: it builds each shingle string once instead of
+    * k times.
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
     val sh = TextFns.shingles(text, shingleN)
@@ -48,6 +52,31 @@ object Dedup {
         array_min(transform(sh, s => xxhash64(lit(seed), s))),
         lit(Long.MaxValue))
     }: _*)
+  }
+
+  /** Bulk MinHash: explode each doc's shingle set once, hash each shingle
+    * with k seeds, take k mins in ONE hash-aggregation. Shingle strings are
+    * materialized once per doc (vs k times in the expression form) and the
+    * shuffle carries only (id, k longs) thanks to map-side partial min.
+    * Docs with no shingles (shorter than n words) keep all-MaxValue rows
+    * via the left join.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      k: Int): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"))
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+    val mins = (0 until k).map(seed =>
+      min(xxhash64(lit(seed), col("s"))).as(s"m$seed"))
+    val agg = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    ids.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        array((0 until k).map(i =>
+          coalesce(col(s"m$i"), lit(Long.MaxValue))): _*).as("sig"))
   }
 
   /** LSH banding: candidate pairs (id_a < id_b) = docs sharing any band's
@@ -63,9 +92,7 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -107,9 +134,11 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+        .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -36,7 +36,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
     val sims = p.join(c, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        round(Dedup.cosine(col("pv"), col("cv")), 6).as("cosine"))
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     sims.withColumn("rk", row_number().over(w))
@@ -69,7 +69,7 @@ object Similarity {
     val sims = pr.join(cp, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        round(Dedup.cosine(col("pv"), col("cv")), 6).as("cosine"))
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     sims.withColumn("rk", row_number().over(w))

@@ -64,14 +64,26 @@ object DedupQ {
            |  AND len(list_intersect(a.s, b.s)) * 1.0 /
            |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""".stripMargin),
     (spark, dir) => {
+      // inverted-index set-similarity join: explode each side's (distinct)
+      // shingles, equi-join on the shingle, count matches per pair — the
+      // same |A∩B| as a per-pair array_intersect, but computed by one
+      // codegen'd hash-agg instead of O(|probes|·|corpus|) array scans.
+      // Pairs with zero overlap never materialize (they can't reach 0.3).
       val sh = Tables.documents(spark, dir).select(col("doc_id"),
         graft.functions.TextFns.shingles(col("text"), 3).as("s"))
-      val a = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("id_a"), col("s").as("sa"))
-      val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+      val probeSh = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+      val inter = probeSh.join(candSh, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")), "id_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")), "id_b")
+        .withColumn("j", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
         .filter(col("j") >= 0.3)
         .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
     })
@@ -119,7 +131,7 @@ object DedupQ {
       val b = e.select(col("vec_id").as("id_b"),
         transform(col("embedding"), x => x.cast("double")).as("vb"))
       a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), Dedup.cosine(col("va"), col("vb")).as("c"))
+        .select(col("id_a"), col("id_b"), graft.plans.VectorFunctions.cosine_sim(col("va"), col("vb")).as("c"))
         .filter(col("c") > 0.3)
         .select(col("id_a"), col("id_b"), r4(col("c")).as("cosine"))
     })
