@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-inspection gate (dev tool): asserts the physical-plan properties
+  * the 100 TB design depends on — column pruning and predicate pushdown
+  * reaching the parquet scan, dimension joins broadcast, partial
+  * aggregation, top-k as TakeOrderedAndProject, similarity hot path
+  * inside whole-stage codegen. `sbt "runMain graft.ExplainCheck"`.
+  */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "explain")
+    val dir = "/root/testdata/sf0.01"
+    var bad = 0
+    def check(name: String, desc: String)(ok: String => Boolean): Unit = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val pass = ok(plan)
+      if (!pass) bad += 1
+      println(f"$name%-24s ${if (pass) "PLAN_OK " else "PLAN_BAD"} $desc")
+      if (!pass) println(plan.take(2500))
+    }
+    // column pruning: scan reads exactly the 5 referenced columns
+    check("s3_scan_project", "scan prunes to 5 columns") { p =>
+      val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+      scan.contains("l_returnflag") && !scan.contains("l_shipdate") &&
+        !scan.contains("l_partkey")
+    }
+    // predicate pushdown into the parquet reader
+    check("p3_positive_filter", "filters pushed to scan")(
+      _.contains("PushedFilters: [IsNotNull"))
+    // dimension joins must broadcast (no fact shuffle)
+    check("j3_broadcast_dim", "broadcast hash join")(_.contains("BroadcastHashJoin"))
+    check("j1_left_join_residual", "broadcast join w/ residual")(
+      _.contains("BroadcastHashJoin"))
+    check("a14_entity_daily", "broadcast dim in agg query")(
+      _.contains("BroadcastHashJoin"))
+    // hash aggregation with map-side partial aggregation
+    check("a4_daily_agg", "partial hash agg")(p =>
+      p.contains("HashAggregate") && p.contains("partial_"))
+    // anti-join dedup resolves to a real join strategy
+    check("j5_merge_insert_only", "anti join planned") { p =>
+      p.contains("LeftAnti") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"))
+    }
+    // top-k never sorts the full dataset
+    check("o2_top_k", "TakeOrderedAndProject")(_.contains("TakeOrderedAndProject"))
+    // native cosine expression present in a codegen'd context: either a
+    // whole-stage span or a broadcast join's generated predicate (BNLJ
+    // conditions compile through GeneratePredicate → our doGenCode)
+    check("dd_embedding_neardup", "codegen'd cosine path") { p =>
+      p.contains("cosine_sim") && p.linesIterator.exists(l =>
+        l.contains("cosine_sim") &&
+          (l.contains("*(") || l.contains("BroadcastNestedLoopJoin")))
+    }
+    // window functions still leave surrounding stages codegen'd
+    check("w4_top1_per_key", "window + codegen")(p =>
+      p.contains("RunningWindowFunction") || p.contains("Window"))
+    println(if (bad == 0) "ALL_PLANS_OK" else s"$bad PLAN CHECKS FAILED")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

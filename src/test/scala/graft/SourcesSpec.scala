@@ -1,0 +1,66 @@
+package graft
+
+import java.time.Instant
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  import SparkTest._
+
+  val api = new Sources.SyntheticWeatherApi
+
+  test("current-weather fetch yields one append-shaped row with verbatim JSON") {
+    val at = Instant.parse("2024-07-15T15:00:00Z")
+    val df = Sources.fetchCurrentWeather(spark, api, "New York", at)
+    assert(df.count() == 1)
+    val r = df.head
+    assert(r.getAs[String]("city") == "New York")
+    val json = r.getAs[String]("raw_json")
+    // payload is queryable (F9 path)
+    val desc = df.select(get_json_object(col("raw_json"),
+      "$.weather[0].description")).head.getString(0)
+    assert(desc == r.getAs[String]("weather_desc"))
+    assert(json.contains("\"name\":\"New York\""))
+  }
+
+  test("backfill fills exactly the missing hours, deterministically") {
+    val hours = Seq("2024-01-01T05:00:00Z", "2024-01-01T09:00:00Z")
+      .map(Instant.parse)
+    val a = Sources.backfillMissingHours(spark, api, "New York", hours)
+    val b = Sources.backfillMissingHours(spark, api, "New York", hours)
+    assert(a.count() == 2)
+    assert(a.collect().map(_.toString).sorted.sameElements(
+      b.collect().map(_.toString).sorted))
+  }
+
+  test("forecast feed: 7 days hourly, daily roll-up has 7-8 days") {
+    val df = Sources.fetchForecast(spark, api, "New York",
+      Instant.parse("2024-03-01T00:00:00Z"))
+    assert(df.count() == 168)
+    val days = df.select(col("observed_at").cast("date")).distinct().count()
+    assert(days == 7)
+    // July afternoons warmer than January mornings (seasonal signal)
+    val jul = api.forecastHourly("New York", Instant.parse("2024-07-01T15:00:00Z"), 1).head
+    val jan = api.forecastHourly("New York", Instant.parse("2024-01-01T05:00:00Z"), 1).head
+    assert(jul.tempF > jan.tempF)
+  }
+
+  test("CSV round trip: export then zone-lookup scan") {
+    import spark.implicits._
+    val zones = Seq((1L, "Manhattan", "Midtown", "Yellow Zone"),
+      (2L, "Queens", "Astoria", "Boro Zone"))
+      .toDF("LocationID", "Borough", "Zone", "service_zone")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/zones"
+    Sources.exportCsv(zones, dir, singleFile = true)
+    val back = Sources.readZoneLookupCsv(spark, dir)
+    assert(back.collect().map(_.getAs[Long]("LocationID")).sorted.toSeq == Seq(1L, 2L))
+    assert(back.schema("LocationID").dataType.typeName == "long")
+  }
+
+  test("registered views are queryable by name (S19)") {
+    Sources.registerViews(Map("zone_view" ->
+      Tables.customer(spark, sf).limit(5)))
+    assert(spark.sql("SELECT count(*) FROM zone_view").head.getLong(0) == 5)
+  }
+}
