@@ -47,6 +47,13 @@ object Fns {
     */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Column-name normalization to upper case — the reference's
+    * `df.columns.str.upper()` bridge between Snowflake's upper-cased
+    * identifiers and pandas (fare_model_training_dag.py:46).
+    */
+  def toUpperCols(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.toDF(df.columns.map(_.toUpperCase): _*)
+
   /** Timestamp → canonical string ('yyyy-MM-dd HH:mm:ss'), sidestepping
     * parquet TIMESTAMP(tz) vs DuckDB naive-TIMESTAMP schema mismatch in the
     * oracle compare. Session TZ is UTC in both engines.

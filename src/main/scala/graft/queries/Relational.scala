@@ -419,7 +419,34 @@ object Relational {
       hi.unionByName(err)
     })
 
+  /** A15/M5: regression error metrics (MAE / MAPE) — per-group prediction
+    * = that event_type's global mean (join back), errors aggregated
+    * (Forecast_evaluation.py:58-65's sklearn metrics as one agg pass).
+    */
+  val a15ErrorMetrics = QueryDef(
+    "a15_error_metrics",
+    Some("""WITH pred AS (
+           |  SELECT event_type, avg(value) AS predicted FROM events GROUP BY 1)
+           |SELECT e.event_type,
+           |       count(*) AS n,
+           |       round(avg(abs(e.value - p.predicted)), 4) AS mae,
+           |       round(avg(abs(e.value - p.predicted) / abs(e.value)), 4) AS mape
+           |FROM events e JOIN pred p ON e.event_type = p.event_type
+           |WHERE e.value != 0
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val pred = e.groupBy(col("event_type")).agg(avg(col("value")).as("predicted"))
+      e.filter(col("value") =!= 0)
+        .join(broadcast(pred), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r4(avg(abs(col("value") - col("predicted")))).as("mae"),
+          r4(avg(abs(col("value") - col("predicted")) / abs(col("value")))).as("mape"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    a15ErrorMetrics,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,

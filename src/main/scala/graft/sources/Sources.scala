@@ -88,6 +88,24 @@ object Sources {
         "raw_json", "load_ts")
   }
 
+  /** S1/S2 (offline analog): probe for the newest available monthly file —
+    * the reference HEAD-requests `yellow_tripdata_{YYYY-MM}.parquet` from
+    * the current month backwards (etl_spark_historical.py:113-143); the
+    * zero-egress equivalent enumerates a local directory and picks the
+    * lexicographically-newest month. No download step: Spark reads the
+    * file in place (S3 subsumes S2).
+    */
+  def latestMonthlyFile(dir: String, prefix: String = "yellow_tripdata_",
+      suffix: String = ".parquet"): Option[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).toSeq.flatten
+      .map(_.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .sorted(Ordering[String].reverse)
+      .headOption
+      .map(n => s"$dir/$n")
+  }
+
   /** S11: CSV dimension scan (zone lookup) — header + explicit null token. */
   def readZoneLookupCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
