@@ -28,7 +28,14 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    *
+    * Every oracle is wrapped in ORDER BY ALL NULLS FIRST and Verify writes
+    * rows sorted by every column (same positional order, same null
+    * placement as Spark's nulls-first ascending sort), so the comparison
+    * holds whether the driver's hash is row-order-sensitive or not.
+    */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(sql =>
+      q.name -> s"SELECT * FROM (\n$sql\n) ORDER BY ALL NULLS FIRST")).toMap
 }

@@ -83,7 +83,14 @@ def main():
                 if not gc.astype(str).equals(ec.astype(str)):
                     i = int((gc.astype(str) != ec.astype(str)).idxmax())
                     bad.append(f"{c}@{i}: {gc[i]!r} vs {ec[i]!r}")
-        results[name] = "OK rows=%d" % len(g) if not bad else "VALUE_MISMATCH " + "; ".join(bad[:3])
+        if bad:
+            results[name] = "VALUE_MISMATCH " + "; ".join(bad[:3])
+        else:
+            # also verify raw row order agreement (driver may hash in order)
+            go = got.reindex(sorted(got.columns), axis=1).astype(str).reset_index(drop=True)
+            eo = exp.reindex(sorted(exp.columns), axis=1).astype(str).reset_index(drop=True)
+            order = "" if go.equals(eo) else " ORDER_DIFF"
+            results[name] = "OK rows=%d%s" % (len(g), order)
     width = max(len(k) for k in results) if results else 0
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
     for k, v in results.items():
