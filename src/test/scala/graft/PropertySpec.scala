@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+import graft.operators.{Dedup, Scd2}
+
+/** Property tests for the semantics SURVEY.md §7.4 flags as hard:
+  * F1 minute-boundary datediff, F5 day-of-week mapping, MinHash estimate
+  * accuracy, SCD2 interval invariants under random update sequences.
+  * Deterministic seeded generation; each property evaluates its whole
+  * sample set in one Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  val rnd = new scala.util.Random(42)
+
+  test("F1: datediffMinutes == floor(b/60) - floor(a/60) for 200 random epoch pairs") {
+    val cases = Seq.fill(200) {
+      val a = 1500000000L + rnd.nextLong(300000000L)
+      val b = 1500000000L + rnd.nextLong(300000000L)
+      (a, b)
+    } ++ Seq((1700000059L, 1700000061L), (1700000000L, 1700000059L)) // boundary cases
+    val got = cases.map { case (a, b) => (new Timestamp(a * 1000), new Timestamp(b * 1000), a, b) }
+      .toDF("ta", "tb", "a", "b")
+      .select(Fns.datediffMinutes(col("ta"), col("tb")).as("got"), col("a"), col("b"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(r.getAs[Long]("got") == math.floorDiv(b, 60) - math.floorDiv(a, 60),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("F5: dayOfWeekSnowflake matches java.time (0=Sunday) over 400 random dates") {
+    val days = Seq.fill(400)(rnd.nextInt(20000).toLong)
+    val got = days.map(d => Tuple1(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))))
+      .toDF("d")
+      .select(col("d"), Fns.dayOfWeekSnowflake(col("d")).as("dow"),
+        Fns.dayNameAbbrev(col("d")).as("nm"))
+      .collect()
+    got.foreach { r =>
+      val date = r.getDate(0).toLocalDate
+      assert(r.getInt(1) == date.getDayOfWeek.getValue % 7, s"$date")
+      assert(r.getString(2) == date.getDayOfWeek.getDisplayName(
+        java.time.format.TextStyle.SHORT, java.util.Locale.ENGLISH), s"$date")
+    }
+  }
+
+  test("MinHash estimate tracks exact Jaccard within sampling tolerance (k=64)") {
+    val vocab = (0 until 80).map(i => s"w$i")
+    val docs = (0 until 30).flatMap { i =>
+      val size = 20 + rnd.nextInt(20)
+      val overlap = rnd.nextInt(size + 1)
+      val a = vocab.take(size)
+      val b = vocab.slice(size - overlap, 2 * size - overlap)
+      Seq((i * 2L, a.mkString(" "), i), (i * 2L + 1, b.mkString(" "), i))
+    }.toDF("doc_id", "text", "pair")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", shingleN = 1, k = 64)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Seq[Long]]("sig")).toMap
+    val words = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSet).toMap
+    (0 until 30).foreach { i =>
+      val (x, y) = (i * 2L, i * 2L + 1)
+      val est = sigs(x).zip(sigs(y)).count { case (p, q) => p == q } / 64.0
+      val exact = words(x).intersect(words(y)).size.toDouble / words(x).union(words(y)).size
+      // k=64 ⇒ σ = sqrt(J(1-J)/64) ≤ 0.0625; allow 4σ
+      assert(math.abs(est - exact) <= 0.25, s"pair $i est=$est exact=$exact")
+    }
+  }
+
+  test("SCD2 invariants hold across a randomized 6-step update/delete sequence") {
+    val keys = Seq("A", "B", "C", "D")
+    def at(off: Long) = new Timestamp(1700000000000L + off * 3600000L)
+    val src0 = keys.map(k => (k, at(0), 0)).toDF("k", "updated_at", "v")
+    var snap = Scd2.applyTimestamp(Scd2.emptySnapshot(src0, "updated_at"), src0,
+      Seq("k"), "updated_at", lit(at(0)))
+    (1 to 6).foreach { step =>
+      val rows = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, at(step), rnd.nextInt(100)))
+      if (rows.nonEmpty) {
+        snap = Scd2.applyTimestamp(snap, rows.toDF("k", "updated_at", "v"),
+          Seq("k"), "updated_at", lit(at(step)))
+      }
+      snap = snap.cache()
+    }
+    val collected = snap.select("k", "valid_from", "valid_to").collect()
+    val byKey = collected.groupBy(_.getString(0))
+    byKey.values.foreach { rs =>
+      assert(rs.count(_.isNullAt(2)) <= 1, "more than one open version")
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(!x.isNullAt(2), "non-final interval left open")
+          assert(x.getTimestamp(2).getTime <= y.getTimestamp(1).getTime,
+            "overlapping intervals")
+        case _ =>
+      }
+    }
+  }
+}
