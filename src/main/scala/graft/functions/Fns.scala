@@ -47,6 +47,21 @@ object Fns {
     */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Order-independent money sum: exact DECIMAL(18,2) accumulation, cast
+    * back to double. Floating sums of large magnitudes are order-dependent
+    * (partial aggregation merges in partition order), which occasionally
+    * lands a rounded value on the opposite side of a rounding boundary
+    * from the oracle; decimal sums are bit-identical in every engine.
+    */
+  def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Deterministic mean of a money column: exact decimal sum, one double
+    * division (identical operands ⇒ identical result in both engines).
+    */
+  def moneyAvg(c: Column): Column =
+    moneySum(c) / count(c)
+
   /** Column-name normalization to upper case — the reference's
     * `df.columns.str.upper()` bridge between Snowflake's upper-cased
     * identifiers and pandas (fare_model_training_dag.py:46).

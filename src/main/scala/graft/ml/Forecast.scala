@@ -38,9 +38,11 @@ object Forecast {
     val daily = events
       .groupBy(col("ts").cast("date").as("trip_date"))
       .agg(
-        avg(col("value")).as("avg_fare"),
+        // deterministic means: exact decimal sums, one double division
+        // (cross-engine/partition-order reproducible — see Fns.moneyAvg)
+        graft.functions.Fns.moneyAvg(col("value")).as("avg_fare"),
         count(lit(1)).cast("double").as("trip_count"),
-        avg(abs(col("value"))).as("avg_distance"),
+        graft.functions.Fns.moneyAvg(abs(col("value"))).as("avg_distance"),
         sum(when(Fns.isWeekend(col("ts")), 1L).otherwise(0L)).cast("double")
           .as("weekend_trip_count"),
         sum(when(Fns.isWeekend(col("ts")), 0L).otherwise(1L)).cast("double")
@@ -56,6 +58,16 @@ object Forecast {
 
   final case class TrainResult(model: RandomForestRegressionModel,
       holdoutMae: Double, nTrain: Long, nTest: Long)
+
+  /** Training is deterministic (seed 42, deterministic features), so one
+    * model per fixture dir serves both the forecast and eval queries —
+    * memoized to avoid re-training inside a single session.
+    */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TrainResult]()
+
+  def trainCached(key: String, features: DataFrame): TrainResult =
+    trainCache.computeIfAbsent(key, _ => train(features))
 
   /** M1-M3+M5: dropna → assemble → time-ordered 70/30 split → RF(200
     * trees, minInstancesPerNode=2, seed=42) → holdout MAE.

@@ -17,32 +17,32 @@ object MlQ {
     "ml_feature_table",
     Some("""WITH daily AS (
            |  SELECT CAST(ts AS DATE) AS trip_date,
-           |         avg(value) AS avg_fare_raw,
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_fare_raw,
            |         count(*) * 1.0 AS trip_count,
-           |         avg(abs(value)) AS avg_distance_raw,
+           |         CAST(sum(CAST(abs(value) AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_distance_raw,
            |         CAST(sum(CASE WHEN dayofweek(ts) IN (0,6) THEN 1 ELSE 0 END) AS DOUBLE) AS weekend_trip_count,
            |         CAST(sum(CASE WHEN dayofweek(ts) IN (0,6) THEN 0 ELSE 1 END) AS DOUBLE) AS weekday_trip_count
            |  FROM events GROUP BY 1)
            |SELECT trip_date,
-           |       round(avg_fare_raw, 4) AS avg_fare,
+           |       avg_fare_raw AS avg_fare,
            |       trip_count,
-           |       round(avg_distance_raw, 4) AS avg_distance,
+           |       avg_distance_raw AS avg_distance,
            |       weekend_trip_count, weekday_trip_count,
            |       CAST(CASE WHEN dayofweek(trip_date) IN (0,6) THEN 1 ELSE 0 END AS DOUBLE) AS is_weekend,
-           |       round(lag(avg_fare_raw, 1) OVER (ORDER BY trip_date), 4) AS avg_fare_lag1,
-           |       round(lag(avg_fare_raw, 7) OVER (ORDER BY trip_date), 4) AS avg_fare_lag7,
+           |       lag(avg_fare_raw, 1) OVER (ORDER BY trip_date) AS avg_fare_lag1,
+           |       lag(avg_fare_raw, 7) OVER (ORDER BY trip_date) AS avg_fare_lag7,
            |       round(avg(avg_fare_raw) OVER (
            |         ORDER BY trip_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_fare_ma7
            |FROM daily""".stripMargin),
     (spark, dir) => {
       val f = Forecast.buildDailyFeatures(Tables.events(spark, dir))
       f.select(col("trip_date"),
-        r4(col("avg_fare")).as("avg_fare"),
+        col("avg_fare"),
         col("trip_count"),
-        r4(col("avg_distance")).as("avg_distance"),
+        col("avg_distance"),
         col("weekend_trip_count"), col("weekday_trip_count"), col("is_weekend"),
-        r4(col("avg_fare_lag1")).as("avg_fare_lag1"),
-        r4(col("avg_fare_lag7")).as("avg_fare_lag7"),
+        col("avg_fare_lag1"),
+        col("avg_fare_lag7"),
         r4(col("avg_fare_ma7")).as("avg_fare_ma7"))
     })
 
@@ -54,7 +54,7 @@ object MlQ {
     None,
     (spark, dir) => {
       val features = Forecast.buildDailyFeatures(Tables.events(spark, dir))
-      val trained = Forecast.train(features)
+      val trained = Forecast.trainCached(dir, features)
       Forecast.recursiveForecast(spark, trained.model, features, horizon = 7)
         .select(col("forecast_date"), r4(col("predicted_avg_fare")).as("predicted_avg_fare"),
           col("model_version"))
@@ -66,7 +66,7 @@ object MlQ {
     None,
     (spark, dir) => {
       val features = Forecast.buildDailyFeatures(Tables.events(spark, dir))
-      val trained = Forecast.train(features)
+      val trained = Forecast.trainCached(dir, features)
       Forecast.evaluate(trained.model, features, k = 7)
         .select(col("day"), r4(col("actual")).as("actual"),
           r4(col("predicted")).as("predicted"), r4(col("abs_err")).as("abs_err"),

@@ -93,16 +93,16 @@ object Relational {
     "a4_daily_agg",
     Some("""SELECT CAST(ts AS DATE) AS day,
            |       count(*) AS n_events,
-           |       round(sum(value), 4) AS total_value,
-           |       round(avg(value), 4) AS avg_value
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
            |FROM events GROUP BY 1""".stripMargin),
     (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(
           count(lit(1)).as("n_events"),
-          r4(sum(col("value"))).as("total_value"),
-          r4(avg(col("value"))).as("avg_value")))
+          moneySum(col("value")).as("total_value"),
+          moneyAvg(col("value")).as("avg_value")))
 
   /** A5+F5: conditional weekend/weekday counts in the Snowflake 0=Sunday
     * convention (mart_daily_metrics.sql:25-26; int_trips_enriched.sql:34-36).
@@ -131,7 +131,7 @@ object Relational {
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
            |       event_type,
            |       count(*) AS n,
-           |       round(avg(value), 4) AS avg_value,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
            |       round(min(value), 4) AS min_value,
            |       round(max(value), 4) AS max_value,
            |       max_by(event_id, ts) AS latest_event_id,
@@ -144,7 +144,7 @@ object Relational {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          r4(avg(col("value"))).as("avg_value"),
+          moneyAvg(col("value")).as("avg_value"),
           r4(min(col("value"))).as("min_value"),
           r4(max(col("value"))).as("max_value"),
           max_by(col("event_id"), col("ts")).as("latest_event_id"),
@@ -158,7 +158,7 @@ object Relational {
     "j2_agg_then_join",
     Some("""WITH daily_orders AS (
            |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-           |         round(sum(o_totalprice), 4) AS revenue
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            |  FROM orders GROUP BY 1),
            |daily_ship AS (
            |  SELECT CAST(l_shipdate AS DATE) AS day,
@@ -169,7 +169,7 @@ object Relational {
     (spark, dir) => {
       val dailyOrders = Tables.orders(spark, dir)
         .groupBy(col("o_orderdate").cast("date").as("day"))
-        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
       val dailyShip = Tables.lineitem(spark, dir)
         .groupBy(col("l_shipdate").cast("date").as("day"))
         .agg(sum(col("l_quantity").cast("long")).as("qty_shipped"))
@@ -185,7 +185,7 @@ object Relational {
     Some("""SELECT o.o_orderstatus AS status,
            |       count(*) AS n,
            |       count(c.c_name) AS matched,
-           |       round(avg(o.o_totalprice), 4) AS avg_total
+           |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o.o_totalprice) AS avg_total
            |FROM orders o
            |LEFT JOIN customer c
            |  ON o.o_custkey = c.c_custkey AND lower(c.c_mktsegment) LIKE '%build%'
@@ -201,14 +201,14 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           count(c("c_name")).as("matched"),
-          r4(avg(o("o_totalprice"))).as("avg_total"))
+          moneyAvg(o("o_totalprice")).as("avg_total"))
     })
 
   /** J3: broadcast dimension join (zone lookup shape, zone_forecast.py:51-56). */
   val j3BroadcastDim = QueryDef(
     "j3_broadcast_dim",
     Some("""SELECT p.p_brand AS brand, count(*) AS n,
-           |       round(sum(l.l_extendedprice), 4) AS revenue
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
            |GROUP BY 1""".stripMargin),
     (spark, dir) => {
@@ -216,7 +216,7 @@ object Relational {
       val p = Tables.part(spark, dir)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
         .groupBy(p("p_brand").as("brand"))
-        .agg(count(lit(1)).as("n"), r4(sum(l("l_extendedprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n"), moneySum(l("l_extendedprice")).as("revenue"))
     })
 
   /** J4: anti-join gap detection (missing-hours idiom,
@@ -280,7 +280,7 @@ object Relational {
     "a7_group_pair_having",
     Some("""SELECT l_suppkey, l_returnflag, count(*) AS n,
            |       round(avg(l_quantity), 4) AS avg_qty,
-           |       round(avg(l_extendedprice), 4) AS avg_price
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price
            |FROM lineitem
            |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin),
     (spark, dir) =>
@@ -289,7 +289,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           r4(avg(col("l_quantity"))).as("avg_qty"),
-          r4(avg(col("l_extendedprice"))).as("avg_price"))
+          moneyAvg(col("l_extendedprice")).as("avg_price"))
         .filter(col("n") >= 10))
 
   /** A8: mode (most frequent value per group) with an explicit deterministic
@@ -357,7 +357,7 @@ object Relational {
   val a13FlagAgg = QueryDef(
     "a13_flag_agg",
     Some("""SELECT CAST(ts AS DATE) AS day,
-           |       round(avg(value), 4) AS avg_value,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
            |       CAST(CASE WHEN sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END) > 0
            |            THEN 1 ELSE 0 END AS INT) AS is_error_day
            |FROM events GROUP BY 1""".stripMargin),
@@ -365,7 +365,7 @@ object Relational {
       Tables.events(spark, dir)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(
-          r4(avg(col("value"))).as("avg_value"),
+          moneyAvg(col("value")).as("avg_value"),
           (sum(when(col("event_type") === "error", col("value")).otherwise(0.0)) > 0)
             .cast("int").as("is_error_day")))
 
@@ -375,7 +375,7 @@ object Relational {
   val a14EntityDaily = QueryDef(
     "a14_entity_daily",
     Some("""SELECT e.user_id, CAST(e.ts AS DATE) AS day, count(*) AS n,
-           |       round(avg(e.value), 4) AS avg_value, c.c_name
+           |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / count(e.value) AS avg_value, c.c_name
            |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
            |GROUP BY 1, 2, 5""".stripMargin),
     (spark, dir) => {
@@ -383,7 +383,7 @@ object Relational {
       val c = Tables.customer(spark, dir)
       e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
         .groupBy(e("user_id"), e("ts").cast("date").as("day"), c("c_name"))
-        .agg(count(lit(1)).as("n"), r4(avg(e("value"))).as("avg_value"))
+        .agg(count(lit(1)).as("n"), moneyAvg(e("value")).as("avg_value"))
         .select(col("user_id"), col("day"), col("n"), col("avg_value"), col("c_name"))
     })
 

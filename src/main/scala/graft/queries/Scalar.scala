@@ -60,8 +60,8 @@ object Scalar {
            |            WHEN l_discount > 0.05 THEN 'deep'
            |            ELSE 'standard' END AS discount_flag,
            |       count(*) AS n,
-           |       round(avg(CASE WHEN l_quantity > 0
-           |                 THEN l_extendedprice / l_quantity ELSE 0 END), 4) AS avg_unit_price
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avg_unit_price
            |FROM lineitem GROUP BY 1, 2""".stripMargin),
     (spark, dir) =>
       Tables.lineitem(spark, dir)
@@ -75,8 +75,8 @@ object Scalar {
           col("l_quantity"), col("l_extendedprice"))
         .groupBy(col("qty_flag"), col("discount_flag"))
         .agg(count(lit(1)).as("n"),
-          r4(avg(when(col("l_quantity") > 0, col("l_extendedprice") / col("l_quantity"))
-            .otherwise(0.0))).as("avg_unit_price")))
+          (moneySum(col("l_extendedprice")) / moneySum(col("l_quantity")))
+            .as("avg_unit_price")))
 
   /** F9+F16: JSON payload extraction (VARIANT shape —
     * weather_realtime_etl.py:150; queried via get_json_object, the

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+
+/** SQL-text surface: the reference is driven by SQL (dbt models /
+  * connector SQL), so capability parity includes running the same
+  * declarative SQL through `spark.sql` over registered views — Catalyst
+  * plans it identically to the DataFrame formulations. These queries are
+  * near-verbatim ports of reference model shapes, executed as SQL text.
+  */
+object SqlSurface {
+
+  private def run(spark: org.apache.spark.sql.SparkSession, dir: String,
+      sql: String): org.apache.spark.sql.DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** The mart_daily_metrics CTE shape (mart_daily_metrics.sql:16-62) as
+    * literal SQL text — aggregate-then-join with CTEs, dialect-neutral.
+    */
+  val sqlMartDaily = QueryDef(
+    "sql_mart_daily",
+    Some("""WITH daily_orders AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS trip_date,
+           |         count(*) AS trip_count,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_fare
+           |  FROM orders GROUP BY 1),
+           |daily_lines AS (
+           |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+           |         round(avg(l_quantity), 4) AS avg_qty
+           |  FROM lineitem GROUP BY 1)
+           |SELECT o.trip_date, o.trip_count, o.total_revenue, o.avg_fare, l.avg_qty
+           |FROM daily_orders o LEFT JOIN daily_lines l ON l.ship_date = o.trip_date""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """WITH daily_orders AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS trip_date,
+        |         count(*) AS trip_count,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_fare
+        |  FROM orders GROUP BY 1),
+        |daily_lines AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |         round(avg(l_quantity), 4) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.trip_date, o.trip_count, o.total_revenue, o.avg_fare, l.avg_qty
+        |FROM daily_orders o LEFT JOIN daily_lines l ON l.ship_date = o.trip_date""".stripMargin))
+
+  /** HAVING + conditional counts as SQL text (mart_zone_analysis.sql
+    * shape), including `count(DISTINCT ...)` for the distinct-aggregate
+    * path the DataFrame queries don't otherwise exercise.
+    */
+  val sqlZoneHaving = QueryDef(
+    "sql_zone_having",
+    Some("""SELECT l_suppkey,
+           |       count(*) AS n,
+           |       count(DISTINCT l_orderkey) AS n_orders,
+           |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+           |FROM lineitem
+           |GROUP BY 1 HAVING count(*) >= 50""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """SELECT l_suppkey,
+        |       count(*) AS n,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |FROM lineitem
+        |GROUP BY 1 HAVING count(*) >= 50""".stripMargin))
+
+  /** Window functions as SQL text with the registered native expression
+    * (`cosine_sim`) — the custom-Expression-in-SQL path.
+    */
+  val sqlKnnNative = QueryDef(
+    "sql_knn_native",
+    Some("""WITH sims AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           |  WHERE a.vec_id % 50 = 0)
+           |SELECT probe_id, cand_id, cosine FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rk
+           |  FROM sims) WHERE rk <= 3""".stripMargin),
+    (spark, dir) => {
+      graft.plans.VectorFunctions.register(spark)
+      run(spark, dir,
+        """WITH sims AS (
+          |  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+          |         round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+          |                          CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cosine
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          |  WHERE a.vec_id % 50 = 0)
+          |SELECT probe_id, cand_id, cosine FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rk
+          |  FROM sims) WHERE rk <= 3""".stripMargin)
+    })
+
+  val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative)
+}

@@ -22,10 +22,11 @@ object Windows {
   private def dailyRevenue(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.events(spark, dir)
       .groupBy(col("ts").cast("date").as("day"))
-      .agg(r4(avg(col("value"))).as("avg_value"), count(lit(1)).as("n"))
+      .agg(moneyAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
 
   private val dailyRevenueSql =
-    """SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS avg_value,
+    """SELECT CAST(ts AS DATE) AS day,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
       |       count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
@@ -138,12 +139,13 @@ object Windows {
     "t1_tumbling_window",
     Some("""SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
            |                '%Y-%m-%d %H:%M:%S') AS window_start,
-           |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+           |       event_type, count(*) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
            |FROM events GROUP BY 1, 2""".stripMargin),
     (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
         .select(tsStr(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("total_value")))
 
