@@ -56,6 +56,18 @@ object ExplainCheck {
     // window functions still leave surrounding stages codegen'd
     check("w4_top1_per_key", "window + codegen")(p =>
       p.contains("RunningWindowFunction") || p.contains("Window"))
+    // salted-join drive: skewed key split across salt reducers, results exact
+    locally {
+      import spark.implicits._
+      val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+      val small = Seq((1L, "hot"), (950L, "tail")).toDF("k", "name")
+      val salted = graft.operators.Scale.saltedJoin(large, small, "k", 8)
+      val n = salted.count()
+      val plain = large.join(small, Seq("k")).count()
+      val pass = n == plain
+      if (!pass) bad += 1
+      println(f"salted_join              ${if (pass) "PLAN_OK " else "PLAN_BAD"} rows=$n (plain=$plain)")
+    }
     println(if (bad == 0) "ALL_PLANS_OK" else s"$bad PLAN CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+import graft.warehouse.Ingest
+
+class ScaleSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the rows of a plain join under heavy skew") {
+    // skewed large side: 90% of rows share key 1
+    val large = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (5L, "cold"), (1900L, "tail"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    val salted = Scale.saltedJoin(large, small, "k", saltFactor = 8)
+      .select("k", "payload", "name").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    // left join keeps unmatched large rows exactly once
+    val plainLeft = large.join(small, Seq("k"), "left").count()
+    val saltedLeft = Scale.saltedJoin(large, small, "k", 8, "left").count()
+    assert(saltedLeft == plainLeft)
+  }
+
+  test("approxDistinct within rsd of exact on the fixtures") {
+    val e = Tables.events(spark, sf)
+    val approx = Scale.approxDistinct(e, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(2, 0.15 * ex),
+        s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
+  test("approxQuantiles brackets the true median") {
+    val e = Tables.events(spark, sf)
+    val Array(q50) = Scale.approxQuantiles(e, "value", Array(0.5))
+    val n = e.count()
+    val below = e.filter(col("value") <= q50).count()
+    assert(math.abs(below.toDouble / n - 0.5) < 0.05)
+  }
+
+  test("date-partitioned writes enable partition pruning (PartitionFilters in plan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    Ingest.writePartitioned(Tables.events(spark, sf), dir, "ts", mode = "overwrite")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("p_date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"),
+      s"no partition filter in plan:\n${plan.take(1500)}")
+    // pruned count equals an independently-computed per-date count
+    val expected = Tables.events(spark, sf)
+      .filter(col("ts").cast("date") === "2024-01-05").count()
+    assert(pruned.count() == expected && expected > 0)
+    // the physical scan reads exactly one of the date partitions
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty)
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
+  }
+}
