@@ -52,6 +52,59 @@ object Similarity {
       when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** True IVF (inverted-file) ANN: k-means centroids learned over the
+    * corpus; each vector is assigned to its nearest centroid's cell, and
+    * probes scan `nProbe` nearest cells. At 100 TB the cell assignment is
+    * the bucketing key of the stored corpus (`bucketBy(cell)`), so a probe
+    * reads only its cells' files. MLlib KMeans trains on a sample; seed
+    * fixed for reproducibility.
+    */
+  def ivfKnn(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val cp = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val withVec = cp.withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
+
+    // probe-side: nProbe nearest centroids per probe (centroids are tiny —
+    // driver-side ranking, broadcast back as a lookup)
+    val centroids = model.clusterCenters.zipWithIndex
+    val pr = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    val probeCells = pr.collect().flatMap { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Double](1).toArray
+      centroids.map { case (c, i) =>
+        val d = c.toArray.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (pid, i, d)
+      }.sortBy(_._3).take(nProbe).map { case (p, i, _) => (p, i) }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cellsDf = probeCells.toSeq.toDF("probe_id", "cell")
+    val prWithCells = pr.join(broadcast(cellsDf), Seq("probe_id"))
+
+    val sims = prWithCells.join(assigned, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Bucketed ANN: probes scan only their own SRP bucket. Recall < 1 by
     * construction; raise p for smaller buckets, lower it for recall.
     */

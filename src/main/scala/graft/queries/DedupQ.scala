@@ -184,7 +184,22 @@ object DedupQ {
         .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
     })
 
+  /** Learned-centroid IVF ANN (k-means cells, nProbe=2) — model-dependent
+    * assignment → rows-only; recall vs the exact brute-force baseline is
+    * asserted in DedupSpec.
+    */
+  val simKnnIvf = QueryDef(
+    "sim_knn_ivf",
+    None,
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.ivfKnn(e.filter(col("vec_id") % 25 === 0), e, k = 5,
+          nCells = 16, nProbe = 2)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddMinhashLsh, ddSimhash,
-    ddEmbeddingNearDup, simKnnBrute, simKnnLsh)
+    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf)
 }

