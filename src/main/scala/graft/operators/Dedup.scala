@@ -8,6 +8,13 @@ import graft.functions.TextFns
   * fuzziness: exact → bag-of-words → MinHash/LSH → SimHash → n-gram
   * Jaccard → embedding cosine.
   *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * estimation (Broder, "On the resemblance and containment of
+  * documents", 1997) with LSH banding (Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets ch.3); SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; Manku et al.,
+  * "Detecting near-duplicates for web crawling", WWW 2007).
+  *
   * Scale design (the point of each algorithm):
   *   - exact/bow: one groupBy on a 128-bit fingerprint — the shuffle
   *     carries (fp, doc_id) pairs only, never text.

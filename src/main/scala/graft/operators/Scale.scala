@@ -33,9 +33,10 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Approximate distinct count (HyperLogLog++): constant memory per
-    * group vs O(distinct) for exact — the only viable distinct-count at
-    * 100 TB cardinalities. rsd 0.05 ⇒ ~1.6 KB of sketch per group.
+  /** Approximate distinct count (HyperLogLog++, Heule/Nunkesser/Hall,
+    * EDBT 2013): constant memory per group vs O(distinct) for exact —
+    * the only viable distinct-count at 100 TB cardinalities. rsd 0.05 ⇒
+    * ~1.6 KB of sketch per group.
     */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], target: String,
       rsd: Double = 0.05): DataFrame =
@@ -43,8 +44,10 @@ object Scale {
       .agg(approx_count_distinct(col(target), rsd).as(s"approx_${target}_distinct"),
         count(lit(1)).as("n"))
 
-  /** Approximate quantiles via QuantileSummaries (Greenwald-Khanna):
-    * single-pass, bounded memory, mergeable across partitions.
+  /** Approximate quantiles via QuantileSummaries (Greenwald/Khanna,
+    * "Space-efficient online computation of quantile summaries",
+    * SIGMOD 2001): single-pass, bounded memory, mergeable across
+    * partitions.
     */
   def approxQuantiles(df: DataFrame, valueCol: String,
       probabilities: Array[Double], relativeError: Double = 0.01): Array[Double] =
