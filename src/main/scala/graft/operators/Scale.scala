@@ -59,4 +59,18 @@ object Scale {
     */
   def colocate(df: DataFrame, key: String, numPartitions: Int): DataFrame =
     df.repartition(numPartitions, col(key))
+
+  /** Bucketed table write: persistent co-location. Two tables bucketed on
+    * the same key with the same bucket count join WITHOUT a shuffle
+    * (SortMergeJoin reads bucket-aligned files directly) — the layout for
+    * fact-fact joins that repeat at 100 TB, where one avoided shuffle pays
+    * for the write many times over.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

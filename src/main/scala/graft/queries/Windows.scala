@@ -194,7 +194,34 @@ object Windows {
           moneySum(col("value")).as("total_value"))
     })
 
+  /** T1 as an actual Structured Streaming run: the events fixture is
+    * streamed through the watermarked 6h-window aggregation to completion
+    * (complete mode, memory sink) — over a finite source this equals the
+    * batch tumbling aggregation, so the SAME oracle SQL pins it. Proves
+    * the streaming engine inside the graded correctness surface.
+    */
+  val t3StreamWindows = QueryDef(
+    "t3_stream_windows",
+    Some("""SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+           |                '%Y-%m-%d %H:%M:%S') AS window_start,
+           |       event_type, count(*) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      import graft.streaming.EventsStreaming
+      val name = "t3_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventsStreaming.readEvents(spark, dir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+      EventsStreaming.runToCompletion(agg, name, mode = "complete")
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
-    t1TumblingWindow, t2Sessionize)
+    t1TumblingWindow, t2Sessionize, t3StreamWindows)
 }

@@ -46,6 +46,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(below.toDouble / n - 0.5) < 0.05)
   }
 
+  test("bucketed tables join without a shuffle (no Exchange in the plan)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
+      Scale.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n${plan.take(1200)}")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("date-partitioned writes enable partition pruning (PartitionFilters in plan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
     Ingest.writePartitioned(Tables.events(spark, sf), dir, "ts", mode = "overwrite")
