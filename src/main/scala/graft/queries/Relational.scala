@@ -445,8 +445,36 @@ object Relational {
           r4(avg(abs(col("value") - col("predicted")) / abs(col("value")))).as("mape"))
     })
 
+  /** As-of (temporal) join: each event picks up the user's most recent
+    * order at event time (inclusive). Spark side is the shuffle-once
+    * union+window formulation (operators.AsOfJoin); the oracle is DuckDB's
+    * native ASOF JOIN. Right side is deduped to one order per (user, ts)
+    * first — as-of semantics are undefined under timestamp ties.
+    */
+  val jxAsOfJoin = QueryDef(
+    "jx_asof_join",
+    Some("""WITH o AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT e.event_id, e.user_id,
+           |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           |       o.o_orderkey AS last_order_id
+           |FROM events e
+           |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_order_id"))
+      graft.operators.AsOfJoin.join(e, o, key = "user_id",
+          leftTs = "ts", rightTs = "o_orderdate", rightCols = Seq("last_order_id"))
+        .select(col("event_id"), col("user_id"),
+          tsStr(col("ts")).as("ts_s"), col("last_order_id"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    a15ErrorMetrics,
+    a15ErrorMetrics, jxAsOfJoin,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,
