@@ -71,6 +71,67 @@ object Multimodal {
     }
   }
 
+  /** Real header parsing (no codec libraries needed): sniff the container
+    * format from magic bytes and extract intrinsic dimensions/rates from
+    * the header — PNG IHDR width/height, JPEG SOF0/SOF2 dimensions, WAV
+    * fmt-chunk sample rate. Unknown payloads return ("unknown", -1, -1).
+    * This is the non-stub slice of media decoding: everything up to the
+    * entropy-coded payload is plain byte arithmetic.
+    */
+  final case class MediaHeader(format: String, width: Int, height: Int)
+
+  def parseHeader(bytes: Array[Byte]): MediaHeader = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+
+    if (bytes.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+      // PNG: 8-byte signature, IHDR length+type at 8..15, width/height at 16..23
+      MediaHeader("png", be32(16), be32(20))
+    } else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk markers to a SOF0/SOF2 frame header
+      var i = 2
+      var out: MediaHeader = MediaHeader("jpeg", -1, -1)
+      var done = false
+      while (!done && i + 9 <= bytes.length) {
+        if (u8(i) != 0xFF) { done = true }
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xC0 || marker == 0xC2) {
+            out = MediaHeader("jpeg", be16(i + 7), be16(i + 5))
+            done = true
+          } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) {
+            i += 2
+          } else {
+            i += 2 + be16(i + 2)
+          }
+        }
+      }
+      out
+    } else if (bytes.length >= 32 &&
+        bytes.startsWith("RIFF".getBytes) &&
+        new String(bytes.slice(8, 12)) == "WAVE") {
+      // WAV: fmt chunk sample rate at offset 24 (canonical layout)
+      MediaHeader("wav", le32(24), u8(22) /* channels */)
+    } else MediaHeader("unknown", -1, -1)
+  }
+
+  /** Column-level format sniff over the binary payload (runs the parser
+    * per-partition; constant-size output columns keep downstream
+    * codegen'd).
+    */
+  def sniffHeaders(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = parseHeader(r.payload)
+        (r.doc_id, h.format, h.width, h.height)
+      }
+    }.toDF("doc_id", "format", "parsed_width", "parsed_height")
+  }
+
   /** Frame sampling: one output row per sampled frame index — the
     * explode-shaped fan-out a video pipeline needs (every k-th frame).
     */

@@ -473,8 +473,33 @@ object Relational {
           tsStr(col("ts")).as("ts_s"), col("last_order_id"))
     })
 
+  /** A16 (OLAP extension beyond the reference): ROLLUP with grouping
+    * indicators — subtotal lattice over (flag, status) in one pass.
+    * Spark `rollup` ≡ DuckDB GROUP BY ROLLUP; GROUPING() flags
+    * distinguish real NULL keys from subtotal rows.
+    */
+  val a16Rollup = QueryDef(
+    "a16_rollup",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("n"), col("revenue")))
+
   val all: Seq[QueryDef] = Seq(
-    a15ErrorMetrics, jxAsOfJoin,
+    a15ErrorMetrics, jxAsOfJoin, a16Rollup,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,

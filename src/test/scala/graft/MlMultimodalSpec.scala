@@ -75,6 +75,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.checksum).toSeq == f3.map(_.checksum).toSeq)
   }
 
+  test("parseHeader reads real PNG/JPEG/WAV headers from magic bytes") {
+    // minimal hand-crafted PNG: signature + IHDR(len,type) + 640x480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* width 640 */ 0, 0, 0x01, 0xE0 /* height 480 */
+    ).map(_.toByte)
+    assert(Multimodal.parseHeader(png) == Multimodal.MediaHeader("png", 640, 480))
+
+    // JPEG: SOI + APP0 (len 4) + SOF0 with height 100, width 200
+    val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x64 /* h=100 */, 0x00, 0xC8 /* w=200 */
+    ).map(_.toByte)
+    assert(Multimodal.parseHeader(jpeg) == Multimodal.MediaHeader("jpeg", 200, 100))
+
+    // WAV: RIFF....WAVEfmt + 2 channels @ 44100 Hz (canonical 44-byte header)
+    val wav = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes).put("fmt ".getBytes)
+    wav.putInt(16).putShort(1).putShort(2).putInt(44100)
+    val parsed = Multimodal.parseHeader(wav.array())
+    assert(parsed.format == "wav" && parsed.width == 44100 && parsed.height == 2)
+
+    // synthetic text payloads sniff as unknown
+    assert(Multimodal.parseHeader("plain text".getBytes).format == "unknown")
+  }
+
+  test("sniffHeaders runs distributed over the binary column") {
+    val sniffed = Multimodal.sniffHeaders(media).collect()
+    assert(sniffed.length == media.count())
+    assert(sniffed.forall(_.getAs[String]("format") == "unknown")) // text payloads
+  }
+
   test("sampleFrames fans out every k-th frame for videos only") {
     val feats = Multimodal.decodeStub(media)
     val frames = Multimodal.sampleFrames(feats, everyK = 10).collect()

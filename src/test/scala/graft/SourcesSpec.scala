@@ -58,6 +58,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema("LocationID").dataType.typeName == "long")
   }
 
+  test("end-to-end backfill: anti-join gap detection → API fill → gaps closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.date_trunc
+    // trips across 5 hours; weather only for 2 of them
+    val tripHours = Seq("2024-01-01 08:00:00", "2024-01-01 09:00:00",
+      "2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-01 12:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("hour_ts")
+    val weather = Sources.backfillMissingHours(spark, api, "New York",
+      Seq("2024-01-01T08:00:00Z", "2024-01-01T11:00:00Z").map(Instant.parse))
+    // J4: anti-join finds exactly the 3 uncovered hours
+    val weatherHours = weather
+      .select(date_trunc("hour", col("observed_at")).as("hour_ts")).distinct()
+    val missing = tripHours.join(weatherHours, Seq("hour_ts"), "left_anti")
+    val missingList = missing.collect().map(_.getTimestamp(0)).sorted
+    assert(missingList.length == 3)
+    // fill from the API and re-check: zero gaps
+    val filled = Sources.backfillMissingHours(spark, api, "New York",
+      missingList.map(t => Instant.ofEpochMilli(t.getTime)).toIndexedSeq)
+    val allWeather = weather.unionByName(filled)
+    val remaining = tripHours.join(
+      allWeather.select(date_trunc("hour", col("observed_at")).as("hour_ts")).distinct(),
+      Seq("hour_ts"), "left_anti")
+    assert(remaining.isEmpty)
+  }
+
   test("registered views are queryable by name (S19)") {
     Sources.registerViews(Map("zone_view" ->
       Tables.customer(spark, sf).limit(5)))
