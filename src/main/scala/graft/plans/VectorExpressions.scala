@@ -35,11 +35,16 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** dot(a, b) = Σ a_i·b_i over the common prefix; null elements contribute 0. */
+/** dot(a, b) = Σ a_i·b_i over the common prefix. Null elements propagate
+  * to a null result — the same semantics as the declarative
+  * `aggregate(zip_with(a, b, *), 0.0, +)` form, which makes the
+  * [[RewriteVectorHof]] rewrite exact for nullable-element arrays too.
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
   override def prettyName: String = "vector_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -48,7 +53,8 @@ case class DotProduct(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) sum += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     sum
@@ -63,9 +69,8 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $sum += $a.getDouble($i) * $b.getDouble($i);
-         |  }
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -154,6 +159,7 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteVectorHof)
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
