@@ -33,6 +33,16 @@ object TextFns {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** n-word shingles with multiplicity (for frequency statistics —
+    * `shingles` deduplicates for set-similarity use).
+    */
+  def shinglesAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
   /** Mean token length (0.0 for empty docs). */
   def avgTokenLength(text: Column): Column = {
     val toks = tokens(text)

@@ -156,6 +156,51 @@ object Text {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n")))
 
+  /** Scrubbing transform: regex redaction of digit runs and long tokens
+    * (the PII-masking shape of a training-data cleaning pass). Patterns
+    * stay in the regex subset where Java regex and RE2 agree.
+    */
+  val txRedact = QueryDef(
+    "tx_redact",
+    Some("""SELECT doc_id,
+           |       regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+           |                      '[a-z]{9,}', '<LONG>', 'g') AS redacted,
+           |       length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS len_after_num
+           |FROM documents""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+          "[a-z]{9,}", "<LONG>").as("redacted"),
+        length(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("len_after_num")))
+
+  /** Corpus n-gram statistics: top-20 bigrams by frequency with a
+    * deterministic alphabetical tiebreak — explode + hash-agg + top-k,
+    * the distributed shape of corpus frequency analysis.
+    */
+  val txTopBigrams = QueryDef(
+    "tx_top_bigrams",
+    Some("""WITH grams AS (
+           |  SELECT unnest([array_to_string(w[i:i+1], ' ')
+           |                 FOR i IN range(1, greatest(len(w), 1))]) AS bigram
+           |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+           |counted AS (
+           |  SELECT bigram, count(*) AS n FROM grams GROUP BY 1)
+           |SELECT bigram, n, rk FROM (
+           |  SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk
+           |  FROM counted) WHERE rk <= 20""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(spark, dir)
+        .select(explode(graft.functions.TextFns.shinglesAll(col("text"), 2)).as("bigram"))
+      val counted = grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      counted
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
+        .filter(col("rk") <= 20)
+        .select(col("bigram"), col("n"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval)
+    txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
+    txRedact, txTopBigrams)
 }
