@@ -39,6 +39,17 @@ object Demo {
     val snap2 = Scd2.applyTimestamp(snap, upd, Seq("city"), "updated_at",
       lit(ts("2024-01-02 12:00:00")))
     snap2.orderBy("valid_from").show(10, truncate = false)
+    // incremental mart refresh: only the touched date partition is rewritten
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val martPath = java.nio.file.Files.createTempDirectory("graft_demo_inc").toString + "/daily"
+    def daily(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy(col("ts").cast("date").as("p_date"))
+        .agg(count(lit(1)).as("n"))
+    daily(events).write.mode("overwrite").partitionBy("p_date").parquet(martPath)
+    val touched = Incremental.refresh(spark, events,
+      events.filter(col("ts").cast("date") === "2024-01-02"), daily, "ts", martPath)
+    println(s"INCREMENTAL_REFRESHED: ${touched.mkString(",")}")
+
     println("DEMO_OK")
     spark.stop()
   }
