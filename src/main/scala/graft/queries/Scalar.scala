@@ -110,6 +110,30 @@ object Scalar {
         .select(col("c_custkey"),
           surrogateKey(col("c_custkey"), col("c_mktsegment")).as("sk")))
 
+  /** F9 (schema'd variant): `from_json` into a typed struct — the parsed
+    * StructType column path (vs f9's path-extraction on demand). Malformed
+    * payloads become null structs (PERMISSIVE), counted explicitly.
+    */
+  val f9bFromJson = QueryDef(
+    "f9b_from_json_struct",
+    Some("""SELECT event_type,
+           |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           |       count(*) FILTER (WHERE json_valid(props)) AS parsed_ok,
+           |       count(*) FILTER (WHERE NOT json_valid(props)) AS parsed_bad
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(spark, dir)
+        .withColumn("j", from_json(col("props"), schema))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("j.k")).as("k_total"),
+          count(when(col("j").isNotNull, 1)).as("parsed_ok"),
+          count(when(col("j").isNull, 1)).as("parsed_bad"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    f1DatediffMinute, f5Dayofweek, f7CaseChains, f9JsonExtract, f12SurrogateKey)
+    f1DatediffMinute, f5Dayofweek, f7CaseChains, f9JsonExtract,
+    f9bFromJson, f12SurrogateKey)
 }
