@@ -125,6 +125,29 @@ object EventsStreaming {
       }
   }
 
+  /** T1+T3 sink: micro-batch append with MERGE-insert-only dedup —
+    * `foreachBatch` anti-joins each micro-batch against the fact on the
+    * key before appending, so replayed batches (restart recovery,
+    * at-least-once sources) insert zero duplicates. The streaming twin of
+    * `warehouse.Ingest.mergeInsertOnly`.
+    */
+  def appendWithDedup(events: DataFrame, factPath: String,
+      key: String = "event_id"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val inserts =
+          if (new java.io.File(factPath).exists()) {
+            val fact = spark.read.parquet(factPath).select(col(key))
+            batch.join(fact, Seq(key), "left_anti")
+          } else batch
+        inserts.write.mode("append").parquet(factPath)
+        ()
+      }
+      .start()
+  }
+
   /** Drive a streaming query over the (finite) fixture to completion into
     * an in-memory table; returns the result as a batch DataFrame.
     */

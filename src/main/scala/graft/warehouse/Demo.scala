@@ -50,6 +50,18 @@ object Demo {
       events.filter(col("ts").cast("date") === "2024-01-02"), daily, "ts", martPath)
     println(s"INCREMENTAL_REFRESHED: ${touched.mkString(",")}")
 
+    // streaming ingest with idempotent dedup: replaying the source inserts 0
+    val factPath = java.nio.file.Files.createTempDirectory("graft_demo_stream").toString + "/events"
+    val q1 = graft.streaming.EventsStreaming.appendWithDedup(
+      graft.streaming.EventsStreaming.readEvents(spark, "/root/testdata/sf0.001"), factPath)
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(factPath).count()
+    val q2 = graft.streaming.EventsStreaming.appendWithDedup(
+      graft.streaming.EventsStreaming.readEvents(spark, "/root/testdata/sf0.001"), factPath)
+    q2.processAllAvailable(); q2.stop()
+    val n2 = spark.read.parquet(factPath).count()
+    println(s"STREAM_DEDUP: first=$n1 after_replay=$n2")
+
     println("DEMO_OK")
     spark.stop()
   }

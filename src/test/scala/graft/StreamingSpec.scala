@@ -32,6 +32,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == Tables.events(spark, sf).count()) // fixture has no dups
   }
 
+  test("foreachBatch append sink is idempotent across stream replays") {
+    val factPath = java.nio.file.Files.createTempDirectory("graft_fact").toString + "/events"
+    // first run: full fixture lands
+    val q1 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath)
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(factPath).count()
+    assert(n1 == Tables.events(spark, sf).count())
+    // replay the same source from scratch (fresh stream, no checkpoint):
+    // at-least-once redelivery of every row → anti-join inserts zero
+    val q2 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath)
+    q2.processAllAvailable(); q2.stop()
+    val n2 = spark.read.parquet(factPath).count()
+    assert(n2 == n1, s"replay inserted ${n2 - n1} duplicates")
+  }
+
   test("sessionize groups events into gap-separated sessions (batch-driven)") {
     import spark.implicits._
     val rows = Seq(
