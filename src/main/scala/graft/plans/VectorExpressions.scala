@@ -160,6 +160,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorHof)
+    e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))

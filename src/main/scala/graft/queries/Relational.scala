@@ -498,8 +498,28 @@ object Relational {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("g_flag"), col("g_status"), col("n"), col("revenue")))
 
+  /** O2/W4 via the custom physical operator: top-3 events per user by
+    * (value, event_id) through `plans.TopK` — partial per-partition
+    * k-heaps, one key exchange, final merge (vs the window formulation's
+    * full shuffle + sort). Struct ordering makes ties impossible, so the
+    * row_number oracle pins it exactly.
+    */
+  val o3TopKPerKey = QueryDef(
+    "o3_topk_per_key",
+    Some("""SELECT user_id, event_id, round(value, 4) AS value FROM (
+           |  SELECT user_id, event_id, value, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+           |  FROM events) WHERE rn <= 3""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("__ord", struct(col("value"), col("event_id")))
+      graft.plans.TopK.perKey(e, Seq("user_id"), "__ord", k = 3)
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    a15ErrorMetrics, jxAsOfJoin, a16Rollup,
+    a15ErrorMetrics, jxAsOfJoin, a16Rollup, o3TopKPerKey,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,
