@@ -518,8 +518,50 @@ object Relational {
         .select(col("user_id"), col("event_id"), r4(col("value")).as("value"))
     })
 
+  /** U2/U3: INTERSECT and EXCEPT (set semantics — the reference covers
+    * EXCEPT's role with anti-joins; here as first-class distinct set ops).
+    */
+  val u2SetOps = QueryDef(
+    "u2_set_ops",
+    Some("""SELECT 'intersect' AS op, count(*) AS n FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |  INTERSECT
+           |  SELECT user_id FROM events WHERE event_type = 'error')
+           |UNION ALL
+           |SELECT 'except' AS op, count(*) AS n FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |  EXCEPT
+           |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val purchasers = e.filter(col("event_type") === "purchase").select("user_id")
+      val erroring = e.filter(col("event_type") === "error").select("user_id")
+      val i = purchasers.intersect(erroring)
+        .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val x = purchasers.except(erroring)
+        .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      i.unionByName(x)
+    })
+
+  /** A17: exact percentiles (median/p90) — Spark `percentile` and DuckDB
+    * `quantile_cont` share linear-interpolation semantics; the
+    * bounded-memory approximate path is `Scale.approxQuantiles`.
+    */
+  val a17Percentile = QueryDef(
+    "a17_percentile",
+    Some("""SELECT event_type,
+           |       round(quantile_cont(value, 0.5), 4) AS p50,
+           |       round(quantile_cont(value, 0.9), 4) AS p90
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          r4(expr("percentile(value, 0.5)")).as("p50"),
+          r4(expr("percentile(value, 0.9)")).as("p90")))
+
   val all: Seq[QueryDef] = Seq(
-    a15ErrorMetrics, jxAsOfJoin, a16Rollup, o3TopKPerKey,
+    a15ErrorMetrics, jxAsOfJoin, a16Rollup, o3TopKPerKey, u2SetOps, a17Percentile,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,
