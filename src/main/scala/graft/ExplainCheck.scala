@@ -45,6 +45,15 @@ object ExplainCheck {
     }
     // top-k never sorts the full dataset
     check("o2_top_k", "TakeOrderedAndProject")(_.contains("TakeOrderedAndProject"))
+    // corpus bigram top-20: the k-heap reduction must run BEFORE any window
+    // (no single-partition Exchange over the full distinct-bigram table)
+    check("tx_top_bigrams", "top-k before rank window")(
+      _.contains("TakeOrderedAndProject"))
+    // IVF ANN: probe→cell assignment is a map-only projection (explode of a
+    // literal-centroid ranking) — no driver collect / LocalTableScan leg
+    check("sim_knn_ivf", "distributed probe cell assignment") { p =>
+      p.contains("Generate") && !p.contains("LocalTableScan")
+    }
     // native cosine expression present in a codegen'd context: either a
     // whole-stage span or a broadcast join's generated predicate (BNLJ
     // conditions compile through GeneratePredicate → our doGenCode)

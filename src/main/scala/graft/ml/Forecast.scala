@@ -97,6 +97,21 @@ object Forecast {
     TrainResult(model, mae, cut, n - cut)
   }
 
+  /** M4 + P12: batch inference over a feature table with `na.fill(0)` on
+    * the feature columns first (dags/fare_forecasting_dag.py:97's
+    * `X_future = df_future[feature_cols].fillna(0)`) — rows with
+    * incomplete lag history (the first 7 days) still score instead of
+    * being dropped. The label column is left untouched.
+    */
+  def predictFilled(model: RandomForestRegressionModel,
+      features: DataFrame): DataFrame = {
+    val filled = features.na.fill(0.0, featureCols)
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    model.transform(assembler.transform(filled))
+      .drop("features")
+  }
+
   /** M6: recursive 7-day-ahead rollout — carries the last observed
     * trip_count/distance, weekend flags from the calendar, and shifts
     * lag1/lag7/ma7 forward with each predicted value. Driver-side by

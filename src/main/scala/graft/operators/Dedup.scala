@@ -197,8 +197,11 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE the pair-dedup: hamming is a pure function of the
+      // pair, so every duplicate of a pair carries the same distance and
+      // the early filter only shrinks the dropDuplicates shuffle
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------- set metrics

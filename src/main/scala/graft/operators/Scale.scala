@@ -18,7 +18,16 @@ object Scale {
     * an aggregation feeding the join) or the hot keys are known to exceed
     * what AQE subdivides. Salt is hash-derived from the whole row of the
     * large side → deterministic re-runs.
+    *
+    * Join types are restricted to the large-side-preserving set: with the
+    * small side replicated `saltFactor`×, a right/full outer join would
+    * emit every UNMATCHED small-side row once per salt value — duplicated
+    * output. Inner/left/semi/anti are exact because every emitted row is
+    * driven by exactly one salted large-side row.
     */
+  private val saltSafeJoinTypes = // normalized: lowercase, no underscores
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
@@ -26,6 +35,10 @@ object Scale {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports large-side-preserving join types only; got " +
+        s"'$joinType' — a right/full outer join would emit unmatched " +
+        "small-side rows once per salt value")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",

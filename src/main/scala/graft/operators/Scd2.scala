@@ -58,7 +58,11 @@ object Scd2 {
     val inBoth = col(s"src_${keyCols.head}").isNotNull && col(keyCols.head).isNotNull
     val onlySrc = col(keyCols.head).isNull
     val onlyOpen = col(s"src_${keyCols.head}").isNull
-    val changed = col(s"src_$updatedAt") > col(updatedAt)
+    // null-safe: a source row with a null updated-at can't prove it
+    // advanced — treat it as unchanged so the key's open version survives
+    // (a bare `>` yields NULL there, and the row would silently vanish
+    // from every branch below)
+    val changed = coalesce(col(s"src_$updatedAt") > col(updatedAt), lit(false))
 
     // 1. open rows that stay open (unchanged)
     val stillOpen = j.filter(inBoth && !changed)

@@ -79,22 +79,27 @@ object Similarity {
     val assigned = model.transform(withVec)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
 
-    // probe-side: nProbe nearest centroids per probe (centroids are tiny —
-    // driver-side ranking, broadcast back as a lookup)
-    val centroids = model.clusterCenters.zipWithIndex
+    // probe-side: nProbe nearest centroids per probe, computed DISTRIBUTED.
+    // The centroid table is tiny (nCells × dim doubles) so it ships to every
+    // task as a literal array; cell assignment is then a map-only projection
+    // over the probe table — no shuffle, no driver-side collect, scales to a
+    // probe table of any size. Distance accumulates element-wise
+    // left-to-right (zip_with + aggregate), the same sequential order as a
+    // per-row loop, so cell choices are deterministic; ties break on the
+    // lower cell id via the (dist, cell) struct sort.
+    val centLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        array(c.toArray.toIndexedSeq.map(lit): _*).as("cv"))
+    }.toIndexedSeq: _*)
     val pr = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-    val probeCells = pr.collect().flatMap { r =>
-      val pid = r.getLong(0)
-      val pv = r.getSeq[Double](1).toArray
-      centroids.map { case (c, i) =>
-        val d = c.toArray.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
-        (pid, i, d)
-      }.sortBy(_._3).take(nProbe).map { case (p, i, _) => (p, i) }
-    }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cellsDf = probeCells.toSeq.toDF("probe_id", "cell")
-    val prWithCells = pr.join(broadcast(cellsDf), Seq("probe_id"))
+    val rankedCells = array_sort(transform(centLit, cent =>
+      struct(
+        aggregate(
+          zip_with(cent.getField("cv"), col("pv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("dist"),
+        cent.getField("cell").as("cell"))))
+    val prWithCells = pr.withColumn("cell",
+      explode(transform(slice(rankedCells, 1, nProbe), s => s.getField("cell"))))
 
     val sims = prWithCells.join(assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))

@@ -16,10 +16,12 @@ import graft.operators.Dedup
   *                                        cluster → keep min doc_id)
   *     → token accounting + redaction    (final packing stats)
   *
-  * Every stage is DataFrame→DataFrame lineage; nothing materializes until
-  * the caller writes. At 100 TB: stages 1-3 are single scans; near-dedup
-  * is the banded-join path (no all-pairs); the final keep-set join is a
-  * broadcast of dropped ids when small, shuffle join otherwise.
+  * The curated output is pure DataFrame→DataFrame lineage; the funnel
+  * report costs exactly ONE extra action (a tagged first-drop-stage
+  * aggregation), with the gated subset persisted so the scan isn't
+  * recomputed per consumer. At 100 TB: stages 1-3 are single scans;
+  * near-dedup is the banded-join path (no all-pairs); the final keep-set
+  * join is a broadcast of dropped ids when small, shuffle join otherwise.
   */
 object CorpusPipeline {
 
@@ -36,27 +38,29 @@ object CorpusPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val n0 = docs.count()
-
-    // 1. quality gate
-    val scored = docs
+    // 1+2. quality + language signals in ONE scan, kept as flags so the
+    // funnel can be accounted in a single aggregation later.
+    val base = docs
       .withColumn("n_tokens", TextFns.tokenCount(col("text")))
       .withColumn("ttr", TextFns.typeTokenRatio(col("text")))
-    val quality = scored
-      .filter(col("n_tokens") >= cfg.minTokens && col("ttr") >= cfg.minTtr)
-    val n1 = quality.count()
+      .withColumn("q_pass",
+        coalesce(col("n_tokens") >= cfg.minTokens && col("ttr") >= cfg.minTtr,
+          lit(false)))
+      .withColumn("l_pass",
+        if (cfg.keepLangs.isEmpty) lit(true)
+        else col("lang").isInCollection(cfg.keepLangs))
 
-    // 2. language gate (metadata lang if declared; heuristic otherwise)
-    val lang =
-      if (cfg.keepLangs.isEmpty) quality
-      else quality.filter(col("lang").isInCollection(cfg.keepLangs))
-    val n2 = lang.count()
+    // The gated subset feeds the exact-dedup groupBy, the LSH banded join
+    // AND the final keep-join — persist it so the quality scan runs once,
+    // not once per consumer. (At 100 TB: checkpoint to storage instead;
+    // MEMORY_AND_DISK spills, it never OOMs.)
+    val gated = base.filter(col("q_pass") && col("l_pass"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. exact dedup: keep the canonical (min doc_id) copy per content hash
-    val canonical = Dedup.exact(lang)
+    val canonical = Dedup.exact(gated)
       .select(col("canonical_id").as("doc_id"))
-    val exactKept = lang.join(canonical, Seq("doc_id"), "left_semi")
-    val n3 = exactKept.count()
+    val exactKept = gated.join(canonical, Seq("doc_id"), "left_semi")
 
     // 4. near dedup: LSH candidates verified exact; drop the larger id of
     // every surviving pair (transitive enough for dedup purposes: every
@@ -65,7 +69,6 @@ object CorpusPipeline {
       shingleN = cfg.shingleN)
     val dropIds = nearPairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
-    val n4 = nearKept.count()
 
     // 5. pack: redacted text + accounting columns
     val curated = nearKept.select(
@@ -73,6 +76,23 @@ object CorpusPipeline {
       regexp_replace(col("text"), "[0-9]+", "<NUM>").as("text"),
       col("n_tokens"), col("ttr"),
       TextFns.bowFingerprint(col("text")).as("fingerprint"))
+
+    // Funnel accounting WITHOUT recomputing the pipeline per stage
+    // (previously five uncached count() actions — five full recomputes):
+    //   - n0/n1/n2 fall out of ONE flag aggregation over the scan;
+    //   - n3 = number of content-hash groups (one row each in `canonical`);
+    //   - n4 = n3 − near-dup drop ids (dropIds ⊆ exact survivors, distinct).
+    // Three bounded actions total, and `gated` is persisted so the quality
+    // scan isn't re-run by the dedup legs.
+    val flagAgg = base.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("q_pass") && col("l_pass"), 1L).otherwise(0L)).as("n2")).head
+    val n0 = flagAgg.getLong(0)
+    val n1 = flagAgg.getLong(1)
+    val n2 = flagAgg.getLong(2)
+    val n3 = canonical.count()
+    val n4 = n3 - dropIds.count()
 
     val report = Seq(
       (1, "input", n0), (2, "quality_pass", n1), (3, "lang_pass", n2),

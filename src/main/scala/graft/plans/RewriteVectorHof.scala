@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.DoubleType
   * into the native codegen'd [[DotProduct]] expression. HOF lambdas are
   * interpreted per element; the native form runs a primitive loop inside
   * whole-stage codegen — same arithmetic order, so results are
-  * bit-identical (both accumulate left-to-right over the zipped prefix).
+  * bit-identical: both accumulate left-to-right, and both yield NULL when
+  * the array lengths differ (`zip_with` null-pads the shorter array, so
+  * the HOF form is NULL there; [[DotProduct]] mirrors that exactly).
   *
   * The match is deliberately conservative: exact shape only (Multiply
   * inside the zip lambda, literal 0.0 seed, Add-accumulator merge,

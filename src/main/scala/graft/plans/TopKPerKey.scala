@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -20,9 +20,23 @@ import org.apache.spark.sql.graft.ColumnBridge
   * key's whole group, O(n log n) per key, even though only k rows per key
   * survive. This operator keeps a bounded k-heap per key on each map-side
   * partition (partial phase), shuffles only the ≤ k·keys-per-partition
-  * survivors, and merges heaps after the exchange (final phase) — the
-  * aggregation-style two-phase shape applied to top-k. At 100 TB with
-  * small k this reduces shuffle volume by orders of magnitude.
+  * survivors, and emits the exact per-key top-k after the key exchange
+  * (final phase). At 100 TB with small k this reduces shuffle volume by
+  * orders of magnitude.
+  *
+  * Memory discipline (both phases are bounded):
+  *   - partial: the heap map is capped at `graft.topk.maxPartialKeys`
+  *     distinct keys (default 131072). Rows of keys beyond the cap pass
+  *     through unfiltered — the partial phase is a pure optimization, so
+  *     degrading to pass-through under high key cardinality is always
+  *     correct, never OOM.
+  *   - final: requires child ordering on (keys…, order), so Spark plans a
+  *     spillable external sort under it; the operator itself is then a
+  *     streaming emit-first-k-per-group scan with O(1) state.
+  *
+  * Null order values sort SMALLEST — ascending nulls-first / descending
+  * nulls-last, exactly Spark's default SortOrder null placement, so
+  * results match the `row_number().over(...)` formulation it replaces.
   *
   * Tie behavior: rows with equal order values are retained arbitrarily
   * (same as any heap-based top-k); use a total order for determinism.
@@ -54,47 +68,109 @@ case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  // final phase consumes a (keys…, order) sort — Spark inserts a spillable
+  // SortExec, so high key cardinality lands on disk, not in a hash map.
+  // Ascending-nulls-first / descending-nulls-last are SortOrder defaults,
+  // matching the operator's null-smallest convention.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(
+      keys.map(ke => SortOrder(ke, Ascending)) :+
+        SortOrder(order, if (descending) Descending else Ascending))
+
+  /** Order comparator with explicit null placement: null compares smallest
+    * (never NPEs the primitive-unboxing interpreted ordering).
+    */
+  private def nullAwareOrdering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(order.dataType)
+    new Ordering[Any] {
+      override def compare(x: Any, y: Any): Int =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else base.compare(x, y)
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  private def doExecutePartial(): RDD[InternalRow] = {
     val kVal = k
     val keyExprs = keys
     val orderExpr = order
     val desc = descending
     val childOutput = child.output
+    val ordering = nullAwareOrdering
+    val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt
 
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
-      val base = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
       // heap head = the WORST retained row (min-heap for descending top-k)
       val heapOrd: Ordering[(Any, InternalRow)] =
-        if (desc) Ordering.by[(Any, InternalRow), Any](_._1)(base).reverse
-        else Ordering.by[(Any, InternalRow), Any](_._1)(base)
+        if (desc) Ordering.by[(Any, InternalRow), Any](_._1)(ordering).reverse
+        else Ordering.by[(Any, InternalRow), Any](_._1)(ordering)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
-      iter.foreach { row =>
+      // reference-typed order values (struct/string/array) are VIEWS into
+      // the reused row buffer — copy before retaining them in the heap
+      def evalOrder(row: InternalRow): Any = boundOrder.eval(row) match {
+        case r: InternalRow => r.copy()
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case v => v
+      }
+      // rows whose key arrives after the cap STREAM through unfiltered
+      // (no buffering) — the final phase computes the exact answer, the
+      // cap only trades shuffle volume for bounded memory
+      val streamed = iter.flatMap { row =>
         val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
+        heaps.get(key) match {
+          case Some(heap) =>
+            val ord = evalOrder(row)
+            if (heap.size < kVal) heap.enqueue((ord, row.copy()))
+            else {
+              val worst = heap.head._1
+              val better = if (desc) ordering.gt(ord, worst) else ordering.lt(ord, worst)
+              if (better) { heap.dequeue(); heap.enqueue((ord, row.copy())) }
+            }
+            Iterator.empty
+          case None if heaps.size < maxKeys =>
             val h = mutable.PriorityQueue.empty[(Any, InternalRow)](heapOrd)
+            h.enqueue((evalOrder(row), row.copy()))
             heaps.put(key.copy(), h)
-            h
-        }
-        // reference-typed order values (struct/string/array) are VIEWS into
-        // the reused row buffer — copy before retaining them in the heap
-        val ord = boundOrder.eval(row) match {
-          case r: InternalRow => r.copy()
-          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-          case v => v
-        }
-        if (heap.size < kVal) heap.enqueue((ord, row.copy()))
-        else {
-          val worst = heap.head._1
-          val better = if (desc) base.gt(ord, worst) else base.lt(ord, worst)
-          if (better) { heap.dequeue(); heap.enqueue((ord, row.copy())) }
+            Iterator.empty
+          case None =>
+            Iterator.single(row)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+      // `++` evaluates its operand lazily, so the heap contents are read
+      // only after the input (and every heap update) is exhausted
+      streamed ++ heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }, preservesPartitioning = true)
+  }
+
+  /** Final phase over (keys…, order)-sorted input: emit the first k rows of
+    * each key group. Exact, single pass, O(1) state.
+    */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val kVal = k
+    val keyExprs = keys
+    val childOutput = child.output
+
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var current: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (current == null || key != current) {
+          current = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= kVal
+      }
     }, preservesPartitioning = true)
   }
 
@@ -103,7 +179,8 @@ case class TopKPerKeyExec(
 }
 
 /** Planner strategy: logical TopKPerKeyPlan → partial exec + final exec
-  * (EnsureRequirements inserts the key exchange between them).
+  * (EnsureRequirements inserts the key exchange and the spillable sort
+  * between them).
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -35,10 +35,12 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** dot(a, b) = Σ a_i·b_i over the common prefix. Null elements propagate
-  * to a null result — the same semantics as the declarative
-  * `aggregate(zip_with(a, b, *), 0.0, +)` form, which makes the
-  * [[RewriteVectorHof]] rewrite exact for nullable-element arrays too.
+/** dot(a, b) = Σ a_i·b_i. Null when the lengths differ or any element is
+  * null — exactly the semantics of the declarative
+  * `aggregate(zip_with(a, b, *), 0.0, +)` form (`zip_with` pads the
+  * shorter array with nulls, so the HOF form is NULL for unequal
+  * lengths), which makes the [[RewriteVectorHof]] rewrite exact for
+  * ragged and nullable-element arrays alike.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -49,7 +51,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -66,11 +69,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

@@ -194,9 +194,14 @@ object Text {
       val grams = Tables.documents(spark, dir)
         .select(explode(graft.functions.TextFns.shinglesAll(col("text"), 2)).as("bigram"))
       val counted = grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      // Top-k FIRST (orderBy+limit plans as TakeOrderedAndProject: map-side
+      // k-heaps, no global sort) — a global row_number window here would
+      // funnel every distinct bigram through one reducer at corpus scale.
+      // The rank window then runs over the 20 survivors only.
       counted
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
         .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
-        .filter(col("rk") <= 20)
         .select(col("bigram"), col("n"), col("rk"))
     })
 

@@ -129,20 +129,39 @@ object EventsStreaming {
     * `foreachBatch` anti-joins each micro-batch against the fact on the
     * key before appending, so replayed batches (restart recovery,
     * at-least-once sources) insert zero duplicates. The streaming twin of
-    * `warehouse.Ingest.mergeInsertOnly`.
+    * `warehouse.Ingest.mergeInsertOnly`, with the same scale discipline:
+    * the fact is written partitioned by event date (`p_date`) and the
+    * anti-join probe is restricted to the date range the batch touches —
+    * a micro-batch never scans the full fact history, only its own
+    * partitions. Existence goes through the Hadoop FileSystem API so the
+    * sink behaves identically on HDFS/S3 paths (a `java.io.File` probe is
+    * always false there, which would silently disable dedup).
     */
   def appendWithDedup(events: DataFrame, factPath: String,
-      key: String = "event_id"): org.apache.spark.sql.streaming.StreamingQuery = {
+      key: String = "event_id",
+      tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // at-least-once sources can repeat a key WITHIN one micro-batch
+        // too — the anti-join only guards against already-landed rows
+        val batch = rawBatch.dropDuplicates(key)
+          .withColumn("p_date", to_date(col(tsCol)))
+        val hPath = new org.apache.hadoop.fs.Path(factPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val inserts =
-          if (new java.io.File(factPath).exists()) {
-            val fact = spark.read.parquet(factPath).select(col(key))
-            batch.join(fact, Seq(key), "left_anti")
+          if (fs.exists(hPath)) {
+            val r = batch.agg(min(col("p_date")), max(col("p_date"))).head
+            val fact = spark.read.parquet(factPath)
+            val probe =
+              if (r.isNullAt(0)) fact
+              else fact.filter(
+                col("p_date") >= lit(r.getDate(0)) &&
+                col("p_date") <= lit(r.getDate(1)))
+            batch.join(probe.select(col(key)), Seq(key), "left_anti")
           } else batch
-        inserts.write.mode("append").parquet(factPath)
+        inserts.write.mode("append").partitionBy("p_date").parquet(factPath)
         ()
       }
       .start()

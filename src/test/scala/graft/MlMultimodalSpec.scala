@@ -37,6 +37,20 @@ class MlSpec extends AnyFunSuite {
     assert(eval.count(_.getAs[String]("day") == "ALL") == 1)
   }
 
+  test("predictFilled (P12): null-lag rows score instead of being dropped") {
+    val trained = Forecast.train(features)
+    val n = features.count()
+    // the first 7 days have null lag features → na.drop would lose them
+    assert(features.na.drop().count() < n)
+    val scored = Forecast.predictFilled(trained.model, features)
+    assert(scored.count() == n, "fill(0) inference must keep every row")
+    assert(scored.filter(col("prediction").isNull).count() == 0)
+    // the filled early rows get finite predictions
+    val early = scored.orderBy("trip_date").limit(3)
+      .collect().map(_.getAs[Double]("prediction"))
+    assert(early.forall(p => !p.isNaN && !p.isInfinite))
+  }
+
   test("model save/load roundtrip predicts identically") {
     val trained = Forecast.train(features)
     val dir = java.nio.file.Files.createTempDirectory("graft_model").toString

@@ -63,6 +63,25 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(spark.sql("SELECT cosine_sim(array(1.0d), array(1.0d))").head.getDouble(0) == 1.0)
   }
 
+  test("unequal-length arrays yield NULL, matching zip_with null-padding") {
+    import spark.implicits._
+    // HOF form: zip_with pads the shorter array with nulls → NULL sum
+    val hof = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    assert(hof.head.isNullAt(0))
+    // native form must agree — a prefix-sum here would silently change results
+    val native = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .toDF("a", "b")
+      .select(graft.plans.VectorFunctions.vector_dot(col("a"), col("b")))
+    assert(native.head.isNullAt(0))
+    // and the equal-length value is unaffected
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.plans.VectorFunctions.vector_dot(col("a"), col("b")))
+    assert(ok.head.getDouble(0) == 11.0)
+  }
+
   test("null elements propagate identically through the rewrite (HOF semantics)") {
     import spark.implicits._
     val df = Seq((Seq(Option(1.0), None), Seq(Option(2.0), Option(3.0))))

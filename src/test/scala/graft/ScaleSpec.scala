@@ -22,6 +22,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
     // left join keeps unmatched large rows exactly once
     val plainLeft = large.join(small, Seq("k"), "left").count()
+    // outer types that preserve the REPLICATED side would duplicate
+    // unmatched small-side rows once per salt value — rejected up front
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(large, small, "k", 8, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(large, small, "k", 8, "full")
+    }
     val saltedLeft = Scale.saltedJoin(large, small, "k", 8, "left").count()
     assert(saltedLeft == plainLeft)
   }

@@ -66,6 +66,26 @@ class Scd2Spec extends AnyFunSuite {
     assertInvariants(s3, Seq("city"))
   }
 
+  test("timestamp strategy: null source updated_at keeps the open version (no silent vanish)") {
+    val empty = Scd2.emptySnapshot(obs(), "updated_at")
+    val day1 = obs(("NY", "2024-01-01 00:00:00", 30.0, "clear"))
+    val s1 = Scd2.applyTimestamp(empty, day1, Seq("city"), "updated_at",
+      lit(ts("2024-01-01 12:00:00"))).cache()
+    assert(s1.count() == 1)
+
+    // day 2: source row matches but carries a NULL updated_at — the
+    // comparison can't prove a change, so the open version must survive
+    // (an unguarded `>` is NULL and the key would drop from the snapshot)
+    val day2 = Seq(("NY", None: Option[Timestamp], 99.0, "bogus"))
+      .toDF("city", "updated_at", "temp_f", "desc")
+    val s2 = Scd2.applyTimestamp(s1, day2, Seq("city"), "updated_at",
+      lit(ts("2024-01-02 12:00:00"))).cache()
+    assert(s2.count() == 1, "null-updated_at source row must not change the snapshot")
+    val open = s2.filter(col("city") === "NY" && col("valid_to").isNull).head()
+    assert(open.getAs[Double]("temp_f") == 30.0, "open version must keep prior values")
+    assertInvariants(s2, Seq("city"))
+  }
+
   test("check strategy: version only on tracked-column change") {
     val src = Seq(("2024-01-01", 100L, 25.0)).map { case (d, n, f) =>
       (java.sql.Date.valueOf(d), n, f)

@@ -47,6 +47,41 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     val n2 = spark.read.parquet(factPath).count()
     assert(n2 == n1, s"replay inserted ${n2 - n1} duplicates")
+
+    // the fact landed date-partitioned, and the sink's probe shape (a
+    // p_date range filter) prunes at the partition level — the micro-batch
+    // never rescans the full history
+    val factDir = new java.io.File(factPath)
+    assert(factDir.listFiles().exists(_.getName.startsWith("p_date=")),
+      "fact should be written partitioned by p_date")
+    val lo = spark.read.parquet(factPath)
+      .agg(min(col("p_date"))).head.getDate(0)
+    val probe = spark.read.parquet(factPath).filter(col("p_date") === lit(lo))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("p_date"),
+      s"probe should prune on p_date partitions:\n${scan.take(1000)}")
+  }
+
+  test("appendWithDedup drops duplicate keys arriving within one micro-batch") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dupsrc")
+    val dup = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"), // same key, same batch
+      (2L, "2024-01-02 00:00:00", 11L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), unix_timestamp(col("ts_s")).cast("long").as("secs"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .select(col("event_id"), (col("secs") * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    dup.write.mode("overwrite").parquet(srcDir.toString + "/in")
+    val factPath = java.nio.file.Files.createTempDirectory("graft_fact_dup").toString + "/events"
+    val q = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEventsDir(spark, srcDir.toString + "/in"), factPath)
+    q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(factPath)
+    assert(landed.count() == 2, "intra-batch duplicate must land once")
+    assert(landed.select("event_id").distinct().count() == 2)
   }
 
   test("sessionize groups events into gap-separated sessions (batch-driven)") {

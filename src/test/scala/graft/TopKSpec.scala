@@ -62,4 +62,50 @@ class TopKSpec extends AnyFunSuite {
     val all = TopK.perKey(e, Seq("user_id"), "value", k = Int.MaxValue)
     assert(all.count() == e.count())
   }
+
+  test("null order values match the window formulation (nulls sort smallest)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0)), (1L, None), (1L, Some(3.0)), (1L, Some(7.0)),
+      (2L, None), (2L, None), (2L, Some(1.0)),
+      (3L, None) // all-null group edge case handled too
+    ).toDF("k", "v")
+    def winTop(desc: Boolean, k: Int) = {
+      val ord = if (desc) col("v").desc else col("v").asc // desc_nulls_last / asc_nulls_first
+      val w = Window.partitionBy(col("k")).orderBy(ord)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("k").agg(sort_array(collect_list(coalesce(col("v"), lit(-999.0)))).as("vs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+    def customTop(desc: Boolean, k: Int) =
+      TopK.perKey(df, Seq("k"), "v", k, descending = desc)
+        .groupBy("k").agg(sort_array(collect_list(coalesce(col("v"), lit(-999.0)))).as("vs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(customTop(desc = true, 2) == winTop(desc = true, 2))
+    assert(customTop(desc = false, 2) == winTop(desc = false, 2))
+  }
+
+  test("high-distinct-key cardinality degrades to pass-through, not OOM") {
+    import spark.implicits._
+    // force a tiny partial-phase cap so nearly every key overflows: with
+    // 200k distinct keys and cap=64 the old unbounded heap map would hold
+    // 200k heaps; now at most 64 + streamed pass-through rows
+    spark.conf.set("graft.topk.maxPartialKeys", "64")
+    try {
+      val big = spark.range(0, 400000)
+        .select((col("id") % 200000).as("k"), (col("id") * 7 % 1001).cast("double").as("v"))
+      val got = TopK.perKey(big, Seq("k"), "v", k = 2)
+      assert(got.count() == 400000) // 2 rows per key × 200k keys
+      // spot-check exactness on a handful of keys against the window truth
+      val sample = got.filter(col("k") < 5)
+        .groupBy("k").agg(sort_array(collect_list("v")).as("vs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      val truth = big.filter(col("k") < 5)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .groupBy("k").agg(sort_array(collect_list("v")).as("vs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(sample == truth)
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
 }
