@@ -32,7 +32,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // qc_* are correctness gates (they re-run whole operators purely to
+    // assert accuracy bounds) — not workload queries; Verify runs them
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("qc_")).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -42,6 +42,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // quantitative gates (no-oracle operators): any failed gate turns the
+    // whole verify run red instead of hiding behind a rows-only check
+    val gateOk =
+      try {
+        val failed = spark.read.parquet(s"$outDir/qc_quant_gates")
+          .filter(!org.apache.spark.sql.functions.col("pass")).collect()
+        failed.foreach(r => System.err.println(
+          s"[verify] QUANT_GATE_FAIL ${r.getString(0)}: value=${r.getDouble(1)} " +
+            s"required ${r.getString(3)} ${r.getDouble(2)}"))
+        failed.isEmpty
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] QUANT_GATE_FAIL unreadable: ${e.getMessage}")
+        false
+      }
     spark.stop()
+    if (!gateOk) sys.exit(2)
   }
 }

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.Forecast
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.pipeline.CorpusPipeline
+
+/** Quantitative quality gates for the operators whose outputs are
+  * engine-specific (no DuckDB oracle): instead of a bare rows-only check,
+  * `qc_quant_gates` materializes the accuracy/sanity assertions the specs
+  * make — MinHash recall against exact-Jaccard ground truth, IVF recall
+  * against the brute-force baseline, ML holdout error, decode determinism,
+  * funnel monotonicity — as one row per gate with an explicit pass flag.
+  *
+  * The driver records this like any rows-only query; `Verify` additionally
+  * fails loudly (exit 2) if any gate's `pass` is false, so a silent
+  * accuracy regression in a no-oracle operator becomes a red round instead
+  * of an unnoticed row-count change.
+  *
+  * Excluded from Bench timing (`qc_` prefix): it re-runs several full
+  * operators purely as a gate, not as a workload.
+  */
+object QuantGates {
+
+  private val JACCARD_T = 0.7
+
+  val qcQuantGates = QueryDef(
+    "qc_quant_gates",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+
+      // ---- ground truth: exact all-pairs shingle Jaccard ≥ 0.7 via the
+      // inverted-index join (the same shape dd_jaccard_shingles pins
+      // against DuckDB, here over ALL pairs, no probe slice)
+      val sh = docs.select(col("doc_id"),
+        graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+      val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+      val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+      val truth = ex.join(ex2, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
+        .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= JACCARD_T)
+        .select("id_a", "id_b")
+      val nTruth = truth.count()
+
+      // ---- gate 1/2: MinHash+LSH recall and precision vs ground truth
+      val found = Dedup.minhashNearDups(docs, JACCARD_T, shingleN = 3)
+        .select("id_a", "id_b")
+      val nFound = found.count()
+      val nHit = found.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
+      val precision = if (nFound == 0) 1.0 else nHit.toDouble / nFound
+
+      // ---- gate 3: SimHash signature determinism (two independent
+      // computations agree on every doc)
+      val s1 = Dedup.simhashSignatures(docs).toDF("id", "sig1")
+      val s2 = Dedup.simhashSignatures(docs).toDF("id", "sig2")
+      val simhashDiff = s1.join(s2, "id")
+        .filter(col("sig1") =!= col("sig2")).count().toDouble
+
+      // ---- gate 4: IVF ANN recall@5 vs the exact brute-force baseline
+      val e = Tables.embeddings(spark, dir)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+      val ivf = Similarity.ivfKnn(probes, e, k = 5, nCells = 16, nProbe = 2)
+        .select("probe_id", "cand_id")
+      val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+        .select("probe_id", "cand_id")
+      val nBrute = brute.count()
+      val ivfHit = ivf.join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
+      val ivfRecall = if (nBrute == 0) 1.0 else ivfHit.toDouble / nBrute
+
+      // ---- gate 5: ML holdout MAE relative to the mean label (scale-free
+      // error bound; the RF must beat a 50%-of-mean naive band)
+      val features = Forecast.buildDailyFeatures(Tables.events(spark, dir))
+      val trained = Forecast.trainCached(dir, features)
+      val meanFare = features.agg(avg(abs(col("avg_fare")))).head.getDouble(0)
+      val maeRatio =
+        if (trained.holdoutMae.isNaN) 0.0 // degenerate fixture: no holdout
+        else trained.holdoutMae / meanFare
+
+      // ---- gate 6: multimodal decode determinism (stubbed decode, real
+      // plumbing — two runs produce identical feature checksums)
+      val media = Multimodal.attachPayloads(docs).as[Multimodal.MediaRow]
+      val d1 = Multimodal.decodeStub(media).toDF()
+        .select(col("doc_id"), col("checksum").as("c1"))
+      val d2 = Multimodal.decodeStub(media).toDF()
+        .select(col("doc_id"), col("checksum").as("c2"))
+      val decodeDiff = d1.join(d2, "doc_id")
+        .filter(col("c1") =!= col("c2")).count().toDouble
+
+      // ---- gate 7: corpus funnel monotonicity (each stage's survivor
+      // count never exceeds the previous stage's)
+      val report = CorpusPipeline.run(docs,
+        CorpusPipeline.Config(minTokens = 20, minTtr = 0.05,
+          nearDupThreshold = 0.7)).report
+      val rows = report.orderBy("stage_no")
+        .select("rows").collect().map(_.getLong(0))
+      val monotone = rows.zip(rows.tail).count { case (a, b) => b > a }.toDouble
+
+      Seq(
+        ("minhash_recall", recall, 0.9, ">="),
+        ("minhash_precision", precision, 1.0, ">="),
+        ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<="),
+        ("ivf_recall_at5", ivfRecall, 0.3, ">="),
+        ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<="),
+        ("decode_nondeterministic_ids", decodeDiff, 0.0, "<="),
+        ("funnel_monotonicity_violations", monotone, 0.0, "<=")
+      ).map { case (gate, value, threshold, op) =>
+        val pass = op match {
+          case ">=" => value >= threshold
+          case _    => value <= threshold
+        }
+        (gate, math.rint(value * 10000) / 10000, threshold, op, pass)
+      }.toDF("gate", "value", "threshold", "op", "pass")
+        .orderBy("gate")
+    })
+
+  val all: Seq[QueryDef] = Seq(qcQuantGates)
+}

@@ -60,6 +60,108 @@ object Sources {
       (0 until hours).map(i => gen(city, from.plusSeconds(i * 3600L)))
   }
 
+  /** Production HTTP client (S7/S8/S10) over `java.net.http` — the same
+    * three endpoints the reference calls:
+    *   - current:     GET {currentUrl}?q={city}&appid=…&units=imperial
+    *     (weather_realtime_etl.py:107-117; parse name / main.temp /
+    *     main.humidity / weather[0].description, keep the raw payload)
+    *   - timemachine: GET {timemachineUrl}?lat&lon&dt&appid&units=imperial
+    *     (weather_historical_backfill.py:55-67; One Call 3.0 shape —
+    *     fields under data[0], with a 2.5-style `main` fallback exactly as
+    *     the reference parses at weather_historical_backfill.py:205-213)
+    *   - forecast:    GET {forecastUrl}?latitude&longitude&hourly=…
+    *     (weather_future_realtime.py:16-23; columnar hourly arrays)
+    *
+    * Bounded retry with linear backoff on 429/5xx (the reference's
+    * rate-limit handling, weather_historical_backfill.py:74-76). Base URLs
+    * are injectable so specs drive the client against an in-process stub
+    * server; offline builds keep using [[SyntheticWeatherApi]].
+    */
+  final class HttpWeatherApi(
+      apiKey: String,
+      currentUrl: String = "https://api.openweathermap.org/data/2.5/weather",
+      timemachineUrl: String = "https://api.openweathermap.org/data/3.0/onecall/timemachine",
+      forecastUrl: String = "https://api.open-meteo.com/v1/forecast",
+      lat: Double = 40.7128,
+      lon: Double = -74.0060,
+      timeoutSeconds: Long = 30,
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 1000L) extends WeatherApi {
+
+    private val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    private def get(url: String): String = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .GET().build()
+      var attempt = 0
+      while (true) {
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val code = resp.statusCode()
+        if (code / 100 == 2) return resp.body()
+        val retryable = code == 429 || code / 100 == 5
+        if (!retryable || attempt >= maxRetries)
+          throw new java.io.IOException(s"HTTP $code from $url")
+        attempt += 1
+        Thread.sleep(retryBackoffMs * attempt)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    override def current(city: String, at: Instant): WeatherRow = {
+      val body = get(s"$currentUrl?q=${enc(city)}&appid=${enc(apiKey)}&units=imperial")
+      val root = mapper.readTree(body)
+      WeatherRow(
+        observedAt = at, // scheduled/logical time, never wall clock (T2)
+        city = if (root.hasNonNull("name")) root.get("name").asText else city,
+        tempF = root.path("main").path("temp").asDouble,
+        weatherDesc = root.path("weather").path(0).path("description").asText("unknown"),
+        humidityPct = root.path("main").path("humidity").asLong,
+        rawJson = body)
+    }
+
+    override def timemachine(city: String, hour: Instant): WeatherRow = {
+      val body = get(s"$timemachineUrl?lat=$lat&lon=$lon&dt=${hour.getEpochSecond}" +
+        s"&appid=${enc(apiKey)}&units=imperial")
+      val root = mapper.readTree(body)
+      // One Call 3.0: fields under data[0]; 2.5-style fallback under main
+      val w = if (root.has("data")) root.path("data").path(0) else root
+      val temp = if (w.hasNonNull("temp")) w.get("temp").asDouble
+                 else w.path("main").path("temp").asDouble
+      val hum = if (w.hasNonNull("humidity")) w.get("humidity").asLong
+                else w.path("main").path("humidity").asLong
+      WeatherRow(hour, city, temp,
+        w.path("weather").path(0).path("description").asText("unknown"),
+        hum, body)
+    }
+
+    override def forecastHourly(city: String, from: Instant, hours: Int): Seq[WeatherRow] = {
+      val days = math.max(1, (hours + 23) / 24)
+      val body = get(s"$forecastUrl?latitude=$lat&longitude=$lon" +
+        "&hourly=temperature_2m,relativehumidity_2m,precipitation" +
+        s"&forecast_days=$days&temperature_unit=fahrenheit&timezone=UTC")
+      val hourly = mapper.readTree(body).path("hourly")
+      val times = hourly.path("time")
+      val temps = hourly.path("temperature_2m")
+      val hums = hourly.path("relativehumidity_2m")
+      val precs = hourly.path("precipitation")
+      (0 until math.min(hours, times.size)).map { i =>
+        val t = java.time.LocalDateTime.parse(times.get(i).asText)
+          .toInstant(ZoneOffset.UTC)
+        val desc = if (precs.path(i).asDouble(0.0) > 0) "precipitation" else "dry"
+        WeatherRow(t, city, temps.path(i).asDouble, desc,
+          hums.path(i).asLong, body)
+      }
+    }
+  }
+
   /** S7/S13: one observation per run → 1-row DataFrame, append-shaped.
     * `observedAt` is the scheduled event time, never wall clock (T2).
     */

@@ -83,6 +83,75 @@ class SourcesSpec extends AnyFunSuite {
     assert(remaining.isEmpty)
   }
 
+  test("HttpWeatherApi drives all three endpoints against an in-process stub server") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val rateLimited = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    server.createContext("/current", (ex: HttpExchange) => {
+      assert(ex.getRequestURI.getQuery.contains("q=New+York"))
+      assert(ex.getRequestURI.getQuery.contains("units=imperial"))
+      reply(ex, 200,
+        """{"name":"New York","main":{"temp":71.5,"humidity":62},""" +
+          """"weather":[{"description":"broken clouds"}]}""")
+    })
+    server.createContext("/timemachine", (ex: HttpExchange) => {
+      // first call rate-limits → client must retry with backoff
+      if (rateLimited.getAndSet(false)) reply(ex, 429, "slow down")
+      else {
+        assert(ex.getRequestURI.getQuery.contains("dt=1704103200"))
+        reply(ex, 200,
+          """{"data":[{"dt":1704103200,"temp":39.2,"humidity":55,""" +
+            """"weather":[{"description":"light snow"}]}]}""")
+      }
+    })
+    server.createContext("/forecast", (ex: HttpExchange) => {
+      assert(ex.getRequestURI.getQuery.contains("temperature_unit=fahrenheit"))
+      reply(ex, 200,
+        """{"hourly":{"time":["2024-03-01T00:00","2024-03-01T01:00","2024-03-01T02:00"],""" +
+          """"temperature_2m":[41.0,40.5,40.1],"relativehumidity_2m":[70,71,72],""" +
+          """"precipitation":[0.0,0.2,0.0]}}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val http = new Sources.HttpWeatherApi(
+        apiKey = "test-key",
+        currentUrl = s"$base/current",
+        timemachineUrl = s"$base/timemachine",
+        forecastUrl = s"$base/forecast",
+        retryBackoffMs = 10L)
+
+      val cur = http.current("New York", Instant.parse("2024-07-15T15:00:00Z"))
+      assert(cur.city == "New York" && cur.tempF == 71.5 &&
+        cur.humidityPct == 62 && cur.weatherDesc == "broken clouds")
+      assert(cur.rawJson.contains("\"name\":\"New York\"")) // verbatim payload
+
+      val tm = http.timemachine("New York", Instant.ofEpochSecond(1704103200L))
+      assert(tm.tempF == 39.2 && tm.humidityPct == 55 &&
+        tm.weatherDesc == "light snow")
+      assert(!rateLimited.get, "client must have retried past the 429")
+
+      val fc = http.forecastHourly("New York",
+        Instant.parse("2024-03-01T00:00:00Z"), hours = 2)
+      assert(fc.length == 2)
+      assert(fc.head.tempF == 41.0 && fc.head.weatherDesc == "dry")
+      assert(fc(1).weatherDesc == "precipitation")
+      assert(fc.head.observedAt == Instant.parse("2024-03-01T00:00:00Z"))
+
+      // the DataFrame surface is client-agnostic: same pipeline code runs
+      // on the HTTP client as on the synthetic one
+      val df = Sources.fetchCurrentWeather(spark, http, "New York",
+        Instant.parse("2024-07-15T15:00:00Z"))
+      assert(df.count() == 1)
+      assert(df.head.getAs[Double]("temp_f") == 71.5)
+    } finally server.stop(0)
+  }
+
   test("registered views are queryable by name (S19)") {
     Sources.registerViews(Map("zone_view" ->
       Tables.customer(spark, sf).limit(5)))
