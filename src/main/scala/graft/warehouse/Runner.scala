@@ -76,6 +76,61 @@ object Runner {
     if (n == 0) None else Some(s"accepted_range($c): $n violations")
   }
 
+  // ------------------------------------------------- lineage docs (dbt docs)
+
+  /** Machine-readable lineage manifest — the dbt `manifest.json` analog
+    * (dbt docs generate, dags/dbt_transformation_dag.py:110-113): one node
+    * per stage with dependencies, materialization, declared gates, and the
+    * resolved output schema. Sources (inputs with no defining stage)
+    * appear as `source` nodes.
+    */
+  def lineageManifest(stages: Seq[Stage],
+      built: Map[String, DataFrame]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val stageNames = stages.map(_.name).toSet
+    val sources = stages.flatMap(_.deps).distinct.filterNot(stageNames)
+    val nodes = sources.map { s =>
+      val cols = built.get(s).map(_.schema.fields.toSeq).getOrElse(Nil)
+        .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
+        .mkString("{", ",", "}")
+      s"${q(s)}: {${q("resource_type")}: ${q("source")}, " +
+        s"${q("depends_on")}: [], ${q("columns")}: $cols}"
+    } ++ stages.map { st =>
+      val cols = built.get(st.name).map(_.schema.fields.toSeq).getOrElse(Nil)
+        .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
+        .mkString("{", ",", "}")
+      val deps = st.deps.map(q).mkString("[", ",", "]")
+      val mat = if (st.materializePath.isDefined) "table" else "view"
+      s"${q(st.name)}: {${q("resource_type")}: ${q("model")}, " +
+        s"${q("depends_on")}: $deps, ${q("materialized")}: ${q(mat)}, " +
+        s"${q("n_gates")}: ${st.gates.length}, ${q("columns")}: $cols}"
+    }
+    nodes.mkString("{", ",", "}")
+  }
+
+  /** Human-readable lineage doc (markdown): a mermaid DAG of stage
+    * dependencies plus a per-stage section with materialization, gates,
+    * and the resolved column schema.
+    */
+  def lineageDoc(stages: Seq[Stage], built: Map[String, DataFrame]): String = {
+    val sb = new StringBuilder("# Pipeline lineage\n\n```mermaid\ngraph TD\n")
+    stages.foreach(st => st.deps.foreach(d => sb.append(s"  $d --> ${st.name}\n")))
+    sb.append("```\n")
+    stages.foreach { st =>
+      sb.append(s"\n## ${st.name}\n\n")
+      sb.append(s"- materialized: ${if (st.materializePath.isDefined) "table" else "view"}")
+      st.materializePath.foreach(p => sb.append(s" (`$p`)"))
+      sb.append(s"\n- depends on: ${st.deps.map(d => s"`$d`").mkString(", ")}\n")
+      if (st.gates.nonEmpty) sb.append(s"- quality gates: ${st.gates.length}\n")
+      built.get(st.name).foreach { df =>
+        sb.append("\n| column | type |\n|---|---|\n")
+        df.schema.fields.foreach(f =>
+          sb.append(s"| ${f.name} | ${f.dataType.simpleString} |\n"))
+      }
+    }
+    sb.toString
+  }
+
   /** The reference's full transform pipeline as stages over raw inputs
     * `raw_trips`, `raw_weather`, `zones` (dbt run + test equivalent).
     */

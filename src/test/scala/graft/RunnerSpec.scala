@@ -23,6 +23,23 @@ class RunnerSpec extends AnyFunSuite {
     assert(built("mart_daily_metrics").count() > 0)
     assert(spark.read.parquet(s"$martDir/mart_daily_metrics").count() ==
       built("mart_daily_metrics").count())
+
+    // lineage docs (dbt docs generate analog) reflect the executed DAG
+    val stages = Runner.referencePipeline(martDir)
+    val doc = Runner.lineageDoc(stages, built)
+    assert(doc.contains("int_trips_enriched --> mart_trips_weather"))
+    assert(doc.contains("## mart_daily_metrics"))
+    assert(doc.contains("materialized: table"))
+    assert(doc.contains("| trip_date |"))
+    val manifest = Runner.lineageManifest(stages, built)
+    // parses as JSON and carries deps + schemas + source nodes
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(manifest)
+    assert(root.get("raw_trips").get("resource_type").asText == "source")
+    assert(root.get("mart_trips_weather").get("materialized").asText == "table")
+    assert(root.get("mart_trips_weather").get("depends_on").toString
+      .contains("int_weather_hourly"))
+    assert(root.get("stg_taxi_trips").get("columns").has("pickup_datetime"))
   }
 
   test("a failing quality gate aborts the run with a named violation") {
