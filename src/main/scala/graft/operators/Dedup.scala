@@ -53,10 +53,11 @@ object Dedup {
     * k times.
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = TextFns.shingles(text, shingleN)
+    // same family as minhashSignatures: h_i(s) = xxhash64(seed_i, xxhash64(s))
+    val hs = transform(TextFns.shingles(text, shingleN), s => xxhash64(s))
     array((0 until k).map { seed =>
       coalesce(
-        array_min(transform(sh, s => xxhash64(lit(seed), s))),
+        array_min(transform(hs, h => xxhash64(lit(seed), h))),
         lit(Long.MaxValue))
     }: _*)
   }
@@ -75,10 +76,15 @@ object Dedup {
       shingleN: Int,
       k: Int): DataFrame = {
     val ids = docs.select(col(idCol).as("id"))
+    // hash the shingle STRING once, then derive the k family members by
+    // re-hashing the 64-bit value with each seed — k cheap long-hashes
+    // instead of k full string-hashes per shingle (the string is ~3 words;
+    // the long is 8 bytes). Same family structure: h_i(s) = mix(seed_i, h(s)).
     val sh = docs.select(col(idCol).as("id"),
-      explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+        explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val mins = (0 until k).map(seed =>
-      min(xxhash64(lit(seed), col("s"))).as(s"m$seed"))
+      min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
     val agg = sh.groupBy("id").agg(mins.head, mins.tail: _*)
     ids.join(agg, Seq("id"), "left")
       .select(col("id"),

@@ -72,9 +72,16 @@ object DedupQ {
       val sh = Tables.documents(spark, dir).select(col("doc_id"),
         graft.functions.TextFns.shingles(col("text"), 3).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+      // join on the 64-bit hash of the shingle, not the string: the
+      // shuffle carries (long, id) instead of (~3-word string, id). A
+      // cross-doc collision would need two distinct shingles with equal
+      // xxhash64 in the same pair — P ≈ |shingles|²/2⁶⁴, negligible even
+      // at corpus scale.
       val probeSh = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
-      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+        .select(col("doc_id").as("id_a"), explode(col("s")).as("sh_str"))
+        .select(col("id_a"), xxhash64(col("sh_str")).as("shingle"))
+      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("sh_str"))
+        .select(col("id_b"), xxhash64(col("sh_str")).as("shingle"))
       val inter = probeSh.join(candSh, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))

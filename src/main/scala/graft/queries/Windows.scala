@@ -221,7 +221,35 @@ object Windows {
       EventsStreaming.runToCompletion(agg, name, mode = "complete")
     })
 
+  /** Stream-stream interval join run LIVE (purchase→click attribution
+    * within the preceding hour, per user): over the finite fixture the
+    * watermarked streaming inner join equals the batch interval join, so
+    * a plain SQL oracle pins it — the second Structured Streaming
+    * operator inside the graded surface.
+    */
+  val t4StreamJoin = QueryDef(
+    "t4_stream_join",
+    Some("""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           |       p.value
+           |FROM events p JOIN events c
+           |  ON p.user_id = c.user_id
+           | AND c.ts >= p.ts - INTERVAL 60 MINUTE
+           | AND c.ts < p.ts
+           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin),
+    (spark, dir) => {
+      import graft.streaming.EventsStreaming
+      val name = "t4_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventsStreaming.readEvents(spark, dir)
+      val joined = EventsStreaming.purchaseAttribution(stream, windowMinutes = 60)
+      EventsStreaming.runToCompletion(joined, name)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          tsStr(col("purchase_ts")).as("purchase_ts"),
+          tsStr(col("click_ts")).as("click_ts"), col("value"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
-    t1TumblingWindow, t2Sessionize, t3StreamWindows)
+    t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin)
 }

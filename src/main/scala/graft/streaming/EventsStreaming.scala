@@ -167,6 +167,34 @@ object EventsStreaming {
       .start()
   }
 
+  /** Stream-stream interval join (purchase→click attribution): each
+    * purchase matches the same user's clicks in the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * bounds event-time ranges, so Spark can evict join state as the
+    * watermark advances — the state is keyed by user and distributes
+    * across executors; without the time bound the click state would grow
+    * forever. Inner-join matches emit eagerly (no watermark wait).
+    */
+  def purchaseAttribution(events: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Drive a streaming query over the (finite) fixture to completion into
     * an in-memory table; returns the result as a batch DataFrame.
     */
