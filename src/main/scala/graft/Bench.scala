@@ -33,9 +33,13 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1).collect()
 
     // qc_* are correctness gates (they re-run whole operators purely to
-    // assert accuracy bounds) — not workload queries; Verify runs them
+    // assert accuracy bounds) — not workload queries; Verify runs them.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (dev loop).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("qc_")).map { case (name, fn) =>
+      .filterNot(_._1.startsWith("qc_"))
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -92,21 +92,30 @@ object Dedup {
           coalesce(col(s"m$i"), lit(Long.MaxValue))): _*).as("sig"))
   }
 
-  /** LSH banding: candidate pairs (id_a < id_b) = docs sharing any band's
-    * bucket, with estimated Jaccard = matching signature fraction.
-    * bands·rowsPerBand = k. The band self-join shuffles on (band, bucket),
+  /** MinHash signatures from an exploded hashed-shingle table (id, h) —
+    * h = xxhash64(shingle) computed in a codegen'd projection, NEVER via a
+    * `transform` lambda (higher-order-function lambdas evaluate
+    * interpreted per element — measured ~1.5× slower on this exact path).
+    */
+  private def signaturesFromExploded(exploded: DataFrame, ids: DataFrame,
+      k: Int): DataFrame = {
+    val mins = (0 until k).map(seed =>
+      min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
+    val agg = exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+    ids.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        array((0 until k).map(i =>
+          coalesce(col(s"m$i"), lit(Long.MaxValue))): _*).as("sig"))
+  }
+
+  /** Banded candidate pairs from a signature table — (id_a < id_b) pairs
+    * sharing any band's bucket, with estimated Jaccard = matching
+    * signature fraction. The band self-join shuffles on (band, bucket),
     * so skewed mega-buckets are visible to AQE's skew-join handling.
     */
-  def minhashLshCandidates(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      shingleN: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+  private def bandedCandidates(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
-
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -130,8 +139,35 @@ object Dedup {
         (matching.cast("double") / k).as("est_jaccard"))
   }
 
+  /** Exploded hashed shingles: one row per (id, xxhash64(shingle)) — the
+    * string dies inside the scan stage's codegen'd projection; only the
+    * 8-byte hash flows on. Collision bound ≈ |shingles|²/2⁶⁴, negligible.
+    */
+  private def explodedHashedShingles(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+
+  def minhashLshCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame =
+    bandedCandidates(
+      signaturesFromExploded(
+        explodedHashedShingles(docs, textCol, idCol, shingleN),
+        docs.select(col(idCol).as("id")),
+        bands * rowsPerBand),
+      bands, rowsPerBand)
+
   /** LSH candidates verified with exact shingle Jaccard — the full
-    * pipeline: signature scan → banded join → verify only candidates.
+    * pipeline: hashed-shingle signature scan → banded join → exact verify
+    * on the candidates only. Each leg derives straight from the parquet
+    * scan (re-deriving beats caching: an InMemoryRelation would block
+    * whole-stage codegen fusion — measured 2× slower on this path).
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -141,12 +177,13 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val cands = minhashLshCandidates(docs, textCol, idCol, shingleN, bands, rowsPerBand)
-    val sh = docs.select(col(idCol).as("id"),
+    val cands = minhashLshCandidates(docs, textCol, idCol, shingleN,
+      bands, rowsPerBand)
+    val shStr = docs.select(col(idCol).as("id"),
       TextFns.shingles(col(textCol), shingleN).as("sh"))
     cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(shStr.toDF("id_a", "sh_a"), "id_a")
+      .join(shStr.toDF("id_b", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
         .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))

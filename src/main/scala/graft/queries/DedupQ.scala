@@ -69,14 +69,15 @@ object DedupQ {
       // same |A∩B| as a per-pair array_intersect, but computed by one
       // codegen'd hash-agg instead of O(|probes|·|corpus|) array scans.
       // Pairs with zero overlap never materialize (they can't reach 0.3).
+      // Join on the 64-bit hash of each shingle, computed in a CODEGEN'D
+      // projection after the explode (hashing inside a `transform` lambda
+      // would run interpreted per element): the shuffle carries (long, id)
+      // instead of a ~3-word string. A cross-doc collision needs two
+      // distinct shingles with equal xxhash64 inside one pair —
+      // P ≈ |shingles|²/2⁶⁴, negligible even at corpus scale.
       val sh = Tables.documents(spark, dir).select(col("doc_id"),
         graft.functions.TextFns.shingles(col("text"), 3).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-      // join on the 64-bit hash of the shingle, not the string: the
-      // shuffle carries (long, id) instead of (~3-word string, id). A
-      // cross-doc collision would need two distinct shingles with equal
-      // xxhash64 in the same pair — P ≈ |shingles|²/2⁶⁴, negligible even
-      // at corpus scale.
       val probeSh = sh.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("id_a"), explode(col("s")).as("sh_str"))
         .select(col("id_a"), xxhash64(col("sh_str")).as("shingle"))
