@@ -49,6 +49,17 @@ object ExplainCheck {
     // (no single-partition Exchange over the full distinct-bigram table)
     check("tx_top_bigrams", "top-k before rank window")(
       _.contains("TakeOrderedAndProject"))
+    // range join: the bucketized formulation must plan as an equi-join —
+    // a BroadcastNestedLoopJoin would mean O(|points|·|intervals|) compares
+    check("jx_range_join", "bucketized equi-join, no BNLJ") { p =>
+      !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"))
+    }
+    // per-source quota runs on the custom two-phase TopKPerKey operator
+    check("smp_source_quota", "TopKPerKey two-phase plan") { p =>
+      p.linesIterator.count(_.contains("TopKPerKey")) == 2
+    }
     // IVF ANN: probe→cell assignment is a map-only projection (explode of a
     // literal-centroid ranking) — no driver collect / LocalTableScan leg
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>

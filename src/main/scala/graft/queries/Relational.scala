@@ -473,6 +473,101 @@ object Relational {
           tsStr(col("ts")).as("ts_s"), col("last_order_id"))
     })
 
+  /** Range (interval) join: orders placed inside each probe shipment's
+    * 14-day delivery window. Spark side is the bucketized equi-join
+    * (operators.RangeJoin — no BroadcastNestedLoopJoin, shuffle-bounded);
+    * the oracle is the plain inequality join DuckDB optimizes natively.
+    */
+  val jxRangeJoin = QueryDef(
+    "jx_range_join",
+    Some("""SELECT l.l_orderkey AS ship_orderkey, l.l_linenumber, o.o_orderkey
+           |FROM lineitem l JOIN orders o
+           |  ON o.o_orderdate >= l.l_shipdate
+           | AND o.o_orderdate < l.l_shipdate + INTERVAL 14 DAY
+           |WHERE l.l_orderkey % 500 = 0""".stripMargin),
+    (spark, dir) => {
+      val iv = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey").as("ship_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("w_start"),
+          (col("l_shipdate") + expr("INTERVAL 14 DAYS")).as("w_end"))
+      val pts = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.RangeJoin.intervalJoin(
+          pts, "o_orderdate", iv, "w_start", "w_end", bucketDays = 14)
+        .select(col("ship_orderkey"), col("l_linenumber"), col("o_orderkey"))
+    })
+
+  /** A18: pivot — event-type counts as columns per day. Spark's `pivot`
+    * relational operator (explicit value list → deterministic schema) vs
+    * the portable conditional-aggregation oracle; empty cells coalesced
+    * to 0 to match SUM(CASE...)'s semantics.
+    */
+  val a18Pivot = QueryDef(
+    "a18_pivot",
+    Some("""SELECT CAST(ts AS DATE) AS d,
+           |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val types = Seq("click", "purchase", "view", "signup", "error")
+      val p = Tables.events(spark, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("d") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    })
+
+  /** A19: CUBE — the full subtotal lattice over (returnflag, linestatus),
+    * one pass; grouping indicators disambiguate subtotal rows.
+    */
+  val a19Cube = QueryDef(
+    "a19_cube",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem
+           |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          moneySum(col("l_quantity")).as("qty")))
+
+  /** J7: null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM) — the NULL
+    * group from each side matches, unlike a bare `=` which drops it.
+    */
+  val j7NullSafeJoin = QueryDef(
+    "j7_null_safe_join",
+    Some("""WITH a AS (
+           |  SELECT CASE WHEN value > 50 THEN event_type END AS k, count(*) AS n_even
+           |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+           |b AS (
+           |  SELECT CASE WHEN value > 50 THEN event_type END AS k, count(*) AS n_odd
+           |  FROM events WHERE user_id % 2 = 1 GROUP BY 1)
+           |SELECT a.k, a.n_even, b.n_odd
+           |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      def side(parity: Int, outCol: String) = e
+        .filter(col("user_id") % 2 === parity)
+        .groupBy(when(col("value") > 50, col("event_type")).as("k"))
+        .agg(count(lit(1)).as(outCol))
+      val a = side(0, "n_even")
+      val b = side(1, "n_odd").withColumnRenamed("k", "kb")
+      a.join(b, a("k") <=> b("kb"))
+        .select(col("k"), col("n_even"), col("n_odd"))
+    })
+
   /** A16 (OLAP extension beyond the reference): ROLLUP with grouping
     * indicators — subtotal lattice over (flag, status) in one pass.
     * Spark `rollup` ≡ DuckDB GROUP BY ROLLUP; GROUPING() flags
@@ -561,7 +656,8 @@ object Relational {
           r4(expr("percentile(value, 0.9)")).as("p90")))
 
   val all: Seq[QueryDef] = Seq(
-    a15ErrorMetrics, jxAsOfJoin, a16Rollup, o3TopKPerKey, u2SetOps, a17Percentile,
+    a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
+    j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,

@@ -205,7 +205,27 @@ object Text {
         .select(col("bigram"), col("n"), col("rk"))
     })
 
+  /** F17: positional explode — (doc_id, position, token) rows over a
+    * probe slice, the tokenize-with-offsets shape of span labeling.
+    * Spark `posexplode` vs a DuckDB list comprehension with indices.
+    */
+  val txPosTokens = QueryDef(
+    "tx_pos_tokens",
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents WHERE doc_id % 100 = 0)
+           |SELECT doc_id, pos, tok FROM (
+           |  SELECT doc_id,
+           |         unnest([{'pos': CAST(i - 1 AS INT), 'tok': w[i]}
+           |                 FOR i IN range(1, len(w) + 1)], recursive := true)
+           |  FROM d)""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))))
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
-    txRedact, txTopBigrams)
+    txRedact, txTopBigrams, txPosTokens)
 }
