@@ -193,26 +193,20 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash signatures per doc: explode distinct tokens, hash each
-    * once, then a single hash-agg with 64 ±1-vote sums; signature bit i =
-    * sign of vote i. One shuffle of (id, 64 longs) — partial aggregation
-    * makes the map-side output per doc constant-size.
+  /** 64-bit SimHash signatures per doc, via the native [[graft.plans.SimHash64]]
+    * expression: the entire vote-accumulate-threshold loop runs inside one
+    * codegen'd projection — the signature stage is MAP-ONLY (the previous
+    * explode + 64-column hash-agg formulation shuffled (id, 64 longs) per
+    * doc). Token hashing is bit-identical to `xxhash64(token)`, so
+    * signatures match the aggregation form for every doc with ≥1 token.
     */
   def simhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFns.tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
-    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), sig.as("sig"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.plans.SimHash64.simhash64(
+        array_distinct(TextFns.tokens(col(textCol)))).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.clustering.KMeansModel]()
+
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
 
@@ -74,8 +77,14 @@ object Similarity {
     val cp = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
     val withVec = cp.withColumn("fv", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
-    val model = km.fit(withVec)
+    // index build is train-once-probe-many (seed fixed → deterministic):
+    // cache the fitted centroids per (corpus plan, nCells) so repeated
+    // probe queries in one session skip the k-means fit
+    val cacheKey =
+      s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells"
+    val model = Similarity.kmeansCache.computeIfAbsent(cacheKey, { _ =>
+      new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv").fit(withVec)
+    })
     val assigned = model.transform(withVec)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
 

@@ -241,12 +241,20 @@ object Windows {
     (spark, dir) => {
       import graft.streaming.EventsStreaming
       val name = "t4_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val stream = EventsStreaming.readEvents(spark, dir)
-      val joined = EventsStreaming.purchaseAttribution(stream, windowMinutes = 60)
-      EventsStreaming.runToCompletion(joined, name)
-        .select(col("user_id"), col("purchase_id"), col("click_id"),
-          tsStr(col("purchase_ts")).as("purchase_ts"),
-          tsStr(col("click_ts")).as("click_ts"), col("value"))
+      // stream-stream joins keep FOUR state stores per shuffle partition;
+      // for a single-batch fixture run, 32 partitions mean 128 store
+      // commits of trivial size — scope the stream to fewer partitions
+      // (production sizes this to state volume, not core count)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = EventsStreaming.readEvents(spark, dir)
+        val joined = EventsStreaming.purchaseAttribution(stream, windowMinutes = 60)
+        EventsStreaming.runToCompletion(joined, name)
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            tsStr(col("purchase_ts")).as("purchase_ts"),
+            tsStr(col("click_ts")).as("click_ts"), col("value"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     })
 
   val all: Seq[QueryDef] = Seq(

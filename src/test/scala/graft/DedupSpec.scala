@@ -56,6 +56,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("native simhash64 expression matches the explode+aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    // the composed form the expression replaced: explode distinct tokens,
+    // 64 conditional-sum vote columns, sign-threshold bit reassembly
+    val docs = Tables.documents(spark, sf).limit(200)
+    val tok = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(graft.functions.TextFns.tokens(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sigExpr = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val composed = agg.select(col("id"), sigExpr.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    assert(composed.keySet.subsetOf(native.keySet))
+    composed.foreach { case (id, sig) =>
+      assert(native(id) == sig, s"signature mismatch for doc $id")
+    }
+  }
+
   test("lshKnn results are a subset of brute-force rankings' candidates with identical cosines") {
     val e = Tables.embeddings(spark, sf)
     val probes = e.filter(col("vec_id") % 100 === 0)
