@@ -33,6 +33,15 @@ object TextFns {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** DISTINCT 64-bit hashes of the n-word shingles, via the native
+    * codegen'd [[graft.plans.ShingleHash64]] expression — the form every
+    * set-similarity operator consumes (sizes, intersections, MinHash
+    * families all work on the hashes; the strings never materialize).
+    * Bit-identical to `xxhash64` of each `shingles` element.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.ShingleHash64.shingle_hash64(tokens(text), n)
+
   /** n-word shingles with multiplicity (for frequency statistics —
     * `shingles` deduplicates for set-similarity use).
     */

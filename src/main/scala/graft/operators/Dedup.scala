@@ -53,8 +53,9 @@ object Dedup {
     * k times.
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    // same family as minhashSignatures: h_i(s) = xxhash64(seed_i, xxhash64(s))
-    val hs = transform(TextFns.shingles(text, shingleN), s => xxhash64(s))
+    // same family as minhashSignatures: h_i(s) = xxhash64(seed_i, xxhash64(s)),
+    // base hashes from the native ShingleHash64 expression
+    val hs = TextFns.shingleHashes(text, shingleN)
     array((0 until k).map { seed =>
       coalesce(
         array_min(transform(hs, h => xxhash64(lit(seed), h))),
@@ -139,15 +140,15 @@ object Dedup {
         (matching.cast("double") / k).as("est_jaccard"))
   }
 
-  /** Exploded hashed shingles: one row per (id, xxhash64(shingle)) — the
-    * string dies inside the scan stage's codegen'd projection; only the
-    * 8-byte hash flows on. Collision bound ≈ |shingles|²/2⁶⁴, negligible.
+  /** Exploded hashed shingles: one row per (id, xxhash64(shingle)) via the
+    * native ShingleHash64 expression — shingle strings never materialize;
+    * only the 8-byte hash leaves the scan stage. Collision bound ≈
+    * |shingles|²/2⁶⁴, negligible.
     */
   private def explodedHashedShingles(docs: DataFrame, textCol: String,
       idCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      explode(TextFns.shingleHashes(col(textCol), shingleN)).as("h"))
 
   def minhashLshCandidates(
       docs: DataFrame,
@@ -179,16 +180,71 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashLshCandidates(docs, textCol, idCol, shingleN,
       bands, rowsPerBand)
-    val shStr = docs.select(col(idCol).as("id"),
-      TextFns.shingles(col(textCol), shingleN).as("sh"))
+    val hs = docs.select(col(idCol).as("id"),
+      TextFns.shingleHashes(col(textCol), shingleN).as("sh"))
     cands
-      .join(shStr.toDF("id_a", "sh_a"), "id_a")
-      .join(shStr.toDF("id_b", "sh_b"), "id_b")
+      .join(hs.toDF("id_a", "sh_a"), "id_a")
+      .join(hs.toDF("id_b", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
         .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** EXACT all-pairs similarity join with prefix filtering (the PPJoin
+    * family: Xiao/Wang/Lin/Yu, "Efficient similarity joins for near
+    * duplicate detection", WWW 2008; Chaudhuri/Ganti/Kaushik's SSJoin
+    * prefix principle, ICDE 2006).
+    *
+    * Principle: order every doc's shingles by ascending global document
+    * frequency (rarest first). If jaccard(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·|A|⌉, so A and B must share at least one shingle inside
+    * each one's PREFIX of length |X| − ⌈t·|X|⌉ + 1 — so indexing only
+    * prefixes generates every qualifying pair. Candidates then pass a
+    * length filter (t·|B| ≤ |A| ≤ |B|/t) and exact verification.
+    *
+    * Scale: the inverted index holds only prefix entries, and because the
+    * order is rarest-first the prefixes avoid the high-frequency shingles
+    * that cause join amplification — the hot "stop-shingle" posting lists
+    * never enter the self-join. Unlike MinHash/LSH this path misses
+    * NOTHING: output ≡ brute force at the same threshold.
+    */
+  def ppjoinNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = explodedHashedShingles(docs, textCol, idCol, shingleN)
+    // df and per-doc (pos, n) as window aggregates: one shuffle by shingle,
+    // one by doc — no separate groupBy+join legs re-scanning the corpus
+    val ranked = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked.filter(
+      col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .filter(col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
+      .dropDuplicates("id_a", "id_b")
+    val full = docs.select(col(idCol).as("id"),
+      TextFns.shingleHashes(col(textCol), shingleN).as("sh"))
+    cands
+      .join(full.toDF("id_a", "sh_a"), "id_a")
+      .join(full.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+          .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -65,24 +65,20 @@ object DedupQ {
            |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""".stripMargin),
     (spark, dir) => {
       // inverted-index set-similarity join: explode each side's (distinct)
-      // shingles, equi-join on the shingle, count matches per pair — the
-      // same |A∩B| as a per-pair array_intersect, but computed by one
+      // hashed shingles, equi-join on the hash, count matches per pair —
+      // the same |A∩B| as a per-pair array_intersect, but computed by one
       // codegen'd hash-agg instead of O(|probes|·|corpus|) array scans.
-      // Pairs with zero overlap never materialize (they can't reach 0.3).
-      // Join on the 64-bit hash of each shingle, computed in a CODEGEN'D
-      // projection after the explode (hashing inside a `transform` lambda
-      // would run interpreted per element): the shuffle carries (long, id)
-      // instead of a ~3-word string. A cross-doc collision needs two
-      // distinct shingles with equal xxhash64 inside one pair —
-      // P ≈ |shingles|²/2⁶⁴, negligible even at corpus scale.
+      // Shingle hashing runs inside the native ShingleHash64 expression
+      // (the strings never materialize); the shuffle carries (long, id).
+      // A cross-doc collision needs two distinct shingles with equal
+      // xxhash64 inside one pair — P ≈ |shingles|²/2⁶⁴, negligible even
+      // at corpus scale. Pairs with zero overlap never materialize.
       val sh = Tables.documents(spark, dir).select(col("doc_id"),
-        graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
       val probeSh = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("id_a"), explode(col("s")).as("sh_str"))
-        .select(col("id_a"), xxhash64(col("sh_str")).as("shingle"))
-      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("sh_str"))
-        .select(col("id_b"), xxhash64(col("sh_str")).as("shingle"))
+        .select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
       val inter = probeSh.join(candSh, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))
@@ -95,6 +91,28 @@ object DedupQ {
         .filter(col("j") >= 0.3)
         .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
     })
+
+  /** PPJoin-style EXACT all-pairs near-dup join (prefix filtering on a
+    * rarest-first global order + length filter + exact verify) — unlike
+    * LSH it misses nothing, so the full-corpus inequality-join oracle
+    * pins it directly. The approximate/banded path is `dd_minhash_lsh`.
+    */
+  val ddPpjoin = QueryDef(
+    "dd_ppjoin",
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+           |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin),
+    (spark, dir) =>
+      Dedup.ppjoinNearDups(Tables.documents(spark, dir), threshold = 0.7)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")))
 
   /** MinHash + LSH near-dup detection (the 100 TB path): signature scan →
     * band-bucket join → exact verify on candidates only. Hash family is
@@ -208,6 +226,6 @@ object DedupQ {
     })
 
   val all: Seq[QueryDef] = Seq(
-    ddExact, ddBowGroups, ddJaccardShingles, ddMinhashLsh, ddSimhash,
+    ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf)
 }

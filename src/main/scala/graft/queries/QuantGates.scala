@@ -36,7 +36,7 @@ object QuantGates {
       // inverted-index join (the same shape dd_jaccard_shingles pins
       // against DuckDB, here over ALL pairs, no probe slice)
       val sh = docs.select(col("doc_id"),
-        graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
       val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
       val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
       val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))

@@ -56,6 +56,47 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("native shingle_hash64 matches xxhash64 of the composed string shingles") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(100)
+    val composed = docs.select(col("doc_id"),
+        array_sort(transform(
+          graft.functions.TextFns.shingles(col("text"), 3),
+          s => xxhash64(s))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs.select(col("doc_id"),
+        array_sort(graft.functions.TextFns.shingleHashes(col("text"), 3)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == composed)
+    // short-doc edge: fewer than n tokens → empty set, no crash
+    import spark.implicits._
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(graft.functions.TextFns.shingleHashes(col("text"), 3))
+      .head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("ppjoin prefix filtering is EXACT: output equals all-pairs brute force") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val t = 0.5
+    // brute-force ground truth via full array intersection over all pairs
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.s"), col("b.s"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("a.s")) + size(col("b.s")) - col("inter")))
+      .filter(col("j") >= t)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.ppjoinNearDups(docs, t)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain j>=0.5 pairs")
+    assert(got == truth, s"ppjoin missed ${(truth -- got).size} / extra ${(got -- truth).size}")
+  }
+
   test("native simhash64 expression matches the explode+aggregate formulation") {
     import org.apache.spark.sql.functions._
     // the composed form the expression replaced: explode distinct tokens,
