@@ -79,11 +79,15 @@ object Similarity {
     val withVec = cp.withColumn("fv", array_to_vector(col("cv")))
     // index build is train-once-probe-many (seed fixed → deterministic):
     // cache the fitted centroids per (corpus plan, nCells) so repeated
-    // probe queries in one session skip the k-means fit
+    // probe queries in one session skip the k-means fit. The fit itself
+    // runs on a deterministic 1-in-4 sample — IVF centroids only need the
+    // corpus's density shape, not every vector (at 100 TB you'd never fit
+    // on the full corpus); assignment below still covers ALL vectors.
     val cacheKey =
       s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells"
     val model = Similarity.kmeansCache.computeIfAbsent(cacheKey, { _ =>
-      new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv").fit(withVec)
+      val sample = withVec.filter(pmod(col("cand_id"), lit(4)) === 0)
+      new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv").fit(sample)
     })
     val assigned = model.transform(withVec)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))

@@ -210,15 +210,21 @@ object Windows {
     (spark, dir) => {
       import graft.streaming.EventsStreaming
       val name = "t3_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val stream = EventsStreaming.readEvents(spark, dir)
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-        .select(tsStr(col("window.start")).as("window_start"),
-          col("event_type"), col("n"), col("total_value"))
-      EventsStreaming.runToCompletion(agg, name, mode = "complete")
+      // streaming agg state stores scale with shuffle partitions — size to
+      // state volume (a few hundred windows), not core count
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = EventsStreaming.readEvents(spark, dir)
+        val agg = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .select(tsStr(col("window.start")).as("window_start"),
+            col("event_type"), col("n"), col("total_value"))
+        EventsStreaming.runToCompletion(agg, name, mode = "complete")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     })
 
   /** Stream-stream interval join run LIVE (purchase→click attribution
