@@ -1,0 +1,174 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-isolation commit protocol over plain parquet — the
+  * upgrade path the README's concurrency section describes, implemented
+  * with nothing but filesystem primitives (the same recipe the
+  * transactional table formats build on: an ordered manifest log +
+  * atomic manifest creation).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/part-<uuid>.parquet        immutable data files
+  *     _manifests/v00000001.manifest   newline-separated data-file names
+  *     _manifests/v00000002.manifest
+  * }}}
+  *
+  * Invariants:
+  *   - data files are written FIRST, under unique names, and never
+  *     mutated or referenced until a manifest commits them;
+  *   - a commit is `fs.create(vN+1, overwrite = false)` — atomic
+  *     create-if-absent, so of two racing writers exactly ONE wins vN+1;
+  *     the loser re-reads the new state and retries on vN+2 (optimistic
+  *     concurrency, like Delta's log protocol);
+  *   - readers resolve the highest manifest once and then read ONLY the
+  *     files it lists — writers never disturb a running read (snapshot
+  *     isolation), and any earlier version stays readable (time travel)
+  *     until a vacuum removes unreferenced files.
+  *
+  * This is deliberately the smallest correct core: no column stats, no
+  * compaction of the manifest log, single-table scope. It exists to make
+  * the concurrent-writer story REAL — two appenders cannot lose or
+  * double-commit data — while the sink API stays plain parquet.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+  private def dataDir(table: String) = new Path(table, "data")
+
+  private def versionOf(name: String): Long =
+    name.stripPrefix("v").stripSuffix(".manifest").toLong
+
+  private def manifestPath(table: String, v: Long) =
+    new Path(manifestDir(table), f"v$v%08d.manifest")
+
+  /** Highest committed version, 0 if the table is empty. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(versionOf)
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Data files of a version (empty for v0). */
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] = {
+    if (version == 0) return Nil
+    val p = manifestPath(table, version)
+    val f = fs(spark, p)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Append `batch` as a new snapshot version. Data lands before the
+    * commit; the commit itself is an atomic create-if-absent of the next
+    * manifest. On a lost race the commit retries against the new head —
+    * data files are never rewritten, only re-referenced.
+    * Returns the committed version.
+    */
+  def commitAppend(spark: SparkSession, batch: DataFrame, table: String,
+      maxRetries: Int = 10): Long =
+    commit(spark, batch, table, replace = false, maxRetries)
+
+  /** Replace the table's contents with `batch` (snapshot-level CTAS /
+    * truncate-reload): the new manifest references only the new files.
+    * Prior versions stay readable until vacuumed.
+    */
+  def commitOverwrite(spark: SparkSession, batch: DataFrame, table: String,
+      maxRetries: Int = 10): Long =
+    commit(spark, batch, table, replace = true, maxRetries)
+
+  private def commit(spark: SparkSession, batch: DataFrame, table: String,
+      replace: Boolean, maxRetries: Int): Long = {
+    val dd = dataDir(table)
+    val f = fs(spark, dd)
+    // 1. write the batch under a unique staging name, then move its files in
+    val staging = new Path(table, s"_staging-${java.util.UUID.randomUUID}")
+    batch.write.parquet(staging.toString)
+    f.mkdirs(dd)
+    val newFiles = f.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val target = new Path(dd, s"${java.util.UUID.randomUUID}.parquet")
+        require(f.rename(s.getPath, target), s"failed to stage ${s.getPath}")
+        target.getName
+      }.toSeq
+    f.delete(staging, true)
+
+    // 2. commit: optimistically PUBLISH the next manifest version. The
+    // manifest is fully written to a temp name first, then claimed
+    // atomically — readers can never observe a half-written manifest,
+    // and of two racing writers exactly one claims vN+1:
+    //   - file://  → hard link (atomic create-if-absent WITH content;
+    //                a plain create(overwrite=false) on LocalFileSystem
+    //                is check-then-create and loses commits under race)
+    //   - hdfs://  → rename (atomic, fails when the target exists)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val next = head + 1
+      val base = if (replace) Nil else filesAt(spark, table, head)
+      val content = (base ++ newFiles).mkString("\n")
+      f.mkdirs(manifestDir(table))
+      val tmp = new Path(manifestDir(table),
+        s".tmp-${java.util.UUID.randomUUID}")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val target = manifestPath(table, next)
+      val claimed =
+        if ("file" == f.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else !f.exists(target) && f.rename(tmp, target)
+      f.delete(tmp, false)
+      if (claimed) return next
+      attempt += 1 // lost the race; re-read the new head and retry
+    }
+    throw new IllegalStateException(
+      s"commit to $table failed after $maxRetries attempts")
+  }
+
+  /** Read the table at `version` (default: latest). A resolved reader is
+    * pinned: later commits never change the files it reads.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val files = filesAt(spark, table, v)
+      .map(n => new Path(dataDir(table), n).toString)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Delete data files referenced by NO manifest ≤ the current head and
+    * manifests older than `keepVersions` (retention). Returns deleted
+    * file names.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      keepVersions: Int = 2): Seq[String] = {
+    val head = currentVersion(spark, table)
+    val keepFrom = math.max(1L, head - keepVersions + 1)
+    val referenced = (keepFrom to head)
+      .flatMap(v => filesAt(spark, table, v)).toSet
+    val dd = dataDir(table)
+    val f = fs(spark, dd)
+    if (!f.exists(dd)) return Nil
+    val deleted = f.listStatus(dd).filter(_.isFile)
+      .map(_.getPath).filterNot(p => referenced.contains(p.getName))
+      .map { p => f.delete(p, false); p.getName }.toSeq
+    (1L until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))
+    deleted
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.warehouse.Snapshots
+
+class SnapshotsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+
+  test("append commits version, readers time-travel, latest sees everything") {
+    val t = freshTable()
+    val v1 = Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    val v2 = Snapshots.commitAppend(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    assert(v1 == 1 && v2 == 2)
+    assert(Snapshots.read(spark, t).count() == 2)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 1)
+    assert(Snapshots.read(spark, t, Some(1L)).head.getLong(0) == 1L)
+  }
+
+  test("racing writers: every commit lands, none lost, versions distinct") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    val writers = (1 to 4).map { i =>
+      Future(Snapshots.commitAppend(spark,
+        Seq((i.toLong, s"writer$i")).toDF("id", "v"), t))
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    assert(versions.toSet.size == 4, s"duplicate versions: $versions")
+    assert(versions.toSet == Set(1L, 2L, 3L, 4L))
+    val rows = Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L, 4L), "a racing commit lost rows")
+  }
+
+  test("snapshot isolation: a resolved reader is pinned across later commits") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    val pinnedVersion = Snapshots.currentVersion(spark, t)
+    val pinned = Snapshots.read(spark, t, Some(pinnedVersion))
+    Snapshots.commitOverwrite(spark, Seq((99L, "z")).toDF("id", "v"), t)
+    // the pinned plan still reads v1's files — unchanged by the overwrite
+    assert(pinned.count() == 1)
+    assert(pinned.head.getLong(0) == 1L)
+    assert(Snapshots.read(spark, t).head.getLong(0) == 99L)
+  }
+
+  test("vacuum removes files unreferenced by retained versions only") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
+    Snapshots.commitOverwrite(spark, Seq((2L, "b")).toDF("id", "v"), t) // v2: drops v1 files
+    Snapshots.commitAppend(spark, Seq((3L, "c")).toDF("id", "v"), t)   // v3
+    val deleted = Snapshots.vacuum(spark, t, keepVersions = 2)
+    assert(deleted.nonEmpty, "v1-only files should be deleted")
+    // latest unaffected; retained versions readable; v1 gone
+    assert(Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(Snapshots.read(spark, t, Some(2L)).count() == 1)
+    intercept[Exception] { Snapshots.filesAt(spark, t, 1L) }
+  }
+}
