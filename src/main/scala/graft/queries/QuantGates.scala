@@ -95,6 +95,26 @@ object QuantGates {
       val decodeDiff = d1.join(d2, "doc_id")
         .filter(col("c1") =!= col("c2")).count().toDouble
 
+      // ---- gate 8: snapshot commit-protocol integrity — append, append,
+      // overwrite, append against a scratch table: latest must see exactly
+      // the post-overwrite rows, v1 must still time-travel (value counts
+      // integrity violations; the concurrent-race variant is spec-level)
+      val snapDir = java.nio.file.Files
+        .createTempDirectory("graft_gate_snap").toString + "/t"
+      import graft.warehouse.Snapshots
+      Snapshots.commitAppend(spark, Seq(1L, 2L).toDF("id"), snapDir)
+      Snapshots.commitAppend(spark, Seq(3L).toDF("id"), snapDir)
+      Snapshots.commitOverwrite(spark, Seq(10L).toDF("id"), snapDir)
+      Snapshots.commitAppend(spark, Seq(11L).toDF("id"), snapDir)
+      val latest = Snapshots.read(spark, snapDir)
+        .collect().map(_.getLong(0)).toSet
+      val v1 = Snapshots.read(spark, snapDir, Some(1L))
+        .collect().map(_.getLong(0)).toSet
+      val snapViolations =
+        (if (latest == Set(10L, 11L)) 0 else 1) +
+        (if (v1 == Set(1L, 2L)) 0 else 1) +
+        (if (Snapshots.currentVersion(spark, snapDir) == 4L) 0 else 1)
+
       // ---- gate 7: corpus funnel monotonicity (each stage's survivor
       // count never exceeds the previous stage's)
       val report = CorpusPipeline.run(docs,
@@ -111,7 +131,8 @@ object QuantGates {
         ("ivf_recall_at5", ivfRecall, 0.3, ">="),
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<="),
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<="),
-        ("funnel_monotonicity_violations", monotone, 0.0, "<=")
+        ("funnel_monotonicity_violations", monotone, 0.0, "<="),
+        ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=")
       ).map { case (gate, value, threshold, op) =>
         val pass = op match {
           case ">=" => value >= threshold
