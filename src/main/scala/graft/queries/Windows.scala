@@ -263,7 +263,41 @@ object Windows {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     })
 
+  /** Session windows via Spark's BUILT-IN `session_window` grouping (the
+    * declarative counterpart of both t2's window-function formulation and
+    * EventsStreaming.sessionize's custom state): same 30-minute gap
+    * semantics, so the same sessionization SQL pins it.
+    */
+  val t5SessionWindow = QueryDef(
+    "t5_session_window",
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts, event_id, value,
+           |         CASE WHEN lag(ts) OVER w IS NULL
+           |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+           |              THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT *, sum(new_session) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM flagged)
+           |SELECT user_id,
+           |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM sessions GROUP BY user_id, session_id""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          tsStr(col("session_window.start")).as("session_start"),
+          col("n_events"), col("total_value")))
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
-    t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin)
+    t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
+    t5SessionWindow)
 }
