@@ -178,5 +178,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))) // analyzer wraps AggregateFunction
   }
 }

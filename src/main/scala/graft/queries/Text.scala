@@ -225,7 +225,31 @@ object Text {
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))))
 
+  /** Heavy-hitter tokens via the custom misra_gries AGGREGATE
+    * (TypedImperativeAggregate: constant state per partition, map-side
+    * partial buffers, mergeable — the frequent-items sketch of the
+    * toolbox). With k ≥ the fixture vocabulary the summary never evicts,
+    * so estimates are EXACT and the plain frequency SQL pins the result;
+    * the eviction/merge (n/k)-guarantees under k < vocab are asserted in
+    * MisraGriesSpec.
+    */
+  val txHeavyHitters = QueryDef(
+    "tx_heavy_hitters",
+    Some(s"""WITH t AS (SELECT unnest($W) AS tok FROM documents),
+            |c AS (SELECT tok AS token, count(*) AS n_tok FROM t GROUP BY 1)
+            |SELECT token FROM c
+            |WHERE n_tok > (SELECT count(*) FROM t) * 15 / 1000""".stripMargin),
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("t"))
+      tok.agg(count(lit(1)).as("n"),
+          graft.plans.MisraGriesAgg.misra_gries(col("t"), 100).as("mg"))
+        .select(col("n"), explode(col("mg")).as(Seq("token", "est")))
+        .filter(col("est") > col("n") * 15 / 1000)
+        .select(col("token"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
-    txRedact, txTopBigrams, txPosTokens)
+    txRedact, txTopBigrams, txPosTokens, txHeavyHitters)
 }
