@@ -158,6 +158,9 @@ object VectorFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "misra_gries", exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
 

@@ -96,5 +96,26 @@ object SqlSurface {
           |  FROM sims) WHERE rk <= 3""".stripMargin)
     })
 
-  val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative)
+  /** The custom misra_gries AGGREGATE through the SQL-text surface —
+    * registered like a built-in, planned with map-side partial buffers.
+    * Same exactness argument as tx_heavy_hitters (k ≥ vocabulary).
+    */
+  val sqlHeavyHitters = QueryDef(
+    "sql_heavy_hitters",
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |c AS (SELECT tok AS token, count(*) AS n_tok FROM t GROUP BY 1)
+           |SELECT token FROM c
+           |WHERE n_tok > (SELECT count(*) FROM t) * 15 / 1000""".stripMargin),
+    (spark, dir) => {
+      graft.plans.VectorFunctions.register(spark)
+      run(spark, dir,
+        """WITH tok AS (SELECT explode(split(text, ' ')) AS t FROM documents),
+          |agg AS (SELECT count(*) AS n, misra_gries(t, 100) AS mg FROM tok)
+          |SELECT token FROM (
+          |  SELECT n, explode(mg) AS (token, est) FROM agg)
+          |WHERE est > n * 15 / 1000""".stripMargin)
+    })
+
+  val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
+    sqlHeavyHitters)
 }

@@ -296,8 +296,34 @@ object Windows {
           tsStr(col("session_window.start")).as("session_start"),
           col("n_events"), col("total_value")))
 
+  /** Stream-static join run LIVE: the event stream enriches each event
+    * with the user's (static) lifetime order count — the third streaming
+    * join execution path (static side re-planned per micro-batch, no
+    * state stores, broadcast when small). Finite source ⇒ equals the
+    * batch join, so plain SQL pins it.
+    */
+  val t6StreamStaticJoin = QueryDef(
+    "t6_stream_static_join",
+    Some("""WITH u AS (
+           |  SELECT o_custkey AS user_id, count(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT e.event_id, e.user_id, u.n_orders
+           |FROM events e JOIN u ON e.user_id = u.user_id""".stripMargin),
+    (spark, dir) => {
+      import graft.streaming.EventsStreaming
+      val name = "t6_ss_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val static = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val stream = EventsStreaming.readEvents(spark, dir)
+        .select(col("event_id"), col("user_id"))
+      EventsStreaming.runToCompletion(
+        stream.join(static, Seq("user_id")), name)
+        .select(col("event_id"), col("user_id"), col("n_orders"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
-    t5SessionWindow)
+    t5SessionWindow, t6StreamStaticJoin)
 }

@@ -94,4 +94,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.get.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    // dedicated session: aggressive skew thresholds so the fixture-scale
+    // skew triggers the same runtime re-plan that saves 100 TB joins
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-aqe-skew")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val skewed = s.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = s.range(0, 50000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = skewed.join(right, Seq("k"))
+      // drive THIS QueryExecution (a write/count would plan a fresh one
+      // and the original would stay isFinalPlan=false)
+      joined.queryExecution.toRdd.count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should mark the skewed join split:\n${finalPlan.take(1500)}")
+    } finally {
+      s.stop()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
