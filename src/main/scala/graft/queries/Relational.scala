@@ -543,6 +543,67 @@ object Relational {
           count(lit(1)).as("n"),
           moneySum(col("l_quantity")).as("qty")))
 
+  /** A20: explicit GROUPING SETS — the general lattice form (rollup and
+    * cube are special cases): per-flag totals and per-status totals in
+    * one pass, no self-union.
+    */
+  val a20GroupingSets = QueryDef(
+    "a20_grouping_sets",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin),
+    (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    })
+
+  /** U3: unpivot (wide → long) — Spark's `unpivot` relational operator vs
+    * the portable stacked-UNION oracle.
+    */
+  val u3Unpivot = QueryDef(
+    "u3_unpivot",
+    Some("""WITH d AS (
+           |  SELECT CAST(ts AS DATE) AS d,
+           |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+           |  FROM events GROUP BY 1)
+           |SELECT d, 'n_click' AS metric, n_click AS n FROM d
+           |UNION ALL
+           |SELECT d, 'n_view' AS metric, n_view AS n FROM d""".stripMargin),
+    (spark, dir) => {
+      val wide = Tables.events(spark, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"))
+      wide.unpivot(Array(col("d")), Array(col("n_click"), col("n_view")),
+        "metric", "n")
+    })
+
+  /** F18: try_cast — malformed casts yield NULL instead of failing the
+    * job (the ingest-resilience scalar; ANSI-mode-safe).
+    */
+  val f18TryCast = QueryDef(
+    "f18_try_cast",
+    Some("""SELECT doc_id,
+           |       TRY_CAST(lang AS INTEGER) AS lang_int,
+           |       TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS n_int,
+           |       TRY_CAST(substr(text, 1, 2) AS DOUBLE) AS junk_double
+           |FROM documents""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        expr("try_cast(lang AS int)").as("lang_int"),
+        expr("try_cast(cast(n_chars AS string) AS int)").as("n_int"),
+        expr("try_cast(substring(text, 1, 2) AS double)").as("junk_double")))
+
   /** J7: null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM) — the NULL
     * group from each side matches, unlike a bare `=` which drops it.
     */
@@ -657,6 +718,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
+    a20GroupingSets, u3Unpivot, f18TryCast,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,

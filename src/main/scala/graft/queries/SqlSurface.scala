@@ -116,6 +116,28 @@ object SqlSurface {
           |WHERE est > n * 15 / 1000""".stripMargin)
     })
 
+  /** Correlated subqueries as SQL text: EXISTS (→ semi join) and a
+    * correlated scalar subquery (→ left outer aggregate join) — dialect
+    * is identical on both engines.
+    */
+  val sqlExistsSubquery = QueryDef(
+    "sql_exists_subquery",
+    Some("""SELECT c_custkey, c_name,
+           |       (SELECT max(o_totalprice) FROM orders o2
+           |        WHERE o2.o_custkey = c.c_custkey) AS max_order
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > 300000)""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """SELECT c_custkey, c_name,
+        |       (SELECT max(o_totalprice) FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
-    sqlHeavyHitters)
+    sqlHeavyHitters, sqlExistsSubquery)
 }
