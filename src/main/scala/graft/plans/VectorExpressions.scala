@@ -171,6 +171,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorHof)
+    e.injectOptimizerRule(s => RewriteToMaterialized(s))
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),

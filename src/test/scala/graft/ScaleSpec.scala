@@ -95,6 +95,29 @@ class ScaleSpec extends AnyFunSuite {
       s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // date-partitioned fact joined to a filtered dim on the partition key:
+    // DPP injects the dim's keys as a runtime filter into the fact scan,
+    // so only matching partitions are read — the join-driven analog of
+    // static partition pruning, essential when the filter is on the dim
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = (1 to 30).flatMap(d => (1 to 100).map(i =>
+      (i.toLong, f"2024-01-$d%02d"))).toDF("v", "d")
+      .select(col("v"), col("d").cast("date").as("p_date"))
+    fact.write.partitionBy("p_date").parquet(s"$dir/fact")
+    val dim = (1 to 30).map(d => (f"2024-01-$d%02d", if (d <= 2) "keep" else "drop"))
+      .toDF("d", "tag").select(col("d").cast("date").as("p_date"), col("tag"))
+    dim.write.parquet(s"$dir/dim")
+
+    val f = spark.read.parquet(s"$dir/fact")
+    val dm = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = f.join(dm, Seq("p_date"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"fact scan should carry a dynamic pruning filter:\n${planStr.take(1500)}")
+    assert(joined.count() == 200) // 2 kept dates × 100 rows
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
     // dedicated session: aggressive skew thresholds so the fixture-scale
     // skew triggers the same runtime re-plan that saves 100 TB joins
