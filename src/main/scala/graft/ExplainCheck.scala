@@ -56,6 +56,13 @@ object ExplainCheck {
         (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("BroadcastHashJoin"))
     }
+    // ppjoin: document frequency must come from a (partial-agg) groupBy +
+    // join, never a window partitioned by the shingle hash — a window
+    // would funnel each hot shingle's posting list through one reducer
+    check("dd_ppjoin", "no df window over shingle hash") { p =>
+      !p.contains("windowspecdefinition(h#") &&
+        p.contains("HashAggregate") && p.contains("partial_")
+    }
     // per-source quota runs on the custom two-phase TopKPerKey operator
     check("smp_source_quota", "TopKPerKey two-phase plan") { p =>
       p.linesIterator.count(_.contains("TopKPerKey")) == 2
