@@ -58,10 +58,23 @@ object ExplainCheck {
     }
     // ppjoin: document frequency must come from a (partial-agg) groupBy +
     // join, never a window partitioned by the shingle hash — a window
-    // would funnel each hot shingle's posting list through one reducer
-    check("dd_ppjoin", "no df window over shingle hash") { p =>
-      !p.contains("windowspecdefinition(h#") &&
-        p.contains("HashAggregate") && p.contains("partial_")
+    // would funnel each hot shingle's posting list through one reducer.
+    // POSITIVE form (a rename can't make it vacuous): every window in the
+    // plan partitions on the per-doc id (the rank-by-df and per-doc-size
+    // windows, duplicated by the self-join); none partitions on the
+    // shingle hash, so no hot posting list ever serializes one reducer.
+    check("dd_ppjoin", "all windows partition on doc id") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "id")
+    }
+    // shard packing: the per-doc prefix-sum window must be PARTITIONED by
+    // the coarse bucket (never a global window over the corpus), and the
+    // O(#buckets) offset table must come back via broadcast
+    check("pipe_pack_shards", "bucket-partitioned prefix sum + broadcast offsets") { p =>
+      val docWindow = "windowspecdefinition\\(bucket#\\d+L?, doc_id#".r
+      docWindow.findFirstIn(p).nonEmpty &&
+        p.contains("BroadcastHashJoin [bucket#")
     }
     // per-source quota runs on the custom two-phase TopKPerKey operator
     check("smp_source_quota", "TopKPerKey two-phase plan") { p =>

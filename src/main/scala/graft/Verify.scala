@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_VERIFY_ONLY=a,b runs a subset (driver sets nothing)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // total row order (all columns, nulls-first asc) mirrors the
@@ -46,12 +51,18 @@ object Verify {
     // quantitative gates (no-oracle operators): any failed gate turns the
     // whole verify run red instead of hiding behind a rows-only check
     val gateOk =
-      try {
+      if (only.exists(!_.contains("qc_quant_gates"))) true
+      else try {
         val failed = spark.read.parquet(s"$outDir/qc_quant_gates")
           .filter(!org.apache.spark.sql.functions.col("pass")).collect()
-        failed.foreach(r => System.err.println(
-          s"[verify] QUANT_GATE_FAIL ${r.getString(0)}: value=${r.getDouble(1)} " +
-            s"required ${r.getString(3)} ${r.getDouble(2)}"))
+        failed.foreach { r =>
+          val detail =
+            if (r.length > 5 && r.getString(5).nonEmpty) s" [${r.getString(5)}]"
+            else ""
+          System.err.println(
+            s"[verify] QUANT_GATE_FAIL ${r.getString(0)}: value=${r.getDouble(1)} " +
+              s"required ${r.getString(3)} ${r.getDouble(2)}$detail")
+        }
         failed.isEmpty
       } catch { case e: Throwable =>
         System.err.println(s"[verify] QUANT_GATE_FAIL unreadable: ${e.getMessage}")

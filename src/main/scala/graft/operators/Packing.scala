@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,24 +9,40 @@ import org.apache.spark.sql.functions._
   * shards" in an LLM data pipeline (each shard feeds one tokenizer/writer
   * task; budget ≈ tokens per output file).
   *
-  * Semantics: order docs by `orderCol` (total order); a doc's shard is
-  * `floor(tokens_before_it / tokenBudget)` — greedy sequential packing,
-  * documents may straddle a budget boundary (the tokenizer splits there),
-  * so every shard except the last carries ≥ tokenBudget tokens.
+  * Semantics: order docs by `orderCol` (a unique numeric key → total
+  * order); a doc's shard is `cum_before div tokenBudget` where
+  * `cum_before` is the exact token prefix-sum of all earlier docs. Shard
+  * boundaries therefore fall every `tokenBudget` tokens of the prefix
+  * sum. Documents may straddle a boundary (the downstream tokenizer
+  * splits there); a single document LARGER than the budget spans several
+  * boundaries, so the intermediate shard ids are skipped entirely and
+  * the shard right after an oversized doc can carry far fewer tokens
+  * than the budget. (Clamp oversized docs upstream if dense shards are
+  * required.) All shard arithmetic is exact integer math — no doubles,
+  * so assignments stay exact past 2⁵³ cumulative tokens.
   *
   * Scale design — the naive formulation is
   * `sum(tokens) over (order by orderCol)`, a GLOBAL window = one
   * partition holding the whole corpus. This implementation is the
   * two-phase prefix-sum instead:
-  *   1. bucket docs by a deterministic coarse key (`orderCol div width`);
+  *   1. bucket docs by value range of `orderCol`: bucket =
+  *      `(orderCol - min) div width`, with `width` derived from the
+  *      observed `[min, max]` span so there are at most `targetBuckets`
+  *      buckets REGARDLESS of id sparsity (dense row numbers and sparse
+  *      64-bit hashed ids both work; the min/max probe is one cheap
+  *      min/max aggregate). Value-range bucketing preserves the
+  *      `orderCol` total order across buckets, which is what lets the
+  *      per-bucket offsets compose into a global prefix sum.
   *   2. per-bucket token totals via a hash groupBy (map-side partial);
-  *   3. prefix-sum the O(#buckets) totals — the only ordered window, over
-  *      #buckets rows (corpus/width), bounded and documented;
+  *   3. prefix-sum the ≤`targetBuckets` totals — the only ordered global
+  *      window, over a bounded, documented row count;
   *   4. broadcast the offsets back; within-bucket prefix sums run in a
   *      window PARTITIONED by bucket — fully parallel.
-  * At 100 TB with width 2²⁰ that is ~10⁵ bucket rows through the global
-  * window and everything else partitioned — same recipe as a distributed
-  * global row_number.
+  * Caveat: bucket COUNT is bounded for any id distribution, but bucket
+  * SIZE balance assumes ids are roughly uniform over their span (true
+  * for row numbers and for hashed ids). Heavily clustered ids put most
+  * docs in few buckets and the per-bucket windows inherit that skew —
+  * pre-assign a dense rank first if ids cluster pathologically.
   */
 object Packing {
 
@@ -38,10 +54,22 @@ object Packing {
       tokenCol: String,
       orderCol: String,
       tokenBudget: Long,
-      bucketWidth: Long = 1L << 20): DataFrame = {
+      targetBuckets: Int = 4096): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    require(targetBuckets > 0, "targetBuckets must be positive")
+    val bounds = docs.agg(
+      min(col(orderCol).cast("long")), max(col(orderCol).cast("long"))).head()
+    if (bounds.isNullAt(0)) // empty corpus: keep the output contract
+      return docs.withColumn("cum_before", lit(0L))
+        .withColumn("shard_id", lit(0L))
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    // ceil((hi-lo+1)/targetBuckets) in exact integer math — span is a
+    // difference of two longs, safe unless ids span the full 2^64 range
+    val span = math.subtractExact(hi, lo) + 1L
+    val width = math.max(1L, (span + targetBuckets - 1) / targetBuckets)
     val bucketed = docs.withColumn("bucket",
-      floor(col(orderCol) / lit(bucketWidth)))
+      expr(s"(cast(`$orderCol` as bigint) - ${lo}L) div ${width}L"))
     val offsets = bucketed
       .groupBy("bucket")
       .agg(sum(col(tokenCol).cast("long")).as("bucket_tokens"))
@@ -59,8 +87,7 @@ object Packing {
       .withColumn("cum_before",
         col("bucket_offset") +
           coalesce(sum(col(tokenCol).cast("long")).over(withinW), lit(0L)))
-      .withColumn("shard_id",
-        floor(col("cum_before") / lit(tokenBudget.toDouble)).cast("long"))
+      .withColumn("shard_id", expr(s"cum_before div ${tokenBudget}L"))
       .drop("bucket", "bucket_offset")
   }
 

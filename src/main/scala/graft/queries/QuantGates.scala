@@ -50,13 +50,23 @@ object QuantGates {
         .select("id_a", "id_b")
       val nTruth = truth.count()
 
-      // ---- gate 1/2: MinHash+LSH recall and precision vs ground truth
+      // ---- gate 1/2: MinHash+LSH graded as a PAIR-SET DIFF, not a ratio:
+      // the dd_minhash_lsh oracle pins the LSH output to the exact
+      // brute-force pair set, so the gate mirrors that contract exactly —
+      // zero missed pairs, zero extra pairs — and a failure PRINTS the
+      // offending pairs (a recall ratio of 0.96 tells you nothing; the
+      // pair (17,312) at jaccard 0.703 tells you which banding missed).
       val found = Dedup.minhashNearDups(docs, JACCARD_T, shingleN = 3)
         .select("id_a", "id_b")
-      val nFound = found.count()
-      val nHit = found.join(truth, Seq("id_a", "id_b"), "left_semi").count()
-      val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
-      val precision = if (nFound == 0) 1.0 else nHit.toDouble / nFound
+      def pairList(df: org.apache.spark.sql.DataFrame): String =
+        df.limit(11).collect()
+          .map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(" ")
+      val missedDf = truth.join(found, Seq("id_a", "id_b"), "left_anti")
+      val extraDf = found.join(truth, Seq("id_a", "id_b"), "left_anti")
+      val nMissed = missedDf.count()
+      val nExtra = extraDf.count()
+      val missedDetail = if (nMissed == 0) "" else pairList(missedDf)
+      val extraDetail = if (nExtra == 0) "" else pairList(extraDf)
 
       // ---- gate 3: SimHash signature determinism (two independent
       // computations agree on every doc)
@@ -125,24 +135,25 @@ object QuantGates {
       val monotone = rows.zip(rows.tail).count { case (a, b) => b > a }.toDouble
 
       Seq(
-        // recall must be exactly 1 — the dd_minhash_lsh oracle grades the
-        // LSH output against the brute-force pair set, so any banding miss
-        // is a correctness failure, not an accuracy tradeoff
-        ("minhash_recall", recall, 1.0, ">="),
-        ("minhash_precision", precision, 1.0, ">="),
-        ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<="),
-        ("ivf_recall_at5", ivfRecall, 0.3, ">="),
-        ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<="),
-        ("decode_nondeterministic_ids", decodeDiff, 0.0, "<="),
-        ("funnel_monotonicity_violations", monotone, 0.0, "<="),
-        ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=")
-      ).map { case (gate, value, threshold, op) =>
+        // pair-set diff must be empty both ways — the dd_minhash_lsh
+        // oracle grades the LSH output against the brute-force pair set,
+        // so any banding miss is a correctness failure, not an accuracy
+        // tradeoff; `detail` carries the offending pairs on failure
+        ("minhash_missed_pairs", nMissed.toDouble, 0.0, "<=", missedDetail),
+        ("minhash_extra_pairs", nExtra.toDouble, 0.0, "<=", extraDetail),
+        ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<=", ""),
+        ("ivf_recall_at5", ivfRecall, 0.3, ">=", ""),
+        ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
+        ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
+        ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),
+        ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", "")
+      ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {
           case ">=" => value >= threshold
           case _    => value <= threshold
         }
-        (gate, math.rint(value * 10000) / 10000, threshold, op, pass)
-      }.toDF("gate", "value", "threshold", "op", "pass")
+        (gate, math.rint(value * 10000) / 10000, threshold, op, pass, detail)
+      }.toDF("gate", "value", "threshold", "op", "pass", "detail")
         .orderBy("gate")
     })
 
