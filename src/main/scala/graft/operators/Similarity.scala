@@ -20,8 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.ml.clustering.KMeansModel]()
+  /** Fitted-centroid cache: IVF is train-once-probe-many, so repeated
+    * probe queries within a session skip the k-means fit. BOUNDED
+    * (access-ordered LRU, `KmeansCacheMax` entries) so a long-lived
+    * service can't leak models, with an explicit `clearKmeansCache()`
+    * mirroring `RewriteToMaterialized`'s registry discipline. Access is
+    * synchronized; fits run OUTSIDE the lock (a duplicate concurrent fit
+    * is benign — seed-fixed k-means is deterministic, last put wins).
+    */
+  private[graft] val KmeansCacheMax = 16
+  private[graft] val kmeansCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.ml.clustering.KMeansModel](
+      KmeansCacheMax, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.ml.clustering.KMeansModel]): Boolean =
+        size() > KmeansCacheMax
+    }
+  private[graft] def kmeansCacheSize: Int =
+    kmeansCache.synchronized(kmeansCache.size())
+  def clearKmeansCache(): Unit = kmeansCache.synchronized(kmeansCache.clear())
 
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
@@ -85,10 +102,14 @@ object Similarity {
     // on the full corpus); assignment below still covers ALL vectors.
     val cacheKey =
       s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells"
-    val model = Similarity.kmeansCache.computeIfAbsent(cacheKey, { _ =>
-      val sample = withVec.filter(pmod(col("cand_id"), lit(4)) === 0)
-      new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv").fit(sample)
-    })
+    val model = kmeansCache.synchronized(Option(kmeansCache.get(cacheKey)))
+      .getOrElse {
+        val sample = withVec.filter(pmod(col("cand_id"), lit(4)) === 0)
+        val m = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+          .fit(sample)
+        kmeansCache.synchronized(kmeansCache.put(cacheKey, m))
+        m
+      }
     val assigned = model.transform(withVec)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
 
