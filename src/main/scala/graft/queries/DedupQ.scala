@@ -143,7 +143,15 @@ object DedupQ {
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")))
 
   /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
-    * blocking). Engine-specific hashing → rows-only.
+    * blocking). INHERENTLY no-oracle — and why, precisely: the hamming
+    * ball is a cosine-flavored measure over the xxhash64 bit matrix, not a
+    * jaccard threshold (measured on the fixtures: shingle-jaccard ≥ 0.7
+    * pairs span hamming 0..12), and DuckDB has no bit-identical xxhash64,
+    * so neither the signatures nor an equivalent pair set are
+    * SQL-expressible. The compensating hard check is quant gate
+    * `simhash_banding_vs_brute_diff`: the banded candidate set must equal
+    * the brute-force all-pairs hamming-≤3 join exactly (pigeonhole
+    * soundness, both directions), plus the determinism gate.
     */
   val ddSimhash = QueryDef(
     "dd_simhash",

@@ -75,6 +75,24 @@ object QuantGates {
       val simhashDiff = s1.join(s2, "id")
         .filter(col("sig1") =!= col("sig2")).count().toDouble
 
+      // ---- gate 3b: SimHash banding EXACTNESS. dd_simhash cannot be
+      // DuckDB-oracled (the hamming-≤3 ball is a cosine-flavored measure
+      // over an engine-specific hash family — measured: fixture pairs at
+      // shingle-jaccard ≥ 0.7 span hamming 0..12, so no jaccard threshold
+      // reproduces it). What IS exactly checkable: the pigeonhole claim
+      // that 16-bit band blocking finds EVERY pair with hamming ≤ 3. Grade
+      // the banded candidate set against the brute-force all-pairs hamming
+      // join over the same signatures — must match both ways.
+      val sigPairsBrute = s1.toDF("id_a", "sig_a")
+        .join(s2.toDF("id_b", "sig_b"), col("id_a") < col("id_b"))
+        .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+        .select("id_a", "id_b")
+      val banded = Dedup.simhashCandidates(docs, maxDist = 3)
+        .select("id_a", "id_b")
+      val simhashBandDiff =
+        (sigPairsBrute.join(banded, Seq("id_a", "id_b"), "left_anti").count() +
+          banded.join(sigPairsBrute, Seq("id_a", "id_b"), "left_anti").count()).toDouble
+
       // ---- gate 4: IVF ANN recall@5 vs the exact brute-force baseline
       val e = Tables.embeddings(spark, dir)
       val probes = e.filter(col("vec_id") % 25 === 0)
@@ -142,6 +160,7 @@ object QuantGates {
         ("minhash_missed_pairs", nMissed.toDouble, 0.0, "<=", missedDetail),
         ("minhash_extra_pairs", nExtra.toDouble, 0.0, "<=", extraDetail),
         ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<=", ""),
+        ("simhash_banding_vs_brute_diff", simhashBandDiff, 0.0, "<=", ""),
         ("ivf_recall_at5", ivfRecall, 0.3, ">=", ""),
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
