@@ -9,13 +9,45 @@ import graft.pipeline.CorpusPipeline
 object PipelineQ {
 
   /** Full corpus-curation funnel (quality → lang → exact dedup → MinHash
-    * near-dedup → pack) — the composed LLM-training-data pipeline. Stage
-    * funnel report; deterministic (hash-based dedup, fixed thresholds).
-    * Rows-only: the MinHash arm is engine-specific.
+    * near-dedup → pack) — the composed LLM-training-data pipeline, graded
+    * against a DuckDB oracle that recomputes every stage from first
+    * principles: the quality/TTR flags and md5 exact-dedup are directly
+    * SQL-expressible, and the near-dedup drop set is the brute-force
+    * all-pairs jaccard ≥ 0.7 join over the exact-kept docs — which the
+    * engine's banded LSH+verify path must reproduce exactly (the
+    * minhash_missed/extra_pairs quant gates prove that equivalence on
+    * these fixtures, same contract as dd_minhash_lsh).
     */
   val pipeCorpusReport = QueryDef(
     "pipe_corpus_report",
-    None,
+    Some("""WITH base AS (
+           |  SELECT doc_id, text,
+           |         len(string_split(text, ' ')) AS n_tok,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' ')) AS ttr
+           |  FROM documents),
+           |gated AS (SELECT * FROM base WHERE n_tok >= 20 AND ttr >= 0.05),
+           |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+           |kept AS (SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w)-1, 1))]) AS s
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)),
+           |drops AS (SELECT DISTINCT b.doc_id
+           |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |counts AS (
+           |  SELECT 1 AS stage_no, 'input' AS stage, (SELECT count(*) FROM base) AS "rows"
+           |  UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM gated)
+           |  UNION ALL SELECT 3, 'lang_pass', (SELECT count(*) FROM gated)
+           |  UNION ALL SELECT 4, 'exact_dedup_pass', (SELECT count(*) FROM canon)
+           |  UNION ALL SELECT 5, 'near_dedup_pass',
+           |    (SELECT count(*) FROM canon) - (SELECT count(*) FROM drops))
+           |SELECT stage_no, stage, CAST("rows" AS BIGINT) AS "rows",
+           |       CAST(COALESCE(lag("rows") OVER (ORDER BY stage_no), "rows") - "rows"
+           |            AS BIGINT) AS dropped
+           |FROM counts""".stripMargin),
     (spark, dir) =>
       CorpusPipeline.run(Tables.documents(spark, dir),
           CorpusPipeline.Config(minTokens = 20, minTtr = 0.05,
