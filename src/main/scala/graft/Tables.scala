@@ -51,9 +51,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Register every fixture table as a temp view (handy for spark.sql paths). */
+  /** Register every fixture table as a temp view (handy for spark.sql
+    * paths). `events` goes through the nanos-safe reader so SQL-text
+    * queries see a proper TimestampType `ts`.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
 
 /** Session factory with the scale-aware defaults every entrypoint shares. */

@@ -138,6 +138,124 @@ object SqlSurface {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 300000)""".stripMargin))
 
+  /** mart_trips_weather.sql:15-49 as SQL text: trip-grain fact LEFT JOINed
+    * to an hourly weather aggregate, then grouped by hour plus the
+    * functionally-dependent weather metrics and time dims — the exact
+    * join-then-agg-with-redundant-group-keys shape a dbt user would paste
+    * in. Dialect deltas vs DuckDB are date_format/strftime and the
+    * dayofweek origin (Spark 1=Sun, Snowflake/DuckDB 0=Sun); everything
+    * else is the same text.
+    */
+  val sqlTripsWeather = QueryDef(
+    "sql_trips_weather",
+    Some("""WITH trips AS (
+           |  SELECT ts, value, date_trunc('hour', ts) AS pickup_hour,
+           |         hour(ts) AS hour_of_day,
+           |         dayofweek(ts) AS day_of_week,
+           |         strftime(ts, '%a') AS day_name,
+           |         CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT) AS is_weekend
+           |  FROM events),
+           |weather AS (
+           |  SELECT date_trunc('hour', ts) AS observation_hour,
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_temperature,
+           |         count(*) AS n_observations
+           |  FROM events WHERE event_type = 'view' GROUP BY 1)
+           |SELECT strftime(t.pickup_hour, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           |       count(*) AS trip_count,
+           |       CAST(sum(CAST(t.value AS DECIMAL(18,2))) AS DOUBLE) / count(t.value) AS avg_total_amount,
+           |       w.avg_temperature,
+           |       w.n_observations,
+           |       t.hour_of_day, t.day_of_week, t.day_name, t.is_weekend
+           |FROM trips t
+           |LEFT JOIN weather w ON w.observation_hour = t.pickup_hour
+           |GROUP BY t.pickup_hour, w.avg_temperature, w.n_observations,
+           |         t.hour_of_day, t.day_of_week, t.day_name, t.is_weekend""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """WITH trips AS (
+        |  SELECT ts, value, date_trunc('hour', ts) AS pickup_hour,
+        |         hour(ts) AS hour_of_day,
+        |         dayofweek(ts) - 1 AS day_of_week,
+        |         date_format(ts, 'EEE') AS day_name,
+        |         CAST(CASE WHEN dayofweek(ts) - 1 IN (0, 6) THEN 1 ELSE 0 END AS INT) AS is_weekend
+        |  FROM events),
+        |weather AS (
+        |  SELECT date_trunc('hour', ts) AS observation_hour,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_temperature,
+        |         count(*) AS n_observations
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT date_format(t.pickup_hour, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
+        |       count(*) AS trip_count,
+        |       CAST(sum(CAST(t.value AS DECIMAL(18,2))) AS DOUBLE) / count(t.value) AS avg_total_amount,
+        |       w.avg_temperature,
+        |       w.n_observations,
+        |       t.hour_of_day, t.day_of_week, t.day_name, t.is_weekend
+        |FROM trips t
+        |LEFT JOIN weather w ON w.observation_hour = t.pickup_hour
+        |GROUP BY t.pickup_hour, w.avg_temperature, w.n_observations,
+        |         t.hour_of_day, t.day_of_week, t.day_name, t.is_weekend""".stripMargin))
+
+  /** mart_zone_analysis.sql:12-35 as SQL text: zone-pair aggregate with
+    * weekend/weekday conditional counts, a deterministic mode() for the
+    * peak hour (count + row_number, smallest hour wins ties — built-in
+    * mode() leaves ties unspecified on BOTH engines), and the HAVING
+    * trip-count floor.
+    */
+  val sqlZoneAnalysis = QueryDef(
+    "sql_zone_analysis",
+    Some("""WITH trips AS (
+           |  SELECT user_id % 20 AS pickup_zone_id,
+           |         event_id % 25 AS dropoff_zone_id,
+           |         CAST(value AS DECIMAL(18,2)) AS amount,
+           |         hour(ts) AS hour_of_day,
+           |         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+           |  FROM events),
+           |agg AS (
+           |  SELECT pickup_zone_id, dropoff_zone_id,
+           |         count(*) AS trip_count,
+           |         CAST(sum(amount) AS DOUBLE) / count(amount) AS avg_total_amount,
+           |         CAST(sum(is_weekend) AS BIGINT) AS weekend_trip_count,
+           |         CAST(sum(1 - is_weekend) AS BIGINT) AS weekday_trip_count
+           |  FROM trips GROUP BY 1, 2 HAVING count(*) >= 10),
+           |hour_counts AS (
+           |  SELECT pickup_zone_id, dropoff_zone_id, hour_of_day, count(*) AS cnt
+           |  FROM trips GROUP BY 1, 2, 3),
+           |peak AS (
+           |  SELECT pickup_zone_id, dropoff_zone_id, hour_of_day AS peak_hour
+           |  FROM (SELECT *, row_number() OVER (
+           |          PARTITION BY pickup_zone_id, dropoff_zone_id
+           |          ORDER BY cnt DESC, hour_of_day) AS rk
+           |        FROM hour_counts)
+           |  WHERE rk = 1)
+           |SELECT a.*, p.peak_hour
+           |FROM agg a JOIN peak p USING (pickup_zone_id, dropoff_zone_id)""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """WITH trips AS (
+        |  SELECT user_id % 20 AS pickup_zone_id,
+        |         event_id % 25 AS dropoff_zone_id,
+        |         CAST(value AS DECIMAL(18,2)) AS amount,
+        |         hour(ts) AS hour_of_day,
+        |         CASE WHEN dayofweek(ts) - 1 IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+        |  FROM events),
+        |agg AS (
+        |  SELECT pickup_zone_id, dropoff_zone_id,
+        |         count(*) AS trip_count,
+        |         CAST(sum(amount) AS DOUBLE) / count(amount) AS avg_total_amount,
+        |         CAST(sum(is_weekend) AS BIGINT) AS weekend_trip_count,
+        |         CAST(sum(1 - is_weekend) AS BIGINT) AS weekday_trip_count
+        |  FROM trips GROUP BY 1, 2 HAVING count(*) >= 10),
+        |hour_counts AS (
+        |  SELECT pickup_zone_id, dropoff_zone_id, hour_of_day, count(*) AS cnt
+        |  FROM trips GROUP BY 1, 2, 3),
+        |peak AS (
+        |  SELECT pickup_zone_id, dropoff_zone_id, hour_of_day AS peak_hour
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY pickup_zone_id, dropoff_zone_id
+        |          ORDER BY cnt DESC, hour_of_day) AS rk
+        |        FROM hour_counts)
+        |  WHERE rk = 1)
+        |SELECT a.*, p.peak_hour
+        |FROM agg a JOIN peak p USING (pickup_zone_id, dropoff_zone_id)""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
-    sqlHeavyHitters, sqlExistsSubquery)
+    sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis)
 }
