@@ -273,6 +273,39 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_checksum"))
     })
 
+  /** J6b: general MERGE — WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT
+    * (the reference only exercises the insert-only slice,
+    * etl_spark_historical.py:350-378; this is the full Snowflake MERGE
+    * shape as a library operator). Source rows win on key collision,
+    * unmatched target rows survive; one anti join + union, no shuffle of
+    * the target when the batch broadcasts. Snapshot-isolated publication
+    * of this state is `Snapshots.commitMerge` (spec-covered).
+    */
+  val j6MergeUpsert = QueryDef(
+    "j6_merge_upsert",
+    Some("""WITH target AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           |  FROM orders WHERE o_orderkey % 3 != 0),
+           |source AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+           |         'U' AS o_orderstatus
+           |  FROM orders WHERE o_orderkey % 2 = 0)
+           |SELECT * FROM source
+           |UNION ALL
+           |SELECT t.* FROM target t
+           |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val source = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      graft.operators.Merge.upsert(target, source, Seq("o_orderkey"))
+    })
+
   /** A7+A9: group-pair (OD-matrix shape) agg + HAVING post-agg filter
     * (mart_zone_analysis.sql:12-35).
     */
@@ -723,6 +756,7 @@ object Relational {
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,
+    j6MergeUpsert,
     a7GroupPairHaving, a8Mode, a10MinMax, a11DistinctHours, a13FlagAgg,
     a14EntityDaily, o2TopK, u1Union)
 }

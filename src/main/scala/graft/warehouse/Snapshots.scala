@@ -86,11 +86,13 @@ object Snapshots {
       maxRetries: Int = 10): Long =
     commit(spark, batch, table, replace = true, maxRetries)
 
-  private def commit(spark: SparkSession, batch: DataFrame, table: String,
-      replace: Boolean, maxRetries: Int): Long = {
+  /** Write `batch`'s files into the table's data dir under unique names
+    * (no manifest references them yet — invisible to readers).
+    */
+  private def stageData(spark: SparkSession, batch: DataFrame,
+      table: String): Seq[String] = {
     val dd = dataDir(table)
     val f = fs(spark, dd)
-    // 1. write the batch under a unique staging name, then move its files in
     val staging = new Path(table, s"_staging-${java.util.UUID.randomUUID}")
     batch.write.parquet(staging.toString)
     f.mkdirs(dd)
@@ -102,42 +104,87 @@ object Snapshots {
         target.getName
       }.toSeq
     f.delete(staging, true)
+    newFiles
+  }
 
-    // 2. commit: optimistically PUBLISH the next manifest version. The
-    // manifest is fully written to a temp name first, then claimed
-    // atomically — readers can never observe a half-written manifest,
-    // and of two racing writers exactly one claims vN+1:
-    //   - file://  → hard link (atomic create-if-absent WITH content;
-    //                a plain create(overwrite=false) on LocalFileSystem
-    //                is check-then-create and loses commits under race)
-    //   - hdfs://  → rename (atomic, fails when the target exists)
+  /** Atomically PUBLISH manifest `version` with `content`. The manifest
+    * is fully written to a temp name first, then claimed atomically —
+    * readers can never observe a half-written manifest, and of two racing
+    * writers exactly one claims vN+1:
+    *   - file://  → hard link (atomic create-if-absent WITH content;
+    *                a plain create(overwrite=false) on LocalFileSystem
+    *                is check-then-create and loses commits under race)
+    *   - hdfs://  → rename (atomic, fails when the target exists)
+    * Returns false when another writer already owns `version`.
+    */
+  private def claimManifest(spark: SparkSession, table: String,
+      version: Long, content: String): Boolean = {
+    val f = fs(spark, manifestDir(table))
+    f.mkdirs(manifestDir(table))
+    val tmp = new Path(manifestDir(table), s".tmp-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val target = manifestPath(table, version)
+    val claimed =
+      if ("file" == f.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    f.delete(tmp, false)
+    claimed
+  }
+
+  private def commit(spark: SparkSession, batch: DataFrame, table: String,
+      replace: Boolean, maxRetries: Int): Long = {
+    // append/overwrite: data files never depend on the head, so stage
+    // once and only the manifest content is recomputed per attempt
+    val newFiles = stageData(spark, batch, table)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
-      val next = head + 1
       val base = if (replace) Nil else filesAt(spark, table, head)
-      val content = (base ++ newFiles).mkString("\n")
-      f.mkdirs(manifestDir(table))
-      val tmp = new Path(manifestDir(table),
-        s".tmp-${java.util.UUID.randomUUID}")
-      val out = f.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      val target = manifestPath(table, next)
-      val claimed =
-        if ("file" == f.getScheme) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(target.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else !f.exists(target) && f.rename(tmp, target)
-      f.delete(tmp, false)
-      if (claimed) return next
+      if (claimManifest(spark, table, head + 1,
+          (base ++ newFiles).mkString("\n"))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
       s"commit to $table failed after $maxRetries attempts")
+  }
+
+  /** MERGE with an update branch, under snapshot isolation: the new table
+    * state is `Merge.upsert(head state, batch, keys)` — every batch row
+    * lands (matched keys updated, unmatched inserted), untouched target
+    * rows survive. UNLIKE append, the result DEPENDS on the head it was
+    * computed against, so a lost claim cannot simply retry the manifest:
+    * the loser deletes its orphaned files, RE-READS the new head,
+    * RECOMPUTES the merge and tries again — full optimistic concurrency
+    * (Delta-style), serializing concurrent merges instead of losing one.
+    * Returns the committed version.
+    */
+  def commitMerge(spark: SparkSession, batch: DataFrame, table: String,
+      keys: Seq[String], maxRetries: Int = 10): Long = {
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val merged =
+        if (head == 0) batch
+        else graft.operators.Merge.upsert(read(spark, table, Some(head)), batch, keys)
+      val newFiles = stageData(spark, merged, table)
+      if (claimManifest(spark, table, head + 1, newFiles.mkString("\n")))
+        return head + 1
+      // lost the race: this merge was computed against a stale head —
+      // its files are unreachable (no manifest references them); drop
+      // them and recompute against the new head
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"merge commit to $table failed after $maxRetries attempts")
   }
 
   /** Read the table at `version` (default: latest). A resolved reader is

@@ -48,6 +48,48 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t).head.getLong(0) == 99L)
   }
 
+  test("commitMerge: interleaved update/insert batches produce the expected state") {
+    val t = freshTable()
+    Snapshots.commitMerge(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq("id"))       // v1: inserts
+    Snapshots.commitMerge(spark,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), t, Seq("id"))      // v2: update + insert
+    Snapshots.commitAppend(spark, Seq((4L, "d")).toDF("id", "v"), t) // v3: plain append
+    Snapshots.commitMerge(spark,
+      Seq((1L, "A3"), (4L, "D3"), (5L, "e")).toDF("id", "v"), t, Seq("id")) // v4
+    val state = Snapshots.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "A3", 2L -> "B2", 3L -> "c", 4L -> "D3", 5L -> "e"))
+    // time travel still sees the pre-merge states
+    val v2 = Snapshots.read(spark, t, Some(2L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(Snapshots.currentVersion(spark, t) == 4L)
+  }
+
+  test("racing merge writers on disjoint keys: both land, neither is lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    Snapshots.commitMerge(spark,
+      Seq((1L, "base1"), (2L, "base2")).toDF("id", "v"), t, Seq("id"))
+    // two writers merge DISJOINT key sets concurrently: a lost-update bug
+    // (merge computed against a stale head published anyway) would drop
+    // one writer's keys from the final state
+    val writers = Seq(
+      Future(Snapshots.commitMerge(spark,
+        Seq((1L, "w1"), (10L, "w1new")).toDF("id", "v"), t, Seq("id"))),
+      Future(Snapshots.commitMerge(spark,
+        Seq((2L, "w2"), (20L, "w2new")).toDF("id", "v"), t, Seq("id"))))
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    assert(versions.toSet == Set(2L, 3L), s"versions: $versions")
+    val state = Snapshots.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "w1", 2L -> "w2", 10L -> "w1new", 20L -> "w2new"),
+      s"serialized merge state wrong: $state")
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
