@@ -31,20 +31,25 @@ object MultimodalQ {
           md5(col("payload")).as("payload_md5"),
           col("width"), col("height")))
 
-  /** Stubbed decode + feature extraction over the binary column
-    * (mapPartitions batch shape) — rows-only; determinism and frame
-    * sampling are asserted in MultimodalSpec.
+  /** REAL decode + feature extraction over the binary column: payloads
+    * are actual encoded BMP pixels / WAV PCM16 samples / GFV1 frame
+    * containers (derived deterministically from the doc text), and every
+    * feature comes from parsing those bytes — header dimensions, mean
+    * pixel brightness over the true pixel area (stride padding excluded),
+    * RMS amplitude over the true samples. Rows-only (byte-level parsing
+    * is not SQL-expressible); pixel/sample exactness is pinned in
+    * MultimodalSpec against hand-computed fixtures, determinism by the
+    * decode gate.
     */
   val mmDecodeFeatures = QueryDef(
     "mm_decode_features",
     None,
     (spark, dir) => {
-      import spark.implicits._
-      val media = Multimodal.attachPayloads(Tables.documents(spark, dir))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeStub(media).toDF()
-        .select(col("doc_id"), col("media_type"), col("byte_len"),
-          col("checksum"), r4(col("brightness")).as("brightness"), col("n_frames"))
+      val media = Multimodal.attachMediaPayloads(Tables.documents(spark, dir))
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("format"),
+          col("width"), col("height"), col("sample_rate"), col("n_frames"),
+          r4(col("brightness")).as("brightness"), col("byte_len"), col("checksum"))
         .orderBy(col("doc_id"))
     })
 

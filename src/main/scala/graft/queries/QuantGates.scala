@@ -113,15 +113,25 @@ object QuantGates {
         if (trained.holdoutMae.isNaN) 0.0 // degenerate fixture: no holdout
         else trained.holdoutMae / meanFare
 
-      // ---- gate 6: multimodal decode determinism (stubbed decode, real
-      // plumbing — two runs produce identical feature checksums)
-      val media = Multimodal.attachPayloads(docs).as[Multimodal.MediaRow]
-      val d1 = Multimodal.decodeStub(media).toDF()
-        .select(col("doc_id"), col("checksum").as("c1"))
-      val d2 = Multimodal.decodeStub(media).toDF()
-        .select(col("doc_id"), col("checksum").as("c2"))
-      val decodeDiff = d1.join(d2, "doc_id")
-        .filter(col("c1") =!= col("c2")).count().toDouble
+      // ---- gate 6: multimodal decode determinism over the REAL codecs
+      // (two independent encode+decode runs agree on every decoded
+      // feature, not just the checksum) + no payload degrades to
+      // "unknown" (every encoded byte stream parses as its real format)
+      val media = Multimodal.attachMediaPayloads(docs)
+      val d1 = Multimodal.decodeFeatures(media).toDF()
+      val d2 = Multimodal.decodeFeatures(
+        Multimodal.attachMediaPayloads(docs)).toDF()
+      val decodeDiff =
+        (d1.select(col("doc_id"),
+            struct(col("format"), col("width"), col("height"),
+              col("sample_rate"), col("n_frames"), col("brightness"),
+              col("checksum")).as("f1"))
+          .join(d2.select(col("doc_id"),
+            struct(col("format"), col("width"), col("height"),
+              col("sample_rate"), col("n_frames"), col("brightness"),
+              col("checksum")).as("f2")), "doc_id")
+          .filter(col("f1") =!= col("f2")).count() +
+          d1.filter(col("format") === "unknown").count()).toDouble
 
       // ---- gate 8: snapshot commit-protocol integrity — append, append,
       // overwrite, append against a scratch table: latest must see exactly

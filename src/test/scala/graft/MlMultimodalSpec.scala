@@ -78,15 +78,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(r.payload, "UTF-8") == text)
   }
 
-  test("decodeStub is deterministic and batch-shaped") {
-    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+  lazy val realMedia = Multimodal.attachMediaPayloads(Tables.documents(spark, sf))
+
+  test("real decode is deterministic, batch-shaped, and never 'unknown'") {
+    val f1 = Multimodal.decodeFeatures(realMedia).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(realMedia).collect().sortBy(_.doc_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
     assert(f1.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
     assert(f1.forall(_.byte_len > 0))
+    // every encoded payload parses as its REAL container format
+    assert(f1.filter(_.media_type == "image").forall(_.format == "bmp"))
+    assert(f1.filter(_.media_type == "audio").forall(_.format == "wav"))
+    assert(f1.filter(_.media_type == "video").forall(_.format == "gfv1"))
     // repartitioning must not change results (no partition-dependent state)
-    val f3 = Multimodal.decodeStub(media.repartition(7)).collect().sortBy(_.doc_id)
+    val f3 = Multimodal.decodeFeatures(realMedia.repartition(7))
+      .collect().sortBy(_.doc_id)
     assert(f1.map(_.checksum).toSeq == f3.map(_.checksum).toSeq)
+  }
+
+  test("BMP decode is pixel-exact on a hand-computed fixture") {
+    // width 5 → row stride 16 (one pad byte): padding must NOT leak into
+    // the brightness statistic
+    val pixels = Array.tabulate(5 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val bmp = Multimodal.encodeBmp(pixels, 5, 2)
+    val Some((w, h, mean)) = Multimodal.decodeBmpPixels(bmp)
+    assert(w == 5 && h == 2)
+    val expected = pixels.map(_ & 0xFF).sum.toDouble / pixels.length
+    assert(math.abs(mean - expected) < 1e-12, s"$mean vs $expected")
+    // corrupting the bpp field degrades to None, not garbage
+    val bad = bmp.clone(); bad(28) = 8
+    assert(Multimodal.decodeBmpPixels(bad).isEmpty)
+  }
+
+  test("WAV decode is sample-exact (chunk walk, PCM16 RMS)") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 0)
+    val wav = Multimodal.encodeWav(samples, 8000)
+    val Some((rate, n, rms)) = Multimodal.decodeWavSamples(wav)
+    assert(rate == 8000 && n == samples.length)
+    val expected = math.sqrt(
+      samples.map(s => math.pow(s / 32768.0, 2)).sum / samples.length)
+    assert(math.abs(rms - expected) < 1e-12)
+  }
+
+  test("GFV1 container decodes every real BMP frame") {
+    val frame = (f: Int) =>
+      Multimodal.encodeBmp(Array.fill(4 * 4 * 3)((40 * f).toByte), 4, 4)
+    val video = Multimodal.encodeFrames(Seq(frame(1), frame(2), frame(3)))
+    val d = Multimodal.decodeOne(7L, "video", video)
+    assert(d.format == "gfv1" && d.n_frames == 3 && d.width == 4 && d.height == 4)
+    val expected = (40.0 + 80.0 + 120.0) / 3 / 255.0
+    assert(math.abs(d.brightness - expected) < 1e-12)
+  }
+
+  test("malformed payloads degrade to unknown instead of failing the batch") {
+    assert(Multimodal.decodeOne(1L, "image", "not media".getBytes).format == "unknown")
+    assert(Multimodal.decodeOne(2L, "image", Array.empty[Byte]).format == "unknown")
+    // truncated BMP: header promises more pixel data than the payload has
+    val bmp = Multimodal.encodeBmp(Array.fill(4 * 4 * 3)(1.toByte), 4, 4)
+    assert(Multimodal.decodeOne(3L, "image", bmp.take(40)).format == "unknown")
+    assert(Multimodal.decodeOne(4L, "image", bmp.take(60)).format == "unknown")
   }
 
   test("parseHeader reads real PNG/JPEG/WAV headers from magic bytes") {
@@ -121,10 +171,10 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("sampleFrames fans out every k-th frame for videos only") {
-    val feats = Multimodal.decodeStub(media)
-    val frames = Multimodal.sampleFrames(feats, everyK = 10).collect()
+    val feats = Multimodal.decodeFeatures(realMedia)
+    val frames = Multimodal.sampleFrames(feats, everyK = 2).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.getAs[Int]("frame_idx") % 10 == 0))
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 2 == 0))
     val videoIds = feats.filter(_.media_type == "video").collect().map(_.doc_id).toSet
     assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
   }
