@@ -96,6 +96,26 @@ object ExplainCheck {
     // window functions still leave surrounding stages codegen'd
     check("w4_top1_per_key", "window + codegen")(p =>
       p.contains("RunningWindowFunction") || p.contains("Window"))
+    // decontamination: the corpus-side gram join must be a BROADCAST of
+    // the (benchmark-sized) eval gram set — a SortMergeJoin here would
+    // shuffle every corpus gram; and nothing may plan as a cartesian.
+    check("pipe_decontaminate", "eval grams broadcast, no corpus shuffle join") { p =>
+      p.contains("BroadcastHashJoin [gram#") &&
+        !p.contains("SortMergeJoin [gram#") &&
+        !p.contains("CartesianProduct")
+    }
+    // mixture reweighting: thresholds are driver-computed literals, so the
+    // census pass is scan → project → partial agg — no join anywhere
+    check("smp_mixture_reweight", "join-free single-scan census") { p =>
+      !p.contains("Join") && p.contains("HashAggregate") && p.contains("partial_")
+    }
+    // quality deciles: ntile partitions by source (parallel over domains,
+    // never a global sort), aggregation is partial
+    check("w6_quality_ntile", "source-partitioned ntile window") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "source") && p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * share word n-grams with a held-out evaluation/benchmark set — the
+  * standard leakage guard in LLM training-data pipelines (n-gram overlap
+  * decontamination as published for GPT-3 appendix C / PaLM / Llama; the
+  * reference warehouse has no analogue, this is a pipeline extension on
+  * the `documents` table).
+  *
+  * Mechanics: both sides are reduced to their DISTINCT n-gram sets via
+  * the native `ShingleHash64` expression (one codegen'd pass, strings
+  * never materialize); a training doc's contamination count is how many
+  * of its distinct n-grams appear anywhere in the eval set.
+  *
+  * Scale design (100 TB corpus, benchmark sets are MBs):
+  *   - the eval n-gram set is built once (explode → distinct — a shuffle
+  *     over eval-side grams only, bounded by benchmark size) and
+  *     BROADCAST: the corpus-side pass is scan → explode → broadcast
+  *     hash-semijoin → partial-aggregated count, no corpus-wide shuffle
+  *     of gram rows — only matched (doc_id, hit) pairs (≪ corpus) reach
+  *     the final per-doc aggregate.
+  *   - `clean` removes flagged docs with a broadcast LEFT ANTI join (the
+  *     contaminated id set is small by construction), so the cleaned
+  *     corpus is produced in the same scan that read it.
+  *   - grams are compared as 64-bit xxhash values, same convention as the
+  *     MinHash/PPJoin family: a false hit needs two distinct n-grams with
+  *     equal xxhash64 — P ≈ |grams|²/2⁶⁴, negligible at corpus scale.
+  */
+object Decontaminate {
+
+  /** Deterministic eval-split condition (md5 hex-prefix, shared with the
+    * oracle): the held-out `frac` of docs keyed by `keyCol` plays the
+    * benchmark set in fixtures; production calls pass a real eval corpus
+    * to `contaminationHits` directly.
+    */
+  def isEval(keyCol: Column, frac: Double): Column =
+    Sampling.inHashSample(keyCol, frac)
+
+  /** Distinct n-gram hash set of a corpus, one row per gram. */
+  def gramSet(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(TextFns.shingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Per-training-doc contamination: (doc_id, matched_ngrams) for every
+    * train doc sharing ≥ 1 distinct n-gram with the eval set.
+    */
+  def contaminationHits(train: DataFrame, evalDocs: DataFrame,
+      n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = gramSet(evalDocs, textCol, n)
+    train
+      .select(col(idCol), explode(TextFns.shingleHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
+  /** Cleaned corpus: `docs` minus training docs with ≥ `minHits` eval
+    * n-gram overlaps (eval rows themselves are not part of the output).
+    */
+  def clean(train: DataFrame, evalDocs: DataFrame, n: Int,
+      minHits: Long = 1L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val flagged = contaminationHits(train, evalDocs, n, textCol, idCol)
+      .filter(col("matched_ngrams") >= minHits)
+      .select(col(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

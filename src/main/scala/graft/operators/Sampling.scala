@@ -72,4 +72,58 @@ object Sampling {
   def withShuffleKey(df: DataFrame, keyCol: String,
       outCol: String = "shuffle_key"): DataFrame =
     df.withColumn(outCol, hashKey(col(keyCol)))
+
+  // ------------------------------------------------- mixture reweighting
+
+  /** Numeric value of the first 4 hex chars of the sampling hash — the
+    * same uniform [0, 65536) variate as the hex-prefix compare, but as a
+    * number so per-row thresholds can vary by group.
+    */
+  def hexVal(c: Column): Column =
+    conv(substring(hashKey(c), 1, 4), 16, 10).cast("long")
+
+  /** Per-source acceptance thresholds (out of 65536) that reshape the
+    * observed source mix toward target weights under a global budget.
+    *
+    * rate_s = min(1, budget · w_s·N / (W·c_s)) — i.e. source `s` should
+    * contribute a `w_s/W` share of a `budget·N`-doc corpus; sources with
+    * fewer docs than their target share keep everything (rate capped at
+    * 1). budget is the rational `budgetNum/budgetDen`; thresholds are
+    * floor(rate·65536) computed in exact BigInt arithmetic so any engine
+    * recomputing them (the DuckDB oracle does, in HUGEINT) lands on
+    * identical integers — no floating-point boundary drift.
+    *
+    * The groupBy(source).count() collected here is metadata-scale (one
+    * row per DOMAIN, not per doc — dozens of rows at 100 TB), same
+    * bounded-probe pattern as Packing's min/max scan.
+    */
+  def mixtureThresholds(df: DataFrame, sourceCol: String,
+      weightOf: String => Long, budgetNum: Long, budgetDen: Long): Map[String, Long] = {
+    require(budgetNum > 0 && budgetDen > 0, "budget must be positive")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = BigInt(counts.values.sum)
+    val w = counts.keys.map(s => s -> BigInt(weightOf(s))).toMap
+    require(w.values.forall(_ > 0), "weights must be positive")
+    val wSum = w.values.sum
+    counts.map { case (s, c) =>
+      val thr = (BigInt(65536) * budgetNum * w(s) * n) /
+        (BigInt(budgetDen) * wSum * c)
+      s -> thr.min(BigInt(65536)).toLong
+    }
+  }
+
+  /** Domain-mixture reweighting: deterministic per-source downsampling to
+    * target mixture weights (the DoReMi/data-mix curation step). One
+    * metadata-scale counting pass, then a pure broadcast-map filter over
+    * the scan — no per-doc shuffle, consistent under re-runs.
+    */
+  def mixtureReweight(df: DataFrame, sourceCol: String, keyCol: String,
+      weightOf: String => Long, budgetNum: Long, budgetDen: Long): DataFrame = {
+    val thr = mixtureThresholds(df, sourceCol, weightOf, budgetNum, budgetDen)
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(hexVal(col(keyCol)) < thrCol)
+  }
 }

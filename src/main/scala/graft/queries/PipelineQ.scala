@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Packing
+import graft.operators.{Decontaminate, Packing}
 import graft.pipeline.CorpusPipeline
 
 /** End-to-end pipeline compositions exposed as queries. */
@@ -82,5 +82,42 @@ object PipelineQ {
       Packing.shardManifest(packed, tokenCol = "t", orderCol = "doc_id")
     })
 
-  val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards)
+  /** Benchmark decontamination: flag training docs sharing 5-word n-grams
+    * with a held-out 10% eval split (GPT-3-appendix-C-style leakage
+    * guard). The engine runs hashed-gram broadcast semijoin (eval gram
+    * set is benchmark-sized → broadcast; no corpus-wide shuffle); the
+    * oracle recomputes the same overlap with string grams — equal unless
+    * two distinct 5-grams collide under xxhash64 (P ≈ |grams|²/2⁶⁴).
+    * 5-grams (not 3) because the fixture vocabulary makes 3-grams
+    * ubiquitous across unrelated docs; at 5 the planted near-dup pairs
+    * dominate the contaminated set.
+    */
+  val pipeDecontaminate = QueryDef(
+    "pipe_decontaminate",
+    Some(s"""WITH split AS (
+            |  SELECT doc_id, text,
+            |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            |           < '${graft.operators.Sampling.hexThreshold(0.1)}' AS is_eval
+            |  FROM documents),
+            |tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM split WHERE NOT is_eval),
+            |ev AS (SELECT string_split(text, ' ') AS w FROM split WHERE is_eval),
+            |evg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+            |                                FOR i IN range(1, greatest(len(w) - 3, 1))]) AS g
+            |        FROM ev),
+            |trg AS (SELECT doc_id,
+            |               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+            |                      FOR i IN range(1, greatest(len(w) - 3, 1))])) AS g
+            |        FROM tr)
+            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+            |FROM trg t JOIN evg e ON t.g = e.g
+            |GROUP BY t.doc_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val isEval = Decontaminate.isEval(col("doc_id"), 0.1)
+      Decontaminate.contaminationHits(
+        docs.filter(!isEval), docs.filter(isEval), n = 5)
+    })
+
+  val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards,
+    pipeDecontaminate)
 }

@@ -67,6 +67,60 @@ object SamplingQ {
       Sampling.withShuffleKey(Tables.documents(spark, dir), "doc_id")
         .select(col("doc_id"), col("shuffle_key")))
 
+  /** SQL for the numeric value of the first 4 hex chars of md5(key) —
+    * the portable uniform [0,65536) variate (no hex-parsing builtins
+    * assumed; a 4-term strpos polynomial works in any engine).
+    */
+  private def hexValSql(key: String): String = {
+    val h = s"md5(CAST($key AS VARCHAR))"
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (p, i) =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $p"
+    }.mkString(" + ")
+  }
+
+  /** Domain-mixture reweighting: reshape the uniform 20-source fixture
+    * mix toward weights w_s = (source index + 1) under a 2/5 global
+    * budget — per-source acceptance thresholds from exact integer
+    * arithmetic (BigInt in the engine, HUGEINT in the oracle), applied
+    * as a deterministic hash filter. Output is the per-source kept/total
+    * census, which pins every threshold exactly.
+    */
+  val smpMixtureReweight = QueryDef(
+    "smp_mixture_reweight",
+    Some(s"""WITH cnt AS (
+            |  SELECT source, CAST(count(*) AS BIGINT) AS c,
+            |         CAST(replace(source, 'src', '') AS BIGINT) + 1 AS wt
+            |  FROM documents GROUP BY source),
+            |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+            |               CAST(sum(wt) AS BIGINT) AS wsum FROM cnt),
+            |thr AS (
+            |  SELECT source,
+            |         least(CAST(65536 AS BIGINT),
+            |               CAST((CAST(65536 AS HUGEINT) * 2 * wt * n)
+            |                    // (CAST(5 AS HUGEINT) * wsum * c) AS BIGINT)) AS t
+            |  FROM cnt, tot)
+            |SELECT d.source,
+            |       CAST(sum(CASE WHEN ${hexValSql("d.doc_id")} < thr.t
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |       CAST(count(*) AS BIGINT) AS n_total
+            |FROM documents d JOIN thr ON d.source = thr.source
+            |GROUP BY d.source""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val thr = Sampling.mixtureThresholds(docs, "source",
+        s => s.stripPrefix("src").toLong + 1, budgetNum = 2, budgetDen = 5)
+      val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+        when(col("source") === s, lit(t)).otherwise(acc)
+      }
+      docs
+        .groupBy(col("source"))
+        .agg(
+          sum(when(Sampling.hexVal(col("doc_id")) < thrCol, 1L).otherwise(0L))
+            .as("n_kept"),
+          count(lit(1)).as("n_total"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    smpHashSample, smpSourceQuota, smpInterleave, smpShuffleKey)
+    smpHashSample, smpSourceQuota, smpInterleave, smpShuffleKey,
+    smpMixtureReweight)
 }

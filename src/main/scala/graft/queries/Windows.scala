@@ -322,8 +322,62 @@ object Windows {
         .select(col("event_id"), col("user_id"), col("n_orders"))
     })
 
+  /** W6: quality-decile census per source — ntile(10) over the
+    * tx_quality_score formula, ordered (quality DESC, doc_id) so the
+    * bucketing is a total order and cross-engine exact. This is the
+    * quality-percentile corpus-filtering step of a training-data
+    * pipeline ("keep the top-k deciles per domain") reduced to its
+    * verifiable census; the window partitions by source, so it scales
+    * horizontally with domains.
+    */
+  val w6QualityNtile = QueryDef(
+    "w6_quality_ntile",
+    Some("""WITH f AS (
+           |  SELECT doc_id, source,
+           |         len(string_split(text, ' ')) AS n_tokens,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' ')) AS ttr,
+           |         len([t FOR t IN string_split(text, ' ') IF t IN ('the', 'a')]) * 1.0 /
+           |           len(string_split(text, ' ')) AS stop_ratio
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |         0.4 * least(n_tokens / 100.0, 1.0)
+           |           + 0.4 * ttr
+           |           + 0.2 * least(stop_ratio * 5, 1.0) AS quality
+           |  FROM f),
+           |d AS (
+           |  SELECT source, quality,
+           |         ntile(10) OVER (PARTITION BY source
+           |                         ORDER BY quality DESC, doc_id) AS decile
+           |  FROM q)
+           |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+           |       round(min(quality), 4) AS min_q,
+           |       round(max(quality), 4) AS max_q
+           |FROM d GROUP BY source, decile""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.TextFns
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(toks).as("n_tokens"),
+          TextFns.typeTokenRatio(col("text")).as("ttr"),
+          TextFns.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"))
+        .select(col("doc_id"), col("source"),
+          (lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+            + lit(0.4) * col("ttr")
+            + lit(0.2) * least(col("stop_ratio") * 5, lit(1.0))).as("quality"))
+        .select(col("source"), col("quality"),
+          ntile(10).over(Window.partitionBy(col("source"))
+            .orderBy(col("quality").desc, col("doc_id"))).as("decile"))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(min(col("quality"))).as("min_q"),
+          r4(max(col("quality"))).as("max_q"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
-    t5SessionWindow, t6StreamStaticJoin)
+    t5SessionWindow, t6StreamStaticJoin, w6QualityNtile)
 }
