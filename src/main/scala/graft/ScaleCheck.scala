@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Sub-linear-scaling guard (dev/CI gate): times every workload query at
+  * two scale factors (default sf0.01 → sf0.1, a 10× data step) and FAILS
+  * any query whose runtime grows by more than `SCALE_RATIO_MAX` (default
+  * 15×) — the signature of an accidental all-pairs join, an unpruned
+  * scan, or a driver-side loop that a single-SF bench can't see.
+  *
+  * Noise handling: local wall-clock is ±20% run-to-run and sub-second
+  * queries are dominated by fixed planning overhead, so a query only
+  * counts as a violation when its big-SF time also exceeds an absolute
+  * floor (`SCALE_FLOOR_SEC`, default 1.5s) — a 0.1s → 0.9s jitter is not
+  * a scaling pathology, 2s → 40s is.
+  *
+  * `sbt "runMain graft.ScaleCheck"`; exits 1 on any violation.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+    val maxRatio = sys.env.getOrElse("SCALE_RATIO_MAX", "15").toDouble
+    val floorSec = sys.env.getOrElse("SCALE_FLOOR_SEC", "1.5").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, smallDir).limit(1).collect()
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("qc_"))
+      .filter(q => only.forall(_.contains(q._1)))
+      .foreach { case (name, fn) =>
+        try {
+          val tSmall = time(fn, smallDir)
+          val tBig = time(fn, bigDir)
+          val ratio = tBig / math.max(tSmall, 1e-3)
+          val violation = tBig > floorSec && ratio > maxRatio
+          if (violation) bad += 1
+          println(f"$name%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"}")
+        } catch { case e: Throwable =>
+          bad += 1
+          println(f"$name%-26s FAILED ${e.getMessage}")
+        }
+      }
+    println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

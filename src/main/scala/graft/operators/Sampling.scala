@@ -73,6 +73,22 @@ object Sampling {
       outCol: String = "shuffle_key"): DataFrame =
     df.withColumn(outCol, hashKey(col(keyCol)))
 
+  /** Deterministic n-way split assignment (train/val/test): `cuts` are
+    * (label, cumulativeFraction) in increasing order; rows land in the
+    * first band their hash falls under, `defaultLabel` catches the rest.
+    * Same hex-prefix variate as `hashSample`, so splits NEST with any
+    * sample taken on the same key and stay stable as the corpus grows —
+    * no doc ever migrates between train and test on a re-run.
+    */
+  def splitColumn(keyCol: Column, cuts: Seq[(String, Double)],
+      defaultLabel: String): Column = {
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be increasing")
+    val h = substring(hashKey(keyCol), 1, 4)
+    cuts.foldRight(lit(defaultLabel): Column) { case ((label, frac), rest) =>
+      when(h < lit(hexThreshold(frac)), lit(label)).otherwise(rest)
+    }
+  }
+
   // ------------------------------------------------- mixture reweighting
 
   /** Numeric value of the first 4 hex chars of the sampling hash — the

@@ -120,7 +120,33 @@ object SamplingQ {
           count(lit(1)).as("n_total"))
     })
 
+  /** 80/10/10 train/val/test split census per source: the split column is
+    * a pure hash band (nests with hashSample, stable under growth), and
+    * the census pins every band boundary per source. Conditional-count
+    * shape keeps sources with an empty band in the output.
+    */
+  val smpSplitCensus = QueryDef(
+    "smp_split_census",
+    Some(s"""SELECT source,
+            |       CAST(sum(CASE WHEN h < '${t(0.8)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+            |       CAST(sum(CASE WHEN h >= '${t(0.8)}' AND h < '${t(0.9)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+            |       CAST(sum(CASE WHEN h >= '${t(0.9)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            |FROM (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+            |      FROM documents)
+            |GROUP BY source""".stripMargin),
+    (spark, dir) => {
+      val split = Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.9), defaultLabel = "test")
+      Tables.documents(spark, dir)
+        .select(col("source"), split.as("split"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpSourceQuota, smpInterleave, smpShuffleKey,
-    smpMixtureReweight)
+    smpMixtureReweight, smpSplitCensus)
 }

@@ -249,7 +249,40 @@ object Text {
         .select(col("token"))
     })
 
+  /** Intra-document repetition (the Gopher-style repetition filter):
+    * fraction of a doc's 3-gram occurrences that are repeats of an
+    * earlier 3-gram in the same doc — self-copying text scores high and
+    * gets flagged. Distinct-gram counting rides the native ShingleHash64
+    * set (the engine counts distinct 64-bit gram hashes; equal to the
+    * oracle's distinct-string count unless two grams collide in 2⁶⁴).
+    * One scan, no shuffle, fully codegen'd.
+    */
+  val txRepetition = QueryDef(
+    "tx_repetition",
+    Some("""WITH g AS (
+           |  SELECT doc_id, len(w) - 2 AS n_grams,
+           |         len(list_distinct([array_to_string(w[i:i+2], ' ')
+           |                            FOR i IN range(1, greatest(len(w) - 1, 1))])) AS n_distinct
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 3)
+           |SELECT doc_id, n_grams, n_distinct,
+           |       round(1.0 - n_distinct * 1.0 / n_grams, 4) AS dup_gram_frac,
+           |       (1.0 - n_distinct * 1.0 / n_grams) > 0.2 AS repetitive
+           |FROM g""".stripMargin),
+    (spark, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), (size(toks) - 2).as("n_grams"),
+          size(TextFns.shingleHashes(col("text"), 3)).as("n_distinct"))
+        .filter(col("n_grams") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          r4(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_grams"))
+            .as("dup_gram_frac"),
+          ((lit(1.0) - col("n_distinct") * lit(1.0) / col("n_grams")) > 0.2)
+            .as("repetitive"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
-    txRedact, txTopBigrams, txPosTokens, txHeavyHitters)
+    txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition)
 }

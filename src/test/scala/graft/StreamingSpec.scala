@@ -103,4 +103,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1Closed.length == 1)
     assert(u1Closed.head.n_events == 2 && u1Closed.head.total_value == 3.0)
   }
+
+  test("checkpointed restart is exactly-once: dedup state and source log survive a stop/resume") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart")
+    val src = base.resolve("src").toString
+    val sink = base.resolve("sink").toString
+    val chk = base.resolve("chk").toString
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"2024-01-01 00:${i % 50}:00", i.toDouble))
+        .toDF("event_id", "ts_s", "value")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      // fresh query object each time — only the CHECKPOINT carries
+      // continuity (processed-files log + dropDuplicates state store)
+      val q = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeBatch(1 to 50)
+    runOnce() // run 1: ids 1..50 land, then the query is killed
+    assert(spark.read.parquet(sink).count() == 50)
+
+    writeBatch(40 to 60) // 11 ids repeat ACROSS the restart boundary
+    runOnce() // run 2: resumed state must drop 40..50, keep 51..60
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 60, "restart must neither re-emit nor lose rows")
+    assert(after.select("event_id").distinct().count() == 60)
+    assert(after.agg(min(col("event_id")), max(col("event_id")))
+      .head.toSeq == Seq(1L, 60L))
+
+    runOnce() // run 3: nothing new → no output, no reprocessing
+    assert(spark.read.parquet(sink).count() == 60)
+    // the continuity really came from the checkpoint: offsets + state exist
+    val chkDir = new java.io.File(chk)
+    assert(new java.io.File(chkDir, "offsets").listFiles().length >= 2,
+      "multiple committed micro-batches expected in the checkpoint")
+    assert(new java.io.File(chkDir, "state").exists(),
+      "dropDuplicates state store should be checkpointed")
+  }
 }
