@@ -311,6 +311,57 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components over a near-dup pair set: each vertex ends up
+    * labeled with the MINIMUM vertex id reachable from it — the canonical
+    * "dedup cluster → keep one representative" closure (pairwise
+    * drop-the-larger-id is not transitive; components are).
+    *
+    * Algorithm: distributed min-label propagation — per iteration, every
+    * vertex takes the min of its own label and its neighbors' labels (one
+    * equi-join + one partial-aggregated groupBy, both on the vertex key).
+    * Converges in O(component diameter) iterations; near-dup clusters
+    * have tiny diameters (a handful of mutually-similar docs), so 2-4
+    * iterations in practice. For adversarially deep graphs use a
+    * star-contraction variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) — same join shape, O(log n)
+    * rounds. Labels-only state (two longs per vertex) is persisted per
+    * iteration and the previous iteration unpersisted, so lineage stays
+    * shallow and memory bounded; convergence is detected by the label-sum
+    * (labels only ever decrease), one cheap scalar action per round.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // symmetrize: a pair list (a < b) becomes a directed neighbor list
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // label-sum in DECIMAL(38,0): exact and overflow-free at any vertex
+    // count (a Long sum of 64-bit ids overflows past ~2^63 total)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val cand = sym.join(labels, sym("a") === labels("id"))
+        .select(sym("b").as("id"), col("comp"))
+      val next = labels.union(cand)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      i += 1
+    }
+    labels
+  }
+
   // ---------------------------------------------------------- set metrics
 
   /** Exact Jaccard similarity between two (already-distinct) arrays. */

@@ -246,7 +246,44 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** Dedup-cluster closure: connected components over the exact jaccard ≥
+    * 0.7 near-dup pair set — every doc labeled with the min doc_id
+    * reachable through near-dup links (pairwise drop-larger-id is not
+    * transitive; this is). Engine: distributed min-label propagation
+    * (join + partial-agg per round, O(cluster diameter) rounds). Oracle:
+    * the same closure as a DuckDB recursive CTE (min over the reachable
+    * set). Singleton docs are their own component, so the full corpus
+    * census pins both the clusters and the non-clusters.
+    */
+  val ddComponents = QueryDef(
+    "dd_components",
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS src, doc_id AS node FROM sh
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+           |SELECT src AS doc_id, min(node) AS component_id
+           |FROM reach GROUP BY src""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.ppjoinNearDups(docs, threshold = 0.7)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
-    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf)
+    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, ddComponents)
 }

@@ -164,4 +164,29 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(fps.size == 1)
   }
+
+  test("connectedComponents labels every vertex with the component min, including chains") {
+    import spark.implicits._
+    val vertices = (1L to 10L).toDF("id")
+    // component {1..5} as a diameter-4 chain (forces multiple propagation
+    // rounds), triangle {6,7,8} with a redundant edge, singletons {9,10}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)
+    ).toDF("a", "b")
+    val got = graft.operators.Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 10L)
+    assert(got == want)
+  }
+
+  test("connectedComponents on an empty edge set is the identity labeling") {
+    import spark.implicits._
+    val vertices = (1L to 4L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = graft.operators.Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 4L).map(i => i -> i).toMap)
+  }
 }
