@@ -282,7 +282,40 @@ object Text {
             .as("repetitive"))
     })
 
+  /** Sliding-window document chunking (size 32 tokens, stride 24 → 8-token
+    * overlap): the pre-embedding / pre-tokenization splitter of a training
+    * or retrieval pipeline. Pure explode over a computed start sequence —
+    * one scan, no shuffle, parallel in the documents; each chunk carries
+    * its token span and an md5 fingerprint so the chunk TEXT itself is
+    * pinned cross-engine without shipping it.
+    */
+  val txChunks = QueryDef(
+    "tx_chunks",
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 1),
+           |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM d)
+           |SELECT doc_id,
+           |       CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+           |       CAST(start AS BIGINT) AS start_tok,
+           |       len(w[start:start + 31]) AS n_chunk_tokens,
+           |       md5(array_to_string(w[start:start + 31], ' ')) AS chunk_md5
+           |FROM s""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")), lit(24))).as("start"))
+        .select(col("doc_id"),
+          expr("CAST((start - 1) DIV 24 AS BIGINT)").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          size(slice(col("w"), col("start"), lit(32))).as("n_chunk_tokens"),
+          md5(array_join(slice(col("w"), col("start"), lit(32)), " ")
+            .cast("binary")).as("chunk_md5")))
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
-    txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition)
+    txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition,
+    txChunks)
 }

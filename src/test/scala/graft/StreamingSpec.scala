@@ -149,4 +149,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(chkDir, "state").exists(),
       "dropDuplicates state store should be checkpointed")
   }
+
+  test("RocksDB state store provider (the disk-backed 100TB state path) matches batch results") {
+    // default HDFSBackedStateStore keeps state on the heap; RocksDB is
+    // the provider whose state spills to local disk — the configuration a
+    // large-state production stream runs with. Same query, same answers.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = EventsStreaming.runToCompletion(
+          EventsStreaming.windowedCounts(EventsStreaming.readEvents(spark, sf)),
+          "rocksdb_counts", mode = "complete")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
