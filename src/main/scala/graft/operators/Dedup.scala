@@ -333,9 +333,16 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // symmetrize: a pair list (a < b) becomes a directed neighbor list
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // The pair set is typically the output of an expensive similarity
+    // join (ppjoin/LSH). Materialize it ONCE, eagerly, via localCheckpoint:
+    // unlike persist(), the producing query still executes through AQE
+    // (a cache fill compiles without adaptive re-planning — measured 2×
+    // slower on the skew-sensitive ppjoin), and downstream rounds read
+    // the materialized blocks. Local checkpoints trade executor-loss
+    // recovery for speed — on a real cluster with flaky nodes, swap for
+    // reliable checkpoint() on the job's checkpoint dir.
+    val pairs = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     // label-sum in DECIMAL(38,0): exact and overflow-free at any vertex
     // count (a Long sum of 64-bit ids overflows past ~2^63 total)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -352,13 +359,22 @@ object Dedup {
       val next = labels.union(cand)
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter $i took ${(System.nanoTime() - t0) / 1e9}%.2fs")
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
     }
+    // labels that stopped short of the fixpoint are silently WRONG — fail
+    // loudly instead (a graph deeper than maxIter needs star contraction,
+    // not a bigger cap)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "component diameter exceeds the bound; use a star-contraction variant")
     labels
   }
 

@@ -246,14 +246,18 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
-  /** Dedup-cluster closure: connected components over the exact jaccard ≥
-    * 0.7 near-dup pair set — every doc labeled with the min doc_id
-    * reachable through near-dup links (pairwise drop-larger-id is not
-    * transitive; this is). Engine: distributed min-label propagation
+  /** Dedup-cluster closure: connected components over the jaccard ≥ 0.7
+    * near-dup pair set — every doc labeled with the min doc_id reachable
+    * through near-dup links (pairwise drop-larger-id is not transitive;
+    * this is). Engine: the pair set comes from the banded LSH + exact
+    * verify path (the 100 TB route — never all-pairs; the recall-1.0
+    * quant gates prove it equals brute force on these fixtures, same
+    * contract as dd_minhash_lsh), then distributed min-label propagation
     * (join + partial-agg per round, O(cluster diameter) rounds). Oracle:
-    * the same closure as a DuckDB recursive CTE (min over the reachable
-    * set). Singleton docs are their own component, so the full corpus
-    * census pins both the clusters and the non-clusters.
+    * the same closure as a DuckDB recursive CTE over the brute-force
+    * all-pairs edge set (min over the reachable set). Singleton docs are
+    * their own component, so the full corpus census pins both the
+    * clusters and the non-clusters.
     */
   val ddComponents = QueryDef(
     "dd_components",
@@ -276,7 +280,7 @@ object DedupQ {
            |FROM reach GROUP BY src""".stripMargin),
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.ppjoinNearDups(docs, threshold = 0.7)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")), pairs)

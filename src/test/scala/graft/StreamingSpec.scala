@@ -111,7 +111,7 @@ class StreamingSpec extends AnyFunSuite {
     val sink = base.resolve("sink").toString
     val chk = base.resolve("chk").toString
     def writeBatch(ids: Range): Unit =
-      ids.map(i => (i.toLong, s"2024-01-01 00:${i % 50}:00", i.toDouble))
+      ids.map(i => (i.toLong, f"2024-01-01 00:${i % 50}%02d:00", i.toDouble))
         .toDF("event_id", "ts_s", "value")
         .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
         .coalesce(1).write.mode("append").parquet(src)
