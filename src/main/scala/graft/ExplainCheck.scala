@@ -116,6 +116,11 @@ object ExplainCheck {
         .findAllMatchIn(p).map(_.group(1)).toList
       parts.nonEmpty && parts.forall(_ == "source") && p.contains("partial_")
     }
+    // chunking: pure explode over the scan — literally zero Exchange in
+    // the plan (the no-shuffle claim, asserted)
+    check("tx_chunks", "shuffle-free explode chunking") { p =>
+      p.contains("Generate explode") && !p.contains("Exchange")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

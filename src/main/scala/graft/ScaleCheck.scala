@@ -8,11 +8,15 @@ import org.apache.spark.sql.SparkSession
   * 15×) — the signature of an accidental all-pairs join, an unpruned
   * scan, or a driver-side loop that a single-SF bench can't see.
   *
-  * Noise handling: local wall-clock is ±20% run-to-run and sub-second
-  * queries are dominated by fixed planning overhead, so a query only
-  * counts as a violation when its big-SF time also exceeds an absolute
-  * floor (`SCALE_FLOOR_SEC`, default 1.5s) — a 0.1s → 0.9s jitter is not
-  * a scaling pathology, 2s → 40s is.
+  * Noise handling:
+  *   - each (query, SF) runs TWICE and only the second (warm) run is
+  *     timed — first-run fixed costs (codegen compile, planning, shuffle
+  *     file setup) otherwise inflate the small-SF denominator and a
+  *     genuinely quadratic query could hide under its own overhead;
+  *   - local wall-clock still drifts ±20%, so a query only counts as a
+  *     violation when its big-SF time also exceeds an absolute floor
+  *     (`SCALE_FLOOR_SEC`, default 1.5s) — a 0.1s → 0.9s jitter is not a
+  *     scaling pathology, 2s → 40s is.
   *
   * `sbt "runMain graft.ScaleCheck"`; exits 1 on any violation.
   */
@@ -22,25 +26,23 @@ object ScaleCheck {
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
     val maxRatio = sys.env.getOrElse("SCALE_RATIO_MAX", "15").toDouble
     val floorSec = sys.env.getOrElse("SCALE_FLOOR_SEC", "1.5").toDouble
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // same session shape as Bench (via the shared builder) so scale
+    // timings run under the planner config the benchmark uses
+    val spark = GraftSession.local(cpus, "graft-scalecheck")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, smallDir).limit(1).collect()
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Double = {
-      val t0 = System.nanoTime()
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    def timeWarm(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      run(fn, dir) // untimed warmup: codegen + planning + shuffle setup
+      val t0 = System.nanoTime()
+      run(fn, dir)
       (System.nanoTime() - t0) / 1e9
     }
     var bad = 0
@@ -49,8 +51,8 @@ object ScaleCheck {
       .filter(q => only.forall(_.contains(q._1)))
       .foreach { case (name, fn) =>
         try {
-          val tSmall = time(fn, smallDir)
-          val tBig = time(fn, bigDir)
+          val tSmall = timeWarm(fn, smallDir)
+          val tBig = timeWarm(fn, bigDir)
           val ratio = tBig / math.max(tSmall, 1e-3)
           val violation = tBig > floorSec && ratio > maxRatio
           if (violation) bad += 1

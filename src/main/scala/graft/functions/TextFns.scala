@@ -80,6 +80,16 @@ object TextFns {
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
 
+  /** Composite document-quality score (length + lexical diversity +
+    * stopword-ratio mix) — THE quality signal of the pipeline, shared by
+    * tx_quality_score, w6_quality_ntile and the curation funnel's oracle
+    * twins; keep the formula here so the consumers can't drift apart.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(tokenCount(text) / 100.0, lit(1.0)) +
+      lit(0.4) * typeTokenRatio(text) +
+      lit(0.2) * least(stopwordRatio(text, Seq("the", "a")) * 5, lit(1.0))
+
   /** Document fingerprint: md5 of the sorted distinct token set — the
     * canonical bag-of-words identity used for fuzzy-exact dedup (robust to
     * word order and repetition, cheap enough to compute in one pass).

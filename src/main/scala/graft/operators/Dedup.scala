@@ -372,10 +372,20 @@ object Dedup {
     // labels that stopped short of the fixpoint are silently WRONG — fail
     // loudly instead (a graph deeper than maxIter needs star contraction,
     // not a bigger cap)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations — " +
-        "component diameter exceeds the bound; use a star-contraction variant")
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "component diameter exceeds the bound; use a star-contraction variant")
+    }
+    // hand back a checkpoint, not the cached frame: CacheManager pins
+    // persisted frames forever (nothing downstream ever unpersists a
+    // returned DataFrame), while checkpoint blocks are released by the
+    // ContextCleaner once unreferenced — a long-lived session running
+    // this operator repeatedly must not accumulate dead cache entries.
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   // ---------------------------------------------------------- set metrics

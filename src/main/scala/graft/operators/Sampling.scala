@@ -118,6 +118,8 @@ object Sampling {
     require(budgetNum > 0 && budgetDen > 0, "budget must be positive")
     val counts = df.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.keys.forall(_ != null),
+      s"$sourceCol contains NULL values — filter or impute them before reweighting")
     val n = BigInt(counts.values.sum)
     val w = counts.keys.map(s => s -> BigInt(weightOf(s))).toMap
     require(w.values.forall(_ > 0), "weights must be positive")

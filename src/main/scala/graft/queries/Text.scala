@@ -63,11 +63,9 @@ object Text {
         .select(col("doc_id"),
           size(toks).as("n_tokens"),
           TextFns.typeTokenRatio(col("text")).as("ttr"),
-          TextFns.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"))
+          TextFns.qualityScore(col("text")).as("quality_raw"))
         .select(col("doc_id"),
-          r4(lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
-            + lit(0.4) * col("ttr")
-            + lit(0.2) * least(col("stop_ratio") * 5, lit(1.0))).as("quality"),
+          r4(col("quality_raw")).as("quality"),
           when(col("n_tokens") < 20, "drop")
             .when(col("ttr") < 0.15, "review")
             .otherwise("keep").as("tier"))

@@ -357,16 +357,9 @@ object Windows {
            |FROM d GROUP BY source, decile""".stripMargin),
     (spark, dir) => {
       import graft.functions.TextFns
-      val toks = TextFns.tokens(col("text"))
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
-          size(toks).as("n_tokens"),
-          TextFns.typeTokenRatio(col("text")).as("ttr"),
-          TextFns.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"))
-        .select(col("doc_id"), col("source"),
-          (lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
-            + lit(0.4) * col("ttr")
-            + lit(0.2) * least(col("stop_ratio") * 5, lit(1.0))).as("quality"))
+          TextFns.qualityScore(col("text")).as("quality"))
         .select(col("source"), col("quality"),
           ntile(10).over(Window.partitionBy(col("source"))
             .orderBy(col("quality").desc, col("doc_id"))).as("decile"))
