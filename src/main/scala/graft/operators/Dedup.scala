@@ -311,6 +311,68 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------ cross-corpus (incremental)
+
+  /** Asymmetric near-dup join for INCREMENTAL ingestion: which docs of a
+    * new `batch` are near-duplicates (jaccard ≥ threshold on n-gram sets)
+    * of the `existing` corpus. Output: (batch_id, existing_id, jaccard).
+    *
+    * Inverted-index formulation: both sides explode their distinct hashed
+    * shingles, meet in an equi-join on the 64-bit hash, and one hash-agg
+    * counts each pair's intersection — only pairs sharing ≥ 1 shingle
+    * ever materialize. Scale shape: the batch side is ingestion-sized
+    * (≪ corpus); the shuffle carries (hash, id) pairs, never text; per-doc
+    * sizes come back via broadcast. For a full-corpus × full-corpus run
+    * use the banded-LSH path (`minhashNearDups`) instead.
+    */
+  def crossCorpusNearDups(existing: DataFrame, batch: DataFrame,
+      threshold: Double, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3): DataFrame = {
+    val exSh = explodedHashedShingles(existing, textCol, idCol, shingleN)
+      .toDF("existing_id", "h")
+    val baSh = explodedHashedShingles(batch, textCol, idCol, shingleN)
+      .toDF("batch_id", "h")
+    def sizes(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        size(TextFns.shingleHashes(col(textCol), shingleN)).as(as + "_n"))
+    baSh.join(exSh, "h")
+      .groupBy(col("batch_id"), col("existing_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes(batch, "batch_id")), "batch_id")
+      .join(sizes(existing, "existing_id"), "existing_id")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("batch_id_n") + col("existing_id_n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("existing_id"), col("jaccard"))
+  }
+
+  /** Per-batch-doc ingestion verdict against the existing corpus:
+    * 'exact_dup' (identical text exists), 'near_dup' (jaccard ≥ threshold
+    * neighbor exists), or 'new' — plus the smallest matching existing id.
+    * The J5/T3 idempotent-ingest shape generalized from key equality to
+    * content similarity.
+    */
+  def crossCorpusVerdicts(existing: DataFrame, batch: DataFrame,
+      threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val exFp = existing.select(TextFns.exactFingerprint(col(textCol)).as("fp"),
+      col(idCol).as("existing_id"))
+    val exact = batch
+      .select(col(idCol).as("batch_id"), TextFns.exactFingerprint(col(textCol)).as("fp"))
+      .join(exFp, "fp")
+      .groupBy(col("batch_id")).agg(min(col("existing_id")).as("exact_id"))
+    val near = crossCorpusNearDups(existing, batch, threshold, textCol, idCol)
+      .groupBy(col("batch_id")).agg(min(col("existing_id")).as("near_id"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(broadcast(exact), Seq("batch_id"), "left")
+      .join(broadcast(near), Seq("batch_id"), "left")
+      .select(col("batch_id").as(idCol),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over a near-dup pair set: each vertex ends up

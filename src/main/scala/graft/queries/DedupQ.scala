@@ -287,7 +287,47 @@ object DedupQ {
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
     })
 
+  /** Incremental-ingestion dedup: a 20% "new batch" slice graded against
+    * the other 80% "existing corpus" — each batch doc gets an
+    * exact_dup / near_dup / new verdict plus its smallest matching
+    * existing id. The asymmetric inverted-index join only materializes
+    * pairs sharing a shingle; the batch side is ingestion-sized, so the
+    * dedup probe never rescans the corpus per doc (reference analogue:
+    * the MERGE-insert-only idempotent ingest, generalized from key
+    * equality to content similarity).
+    */
+  val ddIncremental = QueryDef(
+    "dd_incremental",
+    Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, md5(text) AS fp,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |       FROM d),
+           |b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+           |e AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+           |ex AS (SELECT b.doc_id AS doc_id, min(e.doc_id) AS exact_id
+           |       FROM b JOIN e ON b.fp = e.fp GROUP BY 1),
+           |nr AS (SELECT b.doc_id AS doc_id, min(e.doc_id) AS near_id
+           |       FROM b JOIN e ON len(list_intersect(b.s, e.s)) * 1.0 /
+           |            (len(b.s) + len(e.s) - len(list_intersect(b.s, e.s))) >= 0.7
+           |       GROUP BY 1)
+           |SELECT b.doc_id,
+           |       CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+           |            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+           |            ELSE 'new' END AS verdict,
+           |       coalesce(ex.exact_id, nr.near_id) AS match_id
+           |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+           |       LEFT JOIN nr ON b.doc_id = nr.doc_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      Dedup.crossCorpusVerdicts(
+        existing = docs.filter(col("doc_id") % 5 =!= 0),
+        batch = docs.filter(col("doc_id") % 5 === 0),
+        threshold = 0.7)
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
-    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, ddComponents)
+    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, ddComponents,
+    ddIncremental)
 }

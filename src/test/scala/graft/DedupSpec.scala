@@ -181,6 +181,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("crossCorpusVerdicts classifies exact_dup, near_dup, and new batch docs") {
+    import spark.implicits._
+    val existing = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta") // dup inside existing
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 10/12
+      (21L, "one two three four five six seven nine"),        // near dup of 11
+      (22L, "completely different words entirely here now")   // new
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .crossCorpusVerdicts(existing, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      (20L, "exact_dup", 10L), // min existing id wins
+      (21L, "near_dup", 11L),
+      (22L, "new", -1L)))
+  }
+
   test("connectedComponents on an empty edge set is the identity labeling") {
     import spark.implicits._
     val vertices = (1L to 4L).toDF("id")
