@@ -256,6 +256,58 @@ object SqlSurface {
         |SELECT a.*, p.peak_hour
         |FROM agg a JOIN peak p USING (pickup_zone_id, dropoff_zone_id)""".stripMargin))
 
+  /** The decontamination pipeline op as PURE SQL TEXT — higher-order
+    * array functions (transform + lambda, slice, array_join) and the
+    * md5-hex split all in the SQL dialect, proving a user can run the
+    * leakage guard without touching the Scala API. Same DuckDB oracle as
+    * pipe_decontaminate (which goes through the operator + native
+    * shingle expression); Catalyst plans both to the same broadcast
+    * semijoin shape.
+    */
+  val sqlDecontaminate = QueryDef(
+    "sql_decontaminate",
+    Some(s"""WITH split AS (
+            |  SELECT doc_id, text,
+            |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            |           < '${graft.operators.Sampling.hexThreshold(0.1)}' AS is_eval
+            |  FROM documents),
+            |tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM split
+            |       WHERE NOT is_eval AND len(string_split(text, ' ')) >= 5),
+            |ev AS (SELECT string_split(text, ' ') AS w FROM split
+            |       WHERE is_eval AND len(string_split(text, ' ')) >= 5),
+            |evg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+            |                                FOR i IN range(1, greatest(len(w) - 3, 1))]) AS g
+            |        FROM ev),
+            |trg AS (SELECT doc_id,
+            |               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+            |                      FOR i IN range(1, greatest(len(w) - 3, 1))])) AS g
+            |        FROM tr)
+            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+            |FROM trg t JOIN evg e ON t.g = e.g
+            |GROUP BY t.doc_id""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      s"""WITH split AS (
+         |  SELECT doc_id, text,
+         |         substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4)
+         |           < '${graft.operators.Sampling.hexThreshold(0.1)}' AS is_eval
+         |  FROM documents),
+         |tr AS (SELECT doc_id, split(text, ' ') AS w FROM split
+         |       WHERE NOT is_eval AND size(split(text, ' ')) >= 5),
+         |ev AS (SELECT split(text, ' ') AS w FROM split
+         |       WHERE is_eval AND size(split(text, ' ')) >= 5),
+         |evg AS (SELECT DISTINCT explode(array_distinct(
+         |          transform(sequence(1, greatest(size(w) - 4, 1)),
+         |                    i -> array_join(slice(w, i, 5), ' ')))) AS g
+         |        FROM ev),
+         |trg AS (SELECT doc_id, explode(array_distinct(
+         |          transform(sequence(1, greatest(size(w) - 4, 1)),
+         |                    i -> array_join(slice(w, i, 5), ' ')))) AS g
+         |        FROM tr)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS matched_ngrams
+         |FROM trg t JOIN evg e ON t.g = e.g
+         |GROUP BY t.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
-    sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis)
+    sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis,
+    sqlDecontaminate)
 }
