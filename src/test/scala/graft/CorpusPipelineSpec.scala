@@ -47,4 +47,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
       CorpusPipeline.Config(minTokens = 1, minTtr = 0.0))
     assert(strict.curated.count() < loose.curated.count())
   }
+
+  test("observe() piggybacks output metrics on the production write — no extra scan") {
+    // the operational pattern at 100 TB: row/token accounting of the
+    // curated corpus rides the SAME action that writes it (CollectMetrics
+    // in-plan), instead of a second count()/agg() scan of the output
+    val docs = Tables.documents(spark, sf)
+    val r = CorpusPipeline.run(docs, CorpusPipeline.Config(minTokens = 20))
+    val obs = org.apache.spark.sql.Observation("curated_metrics")
+    r.curated
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+      .write.format("noop").mode("overwrite").save()
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val tokens = obs.get("tokens").asInstanceOf[Long]
+    assert(rows == r.curated.count())
+    assert(tokens == r.curated.agg(sum(col("n_tokens").cast("long")))
+      .head.getLong(0))
+    assert(rows > 0 && tokens > rows) // docs average > 1 token
+  }
 }
