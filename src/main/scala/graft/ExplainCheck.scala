@@ -121,6 +121,25 @@ object ExplainCheck {
     check("tx_chunks", "shuffle-free explode chunking") { p =>
       p.contains("Generate explode") && !p.contains("Exchange")
     }
+    // bm25: the k-heap reduction (never a global sort), the corpus-stats
+    // broadcast, and the only ordered window bounded at the k rows
+    check("tx_bm25", "stats broadcast + TakeOrderedAndProject") { p =>
+      p.contains("TakeOrderedAndProject") && p.contains("BroadcastNestedLoopJoin") &&
+        p.indexOf("TakeOrderedAndProject") > p.indexOf("Window")
+    }
+    // bigram-LM scoring: both count tables reach the scorer as broadcasts —
+    // the 100 TB text stream must join model-side, not shuffle doc-side
+    check("tx_lm_perplexity", "count tables broadcast to scoring join") { p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !p.contains("SortMergeJoin")
+    }
+    // semantic dedup: the self-join meets on the block key via a real
+    // equi-join (blocking bounds the pair space; nothing all-pairs)
+    check("dd_semantic", "block-keyed equi self-join, no BNLJ") { p =>
+      !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"))
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

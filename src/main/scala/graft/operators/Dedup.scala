@@ -450,6 +450,52 @@ object Dedup {
     result
   }
 
+  /** Semantic dedup over an embedding column, SemDeDup-style (Abbas et al.
+    * 2023: cluster the embedding space, prune near-identical pairs WITHIN
+    * a cluster — never across the full corpus). The cluster key here is a
+    * sign sketch: the sign bits of the first `signBits` dimensions, i.e.
+    * random-hyperplane LSH with axis-aligned hyperplanes. Axis-aligned
+    * keeps the blocking DETERMINISTIC and SQL-expressible (so the whole
+    * operator is oracle-checkable end to end), at the cost of lower
+    * recall than trained k-means centroids — the IVF path in
+    * [[Similarity]] is the higher-recall/gate-checked alternative.
+    *
+    * Returns one verdict row per embedding: (idCol, blk, dup_of, verdict)
+    * where dup_of = the smallest same-block id with cosine ≥ threshold
+    * (null → 'keep').
+    *
+    * Scale design: the sign sketch is a map-only projection; the self-join
+    * shuffles both sides ONCE keyed on blk (2^signBits partition-able
+    * blocks — size signBits so blocks stay executor-sized, and raise it
+    * for denser corpora exactly like adding LSH bits); the verdict agg is
+    * a hash groupBy on the surviving pairs only. Nothing all-pairs, no
+    * driver collect, no global window.
+    */
+  def semanticNearDupVerdicts(
+      emb: DataFrame,
+      threshold: Double,
+      signBits: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(signBits >= 1 && signBits <= 32, s"signBits out of range: $signBits")
+    val blk = (0 until signBits)
+      .map(i => when(element_at(col(vecCol), i + 1) >= 0, lit(1 << (signBits - 1 - i)))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = emb.select(col(idCol), col(vecCol), blk.cast("int").as("blk"))
+    val asD = transform(col(vecCol), x => x.cast("double"))
+    val x = b.select(col(idCol).as("cand"), col("blk"), asD.as("va"))
+    val y = b.select(col(idCol).as("vid"), col("blk"), asD.as("vb"))
+    val dups = x.join(y, Seq("blk"))
+      .filter(col("cand") < col("vid"))
+      .filter(graft.plans.VectorFunctions.cosine_sim(col("va"), col("vb")) >= threshold)
+      .groupBy(col("vid"))
+      .agg(min(col("cand")).as("dup_of"))
+    b.join(dups, b(idCol) === dups("vid"), "left")
+      .select(b(idCol), col("blk"), col("dup_of"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"))
+  }
+
   // ---------------------------------------------------------- set metrics
 
   /** Exact Jaccard similarity between two (already-distinct) arrays. */

@@ -326,8 +326,36 @@ object DedupQ {
         threshold = 0.7)
     })
 
+  /** Semantic dedup (SemDeDup-style): sign-sketch blocking + within-block
+    * cosine pruning, one keep/drop verdict per embedding — fully
+    * deterministic, so unlike the k-means variant the WHOLE operator is
+    * oracle-checked, blocking included.
+    */
+  val ddSemantic = QueryDef(
+    "dd_semantic",
+    Some("""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |         CAST(CASE WHEN embedding[1] >= 0 THEN 32 ELSE 0 END
+           |            + CASE WHEN embedding[2] >= 0 THEN 16 ELSE 0 END
+           |            + CASE WHEN embedding[3] >= 0 THEN 8 ELSE 0 END
+           |            + CASE WHEN embedding[4] >= 0 THEN 4 ELSE 0 END
+           |            + CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END
+           |            + CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS blk
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT y.vec_id AS vid, min(x.vec_id) AS dup_of
+           |  FROM b x JOIN b y ON x.blk = y.blk AND x.vec_id < y.vec_id
+           |  WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3
+           |  GROUP BY y.vec_id)
+           |SELECT b.vec_id, b.blk, p.dup_of,
+           |       CASE WHEN p.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+           |FROM b LEFT JOIN p ON b.vec_id = p.vid""".stripMargin),
+    (spark, dir) =>
+      Dedup.semanticNearDupVerdicts(
+        Tables.embeddings(spark, dir), threshold = 0.3, signBits = 6))
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, ddComponents,
-    ddIncremental)
+    ddIncremental, ddSemantic)
 }

@@ -312,8 +312,141 @@ object Text {
           md5(array_join(slice(col("w"), col("start"), lit(32)), " ")
             .cast("binary")).as("chunk_md5")))
 
+  /** CCNet-style n-gram LM quality scoring: train an add-one-smoothed
+    * bigram model on the `doc_id % 5 != 0` split, score EVERY document by
+    * average negative log2-likelihood of its bigrams —
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Low-perplexity ≈ fluent
+    * under the corpus distribution; high ≈ outlier (the filter CCNet /
+    * Gopher run with a KenLM model — here the LM itself is trained
+    * in-engine as two hash aggregations).
+    *
+    * Scale design: the model IS two count tables — token counts (vocab-
+    * sized) and bigram counts (≤ vocab² but Zipf-truncated in practice)
+    * — built map-side-partial and BROADCAST to the scoring join, so the
+    * 100 TB scoring pass is one explode + two broadcast lookups + one
+    * re-agg by doc_id with map-side combine; the document text never
+    * shuffles. With an open vocabulary too big to broadcast, the same
+    * plan degrades gracefully to a shuffle hash join keyed on the bigram.
+    */
+  val txLmPerplexity = QueryDef(
+    "tx_lm_perplexity",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (SELECT doc_id,
+           |              CASE WHEN len(w) >= 2
+           |                   THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+           |                   ELSE [] END AS bgs
+           |       FROM d),
+           |train_tok AS (SELECT unnest(w) AS t FROM d WHERE doc_id % 5 != 0),
+           |cw AS (SELECT t, count(*) AS c FROM train_tok GROUP BY t),
+           |vv AS (SELECT count(*) AS v FROM cw),
+           |cb AS (SELECT b, count(*) AS c
+           |       FROM (SELECT unnest(bgs) AS b FROM bg WHERE doc_id % 5 != 0)
+           |       GROUP BY b),
+           |g AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+           |scored AS (
+           |  SELECT g.doc_id, coalesce(cb.c, 0) AS cbi, coalesce(cw.c, 0) AS cwi, vv.v AS v
+           |  FROM g LEFT JOIN cb ON g.b = cb.b
+           |         LEFT JOIN cw ON string_split(g.b, ' ')[1] = cw.t
+           |         CROSS JOIN vv)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(CASE WHEN cbi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+           |       round(avg(-log2((cbi + 1.0) / (cwi + v))), 4) AS avg_nll
+           |FROM scored GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val w = TextFns.tokens(col("text"))
+      // 1-based positions to mirror the oracle's list indexing exactly;
+      // guarded because Spark's sequence(1, 0) counts DOWN, not empty.
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), bigrams.as("bgs"))
+      val trainTok = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(explode(w).as("w1"))
+      val cw = trainTok.groupBy("w1").agg(count(lit(1)).as("cwc"))
+      val vDf = cw.agg(count(lit(1)).as("v"))
+      val cb = d.filter(col("doc_id") % 5 =!= 0)
+        .select(explode(col("bgs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cbc"))
+      d.select(col("doc_id"), explode(col("bgs")).as("b"))
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .join(broadcast(cb), Seq("b"), "left")
+        .join(broadcast(cw), Seq("w1"), "left")
+        .crossJoin(broadcast(vDf))
+        .select(col("doc_id"),
+          coalesce(col("cbc"), lit(0L)).as("cbi"),
+          coalesce(col("cwc"), lit(0L)).as("cwi"), col("v"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cbi") === 0, 1).otherwise(0)).as("oov_bigrams"),
+          r4(avg(-log2((col("cbi") + lit(1.0)) / (col("cwi") + col("v")))))
+            .as("avg_nll"))
+    })
+
+  /** BM25 lexical top-k retrieval (Robertson/Sparck-Jones; k1=1.2,
+    * b=0.75) for the fixed query {dup, vector, key} — the sparse
+    * complement to the dense ANN operators: same "find the most relevant
+    * documents" contract, inverted-frequency weighting instead of
+    * embeddings. `dup` is the rare planted-near-dup marker (df≈5% of the
+    * corpus) so the idf weighting is actually exercised.
+    *
+    * Scale design: corpus stats (N, avgdl, per-term df) are ONE map-side-
+    * partial aggregate broadcast back; per-doc term frequencies are
+    * size(filter(w, ...)) — codegen'd, no explode, no shuffle; the top-k
+    * is orderBy+limit → TakeOrderedAndProject (per-partition heaps, never
+    * a global sort); the rank column is a window over the ALREADY-LIMITED
+    * k rows, so the only ordered window in the plan is bounded at k.
+    */
+  val txBm25 = QueryDef(
+    "tx_bm25",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+           |q(term) AS (VALUES ('dup'), ('vector'), ('key')),
+           |tf AS (SELECT doc_id, term, len([x FOR x IN w IF x = term]) AS tf, len(w) AS dl
+           |       FROM d CROSS JOIN q),
+           |df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+           |sc AS (SELECT doc_id,
+           |              sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+           |                  * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+           |       FROM tf JOIN df USING (term) CROSS JOIN s
+           |       WHERE tf > 0 GROUP BY doc_id)
+           |SELECT doc_id, round(score, 4) AS score, rk FROM (
+           |  SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rk
+           |  FROM sc)
+           |WHERE rk <= 20""".stripMargin),
+    (spark, dir) => {
+      val terms = Seq("dup", "vector", "key")
+      val w = TextFns.tokens(col("text"))
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), w.as("w"), size(w).cast("double").as("dl"))
+      val statCols =
+        Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+          terms.map(t => sum(when(array_contains(col("w"), t), 1).otherwise(0))
+            .cast("double").as(s"df_$t"))
+      val stats = d.agg(statCols.head, statCols.tail: _*)
+      val k1 = 1.2; val b = 0.75
+      val score = terms.map { t =>
+        val tf = size(filter(col("w"), x => x === t)).cast("double")
+        val idf = log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1)
+        idf * tf * (k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val top = d.crossJoin(broadcast(stats))
+        .select(col("doc_id"), score.as("raw"))
+        .filter(col("raw") > 0)
+        .orderBy(round(col("raw"), 6).desc, col("doc_id"))
+        .limit(20)
+      // rank over the already-limited 20 rows — bounded window by design
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(round(col("raw"), 6).desc, col("doc_id"))))
+        .select(col("doc_id"), r4(col("raw")).as("score"), col("rk"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition,
-    txChunks)
+    txChunks, txLmPerplexity, txBm25)
 }
