@@ -22,16 +22,17 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** n-word shingles (distinct), the unit for Jaccard/MinHash dedup.
-    * Documents shorter than n words yield an empty set.
+  /** n-word shingles (distinct) over a token ARRAY column, the unit for
+    * Jaccard/MinHash dedup. Documents shorter than n words yield an empty
+    * set. `toks` must be a bound column (`df.select(tokens(...).as("w"))`
+    * first), never an inline `split(...)` expression: HOF lambda bodies
+    * evaluate interpreted with no subexpression elimination, so a free
+    * split inside the lambda re-runs per array index — O(len²) per
+    * document (the round-5 tx_lm_perplexity regression; ExplainCheck
+    * lints the pattern across every registered query plan).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(shinglesAll(toks, n))
 
   /** DISTINCT 64-bit hashes of the n-word shingles, via the native
     * codegen'd [[graft.plans.ShingleHash64]] expression — the form every
@@ -42,15 +43,14 @@ object TextFns {
   def shingleHashes(text: Column, n: Int): Column =
     graft.plans.ShingleHash64.shingle_hash64(tokens(text), n)
 
-  /** n-word shingles with multiplicity (for frequency statistics —
-    * `shingles` deduplicates for set-similarity use).
+  /** n-word shingles with multiplicity over a token ARRAY column (for
+    * frequency statistics — `shingles` deduplicates for set-similarity
+    * use). Same bound-column contract as `shingles`.
     */
-  def shinglesAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesAll(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
       i => array_join(slice(toks, i, lit(n)), " "))
-  }
 
   /** Mean token length (0.0 for empty docs). */
   def avgTokenLength(text: Column): Column = {

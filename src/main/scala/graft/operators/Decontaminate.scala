@@ -23,9 +23,13 @@ import graft.functions.TextFns
   *     hash-semijoin → partial-aggregated count, no corpus-wide shuffle
   *     of gram rows — only matched (doc_id, hit) pairs (≪ corpus) reach
   *     the final per-doc aggregate.
-  *   - `clean` removes flagged docs with a broadcast LEFT ANTI join (the
-  *     contaminated id set is small by construction), so the cleaned
-  *     corpus is produced in the same scan that read it.
+  *   - `clean` removes flagged docs with a LEFT ANTI join that is
+  *     broadcast only when a census confirms the flagged-id set fits
+  *     (`graft.decontaminate.broadcastMaxIds`): the set is USUALLY tiny
+  *     (benchmark-sized), but a heavily contaminated corpus or a low
+  *     `minHits` against a large eval suite can flag a corpus-scale id
+  *     set — over the threshold the hint is dropped and the anti-join
+  *     plans as a shuffle join instead of a driver-memory hazard.
   *   - grams are compared as 64-bit xxhash values, same convention as the
   *     MinHash/PPJoin family: a false hit needs two distinct n-grams with
   *     equal xxhash64 — P ≈ |grams|²/2⁶⁴, negligible at corpus scale.
@@ -60,13 +64,21 @@ object Decontaminate {
 
   /** Cleaned corpus: `docs` minus training docs with ≥ `minHits` eval
     * n-gram overlaps (eval rows themselves are not part of the output).
+    * The flagged-id census (one count over the already-aggregated hit
+    * table, checkpointed so it builds once) gates the broadcast hint —
+    * see the object scaladoc.
     */
   def clean(train: DataFrame, evalDocs: DataFrame, n: Int,
       minHits: Long = 1L, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val maxIds = train.sparkSession.conf
+      .getOption("graft.decontaminate.broadcastMaxIds")
+      .map(_.toLong).getOrElse(10000000L)
     val flagged = contaminationHits(train, evalDocs, n, textCol, idCol)
       .filter(col("matched_ngrams") >= minHits)
       .select(col(idCol))
-    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val hinted = if (flagged.count() <= maxIds) broadcast(flagged) else flagged
+    train.join(hinted, Seq(idCol), "left_anti")
   }
 }

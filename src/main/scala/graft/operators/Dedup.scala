@@ -44,31 +44,16 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k MinHash values over the doc's shingle set. Hash family:
-    * xxhash64(seed_i, shingle) — deterministic, no RNG at runtime.
-    * Empty shingle sets get Long.MaxValue components (never collide).
-    *
-    * Expression form (k nested transforms) — prefer `minhashSignatures`
-    * for bulk computation: it builds each shingle string once instead of
-    * k times.
-    */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    // same family as minhashSignatures: h_i(s) = xxhash64(seed_i, xxhash64(s)),
-    // base hashes from the native ShingleHash64 expression
-    val hs = TextFns.shingleHashes(text, shingleN)
-    array((0 until k).map { seed =>
-      coalesce(
-        array_min(transform(hs, h => xxhash64(lit(seed), h))),
-        lit(Long.MaxValue))
-    }: _*)
-  }
-
-  /** Bulk MinHash: explode each doc's shingle set once, hash each shingle
-    * with k seeds, take k mins in ONE hash-aggregation. Shingle strings are
-    * materialized once per doc (vs k times in the expression form) and the
-    * shuffle carries only (id, k longs) thanks to map-side partial min.
-    * Docs with no shingles (shorter than n words) keep all-MaxValue rows
-    * via the left join.
+  /** Bulk MinHash — THE signature path (a per-doc expression form with k
+    * nested transforms existed through round 5 and was deleted: it
+    * rebuilt the shingle hashes k times per doc; this formulation is
+    * strictly better). Explode each doc's shingle set once, hash each
+    * shingle with k seeds, take k mins in ONE hash-aggregation. Shingle
+    * strings are materialized once per doc and the shuffle carries only
+    * (id, k longs) thanks to map-side partial min. Hash family:
+    * h_i(s) = xxhash64(seed_i, xxhash64(s)) — deterministic, no RNG at
+    * runtime. Docs with no shingles (shorter than n words) keep
+    * all-MaxValue rows via the left join.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -81,8 +66,9 @@ object Dedup {
     // re-hashing the 64-bit value with each seed — k cheap long-hashes
     // instead of k full string-hashes per shingle (the string is ~3 words;
     // the long is 8 bytes). Same family structure: h_i(s) = mix(seed_i, h(s)).
-    val sh = docs.select(col(idCol).as("id"),
-        explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+    val sh = docs
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+      .select(col("id"), explode(TextFns.shingles(col("w"), shingleN)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     val mins = (0 until k).map(seed =>
       min(xxhash64(lit(seed), col("h"))).as(s"m$seed"))
@@ -321,8 +307,10 @@ object Dedup {
     * shingles, meet in an equi-join on the 64-bit hash, and one hash-agg
     * counts each pair's intersection — only pairs sharing ≥ 1 shingle
     * ever materialize. Scale shape: the batch side is ingestion-sized
-    * (≪ corpus); the shuffle carries (hash, id) pairs, never text; per-doc
-    * sizes come back via broadcast. For a full-corpus × full-corpus run
+    * (≪ corpus); the shuffle carries (hash, id) pairs, never text; the
+    * BATCH-side size table is broadcast, while the corpus-side sizes join
+    * on the already-bounded candidate-pair set (it is corpus-sized, so a
+    * broadcast there would be wrong). For a full-corpus × full-corpus run
     * use the banded-LSH path (`minhashNearDups`) instead.
     */
   def crossCorpusNearDups(existing: DataFrame, batch: DataFrame,

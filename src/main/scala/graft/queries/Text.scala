@@ -190,7 +190,8 @@ object Text {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val grams = Tables.documents(spark, dir)
-        .select(explode(graft.functions.TextFns.shinglesAll(col("text"), 2)).as("bigram"))
+        .select(TextFns.tokens(col("text")).as("w"))
+        .select(explode(TextFns.shinglesAll(col("w"), 2)).as("bigram"))
       val counted = grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       // Top-k FIRST (orderBy+limit plans as TakeOrderedAndProject: map-side
       // k-heaps, no global sort) — a global row_number window here would
@@ -312,6 +313,41 @@ object Text {
           md5(array_join(slice(col("w"), col("start"), lit(32)), " ")
             .cast("binary")).as("chunk_md5")))
 
+  /** (doc_id, b) — one row per bigram occurrence, built from a token
+    * array bound as a COLUMN first. The binding matters: HOF lambdas run
+    * interpreted with no common-subexpression elimination, so a lambda
+    * body that references the raw `split(text, ' ')` expression re-runs
+    * the full split per array index — O(len²) per document (the round-5
+    * regression; ExplainCheck now lints the pattern). `zip_with` over two
+    * slices of the bound column keeps the lambda body to lambda variables
+    * only. Shared by the LM model build, the scoring pass, and the
+    * curation funnel's LM stage.
+    */
+  private[graft] def bigramFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val n = size(col("w"))
+    // when-guard because slice() rejects a negative length (n = 0 docs).
+    val bgs = when(n >= 2,
+      zip_with(slice(col("w"), lit(1), n - 1), slice(col("w"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bgs).as("b"))
+  }
+
+  /** Apply the broadcast hint only when the frame is census-verified to
+    * fit — otherwise leave the join strategy to the planner (shuffle hash
+    * / sort-merge on the bigram key), which is the correct degradation
+    * for open vocabularies where a forced broadcast would OOM the driver.
+    * The census itself is one count over an already-aggregated count
+    * table (vocab-scale, not corpus-scale) — the same bounded-probe
+    * pattern as `Sampling.mixtureThresholds`.
+    */
+  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
+      maxRows: Long): org.apache.spark.sql.DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   /** CCNet-style n-gram LM quality scoring: train an add-one-smoothed
     * bigram model on the `doc_id % 5 != 0` split, score EVERY document by
     * average negative log2-likelihood of its bigrams —
@@ -322,11 +358,14 @@ object Text {
     *
     * Scale design: the model IS two count tables — token counts (vocab-
     * sized) and bigram counts (≤ vocab² but Zipf-truncated in practice)
-    * — built map-side-partial and BROADCAST to the scoring join, so the
-    * 100 TB scoring pass is one explode + two broadcast lookups + one
-    * re-agg by doc_id with map-side combine; the document text never
-    * shuffles. With an open vocabulary too big to broadcast, the same
-    * plan degrades gracefully to a shuffle hash join keyed on the bigram.
+    * — built map-side-partial and, when a census confirms they fit
+    * (`graft.lm.broadcastMaxRows`, default 4M rows), BROADCAST to the
+    * scoring join: the 100 TB scoring pass is one explode + two broadcast
+    * lookups + one re-agg by doc_id with map-side combine; the document
+    * text never shuffles. Over the threshold the hint is NOT applied and
+    * the same plan degrades to a shuffle join keyed on the bigram —
+    * LmBroadcastSpec forces that path and pins both the plan shape and
+    * result equality.
     */
   val txLmPerplexity = QueryDef(
     "tx_lm_perplexity",
@@ -353,38 +392,40 @@ object Text {
            |       CAST(sum(CASE WHEN cbi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
            |       round(avg(-log2((cbi + 1.0) / (cwi + v))), 4) AS avg_nll
            |FROM scored GROUP BY doc_id""".stripMargin),
-    (spark, dir) => {
-      val w = TextFns.tokens(col("text"))
-      // 1-based positions to mirror the oracle's list indexing exactly;
-      // guarded because Spark's sequence(1, 0) counts DOWN, not empty.
-      val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val d = Tables.documents(spark, dir)
-        .select(col("doc_id"), bigrams.as("bgs"))
-      val trainTok = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 5 =!= 0)
-        .select(explode(w).as("w1"))
-      val cw = trainTok.groupBy("w1").agg(count(lit(1)).as("cwc"))
-      val vDf = cw.agg(count(lit(1)).as("v"))
-      val cb = d.filter(col("doc_id") % 5 =!= 0)
-        .select(explode(col("bgs")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("cbc"))
-      d.select(col("doc_id"), explode(col("bgs")).as("b"))
-        .withColumn("w1", split(col("b"), " ").getItem(0))
-        .join(broadcast(cb), Seq("b"), "left")
-        .join(broadcast(cw), Seq("w1"), "left")
-        .crossJoin(broadcast(vDf))
-        .select(col("doc_id"),
-          coalesce(col("cbc"), lit(0L)).as("cbi"),
-          coalesce(col("cwc"), lit(0L)).as("cwi"), col("v"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("cbi") === 0, 1).otherwise(0)).as("oov_bigrams"),
-          r4(avg(-log2((col("cbi") + lit(1.0)) / (col("cwi") + col("v")))))
-            .as("avg_nll"))
-    })
+    (spark, dir) => lmPerplexityScores(spark, dir))
+
+  /** The tx_lm_perplexity body, reusable by the curation funnel's LM
+    * stage: (doc_id, n_bigrams, oov_bigrams, avg_nll) for every doc.
+    */
+  private[graft] def lmPerplexityScores(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val maxRows = spark.conf.getOption("graft.lm.broadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val bg = bigramFrame(spark, dir)
+    val trainTok = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(explode(TextFns.tokens(col("text"))).as("w1"))
+    // localCheckpoint (NOT persist: cache fills compile without AQE) so the
+    // model tables build ONCE and serve both the census count and the join;
+    // blocks are ContextCleaner-released once the query's plan is dropped.
+    val cw = trainTok.groupBy("w1").agg(count(lit(1)).as("cwc")).localCheckpoint()
+    val vDf = cw.agg(count(lit(1)).as("v"))
+    val cb = bg.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("b").agg(count(lit(1)).as("cbc")).localCheckpoint()
+    bg
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .join(broadcastIfSmall(cb, maxRows), Seq("b"), "left")
+      .join(broadcastIfSmall(cw, maxRows), Seq("w1"), "left")
+      .crossJoin(broadcast(vDf)) // one row by construction
+      .select(col("doc_id"),
+        coalesce(col("cbc"), lit(0L)).as("cbi"),
+        coalesce(col("cwc"), lit(0L)).as("cwi"), col("v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cbi") === 0, 1).otherwise(0)).as("oov_bigrams"),
+        r4(avg(-log2((col("cbi") + lit(1.0)) / (col("cwi") + col("v")))))
+          .as("avg_nll"))
+  }
 
   /** BM25 lexical top-k retrieval (Robertson/Sparck-Jones; k1=1.2,
     * b=0.75) for the fixed query {dup, vector, key} — the sparse

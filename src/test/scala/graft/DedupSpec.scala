@@ -21,7 +21,8 @@ class DedupSpec extends AnyFunSuite {
   test("minhash LSH finds the planted near-duplicates (recall vs exact jaccard ≥ 0.9 @ j≥0.7)") {
     val docs = Tables.documents(spark, sf)
     // ground truth: exact shingle-jaccard pairs at ≥ 0.7 (brute force, test-only)
-    val sh = docs.select(col("doc_id"), TextFns.shingles(col("text"), 3).as("s"))
+    val sh = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), TextFns.shingles(col("w"), 3).as("s"))
     val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
     val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
     val truth = a.join(b, col("id_a") < col("id_b"))
@@ -59,9 +60,11 @@ class DedupSpec extends AnyFunSuite {
   test("native shingle_hash64 matches xxhash64 of the composed string shingles") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).limit(100)
-    val composed = docs.select(col("doc_id"),
+    val composed = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
         array_sort(transform(
-          graft.functions.TextFns.shingles(col("text"), 3),
+          graft.functions.TextFns.shingles(col("w"), 3),
           s => xxhash64(s))).as("hs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val native = docs.select(col("doc_id"),
@@ -81,8 +84,9 @@ class DedupSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val t = 0.5
     // brute-force ground truth via full array intersection over all pairs
-    val sh = docs.select(col("doc_id"),
-      graft.functions.TextFns.shingles(col("text"), 3).as("s"))
+    val sh = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.TextFns.shingles(col("w"), 3).as("s"))
     val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", size(array_intersect(col("a.s"), col("b.s"))).cast("double"))
       .withColumn("j", col("inter") /
