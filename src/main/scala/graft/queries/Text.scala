@@ -323,15 +323,15 @@ object Text {
     * only. Shared by the LM model build, the scoring pass, and the
     * curation funnel's LM stage.
     */
-  private[graft] def bigramFrame(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def bigramFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val n = size(col("w"))
     // when-guard because slice() rejects a negative length (n = 0 docs).
     val bgs = when(n >= 2,
       zip_with(slice(col("w"), lit(1), n - 1), slice(col("w"), lit(2), n - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(bgs).as("b"))
   }
@@ -392,17 +392,21 @@ object Text {
            |       CAST(sum(CASE WHEN cbi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
            |       round(avg(-log2((cbi + 1.0) / (cwi + v))), 4) AS avg_nll
            |FROM scored GROUP BY doc_id""".stripMargin),
-    (spark, dir) => lmPerplexityScores(spark, dir))
+    (spark, dir) => lmScores(Tables.documents(spark, dir)))
 
   /** The tx_lm_perplexity body, reusable by the curation funnel's LM
-    * stage: (doc_id, n_bigrams, oov_bigrams, avg_nll) for every doc.
+    * stage: (doc_id, n_bigrams, oov_bigrams, avg_nll) for every doc of
+    * `docs` (any (doc_id, text) frame), model trained on the frame's own
+    * `doc_id % 5 != 0` split. Docs with < 2 tokens have no bigrams and do
+    * not appear in the output — callers gate on a left join.
     */
-  private[graft] def lmPerplexityScores(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
     val maxRows = spark.conf.getOption("graft.lm.broadcastMaxRows")
       .map(_.toLong).getOrElse(4000000L)
-    val bg = bigramFrame(spark, dir)
-    val trainTok = Tables.documents(spark, dir)
+    val bg = bigramFrame(docs)
+    val trainTok = docs
       .filter(col("doc_id") % 5 =!= 0)
       .select(explode(TextFns.tokens(col("text"))).as("w1"))
     // localCheckpoint (NOT persist: cache fills compile without AQE) so the
