@@ -152,6 +152,21 @@ object ExplainCheck {
       if (!pass) bad += 1
       println(f"salted_join              ${if (pass) "PLAN_OK " else "PLAN_BAD"} rows=$n (plain=$plain)")
     }
+    // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
+    // at): no registered query's optimized plan may re-tokenize per array
+    // element inside a HOF lambda — the O(len²) class that shipped twice.
+    locally {
+      val dirty = SparkEntry.registry.flatMap { q =>
+        val plan = q.fn(spark, dir).queryExecution.optimizedPlan.toString
+        val v = graft.plans.LambdaLint.violations(plan)
+        if (v.isEmpty) Nil
+        else Seq(s"  ${q.name}: ${v.map { case (b, p) => s"$p in [${b.take(80)}]" }.mkString("; ")}")
+      }
+      val pass = dirty.isEmpty
+      if (!pass) bad += 1
+      println(f"lambda_lint              ${if (pass) "PLAN_OK " else "PLAN_BAD"} ${SparkEntry.registry.size} registered plans scanned")
+      dirty.foreach(println)
+    }
     println(if (bad == 0) "ALL_PLANS_OK" else s"$bad PLAN CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -24,8 +24,11 @@ import graft.functions.TextFns
   *     of gram rows — only matched (doc_id, hit) pairs (≪ corpus) reach
   *     the final per-doc aggregate.
   *   - `clean` removes flagged docs with a LEFT ANTI join that is
-  *     broadcast only when a census confirms the flagged-id set fits
-  *     (`graft.decontaminate.broadcastMaxIds`): the set is USUALLY tiny
+  *     broadcast only when a census confirms the flagged-id set's
+  *     estimated broadcast size fits (`graft.decontaminate
+  *     .broadcastMaxBytes`, default 256 MiB; ids are fixed-width, so
+  *     estimated bytes = rows × 48 B of UnsafeRow + hash-relation entry
+  *     overhead ⇒ ~5.6M ids under the default): the set is USUALLY tiny
   *     (benchmark-sized), but a heavily contaminated corpus or a low
   *     `minHits` against a large eval suite can flag a corpus-scale id
   *     set — over the threshold the hint is dropped and the anti-join
@@ -64,21 +67,31 @@ object Decontaminate {
 
   /** Cleaned corpus: `docs` minus training docs with ≥ `minHits` eval
     * n-gram overlaps (eval rows themselves are not part of the output).
-    * The flagged-id census (one count over the already-aggregated hit
-    * table, checkpointed so it builds once) gates the broadcast hint —
-    * see the object scaladoc.
+    * The flagged-id set — already aggregated to one row per contaminated
+    * doc, ≪ the gram stream — is materialized once via
+    * [[Materialize.stable]] and its census (one count over that bounded
+    * table, ids never touch the driver) gates the broadcast hint — see
+    * the object scaladoc.
+    *
+    * EAGER at construction: the census runs a Spark job before the
+    * returned frame exists. At-scale callers should set a reliable
+    * checkpoint dir so the materialized id set survives executor loss;
+    * without one it lives executor-local (spills to local disk, but is
+    * not recomputable).
     */
   def clean(train: DataFrame, evalDocs: DataFrame, n: Int,
       minHits: Long = 1L, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val maxIds = train.sparkSession.conf
-      .getOption("graft.decontaminate.broadcastMaxIds")
-      .map(_.toLong).getOrElse(10000000L)
-    val flagged = contaminationHits(train, evalDocs, n, textCol, idCol)
-      .filter(col("matched_ngrams") >= minHits)
-      .select(col(idCol))
-      .localCheckpoint()
-    val hinted = if (flagged.count() <= maxIds) broadcast(flagged) else flagged
+    val maxBytes = train.sparkSession.conf
+      .getOption("graft.decontaminate.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val flagged = Materialize.stable(
+      contaminationHits(train, evalDocs, n, textCol, idCol)
+        .filter(col("matched_ngrams") >= minHits)
+        .select(col(idCol)))
+    // ids are fixed-width: estimated broadcast size is rows × 48 B
+    // (UnsafeRow + hash-relation entry overhead per id).
+    val hinted = if (flagged.count() * 48L <= maxBytes) broadcast(flagged) else flagged
     train.join(hinted, Seq(idCol), "left_anti")
   }
 }

@@ -21,7 +21,13 @@ object LambdaLint {
 
   /** Bodies of every `lambdafunction(...)` occurrence in a plan string
     * (balanced-parenthesis scan — plan text nests expressions arbitrarily
-    * deep, a regex can't bound the match).
+    * deep, a regex can't bound the match). The scan is HARD-BOUNDED at
+    * end-of-line: plan text keeps each operator's expressions on one
+    * line, and string/regex literals print UNQUOTED, so an unbalanced
+    * paren inside a literal (e.g. a `[(]` character class) would
+    * otherwise keep the depth count open and swallow the rest of the
+    * plan — turning any later `split(` in an unrelated operator into a
+    * spurious violation.
     */
   def lambdaBodies(plan: String): Seq[String] = {
     val marker = "lambdafunction("
@@ -29,9 +35,13 @@ object LambdaLint {
     var from = plan.indexOf(marker)
     while (from >= 0) {
       val start = from + marker.length
+      val eol = plan.indexOf('\n', start) match {
+        case -1 => plan.length
+        case e  => e
+      }
       var depth = 1
       var i = start
-      while (i < plan.length && depth > 0) {
+      while (i < eol && depth > 0) {
         plan.charAt(i) match {
           case '(' => depth += 1
           case ')' => depth -= 1
@@ -39,7 +49,7 @@ object LambdaLint {
         }
         i += 1
       }
-      out += plan.substring(start, math.max(start, i - 1))
+      out += plan.substring(start, if (depth == 0) math.max(start, i - 1) else eol)
       from = plan.indexOf(marker, start)
     }
     out.result()

@@ -336,17 +336,26 @@ object Text {
       .select(col("doc_id"), explode(bgs).as("b"))
   }
 
-  /** Apply the broadcast hint only when the frame is census-verified to
-    * fit — otherwise leave the join strategy to the planner (shuffle hash
-    * / sort-merge on the bigram key), which is the correct degradation
-    * for open vocabularies where a forced broadcast would OOM the driver.
-    * The census itself is one count over an already-aggregated count
-    * table (vocab-scale, not corpus-scale) — the same bounded-probe
+  /** Apply the broadcast hint only when the count table's ESTIMATED
+    * BROADCAST BYTES fit `maxBytes` — otherwise leave the join strategy
+    * to the planner (shuffle hash / sort-merge on the bigram key), which
+    * is the correct degradation for open vocabularies where a forced
+    * broadcast would OOM the driver. Estimated bytes = sum of key octet
+    * lengths + 48 B/row (UnsafeRow null bitmap + offset/size word +
+    * padded key + the count long, plus hash-relation entry overhead) — a
+    * row count alone is a loose proxy because bigram keys vary 10–100+
+    * bytes and 4M string rows can be hundreds of MB as a hash relation.
+    * The census itself is one agg over an already-materialized,
+    * vocab-scale table (never corpus-scale) — the same bounded-probe
     * pattern as `Sampling.mixtureThresholds`.
     */
-  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
-      maxRows: Long): org.apache.spark.sql.DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+  private def broadcastIfFits(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, maxBytes: Long): org.apache.spark.sql.DataFrame = {
+    val est = df.agg(count(lit(1)).as("n"),
+      sum(octet_length(col(keyCol)).cast("long")).as("kb")).head
+    val keyBytes = if (est.isNullAt(1)) 0L else est.getLong(1)
+    if (keyBytes + est.getLong(0) * 48L <= maxBytes) broadcast(df) else df
+  }
 
   /** CCNet-style n-gram LM quality scoring: train an add-one-smoothed
     * bigram model on the `doc_id % 5 != 0` split, score EVERY document by
@@ -358,14 +367,15 @@ object Text {
     *
     * Scale design: the model IS two count tables — token counts (vocab-
     * sized) and bigram counts (≤ vocab² but Zipf-truncated in practice)
-    * — built map-side-partial and, when a census confirms they fit
-    * (`graft.lm.broadcastMaxRows`, default 4M rows), BROADCAST to the
-    * scoring join: the 100 TB scoring pass is one explode + two broadcast
-    * lookups + one re-agg by doc_id with map-side combine; the document
-    * text never shuffles. Over the threshold the hint is NOT applied and
-    * the same plan degrades to a shuffle join keyed on the bigram —
-    * LmBroadcastSpec forces that path and pins both the plan shape and
-    * result equality.
+    * — built map-side-partial and, when a census confirms their estimated
+    * broadcast size fits (`graft.lm.broadcastMaxBytes`, default 256 MiB —
+    * a few percent of a typical executor heap, doubled for the build +
+    * transfer copies), BROADCAST to the scoring join: the 100 TB scoring
+    * pass is one explode + two broadcast lookups + one re-agg by doc_id
+    * with map-side combine; the document text never shuffles. Over the
+    * threshold the hint is NOT applied and the same plan degrades to a
+    * shuffle join keyed on the bigram — LmBroadcastSpec forces that path
+    * and pins both the plan shape and result equality.
     */
   val txLmPerplexity = QueryDef(
     "tx_lm_perplexity",
@@ -399,27 +409,34 @@ object Text {
     * `docs` (any (doc_id, text) frame), model trained on the frame's own
     * `doc_id % 5 != 0` split. Docs with < 2 tokens have no bigrams and do
     * not appear in the output — callers gate on a left join.
+    *
+    * EAGER at construction: building the returned frame materializes the
+    * two count tables ([[graft.operators.Materialize.stable]] — reliable
+    * checkpoint when a checkpoint dir is set, executor-local otherwise)
+    * and runs the byte-size census that decides the broadcast strategy.
     */
   private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    val maxRows = spark.conf.getOption("graft.lm.broadcastMaxRows")
-      .map(_.toLong).getOrElse(4000000L)
+    val maxBytes = spark.conf.getOption("graft.lm.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
     val bg = bigramFrame(docs)
     val trainTok = docs
       .filter(col("doc_id") % 5 =!= 0)
       .select(explode(TextFns.tokens(col("text"))).as("w1"))
-    // localCheckpoint (NOT persist: cache fills compile without AQE) so the
-    // model tables build ONCE and serve both the census count and the join;
-    // blocks are ContextCleaner-released once the query's plan is dropped.
-    val cw = trainTok.groupBy("w1").agg(count(lit(1)).as("cwc")).localCheckpoint()
+    // Materialize.stable (NOT persist: cache fills compile without AQE,
+    // and CacheManager would pin the frames for the session) so the model
+    // tables build ONCE and serve both the size census and the join.
+    val cw = graft.operators.Materialize.stable(
+      trainTok.groupBy("w1").agg(count(lit(1)).as("cwc")))
     val vDf = cw.agg(count(lit(1)).as("v"))
-    val cb = bg.filter(col("doc_id") % 5 =!= 0)
-      .groupBy("b").agg(count(lit(1)).as("cbc")).localCheckpoint()
+    val cb = graft.operators.Materialize.stable(
+      bg.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("b").agg(count(lit(1)).as("cbc")))
     bg
       .withColumn("w1", split(col("b"), " ").getItem(0))
-      .join(broadcastIfSmall(cb, maxRows), Seq("b"), "left")
-      .join(broadcastIfSmall(cw, maxRows), Seq("w1"), "left")
+      .join(broadcastIfFits(cb, "b", maxBytes), Seq("b"), "left")
+      .join(broadcastIfFits(cw, "w1", maxBytes), Seq("w1"), "left")
       .crossJoin(broadcast(vDf)) // one row by construction
       .select(col("doc_id"),
         coalesce(col("cbc"), lit(0L)).as("cbi"),

@@ -60,6 +60,28 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(cleanedIds.size + rows1.size == docs.filter(!isEval).count())
   }
 
+  test("clean uses RELIABLE checkpoint when a checkpoint dir is configured") {
+    // Materialize.stable: with sparkContext.setCheckpointDir set, the
+    // flagged-id set must land on shared storage (survives executor loss)
+    // instead of executor-local blocks — same results either way.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val kept = Decontaminate.clean(train, evalDocs, n = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L))
+      val ckptDir = new java.io.File(new java.net.URI(sc.getCheckpointDir.get))
+      val files = Option(ckptDir.listFiles()).getOrElse(Array.empty)
+      assert(files.nonEmpty, s"no reliable checkpoint written under $dir")
+    } finally {
+      // reset so other suites keep the (faster) executor-local path;
+      // Option(null) → None inside setCheckpointDir, and the non-local
+      // path warning short-circuits on isLocal
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("mixtureThresholds: exact integer thresholds, cap at 65536") {
     val df = Seq.tabulate(100)(i =>
       (i.toLong, if (i < 80) "big" else "rare")).toDF("doc_id", "source")

@@ -30,6 +30,20 @@ class LambdaLintSpec extends AnyFunSuite {
     assert(LambdaLint.violations(good.queryExecution.optimizedPlan.toString).isEmpty)
   }
 
+  test("unbalanced paren inside a literal cannot swallow the rest of the plan") {
+    // regexp_replace's pattern literal prints unquoted in plan text; the
+    // stray '(' used to keep the depth count open so the "body" ran to the
+    // end of the plan and flagged the next operator's innocent split(
+    val plan =
+      """Project [transform(xs#1, lambdafunction(regexp_replace(x#0, ([0-9]+, <NUM>), x#0)) AS y#2]
+        |+- Project [split(text#3,  , -1) AS w#4]""".stripMargin
+    assert(LambdaLint.violations(plan).isEmpty,
+      "literal paren swallowed the plan — EOL bound regressed")
+    // and the end-of-line bound must not weaken detection of a real body
+    val bad = "Project [transform(xs#1, lambdafunction(split(t#0,  , -1), t#0)) AS y#2]"
+    assert(LambdaLint.violations(bad).nonEmpty)
+  }
+
   test("every registered query plan is free of per-element re-tokenization") {
     val dirty = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.optimizedPlan.toString

@@ -24,7 +24,7 @@ class LmBroadcastSpec extends AnyFunSuite {
     // threshold 0 = census says "too big"; auto-broadcast disabled so the
     // planner can't independently re-pick broadcast for these sf0.001-tiny
     // tables — with the hint correctly absent the joins MUST shuffle
-    spark.conf.set("graft.lm.broadcastMaxRows", "0")
+    spark.conf.set("graft.lm.broadcastMaxBytes", "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -39,7 +39,7 @@ class LmBroadcastSpec extends AnyFunSuite {
       val got = shufflePath.collect().map(_.toString).sorted
       assert(got.sameElements(expected), "join strategy changed the results")
     } finally {
-      spark.conf.unset("graft.lm.broadcastMaxRows")
+      spark.conf.unset("graft.lm.broadcastMaxBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
