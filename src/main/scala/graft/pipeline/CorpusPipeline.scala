@@ -11,17 +11,25 @@ import graft.operators.Dedup
   *   raw documents
   *     → quality scoring + filter        (one scan, codegen'd signals)
   *     → language ID + filter            (stopword heuristic)
+  *     → LM perplexity gate              (CCNet-style: in-engine bigram
+  *                                        LM, drop the worst deciles
+  *                                        per source)
   *     → exact dedup                     (content-hash groupBy)
   *     → near dedup                      (MinHash/LSH + exact verify;
   *                                        cluster → keep min doc_id)
   *     → token accounting + redaction    (final packing stats)
   *
-  * The curated output is pure DataFrame→DataFrame lineage; the funnel
-  * report costs exactly ONE extra action (a tagged first-drop-stage
-  * aggregation), with the gated subset persisted so the scan isn't
-  * recomputed per consumer. At 100 TB: stages 1-3 are single scans;
+  * The funnel report is derived arithmetically (a flag aggregation plus
+  * bounded counts over already-materialized id sets — never tag-joins),
+  * with the gated subset persisted so the scan isn't recomputed per
+  * consumer. At 100 TB: stages 1-3 are single scans; the LM stage is the
+  * tx_lm_perplexity plan (count-table broadcasts, text never shuffles)
+  * plus a per-source ntile window over (doc_id, score) pairs only;
   * near-dedup is the banded-join path (no all-pairs); the final keep-set
   * join is a broadcast of dropped ids when small, shuffle join otherwise.
+  *
+  * EAGER at construction: `run` computes the funnel counts (and, with
+  * the LM stage on, materializes the LM keep-set) before returning.
   */
 object CorpusPipeline {
 
@@ -29,6 +37,7 @@ object CorpusPipeline {
       minTokens: Int = 20,
       minTtr: Double = 0.1,
       keepLangs: Seq[String] = Nil,          // empty = keep all
+      lmDropWorstDeciles: Int = 1,           // 0 = LM gate off
       nearDupThreshold: Double = 0.7,
       shingleN: Int = 3)
 
@@ -57,12 +66,43 @@ object CorpusPipeline {
     val gated = base.filter(col("q_pass") && col("l_pass"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. exact dedup: keep the canonical (min doc_id) copy per content hash
-    val canonical = Dedup.exact(gated)
-      .select(col("canonical_id").as("doc_id"))
-    val exactKept = gated.join(canonical, Seq("doc_id"), "left_semi")
+    // 3. LM perplexity gate (CCNet's actual filter): train a bigram LM on
+    // the gated corpus's own doc_id % 5 != 0 split, score every gated doc
+    // by avg negative log2-likelihood, and drop the worst
+    // `lmDropWorstDeciles` deciles PER SOURCE. Rank-based (ntile over
+    // (avg_nll, doc_id) — total order, cross-engine deterministic) so no
+    // absolute perplexity threshold needs tuning per corpus; per-source
+    // partitioning keeps the window parallel over domains (the w6
+    // pattern) instead of a global sort. Docs too short to score (< 2
+    // tokens) coalesce to the best rank — the quality gate, not the LM,
+    // owns short docs. The keep-set is (doc_id)-only, materialized once
+    // (Materialize.stable) to serve both the funnel count and the
+    // semi-join; document text never enters the window.
+    val lmKeep =
+      if (cfg.lmDropWorstDeciles <= 0) None
+      else {
+        val scores = graft.queries.Text.lmScores(gated.select("doc_id", "text"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("avg_nll"), col("doc_id"))
+        Some(graft.operators.Materialize.stable(
+          gated.select(col("doc_id"), col("source"))
+            .join(scores.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left")
+            .withColumn("avg_nll", coalesce(col("avg_nll"), lit(0.0)))
+            .withColumn("lm_decile", ntile(10).over(w))
+            .filter(col("lm_decile") <= lit(10 - cfg.lmDropWorstDeciles))
+            .select("doc_id")))
+      }
+    val lmGated = lmKeep match {
+      case Some(keep) => gated.join(keep, Seq("doc_id"), "left_semi")
+      case None       => gated
+    }
 
-    // 4. near dedup: LSH candidates verified exact; drop the larger id of
+    // 4. exact dedup: keep the canonical (min doc_id) copy per content hash
+    val canonical = Dedup.exact(lmGated)
+      .select(col("canonical_id").as("doc_id"))
+    val exactKept = lmGated.join(canonical, Seq("doc_id"), "left_semi")
+
+    // 5. near dedup: LSH candidates verified exact; drop the larger id of
     // every surviving pair (transitive enough for dedup purposes: every
     // dropped doc has a kept or smaller near-duplicate)
     val nearPairs = Dedup.minhashNearDups(exactKept, cfg.nearDupThreshold,
@@ -70,7 +110,7 @@ object CorpusPipeline {
     val dropIds = nearPairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // 5. pack: redacted text + accounting columns
+    // 6. pack: redacted text + accounting columns
     val curated = nearKept.select(
       col("doc_id"), col("lang"), col("source"),
       regexp_replace(col("text"), "[0-9]+", "<NUM>").as("text"),
@@ -80,10 +120,11 @@ object CorpusPipeline {
     // Funnel accounting WITHOUT recomputing the pipeline per stage
     // (previously five uncached count() actions — five full recomputes):
     //   - n0/n1/n2 fall out of ONE flag aggregation over the scan;
+    //   - nLm = the materialized LM keep-set's row count (ids only);
     //   - n3 = number of content-hash groups (one row each in `canonical`);
     //   - n4 = n3 − near-dup drop ids (dropIds ⊆ exact survivors, distinct).
-    // Three bounded actions total, and `gated` is persisted so the quality
-    // scan isn't re-run by the dedup legs.
+    // Bounded actions only, and `gated` is persisted so the quality scan
+    // isn't re-run by the LM/dedup legs.
     val flagAgg = base.agg(
       count(lit(1)).as("n0"),
       sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
@@ -94,10 +135,13 @@ object CorpusPipeline {
     val n3 = canonical.count()
     val n4 = n3 - dropIds.count()
 
-    val report = Seq(
-      (1, "input", n0), (2, "quality_pass", n1), (3, "lang_pass", n2),
-      (4, "exact_dedup_pass", n3), (5, "near_dedup_pass", n4)
-    ).toDF("stage_no", "stage", "rows")
+    val stages =
+      Seq((1, "input", n0), (2, "quality_pass", n1), (3, "lang_pass", n2)) ++
+        lmKeep.map(k => (4, "lm_pass", k.count())).toSeq ++
+        Seq((5, "exact_dedup_pass", n3), (6, "near_dedup_pass", n4))
+    val report = stages.zipWithIndex
+      .map { case ((_, stage, rows), i) => (i + 1, stage, rows) }
+      .toDF("stage_no", "stage", "rows")
       .withColumn("dropped", lag(col("rows"), 1, n0).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("stage_no"))) - col("rows"))
 

@@ -8,27 +8,58 @@ import graft.pipeline.CorpusPipeline
 /** End-to-end pipeline compositions exposed as queries. */
 object PipelineQ {
 
-  /** Full corpus-curation funnel (quality → lang → exact dedup → MinHash
-    * near-dedup → pack) — the composed LLM-training-data pipeline, graded
-    * against a DuckDB oracle that recomputes every stage from first
-    * principles: the quality/TTR flags and md5 exact-dedup are directly
-    * SQL-expressible, and the near-dedup drop set is the brute-force
-    * all-pairs jaccard ≥ 0.7 join over the exact-kept docs — which the
-    * engine's banded LSH+verify path must reproduce exactly (the
+  /** Full corpus-curation funnel (quality → lang → LM perplexity gate →
+    * exact dedup → MinHash near-dedup → pack) — the composed
+    * LLM-training-data pipeline, graded against a DuckDB oracle that
+    * recomputes every stage from first principles: the quality/TTR flags
+    * and md5 exact-dedup are directly SQL-expressible; the LM stage is
+    * the tx_lm_perplexity model (add-one bigram LM trained on the gated
+    * corpus's own %5 split) followed by a per-source ntile(10) gate with
+    * a (avg_nll, doc_id) total order — rank semantics identical across
+    * engines; and the near-dedup drop set is the brute-force all-pairs
+    * jaccard ≥ 0.7 join over the exact-kept docs — which the engine's
+    * banded LSH+verify path must reproduce exactly (the
     * minhash_missed/extra_pairs quant gates prove that equivalence on
     * these fixtures, same contract as dd_minhash_lsh).
     */
   val pipeCorpusReport = QueryDef(
     "pipe_corpus_report",
     Some("""WITH base AS (
-           |  SELECT doc_id, text,
+           |  SELECT doc_id, text, source,
            |         len(string_split(text, ' ')) AS n_tok,
            |         len(list_distinct(string_split(text, ' '))) * 1.0 /
            |           len(string_split(text, ' ')) AS ttr
            |  FROM documents),
            |gated AS (SELECT * FROM base WHERE n_tok >= 20 AND ttr >= 0.05),
-           |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-           |kept AS (SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
+           |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+           |bgl AS (SELECT doc_id,
+           |               CASE WHEN len(w) >= 2
+           |                    THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+           |                    ELSE [] END AS bgs
+           |        FROM d),
+           |cw AS (SELECT t, count(*) AS c
+           |       FROM (SELECT unnest(w) AS t FROM d WHERE doc_id % 5 != 0) GROUP BY t),
+           |vv AS (SELECT count(*) AS v FROM cw),
+           |cb AS (SELECT b, count(*) AS c
+           |       FROM (SELECT unnest(bgs) AS b FROM bgl WHERE doc_id % 5 != 0)
+           |       GROUP BY b),
+           |g AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+           |scored AS (SELECT g.doc_id, coalesce(cb.c, 0) AS cbi,
+           |                  coalesce(cw.c, 0) AS cwi, vv.v AS v
+           |           FROM g LEFT JOIN cb ON g.b = cb.b
+           |                  LEFT JOIN cw ON string_split(g.b, ' ')[1] = cw.t
+           |                  CROSS JOIN vv),
+           |nll AS (SELECT doc_id, round(avg(-log2((cbi + 1.0) / (cwi + v))), 4) AS avg_nll
+           |        FROM scored GROUP BY doc_id),
+           |lmkeep AS (SELECT doc_id FROM (
+           |    SELECT gt.doc_id,
+           |           ntile(10) OVER (PARTITION BY gt.source
+           |             ORDER BY coalesce(nll.avg_nll, 0.0), gt.doc_id) AS dec
+           |    FROM gated gt LEFT JOIN nll ON gt.doc_id = nll.doc_id)
+           |  WHERE dec <= 9),
+           |lmg AS (SELECT g.* FROM gated g JOIN lmkeep k ON g.doc_id = k.doc_id),
+           |canon AS (SELECT min(doc_id) AS doc_id FROM lmg GROUP BY md5(text)),
+           |kept AS (SELECT g.* FROM lmg g JOIN canon c ON g.doc_id = c.doc_id),
            |sh AS (SELECT doc_id,
            |         list_distinct([array_to_string(w[i:i+2], ' ')
            |                        FOR i IN range(1, greatest(len(w)-1, 1))]) AS s
@@ -41,8 +72,9 @@ object PipelineQ {
            |  SELECT 1 AS stage_no, 'input' AS stage, (SELECT count(*) FROM base) AS "rows"
            |  UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM gated)
            |  UNION ALL SELECT 3, 'lang_pass', (SELECT count(*) FROM gated)
-           |  UNION ALL SELECT 4, 'exact_dedup_pass', (SELECT count(*) FROM canon)
-           |  UNION ALL SELECT 5, 'near_dedup_pass',
+           |  UNION ALL SELECT 4, 'lm_pass', (SELECT count(*) FROM lmkeep)
+           |  UNION ALL SELECT 5, 'exact_dedup_pass', (SELECT count(*) FROM canon)
+           |  UNION ALL SELECT 6, 'near_dedup_pass',
            |    (SELECT count(*) FROM canon) - (SELECT count(*) FROM drops))
            |SELECT stage_no, stage, CAST("rows" AS BIGINT) AS "rows",
            |       CAST(COALESCE(lag("rows") OVER (ORDER BY stage_no), "rows") - "rows"
