@@ -415,8 +415,23 @@ object Text {
     * checkpoint when a checkpoint dir is set, executor-local otherwise)
     * and runs the byte-size census that decides the broadcast strategy.
     */
-  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** The shared n-gram LM model tables over `docs`' own `doc_id % 5 != 0`
+    * train split: token counts `cw` (w1, cwc), bigram counts `cb`
+    * (b, cbc), vocab size `vDf` (one row), the corpus bigram frame `bg`,
+    * and the census byte budget. Both count tables are materialized once
+    * ([[graft.operators.Materialize.stable]] — NOT persist: cache fills
+    * compile without AQE, and CacheManager would pin the frames for the
+    * session) so they serve the size census, the bigram scorer, and the
+    * trigram scorer's two extra lookups without rebuilding.
+    */
+  private final case class LmModel(
+      bg: org.apache.spark.sql.DataFrame,
+      cw: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      vDf: org.apache.spark.sql.DataFrame,
+      maxBytes: Long)
+
+  private def lmModel(docs: org.apache.spark.sql.DataFrame): LmModel = {
     val spark = docs.sparkSession
     val maxBytes = spark.conf.getOption("graft.lm.broadcastMaxBytes")
       .map(_.toLong).getOrElse(256L << 20)
@@ -424,20 +439,23 @@ object Text {
     val trainTok = docs
       .filter(col("doc_id") % 5 =!= 0)
       .select(explode(TextFns.tokens(col("text"))).as("w1"))
-    // Materialize.stable (NOT persist: cache fills compile without AQE,
-    // and CacheManager would pin the frames for the session) so the model
-    // tables build ONCE and serve both the size census and the join.
     val cw = graft.operators.Materialize.stable(
       trainTok.groupBy("w1").agg(count(lit(1)).as("cwc")))
     val vDf = cw.agg(count(lit(1)).as("v"))
     val cb = graft.operators.Materialize.stable(
       bg.filter(col("doc_id") % 5 =!= 0)
         .groupBy("b").agg(count(lit(1)).as("cbc")))
-    bg
+    LmModel(bg, cw, cb, vDf, maxBytes)
+  }
+
+  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = lmModel(docs)
+    m.bg
       .withColumn("w1", split(col("b"), " ").getItem(0))
-      .join(broadcastIfFits(cb, "b", maxBytes), Seq("b"), "left")
-      .join(broadcastIfFits(cw, "w1", maxBytes), Seq("w1"), "left")
-      .crossJoin(broadcast(vDf)) // one row by construction
+      .join(broadcastIfFits(m.cb, "b", m.maxBytes), Seq("b"), "left")
+      .join(broadcastIfFits(m.cw, "w1", m.maxBytes), Seq("w1"), "left")
+      .crossJoin(broadcast(m.vDf)) // one row by construction
       .select(col("doc_id"),
         coalesce(col("cbc"), lit(0L)).as("cbi"),
         coalesce(col("cwc"), lit(0L)).as("cwi"), col("v"))
@@ -446,6 +464,124 @@ object Text {
         sum(when(col("cbi") === 0, 1).otherwise(0)).as("oov_bigrams"),
         r4(avg(-log2((col("cbi") + lit(1.0)) / (col("cwi") + col("v")))))
           .as("avg_nll"))
+  }
+
+  /** (doc_id, t, b12, b23, w2) — one row per trigram occurrence, plus the
+    * context keys the interpolated model joins on. Trigram strings come
+    * from two nested `zip_with`s over slices of the BOUND token column
+    * (lambda bodies reference lambda variables only — the LambdaLint
+    * contract); the per-occurrence key columns are derived in a
+    * projection AFTER the explode (codegen'd, linear — never inside a
+    * lambda).
+    */
+  private[graft] def trigramFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val n = size(col("w"))
+    val tail2 = zip_with(slice(col("w"), lit(2), n - 2), slice(col("w"), lit(3), n - 2),
+      (b, c) => concat_ws(" ", b, c))
+    // when-guard because slice() rejects a negative length (n < 3 docs).
+    val tgs = when(n >= 3,
+      zip_with(slice(col("w"), lit(1), n - 2), tail2,
+        (a, bc) => concat_ws(" ", a, bc)))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(tgs).as("t"))
+      .select(col("doc_id"), col("t"), split(col("t"), " ").as("p"))
+      .select(col("doc_id"), col("t"),
+        concat_ws(" ", col("p").getItem(0), col("p").getItem(1)).as("b12"),
+        concat_ws(" ", col("p").getItem(1), col("p").getItem(2)).as("b23"),
+        col("p").getItem(1).as("w2"))
+  }
+
+  /** Jelinek-Mercer interpolated trigram LM scoring: the trigram MLE
+    * backed off into the add-one bigram model —
+    *   P(w3|w1 w2) = λ·c(w1w2w3)/c(w1w2)  +  (1−λ)·(c(w2w3)+1)/(c(w2)+V)
+    * with λ = 0.7 and the trigram term dropped when the context c(w1w2)
+    * is unseen (the bigram term keeps P > 0 everywhere, so no extra
+    * smoothing is needed). c(w1w2) is the plain train bigram count — the
+    * standard context approximation (off by ≤ 1 per document tail), and
+    * identical in the oracle.
+    *
+    * Scale design: shares `cw`/`cb`/V with the bigram scorer via
+    * [[lmModel]] and adds exactly one more count table (train trigrams,
+    * Zipf-truncated like the bigrams) — all census-gated broadcasts, so
+    * the 100 TB scoring pass stays one explode + four broadcast lookups +
+    * one map-side-combined re-agg; document text never shuffles and the
+    * same over-threshold degradation to shuffle joins applies.
+    */
+  val txLmTrigram = QueryDef(
+    "tx_lm_trigram",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |tg AS (SELECT doc_id,
+           |              CASE WHEN len(w) >= 3
+           |                   THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                         FOR i IN range(1, len(w) - 1)]
+           |                   ELSE [] END AS tgs
+           |       FROM d),
+           |bgl AS (SELECT doc_id,
+           |               CASE WHEN len(w) >= 2
+           |                    THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+           |                    ELSE [] END AS bgs
+           |        FROM d),
+           |cw AS (SELECT t, count(*) AS c
+           |       FROM (SELECT unnest(w) AS t FROM d WHERE doc_id % 5 != 0) GROUP BY t),
+           |vv AS (SELECT count(*) AS v FROM cw),
+           |cb AS (SELECT b, count(*) AS c
+           |       FROM (SELECT unnest(bgs) AS b FROM bgl WHERE doc_id % 5 != 0)
+           |       GROUP BY b),
+           |c3 AS (SELECT t, count(*) AS c
+           |       FROM (SELECT unnest(tgs) AS t FROM tg WHERE doc_id % 5 != 0)
+           |       GROUP BY t),
+           |g AS (SELECT doc_id, t, string_split(t, ' ') AS p
+           |      FROM (SELECT doc_id, unnest(tgs) AS t FROM tg)),
+           |sc AS (SELECT g.doc_id,
+           |              coalesce(c3.c, 0) AS c3i, coalesce(b12.c, 0) AS c12i,
+           |              coalesce(b23.c, 0) AS c23i, coalesce(cw.c, 0) AS cw2i,
+           |              vv.v AS v
+           |       FROM g LEFT JOIN c3 ON g.t = c3.t
+           |              LEFT JOIN cb b12 ON p[1] || ' ' || p[2] = b12.b
+           |              LEFT JOIN cb b23 ON p[2] || ' ' || p[3] = b23.b
+           |              LEFT JOIN cw ON p[2] = cw.t
+           |              CROSS JOIN vv)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_trigrams,
+           |       CAST(sum(CASE WHEN c3i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_trigrams,
+           |       round(avg(-log2(
+           |         CASE WHEN c12i > 0 THEN 0.7::DOUBLE * c3i / c12i
+           |              ELSE 0.0::DOUBLE END
+           |         + 0.3::DOUBLE * (c23i + 1.0) / (cw2i + v))), 4) AS avg_nll
+           |FROM sc GROUP BY doc_id""".stripMargin),
+    (spark, dir) => trigramScores(Tables.documents(spark, dir)))
+
+  private[graft] def trigramScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = lmModel(docs)
+    val tg = trigramFrame(docs)
+    val c3 = graft.operators.Materialize.stable(
+      tg.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("t").agg(count(lit(1)).as("c3c")))
+    val cb12 = m.cb.withColumnRenamed("b", "b12").withColumnRenamed("cbc", "c12c")
+    val cb23 = m.cb.withColumnRenamed("b", "b23").withColumnRenamed("cbc", "c23c")
+    val cw2 = m.cw.withColumnRenamed("w1", "w2").withColumnRenamed("cwc", "cw2c")
+    val pTri = when(col("c12i") > 0,
+      lit(0.7) * col("c3i") / col("c12i")).otherwise(lit(0.0))
+    val pBi = lit(0.3) * (col("c23i") + lit(1.0)) / (col("cw2i") + col("v"))
+    tg
+      .join(broadcastIfFits(c3, "t", m.maxBytes), Seq("t"), "left")
+      .join(broadcastIfFits(cb12, "b12", m.maxBytes), Seq("b12"), "left")
+      .join(broadcastIfFits(cb23, "b23", m.maxBytes), Seq("b23"), "left")
+      .join(broadcastIfFits(cw2, "w2", m.maxBytes), Seq("w2"), "left")
+      .crossJoin(broadcast(m.vDf)) // one row by construction
+      .select(col("doc_id"),
+        coalesce(col("c3c"), lit(0L)).as("c3i"),
+        coalesce(col("c12c"), lit(0L)).as("c12i"),
+        coalesce(col("c23c"), lit(0L)).as("c23i"),
+        coalesce(col("cw2c"), lit(0L)).as("cw2i"), col("v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3i") === 0, 1).otherwise(0)).as("oov_trigrams"),
+        r4(avg(-log2(pTri + pBi))).as("avg_nll"))
   }
 
   /** BM25 lexical top-k retrieval (Robertson/Sparck-Jones; k1=1.2,
@@ -510,5 +646,5 @@ object Text {
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition,
-    txChunks, txLmPerplexity, txBm25)
+    txChunks, txLmPerplexity, txLmTrigram, txBm25)
 }
