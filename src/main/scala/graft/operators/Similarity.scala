@@ -144,6 +144,46 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Nearest-centroid (Rocchio) label model: the per-label element-wise
+    * MEAN embedding is each class's prototype; every vector is assigned
+    * the label of its highest-cosine prototype. The classical centroid
+    * classifier for embedding spaces — and the building block for
+    * label-guided domain bucketing of a training corpus (assign every
+    * document's embedding to the nearest curated-domain centroid).
+    *
+    * Scale design: the prototype build is posexplode → (label, pos)
+    * partial-aggregated means (distributes over any corpus size; the
+    * shuffle carries (label, pos, sum, count) only) → one #labels-row
+    * table, which BROADCASTS to the assignment pass; assignment is a
+    * map-side cross join (#labels small by contract) + the codegen'd
+    * native cosine, and the per-vector argmax window sees exactly
+    * #labels rows per partition key. Deterministic: 6-decimal rounding
+    * with label-id tiebreak (the `sim_knn_*` convention).
+    */
+  def centroidAssign(
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val exp = vectors
+      .select(col(labelCol).as("clabel"), posexplode(asDouble(col(vecCol))))
+      .groupBy("clabel", "pos").agg(avg(col("col")).as("m"))
+    val cent = exp.groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cosine").desc, col("clabel"))
+    vectors
+      .select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cosine",
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(labelCol),
+        col("clabel").as("pred_label"), col("cosine"))
+  }
+
   /** Bucketed ANN: probes scan only their own SRP bucket. Recall < 1 by
     * construction; raise p for smaller buckets, lower it for recall.
     */

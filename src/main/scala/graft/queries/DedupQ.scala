@@ -246,6 +246,33 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** Nearest-centroid label assignment (Rocchio): per-label mean
+    * embedding as the class prototype, every vector assigned to its
+    * highest-cosine prototype. Fully deterministic (mean + 6-decimal
+    * rounding + label tiebreak), so the whole model — prototype build
+    * included — is oracle-checked, unlike the k-means IVF path.
+    */
+  val simCentroidAssign = QueryDef(
+    "sim_centroid_assign",
+    Some("""WITH exp AS (
+           |  SELECT label AS clabel, s['p'] AS pos, s['v']::DOUBLE AS v
+           |  FROM (SELECT label, unnest([{'p': i, 'v': embedding[i]}
+           |                              FOR i IN range(1, len(embedding) + 1)]) AS s
+           |        FROM embeddings)),
+           |cent AS (SELECT clabel, list(m ORDER BY pos) AS cv
+           |         FROM (SELECT clabel, pos, avg(v) AS m FROM exp GROUP BY clabel, pos)
+           |         GROUP BY clabel),
+           |scored AS (
+           |  SELECT e.vec_id, e.label, c.clabel,
+           |         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cosine
+           |  FROM embeddings e CROSS JOIN cent c)
+           |SELECT vec_id, label, clabel AS pred_label, cosine FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY cosine DESC, clabel) AS rk
+           |  FROM scored) WHERE rk = 1""".stripMargin),
+    (spark, dir) =>
+      Similarity.centroidAssign(Tables.embeddings(spark, dir)))
+
   /** Dedup-cluster closure: connected components over the jaccard ≥ 0.7
     * near-dup pair set — every doc labeled with the min doc_id reachable
     * through near-dup links (pairwise drop-larger-id is not transitive;
@@ -356,6 +383,6 @@ object DedupQ {
 
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
-    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, ddComponents,
-    ddIncremental, ddSemantic)
+    ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
+    ddComponents, ddIncremental, ddSemantic)
 }

@@ -215,4 +215,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 4L).map(i => i -> i).toMap)
   }
+
+  test("centroidAssign: total assignment, valid labels, prototypes classify themselves") {
+    val e = Tables.embeddings(spark, sf)
+    val assigned = graft.operators.Similarity.centroidAssign(e)
+    val rows = assigned.collect()
+    assert(rows.length == e.count(), "every vector gets exactly one label")
+    val labels = e.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getAs[Int]("pred_label")).toSet.subsetOf(labels))
+    // a synthetic vector AT a prototype must classify as that prototype's
+    // label: axis-aligned clusters make the means near-axis unit vectors
+    import spark.implicits._
+    val crisp = (0 until 4).flatMap { lab =>
+      (0 until 20).map { i =>
+        val v = Array.fill(8)(0.01f * (i % 3))
+        v(lab) = 1.0f
+        (lab.toLong * 100 + i, v.toSeq, lab)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val crispAssigned = graft.operators.Similarity.centroidAssign(crisp)
+    val wrong = crispAssigned
+      .filter(col("label") =!= col("pred_label")).count()
+    assert(wrong == 0, s"$wrong separable vectors misclassified")
+  }
 }
