@@ -133,6 +133,20 @@ object ExplainCheck {
       "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
         !p.contains("SortMergeJoin")
     }
+    // trigram LM: all four count-table lookups reach the scorer as
+    // broadcasts (same contract as the bigram scorer — the 100 TB text
+    // stream joins model-side, never shuffles doc-side)
+    check("tx_lm_trigram", "four count tables broadcast to scoring join") { p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 4 &&
+        !p.contains("SortMergeJoin")
+    }
+    // nearest-centroid assignment: the #labels-row prototype table ships
+    // broadcast (cross join = BNLJ over a tiny build side, by design);
+    // the argmax window partitions on vec_id, never a global window
+    check("sim_centroid_assign", "broadcast prototypes + per-vector window") { p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+        "windowspecdefinition\\(vec_id#".r.findFirstIn(p).nonEmpty
+    }
     // semantic dedup: the self-join meets on the block key via a real
     // equi-join (blocking bounds the pair space; nothing all-pairs)
     check("dd_semantic", "block-keyed equi self-join, no BNLJ") { p =>
