@@ -484,6 +484,64 @@ object Dedup {
         when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"))
   }
 
+  /** Lexical-vs-semantic near-dup AGREEMENT: every pair flagged by either
+    * signal — MinHash/LSH+verify over text shingles (jaccard ≥ `jt`) or
+    * sign-sketch-blocked embedding cosine (cosine ≥ `ct`, the
+    * semanticNearDupVerdicts pair space) — with BOTH scores computed for
+    * every emitted pair and a verdict: `both` / `lexical_only` /
+    * `semantic_only`. The standard curation diagnostic: paraphrase
+    * duplicates surface as semantic_only, boilerplate/template
+    * duplicates as lexical_only, near-copies as both; the disagreement
+    * rate calibrates the two thresholds against each other before a
+    * full-corpus dedup run. `docs.doc_id` and `emb.vec_id` must be the
+    * same id space (document embeddings).
+    *
+    * Scale design: both pair generators are the existing sub-quadratic
+    * paths (banded LSH join, block-keyed semantic self-join) — nothing
+    * all-pairs; the agreement is a full outer join ON THE PAIR SETS
+    * (≪ corpus) and the missing side's score fills in via four bounded
+    * hash-join lookups (two shingle sets, two embeddings) keyed on id.
+    */
+  def signalAgreement(
+      docs: DataFrame,
+      emb: DataFrame,
+      jaccardThreshold: Double = 0.7,
+      cosineThreshold: Double = 0.3,
+      shingleN: Int = 3,
+      signBits: Int = 6): DataFrame = {
+    val lex = minhashNearDups(docs, jaccardThreshold, shingleN = shingleN)
+      .select(col("id_a"), col("id_b"))
+    val blk = (0 until signBits)
+      .map(i => when(element_at(col("embedding"), i + 1) >= 0,
+        lit(1 << (signBits - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    val b = emb.select(col("vec_id"), asD.as("v"), blk.cast("int").as("blk"))
+    val sem = b.select(col("vec_id").as("id_a"), col("blk"), col("v").as("va"))
+      .join(b.select(col("vec_id").as("id_b"), col("blk"), col("v").as("vb")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.plans.VectorFunctions.cosine_sim(col("va"), col("vb"))
+        >= cosineThreshold)
+      .select(col("id_a"), col("id_b"))
+    val pairs = lex.withColumn("lex", lit(true))
+      .join(sem.withColumn("sem", lit(true)), Seq("id_a", "id_b"), "full_outer")
+    val hs = docs.select(col("doc_id"),
+      TextFns.shingleHashes(col("text"), shingleN).as("sh"))
+    val ev = emb.select(col("vec_id"), asD.as("v"))
+    pairs
+      .join(hs.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(hs.toDF("id_b", "sh_b"), Seq("id_b"))
+      .join(ev.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(ev.toDF("id_b", "v_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        graft.plans.VectorFunctions.cosine_sim(col("v_a"), col("v_b")).as("cosine"),
+        when(coalesce(col("lex"), lit(false)) && coalesce(col("sem"), lit(false)),
+          "both")
+          .when(coalesce(col("lex"), lit(false)), "lexical_only")
+          .otherwise("semantic_only").as("verdict"))
+  }
+
   // ---------------------------------------------------------- set metrics
 
   /** Exact Jaccard similarity between two (already-distinct) arrays. */

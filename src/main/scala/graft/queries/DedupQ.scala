@@ -246,6 +246,59 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** Lexical-vs-semantic dedup agreement: pairs flagged by MinHash/LSH
+    * text similarity, sign-blocked embedding cosine, or both — with both
+    * scores on every pair. The oracle recomputes both pair generators
+    * brute-force/blocked from first principles and the full outer join.
+    */
+  val ddSignalAgreement = QueryDef(
+    "dd_signal_agreement",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+           |                                FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |lex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |blk AS (
+           |  SELECT vec_id, embedding,
+           |         CAST(CASE WHEN embedding[1] >= 0 THEN 32 ELSE 0 END
+           |            + CASE WHEN embedding[2] >= 0 THEN 16 ELSE 0 END
+           |            + CASE WHEN embedding[3] >= 0 THEN 8 ELSE 0 END
+           |            + CASE WHEN embedding[4] >= 0 THEN 4 ELSE 0 END
+           |            + CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END
+           |            + CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS blk
+           |  FROM embeddings),
+           |sem AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           |        FROM blk x JOIN blk y ON x.blk = y.blk AND x.vec_id < y.vec_id
+           |        WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3),
+           |pairs AS (
+           |  SELECT coalesce(l.id_a, s2.id_a) AS id_a, coalesce(l.id_b, s2.id_b) AS id_b,
+           |         l.id_a IS NOT NULL AS lex, s2.id_a IS NOT NULL AS sem
+           |  FROM lex l FULL OUTER JOIN sem s2
+           |    ON l.id_a = s2.id_a AND l.id_b = s2.id_b)
+           |SELECT p.id_a, p.id_b,
+           |       round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+           |                  THEN 0.0
+           |                  ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+           |                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END,
+           |             4) AS jaccard,
+           |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine,
+           |       CASE WHEN p.lex AND p.sem THEN 'both'
+           |            WHEN p.lex THEN 'lexical_only'
+           |            ELSE 'semantic_only' END AS verdict
+           |FROM pairs p
+           |JOIN sh a ON p.id_a = a.doc_id
+           |JOIN sh b ON p.id_b = b.doc_id
+           |JOIN embeddings ea ON p.id_a = ea.vec_id
+           |JOIN embeddings eb ON p.id_b = eb.vec_id""".stripMargin),
+    (spark, dir) =>
+      Dedup.signalAgreement(Tables.documents(spark, dir),
+          Tables.embeddings(spark, dir))
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"),
+          r4(col("cosine")).as("cosine"), col("verdict")))
+
   /** Nearest-centroid label assignment (Rocchio): per-label mean
     * embedding as the class prototype, every vector assigned to its
     * highest-cosine prototype. Fully deterministic (mean + 6-decimal
@@ -384,5 +437,5 @@ object DedupQ {
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
-    ddComponents, ddIncremental, ddSemantic)
+    ddComponents, ddIncremental, ddSemantic, ddSignalAgreement)
 }
