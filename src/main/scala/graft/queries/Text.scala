@@ -449,16 +449,29 @@ object Text {
   }
 
   private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val m = lmModel(docs)
-    m.bg
+      : org.apache.spark.sql.DataFrame = lmScoreAgainst(docs)(docs)
+
+  /** Score a (possibly STREAMING) (doc_id, text) frame against the LM
+    * trained on a STATIC reference corpus — the ingestion-time quality
+    * filter: the model tables build once ([[graft.operators.Materialize
+    * .stable]]) and reach every micro-batch as broadcasts; the vocab size
+    * ships as a LITERAL (one bounded driver probe at construction) so the
+    * plan has no stream-static cross join. With `trainDocs` = the scored
+    * corpus itself this IS `lmScores` (tx_lm_perplexity); with a stream
+    * it is the production filter-at-ingest shape — StreamingSpec proves
+    * file-source micro-batch results are bit-identical to the batch run.
+    */
+  private[graft] def lmScoreAgainst(trainDocs: org.apache.spark.sql.DataFrame)(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = lmModel(trainDocs)
+    val v = m.vDf.head.getLong(0) // vocab size: bounded driver probe
+    bigramFrame(docs)
       .withColumn("w1", split(col("b"), " ").getItem(0))
       .join(broadcastIfFits(m.cb, "b", m.maxBytes), Seq("b"), "left")
       .join(broadcastIfFits(m.cw, "w1", m.maxBytes), Seq("w1"), "left")
-      .crossJoin(broadcast(m.vDf)) // one row by construction
       .select(col("doc_id"),
         coalesce(col("cbc"), lit(0L)).as("cbi"),
-        coalesce(col("cwc"), lit(0L)).as("cwi"), col("v"))
+        coalesce(col("cwc"), lit(0L)).as("cwi"), lit(v).as("v"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cbi") === 0, 1).otherwise(0)).as("oov_bigrams"),

@@ -60,6 +60,30 @@ object EventsStreaming {
     readEventsDir(spark, staged.toString)
   }
 
+  /** Streaming read of the documents fixture (same symlink-dir adapter as
+    * `readEvents` — the file source needs a directory). The production
+    * shape for ingestion-time corpus filtering: new document shards land
+    * in the directory and each micro-batch flows through the broadcast-
+    * model scorers (`Text.lmScoreAgainst`).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file._
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_docstream_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(staged)
+    val link = staged.resolve("documents.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(dir, "documents.parquet"))
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(staged.toString)
+  }
+
   /** Tumbling 6h windows per event_type with a 1h watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

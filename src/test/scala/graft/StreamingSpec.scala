@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == Tables.events(spark, sf).count()) // fixture has no dups
   }
 
+  test("streaming LM scoring (broadcast model) is bit-identical to the batch scorer") {
+    // the filter-at-ingest shape: model tables trained on the static
+    // reference corpus, document micro-batches scored through the same
+    // broadcast joins; complete mode observes the finite source's full
+    // per-doc aggregation
+    val docs = Tables.documents(spark, sf)
+    val expected = graft.queries.Text.lmScores(docs)
+      .collect().map(_.toString).sorted
+    val scored = graft.queries.Text.lmScoreAgainst(docs)(
+      EventsStreaming.readDocuments(spark, sf).select(col("doc_id"), col("text")))
+    assert(scored.isStreaming, "scorer must accept a streaming frame")
+    val got = EventsStreaming.runToCompletion(scored, "lm_stream", mode = "complete")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(expected))
+  }
+
   test("foreachBatch append sink is idempotent across stream replays") {
     val factPath = java.nio.file.Files.createTempDirectory("graft_fact").toString + "/events"
     // first run: full fixture lands
