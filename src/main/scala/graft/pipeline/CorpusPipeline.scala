@@ -17,6 +17,8 @@ import graft.operators.Dedup
   *     → exact dedup                     (content-hash groupBy)
   *     → near dedup                      (MinHash/LSH + exact verify;
   *                                        cluster → keep min doc_id)
+  *     → decontamination (optional)      (benchmark n-gram leakage guard
+  *                                        vs a held-out eval corpus)
   *     → token accounting + redaction    (final packing stats)
   *
   * The funnel report is derived arithmetically (a flag aggregation plus
@@ -39,11 +41,18 @@ object CorpusPipeline {
       keepLangs: Seq[String] = Nil,          // empty = keep all
       lmDropWorstDeciles: Int = 1,           // 0 = LM gate off
       nearDupThreshold: Double = 0.7,
-      shingleN: Int = 3)
+      shingleN: Int = 3,
+      deconNgram: Int = 5)                   // n for the decontamination stage
 
   final case class Result(curated: DataFrame, report: DataFrame)
 
-  def run(docs: DataFrame, cfg: Config = Config()): Result = {
+  /** `evalDocs`: an optional held-out benchmark corpus — when present,
+    * the final funnel stage drops curated docs sharing ≥ 1 distinct
+    * `deconNgram`-gram with it (GPT-3-appendix-C-style leakage guard,
+    * run LAST so only surviving docs pay the gram join).
+    */
+  def run(docs: DataFrame, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -110,8 +119,17 @@ object CorpusPipeline {
     val dropIds = nearPairs.select(col("id_b").as("doc_id")).distinct()
     val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // 6. pack: redacted text + accounting columns
-    val curated = nearKept.select(
+    // 6. decontamination (optional): drop survivors that leak benchmark
+    // n-grams — the broadcast semijoin path (eval gram set is
+    // benchmark-sized); runs after dedup so only kept docs pay the join.
+    val deconKept = evalDocs match {
+      case Some(ev) if cfg.deconNgram > 0 =>
+        graft.operators.Decontaminate.clean(nearKept, ev, cfg.deconNgram)
+      case _ => nearKept
+    }
+
+    // 7. pack: redacted text + accounting columns
+    val curated = deconKept.select(
       col("doc_id"), col("lang"), col("source"),
       regexp_replace(col("text"), "[0-9]+", "<NUM>").as("text"),
       col("n_tokens"), col("ttr"),
@@ -138,7 +156,10 @@ object CorpusPipeline {
     val stages =
       Seq((1, "input", n0), (2, "quality_pass", n1), (3, "lang_pass", n2)) ++
         lmKeep.map(k => (4, "lm_pass", k.count())).toSeq ++
-        Seq((5, "exact_dedup_pass", n3), (6, "near_dedup_pass", n4))
+        Seq((5, "exact_dedup_pass", n3), (6, "near_dedup_pass", n4)) ++
+        (if (evalDocs.isDefined && cfg.deconNgram > 0)
+           Seq((7, "decontaminated", deconKept.count()))
+         else Nil)
     val report = stages.zipWithIndex
       .map { case ((_, stage, rows), i) => (i + 1, stage, rows) }
       .toDF("stage_no", "stage", "rows")

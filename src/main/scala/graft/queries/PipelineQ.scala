@@ -9,27 +9,32 @@ import graft.pipeline.CorpusPipeline
 object PipelineQ {
 
   /** Full corpus-curation funnel (quality → lang → LM perplexity gate →
-    * exact dedup → MinHash near-dedup → pack) — the composed
-    * LLM-training-data pipeline, graded against a DuckDB oracle that
-    * recomputes every stage from first principles: the quality/TTR flags
-    * and md5 exact-dedup are directly SQL-expressible; the LM stage is
-    * the tx_lm_perplexity model (add-one bigram LM trained on the gated
-    * corpus's own %5 split) followed by a per-source ntile(10) gate with
-    * a (avg_nll, doc_id) total order — rank semantics identical across
-    * engines; and the near-dedup drop set is the brute-force all-pairs
+    * exact dedup → MinHash near-dedup → decontamination → pack) — the
+    * composed LLM-training-data pipeline, graded against a DuckDB oracle
+    * that recomputes every stage from first principles: the quality/TTR
+    * flags and md5 exact-dedup are directly SQL-expressible; the LM stage
+    * is the tx_lm_perplexity model (add-one bigram LM trained on the
+    * gated corpus's own %5 split) followed by a per-source ntile(10) gate
+    * with a (avg_nll, doc_id) total order — rank semantics identical
+    * across engines; the near-dedup drop set is the brute-force all-pairs
     * jaccard ≥ 0.7 join over the exact-kept docs — which the engine's
     * banded LSH+verify path must reproduce exactly (the
     * minhash_missed/extra_pairs quant gates prove that equivalence on
-    * these fixtures, same contract as dd_minhash_lsh).
+    * these fixtures, same contract as dd_minhash_lsh); and the final
+    * stage drops survivors sharing a distinct 5-gram with the held-out
+    * 10% eval split (the pipe_decontaminate contract, hashed grams ≡
+    * string grams modulo xxhash64 collisions).
     */
   val pipeCorpusReport = QueryDef(
     "pipe_corpus_report",
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT doc_id, text, source,
            |         len(string_split(text, ' ')) AS n_tok,
            |         len(list_distinct(string_split(text, ' '))) * 1.0 /
            |           len(string_split(text, ' ')) AS ttr
-           |  FROM documents),
+           |  FROM documents
+           |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           |          >= '${graft.operators.Sampling.hexThreshold(0.1)}'),
            |gated AS (SELECT * FROM base WHERE n_tok >= 20 AND ttr >= 0.05),
            |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
            |bgl AS (SELECT doc_id,
@@ -68,6 +73,22 @@ object PipelineQ {
            |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
            |                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |survivors AS (SELECT k.doc_id, k.text FROM kept k
+           |              LEFT JOIN drops d ON k.doc_id = d.doc_id
+           |              WHERE d.doc_id IS NULL),
+           |ev AS (SELECT string_split(text, ' ') AS w FROM documents
+           |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           |               < '${graft.operators.Sampling.hexThreshold(0.1)}'),
+           |evg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+           |                                FOR i IN range(1, greatest(len(w) - 3, 1))]) AS g
+           |        FROM ev),
+           |flagged AS (SELECT DISTINCT t.doc_id
+           |            FROM (SELECT doc_id,
+           |                         unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+           |                                FOR i IN range(1, greatest(len(w) - 3, 1))])) AS g
+           |                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |                        FROM survivors)) t
+           |            JOIN evg e ON t.g = e.g),
            |counts AS (
            |  SELECT 1 AS stage_no, 'input' AS stage, (SELECT count(*) FROM base) AS "rows"
            |  UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM gated)
@@ -75,16 +96,22 @@ object PipelineQ {
            |  UNION ALL SELECT 4, 'lm_pass', (SELECT count(*) FROM lmkeep)
            |  UNION ALL SELECT 5, 'exact_dedup_pass', (SELECT count(*) FROM canon)
            |  UNION ALL SELECT 6, 'near_dedup_pass',
-           |    (SELECT count(*) FROM canon) - (SELECT count(*) FROM drops))
+           |    (SELECT count(*) FROM canon) - (SELECT count(*) FROM drops)
+           |  UNION ALL SELECT 7, 'decontaminated',
+           |    (SELECT count(*) FROM survivors) - (SELECT count(*) FROM flagged))
            |SELECT stage_no, stage, CAST("rows" AS BIGINT) AS "rows",
            |       CAST(COALESCE(lag("rows") OVER (ORDER BY stage_no), "rows") - "rows"
            |            AS BIGINT) AS dropped
            |FROM counts""".stripMargin),
-    (spark, dir) =>
-      CorpusPipeline.run(Tables.documents(spark, dir),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val isEval = Decontaminate.isEval(col("doc_id"), 0.1)
+      CorpusPipeline.run(docs.filter(!isEval),
           CorpusPipeline.Config(minTokens = 20, minTtr = 0.05,
-            nearDupThreshold = 0.7))
-        .report.orderBy(col("stage_no")))
+            nearDupThreshold = 0.7),
+          evalDocs = Some(docs.filter(isEval)))
+        .report.orderBy(col("stage_no"))
+    })
 
   /** Fixed-token-budget shard packing over the corpus (deterministic
     * doc_id order): the distributed two-phase prefix sum must reproduce
