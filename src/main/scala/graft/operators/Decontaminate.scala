@@ -81,7 +81,18 @@ object Decontaminate {
     */
   def clean(train: DataFrame, evalDocs: DataFrame, n: Int,
       minHits: Long = 1L, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    cleanCounted(train, evalDocs, n, minHits, textCol, idCol)._1
+
+  /** `clean` plus the FLAGGED-id count the census already paid for —
+    * callers accounting a funnel derive the survivor count as
+    * |train| − flagged arithmetically instead of re-scanning the cleaned
+    * frame (flagged ⊆ train by construction, so the subtraction is
+    * exact).
+    */
+  def cleanCounted(train: DataFrame, evalDocs: DataFrame, n: Int,
+      minHits: Long = 1L, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, Long) = {
     val maxBytes = train.sparkSession.conf
       .getOption("graft.decontaminate.broadcastMaxBytes")
       .map(_.toLong).getOrElse(256L << 20)
@@ -91,7 +102,8 @@ object Decontaminate {
         .select(col(idCol)))
     // ids are fixed-width: estimated broadcast size is rows × 48 B
     // (UnsafeRow + hash-relation entry overhead per id).
-    val hinted = if (flagged.count() * 48L <= maxBytes) broadcast(flagged) else flagged
-    train.join(hinted, Seq(idCol), "left_anti")
+    val nFlagged = flagged.count()
+    val hinted = if (nFlagged * 48L <= maxBytes) broadcast(flagged) else flagged
+    (train.join(hinted, Seq(idCol), "left_anti"), nFlagged)
   }
 }

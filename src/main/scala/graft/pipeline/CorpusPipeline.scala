@@ -122,10 +122,12 @@ object CorpusPipeline {
     // 6. decontamination (optional): drop survivors that leak benchmark
     // n-grams — the broadcast semijoin path (eval gram set is
     // benchmark-sized); runs after dedup so only kept docs pay the join.
-    val deconKept = evalDocs match {
+    // cleanCounted returns the flagged count the census already paid
+    // for, so the funnel row below is pure arithmetic (no extra scan).
+    val (deconKept, nFlagged) = evalDocs match {
       case Some(ev) if cfg.deconNgram > 0 =>
-        graft.operators.Decontaminate.clean(nearKept, ev, cfg.deconNgram)
-      case _ => nearKept
+        graft.operators.Decontaminate.cleanCounted(nearKept, ev, cfg.deconNgram)
+      case _ => (nearKept, 0L)
     }
 
     // 7. pack: redacted text + accounting columns
@@ -158,7 +160,7 @@ object CorpusPipeline {
         lmKeep.map(k => (4, "lm_pass", k.count())).toSeq ++
         Seq((5, "exact_dedup_pass", n3), (6, "near_dedup_pass", n4)) ++
         (if (evalDocs.isDefined && cfg.deconNgram > 0)
-           Seq((7, "decontaminated", deconKept.count()))
+           Seq((7, "decontaminated", n4 - nFlagged))
          else Nil)
     val report = stages.zipWithIndex
       .map { case ((_, stage, rows), i) => (i + 1, stage, rows) }
