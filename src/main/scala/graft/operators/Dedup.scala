@@ -484,6 +484,48 @@ object Dedup {
         when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"))
   }
 
+  /** Bloom-filter pre-filter for incremental ingest, built on Spark's
+    * native mergeable `BloomFilterAggregate` sketch (the expression
+    * behind AQE runtime row-filtering, reused as a first-class operator):
+    * ONE pass over the existing corpus builds a Bloom filter of xxhash64
+    * content fingerprints (TypedImperativeAggregate — partial buffers
+    * merge map-side, the corpus never shuffles); the filter ships to the
+    * batch as a literal (the IVF centroid-literal convention) and every
+    * new doc probes it MAP-SIDE, no join.
+    *
+    * Contract: `might_dup = false` is DEFINITELY new — Bloom filters
+    * have no false negatives — so those docs skip the dedup probe join
+    * entirely; `might_dup = true` rows (true dups + ≈fpp false alarms)
+    * proceed to the exact verify join. At ingest rates where the batch ≪
+    * corpus this cuts the anti-join probe to candidates for the cost of
+    * one sketch scan (numBits/8 bytes; 64 bits/item ⇒ fpp ≪ 1%).
+    *
+    * At 100 TB the sketch stays a single mergeable aggregate with
+    * bounded buffers; for multi-GB blooms swap the literal for a scalar
+    * subquery so the filter rides broadcast machinery rather than task
+    * serialization.
+    */
+  def bloomPrefilter(
+      existing: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val key = xxhash64(col(textCol))
+    val agg = new BloomFilterAggregate(ColumnBridge.expression(key),
+      Literal(expectedItems), Literal(numBits))
+    val bloom = existing
+      .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bloom == null) batch.withColumn("might_dup", lit(false)) // empty corpus
+    else batch.withColumn("might_dup",
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloom), ColumnBridge.expression(key))))
+  }
+
   /** Lexical-vs-semantic near-dup AGREEMENT: every pair flagged by either
     * signal — MinHash/LSH+verify over text shingles (jaccard ≥ `jt`) or
     * sign-sketch-blocked embedding cosine (cosine ≥ `ct`, the

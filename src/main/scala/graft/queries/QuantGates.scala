@@ -162,6 +162,25 @@ object QuantGates {
         .select("rows").collect().map(_.getLong(0))
       val monotone = rows.zip(rows.tail).count { case (a, b) => b > a }.toDouble
 
+      // ---- gates 10/11: bloom pre-filter contract — zero false
+      // negatives (every replayed doc flagged might_dup) and real
+      // pruning power (most genuinely-new docs skip the dedup join; at
+      // 64 bits/item the expected fp rate is ≪ 1%, gate at ≥ 0.5)
+      val bloomExisting = docs.filter(col("doc_id") % 5 =!= 0)
+      val bloomBatch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(bloomExisting.filter(col("doc_id") % 7 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      val pre = Dedup.bloomPrefilter(bloomExisting, bloomBatch,
+        expectedItems = 1000L, numBits = 64000L)
+      val exTexts = bloomExisting.select("text").distinct()
+      val bloomFalseNeg = pre.filter(!col("might_dup"))
+        .join(exTexts, Seq("text"), "left_semi").count().toDouble
+      val freshRows = pre.join(exTexts, Seq("text"), "left_anti")
+      val freshTotal = freshRows.count()
+      val bloomPrune =
+        if (freshTotal == 0) 1.0
+        else freshRows.filter(!col("might_dup")).count().toDouble / freshTotal
+
       Seq(
         // pair-set diff must be empty both ways — the dd_minhash_lsh
         // oracle grades the LSH output against the brute-force pair set,
@@ -175,7 +194,9 @@ object QuantGates {
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
         ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),
-        ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", "")
+        ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", ""),
+        ("bloom_false_negatives", bloomFalseNeg, 0.0, "<=", ""),
+        ("bloom_prune_rate", bloomPrune, 0.5, ">=", "")
       ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {
           case ">=" => value >= threshold

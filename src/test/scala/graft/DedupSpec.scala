@@ -216,6 +216,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1L to 4L).map(i => i -> i).toMap)
   }
 
+  test("bloomPrefilter: no false negatives on replays, prunes fresh docs map-side") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val replayed = existing.filter(col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val fresh = docs.filter(col("doc_id") % 5 === 0) // fixture has no exact dups
+    val pre = graft.operators.Dedup.bloomPrefilter(
+      existing, fresh.unionByName(replayed),
+      expectedItems = 1000L, numBits = 64000L)
+    val exTexts = existing.select("text").distinct()
+    // contract half 1: a text present in the corpus can NEVER be missed
+    assert(pre.filter(!col("might_dup"))
+      .join(exTexts, Seq("text"), "left_semi").count() == 0)
+    // contract half 2: pruning actually happens (64 bits/item ⇒ fpp ≪ 1%)
+    val freshScored = pre.join(exTexts, Seq("text"), "left_anti")
+    val pruned = freshScored.filter(!col("might_dup")).count()
+    assert(pruned * 2 >= freshScored.count(),
+      s"bloom pruned only $pruned of ${freshScored.count()} fresh docs")
+    // empty corpus: everything is definitely new
+    val none = graft.operators.Dedup.bloomPrefilter(
+      existing.limit(0), fresh, expectedItems = 10L, numBits = 640L)
+    assert(none.filter(col("might_dup")).count() == 0)
+  }
+
   test("centroidAssign: total assignment, valid labels, prototypes classify themselves") {
     val e = Tables.embeddings(spark, sf)
     val assigned = graft.operators.Similarity.centroidAssign(e)
