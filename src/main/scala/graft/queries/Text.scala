@@ -248,6 +248,32 @@ object Text {
         .select(col("token"))
     })
 
+  /** Per-source heavy hitters — the same Misra-Gries sketch under a
+    * grouped aggregation: one constant-size mergeable buffer per source,
+    * partial-merged map-side like any native aggregate (the
+    * TypedImperativeAggregate contract), so per-domain vocabulary
+    * profiles cost one shuffle of sketch buffers, never token rows.
+    * Exact (est ≡ true count) while a source's vocabulary ≤ k, which the
+    * fixture vocabulary satisfies — same contract as tx_heavy_hitters.
+    */
+  val txHeavyHittersBySource = QueryDef(
+    "tx_heavy_hitters_by_source",
+    Some(s"""WITH t AS (SELECT source, unnest($W) AS tok FROM documents),
+            |c AS (SELECT source, tok AS token, count(*) AS n_tok FROM t GROUP BY 1, 2),
+            |n AS (SELECT source, count(*) AS n FROM t GROUP BY 1)
+            |SELECT c.source, token FROM c JOIN n ON c.source = n.source
+            |WHERE n_tok > n.n * 15 / 1000""".stripMargin),
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
+      tok.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          graft.plans.MisraGriesAgg.misra_gries(col("t"), 100).as("mg"))
+        .select(col("source"), col("n"), explode(col("mg")).as(Seq("token", "est")))
+        .filter(col("est") > col("n") * 15 / 1000)
+        .select(col("source"), col("token"))
+    })
+
   /** Intra-document repetition (the Gopher-style repetition filter):
     * fraction of a doc's 3-gram occurrences that are repeats of an
     * earlier 3-gram in the same doc — self-copying text scores high and
@@ -658,6 +684,7 @@ object Text {
 
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
-    txRedact, txTopBigrams, txPosTokens, txHeavyHitters, txRepetition,
+    txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
+    txHeavyHittersBySource, txRepetition,
     txChunks, txLmPerplexity, txLmTrigram, txBm25)
 }
