@@ -67,6 +67,26 @@ object SqlSurface {
         |FROM lineitem
         |GROUP BY 1 HAVING count(*) >= 50""".stripMargin))
 
+  /** Correlated LATERAL subquery as SQL text — top-3 longest docs per
+    * source via a per-row dependent subquery with ORDER BY + LIMIT, the
+    * dialect feature modern warehouse SQL leans on for top-k-per-group
+    * without window functions. Catalyst decorrelates it into a
+    * ranked-join plan; DuckDB runs the identical text.
+    */
+  val sqlLateralTopk = QueryDef(
+    "sql_lateral_topk",
+    Some("""SELECT s.source, t.doc_id, t.n_tok
+           |FROM (SELECT DISTINCT source FROM documents) s,
+           |LATERAL (SELECT doc_id, len(string_split(d.text, ' ')) AS n_tok
+           |         FROM documents d WHERE d.source = s.source
+           |         ORDER BY n_tok DESC, doc_id LIMIT 3) t""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """SELECT s.source, t.doc_id, t.n_tok
+        |FROM (SELECT DISTINCT source FROM documents) s,
+        |LATERAL (SELECT doc_id, size(split(d.text, ' ')) AS n_tok
+        |         FROM documents d WHERE d.source = s.source
+        |         ORDER BY n_tok DESC, doc_id LIMIT 3) t""".stripMargin))
+
   /** Window functions as SQL text with the registered native expression
     * (`cosine_sim`) — the custom-Expression-in-SQL path.
     */
@@ -309,5 +329,5 @@ object SqlSurface {
 
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
     sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis,
-    sqlDecontaminate)
+    sqlDecontaminate, sqlLateralTopk)
 }
