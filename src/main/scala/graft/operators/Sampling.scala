@@ -40,6 +40,17 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
     df.filter(inHashSample(col(keyCol), frac))
 
+  /** EXACT-k deterministic uniform sample: take the k smallest rows in
+    * hash order of the key (md5 — uniform over keys, RNG-free, stable
+    * across runs and engines). A rate sample (`hashSample`) can't hit a
+    * row budget exactly; this can, and it plans as
+    * TakeOrderedAndProject — per-partition k-heaps, never a global
+    * sort — so "give me exactly 100k eval docs" stays one scan at any
+    * corpus size. Ties on the hash break by the key itself.
+    */
+  def exactKSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.orderBy(hashKey(col(keyCol)), col(keyCol)).limit(k)
+
   /** Cap each key's rows at `k`, keeping the smallest `orderCol` values —
     * the per-domain/per-source quota of a corpus mix. Runs on the custom
     * two-phase TopKPerKey operator: map-side k-heaps, one key exchange,

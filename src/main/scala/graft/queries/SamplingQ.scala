@@ -24,6 +24,18 @@ object SamplingQ {
       Sampling.hashSample(Tables.documents(spark, dir), "doc_id", 0.1)
         .select(col("doc_id"), col("lang"), col("source")))
 
+  /** Exact-k deterministic sample: the 75 hash-smallest doc_ids — the
+    * "exactly N eval docs" budget a rate sample can't hit; plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  val smpExactK = QueryDef(
+    "smp_exact_k",
+    Some("""SELECT doc_id, source FROM documents
+           |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 75""".stripMargin),
+    (spark, dir) =>
+      Sampling.exactKSample(Tables.documents(spark, dir), "doc_id", 75)
+        .select(col("doc_id"), col("source")))
+
   /** Per-source quota: at most 10 docs per source, smallest doc_id first —
     * the corpus-mix capping step, executed by the custom two-phase
     * TopKPerKey physical operator and pinned against the window-function
@@ -147,6 +159,6 @@ object SamplingQ {
     })
 
   val all: Seq[QueryDef] = Seq(
-    smpHashSample, smpSourceQuota, smpInterleave, smpShuffleKey,
+    smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
     smpMixtureReweight, smpSplitCensus)
 }
