@@ -246,6 +246,59 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** Chunk-level boilerplate detection — exact-substring dedup at chunk
+    * granularity (the practical approximation of suffix-array substring
+    * dedup): tokenize → 32-token windows at stride 24 (the tx_chunks
+    * grid) → md5 per window → windows appearing in MORE THAN ONE doc are
+    * boilerplate; per doc, the fraction of its windows that are shared.
+    * Headers, footers, license blocks and templated text score high and
+    * get caught even when whole-doc similarity stays under every
+    * near-dup threshold.
+    *
+    * Scale: the chunk table shuffles (md5, doc_id) pairs only — never
+    * window text; the shared set is one partial-agg groupBy; the
+    * flag-join keys on the 16-byte hash and AQE picks broadcast vs
+    * shuffle by the boilerplate volume.
+    */
+  val ddChunkBoilerplate = QueryDef(
+    "dd_chunk_boilerplate",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 1),
+           |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start FROM d),
+           |c AS (SELECT doc_id,
+           |             md5(array_to_string(w[start:start + 31], ' ')) AS chunk_md5
+           |      FROM s),
+           |shared AS (SELECT chunk_md5 FROM c
+           |           GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1)
+           |SELECT c.doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_chunks,
+           |       CAST(sum(CASE WHEN sh.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_shared,
+           |       round(sum(CASE WHEN sh.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+           |             * 1.0 / count(*), 4) AS boilerplate_ratio
+           |FROM c LEFT JOIN shared sh ON c.chunk_md5 = sh.chunk_md5
+           |GROUP BY c.doc_id""".stripMargin),
+    (spark, dir) => {
+      val chunks = Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")), lit(24))).as("start"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("w"), col("start"), lit(32)), " ")
+            .cast("binary")).as("chunk_md5"))
+      val shared = chunks.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("chunk_md5"), lit(true).as("sh"))
+      chunks.join(shared, Seq("chunk_md5"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("sh"), 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("boilerplate_ratio",
+          r4(col("n_shared").cast("double") / col("n_chunks")))
+    })
+
   /** Lexical-vs-semantic dedup agreement: pairs flagged by MinHash/LSH
     * text similarity, sign-blocked embedding cosine, or both — with both
     * scores on every pair. The oracle recomputes both pair generators
@@ -437,5 +490,6 @@ object DedupQ {
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
-    ddComponents, ddIncremental, ddSemantic, ddSignalAgreement)
+    ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
+    ddChunkBoilerplate)
 }
