@@ -216,6 +216,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1L to 4L).map(i => i -> i).toMap)
   }
 
+  test("signalAgreement: both / lexical_only / semantic_only verdicts on a crafted corpus") {
+    import spark.implicits._
+    // docs 1,2 share text (8 of 9 shingles); doc 3 is textually unrelated
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = t1 + " lambda"
+    val t3 = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    // all three embeddings share the sign block and are near-parallel,
+    // so every pair is a semantic pair; only (1,2) is also lexical
+    val e1 = Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.5f, 0.5f)
+    val e2 = Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.5f, 0.5f)
+    val e3 = Seq(0.9f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.5f, 0.4f)
+    val emb = Seq((1L, e1), (2L, e2), (3L, e3)).toDF("vec_id", "embedding")
+    val v = graft.operators.Dedup.signalAgreement(docs, emb)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    assert(v((1L, 2L)) == "both")
+    assert(v((1L, 3L)) == "semantic_only")
+    assert(v((2L, 3L)) == "semantic_only")
+    // and a corpus with no semantic pairs yields lexical_only
+    val far = Seq(
+      (1L, Seq(1.0f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Seq(-1.0f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (3L, Seq(1.0f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))).toDF("vec_id", "embedding")
+    val v2 = graft.operators.Dedup.signalAgreement(docs, far)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    assert(v2 == Map((1L, 2L) -> "lexical_only"))
+  }
+
   test("bloomPrefilter: no false negatives on replays, prunes fresh docs map-side") {
     val docs = Tables.documents(spark, sf)
     val existing = docs.filter(col("doc_id") % 5 =!= 0)
