@@ -47,10 +47,40 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision dump for local inspection / round-over-round diffing.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        s"""{"total":$total,"queries":$fullJson,"sf":"$sfDir"}\n"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // The driver records only the last ~2000 chars of output; a JSON line
+    // longer than that window is truncated past parseability (rounds 1-6
+    // all landed "parsed": null). Emit 2-decimal times and, if the line
+    // still would not fit alongside sbt's trailing [success] banner,
+    // collapse the CHEAPEST queries into an {"other_n","other_sec"}
+    // rollup — the expensive queries (what a plan audit reads) always
+    // stay itemized.
+    val r2 = (v: Double) => math.round(v * 100) / 100.0
+    val byCost = results.sortBy { case (n, s) => (-s, n) }
+    def line(keep: Int): String = {
+      val (big, small) = (byCost.take(keep), byCost.drop(keep))
+      val qs = big.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      val other = if (small.isEmpty) ""
+        else s""","other_n":${small.size},"other_sec":${r2(small.map(_._2).sum)}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$other,"sf":"$sfDir"}"""
+    }
+    var keep = results.size
+    var out = line(keep)
+    while (out.length > 1600 && keep > 1) { keep -= 1; out = line(keep) }
+    println(out)
     spark.stop()
   }
 }
