@@ -154,6 +154,24 @@ object ExplainCheck {
         (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("BroadcastHashJoin"))
     }
+    // winsorized means: the 5-row percentile-bounds table must broadcast —
+    // the fact side is re-scanned but never shuffled for the clamp join
+    check("a21_winsorized", "percentile bounds broadcast to clamp join") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
+    // tf-idf: term-count aggregates are map-side partial, and the only
+    // windows partition on doc_id (per-doc top-k, never a global rank)
+    check("tx_tfidf_terms", "partial aggs + doc-partitioned top-k window") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      p.contains("partial_") && parts.nonEmpty && parts.forall(_ == "doc_id")
+    }
+    // cluster representative: ONE partial-aggregable max_by per component —
+    // no window, no per-cluster sort, no cartesian anywhere
+    check("dd_cluster_rep", "partial max_by, window-free, no cartesian") { p =>
+      p.contains("partial_") && p.contains("max_by") &&
+        !p.contains("windowspecdefinition") && !p.contains("CartesianProduct")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

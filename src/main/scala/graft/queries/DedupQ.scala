@@ -487,9 +487,84 @@ object DedupQ {
       Dedup.semanticNearDupVerdicts(
         Tables.embeddings(spark, dir), threshold = 0.3, signBits = 6))
 
+  /** Cluster-representative selection — the step that makes dedup a
+    * dedup: per near-dup component keep ONE document, the
+    * highest-quality member (4-decimal quality, doc_id tiebreak), and
+    * report the cluster size. Composes dd_components' closure with the
+    * tx_quality_score formula; n_members = 1 rows are the untouched
+    * singletons, so the output is a full keep/drop decision table.
+    *
+    * Scale design: the closure labels come from the banded-LSH pair set
+    * (never all-pairs) + label propagation; quality is a map-side scalar
+    * per doc; the rep choice is ONE partial-aggregable max_by per
+    * component — no window, no per-cluster sort, no text in any shuffle
+    * (the join key is doc_id, the carried payload two numbers).
+    * rep_quality = max(quality) because the rep IS the quality argmax.
+    */
+  val ddClusterRep = QueryDef(
+    "dd_cluster_rep",
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS src, doc_id AS node FROM sh
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+           |comp AS (SELECT src AS doc_id, min(node) AS component_id
+           |         FROM reach GROUP BY src),
+           |f AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0
+           |           / len(string_split(text, ' ')) AS ttr,
+           |         len([t FOR t IN string_split(text, ' ') IF t IN ('the', 'a')])
+           |           * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |             round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * ttr
+           |                 + 0.2 * least(stop_ratio * 5, 1.0), 4) AS quality
+           |      FROM f),
+           |j AS (SELECT comp.component_id, comp.doc_id, q.quality
+           |      FROM comp JOIN q USING (doc_id)),
+           |rep AS (SELECT component_id, doc_id AS rep_id
+           |        FROM (SELECT *, row_number() OVER (
+           |                PARTITION BY component_id
+           |                ORDER BY quality DESC, doc_id) AS rn FROM j)
+           |        WHERE rn = 1),
+           |cnt AS (SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
+           |               max(quality) AS rep_quality
+           |        FROM j GROUP BY 1)
+           |SELECT cnt.component_id, cnt.n_members, rep.rep_id, cnt.rep_quality
+           |FROM cnt JOIN rep USING (component_id)""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      val qual = docs.select(col("doc_id"),
+        r4(graft.functions.TextFns.qualityScore(col("text"))).as("quality"))
+      comp.join(qual, Seq("doc_id"))
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+            .as("rep_id"),
+          max(col("quality")).as("rep_quality"))
+        .select(col("component_id"), col("n_members"), col("rep_id"),
+          col("rep_quality"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
-    ddChunkBoilerplate)
+    ddChunkBoilerplate, ddClusterRep)
 }

@@ -749,9 +749,49 @@ object Relational {
           r4(expr("percentile(value, 0.5)")).as("p50"),
           r4(expr("percentile(value, 0.9)")).as("p90")))
 
+  /** A21: winsorized (5%/95%-clamped) mean per group — the robust-stats
+    * step that keeps a handful of corrupt meters from dragging a group
+    * average (the standard outlier treatment before anomaly flags like
+    * int_trips_enriched's become thresholds).
+    *
+    * Two passes by construction (the clamp bounds ARE group aggregates):
+    * pass 1 computes per-group exact percentiles (5 groups → rows, not
+    * data, shuffle); pass 2 re-scans the fact joined to that tiny bounds
+    * table — broadcast, so the big side never shuffles and the final agg
+    * is map-side partial. Same `percentile` ≡ `quantile_cont` linear-
+    * interpolation contract a17 pins.
+    */
+  val a21Winsorized = QueryDef(
+    "a21_winsorized",
+    Some("""WITH q AS (
+           |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+           |         quantile_cont(value, 0.95) AS p95
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type,
+           |       round(any_value(q.p05), 4) AS p05,
+           |       round(any_value(q.p95), 4) AS p95,
+           |       round(avg(least(greatest(e.value, q.p05), q.p95)), 4) AS win_mean,
+           |       round(avg(e.value), 4) AS raw_mean
+           |FROM events e JOIN q USING (event_type)
+           |GROUP BY e.event_type""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val q = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+      e.join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          r4(first(col("p05"))).as("p05"),
+          r4(first(col("p95"))).as("p95"),
+          r4(avg(least(greatest(col("value"), col("p05")), col("p95"))))
+            .as("win_mean"),
+          r4(avg(col("value"))).as("raw_mean"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
-    a20GroupingSets, u3Unpivot, f18TryCast,
+    a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fns.r4
 import graft.operators.Sampling
 
 /** Corpus-selection query surface (training-data pipeline extensions):
@@ -158,7 +159,47 @@ object SamplingQ {
           sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
     })
 
+  /** Temperature-scaled mixture weights (the multilingual-pretraining
+    * upsampling rule: q_s ∝ p_s^α, α = 0.3): per source its raw corpus
+    * share, its temperature-flattened sampling share, and the implied
+    * up/downsampling boost. α < 1 flattens the head and boosts the tail —
+    * the knob that keeps low-resource sources represented without
+    * clipping the big ones.
+    *
+    * Scale design: the whole computation happens on the per-source census
+    * (20 rows here, #sources at 100 TB) — two one-row normalizer frames
+    * broadcast back into it; the corpus is scanned exactly once for the
+    * initial partial-agg count and never carries text into a shuffle.
+    */
+  val smpTemperature = QueryDef(
+    "smp_temperature",
+    Some("""WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+           |             FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+           |p AS (SELECT source, c, c * 1.0 / n AS praw,
+           |             pow(c * 1.0 / n, 0.3) AS pa
+           |      FROM cnt, tot),
+           |z AS (SELECT sum(pa) AS zsum FROM p)
+           |SELECT source, c AS n_docs, round(praw, 6) AS p_raw,
+           |       round(pa / zsum, 6) AS p_temp,
+           |       round((pa / zsum) / praw, 4) AS boost
+           |FROM p, z""".stripMargin),
+    (spark, dir) => {
+      val cnt = Tables.documents(spark, dir)
+        .groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      val p = cnt.crossJoin(broadcast(tot)) // one row by construction
+        .select(col("source"), col("c"),
+          (col("c") / col("n")).as("praw"),
+          pow(col("c") / col("n"), 0.3).as("pa"))
+      p.crossJoin(broadcast(p.agg(sum(col("pa")).as("zsum"))))
+        .select(col("source"), col("c").as("n_docs"),
+          round(col("praw"), 6).as("p_raw"),
+          round(col("pa") / col("zsum"), 6).as("p_temp"),
+          r4((col("pa") / col("zsum")) / col("praw")).as("boost"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
-    smpMixtureReweight, smpSplitCensus)
+    smpMixtureReweight, smpSplitCensus, smpTemperature)
 }

@@ -682,9 +682,54 @@ object Text {
         .select(col("doc_id"), r4(col("raw")).as("score"), col("rk"))
     })
 
+  /** TF-IDF keyword extraction: each document's top-3 terms by
+    * tf·ln(N/df), ties broken by term (asc) on the 4-decimal score —
+    * the per-doc sparse signature a retrieval or topic-labeling pass
+    * derives before anything dense exists.
+    *
+    * Scale design: after the first aggregation the corpus TEXT is gone —
+    * everything downstream carries (doc_id, term, counts). `tf` and `df`
+    * are both map-side-partial hash aggregates; `df` re-aggregates the
+    * already-distinct (doc, term) pairs, so no count-distinct shuffle of
+    * raw occurrences; N is a one-row frame broadcast into the scoring
+    * join (never a driver collect); the per-doc top-3 partitions by
+    * doc_id, so it scales horizontally with documents (no global sort).
+    */
+  val txTfidfTerms = QueryDef(
+    "tx_tfidf_terms",
+    Some(s"""WITH tf AS (SELECT doc_id, unnest($W) AS term FROM documents),
+            |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            |        FROM tf GROUP BY 1, 2),
+            |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+            |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+            |scored AS (
+            |  SELECT tfc.doc_id, tfc.term, tfc.tf,
+            |         round(tfc.tf * ln(nn.n * 1.0 / dfc.df), 4) AS tfidf
+            |  FROM tfc JOIN dfc USING (term) CROSS JOIN nn)
+            |SELECT doc_id, term, tf, tfidf FROM (
+            |  SELECT *, row_number() OVER (
+            |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            |  FROM scored) WHERE rn <= 3""".stripMargin),
+    (spark, dir) => {
+      val occ = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tfc = occ.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = occ.agg(countDistinct(col("doc_id")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tfc.join(dfc, Seq("term"))
+        .crossJoin(broadcast(nDf)) // one row by construction
+        .select(col("doc_id"), col("term"), col("tf"),
+          r4(col("tf") * log(col("n") / col("df"))).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
-    txChunks, txLmPerplexity, txLmTrigram, txBm25)
+    txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms)
 }

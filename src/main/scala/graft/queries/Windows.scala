@@ -369,8 +369,36 @@ object Windows {
           r4(max(col("quality"))).as("max_q"))
     })
 
+  /** W7: RANGE-frame trailing window — avg over the days whose VALUE is
+    * within 3 of the current day, not the 3 preceding ROWS. The
+    * distinction w3 can't express: a gap in the series shrinks the
+    * window (nwin proves it) instead of silently reaching further back.
+    * Ordered by integer days-since-epoch because a RANGE frame needs an
+    * arithmetic ordering key; same unpartitioned-but-O(days) safety
+    * argument as w1/w3.
+    */
+  val w7RangeFrame = QueryDef(
+    "w7_range_frame",
+    Some(s"""WITH daily AS ($dailyRevenueSql)
+            |SELECT day,
+            |       round(avg(avg_value) OVER (
+            |         ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+            |         RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ravg,
+            |       CAST(count(*) OVER (
+            |         ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+            |         RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS nwin
+            |FROM daily""".stripMargin),
+    (spark, dir) => {
+      val w = Window.orderBy(col("day_num")).rangeBetween(-3, 0)
+      dailyRevenue(spark, dir)
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        .select(col("day"),
+          r4(avg(col("avg_value")).over(w)).as("ravg"),
+          count(lit(1)).over(w).as("nwin"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
-    t5SessionWindow, t6StreamStaticJoin, w6QualityNtile)
+    t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame)
 }

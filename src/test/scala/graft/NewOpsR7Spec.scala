@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the round-7 operators: tf-idf keyword extraction,
+  * winsorized means, RANGE-frame windows, temperature-scaled mixture
+  * weights, and dedup cluster-representative selection. Value-level
+  * equality is the DuckDB oracle's job; these pin the structural
+  * guarantees the oracle hash can't articulate (budgets, orderings,
+  * conservation laws).
+  */
+class NewOpsR7Spec extends AnyFunSuite {
+  import SparkTest._
+
+  test("tx_tfidf_terms: at most 3 terms per doc, scores non-increasing") {
+    val rows = queries.Text.txTfidfTerms.fn(spark, sf)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      .collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length <= 3, s"doc $id has ${rs.length} terms")
+      val scores = rs.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not sorted: ${scores.mkString(",")}")
+      assert(rs.forall(_.getAs[Long]("tf") >= 1L))
+    }
+  }
+
+  test("a21_winsorized: clamped mean stays inside the clamp bounds") {
+    val rows = queries.Relational.a21Winsorized.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val wm = r.getAs[Double]("win_mean")
+      assert(p05 <= p95)
+      // 1e-4 slack: bounds and mean are independently rounded to 4 decimals
+      assert(wm >= p05 - 1e-4 && wm <= p95 + 1e-4,
+        s"${r.getAs[String]("event_type")}: $wm outside [$p05, $p95]")
+    }
+  }
+
+  test("w7_range_frame: window population bounded by the range width") {
+    val rows = queries.Windows.w7RangeFrame.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("nwin")
+      assert(n >= 1L && n <= 4L, s"${r.get(0)}: nwin $n outside [1,4]")
+    }
+  }
+
+  test("smp_temperature: shares normalize and alpha<1 boosts the tail") {
+    val rows = queries.SamplingQ.smpTemperature.fn(spark, sf).collect()
+    assert(rows.length > 1)
+    val pt = rows.map(_.getAs[Double]("p_temp")).sum
+    assert(math.abs(pt - 1.0) < 1e-3, s"p_temp sums to $pt")
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+    // flattening: the smallest source is boosted at least as much as the largest
+    assert(bySize.head.getAs[Double]("boost") >=
+      bySize.last.getAs[Double]("boost") - 1e-9)
+  }
+
+  test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
+    val docs = Tables.documents(spark, sf)
+    val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == docs.count())
+    rows.foreach { r =>
+      // component label is the min member id, so it lower-bounds the rep
+      assert(r.getAs[Long]("component_id") <= r.getAs[Long]("rep_id"))
+      if (r.getAs[Long]("n_members") == 1L)
+        assert(r.getAs[Long]("rep_id") == r.getAs[Long]("component_id"),
+          "a singleton's representative must be itself")
+    }
+  }
+}
