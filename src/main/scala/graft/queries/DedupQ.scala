@@ -562,9 +562,96 @@ object DedupQ {
           col("rep_quality"))
     })
 
+  /** Cross-source contamination matrix: near-dup pairs rolled up to the
+    * (source, source) grain — which domains copy from which (the
+    * diagonal is within-source duplication). The crawl-triage view that
+    * decides whether a whole SOURCE is a mirror before any per-doc
+    * verdict is spent on it.
+    *
+    * Scale design: the pair set is the banded-LSH output (never
+    * all-pairs); the two source lookups join on doc_id carrying one
+    * string; the matrix itself is ≤ #sources² rows out of a partial agg.
+    */
+  val ddCrossSourceMatrix = QueryDef(
+    "dd_cross_source_matrix",
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |m AS (SELECT doc_id, source FROM documents)
+           |SELECT least(ma.source, mb.source) AS source_a,
+           |       greatest(ma.source, mb.source) AS source_b,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs JOIN m ma ON pairs.a = ma.doc_id
+           |           JOIN m mb ON pairs.b = mb.doc_id
+           |GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val m = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(m.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+        .join(m.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    })
+
+  /** Int8 embedding quantization audit: per-vector max-abs scale,
+    * round-trip error, and retained cosine — the storage decision for a
+    * 100 TB embedding store (4× smaller + SIMD-friendly) made with its
+    * accuracy cost measured rather than assumed. Quantized values are
+    * exact integers, so the whole round-trip is oracle-checkable.
+    *
+    * Scale design: strictly map-side — one projection chain per vector,
+    * no shuffle, no state; the cosine check runs through the codegen'd
+    * native expression. Lambdas reference only lambda variables and the
+    * bound scale column (the lambda-lint rule).
+    */
+  val simQuantizeInt8 = QueryDef(
+    "sim_quantize_int8",
+    Some("""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |mm AS (SELECT vec_id, e, list_max([abs(x) FOR x IN e]) AS m FROM s),
+           |q AS (SELECT vec_id, e, m,
+           |             [round(x * 127.0 / m) FOR x IN e] AS qv FROM mm WHERE m > 0),
+           |d AS (SELECT vec_id, e, m, [x * m / 127.0 FOR x IN qv] AS dq FROM q)
+           |SELECT vec_id,
+           |       round(m, 4) AS scale,
+           |       round(list_max([abs(e[i] - dq[i])
+           |                       FOR i IN range(1, len(e) + 1)]), 4) AS max_abs_err,
+           |       round(list_cosine_similarity(e, dq), 4) AS cos_keep""".stripMargin
+      + "\nFROM d"),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mm = e
+        .select(col("vec_id"), col("e"),
+          array_max(transform(col("e"), x => abs(x))).as("m"))
+        .filter(col("m") > 0)
+      val d = mm
+        .select(col("vec_id"), col("e"), col("m"),
+          transform(col("e"), x => round(x * lit(127.0) / col("m"))).as("qv"))
+        .select(col("vec_id"), col("e"), col("m"),
+          transform(col("qv"), x => x * col("m") / lit(127.0)).as("dq"))
+      d.select(col("vec_id"),
+        r4(col("m")).as("scale"),
+        r4(array_max(zip_with(col("e"), col("dq"), (a, b) => abs(a - b))))
+          .as("max_abs_err"),
+        r4(graft.plans.VectorFunctions.cosine_sim(col("e"), col("dq")))
+          .as("cos_keep"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
-    ddChunkBoilerplate, ddClusterRep)
+    ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8)
 }

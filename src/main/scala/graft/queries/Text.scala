@@ -513,19 +513,27 @@ object Text {
     * projection AFTER the explode (codegen'd, linear — never inside a
     * lambda).
     */
-  private[graft] def trigramFrame(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val n = size(col("w"))
-    val tail2 = zip_with(slice(col("w"), lit(2), n - 2), slice(col("w"), lit(3), n - 2),
+  /** Trigram strings from a BOUND token-array column (never a raw
+    * `split` — the lambda-lint rule): `zip_with` over three aligned
+    * slices, empty below 3 tokens because slice() rejects a negative
+    * length.
+    */
+  private[graft] def trigramArray(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val n = size(w)
+    val tail2 = zip_with(slice(w, lit(2), n - 2), slice(w, lit(3), n - 2),
       (b, c) => concat_ws(" ", b, c))
-    // when-guard because slice() rejects a negative length (n < 3 docs).
-    val tgs = when(n >= 3,
-      zip_with(slice(col("w"), lit(1), n - 2), tail2,
+    when(n >= 3,
+      zip_with(slice(w, lit(1), n - 2), tail2,
         (a, bc) => concat_ws(" ", a, bc)))
       .otherwise(array().cast("array<string>"))
+  }
+
+  private[graft] def trigramFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(tgs).as("t"))
+      .select(col("doc_id"), explode(trigramArray(col("w"))).as("t"))
       .select(col("doc_id"), col("t"), split(col("t"), " ").as("p"))
       .select(col("doc_id"), col("t"),
         concat_ws(" ", col("p").getItem(0), col("p").getItem(1)).as("b12"),
@@ -727,9 +735,43 @@ object Text {
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
     })
 
+  /** Per-source n-gram (trigram) diversity: distinct/total trigram ratio —
+    * the corpus-health metric that exposes a templated or self-repeating
+    * SOURCE even when each individual doc passes tx_repetition (a domain
+    * of ten thousand near-identical boilerplate pages scores ~0 here and
+    * ~1 per-doc).
+    *
+    * Scale design: one scan; trigrams explode from a bound token column
+    * and immediately partial-aggregate to (source, gram) — the distinct
+    * count re-aggregates those pairs, so raw occurrences shuffle once and
+    * text never does. #sources output rows.
+    */
+  val txNgramDiversity = QueryDef(
+    "tx_ngram_diversity",
+    Some(s"""WITH d AS (SELECT source, $W AS w FROM documents),
+            |g AS (SELECT source,
+            |             unnest(CASE WHEN len(w) >= 3
+            |                    THEN [array_to_string(w[i:i+2], ' ')
+            |                          FOR i IN range(1, len(w) - 1)]
+            |                    ELSE [] END) AS t
+            |      FROM d)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+            |       CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+            |       round(count(DISTINCT t) * 1.0 / count(*), 4) AS diversity
+            |FROM g GROUP BY source""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("source"), TextFns.tokens(col("text")).as("w"))
+        .select(col("source"), explode(trigramArray(col("w"))).as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("t")).as("n_distinct"),
+          r4(countDistinct(col("t")) * lit(1.0) / count(lit(1))).as("diversity")))
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
-    txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms)
+    txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms,
+    txNgramDiversity)
 }

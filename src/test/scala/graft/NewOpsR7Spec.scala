@@ -61,6 +61,38 @@ class NewOpsR7Spec extends AnyFunSuite {
       bySize.last.getAs[Double]("boost") - 1e-9)
   }
 
+  test("tx_ngram_diversity: ratio in (0,1], gram totals consistent") {
+    val rows = queries.Text.txNgramDiversity.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))
+      assert(d >= 1L && d <= n)
+      val ratio = r.getAs[Double]("diversity")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("dd_cross_source_matrix: pair totals match the near-dup pair set") {
+    val docs = Tables.documents(spark, sf)
+    val nPairs = graft.operators.Dedup.minhashNearDups(docs, threshold = 0.7).count()
+    val rows = queries.DedupQ.ddCrossSourceMatrix.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    // canonical orientation: source_a <= source_b on every row
+    rows.foreach(r => assert(
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+  }
+
+  test("sim_quantize_int8: int8 keeps cosine >= 0.999 and bounded abs error") {
+    val rows = queries.DedupQ.simQuantizeInt8.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_keep") >= 0.999)
+      // round-trip error of max-abs int8: at most scale/254 per element
+      assert(r.getAs[Double]("max_abs_err") <=
+        r.getAs[Double]("scale") / 254.0 + 1e-4)
+    }
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
