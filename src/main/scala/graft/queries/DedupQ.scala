@@ -649,9 +649,52 @@ object DedupQ {
           .as("cos_keep"))
     })
 
+  /** Embedding-norm outlier detection (robust z via median/MAD, the
+    * 3.5 Iglewicz-Hoaglin cutoff): degenerate or corrupt vectors — zero
+    * rows, double-scaled batches, wrong normalization — show up as norm
+    * outliers before any similarity result goes wrong. The outlier flag
+    * compares the ROUNDED z in both engines so the verdict column is
+    * bit-stable cross-engine.
+    *
+    * Scale design: the norm is the codegen'd native dot product
+    * (map-side, one pass per scan); median and MAD are two sequential
+    * scalar aggregates broadcast back as one-row frames — the norms are
+    * deliberately recomputed per pass rather than checkpointed
+    * (corpus-scale state for a map-cheap expression is a bad trade).
+    * Exact `percentile` buffers the group's values; at real scale swap
+    * for `approx_percentile`/GK (bounded memory) — the operator contract
+    * is unchanged.
+    */
+  val simNormOutliers = QueryDef(
+    "sim_norm_outliers",
+    Some("""WITH n AS (SELECT vec_id,
+           |                  sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])) AS nrm
+           |           FROM embeddings),
+           |st AS (SELECT quantile_cont(nrm, 0.5) AS med FROM n),
+           |m AS (SELECT quantile_cont(abs(nrm - med), 0.5) AS mad FROM n, st)
+           |SELECT vec_id, round(nrm, 4) AS nrm,
+           |       round(0.6745 * (nrm - med) / mad, 4) AS robust_z,
+           |       (abs(round(0.6745 * (nrm - med) / mad, 4)) > 3.5) AS is_outlier
+           |FROM n, st, m""".stripMargin),
+    (spark, dir) => {
+      val n = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          sqrt(graft.plans.VectorFunctions.vector_dot(
+            col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"))).as("nrm"))
+      val st = n.agg(expr("percentile(nrm, 0.5)").as("med"))
+      val withMed = n.crossJoin(broadcast(st)) // one row by construction
+      val m = withMed.agg(expr("percentile(abs(nrm - med), 0.5)").as("mad"))
+      val z = r4(lit(0.6745) * (col("nrm") - col("med")) / col("mad"))
+      withMed.crossJoin(broadcast(m)) // one row by construction
+        .select(col("vec_id"), r4(col("nrm")).as("nrm"),
+          z.as("robust_z"), (abs(z) > 3.5).as("is_outlier"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
-    ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8)
+    ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,
+    simNormOutliers)
 }

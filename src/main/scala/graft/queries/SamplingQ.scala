@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fns.r4
@@ -199,7 +200,44 @@ object SamplingQ {
           r4((col("pa") / col("zsum")) / col("praw")).as("boost"))
     })
 
+  /** Ranked cumulative token budget: sources by token mass (desc,
+    * deterministic source tiebreak) with each one's share and the
+    * running cumulative share — the "how many domains until 90% of
+    * training tokens" concentration view that decides where curation
+    * effort goes.
+    *
+    * Scale design: the corpus collapses to #sources rows in one
+    * partial-agg scan; the ordered window and the broadcast total both
+    * run over that census, never the corpus.
+    */
+  val smpTokenBudget = QueryDef(
+    "smp_token_budget",
+    Some("""WITH s AS (SELECT source,
+           |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+           |           FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM s)
+           |SELECT source, toks, round(toks * 1.0 / total, 6) AS share,
+           |       round(sum(toks) OVER (ORDER BY toks DESC, source) * 1.0
+           |             / total, 6) AS cum_share,
+           |       CAST(row_number() OVER (ORDER BY toks DESC, source) AS BIGINT)
+           |         AS rank
+           |FROM s, t""".stripMargin),
+    (spark, dir) => {
+      val s = Tables.documents(spark, dir)
+        .select(col("source"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("toks").desc, col("source"))
+      s.crossJoin(broadcast(s.agg(sum(col("toks")).as("total"))))
+        .select(col("source"), col("toks"),
+          round(col("toks") * lit(1.0) / col("total"), 6).as("share"),
+          round(sum(col("toks")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            * lit(1.0) / col("total"), 6).as("cum_share"),
+          row_number().over(w).cast("long").as("rank"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
-    smpMixtureReweight, smpSplitCensus, smpTemperature)
+    smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget)
 }

@@ -768,10 +768,43 @@ object Text {
           countDistinct(col("t")).as("n_distinct"),
           r4(countDistinct(col("t")) * lit(1.0) / count(lit(1))).as("diversity")))
 
+  /** Token-length histogram over integer bands (powers-of-two edges as
+    * plain comparisons — no float log2 whose x.9999 at an exact power
+    * would band differently across engines): docs and token mass per
+    * band — the context-length-planning view ("how much of the corpus
+    * fits a 128-token window whole?"). One scan, partial agg, ≤ 5 rows.
+    */
+  val txLengthBands = QueryDef(
+    "tx_length_bands",
+    Some(s"""WITH d AS (SELECT len($W) AS n FROM documents),
+            |b AS (SELECT n, CASE WHEN n < 32 THEN '00_lt32'
+            |                     WHEN n < 64 THEN '01_32_63'
+            |                     WHEN n < 128 THEN '02_64_127'
+            |                     WHEN n < 256 THEN '03_128_255'
+            |                     ELSE '04_ge256' END AS band
+            |      FROM d)
+            |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n) AS BIGINT) AS total_tokens,
+            |       CAST(min(n) AS BIGINT) AS min_tokens,
+            |       CAST(max(n) AS BIGINT) AS max_tokens
+            |FROM b GROUP BY band""".stripMargin),
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(size(TextFns.tokens(col("text"))).cast("long").as("n"))
+        .select(col("n"),
+          when(col("n") < 32, "00_lt32")
+            .when(col("n") < 64, "01_32_63")
+            .when(col("n") < 128, "02_64_127")
+            .when(col("n") < 256, "03_128_255")
+            .otherwise("04_ge256").as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens")))
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
     txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms,
-    txNgramDiversity)
+    txNgramDiversity, txLengthBands)
 }

@@ -93,6 +93,41 @@ class NewOpsR7Spec extends AnyFunSuite {
     }
   }
 
+  test("tx_length_bands: bands partition the corpus; edges respected") {
+    val docs = Tables.documents(spark, sf)
+    val rows = queries.Text.txLengthBands.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val edges = Map("00_lt32" -> (0L, 31L), "01_32_63" -> (32L, 63L),
+      "02_64_127" -> (64L, 127L), "03_128_255" -> (128L, 255L),
+      "04_ge256" -> (256L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = edges(r.getAs[String]("band"))
+      assert(r.getAs[Long]("min_tokens") >= lo && r.getAs[Long]("max_tokens") <= hi)
+    }
+  }
+
+  test("smp_token_budget: shares sum to 1, cum_share monotone ending at 1") {
+    val rows = queries.SamplingQ.smpTokenBudget.fn(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+    // ranked by token mass: toks non-increasing in rank order
+    val toks = rows.map(_.getAs[Long]("toks"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sim_norm_outliers: unit-norm fixtures yield no outliers; z centered") {
+    val rows = queries.DedupQ.simNormOutliers.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the fixture embeddings are ~unit-norm, so the MAD cutoff flags none
+    assert(rows.count(_.getAs[Boolean]("is_outlier")) == 0)
+    val zs = rows.map(_.getAs[Double]("robust_z")).sorted
+    assert(math.abs(zs(zs.length / 2)) < 0.5, "median robust_z should be ~0")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
