@@ -172,6 +172,11 @@ object ExplainCheck {
       p.contains("partial_") && p.contains("max_by") &&
         !p.contains("windowspecdefinition") && !p.contains("CartesianProduct")
     }
+    // weighted sampling: the k-largest-keys reduction must be per-partition
+    // heaps (TakeOrderedAndProject), never a global sort of the corpus
+    check("smp_weighted_k", "weighted reservoir as TakeOrderedAndProject") { p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("Exchange rangepartitioning")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

@@ -51,6 +51,22 @@ object Sampling {
   def exactKSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.orderBy(hashKey(col(keyCol)), col(keyCol)).limit(k)
 
+  /** Weighted sampling without replacement, deterministically keyed
+    * (Efraimidis-Spirakis A-Res): each row gets key u^(1/w) with u the
+    * hash-uniform variate of `keyCol` and w = `weightCol` (> 0); the k
+    * LARGEST keys are an exact weighted sample without replacement. No
+    * RNG — the same row keeps the same key forever, so the sample is
+    * reproducible and oracle-checkable. Plans as TakeOrderedAndProject
+    * (per-partition k-heaps), never a global sort.
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (hexVal(col(keyCol)) + lit(0.5)) / lit(65536.0)
+    df.withColumn("__wkey", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__wkey").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Cap each key's rows at `k`, keeping the smallest `orderCol` values —
     * the per-domain/per-source quota of a corpus mix. Runs on the custom
     * two-phase TopKPerKey operator: map-side k-heaps, one key exchange,

@@ -237,7 +237,31 @@ object SamplingQ {
           row_number().over(w).cast("long").as("rank"))
     })
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    * deterministically keyed): the 25 docs with the largest u^(1/w),
+    * u = the doc_id hash-uniform, w = n_chars — longer docs
+    * proportionally likelier, no RNG anywhere, so the exact sample is
+    * reproducible and the oracle recomputes it from the same md5
+    * arithmetic. The published one-pass weighted-reservoir rule, as a
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    */
+  val smpWeightedK = QueryDef(
+    "smp_weighted_k",
+    Some(s"""WITH u AS (
+            |  SELECT doc_id, source, n_chars,
+            |         (${hexValSql("doc_id")} + 0.5) / 65536.0 AS u
+            |  FROM documents)
+            |SELECT doc_id, source,
+            |       round(pow(u, 1.0 / n_chars), 6) AS wkey
+            |FROM u ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 25""".stripMargin),
+    (spark, dir) =>
+      Sampling.weightedSampleK(Tables.documents(spark, dir),
+          keyCol = "doc_id", weightCol = "n_chars", k = 25)
+        .select(col("doc_id"), col("source"),
+          round(col("__wkey"), 6).as("wkey")))
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
-    smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget)
+    smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget,
+    smpWeightedK)
 }

@@ -128,6 +128,22 @@ class NewOpsR7Spec extends AnyFunSuite {
     assert(math.abs(zs(zs.length / 2)) < 0.5, "median robust_z should be ~0")
   }
 
+  test("smp_weighted_k: exact-k, deterministic across runs, weight-sensitive") {
+    val a = queries.SamplingQ.smpWeightedK.fn(spark, sf).collect()
+    val b = queries.SamplingQ.smpWeightedK.fn(spark, sf).collect()
+    assert(a.length == 25)
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq ==
+      b.map(_.getAs[Long]("doc_id")).toSeq, "sample must be reproducible")
+    // length-weighted: the sampled docs skew longer than the corpus median
+    val med = Tables.documents(spark, sf)
+      .selectExpr("percentile(n_chars, 0.5)").head.getDouble(0)
+    val sampled = Tables.documents(spark, sf)
+      .join(queries.SamplingQ.smpWeightedK.fn(spark, sf).select("doc_id"), "doc_id")
+      .selectExpr("avg(n_chars)").head.getDouble(0)
+    assert(sampled > med * 0.9,
+      s"weighted sample mean $sampled should not sit far below corpus median $med")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
