@@ -397,8 +397,46 @@ object Windows {
           count(lit(1)).over(w).as("nwin"))
     })
 
+  /** T7-extension: the Misra-Gries TypedImperativeAggregate running INSIDE
+    * Structured Streaming — constant-size sketch buffers serialize through
+    * the state store and MERGE across micro-batches; complete mode emits
+    * the final per-source sketch. With k = 100 ≥ the fixture vocabulary the
+    * sketch is exact and merge-order-insensitive, so the streaming result
+    * equals batch `tx_heavy_hitters_by_source` and the same DuckDB oracle
+    * pins it. The 100 TB shape: ingestion-time trending-token tracking
+    * with O(k) state per source, no token table ever stored.
+    */
+  val t7StreamHeavyHitters = QueryDef(
+    "t7_stream_heavy_hitters",
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |           FROM documents),
+           |c AS (SELECT source, tok AS token, count(*) AS n_tok FROM t GROUP BY 1, 2),
+           |n AS (SELECT source, count(*) AS n FROM t GROUP BY 1)
+           |SELECT c.source, token FROM c JOIN n ON c.source = n.source
+           |WHERE n_tok > n.n * 15 / 1000""".stripMargin),
+    (spark, dir) => {
+      import graft.streaming.EventsStreaming
+      val name = "t7_hh_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // sketch state is O(#sources · k) — size stores to state volume
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val tok = EventsStreaming.readDocuments(spark, dir)
+          .select(col("source"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+        val agg = tok.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            graft.plans.MisraGriesAgg.misra_gries(col("t"), 100).as("mg"))
+        EventsStreaming.runToCompletion(agg, name, mode = "complete")
+          .select(col("source"), col("n"), explode(col("mg")).as(Seq("token", "est")))
+          .filter(col("est") > col("n") * 15 / 1000)
+          .select(col("source"), col("token"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
-    t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame)
+    t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
+    t7StreamHeavyHitters)
 }

@@ -144,6 +144,14 @@ class NewOpsR7Spec extends AnyFunSuite {
       s"weighted sample mean $sampled should not sit far below corpus median $med")
   }
 
+  test("t7_stream_heavy_hitters: streaming sketch equals the batch result") {
+    val streaming = queries.Windows.t7StreamHeavyHitters.fn(spark, sf)
+    val batch = queries.Text.txHeavyHittersBySource.fn(spark, sf)
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).isEmpty && batch.exceptAll(streaming).isEmpty,
+      "micro-batch-merged Misra-Gries must match the batch aggregation")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
