@@ -789,9 +789,36 @@ object Relational {
           r4(avg(col("value"))).as("raw_mean"))
     })
 
+  /** A22: cohort retention — users bucketed by first-seen day, distinct
+    * active users per (cohort, day offset). The standard BI retention
+    * triangle. First-seen is a partial-agg min; the distinct collapse
+    * happens on (user, cohort, offset) tuples — the fact table's event
+    * payload never survives the first projection.
+    */
+  val a22CohortRetention = QueryDef(
+    "a22_cohort_retention",
+    Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           |           FROM events GROUP BY 1),
+           |a AS (SELECT DISTINCT e.user_id, f.cohort,
+           |             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS offset_days
+           |      FROM events e JOIN f ON e.user_id = f.user_id)
+           |SELECT cohort, offset_days, CAST(count(*) AS BIGINT) AS n_users
+           |FROM a GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val f = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      e.join(f, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+        .distinct()
+        .groupBy("cohort", "offset_days")
+        .agg(count(lit(1)).as("n_users"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
-    a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized,
+    a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized, a22CohortRetention,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,

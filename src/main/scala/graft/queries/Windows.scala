@@ -434,9 +434,55 @@ object Windows {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     })
 
+  /** W8: share-of-total within a partition (ratio_to_report) — each
+    * event type's share of its day's events. The window partitions by
+    * day, so it scales horizontally with days; input is the already-
+    * aggregated (day, type) census, never raw events.
+    */
+  val w8ShareOfDay = QueryDef(
+    "w8_share_of_day",
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+           |                  CAST(count(*) AS BIGINT) AS n
+           |           FROM events GROUP BY 1, 2)
+           |SELECT day, event_type, n,
+           |       round(n * 1.0 / sum(n) OVER (PARTITION BY day), 4) AS day_share
+           |FROM d""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("day"))
+      Tables.events(spark, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("event_type"), col("n"),
+          r4(col("n") * lit(1.0) / sum(col("n")).over(w)).as("day_share"))
+    })
+
+  /** W9: session transition matrix — (previous event → next event) counts
+    * from each user's time-ordered stream (deterministic event_id
+    * tiebreak). The Markov-chain census behind funnel and next-action
+    * analyses; the lag window partitions by user, so it scales with
+    * users, and only (type, prev) pairs reach the final partial agg.
+    */
+  val w9TransitionMatrix = QueryDef(
+    "w9_transition_matrix",
+    Some("""WITH s AS (SELECT event_type,
+           |                  lag(event_type) OVER (
+           |                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |           FROM events)
+           |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+           |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
-    t7StreamHeavyHitters)
+    t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix)
 }

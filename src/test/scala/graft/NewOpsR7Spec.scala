@@ -152,6 +152,34 @@ class NewOpsR7Spec extends AnyFunSuite {
       "micro-batch-merged Misra-Gries must match the batch aggregation")
   }
 
+  test("w8_share_of_day: shares sum to 1 within every day") {
+    val rows = queries.Windows.w8ShareOfDay.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("day")).foreach { case (d, rs) =>
+      val s = rs.map(_.getAs[Double]("day_share")).sum
+      assert(math.abs(s - 1.0) < 1e-2, s"day $d shares sum to $s")
+    }
+  }
+
+  test("w9_transition_matrix: transitions = events - distinct users") {
+    val e = Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    val total = queries.Windows.w9TransitionMatrix.fn(spark, sf)
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(total == expected,
+      "each user contributes exactly (its events - 1) transitions")
+  }
+
+  test("a22_cohort_retention: offset 0 covers every user exactly once") {
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val rows = queries.Relational.a22CohortRetention.fn(spark, sf).collect()
+    // every user is active on their own first day
+    val day0 = rows.filter(_.getAs[Long]("offset_days") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(day0 == users)
+    rows.foreach(r => assert(r.getAs[Long]("offset_days") >= 0L))
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
