@@ -327,7 +327,22 @@ object SqlSurface {
          |FROM trg t JOIN evg e ON t.g = e.g
          |GROUP BY t.doc_id""".stripMargin))
 
+  /** GROUP BY ALL — the modern analyst-dialect shorthand (Spark ≥ 3.4 and
+    * DuckDB agree on the semantics: group on every non-aggregate select
+    * item). Capability-parity item: an analyst moving a dashboard query
+    * over unchanged.
+    */
+  val sqlGroupByAll = QueryDef(
+    "sql_group_by_all",
+    Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY ALL""".stripMargin),
+    (spark, dir) => run(spark, dir,
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ALL""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
     sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis,
-    sqlDecontaminate, sqlLateralTopk)
+    sqlDecontaminate, sqlLateralTopk, sqlGroupByAll)
 }
