@@ -144,6 +144,115 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Product-quantization ANN (the PQ/ADC scheme of Jégou et al. 2011):
+    * the d dims split into `m` subspaces; per subspace a `kSub`-codeword
+    * codebook is learned (MLlib KMeans, fixed seed, deterministic 1-in-4
+    * sample — same train-once discipline as IVF); every corpus vector is
+    * ENCODED as m small codes; a probe answers by asymmetric distance
+    * (ADC) — ONE m×kSub squared-distance table per probe, then m table
+    * lookups per candidate. Compression IS the speed: candidates carry
+    * m codes instead of d floats (~8-30× less scan/shuffle volume) and
+    * the per-pair cost is m adds instead of d multiplies. The scan stays
+    * exhaustive by contract — compose with `ivfKnn`'s cells when pruning
+    * is wanted too. The top `rerank` ADC hits per probe re-score with
+    * exact cosine over the full vectors (a probes×rerank-sized join),
+    * so the output contract matches the other sim_knn_* queries.
+    *
+    * Distributed shape: codebooks and the per-probe distance tables ride
+    * the (tiny) probe side into a broadcast join; the candidate stream
+    * projects to (cand_id, codes) before any join; the rank shuffle
+    * carries (probe_id, cand_id, adist) scalars only.
+    */
+  def pqKnn(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 8,
+      kSub: Int = 16,
+      rerank: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // bounded probe: one row to learn d (the array length is not in the
+    // schema); same pattern as Packing's min/max census
+    val d = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+
+    val cp = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+
+    // per-subspace codebooks (cached per corpus plan + PQ shape)
+    val baseKey = s"${corpus.queryExecution.analyzed.semanticHash()}:pq:$m:$kSub"
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      val key = s"$baseKey:$j"
+      val model = kmeansCache.synchronized(Option(kmeansCache.get(key)))
+        .getOrElse {
+          val sample = cp.filter(pmod(col("cand_id"), lit(4)) === 0)
+            .withColumn("fv", array_to_vector(slice(col("cv"), j * sub + 1, sub)))
+          val mdl = new KMeans().setK(kSub).setSeed(42L + j)
+            .setFeaturesCol("fv").fit(sample)
+          kmeansCache.synchronized(kmeansCache.put(key, mdl))
+          mdl
+        }
+      model.clusterCenters.map(_.toArray)
+    }
+
+    // codeword literal for subspace j: kSub × (code, centroid) structs
+    def cbLit(j: Int) = array(codebooks(j).zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("code"),
+        array(c.toIndexedSeq.map(lit): _*).as("cw"))
+    }.toIndexedSeq: _*)
+    def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    // encode: per subspace the argmin codeword — (dist, code) struct sort,
+    // deterministic lower-code tiebreak (the ivfKnn rankedCells pattern)
+    def codeOf(vec: org.apache.spark.sql.Column, j: Int) =
+      element_at(array_sort(transform(cbLit(j), cent =>
+        struct(sqDist(cent.getField("cw"), slice(vec, j * sub + 1, sub)).as("dist"),
+          cent.getField("code").as("code")))), 1).getField("code")
+    val encoded = cp.select(col("cand_id"),
+      array((0 until m).map(j => codeOf(col("cv"), j)): _*).as("codes"))
+
+    // probe side: the ADC table — m×kSub squared distances, computed ONCE
+    // per probe as a bound column (it rides the broadcast, never per pair)
+    val dtab = array((0 until m).map(j =>
+      transform(cbLit(j), cent =>
+        sqDist(cent.getField("cw"), slice(col("pv"), j * sub + 1, sub)))): _*)
+    val pr = probes.select(col(idCol).as("probe_id"),
+        asDouble(col(vecCol)).as("pv"))
+      .withColumn("dtab", dtab)
+
+    // ADC score: m table lookups per candidate; project to scalars before
+    // the rank shuffle
+    val adist = aggregate(
+      zip_with(col("dtab"), col("codes"),
+        (t, c) => element_at(t, c.cast("int") + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    val shortlist = broadcast(pr).join(encoded, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), adist.as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= rerank)
+      .select("probe_id", "cand_id")
+
+    // exact re-rank of the probes×rerank shortlist
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    shortlist
+      .join(pr.select(col("probe_id"), col("pv")), Seq("probe_id"))
+      .join(cp, Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Nearest-centroid (Rocchio) label model: the per-label element-wise
     * MEAN embedding is each class's prototype; every vector is assigned
     * the label of its highest-cosine prototype. The classical centroid

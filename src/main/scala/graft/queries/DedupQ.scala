@@ -246,6 +246,22 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** Product-quantization ANN over the same probe set as sim_knn_ivf —
+    * corpus encoded as 8 codes/vector, probes answered by ADC table
+    * lookups, top-40 shortlist re-ranked exact. No oracle (learned
+    * codebooks); `qc_quant_gates` grades recall@5 against brute force.
+    */
+  val simKnnPq = QueryDef(
+    "sim_knn_pq",
+    None,
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.pqKnn(e.filter(col("vec_id") % 25 === 0), e, k = 5,
+          m = 8, kSub = 16, rerank = 40)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    })
+
   /** Chunk-level boilerplate detection — exact-substring dedup at chunk
     * granularity (the practical approximation of suffix-array substring
     * dedup): tokenize → 32-token windows at stride 24 (the tx_chunks
@@ -696,5 +712,5 @@ object DedupQ {
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,
-    simNormOutliers)
+    simNormOutliers, simKnnPq)
 }

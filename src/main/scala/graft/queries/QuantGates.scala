@@ -104,6 +104,13 @@ object QuantGates {
       val ivfHit = ivf.join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
       val ivfRecall = if (nBrute == 0) 1.0 else ivfHit.toDouble / nBrute
 
+      // ---- gate 4b: PQ/ADC recall@5 vs the same brute baseline (8 codes
+      // per vector + top-40 exact re-rank must preserve the neighborhood)
+      val pq = Similarity.pqKnn(probes, e, k = 5, m = 8, kSub = 16, rerank = 40)
+        .select("probe_id", "cand_id")
+      val pqHit = pq.join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
+      val pqRecall = if (nBrute == 0) 1.0 else pqHit.toDouble / nBrute
+
       // ---- gate 5: ML holdout MAE relative to the mean label (scale-free
       // error bound; the RF must beat a 50%-of-mean naive band)
       val features = Forecast.buildDailyFeatures(Tables.events(spark, dir))
@@ -191,6 +198,7 @@ object QuantGates {
         ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<=", ""),
         ("simhash_banding_vs_brute_diff", simhashBandDiff, 0.0, "<=", ""),
         ("ivf_recall_at5", ivfRecall, 0.3, ">=", ""),
+        ("pq_recall_at5", pqRecall, 0.5, ">=", ""),
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
         ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),

@@ -180,6 +180,21 @@ class NewOpsR7Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("offset_days") >= 0L))
   }
 
+  test("sim_knn_pq: deterministic, k rows per probe, cosine-ranked") {
+    val a = queries.DedupQ.simKnnPq.fn(spark, sf).collect()
+    val b = queries.DedupQ.simKnnPq.fn(spark, sf).collect()
+    assert(a.length == b.length && a.length > 0)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "seed-fixed codebooks + deterministic tiebreaks must reproduce exactly")
+    a.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.length <= 5, s"probe $p returned ${rs.length} rows")
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y },
+        s"probe $p cosines not ranked")
+    }
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
