@@ -191,6 +191,27 @@ object EventsStreaming {
       .start()
   }
 
+  /** Streaming decontamination (the last filter-at-ingest piece, after
+    * streaming quality/LM scoring and streaming dedup): each document
+    * micro-batch is cleaned against the STATIC held-out benchmark corpus
+    * via the batch `Decontaminate.clean` inside foreachBatch — the
+    * per-doc verdict depends only on the doc and the fixed eval gram
+    * set, so batch-at-a-time equals whole-corpus-at-once by
+    * construction (proven in StreamingSpec). The eval gram set
+    * broadcast is the same plan as the batch path; survivors append to
+    * `outPath`.
+    */
+  def decontaminatedAppend(docs: DataFrame, evalDocs: DataFrame, n: Int,
+      outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Decontaminate.clean(batch, evalDocs, n)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join (purchase→click attribution): each
     * purchase matches the same user's clicks in the preceding
     * `windowMinutes`. Both sides carry watermarks and the join condition

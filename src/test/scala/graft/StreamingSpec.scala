@@ -48,6 +48,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(expected))
   }
 
+  test("streaming decontamination equals the batch clean (per-doc verdicts compose)") {
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val expected = graft.operators.Decontaminate.clean(train, evalDocs, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft_decon_stream").toString + "/clean"
+    val q = EventsStreaming.decontaminatedAppend(
+      EventsStreaming.readDocuments(spark, sf).filter(col("doc_id") % 10 =!= 0),
+      evalDocs, n = 5, outPath)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"stream kept ${got.length} docs, batch kept ${expected.length}")
+  }
+
   test("foreachBatch append sink is idempotent across stream replays") {
     val factPath = java.nio.file.Files.createTempDirectory("graft_fact").toString + "/events"
     // first run: full fixture lands
