@@ -144,10 +144,56 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic local Lloyd's k-means for codebook training: evenly
+    * spaced initial centers over the (id-ordered) sample, nearest-center
+    * assignment with lower-index tiebreak, fixed iteration count; an
+    * empty cluster keeps its previous center. Runs on the driver over a
+    * bounded sample — no RNG, no Spark jobs.
+    */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int = 15): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    val kEff = math.min(k, n)
+    val centers = Array.tabulate(kEff)(i => points((i.toLong * n / kEff).toInt).clone())
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      points.foreach { p =>
+        var best = 0; var bestD = sq(p, centers(0)); var c = 1
+        while (c < kEff) {
+          val dd = sq(p, centers(c))
+          if (dd < bestD) { best = c; bestD = dd }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cluster: keep the previous center
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Product-quantization ANN (the PQ/ADC scheme of Jégou et al. 2011):
     * the d dims split into `m` subspaces; per subspace a `kSub`-codeword
-    * codebook is learned (MLlib KMeans, fixed seed, deterministic 1-in-4
-    * sample — same train-once discipline as IVF); every corpus vector is
+    * codebook is learned (deterministic driver-side Lloyd on a bounded
+    * id-ordered sample — the published PQ practice; see `lloyd`); every
+    * corpus vector is
     * ENCODED as m small codes; a probe answers by asymmetric distance
     * (ADC) — ONE m×kSub squared-distance table per probe, then m table
     * lookups per candidate. Compression IS the speed: candidates carry
@@ -172,9 +218,6 @@ object Similarity {
       rerank: Int = 20,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     // bounded probe: one row to learn d (the array length is not in the
     // schema); same pattern as Packing's min/max census
     val d = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
@@ -184,20 +227,23 @@ object Similarity {
     val cp = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
 
-    // per-subspace codebooks (cached per corpus plan + PQ shape)
-    val baseKey = s"${corpus.queryExecution.analyzed.semanticHash()}:pq:$m:$kSub"
+    // Codebook training sample: the id-smallest 4096 of a deterministic
+    // 1-in-4 slice — a BOUNDED driver collect (≤ 4096 × d doubles, ~2 MB)
+    // that plans as TakeOrderedAndProject. Training PQ codebooks on a
+    // capped sample is the published practice (codebooks need the
+    // density shape, not every vector); the driver-side Lloyd fit on it
+    // replaces 8 distributed KMeans pipelines — one bounded Spark job
+    // total, milliseconds of local arithmetic, fully deterministic
+    // (ordered sample, fixed init, fixed iteration count).
+    val sample: Array[Array[Double]] = cp
+      .filter(pmod(col("cand_id"), lit(4)) === 0)
+      .orderBy(col("cand_id")).limit(4096)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus: no codebook sample")
     val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      val key = s"$baseKey:$j"
-      val model = kmeansCache.synchronized(Option(kmeansCache.get(key)))
-        .getOrElse {
-          val sample = cp.filter(pmod(col("cand_id"), lit(4)) === 0)
-            .withColumn("fv", array_to_vector(slice(col("cv"), j * sub + 1, sub)))
-          val mdl = new KMeans().setK(kSub).setSeed(42L + j)
-            .setFeaturesCol("fv").fit(sample)
-          kmeansCache.synchronized(kmeansCache.put(key, mdl))
-          mdl
-        }
-      model.clusterCenters.map(_.toArray)
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
+        kSub)
     }
 
     // codeword literal for subspace j: kSub × (code, centroid) structs
