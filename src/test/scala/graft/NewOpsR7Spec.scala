@@ -195,6 +195,27 @@ class NewOpsR7Spec extends AnyFunSuite {
     }
   }
 
+  test("lloyd: deterministic, handles k > n, centers stay in the hull") {
+    val pts = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(10.0, 10.0), Array(11.0, 10.0))
+    val c1 = graft.operators.Similarity.lloyd(pts, 16)
+    val c2 = graft.operators.Similarity.lloyd(pts, 16)
+    assert(c1.length == 5, "kEff must clamp to n when k > n")
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "must be deterministic")
+    // every center is a mean of sample points, so it stays inside the hull box
+    c1.foreach { c =>
+      assert(c(0) >= 0.0 && c(0) <= 11.0 && c(1) >= 0.0 && c(1) <= 10.0)
+    }
+  }
+
+  test("lloyd: separates two well-split blobs into distinct centers") {
+    val pts = Array(Array(0.0), Array(0.1), Array(0.2),
+      Array(100.0), Array(100.1), Array(100.2))
+    val cs = graft.operators.Similarity.lloyd(pts, 2).map(_.head).sorted
+    assert(math.abs(cs.head - 0.1) < 0.2 && math.abs(cs.last - 100.1) < 0.2,
+      s"centers ${cs.mkString(",")} should sit at the two blob means")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
