@@ -177,6 +177,31 @@ object ExplainCheck {
     check("smp_weighted_k", "weighted reservoir as TakeOrderedAndProject") { p =>
       p.contains("TakeOrderedAndProject") && !p.contains("Exchange rangepartitioning")
     }
+    // share-of-total: the only window partitions on day (parallel over
+    // days, input already aggregated)
+    check("w8_share_of_day", "day-partitioned ratio window") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "day") && p.contains("partial_")
+    }
+    // transition matrix: the lag window partitions on user_id (scales
+    // with users), final agg map-side partial
+    check("w9_transition_matrix", "user-partitioned lag window + partial agg") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "user_id") && p.contains("partial_")
+    }
+    // cohort retention: first-seen join is a real equi-join (never a
+    // cartesian), aggregates map-side partial
+    check("a22_cohort_retention", "equi-join cohorts, no cartesian") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("partial_")
+    }
+    // n-gram diversity: window-free — one explode, partial aggregation
+    check("tx_ngram_diversity", "window-free partial-agg diversity") { p =>
+      !p.contains("windowspecdefinition") && p.contains("partial_") &&
+        p.contains("Generate explode")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

@@ -72,6 +72,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorized means stay inside the clamp bounds for random skewed groups") {
+    val rows = Seq.tabulate(600) { i =>
+      val g = s"g${i % 4}"
+      // heavy right skew: occasional 100× outliers are what the clamp is for
+      val v = if (rnd.nextInt(20) == 0) rnd.nextDouble() * 10000
+              else rnd.nextDouble() * 100
+      (g, v)
+    }
+    val df = rows.toDF("grp", "value")
+    val q = df.groupBy("grp").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    val got = df.join(broadcast(q), Seq("grp"))
+      .groupBy("grp")
+      .agg(avg(least(greatest(col("value"), col("p05")), col("p95"))).as("wm"),
+        first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+        avg(col("value")).as("raw"))
+      .collect()
+    got.foreach { r =>
+      val (wm, p05, p95) = (r.getAs[Double]("wm"), r.getAs[Double]("p05"),
+        r.getAs[Double]("p95"))
+      assert(wm >= p05 && wm <= p95, s"${r.getString(0)}: $wm outside [$p05,$p95]")
+      // right-skewed data: clamping the heavy tail can only pull the mean down
+      assert(wm <= r.getAs[Double]("raw") + 1e-9)
+    }
+  }
+
+  test("weighted reservoir keys are weight-monotone at fixed hash variate") {
+    // u^(1/w) is strictly increasing in w for u in (0,1): a heavier row
+    // always outranks a lighter row that drew the same uniform
+    val df = Seq.tabulate(300)(i => (i.toLong, 1L + rnd.nextInt(5000).toLong))
+      .toDF("id", "w")
+    val u = (graft.operators.Sampling.hexVal(col("id")) + lit(0.5)) / lit(65536.0)
+    val got = df.select(col("id"), col("w"), u.as("u"),
+      pow(u, lit(1.0) / col("w")).as("key")).collect()
+    got.foreach { r =>
+      val (uu, k) = (r.getAs[Double]("u"), r.getAs[Double]("key"))
+      assert(k > 0.0 && k < 1.0, s"key $k out of (0,1)")
+      val heavier = math.pow(uu, 1.0 / (r.getAs[Long]("w") * 2.0))
+      assert(heavier >= k, "doubling the weight must not lower the key")
+    }
+  }
+
   test("SCD2 invariants hold across a randomized 6-step update/delete sequence") {
     val keys = Seq("A", "B", "C", "D")
     def at(off: Long) = new Timestamp(1700000000000L + off * 3600000L)
