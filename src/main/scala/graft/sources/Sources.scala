@@ -232,4 +232,24 @@ object Sources {
     */
   def registerViews(views: Map[String, DataFrame]): Unit =
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+  /** JSONL shard export — the standard training-corpus deliverable: docs
+    * packed into fixed-token-budget shards (`Packing.packShards`, exact
+    * integer math) and written as line-delimited JSON under
+    * `shard_id=N/` directories. `repartition(shard_id)` co-locates each
+    * shard so a shard is one writer task's files, and rows within a
+    * shard are written in `orderCol` order (training order is part of
+    * the artifact). Returns the shard manifest (doc count, token total,
+    * id span per shard) — what a downstream loader consumes.
+    */
+  def exportJsonlShards(docs: DataFrame, tokenCol: String, orderCol: String,
+      tokenBudget: Long, dir: String): DataFrame = {
+    val packed = graft.operators.Packing.packShards(
+      docs, tokenCol, orderCol, tokenBudget)
+    packed
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(orderCol))
+      .write.mode("overwrite").partitionBy("shard_id").json(dir)
+    graft.operators.Packing.shardManifest(packed, tokenCol, orderCol)
+  }
 }

@@ -152,6 +152,32 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("JSONL shard export: lossless round trip, budgeted shards, ordered within shard") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/shards"
+    val manifest = Sources.exportJsonlShards(docs, "n_tokens", "doc_id",
+      tokenBudget = 2000L, dir = dir)
+    val back = spark.read.json(dir)
+    // lossless: every doc lands exactly once with its text intact
+    assert(back.count() == docs.count())
+    val origSum = docs.select(md5(col("text"))).collect().map(_.getString(0)).sorted
+    val backSum = back.select(md5(col("text"))).collect().map(_.getString(0)).sorted
+    assert(backSum.sameElements(origSum), "text must survive the JSON round trip")
+    // partition layout: one shard_id=N directory per manifest row
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+    val manifestRows = manifest.collect()
+    assert(shardDirs == manifestRows.map(r => s"shard_id=${r.getLong(0)}").toSet)
+    // budget: every shard's token total is under budget + one max doc
+    val maxDoc = docs.agg(max(col("n_tokens"))).head.getLong(0)
+    manifestRows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 2000L + maxDoc,
+        s"shard ${r.getLong(0)} overflows: ${r.getAs[Long]("n_tokens")}")
+    }
+  }
+
   test("registered views are queryable by name (S19)") {
     Sources.registerViews(Map("zone_view" ->
       Tables.customer(spark, sf).limit(5)))
