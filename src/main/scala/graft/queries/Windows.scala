@@ -480,9 +480,44 @@ object Windows {
         .agg(count(lit(1)).as("n"))
     })
 
+  /** W10: rolling anomaly flags on the daily series — each day graded
+    * against its own TRAILING week (6-preceding-to-1-preceding frame, so
+    * the current value never contaminates its own baseline): anomalous
+    * when |value − ma| exceeds 2 trailing stddevs. The reference's
+    * anomaly-flag idea (int_trips_enriched) lifted from static bounds to
+    * a self-calibrating window; the verdict compares the ROUNDED excess
+    * so the boolean is bit-stable cross-engine. O(days) input, same
+    * unpartitioned-window safety argument as w1/w3.
+    */
+  val w10AnomalyFlags = QueryDef(
+    "w10_anomaly_flags",
+    Some(s"""WITH daily AS ($dailyRevenueSql),
+            |m AS (SELECT day, avg_value,
+            |             avg(avg_value) OVER (ORDER BY day
+            |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS ma,
+            |             stddev_samp(avg_value) OVER (ORDER BY day
+            |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS sd
+            |      FROM daily)
+            |SELECT day, round(avg_value, 4) AS avg_value, round(ma, 4) AS ma7,
+            |       round(abs(avg_value - ma) - 2 * sd, 4) AS excess,
+            |       (round(abs(avg_value - ma) - 2 * sd, 4) > 0) AS is_anomaly
+            |FROM m WHERE ma IS NOT NULL AND sd IS NOT NULL""".stripMargin),
+    (spark, dir) => {
+      val w = Window.orderBy(col("day")).rowsBetween(-6, -1)
+      val excess = r4(abs(col("avg_value") - col("ma")) - lit(2) * col("sd"))
+      dailyRevenue(spark, dir)
+        .select(col("day"), col("avg_value"),
+          avg(col("avg_value")).over(w).as("ma"),
+          stddev_samp(col("avg_value")).over(w).as("sd"))
+        .filter(col("ma").isNotNull && col("sd").isNotNull)
+        .select(col("day"), r4(col("avg_value")).as("avg_value"),
+          r4(col("ma")).as("ma7"), excess.as("excess"),
+          (excess > 0).as("is_anomaly"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
-    t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix)
+    t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix, w10AnomalyFlags)
 }

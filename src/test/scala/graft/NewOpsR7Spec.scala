@@ -216,6 +216,19 @@ class NewOpsR7Spec extends AnyFunSuite {
       s"centers ${cs.mkString(",")} should sit at the two blob means")
   }
 
+  test("w10_anomaly_flags: verdict consistent with its own excess column") {
+    val rows = queries.Windows.w10AnomalyFlags.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") == (r.getAs[Double]("excess") > 0))
+    }
+    // the first 6 days have no full trailing week and must be absent
+    val days = queries.Windows.w10AnomalyFlags.fn(spark, sf).count()
+    val allDays = Tables.events(spark, sf)
+      .select(col("ts").cast("date")).distinct().count()
+    assert(days <= allDays - 2, "warm-up days must be filtered out")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
