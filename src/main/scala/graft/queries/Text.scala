@@ -690,6 +690,85 @@ object Text {
         .select(col("doc_id"), r4(col("raw")).as("score"), col("rk"))
     })
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, k = 60) of the BM25
+    * lexical top-20 and the dense cosine top-20 for probe vector 0 —
+    * the sparse+dense fusion every modern retrieval stack runs. A doc
+    * absent from one ranking contributes nothing from that side; the
+    * fused score 1/(60+lex) + 1/(60+dense) is rank arithmetic, so it is
+    * exactly cross-engine once both input rankings are (and both already
+    * carry their own oracle proofs).
+    *
+    * Scale design: both inputs arrive already top-k'd (BM25 via
+    * TakeOrderedAndProject, dense via the same bounded pattern), so the
+    * fusion join, the full outer, and the final rank all run over ≤ 2k
+    * rows — driver-free, corpus-free.
+    */
+  val txHybridRrf = QueryDef(
+    "tx_hybrid_rrf",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+           |q(term) AS (VALUES ('dup'), ('vector'), ('key')),
+           |tf AS (SELECT doc_id, term, len([x FOR x IN w IF x = term]) AS tf, len(w) AS dl
+           |       FROM d CROSS JOIN q),
+           |df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+           |sc AS (SELECT doc_id,
+           |              sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+           |                  * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+           |       FROM tf JOIN df USING (term) CROSS JOIN s
+           |       WHERE tf > 0 GROUP BY doc_id),
+           |lex AS (SELECT doc_id, rk AS lex_rank FROM (
+           |          SELECT *, row_number() OVER (
+           |            ORDER BY round(score, 6) DESC, doc_id) AS rk FROM sc)
+           |        WHERE rk <= 20),
+           |den AS (SELECT doc_id, rk AS dense_rank FROM (
+           |          SELECT y.vec_id AS doc_id, row_number() OVER (
+           |            ORDER BY round(list_cosine_similarity(
+           |              p.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) DESC,
+           |              y.vec_id) AS rk
+           |          FROM embeddings y,
+           |               (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+           |          WHERE y.vec_id <> 0)
+           |        WHERE rk <= 20),
+           |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           |             lex.lex_rank, den.dense_rank,
+           |             round(coalesce(1.0 / (60 + lex.lex_rank), 0)
+           |                 + coalesce(1.0 / (60 + den.dense_rank), 0), 6) AS rrf
+           |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+           |SELECT doc_id, lex_rank, dense_rank, rrf,
+           |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+           |FROM f ORDER BY rank LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val lex = txBm25.fn(spark, dir)
+        .select(col("doc_id"), col("rk").cast("long").as("lex_rank"))
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"))
+      val denTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe)) // one row by construction
+        .select(col("vec_id").as("doc_id"),
+          graft.plans.VectorFunctions.cosine_sim(col("pv"), col("v")).as("cos"))
+        .orderBy(round(col("cos"), 6).desc, col("doc_id"))
+        .limit(20)
+      // rank over the already-limited 20 rows — bounded window by design
+      val den = denTop.withColumn("dense_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(round(col("cos"), 6).desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("dense_rank"))
+      val rrf = round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6)
+      val fused = lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          rrf.as("rrf"))
+      fused
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+    })
+
   /** TF-IDF keyword extraction: each document's top-3 terms by
     * tf·ln(N/df), ties broken by term (asc) on the 4-decimal score —
     * the per-doc sparse signature a retrieval or topic-labeling pass
@@ -806,5 +885,5 @@ object Text {
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
     txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms,
-    txNgramDiversity, txLengthBands)
+    txNgramDiversity, txLengthBands, txHybridRrf)
 }

@@ -229,6 +229,23 @@ class NewOpsR7Spec extends AnyFunSuite {
     assert(days <= allDays - 2, "warm-up days must be filtered out")
   }
 
+  test("tx_hybrid_rrf: fused score consistent with member ranks; both signals present") {
+    val rows = queries.Text.txHybridRrf.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val den = Option(r.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      assert(lex.isDefined || den.isDefined)
+      val expect = lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        den.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // a doc in BOTH rankings must outrank a doc holding the same position
+    // in only one — guaranteed by the additive form; spot-check rank 1
+    val top = rows.minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[Double]("rrf") >= rows.map(_.getAs[Double]("rrf")).max - 1e-12)
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
