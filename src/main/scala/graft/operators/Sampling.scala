@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus-selection operators for training-data pipelines:
@@ -50,6 +51,44 @@ object Sampling {
     */
   def exactKSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.orderBy(hashKey(col(keyCol)), col(keyCol)).limit(k)
+
+  /** Exact-budget stratified sample: Hamilton (largest-remainder)
+    * allocation of `budget` across strata proportional to their row
+    * counts — floor(budget·c_s/N) each, the leftover seats going to the
+    * largest remainders (stratum-name tiebreak) — then the k_s
+    * hash-smallest keys per stratum. All allocation arithmetic is exact
+    * BigInt, so any engine recomputing it (the DuckDB oracle does, in
+    * HUGEINT) lands on identical k_s; the output size is EXACTLY
+    * `budget` whenever every stratum can fill its seats. The stratum
+    * census collected here is metadata-scale (one row per stratum), the
+    * mixtureThresholds pattern.
+    */
+  def stratifiedExactK(df: DataFrame, stratumCol: String, keyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "empty input: nothing to allocate")
+    require(counts.forall(_._1 != null), s"$stratumCol contains NULLs")
+    val n = BigInt(counts.map(_._2).sum)
+    val base = counts.map { case (s, c) => s -> (BigInt(budget) * c / n) }
+    val leftover = (BigInt(budget) - base.map(_._2).sum).toInt
+    val bumped = counts
+      .map { case (s, c) => s -> (BigInt(budget) * c % n) }
+      .sortBy { case (s, r) => (-r, s) }
+      .take(leftover).map(_._1).toSet
+    val ks = base.map { case (s, b) =>
+      s -> (b.toLong + (if (bumped(s)) 1L else 0L))
+    }.toMap
+    val ksCol = ks.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col(stratumCol) === s, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= ksCol)
+      .drop("__rn")
+  }
 
   /** Weighted sampling without replacement, deterministically keyed
     * (Efraimidis-Spirakis A-Res): each row gets key u^(1/w) with u the

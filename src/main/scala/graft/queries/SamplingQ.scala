@@ -260,8 +260,42 @@ object SamplingQ {
         .select(col("doc_id"), col("source"),
           round(col("__wkey"), 6).as("wkey")))
 
+  /** Exact-budget stratified sample: Hamilton largest-remainder
+    * allocation of 100 seats across sources (exact integer arithmetic —
+    * HUGEINT in the oracle, BigInt in the engine, identical k_s), then
+    * the k_s hash-smallest doc_ids per source. The eval-set construction
+    * op: proportional representation with an exact total, no RNG.
+    */
+  val smpStratified = QueryDef(
+    "smp_stratified",
+    Some("""WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+           |             FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+           |alloc AS (SELECT source, c,
+           |                 CAST((CAST(100 AS HUGEINT) * c) // n AS BIGINT) AS base,
+           |                 CAST((CAST(100 AS HUGEINT) * c) % n AS BIGINT) AS rem
+           |          FROM cnt, tot),
+           |lf AS (SELECT CAST(100 - sum(base) AS BIGINT) AS l FROM alloc),
+           |rk AS (SELECT source, base, rem,
+           |              row_number() OVER (ORDER BY rem DESC, source) AS rr
+           |       FROM alloc),
+           |k AS (SELECT source,
+           |             base + CASE WHEN rr <= (SELECT l FROM lf) THEN 1 ELSE 0 END AS ks
+           |      FROM rk),
+           |sel AS (SELECT d.source, d.doc_id, row_number() OVER (
+           |          PARTITION BY d.source
+           |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+           |        FROM documents d)
+           |SELECT sel.source, sel.doc_id
+           |FROM sel JOIN k ON sel.source = k.source
+           |WHERE rn <= k.ks""".stripMargin),
+    (spark, dir) =>
+      Sampling.stratifiedExactK(Tables.documents(spark, dir),
+          stratumCol = "source", keyCol = "doc_id", budget = 100L)
+        .select(col("source"), col("doc_id")))
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
     smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget,
-    smpWeightedK)
+    smpWeightedK, smpStratified)
 }

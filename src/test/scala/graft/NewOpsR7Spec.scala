@@ -246,6 +246,22 @@ class NewOpsR7Spec extends AnyFunSuite {
     assert(top.getAs[Double]("rrf") >= rows.map(_.getAs[Double]("rrf")).max - 1e-12)
   }
 
+  test("smp_stratified: exact budget, Hamilton allocation on skewed strata") {
+    import spark.implicits._
+    // uniform fixture: 100 seats over 20 sources → exactly 5 each
+    val fix = queries.SamplingQ.smpStratified.fn(spark, sf).collect()
+    assert(fix.length == 100)
+    assert(fix.groupBy(_.getString(0)).values.forall(_.length == 5))
+    // skewed strata: 7 seats over counts 5/3/2 → quotas 3.5/2.1/1.4 →
+    // bases 3/2/1, leftover 1 goes to the largest remainder (a: .5)
+    val skew = (1 to 5).map(i => ("a", i.toLong)) ++
+      (6 to 8).map(i => ("b", i.toLong)) ++ (9 to 10).map(i => ("c", i.toLong))
+    val got = graft.operators.Sampling.stratifiedExactK(
+        skew.toDF("source", "doc_id"), "source", "doc_id", budget = 7L)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(got == Map("a" -> 4, "b" -> 2, "c" -> 1), s"got $got")
+  }
+
   test("dd_cluster_rep: members conserve the corpus; reps belong to their cluster") {
     val docs = Tables.documents(spark, sf)
     val rows = queries.DedupQ.ddClusterRep.fn(spark, sf).collect()
