@@ -271,6 +271,100 @@ object Multimodal {
     } else unknown
   }
 
+  /** Nearest-cell thumbnail of a 24-bit BMP: mean byte value per cell of
+    * a `side`×`side` grid over the real pixel area (stride padding
+    * excluded) — the downscale step of a vision pipeline as plain byte
+    * arithmetic. Cells sum disjoint pixel blocks (floor-partitioned), so
+    * the grid means reconstruct the global mean exactly when weighted by
+    * block sizes. None for anything that isn't an uncompressed 24-bit BMP.
+    */
+  def resizeBmpGrid(b: Array[Byte], side: Int): Option[(Int, Int, Array[Double])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val offset = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
+    if (w <= 0 || h <= 0 || side <= 0) return None
+    val stride = ((w * 3) + 3) / 4 * 4
+    if (offset < 54 || offset.toLong + stride.toLong * h > b.length) return None
+    val sums = new Array[Double](side * side)
+    val counts = new Array[Long](side * side)
+    var y = 0
+    while (y < h) {
+      // rows are stored bottom-up: grid row 0 is the TOP of the image
+      val cy = math.min(((h - 1 - y).toLong * side / h).toInt, side - 1)
+      val rowStart = offset + y * stride
+      var x = 0
+      while (x < w) {
+        val cx = math.min((x.toLong * side / w).toInt, side - 1)
+        val cell = cy * side + cx
+        var c = 0
+        while (c < 3) {
+          sums(cell) += (b(rowStart + x * 3 + c) & 0xFF); c += 1
+        }
+        counts(cell) += 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sums.indices.map(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray))
+  }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, brightness: Double, thumb: Seq[Double])
+
+  /** Deterministic frame sampling + resize over GFV1 video payloads:
+    * every `stride`-th frame (always including frame 0) decodes through
+    * the real BMP parser and downscales to a `thumbSide`² mean-luma grid
+    * — the decode → frame-sample → resize → feature chain of a vision
+    * pretraining pipeline, on real bytes. Non-video / malformed payloads
+    * contribute no rows (the decode gate owns format errors).
+    * `mapPartitions` batch shape, same contract as decodeFeatures.
+    */
+  def sampleFrames(media: DataFrame, stride: Int,
+      thumbSide: Int = 4): Dataset[FrameSample] = {
+    require(stride > 0, "stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes.length < 8 || !bytes.startsWith("GFV1".getBytes)) Iterator.empty
+          else {
+            val nf = le32(bytes, 4)
+            val out = Seq.newBuilder[FrameSample]
+            var at = 8
+            var f = 0
+            var bad = false
+            while (f < nf && !bad) {
+              if (at + 4 > bytes.length) bad = true
+              else {
+                val len = le32(bytes, at)
+                if (len < 0 || at + 4 + len > bytes.length) bad = true
+                else {
+                  if (f % stride == 0) {
+                    val frame = java.util.Arrays.copyOfRange(bytes, at + 4, at + 4 + len)
+                    resizeBmpGrid(frame, thumbSide) match {
+                      case Some((w, h, grid)) =>
+                        val mean = grid.sum / grid.length
+                        out += FrameSample(id, f, w, h, mean / 255.0,
+                          grid.map(v => math.rint(v * 100) / 100).toSeq)
+                      case None => bad = true
+                    }
+                  }
+                  at += 4 + len
+                }
+              }
+              f += 1
+            }
+            if (bad) Iterator.empty else out.result().iterator
+          }
+        }
+      }
+  }
+
   /** Batch decode over the binary column — real format parsing per row,
     * `mapPartitions` batch shape (per-partition setup amortized, same
     * contract as mapInPandas).

@@ -53,5 +53,23 @@ object MultimodalQ {
         .orderBy(col("doc_id"))
     })
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmDecodeFeatures)
+  /** Frame-sample + resize over the video payloads: every 2nd GFV1
+    * frame decoded through the real BMP parser and downscaled to a 4×4
+    * mean-luma thumbnail grid — the vision-pipeline pre-embedding chain.
+    * Rows-only (byte-level); grid exactness and determinism pinned in
+    * MlMultimodalSpec against a hand-computed fixture.
+    */
+  val mmFrameSample = QueryDef(
+    "mm_frame_sample",
+    None,
+    (spark, dir) => {
+      val media = Multimodal.attachMediaPayloads(Tables.documents(spark, dir))
+        .filter(col("media_type") === "video")
+      Multimodal.sampleFrames(media, stride = 2, thumbSide = 4).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          r4(col("brightness")).as("brightness"), col("thumb"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample)
 }

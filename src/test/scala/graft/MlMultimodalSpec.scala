@@ -130,6 +130,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(d.brightness - expected) < 1e-12)
   }
 
+  test("resizeBmpGrid: 2x2 thumbnail equals per-pixel channel means, image-oriented") {
+    // 2×2 image, one flat value per pixel (BGR equal), distinct per pixel:
+    // top-left 10, top-right 20, bottom-left 30, bottom-right 40
+    val px = Array(10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40).map(_.toByte)
+    val bmp = Multimodal.encodeBmp(px, 2, 2)
+    val Some((w, h, grid)) = Multimodal.resizeBmpGrid(bmp, 2)
+    assert(w == 2 && h == 2)
+    // grid row 0 must be the TOP of the image despite bottom-up storage
+    assert(grid.toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    // grid means weighted equally reconstruct the global mean
+    val Some((_, _, mean)) = Multimodal.decodeBmpPixels(bmp)
+    assert(math.abs(grid.sum / 4 - mean) < 1e-12)
+  }
+
+  test("sampleFrames: stride-2 keeps frames 0,2,4; deterministic; video-only") {
+    import SparkTest._
+    val media = Multimodal.attachMediaPayloads(
+      Tables.documents(spark, sf)).filter(org.apache.spark.sql.functions
+        .col("media_type") === "video")
+    val a = Multimodal.sampleFrames(media, stride = 2).collect()
+    val b = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(a.nonEmpty)
+    assert(a.map(f => (f.doc_id, f.frame_idx)).toSeq ==
+      b.map(f => (f.doc_id, f.frame_idx)).toSeq)
+    a.foreach { f =>
+      assert(f.frame_idx % 2 == 0, s"frame ${f.frame_idx} not on the stride grid")
+      assert(f.brightness >= 0.0 && f.brightness <= 1.0)
+      assert(f.thumb.length == 16)
+    }
+    // per-doc sampled count = ceil(n_frames / 2) against the full decode
+    val nf = Multimodal.decodeFeatures(media).collect()
+      .map(d => d.doc_id -> d.n_frames).toMap
+    a.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.length == (nf(id) + 1) / 2, s"doc $id sampled ${fs.length}")
+    }
+  }
+
   test("malformed payloads degrade to unknown instead of failing the batch") {
     assert(Multimodal.decodeOne(1L, "image", "not media".getBytes).format == "unknown")
     assert(Multimodal.decodeOne(2L, "image", Array.empty[Byte]).format == "unknown")
