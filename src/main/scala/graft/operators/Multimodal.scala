@@ -169,8 +169,11 @@ object Multimodal {
     val h = le32(b, 22)
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None // bpp, BI_RGB
     if (w <= 0 || h <= 0) return None
-    val stride = ((w * 3) + 3) / 4 * 4
-    if (offset < 54 || offset.toLong + stride.toLong * h > b.length) return None
+    // stride in LONG: a crafted width near 2^31/3 overflows Int stride and
+    // would bypass the size check below
+    val strideL = ((w.toLong * 3) + 3) / 4 * 4
+    if (offset < 54 || offset.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt // ≤ b.length after the check above
     var sum = 0L
     var y = 0
     while (y < h) {
@@ -278,15 +281,19 @@ object Multimodal {
     * the grid means reconstruct the global mean exactly when weighted by
     * block sizes. None for anything that isn't an uncompressed 24-bit BMP.
     */
-  def resizeBmpGrid(b: Array[Byte], side: Int): Option[(Int, Int, Array[Double])] = {
+  def resizeBmpGrid(b: Array[Byte], side: Int)
+      : Option[(Int, Int, Array[Double], Double)] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val offset = le32(b, 10)
     val w = le32(b, 18)
     val h = le32(b, 22)
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
     if (w <= 0 || h <= 0 || side <= 0) return None
-    val stride = ((w * 3) + 3) / 4 * 4
-    if (offset < 54 || offset.toLong + stride.toLong * h > b.length) return None
+    // stride in LONG: a crafted width near 2^31/3 overflows Int stride and
+    // would bypass the size check below
+    val strideL = ((w.toLong * 3) + 3) / 4 * 4
+    if (offset < 54 || offset.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt // ≤ b.length after the check above
     val sums = new Array[Double](side * side)
     val counts = new Array[Long](side * side)
     var y = 0
@@ -308,7 +315,8 @@ object Multimodal {
       y += 1
     }
     Some((w, h, sums.indices.map(i =>
-      if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray))
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i)).toArray,
+      sums.sum / counts.sum)) // exact global mean — cells are UNEQUAL blocks
   }
 
   final case class FrameSample(doc_id: Long, frame_idx: Int, width: Int,
@@ -342,13 +350,17 @@ object Multimodal {
               if (at + 4 > bytes.length) bad = true
               else {
                 val len = le32(bytes, at)
-                if (len < 0 || at + 4 + len > bytes.length) bad = true
+                // LONG bound: a crafted length near 2^31 overflows the
+                // Int sum and would sneak past the check into copyOfRange
+                if (len < 0 || at.toLong + 4L + len > bytes.length) bad = true
                 else {
                   if (f % stride == 0) {
                     val frame = java.util.Arrays.copyOfRange(bytes, at + 4, at + 4 + len)
                     resizeBmpGrid(frame, thumbSide) match {
-                      case Some((w, h, grid)) =>
-                        val mean = grid.sum / grid.length
+                      case Some((w, h, grid, mean)) =>
+                        // mean is the block-size-weighted global mean —
+                        // the plain cell average would bias whenever
+                        // value correlates with position or w < side
                         out += FrameSample(id, f, w, h, mean / 255.0,
                           grid.map(v => math.rint(v * 100) / 100).toSeq)
                       case None => bad = true

@@ -101,8 +101,13 @@ object Sampling {
   def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {
     val u = (hexVal(col(keyCol)) + lit(0.5)) / lit(65536.0)
-    df.withColumn("__wkey", pow(u, lit(1.0) / col(weightCol)))
-      .orderBy(col("__wkey").desc, col(keyCol))
+    // w ≤ 0 is undefined under u^(1/w) (engines disagree: NULL vs
+    // Infinity; a negative w would outrank every legitimate row) — such
+    // rows have zero selection probability by definition, so exclude
+    // them rather than let corrupt weights poison the sample.
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("wkey").desc, col(keyCol))
       .limit(k)
   }
 

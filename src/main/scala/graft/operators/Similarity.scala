@@ -219,8 +219,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     // bounded probe: one row to learn d (the array length is not in the
-    // schema); same pattern as Packing's min/max census
-    val d = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // schema); same pattern as Packing's min/max census. limit+collect
+    // instead of head() so an EMPTY corpus gets the intended diagnostic
+    // rather than head's bare NoSuchElementException.
+    val dRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dRow.nonEmpty, "empty corpus: no codebook sample")
+    val d = dRow(0).getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val sub = d / m
 

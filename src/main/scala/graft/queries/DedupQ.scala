@@ -689,8 +689,12 @@ object DedupQ {
            |st AS (SELECT quantile_cont(nrm, 0.5) AS med FROM n),
            |m AS (SELECT quantile_cont(abs(nrm - med), 0.5) AS mad FROM n, st)
            |SELECT vec_id, round(nrm, 4) AS nrm,
-           |       round(0.6745 * (nrm - med) / mad, 4) AS robust_z,
-           |       (abs(round(0.6745 * (nrm - med) / mad, 4)) > 3.5) AS is_outlier
+           |       CASE WHEN mad > 0
+           |            THEN round(0.6745 * (nrm - med) / mad, 4)
+           |            ELSE 0.0 END AS robust_z,
+           |       (CASE WHEN mad > 0
+           |             THEN abs(round(0.6745 * (nrm - med) / mad, 4))
+           |             ELSE 0.0 END > 3.5) AS is_outlier
            |FROM n, st, m""".stripMargin),
     (spark, dir) => {
       val n = Tables.embeddings(spark, dir)
@@ -701,7 +705,13 @@ object DedupQ {
       val st = n.agg(expr("percentile(nrm, 0.5)").as("med"))
       val withMed = n.crossJoin(broadcast(st)) // one row by construction
       val m = withMed.agg(expr("percentile(abs(nrm - med), 0.5)").as("mad"))
-      val z = r4(lit(0.6745) * (col("nrm") - col("med")) / col("mad"))
+      // MAD = 0 is a REAL input class (exactly-normalized stores put >50%
+      // of norms on the median): the convention is z = 0 / no outliers —
+      // guarded identically in both engines so the verdict stays
+      // bit-stable instead of null-vs-Infinity divergence.
+      val z = when(col("mad") > 0,
+        r4(lit(0.6745) * (col("nrm") - col("med")) / col("mad")))
+        .otherwise(lit(0.0))
       withMed.crossJoin(broadcast(m)) // one row by construction
         .select(col("vec_id"), r4(col("nrm")).as("nrm"),
           z.as("robust_z"), (abs(z) > 3.5).as("is_outlier"))

@@ -258,7 +258,7 @@ object SamplingQ {
       Sampling.weightedSampleK(Tables.documents(spark, dir),
           keyCol = "doc_id", weightCol = "n_chars", k = 25)
         .select(col("doc_id"), col("source"),
-          round(col("__wkey"), 6).as("wkey")))
+          round(col("wkey"), 6).as("wkey")))
 
   /** Exact-budget stratified sample: Hamilton largest-remainder
     * allocation of 100 seats across sources (exact integer arithmetic —

@@ -250,6 +250,15 @@ object Sources {
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(orderCol))
       .write.mode("overwrite").partitionBy("shard_id").json(dir)
-    graft.operators.Packing.shardManifest(packed, tokenCol, orderCol)
+    // manifest from the WRITTEN output, not the packing plan: re-running
+    // the two-phase prefix sum just for the census would recompute the
+    // export's most expensive step, and reading back also makes the
+    // manifest describe what actually landed
+    graft.operators.Packing.shardManifest(
+      docs.sparkSession.read.json(dir)
+        // partition-column type inference narrows shard_id to int; pin
+        // the manifest schema to packShards' long
+        .withColumn("shard_id", col("shard_id").cast("long")),
+      tokenCol, orderCol)
   }
 }

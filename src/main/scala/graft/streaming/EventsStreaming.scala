@@ -206,8 +206,20 @@ object EventsStreaming {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Decontaminate.clean(batch, evalDocs, n)
-          .write.mode("append").parquet(outPath)
+        // foreachBatch is at-least-once: a replayed batch must not land
+        // its survivors twice. Same idempotence discipline as
+        // appendWithDedup — anti-join already-landed ids before the
+        // append (doc_id is the corpus key).
+        val spark = batch.sparkSession
+        val cleaned = graft.operators.Decontaminate.clean(batch, evalDocs, n)
+        val hPath = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val inserts =
+          if (fs.exists(hPath))
+            cleaned.join(spark.read.parquet(outPath).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else cleaned
+        inserts.write.mode("append").parquet(outPath)
         ()
       }
       .start()

@@ -135,13 +135,14 @@ class MultimodalSpec extends AnyFunSuite {
     // top-left 10, top-right 20, bottom-left 30, bottom-right 40
     val px = Array(10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40).map(_.toByte)
     val bmp = Multimodal.encodeBmp(px, 2, 2)
-    val Some((w, h, grid)) = Multimodal.resizeBmpGrid(bmp, 2)
+    val Some((w, h, grid, gmean)) = Multimodal.resizeBmpGrid(bmp, 2)
     assert(w == 2 && h == 2)
     // grid row 0 must be the TOP of the image despite bottom-up storage
     assert(grid.toSeq == Seq(10.0, 20.0, 30.0, 40.0))
-    // grid means weighted equally reconstruct the global mean
+    // the returned global mean is the block-size-weighted one and matches
+    // the full decoder exactly
     val Some((_, _, mean)) = Multimodal.decodeBmpPixels(bmp)
-    assert(math.abs(grid.sum / 4 - mean) < 1e-12)
+    assert(math.abs(gmean - mean) < 1e-12)
   }
 
   test("sampleFrames: stride-2 keeps frames 0,2,4; deterministic; video-only") {

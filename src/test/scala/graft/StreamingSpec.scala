@@ -64,6 +64,14 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(got.nonEmpty && got.sameElements(expected),
       s"stream kept ${got.length} docs, batch kept ${expected.length}")
+    // at-least-once replay: a fresh stream over the same source (full
+    // redelivery of every row) must insert ZERO duplicates
+    val q2 = EventsStreaming.decontaminatedAppend(
+      EventsStreaming.readDocuments(spark, sf).filter(col("doc_id") % 10 =!= 0),
+      evalDocs, n = 5, outPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == expected.length,
+      "replay must not duplicate surviving docs")
   }
 
   test("foreachBatch append sink is idempotent across stream replays") {
