@@ -66,6 +66,10 @@ object Sampling {
   def stratifiedExactK(df: DataFrame, stratumCol: String, keyCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    require(df.schema(stratumCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$stratumCol must be a string stratum column (got " +
+        s"${df.schema(stratumCol).dataType.simpleString}); cast it first")
     val counts = df.groupBy(col(stratumCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     require(counts.nonEmpty, "empty input: nothing to allocate")
@@ -105,9 +109,12 @@ object Sampling {
     // Infinity; a negative w would outrank every legitimate row) — such
     // rows have zero selection probability by definition, so exclude
     // them rather than let corrupt weights poison the sample.
+    // Rank on the 6dp-rounded key (keyCol tiebreak): JVM Math.pow and a
+    // foreign engine's libm pow are not ULP-identical, so an unrounded
+    // near-tie at the k boundary could pick different rows per engine.
     df.filter(col(weightCol) > 0)
       .withColumn("wkey", pow(u, lit(1.0) / col(weightCol)))
-      .orderBy(col("wkey").desc, col(keyCol))
+      .orderBy(round(col("wkey"), 6).desc, col(keyCol))
       .limit(k)
   }
 

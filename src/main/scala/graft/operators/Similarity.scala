@@ -239,11 +239,19 @@ object Similarity {
     // replaces 8 distributed KMeans pipelines — one bounded Spark job
     // total, milliseconds of local arithmetic, fully deterministic
     // (ordered sample, fixed init, fixed iteration count).
-    val sample: Array[Array[Double]] = cp
+    val sliced: Array[Array[Double]] = cp
       .filter(pmod(col("cand_id"), lit(4)) === 0)
       .orderBy(col("cand_id")).limit(4096)
       .select(col("cv")).collect()
       .map(_.getSeq[Double](0).toArray)
+    // A corpus whose ids never hit the 1-in-4 residue would leave the
+    // slice empty even though the corpus isn't — fall back to the
+    // unfiltered id-smallest sample rather than fail.
+    val sample: Array[Array[Double]] =
+      if (sliced.nonEmpty) sliced
+      else cp.orderBy(col("cand_id")).limit(4096)
+        .select(col("cv")).collect()
+        .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus: no codebook sample")
     val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
       lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),

@@ -57,7 +57,9 @@ object MultimodalQ {
     * frame decoded through the real BMP parser and downscaled to a 4×4
     * mean-luma thumbnail grid — the vision-pipeline pre-embedding chain.
     * Rows-only (byte-level); grid exactness and determinism pinned in
-    * MlMultimodalSpec against a hand-computed fixture.
+    * MlMultimodalSpec against a hand-computed fixture. The grid ships as
+    * a comma-joined string, not array<double>: the harness compare sorts
+    * result frames in pandas, where ndarray cells are unhashable.
     */
   val mmFrameSample = QueryDef(
     "mm_frame_sample",
@@ -67,7 +69,9 @@ object MultimodalQ {
         .filter(col("media_type") === "video")
       Multimodal.sampleFrames(media, stride = 2, thumbSide = 4).toDF()
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
-          r4(col("brightness")).as("brightness"), col("thumb"))
+          r4(col("brightness")).as("brightness"),
+          array_join(transform(col("thumb"), v => v.cast("string")), ",")
+            .as("thumb"))
         .orderBy(col("doc_id"), col("frame_idx"))
     })
 

@@ -250,10 +250,11 @@ object SamplingQ {
     Some(s"""WITH u AS (
             |  SELECT doc_id, source, n_chars,
             |         (${hexValSql("doc_id")} + 0.5) / 65536.0 AS u
-            |  FROM documents)
+            |  FROM documents WHERE n_chars > 0)
             |SELECT doc_id, source,
             |       round(pow(u, 1.0 / n_chars), 6) AS wkey
-            |FROM u ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 25""".stripMargin),
+            |FROM u ORDER BY round(pow(u, 1.0 / n_chars), 6) DESC, doc_id
+            |LIMIT 25""".stripMargin),
     (spark, dir) =>
       Sampling.weightedSampleK(Tables.documents(spark, dir),
           keyCol = "doc_id", weightCol = "n_chars", k = 25)

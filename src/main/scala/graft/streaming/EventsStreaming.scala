@@ -200,6 +200,15 @@ object EventsStreaming {
     * construction (proven in StreamingSpec). The eval gram set
     * broadcast is the same plan as the batch path; survivors append to
     * `outPath`.
+    *
+    * At-scale substitution: the replay guard below anti-joins the FULL
+    * landed output each micro-batch — exact and simple, but per-batch
+    * cost grows with total landed rows. On a long-running 100 TB sink,
+    * swap it for a batch-id high-water mark persisted in the checkpoint
+    * (skip batches already committed — foreachBatch hands over the
+    * batchId) or a bounded doc_id side index (Bloom filter per landed
+    * shard), the same documented-swap discipline as the
+    * sim_norm_outliers approx_percentile note.
     */
   def decontaminatedAppend(docs: DataFrame, evalDocs: DataFrame, n: Int,
       outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
