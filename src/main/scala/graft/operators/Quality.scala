@@ -52,4 +52,30 @@ object Quality {
   /** Run a suite of single-column expectations as one single-row agg. */
   def runSuite(df: DataFrame, expectations: Seq[Column]): DataFrame =
     df.agg(expectations.head, expectations.tail: _*)
+
+  /** Chi-square drift between two cohorts of one categorical column —
+    * the distribution-shift monitor a curation pipeline runs between a
+    * reference corpus slice and a new batch (Pearson's test on the 2×k
+    * contingency table; each output row carries its cell contribution,
+    * Σ of which is the χ² statistic).
+    *
+    * Scale: one groupBy over the category (conditional counts fold the
+    * cohort split into the same pass), margins via a 2-row broadcast —
+    * never a second scan, never a join on data rows.
+    */
+  def chiSquareDrift(df: DataFrame, categoryCol: String,
+      inCohortA: Column): DataFrame = {
+    val counts = df.groupBy(col(categoryCol))
+      .agg(sum(inCohortA.cast("long")).as("n_a"),
+        sum((!inCohortA).cast("long")).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val ea = (col("n_a") + col("n_b")) * col("ta").cast("double") /
+      (col("ta") + col("tb"))
+    val eb = (col("n_a") + col("n_b")) * col("tb").cast("double") /
+      (col("ta") + col("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(categoryCol), col("n_a"), col("n_b"),
+        (pow(col("n_a") - ea, 2) / ea + pow(col("n_b") - eb, 2) / eb)
+          .as("chi2_contrib"))
+  }
 }

@@ -92,6 +92,44 @@ object DedupQ {
         .select(col("id_a"), col("id_b"), r4(col("j")).as("jaccard"))
     })
 
+  /** Shingle CONTAINMENT (asymmetric Jaccard): C(a→b) = |S_a ∩ S_b| /
+    * |S_a| — the doc-in-doc detector (quotes, boilerplate wrappers,
+    * subset re-posts) that symmetric Jaccard misses whenever the host
+    * document is much longer. Same inverted-index machinery as
+    * dd_jaccard_shingles (hashed shingles, equi-join on the hash, one
+    * hash-agg per pair — zero-overlap pairs never materialize), directed:
+    * both (a,b) and (b,a) orientations of a probe are scored.
+    */
+  val ddContainment = QueryDef(
+    "dd_containment",
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) AS containment
+           |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+           |WHERE a.doc_id % 20 = 10
+           |  AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.5""".stripMargin),
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir).select(col("doc_id"),
+        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+      val probeSh = sh.filter(col("doc_id") % 20 === 10)
+        .select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+      val candSh = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+      probeSh.join(candSh, Seq("shingle"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n", "na")), "id_a")
+        .withColumn("c", col("inter").cast("double") / col("na"))
+        .filter(col("c") >= 0.5)
+        .select(col("id_a"), col("id_b"), r4(col("c")).as("containment"))
+    })
+
   /** PPJoin-style EXACT all-pairs near-dup join (prefix filtering on a
     * rarest-first global order + length filter + exact verify) — unlike
     * LSH it misses nothing, so the full-corpus inequality-join oracle
@@ -718,7 +756,8 @@ object DedupQ {
     })
 
   val all: Seq[QueryDef] = Seq(
-    ddExact, ddBowGroups, ddJaccardShingles, ddPpjoin, ddMinhashLsh, ddSimhash,
+    ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddPpjoin,
+    ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,

@@ -74,5 +74,56 @@ object MlQ {
         .orderBy(col("day"))
     })
 
-  val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval)
+  /** M8: closed-form OLS trend fit + residual z-scores over the daily
+    * revenue series — deterministic "small ML" that, unlike the RF chain,
+    * is EXACTLY reproducible by any SQL engine: every fit scalar
+    * accumulates in integer/DECIMAL arithmetic (Ols.fitExactInt), so the
+    * coefficients and the scored line are bit-identical cross-engine;
+    * only the final z-score divides by a float stddev (r4-absorbed).
+    * The anomaly read: |resid_z| > 2 days are revenue outliers vs trend.
+    */
+  val mlOlsResiduals = QueryDef(
+    "ml_ols_residuals",
+    Some("""WITH d AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ydec
+           |  FROM orders GROUP BY 1),
+           |x AS (SELECT day, ydec,
+           |             CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS xi
+           |      FROM d),
+           |f AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |             CAST(sum(xi) AS DOUBLE) AS sx,
+           |             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+           |             CAST(sum(ydec) AS DOUBLE) AS sy,
+           |             CAST(sum(CAST(xi AS DECIMAL(5,0)) * ydec) AS DOUBLE) AS sxy
+           |      FROM x),
+           |c AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, n, sx, sy FROM f),
+           |c2 AS (SELECT sy / n - b * (sx / n) AS a, b FROM c),
+           |s AS (SELECT day, CAST(ydec AS DOUBLE) AS y,
+           |             a + b * CAST(xi AS DOUBLE) AS yhat
+           |      FROM x, c2),
+           |sd AS (SELECT stddev_pop(y - yhat) AS sd FROM s)
+           |SELECT day, round(y, 2) AS y, round(yhat, 2) AS yhat,
+           |       round((y - yhat) / sd, 4) AS resid_z
+           |FROM s, sd""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val d = Tables.orders(spark, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+        .select(col("day"), col("yraw").cast("decimal(18,2)").as("ydec"),
+          datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+      val coef = graft.ml.Ols.fitExactInt(d, "xi", "ydec")
+      val scored = d.crossJoin(broadcast(coef))
+        .select(col("day"), col("ydec").cast("double").as("y"),
+          (col("a") + col("b") * col("xi").cast("double")).as("yhat"))
+      val sd = scored.agg(stddev_pop(col("y") - col("yhat")).as("sd"))
+      scored.crossJoin(broadcast(sd))
+        .select(col("day"), round(col("y"), 2).as("y"),
+          round(col("yhat"), 2).as("yhat"),
+          r4((col("y") - col("yhat")) / col("sd")).as("resid_z"))
+    })
+
+  val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
+    mlOlsResiduals)
 }

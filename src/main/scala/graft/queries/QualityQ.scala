@@ -72,5 +72,32 @@ object QualityQ {
         Quality.freshnessStatus(col("ts"), asOf, 24, 48).as("status"))
     })
 
-  val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness)
+  /** Q5: chi-square source-mix drift between two hash-split corpus
+    * cohorts — the distribution-shift monitor between a reference slice
+    * and a new batch (Pearson's 2×k test; Σ chi2_contrib is the
+    * statistic). The cohort split is the deterministic md5 parity, so
+    * both engines compute the identical contingency table; one groupBy
+    * pass + a 1-row broadcast of the margins (Quality.chiSquareDrift).
+    */
+  val qcDrift = QueryDef(
+    "qc_drift",
+    Some(s"""WITH c AS (SELECT source,
+            |       CAST(count(*) FILTER ((${SamplingQ.hexValSql("doc_id")}) % 2 = 0) AS BIGINT) AS n_a,
+            |       CAST(count(*) FILTER ((${SamplingQ.hexValSql("doc_id")}) % 2 = 1) AS BIGINT) AS n_b
+            |       FROM documents GROUP BY 1),
+            |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM c)
+            |SELECT source, n_a, n_b,
+            |       round(pow(n_a - (n_a + n_b) * ta / (ta + tb), 2) / ((n_a + n_b) * ta / (ta + tb))
+            |           + pow(n_b - (n_a + n_b) * tb / (ta + tb), 2) / ((n_a + n_b) * tb / (ta + tb)), 4) AS chi2_contrib
+            |FROM c, t""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.Fns.r4
+      val drift = Quality.chiSquareDrift(Tables.documents(spark, dir),
+        categoryCol = "source",
+        inCohortA = graft.operators.Sampling.hexVal(col("doc_id")) % 2 === 0)
+      drift.select(col("source"), col("n_a"), col("n_b"),
+        r4(col("chi2_contrib")).as("chi2_contrib"))
+    })
+
+  val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness, qcDrift)
 }

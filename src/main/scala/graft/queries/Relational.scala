@@ -816,10 +816,47 @@ object Relational {
         .agg(count(lit(1)).as("n_users"))
     })
 
+  /** J8: snapshot reconciliation — the Reconcile.diffReport operator over
+    * two deterministic "loads" of orders (old = all but keys ≡3 mod 13;
+    * new = all but keys ≡7 mod 13, prices bumped 10% on keys ≡0 mod 5),
+    * classifying every key added/removed/changed/unchanged with a key
+    * checksum per class. One full-outer shuffle join — the minimal exact
+    * diff; the price comparison is IEEE-identical in any engine since
+    * both recompute the same ×1.1.
+    */
+  val j8TableDiff = QueryDef(
+    "j8_table_diff",
+    Some("""WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v
+           |           FROM orders WHERE o_orderkey % 13 != 3),
+           |b AS (SELECT o_orderkey AS k,
+           |             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+           |                  ELSE o_totalprice END AS v
+           |      FROM orders WHERE o_orderkey % 13 != 7),
+           |d AS (SELECT coalesce(a.k, b.k) AS k,
+           |             CASE WHEN a.k IS NULL THEN 'added'
+           |                  WHEN b.k IS NULL THEN 'removed'
+           |                  WHEN a.v IS DISTINCT FROM b.v THEN 'changed'
+           |                  ELSE 'unchanged' END AS status
+           |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+           |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(sum(k) AS BIGINT) AS key_checksum
+           |FROM d GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val oldLoad = o.filter(col("o_orderkey") % 13 =!= 3)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val newLoad = o.filter(col("o_orderkey") % 13 =!= 7)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("v"))
+      graft.operators.Reconcile.diffReport(oldLoad, newLoad,
+        keyCols = Seq("k"), valueCols = Seq("v"), checksumCol = "k")
+    })
+
   val all: Seq[QueryDef] = Seq(
     a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
     a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized, a22CohortRetention,
-    j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile,
+    j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile, j8TableDiff,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,
     a4DailyAgg, a5ConditionalCounts, a1HourlyMaxBy, j2AggThenJoin,
     j1LeftJoinResidual, j3BroadcastDim, j4AntiJoin, j5MergeInsertOnly,

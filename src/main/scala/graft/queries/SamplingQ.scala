@@ -85,7 +85,7 @@ object SamplingQ {
     * the portable uniform [0,65536) variate (no hex-parsing builtins
     * assumed; a 4-term strpos polynomial works in any engine).
     */
-  private def hexValSql(key: String): String = {
+  private[queries] def hexValSql(key: String): String = {
     val h = s"md5(CAST($key AS VARCHAR))"
     Seq(4096, 256, 16, 1).zipWithIndex.map { case (p, i) =>
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $p"

@@ -515,9 +515,48 @@ object Windows {
           (excess > 0).as("is_anomaly"))
     })
 
+  /** W11: gaps-and-islands — each user's LONGEST consecutive-day activity
+    * streak (tiebreak: earliest start). The classic islands trick: within
+    * a user, day − row_number(day) is constant exactly on consecutive-day
+    * runs, so one window + one groupBy finds every streak without
+    * self-joins or iteration.
+    *
+    * Scale: the window and the island groupBy both partition by user_id —
+    * per-user state only, horizontally scalable; input is pre-shrunk to
+    * distinct (user, day) pairs (O(users·days), not O(events)).
+    */
+  val w11Streaks = QueryDef(
+    "w11_streaks",
+    Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           |i AS (SELECT user_id, day,
+           |        day - CAST(row_number() OVER (
+           |          PARTITION BY user_id ORDER BY day) AS INT) AS island
+           |      FROM d),
+           |s AS (SELECT user_id, min(day) AS streak_start,
+           |             CAST(count(*) AS BIGINT) AS streak_len
+           |      FROM i GROUP BY user_id, island)
+           |SELECT user_id, streak_start, streak_len FROM s
+           |QUALIFY row_number() OVER (
+           |  PARTITION BY user_id ORDER BY streak_len DESC, streak_start) = 1""".stripMargin),
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("streak_len").desc, col("streak_start"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        .withColumn("island", date_sub(col("day"), row_number().over(byUser)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("day")).as("streak_start"),
+          count(lit(1)).as("streak_len"))
+        .withColumn("__rn", row_number().over(best))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("streak_start"), col("streak_len"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
-    t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix, w10AnomalyFlags)
+    t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix, w10AnomalyFlags,
+    w11Streaks)
 }
