@@ -65,6 +65,25 @@ object Decontaminate {
       .agg(count(lit(1)).as("matched_ngrams"))
   }
 
+  /** GRADED contamination: every train doc with its distinct-n-gram
+    * census, matched-gram count, and overlap fraction — the score a
+    * curation policy thresholds (vs the binary verdict `clean` applies).
+    * The per-doc total is a map-side size() — no second gram shuffle;
+    * only the (bounded) hit counts join back onto the census.
+    */
+  def contaminationRate(train: DataFrame, evalDocs: DataFrame,
+      n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val totals = train.select(col(idCol),
+      size(TextFns.shingleHashes(col(textCol), n)).cast("long")
+        .as("total_ngrams"))
+    totals.join(contaminationHits(train, evalDocs, n, textCol, idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), col("total_ngrams"),
+        coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
+        (coalesce(col("matched_ngrams"), lit(0L)) * lit(1.0) /
+          col("total_ngrams")).as("contamination_rate"))
+  }
+
   /** Cleaned corpus: `docs` minus training docs with ≥ `minHits` eval
     * n-gram overlaps (eval rows themselves are not part of the output).
     * The flagged-id set — already aggregated to one row per contaminated

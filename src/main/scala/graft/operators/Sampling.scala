@@ -118,6 +118,25 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic contrastive-pair construction (embedding-training
+    * data prep): within each group, order rows by the hash-uniform
+    * variate of `keyCol` and pair rank 2k−1 with rank 2k — a
+    * reproducible random-but-fixed matching, no RNG, no rejection
+    * sampling. Odd leftovers per group drop. One per-group window, no
+    * self-join; scales with group cardinality like every window here.
+    */
+  def contrastivePairs(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hexVal(col(keyCol)), col(keyCol))
+    df.select(col(groupCol), col(keyCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__nxt", lead(col(keyCol), 1).over(w))
+      .filter(col("__rk") % 2 === 1 && col("__nxt").isNotNull)
+      .select(col(groupCol), col(keyCol).as("anchor_id"),
+        col("__nxt").as("pair_id"))
+  }
+
   /** Cap each key's rows at `k`, keeping the smallest `orderCol` values —
     * the per-domain/per-source quota of a corpus mix. Runs on the custom
     * two-phase TopKPerKey operator: map-side k-heaps, one key exchange,

@@ -130,6 +130,38 @@ object DedupQ {
         .select(col("id_a"), col("id_b"), r4(col("c")).as("containment"))
     })
 
+  /** Content-defined chunking dedup (FastCDC-style): boundaries where
+    * the md5-variate of the trailing 3-gram ≡ 0 mod 16 (≈16-token
+    * chunks), so identical passages re-chunk identically at ANY offset —
+    * the sub-document dedup key robust to insertions that fixed-size
+    * chunking (dd_chunk_boilerplate) is not. Output: chunk fingerprints
+    * shared by ≥ 2 docs with doc/occurrence counts. Whole operator
+    * (boundary decisions included) recomputed by the oracle from the
+    * same hash polynomial.
+    */
+  val ddCdcChunks = QueryDef(
+    "dd_cdc_chunks",
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            |t AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS pos, w FROM d),
+            |f AS (SELECT doc_id, pos, w[pos] AS tok,
+            |        CASE WHEN pos >= 3 AND
+            |          (${SamplingQ.hexValSql("w[pos-2] || ' ' || w[pos-1] || ' ' || w[pos]")}) % 16 = 0
+            |        THEN 1 ELSE 0 END AS cut
+            |      FROM t),
+            |c AS (SELECT doc_id, pos, tok,
+            |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+            |      FROM f),
+            |ch AS (SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+            |              CAST(count(*) AS BIGINT) AS n_tok
+            |       FROM c GROUP BY 1, 2)
+            |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            |       CAST(count(*) AS BIGINT) AS n_occ, min(n_tok) AS tok_len
+            |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+    (spark, dir) =>
+      graft.operators.CdcChunking.duplicateChunks(
+        Tables.documents(spark, dir), gramN = 3, modulus = 16))
+
   /** PPJoin-style EXACT all-pairs near-dup join (prefix filtering on a
     * rarest-first global order + length filter + exact verify) — unlike
     * LSH it misses nothing, so the full-corpus inequality-join oracle
@@ -756,8 +788,8 @@ object DedupQ {
     })
 
   val all: Seq[QueryDef] = Seq(
-    ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddPpjoin,
-    ddMinhashLsh, ddSimhash,
+    ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddCdcChunks,
+    ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,

@@ -177,6 +177,47 @@ object PipelineQ {
         docs.filter(!isEval), docs.filter(isEval), n = 5)
     })
 
+  /** GRADED contamination: every train doc's distinct-5-gram census,
+    * matched-gram count, and overlap FRACTION — the thresholdable score
+    * behind pipe_decontaminate's binary verdict (a doc 90% covered by
+    * eval grams is a leak; one sharing a single idiom may not be). The
+    * per-doc total is a map-side size(), so the only joined stream is
+    * the bounded hit table (Decontaminate.contaminationRate).
+    */
+  val pipeContaminationRate = QueryDef(
+    "pipe_contamination_rate",
+    Some(s"""WITH split AS (
+            |  SELECT doc_id, text,
+            |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            |           < '${graft.operators.Sampling.hexThreshold(0.1)}' AS is_eval
+            |  FROM documents),
+            |tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM split WHERE NOT is_eval),
+            |ev AS (SELECT string_split(text, ' ') AS w FROM split WHERE is_eval),
+            |evg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+            |                                FOR i IN range(1, greatest(len(w) - 3, 1))]) AS g
+            |        FROM ev),
+            |trg AS (SELECT doc_id,
+            |               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+            |                      FOR i IN range(1, greatest(len(w) - 3, 1))])) AS g
+            |        FROM tr),
+            |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+            |        FROM trg GROUP BY 1),
+            |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS matched
+            |         FROM trg t JOIN evg e ON t.g = e.g GROUP BY 1)
+            |SELECT tot.doc_id, total_ngrams,
+            |       coalesce(matched, 0) AS matched_ngrams,
+            |       round(coalesce(matched, 0) * 1.0 / total_ngrams, 4) AS contamination_rate
+            |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val isEval = Decontaminate.isEval(col("doc_id"), 0.1)
+      Decontaminate.contaminationRate(
+          docs.filter(!isEval), docs.filter(isEval), n = 5)
+        .select(col("doc_id"), col("total_ngrams"), col("matched_ngrams"),
+          graft.functions.Fns.r4(col("contamination_rate"))
+            .as("contamination_rate"))
+    })
+
   val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards,
-    pipeDecontaminate)
+    pipeDecontaminate, pipeContaminationRate)
 }

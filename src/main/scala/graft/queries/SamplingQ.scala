@@ -295,8 +295,29 @@ object SamplingQ {
           stratumCol = "source", keyCol = "doc_id", budget = 100L)
         .select(col("source"), col("doc_id")))
 
+  /** Deterministic contrastive pairs (embedding-training prep): within
+    * each source, docs ordered by their hash-uniform variate pair up
+    * 1st-with-2nd, 3rd-with-4th, … — a reproducible random matching with
+    * no RNG and no self-join (one per-source window + lead()). Odd
+    * leftovers drop; 25 docs/source → 12 pairs each.
+    */
+  val smpBalancedPairs = QueryDef(
+    "smp_balanced_pairs",
+    Some(s"""WITH o AS (SELECT source, doc_id,
+            |             row_number() OVER win AS rk,
+            |             lead(doc_id, 1) OVER win AS nxt
+            |           FROM documents
+            |           WINDOW win AS (PARTITION BY source
+            |                          ORDER BY (${hexValSql("doc_id")}), doc_id))
+            |SELECT source, doc_id AS anchor_id, nxt AS pair_id
+            |FROM o WHERE rk % 2 = 1 AND nxt IS NOT NULL""".stripMargin),
+    (spark, dir) =>
+      Sampling.contrastivePairs(Tables.documents(spark, dir),
+        groupCol = "source", keyCol = "doc_id")
+        .select(col("source"), col("anchor_id"), col("pair_id")))
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
     smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget,
-    smpWeightedK, smpStratified)
+    smpWeightedK, smpStratified, smpBalancedPairs)
 }

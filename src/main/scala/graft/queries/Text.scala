@@ -880,10 +880,39 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
           min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens")))
 
+  /** Vocabulary growth curve (Heaps' law over trigrams): distinct
+    * trigram count among the first t docs, t stepping by 50 — the
+    * corpus-diversity diagnostic (a flattening curve means new data adds
+    * no new language). Computed in ONE pass from each gram's
+    * first-occurrence doc: min(doc_id) per gram → bucket → running sum —
+    * never a per-threshold rescan (10 thresholds ≠ 10 scans). The final
+    * window runs over O(buckets) rows, not grams.
+    */
+  val txVocabGrowth = QueryDef(
+    "tx_vocab_growth",
+    Some(s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+            |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ')
+            |        FOR i IN range(1, greatest(len(w)-1,1))])) AS g FROM d),
+            |fs AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1),
+            |b AS (SELECT CAST(floor(fd/50) AS BIGINT)*50+50 AS t, count(*) AS nw
+            |      FROM fs GROUP BY 1)
+            |SELECT t, CAST(sum(nw) OVER (ORDER BY t) AS BIGINT) AS vocab
+            |FROM b""".stripMargin),
+    (spark, dir) => {
+      val cum = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFns.shingleHashes(col("text"), 3)).as("g"))
+        .groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+        .select((floor(col("fd") / 50) * 50 + 50).cast("long").as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("nw"))
+        .select(col("t"), sum(col("nw")).over(cum).cast("long").as("vocab"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
     txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms,
-    txNgramDiversity, txLengthBands, txHybridRrf)
+    txNgramDiversity, txLengthBands, txHybridRrf, txVocabGrowth)
 }

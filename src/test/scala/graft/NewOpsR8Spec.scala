@@ -186,6 +186,94 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(top.getDouble(1) == 500.0, s"outlier not top-z: $top")
   }
 
+  // ------------------------------------------------------ CDC chunking
+
+  test("CDC chunking is shift-invariant: a prefix insertion only reshapes " +
+      "chunks up to the next boundary") {
+    val base = Tables.documents(spark, sf).orderBy(col("n_chars").desc)
+      .select(col("text")).limit(1).collect()(0).getString(0)
+    val docs = Seq((1L, base), (2L, "zzz qqq vvv " + base))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.CdcChunking.chunkFingerprints(docs)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    val shared = fps(1L).intersect(fps(2L)).size
+    // all of doc 1's chunks except (at most) its first must re-chunk
+    // identically inside the shifted doc — the fixed-size splitter
+    // (tx_chunks) shares zero chunks under the same 3-token shift
+    assert(shared >= fps(1L).size - 1,
+      s"only $shared of ${fps(1L).size} chunks survived the shift")
+    assert(fps(1L).size >= 3, "fixture doc too short to exercise chunking")
+  }
+
+  test("CDC chunks partition each doc: token counts sum to the doc length") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val byDoc = graft.operators.CdcChunking.chunkFingerprints(docs)
+      .groupBy(col("doc_id")).agg(sum(col("n_tok")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(byDoc == expected.filter(_._2 > 0))
+  }
+
+  test("dd_cdc_chunks query: every reported fingerprint spans >= 2 docs") {
+    val rows = queries.DedupQ.ddCdcChunks.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L)
+      assert(r.getLong(2) >= r.getLong(1), "occurrences < docs")
+      assert(r.getLong(3) >= 1L)
+    }
+  }
+
+  // ------------------------------------------------- contrastive pairs
+
+  test("contrastivePairs: disjoint same-source pairs, each doc used once") {
+    val out = queries.SamplingQ.smpBalancedPairs.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val used = out.flatMap(r => Seq(r.getLong(1), r.getLong(2)))
+    assert(used.distinct.length == used.length, "a doc appears in 2 pairs")
+    out.foreach(r => assert(r.getLong(1) != r.getLong(2)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(docs(r.getLong(1)) == docs(r.getLong(2)),
+      "pair crosses sources"))
+  }
+
+  // ---------------------------------------------- contamination rate
+
+  test("contaminationRate: bounded scores, hits never exceed the census") {
+    val rows = queries.PipelineQ.pipeContaminationRate.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, m, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(m >= 0 && m <= tot, s"doc ${r.getLong(0)}: matched $m > total $tot")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // eval docs (the hash split) must not be scored
+    val evalIds = Tables.documents(spark, sf)
+      .filter(graft.operators.Decontaminate.isEval(col("doc_id"), 0.1))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(!evalIds.contains(r.getLong(0)),
+      s"eval doc ${r.getLong(0)} was scored"))
+  }
+
+  // ------------------------------------------------- vocab growth
+
+  test("tx_vocab_growth: monotone curve ending at the trigram vocabulary") {
+    val rows = queries.Text.txVocabGrowth.fn(spark, sf)
+      .orderBy(col("t")).collect()
+    assert(rows.length >= 2)
+    val vs = rows.map(_.getLong(1))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "not monotone")
+    val total = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.shingleHashes(col("text"), 3)))
+      .distinct().count()
+    assert(vs.last == total, s"curve ends at ${vs.last}, vocab is $total")
+  }
+
   test("ml_ols_residuals: z-scores have ~zero mean and unit spread") {
     val rows = queries.MlQ.mlOlsResiduals.fn(spark, sf).collect()
     assert(rows.length > 100)
