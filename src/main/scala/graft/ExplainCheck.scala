@@ -202,6 +202,46 @@ object ExplainCheck {
       !p.contains("windowspecdefinition") && p.contains("partial_") &&
         p.contains("Generate explode")
     }
+    // snapshot diff: a full-outer SHUFFLE join is the minimal exact diff
+    // (both versions of each key must co-locate); a broadcast would mean
+    // one whole snapshot fits in memory — wrong at reconciliation scale
+    check("j8_table_diff", "full-outer shuffle join, partial-agg report") { p =>
+      p.contains("FullOuter") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+        p.contains("partial_")
+    }
+    // streaks: both windows partition by user — no global ordering anywhere
+    check("w11_streaks", "per-user windows only") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "user_id")
+    }
+    // CDC chunking: chunk-index window partitions by doc (per-doc state),
+    // and no join anywhere — chunk assembly is pure agg
+    check("dd_cdc_chunks", "doc-partitioned window, join-free") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "doc_id") &&
+        !p.contains("Join") && p.contains("partial_")
+    }
+    // graded contamination: the eval gram set must broadcast (benchmark-
+    // sized); the train-side gram stream never shuffles for the semijoin
+    check("pipe_contamination_rate", "eval grams broadcast")(
+      _.contains("BroadcastHashJoin"))
+    // contrastive pairs: one source-partitioned window, no self-join —
+    // the lead() formulation halves the naive rank-join plan
+    check("smp_balanced_pairs", "single window, no self-join") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "source") && !p.contains("Join")
+    }
+    // exact OLS: the fit and stddev scalars come back as 1-row broadcasts;
+    // the series never shuffles for a join (BNLJ on a 1-row build side is
+    // the degenerate-and-correct cross join)
+    check("ml_ols_residuals", "1-row coefficient broadcasts only") { p =>
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._
