@@ -124,6 +124,76 @@ object MlQ {
           r4((col("y") - col("yhat")) / col("sd")).as("resid_z"))
     })
 
+  /** M9: deterministic forecast-baseline benchmark — naive (lag-1),
+    * seasonal-naive (lag-7), and the exact-OLS trend, scored on a
+    * last-7-day holdout with MAE/MAPE. The honest-eval discipline the RF
+    * chain gets from `ml_eval`, here with models simple enough that the
+    * whole benchmark is exactly reproducible by the oracle: the trend
+    * fits on TRAIN DAYS ONLY (no leakage) via Ols.fitExactInt, and the
+    * lag features come from the full series as any production hindcast
+    * would. A model only earns its complexity by beating these numbers.
+    */
+  val mlBaselineCompare = QueryDef(
+    "ml_baseline_compare",
+    Some("""WITH d AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ydec
+           |  FROM orders GROUP BY 1),
+           |x AS (SELECT day, ydec,
+           |             CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS xi,
+           |             lag(CAST(ydec AS DOUBLE), 1) OVER (ORDER BY day) AS naive,
+           |             lag(CAST(ydec AS DOUBLE), 7) OVER (ORDER BY day) AS snaive
+           |      FROM d),
+           |cut AS (SELECT max(day) - 6 AS c0 FROM x),
+           |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(xi) AS DOUBLE) AS sx,
+           |             CAST(sum(xi * xi) AS DOUBLE) AS sxx, CAST(sum(ydec) AS DOUBLE) AS sy,
+           |             CAST(sum(CAST(xi AS DECIMAL(5,0)) * ydec) AS DOUBLE) AS sxy
+           |      FROM x, cut WHERE day < c0),
+           |c AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, n, sx, sy FROM f),
+           |c2 AS (SELECT sy / n - b * (sx / n) AS a, b FROM c),
+           |h AS (SELECT day, CAST(ydec AS DOUBLE) AS y, naive, snaive,
+           |             a + b * CAST(xi AS DOUBLE) AS trend
+           |      FROM x, c2, cut WHERE day >= c0)
+           |SELECT model, round(mae, 2) AS mae, round(mape, 4) AS mape FROM (
+           |  SELECT 'naive' AS model, avg(abs(y - naive)) AS mae,
+           |         avg(abs(y - naive) / y) * 100 AS mape FROM h
+           |  UNION ALL
+           |  SELECT 'seasonal_naive', avg(abs(y - snaive)), avg(abs(y - snaive) / y) * 100 FROM h
+           |  UNION ALL
+           |  SELECT 'ols_trend', avg(abs(y - trend)), avg(abs(y - trend) / y) * 100 FROM h)""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      import org.apache.spark.sql.expressions.Window
+      // O(days) rows after the pre-agg, so the unpartitioned lag window
+      // is bounded state (the Windows.scala daily-series discipline)
+      val d = Tables.orders(spark, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+        .select(col("day"), col("yraw").cast("decimal(18,2)").as("ydec"),
+          datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+      val wDay = Window.orderBy(col("day"))
+      val x = d
+        .withColumn("naive", lag(col("ydec").cast("double"), 1).over(wDay))
+        .withColumn("snaive", lag(col("ydec").cast("double"), 7).over(wDay))
+      val cut = x.agg(date_sub(max(col("day")), 6).as("c0"))
+      val coef = graft.ml.Ols.fitExactInt(
+        x.crossJoin(broadcast(cut)).filter(col("day") < col("c0")),
+        "xi", "ydec")
+      val h = x.crossJoin(broadcast(coef)).crossJoin(broadcast(cut))
+        .filter(col("day") >= col("c0"))
+        .select(col("ydec").cast("double").as("y"),
+          col("naive"), col("snaive"),
+          (col("a") + col("b") * col("xi").cast("double")).as("trend"))
+      def score(model: String, yhat: org.apache.spark.sql.Column) =
+        h.agg(avg(abs(col("y") - yhat)).as("mae"),
+            (avg(abs(col("y") - yhat) / col("y")) * 100).as("mape"))
+          .select(lit(model).as("model"), round(col("mae"), 2).as("mae"),
+            r4(col("mape")).as("mape"))
+      score("naive", col("naive"))
+        .unionByName(score("seasonal_naive", col("snaive")))
+        .unionByName(score("ols_trend", col("trend")))
+    })
+
   val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
-    mlOlsResiduals)
+    mlOlsResiduals, mlBaselineCompare)
 }

@@ -909,10 +909,47 @@ object Text {
         .select(col("t"), sum(col("nw")).over(cum).cast("long").as("vocab"))
     })
 
+  /** Per-source unigram KL divergence from the corpus distribution — the
+    * domain-SIGNATURE diagnostic (which sources speak a different
+    * language than the mix), complementing qc_drift's count-level test
+    * with a content-level one. One token scan → (source, token) partial
+    * agg; the source-margin, token-margin, and grand-total tables are
+    * metadata-scale (O(sources), O(vocab), 1 row) and join back small —
+    * the big stream shuffles once for the groupBy, never for the joins.
+    * For open vocabularies the token-margin join degrades to a shuffle
+    * hash join automatically (no forced hint).
+    */
+  val txKlSourceSignature = QueryDef(
+    "tx_kl_source_signature",
+    Some(s"""WITH tok AS (SELECT source, unnest($W) AS t FROM documents),
+            |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+            |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+            |g AS (SELECT t, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+            |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM g)
+            |SELECT st.source, s.ns AS n_tokens,
+            |       round(sum((st.c * 1.0 / s.ns) *
+            |             ln((st.c * 1.0 / s.ns) / (g.cg * 1.0 / tot.ng))), 4) AS kl
+            |FROM st JOIN s USING (source) JOIN g USING (t), tot
+            |GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val s = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val g = st.groupBy(col("t")).agg(sum(col("c")).as("cg"))
+      val tot = g.agg(sum(col("cg")).as("ng"))
+      val ps = col("c") * lit(1.0) / col("ns")
+      val pg = col("cg") * lit(1.0) / col("ng")
+      st.join(s, "source").join(g, "t").crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("ns").as("n_tokens"))
+        .agg(r4(sum(ps * log(ps / pg))).as("kl"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,
     txChunks, txLmPerplexity, txLmTrigram, txBm25, txTfidfTerms,
-    txNgramDiversity, txLengthBands, txHybridRrf, txVocabGrowth)
+    txNgramDiversity, txLengthBands, txHybridRrf, txVocabGrowth,
+    txKlSourceSignature)
 }

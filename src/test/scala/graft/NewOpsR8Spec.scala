@@ -274,6 +274,47 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(vs.last == total, s"curve ends at ${vs.last}, vocab is $total")
   }
 
+  test("ml_baseline_compare: three models scored on the same holdout") {
+    val rows = queries.MlQ.mlBaselineCompare.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("naive", "seasonal_naive", "ols_trend"))
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0 && !r.getDouble(1).isNaN, s"bad mae: $r")
+      assert(r.getDouble(2) > 0.0 && !r.getDouble(2).isNaN, s"bad mape: $r")
+    }
+  }
+
+  test("tx_kl_source_signature: Gibbs bound and token conservation") {
+    val rows = queries.Text.txKlSourceSignature.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // KL >= 0 up to float summation noise under the r4 rounding
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-4,
+      s"${r.getString(0)}: negative KL ${r.getDouble(2)}"))
+    val total = rows.map(_.getLong(1)).sum
+    val expected = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == expected, s"per-source tokens $total != corpus $expected")
+  }
+
+  test("KL signature is zero when a source matches the corpus distribution") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"), (3L, "a b c d", "s3"))
+      .toDF("doc_id", "text", "source")
+    val st = docs.select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val s = st.groupBy("source").agg(sum(col("c")).as("ns"))
+    val g = st.groupBy("t").agg(sum(col("c")).as("cg"))
+    val tot = g.agg(sum(col("cg")).as("ng"))
+    val ps = col("c") * lit(1.0) / col("ns")
+    val pg = col("cg") * lit(1.0) / col("ng")
+    val kls = st.join(s, "source").join(g, "t").crossJoin(broadcast(tot))
+      .groupBy(col("source")).agg(sum(ps * log(ps / pg)).as("kl"))
+      .collect().map(_.getDouble(1))
+    kls.foreach(k => assert(math.abs(k) < 1e-12, s"KL $k != 0"))
+  }
+
   test("ml_ols_residuals: z-scores have ~zero mean and unit spread") {
     val rows = queries.MlQ.mlOlsResiduals.fn(spark, sf).collect()
     assert(rows.length > 100)
