@@ -28,6 +28,23 @@ object Quality {
     sum((col(c).isNotNull && (lo || col(c) > max)).cast("long")).as(s"${c}_oor")
   }
 
+  /** count of values outside the accepted set (dbt `accepted_values`).
+    * NULLs don't count (not_null is a separate test).
+    */
+  def acceptedValuesViolations(c: String, accepted: Seq[String]): Column =
+    sum((col(c).isNotNull && !col(c).isin(accepted: _*)).cast("long"))
+      .as(s"${c}_bad_values")
+
+  /** Orphaned foreign keys (dbt `relationships`): rows of `child` whose
+    * `fk` has no match in `parent.pk`. One anti-join — at 100 TB the
+    * parent key set shuffles (or broadcasts when dimension-sized), the
+    * child streams through; NULL fks are not orphans (dbt semantics).
+    */
+  def orphanedKeys(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+
   /** rows whose key occurs more than once (must be 0 to pass `unique`).
     * Needs a groupBy, so it's its own aggregation (still one shuffle of
     * key+count, partial-aggregated map-side).

@@ -99,5 +99,45 @@ object QualityQ {
         r4(col("chi2_contrib")).as("chi2_contrib"))
     })
 
-  val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness, qcDrift)
+  /** Q6: the remaining two dbt generic tests as one suite row —
+    * accepted_values (o_orderstatus ∈ {O,F,P}; event_type ∈ the five
+    * known kinds) and relationships (every lineitem.l_orderkey exists in
+    * orders; every orders.o_custkey exists in customer). Each
+    * accepted_values check folds into a single-row agg; each
+    * relationships check is one anti-join count.
+    */
+  val q6ReferentialSuite = QueryDef(
+    "q6_referential_suite",
+    Some("""SELECT
+           |  (SELECT CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+           |            AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM orders) AS o_orderstatus_bad_values,
+           |  (SELECT CAST(sum(CASE WHEN event_type IS NOT NULL
+           |            AND event_type NOT IN ('view','click','signup','purchase','error') THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM events) AS event_type_bad_values,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           |   WHERE l_orderkey IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS lineitem_orphans,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+           |   WHERE o_custkey IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orders_orphans""".stripMargin),
+    (spark, dir) => {
+      val statusBad = Quality.runSuite(Tables.orders(spark, dir), Seq(
+        Quality.acceptedValuesViolations("o_orderstatus", Seq("O", "F", "P"))))
+      val typeBad = Quality.runSuite(Tables.events(spark, dir), Seq(
+        Quality.acceptedValuesViolations("event_type",
+          Seq("view", "click", "signup", "purchase", "error"))))
+      val liOrphans = Quality.orphanedKeys(
+          Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey")
+        .agg(count(lit(1)).as("lineitem_orphans"))
+      val orderOrphans = Quality.orphanedKeys(
+          Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey")
+        .agg(count(lit(1)).as("orders_orphans"))
+      statusBad.crossJoin(typeBad).crossJoin(liOrphans).crossJoin(orderOrphans)
+    })
+
+  val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness, qcDrift,
+    q6ReferentialSuite)
 }

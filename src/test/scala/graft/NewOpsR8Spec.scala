@@ -159,6 +159,27 @@ class NewOpsR8Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
 
+  // ---------------------------------------------- dbt generic tests
+
+  test("orphanedKeys finds planted orphans; accepted_values counts strays") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, Some(1L)), (11L, Some(9L)), (12L, None: Option[Long]))
+      .toDF("id", "fk")
+    val orphans = Quality.orphanedKeys(child, "fk", parent, "pk")
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(orphans.toSeq == Seq(11L), "only fk=9 is an orphan; NULL is not")
+    val strays = Seq("O", "F", "X", null).toDF("st")
+      .agg(Quality.acceptedValuesViolations("st", Seq("O", "F", "P")))
+      .collect()(0).getLong(0)
+    assert(strays == 1L, "X is the single stray; NULL doesn't count")
+  }
+
+  test("q6_referential_suite: the fixture warehouse is referentially clean") {
+    val r = queries.QualityQ.q6ReferentialSuite.fn(spark, sf).collect()(0)
+    (0 until 4).foreach(i => assert(r.getLong(i) == 0L,
+      s"violation count ${r.schema(i).name} = ${r.getLong(i)}"))
+  }
+
   // ------------------------------------------------------------- OLS
 
   test("Ols.fit recovers an exact line with zero residuals") {
