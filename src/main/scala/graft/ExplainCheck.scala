@@ -85,6 +85,14 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // PQ ANN hot path is fully native: encoding and ADC scoring are the
+    // codegen'd expressions (no interpreted zip_with/aggregate lambdas in
+    // the probes×corpus stage), and the shortlist join broadcasts the
+    // probe side
+    check("sim_knn_pq", "native pq_encode + adc_score, broadcast probes") { p =>
+      p.contains("pq_encode") && p.contains("adc_score") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
     // native cosine expression present in a codegen'd context: either a
     // whole-stage span or a broadcast join's generated predicate (BNLJ
     // conditions compile through GeneratePredicate → our doGenCode)

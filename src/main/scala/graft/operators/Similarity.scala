@@ -267,14 +267,16 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
 
-    // encode: per subspace the argmin codeword — (dist, code) struct sort,
-    // deterministic lower-code tiebreak (the ivfKnn rankedCells pattern)
-    def codeOf(vec: org.apache.spark.sql.Column, j: Int) =
-      element_at(array_sort(transform(cbLit(j), cent =>
-        struct(sqDist(cent.getField("cw"), slice(vec, j * sub + 1, sub)).as("dist"),
-          cent.getField("code").as("code")))), 1).getField("code")
+    // encode: per subspace the argmin codeword. Native codegen'd
+    // expression (graft.plans.PqEncode) — arithmetic-identical to the
+    // declarative `array_sort(transform(cbLit, struct(sqDist, code)))`
+    // argmin (same sequential accumulation, same lowest-code tiebreak)
+    // but one primitive loop per row instead of m·kSub interpreted
+    // lambda frames (PqExpressionsSpec pins the equivalence).
+    val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.clone()).toArray).toArray
     val encoded = cp.select(col("cand_id"),
-      array((0 until m).map(j => codeOf(col("cv"), j)): _*).as("codes"))
+      graft.plans.PqFunctions.pq_encode(col("cv"), cbArr).as("codes"))
 
     // probe side: the ADC table — m×kSub squared distances, computed ONCE
     // per probe as a bound column (it rides the broadcast, never per pair)
@@ -285,12 +287,11 @@ object Similarity {
         asDouble(col(vecCol)).as("pv"))
       .withColumn("dtab", dtab)
 
-    // ADC score: m table lookups per candidate; project to scalars before
+    // ADC score: m table lookups per candidate, the probes×corpus hot
+    // loop — native codegen'd adc_score (≡ `aggregate(zip_with(dtab,
+    // codes, element_at), +)` bit-for-bit); project to scalars before
     // the rank shuffle
-    val adist = aggregate(
-      zip_with(col("dtab"), col("codes"),
-        (t, c) => element_at(t, c.cast("int") + 1)),
-      lit(0.0), (acc, v) => acc + v)
+    val adist = graft.plans.PqFunctions.adc_score(col("dtab"), col("codes"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist"), col("cand_id"))
     val shortlist = broadcast(pr).join(encoded, col("probe_id") =!= col("cand_id"))
