@@ -85,6 +85,22 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // Bloom-pruned semi join: the might_contain predicate must sit in the
+    // fact-side filter AHEAD of the exact semi join (the runtime-filter
+    // shape — fact rows drop before the join shuffle)
+    check("j9_bloom_semi", "might_contain before exact semi join") { p =>
+      p.contains("might_contain") &&
+        (p.contains("LeftSemi") || p.contains("left_semi"))
+    }
+    // salted skew join: the small side is replicated via explode (Generate)
+    // and the join key carries the salt column — no single-reducer hot key
+    check("j10_salted_skew", "salt replication via explode") { p =>
+      p.contains("__salt") && p.contains("Generate")
+    }
+    // window funnel: every stage table broadcasts back onto events — the
+    // raw event stream is never shuffle-joined
+    check("t8_window_funnel", "stage tables broadcast, events never SMJ'd")(
+      p => !p.contains("SortMergeJoin"))
     // PQ ANN hot path is fully native: encoding and ADC scoring are the
     // codegen'd expressions (no interpreted zip_with/aggregate lambdas in
     // the probes×corpus stage), and the shortlist join broadcasts the

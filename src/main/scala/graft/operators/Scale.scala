@@ -46,6 +46,47 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bloom-filter-pruned semi join — the explicit form of Spark's own
+    * runtime row-level filtering (InjectRuntimeFilter): build a Bloom
+    * filter over the (small, filtered) dim keys, push `might_contain`
+    * into the fact scan as a cheap codegen'd predicate, then close with
+    * the exact LEFT SEMI join. The result is EXACTLY the plain semi
+    * join — the Bloom pass has no false negatives and the exact join
+    * removes its false positives — but at 100 TB the fact rows that
+    * reach the semi-join shuffle drop by ~the dim selectivity (fpp
+    * overhead aside), which is the difference between shuffling the
+    * full fact table and shuffling the matching slice.
+    *
+    * The filter rides to executors as a binary literal inside the
+    * predicate (same transport as a broadcast var, one deserialize per
+    * task). `expectedItems` is a capacity bound, not a count — at scale
+    * you'd size it from stats; an undersized filter only raises fpp
+    * (more rows for the exact join to reject), never wrongness.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long = 1L << 16,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val keys = dim.select(col(dimKey).cast("long").as("__k"))
+    // stat.bloomFilter NPEs on a zero-row build side (null agg buffer);
+    // an empty dim means an empty semi join — short-circuit it
+    if (keys.isEmpty) return fact.filter(lit(false))
+    val bf = keys.stat.bloomFilter("__k", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnBridge.expression(col(factKey).cast("long"))))
+    fact.filter(col(factKey).isNotNull && mightContain)
+      .join(keys.distinct(), col(factKey).cast("long") === col("__k"), "left_semi")
+  }
+
   /** Approximate distinct count (HyperLogLog++, Heule/Nunkesser/Hall,
     * EDBT 2013): constant memory per group vs O(distinct) for exact —
     * the only viable distinct-count at 100 TB cardinalities. rsd 0.05 ⇒

@@ -194,6 +194,65 @@ object MlQ {
         .unionByName(score("ols_trend", col("trend")))
     })
 
+  /** M10: calibration table — the honest-eval companion every regression
+    * chain needs (reliability-diagram bins: does predicted ≈ actual in
+    * every prediction range, or only on average?). Predictions come from
+    * the exact-OLS trend (the bit-reproducible model of M8), binned into
+    * prediction quintiles; per bin the mean prediction, mean actual, and
+    * bias. Deterministic: ntile over (r2-rounded yhat, day).
+    *
+    * Scale: the fit is one scalar aggregate broadcast back; binning is a
+    * single window over O(days) rows; the report is 5 rows.
+    */
+  val mlCalibration = QueryDef(
+    "ml_calibration",
+    Some("""WITH d AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ydec
+           |  FROM orders GROUP BY 1),
+           |x AS (SELECT day, ydec,
+           |             CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS xi
+           |      FROM d),
+           |f AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |             CAST(sum(xi) AS DOUBLE) AS sx,
+           |             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+           |             CAST(sum(ydec) AS DOUBLE) AS sy,
+           |             CAST(sum(CAST(xi AS DECIMAL(5,0)) * ydec) AS DOUBLE) AS sxy
+           |      FROM x),
+           |c AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, n, sx, sy FROM f),
+           |c2 AS (SELECT sy / n - b * (sx / n) AS a, b FROM c),
+           |s AS (SELECT day, CAST(ydec AS DOUBLE) AS y,
+           |             a + b * CAST(xi AS DOUBLE) AS yhat
+           |      FROM x, c2),
+           |bins AS (SELECT day, y, yhat,
+           |                ntile(5) OVER (ORDER BY round(yhat, 2), day) AS bin
+           |         FROM s)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n_days,
+           |       round(avg(yhat), 2) AS avg_pred,
+           |       round(avg(y), 2) AS avg_actual,
+           |       round(avg(yhat) - avg(y), 2) AS bias
+           |FROM bins GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.orders(spark, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+        .select(col("day"), col("yraw").cast("decimal(18,2)").as("ydec"),
+          datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+      val coef = graft.ml.Ols.fitExactInt(d, "xi", "ydec")
+      val scored = d.crossJoin(broadcast(coef))
+        .select(col("day"), col("ydec").cast("double").as("y"),
+          (col("a") + col("b") * col("xi").cast("double")).as("yhat"))
+      scored
+        .withColumn("bin", ntile(5).over(
+          Window.orderBy(round(col("yhat"), 2), col("day"))))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(col("yhat")), 2).as("avg_pred"),
+          round(avg(col("y")), 2).as("avg_actual"),
+          round(avg(col("yhat")) - avg(col("y")), 2).as("bias"))
+    })
+
   val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
-    mlOlsResiduals, mlBaselineCompare)
+    mlOlsResiduals, mlBaselineCompare, mlCalibration)
 }

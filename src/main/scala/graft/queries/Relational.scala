@@ -853,7 +853,66 @@ object Relational {
         keyCols = Seq("k"), valueCols = Seq("v"), checksumCol = "k")
     })
 
+  /** J9: Bloom-filter-pruned semi join (`Scale.bloomSemiJoin`) — the
+    * explicit runtime-filter pattern: might_contain pushed into the fact
+    * scan ahead of the exact LEFT SEMI close. Result is EXACTLY the
+    * plain semi join (no false negatives; the exact join removes false
+    * positives), which is what the oracle checks; the plan property
+    * (might_contain predicate present) is ExplainCheck's job.
+    */
+  val j9BloomSemi = QueryDef(
+    "j9_bloom_semi",
+    Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem
+           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           |                     WHERE o_totalprice > 400000)
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val hot = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      graft.operators.Scale.bloomSemiJoin(
+          Tables.lineitem(spark, dir), hot, "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    })
+
+  /** J10: skew-salted join on the oracle surface. The join key is made
+    * deliberately pathological — ~70% of lineitem rows collapse onto key
+    * 0 — the shape where a plain shuffle join puts one reducer on the
+    * critical path. `Scale.saltedJoin` splits the hot key across 8 salted
+    * reducers (small side replicated 8×); the oracle checks the result
+    * is EXACTLY the plain join's aggregate, which is the salting
+    * correctness contract (ScaleSpec holds the row-level equality; this
+    * pins it against an independent engine).
+    */
+  val j10SaltedSkew = QueryDef(
+    "j10_salted_skew",
+    Some("""WITH l AS (SELECT CASE WHEN l_partkey % 10 < 7 THEN 0
+           |                       ELSE l_partkey % 10 END AS k,
+           |                  l_quantity
+           |           FROM lineitem),
+           |d AS (SELECT range AS k, 'grp_' || CAST(range AS VARCHAR) AS label
+           |      FROM range(0, 10))
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM l JOIN d USING (k)
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val l = Tables.lineitem(spark, dir)
+        .select(when(col("l_partkey") % 10 < 7, 0L)
+          .otherwise(col("l_partkey") % 10).as("k"), col("l_quantity"))
+      val dim = (0L until 10L).map(k => (k, s"grp_$k")).toDF("k", "label")
+      graft.operators.Scale.saltedJoin(l, dim, "k", saltFactor = 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    j9BloomSemi, j10SaltedSkew,
     a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
     a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized, a22CohortRetention,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile, j8TableDiff,

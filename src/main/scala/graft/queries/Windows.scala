@@ -553,10 +553,119 @@ object Windows {
         .select(col("user_id"), col("streak_start"), col("streak_len"))
     })
 
+  /** W12: exponentially weighted moving average over the daily series —
+    * the classic smoother the reference's moving-average features stop
+    * short of (fare_model_training_dag.py's ma7 shape, recursive decay
+    * instead of a flat window).
+    *
+    * Cross-engine exactness: α = 1/2 makes every decay weight an exact
+    * power of two, so the closed form
+    * `ewma_n = 0.5^n · Σ_i x_i·2^i·c_i` (c_1 = 1, else 1/2) multiplies
+    * each term by an exact scale (exponent shift only) and both engines
+    * run the identical ascending-day summation — bit-reproducible
+    * without a recursive CTE, which Spark lacks. O(days) rows, so the
+    * unpartitioned window is safe (header note).
+    */
+  val w12Ewma = QueryDef(
+    "w12_ewma",
+    Some(s"""WITH daily AS ($dailyRevenueSql),
+            |i AS (SELECT day, avg_value,
+            |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+            |      FROM daily),
+            |t AS (SELECT day, avg_value, rn,
+            |             avg_value * pow(2.0, CAST(rn AS DOUBLE)) *
+            |               (CASE WHEN rn = 1 THEN 1.0 ELSE 0.5 END) AS term
+            |      FROM i),
+            |s AS (SELECT day, avg_value, rn,
+            |             sum(term) OVER (ORDER BY day
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+            |      FROM t)
+            |SELECT day, round(avg_value, 4) AS avg_value,
+            |       round(acc * pow(0.5, CAST(rn AS DOUBLE)), 4) AS ewma
+            |FROM s""".stripMargin),
+    (spark, dir) => {
+      val byDay = Window.orderBy(col("day"))
+      val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dailyRevenue(spark, dir)
+        .withColumn("rn", row_number().over(byDay).cast("long"))
+        .withColumn("term",
+          col("avg_value") * pow(lit(2.0), col("rn").cast("double")) *
+            when(col("rn") === 1, lit(1.0)).otherwise(lit(0.5)))
+        .withColumn("acc", sum(col("term")).over(cum))
+        .select(col("day"), r4(col("avg_value")).as("avg_value"),
+          r4(col("acc") * pow(lit(0.5), col("rn").cast("double"))).as("ewma"))
+    })
+
+  /** T8: window funnel (view → click → purchase within 24 h of the first
+    * view, strictly increasing timestamps) — the ClickHouse
+    * `windowFunnel` semantics as staged conditional-min joins. Depth d
+    * means the user completed step d inside the window anchored at their
+    * FIRST view.
+    *
+    * Scale design: each stage is a per-user min aggregation (partial agg,
+    * one shuffle at user grain) and the stage tables are ≤ #users rows —
+    * they BROADCAST back onto the events stream, so the raw event table
+    * is scanned, never shuffled. Micros arithmetic matches the
+    * events-nanos truncation convention (Tables.events / t2 oracle).
+    */
+  val t8WindowFunnel = QueryDef(
+    "t8_window_funnel",
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |       WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+           |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+           |         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+           |       GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+           |                     JOIN s1 ON e.user_id = s1.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           |         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+           |       GROUP BY 1),
+           |d AS (SELECT u.user_id,
+           |             CASE WHEN s3.user_id IS NOT NULL THEN 3
+           |                  WHEN s2.user_id IS NOT NULL THEN 2
+           |                  WHEN s1.user_id IS NOT NULL THEN 1
+           |                  ELSE 0 END AS depth
+           |      FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+           |             LEFT JOIN s2 ON u.user_id = s2.user_id
+           |             LEFT JOIN s3 ON u.user_id = s3.user_id)
+           |SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+           |FROM d GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val winMicros = 86400000000L
+      val e = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(broadcast(s1), Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= winMicros)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), Seq("user_id"))
+        .join(broadcast(s1), Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= winMicros)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      e.select("user_id").distinct()
+        .join(broadcast(s1.select(col("user_id"), col("t1"))), Seq("user_id"), "left")
+        .join(broadcast(s2.select(col("user_id"), col("t2"))), Seq("user_id"), "left")
+        .join(broadcast(s3.select(col("user_id"), col("t3"))), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
     t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix, w10AnomalyFlags,
-    w11Streaks)
+    w11Streaks, w12Ewma, t8WindowFunnel)
 }

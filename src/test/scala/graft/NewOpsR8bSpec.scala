@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+
+/** Invariant tests for the second round-8 operator batch: EWMA, window
+  * funnel, Bloom-pruned semi join, salted skew join on the oracle
+  * surface, and OLS calibration bins. Value-level equality is the DuckDB
+  * oracle's job; these pin the structural guarantees.
+  */
+class NewOpsR8bSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  // ------------------------------------------------------------ w12_ewma
+
+  test("w12_ewma: seed equals the first observation, then exact 0.5-decay recurrence") {
+    val rows = SparkEntry.queries("w12_ewma")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getDouble(1) == rows.head.getDouble(2),
+      "ewma_1 must equal the first avg_value")
+    // replay the recurrence on the r4 outputs: tolerance only absorbs the
+    // double rounding of the published columns, not model drift
+    var prev = rows.head.getDouble(2)
+    rows.tail.foreach { r =>
+      val expect = 0.5 * prev + 0.5 * r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - expect) < 2e-4,
+        s"day ${r.get(0)}: ewma ${r.getDouble(2)} vs recurrence $expect")
+      prev = r.getDouble(2)
+    }
+  }
+
+  // ---------------------------------------------------- t8_window_funnel
+
+  test("t8_window_funnel: depths partition the user census and stages only shrink") {
+    val byDepth = SparkEntry.queries("t8_window_funnel")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(byDepth.values.sum == users, "funnel depths must partition all users")
+    // reached(d) = users at depth >= d must be monotone non-increasing
+    val reached = (1 to 3).map(d =>
+      byDepth.filter(_._1 >= d).values.sum)
+    assert(reached == reached.sorted.reverse, s"funnel grew: $reached")
+    assert(reached.head > 0, "no user entered the funnel — degenerate fixture")
+  }
+
+  test("t8_window_funnel: hand-built sequence respects window and ordering") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    // u1 completes; u2's purchase is BEFORE the click (order violation);
+    // u3's click lands beyond the 24 h window
+    val e = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(2), "click"), (2L, ts(1), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(30), "click"), (3L, ts(31), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val winMicros = 86400000000L
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(broadcast(s1), Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= winMicros)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), Seq("user_id")).join(broadcast(s1), Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= winMicros)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    assert(s2.select("user_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(s3.select("user_id").as[Long].collect().toSet == Set(1L),
+      "only u1 may complete: u2 purchased before clicking, u3 out of window")
+  }
+
+  // ------------------------------------------------------- j9_bloom_semi
+
+  test("bloomSemiJoin equals the plain semi join exactly (false positives removed)") {
+    val fact = Tables.lineitem(spark, sf)
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val bloom = Scale.bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber")
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty,
+      "bloom-pruned semi join diverged from the exact semi join")
+  }
+
+  test("bloomSemiJoin: empty dim side yields empty result, tiny capacity stays exact") {
+    val fact = Tables.lineitem(spark, sf).limit(200)
+    val none = Tables.orders(spark, sf).filter(lit(false)).select("o_orderkey")
+    assert(Scale.bloomSemiJoin(fact, none, "l_orderkey", "o_orderkey").isEmpty)
+    // undersized filter (capacity 2 for thousands of keys) inflates fpp
+    // but the exact close keeps the result right
+    val dim = Tables.orders(spark, sf).select("o_orderkey")
+    val tiny = Scale.bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey",
+      expectedItems = 2)
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(tiny.count() == plain.count())
+  }
+
+  // ------------------------------------------------------ ml_calibration
+
+  test("ml_calibration: five balanced bins covering every day, global bias matches") {
+    val rows = SparkEntry.queries("ml_calibration")(spark, sf)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "ntile bins must be balanced")
+    val days = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    assert(counts.sum == days)
+    // OLS residuals sum to ~0 ⇒ the count-weighted bias must too
+    val weightedBias = rows.map(r => r.getDouble(4) * r.getLong(1)).sum
+    assert(math.abs(weightedBias) < 0.05 * days,
+      s"count-weighted calibration bias $weightedBias not ~0 — fit is off")
+  }
+}
