@@ -85,6 +85,14 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // Zipf fit: the top-1000 rank reduction must be TakeOrderedAndProject
+    // (bounded heap), never a full sort of the vocabulary
+    check("tx_zipf_slope", "top-1000 via TakeOrderedAndProject")(
+      _.contains("TakeOrderedAndProject"))
+    // dedup weights ride the LSH pair stream — no all-pairs join anywhere
+    check("dd_dedup_weights", "no cartesian in the cluster-weight path") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+    }
     // Bloom-pruned semi join: the might_contain predicate must sit in the
     // fact-side filter AHEAD of the exact semi join (the runtime-filter
     // shape — fact rows drop before the join shuffle)

@@ -787,7 +787,65 @@ object DedupQ {
           z.as("robust_z"), (abs(z) > 3.5).as("is_outlier"))
     })
 
+  /** Dedup-aware sampling weights: every document weighs 1/|its near-dup
+    * cluster|, so a 6-copy boilerplate family contributes one document's
+    * worth of probability mass to any downstream sampler — the standard
+    * fix for near-dup-inflated mixtures (sample-then-dedup wastes budget;
+    * dedup-then-sample loses the cluster-choice freedom). Per source:
+    * raw count, effective (deduplicated) count, duplicated mass.
+    *
+    * Scale design: reuses the banded-LSH pair stream and the iterative
+    * connected components (never all-pairs); cluster sizes join back on
+    * component_id (partial-agg shuffle at component grain), and the final
+    * report is #sources rows.
+    */
+  val ddDedupWeights = QueryDef(
+    "dd_dedup_weights",
+    Some("""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |         list_distinct([array_to_string(w[i:i+2], ' ')
+           |                        FOR i IN range(1, greatest(len(w) - 1, 1))]) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+           |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS src, doc_id AS node FROM sh
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+           |comp AS (SELECT src AS doc_id, min(node) AS component_id
+           |         FROM reach GROUP BY src),
+           |sz AS (SELECT component_id, count(*) AS n FROM comp GROUP BY 1),
+           |wt AS (SELECT c.doc_id, CAST(1.0 AS DOUBLE) / s.n AS w
+           |       FROM comp c JOIN sz s USING (component_id)),
+           |agg AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |               round(sum(wt.w), 4) AS eff_docs
+           |        FROM documents d JOIN wt ON d.doc_id = wt.doc_id GROUP BY 1)
+           |SELECT source, n_docs, eff_docs,
+           |       round(1.0 - eff_docs / n_docs, 4) AS dup_mass
+           |FROM agg""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val comp = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      val sz = comp.groupBy("component_id").agg(count(lit(1)).as("n"))
+      val wt = comp.join(sz, Seq("component_id"))
+        .select(col("doc_id"), (lit(1.0) / col("n")).as("w"))
+      docs.join(wt, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), r4(sum(col("w"))).as("eff_docs"))
+        .select(col("source"), col("n_docs"), col("eff_docs"),
+          r4(lit(1.0) - col("eff_docs") / col("n_docs")).as("dup_mass"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    ddDedupWeights,
     ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddCdcChunks,
     ddPpjoin, ddMinhashLsh, ddSimhash,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,

@@ -945,7 +945,69 @@ object Text {
         .agg(r4(sum(ps * log(ps / pg))).as("kl"))
     })
 
+  /** Zipf-law fit over the corpus term-frequency distribution: OLS slope
+    * of ln(freq) on ln(rank) (natural text ⇒ slope ≈ −1; a flat slope
+    * flags templated/synthetic corpora — exactly this fixture, whose
+    * 31-word vocabulary fits at ≈ −0.18). The corpus-level counterpart
+    * of tx_ngram_diversity's per-doc statistics.
+    *
+    * Scale design: term counting is a partial-agg shuffle at term grain;
+    * the fit runs on the TOP-1000 ranks only, reduced via
+    * TakeOrderedAndProject (freq DESC, term ASC — deterministic), so the
+    * rank window sees a bounded input no matter the vocabulary size.
+    */
+  val txZipfSlope = QueryDef(
+    "tx_zipf_slope",
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+           |              FROM documents),
+           |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+           |         FROM toks WHERE term != '' GROUP BY 1),
+           |ranked AS (SELECT term, f,
+           |                  CAST(row_number() OVER (ORDER BY f DESC, term)
+           |                       AS BIGINT) AS r
+           |           FROM freq),
+           |top AS (SELECT ln(CAST(r AS DOUBLE)) AS lx,
+           |               ln(CAST(f AS DOUBLE)) AS ly
+           |        FROM ranked WHERE r <= 1000),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(lx) AS sx,
+           |             sum(lx * lx) AS sxx, sum(ly) AS sy,
+           |             sum(lx * ly) AS sxy FROM top),
+           |c AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+           |             n, sx, sy FROM s),
+           |c2 AS (SELECT slope, sy / n - slope * (sx / n) AS intercept FROM c)
+           |SELECT round(slope, 4) AS slope, round(intercept, 4) AS intercept,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_terms
+           |FROM c2""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val nTerms = freq.agg(count(lit(1)).as("n_terms"))
+      val top = freq
+        .orderBy(col("f").desc, col("term")).limit(1000)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("term")))
+            .cast("long"))
+        .select(log(col("r").cast("double")).as("lx"),
+          log(col("f").cast("double")).as("ly"))
+      val s = top.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("lx")).as("sx"), sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"))
+      s.select(((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope"),
+          col("n"), col("sx"), col("sy"))
+        .select(col("slope"),
+          (col("sy") / col("n") - col("slope") * (col("sx") / col("n")))
+            .as("intercept"))
+        .crossJoin(broadcast(nTerms))
+        .select(r4(col("slope")).as("slope"),
+          r4(col("intercept")).as("intercept"), col("n_terms"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    txZipfSlope,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,

@@ -662,7 +662,63 @@ object Windows {
         .groupBy("depth").agg(count(lit(1)).as("n_users"))
     })
 
+  /** W13: two-sided CUSUM change detection over the daily series —
+    * Page's cumulative-sum statistic with slack k = σ/2 and decision
+    * bound h = 5σ (the textbook parameterization). The recursion
+    * S⁺_n = max(0, S⁺_{n-1} + x_n − μ − k) is not window-expressible
+    * directly and Spark has no recursive CTE — but the reflection
+    * identity S⁺_n = C_n − min(0, min_{j≤n} C_j) (C = prefix sums of
+    * the slack-adjusted deviations) turns it into a running sum plus a
+    * running min: two ordinary cumulative windows, exact, shuffle-free
+    * past the daily pre-agg, and identical SQL on the oracle side.
+    * NewOpsR8bSpec pins the closed form against the direct recursion.
+    */
+  val w13Cusum = QueryDef(
+    "w13_cusum",
+    Some(s"""WITH daily AS ($dailyRevenueSql),
+            |m AS (SELECT avg(avg_value) AS mu,
+            |             stddev_pop(avg_value) AS sigma FROM daily),
+            |c AS (SELECT day, avg_value,
+            |             sum(avg_value - mu - sigma / 2) OVER w AS cp,
+            |             sum(avg_value - mu + sigma / 2) OVER w AS cn
+            |      FROM daily, m
+            |      WINDOW w AS (ORDER BY day
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            |r AS (SELECT day, avg_value, cp, cn,
+            |             min(cp) OVER (ORDER BY day
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp,
+            |             max(cn) OVER (ORDER BY day
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxn
+            |      FROM c)
+            |SELECT day, round(avg_value, 4) AS avg_value,
+            |       round(cp - least(0, minp), 4) AS cusum_pos,
+            |       round(cn - greatest(0, maxn), 4) AS cusum_neg,
+            |       (cp - least(0, minp)) > 5 * sigma
+            |         OR (greatest(0, maxn) - cn) > 5 * sigma AS alarm
+            |FROM r, m""".stripMargin),
+    (spark, dir) => {
+      val daily = dailyRevenue(spark, dir).select("day", "avg_value")
+      val m = daily.agg(avg(col("avg_value")).as("mu"),
+        stddev_pop(col("avg_value")).as("sigma"))
+      val cum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(m))
+        .withColumn("cp",
+          sum(col("avg_value") - col("mu") - col("sigma") / 2).over(cum))
+        .withColumn("cn",
+          sum(col("avg_value") - col("mu") + col("sigma") / 2).over(cum))
+        .withColumn("minp", min(col("cp")).over(cum))
+        .withColumn("maxn", max(col("cn")).over(cum))
+        .select(col("day"), r4(col("avg_value")).as("avg_value"),
+          r4(col("cp") - least(lit(0), col("minp"))).as("cusum_pos"),
+          r4(col("cn") - greatest(lit(0), col("maxn"))).as("cusum_neg"),
+          ((col("cp") - least(lit(0), col("minp"))) > lit(5) * col("sigma") ||
+            (greatest(lit(0), col("maxn")) - col("cn")) > lit(5) * col("sigma"))
+            .as("alarm"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    w13Cusum,
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,

@@ -102,6 +102,78 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(tiny.count() == plain.count())
   }
 
+  // ----------------------------------------------------------- w13_cusum
+
+  test("w13_cusum: closed form equals the direct CUSUM recursion") {
+    val rows = SparkEntry.queries("w13_cusum")(spark, sf).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getDouble(1))
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    var sp = 0.0
+    var sn = 0.0
+    rows.zip(xs).foreach { case (r, x) =>
+      sp = math.max(0.0, sp + x - mu - sigma / 2)
+      sn = math.min(0.0, sn + x - mu + sigma / 2)
+      // tolerance covers the r4 rounding of the published inputs/outputs
+      assert(math.abs(r.getDouble(2) - sp) < 5e-3,
+        s"day ${r.get(0)}: cusum_pos ${r.getDouble(2)} vs recursion $sp")
+      assert(math.abs(r.getDouble(3) - sn) < 5e-3,
+        s"day ${r.get(0)}: cusum_neg ${r.getDouble(3)} vs recursion $sn")
+    }
+  }
+
+  test("w13_cusum machinery: a level shift raises the alarm, stationary noise does not") {
+    // deterministic series: 20 days at ~100, then 10 days shifted to ~106
+    val vals = (1 to 30).map { d =>
+      val base = if (d <= 20) 100.0 else 106.0
+      base + (d % 3) - 1 // ±1 deterministic wiggle
+    }
+    val mu = vals.sum / vals.length
+    val sigma = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / vals.length)
+    var s = 0.0
+    val alarms = vals.map { x =>
+      s = math.max(0.0, s + x - mu - sigma / 2); s > 5 * sigma
+    }
+    assert(alarms.takeRight(3).forall(identity),
+      "post-shift days must alarm under the 5-sigma bound")
+    assert(!alarms.take(15).exists(identity),
+      "pre-shift days must not alarm")
+  }
+
+  // ----------------------------------------------------- dd_dedup_weights
+
+  test("dd_dedup_weights: effective mass conserves the component count") {
+    val rows = SparkEntry.queries("dd_dedup_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getLong(1) + 1e-9,
+        s"${r.getString(0)}: eff_docs exceeds n_docs")
+      assert(r.getDouble(3) >= -1e-9, "negative dup_mass")
+    }
+    // Σ eff_docs over sources = Σ 1/|comp| over docs = #components exactly
+    val totalEff = rows.map(_.getDouble(2)).sum
+    val comps = graft.operators.Dedup.connectedComponents(
+      Tables.documents(spark, sf).select(col("doc_id").as("id")),
+      graft.operators.Dedup.minhashNearDups(
+          Tables.documents(spark, sf), threshold = 0.7)
+        .select(col("id_a").as("a"), col("id_b").as("b")))
+      .select("comp").distinct().count()
+    assert(math.abs(totalEff - comps) < 0.05,
+      s"sum of effective docs $totalEff != component count $comps")
+  }
+
+  // ------------------------------------------------------- tx_zipf_slope
+
+  test("tx_zipf_slope: negative slope, n_terms = distinct vocabulary") {
+    val r = SparkEntry.queries("tx_zipf_slope")(spark, sf).head()
+    assert(r.getDouble(0) < 0, "Zipf slope must be negative")
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    assert(r.getLong(2) == vocab)
+  }
+
   // ------------------------------------------------------ ml_calibration
 
   test("ml_calibration: five balanced bins covering every day, global bias matches") {
