@@ -85,6 +85,15 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // burstiness: the top-20 by VMR is a bounded heap, not a full sort
+    check("tx_burstiness", "top-20 via TakeOrderedAndProject")(
+      _.contains("TakeOrderedAndProject"))
+    // water-filling: the level search runs on #sources rows — the only
+    // corpus-scale stage is the token census (one partial agg); the level
+    // rides back as a 1-row broadcast
+    check("pipe_token_waterfill", "1-row level broadcast, partial-agg census") { p =>
+      p.contains("BroadcastNestedLoopJoin") && p.contains("partial_")
+    }
     // Zipf fit: the top-1000 rank reduction must be TakeOrderedAndProject
     // (bounded heap), never a full sort of the vocabulary
     check("tx_zipf_slope", "top-1000 via TakeOrderedAndProject")(

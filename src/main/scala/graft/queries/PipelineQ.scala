@@ -218,6 +218,68 @@ object PipelineQ {
             .as("contamination_rate"))
     })
 
+  /** Token-budget water-filling: allocate a global token budget across
+    * sources so no source exceeds the common level L, chosen such that
+    * Σ min(tokens_s, L) = budget — the fair-allocation primitive behind
+    * "cap the over-represented domains, keep the small ones whole"
+    * mixture planning. The iterative level search has a closed form over
+    * the sources sorted by size: with prefix sums P and rank i, the
+    * level candidate is (budget − P_{i−1})/(n − i + 1), and the binding
+    * level is the candidate at the first rank whose tokens exceed it —
+    * pure window functions, one pass, no loop. NULL level (budget covers
+    * everything) degrades to full funding.
+    *
+    * Scale design: the per-source token census is the only corpus-scale
+    * aggregation; everything after runs on #sources rows. The level is a
+    * 1-row aggregate broadcast back. Allocation conservation
+    * (Σ alloc = budget) is pinned in NewOpsR8bSpec.
+    */
+  val pipeTokenWaterfill = QueryDef(
+    "pipe_token_waterfill",
+    Some("""WITH st AS (SELECT source,
+           |                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+           |            FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(floor(0.6 * sum(tokens)) AS BIGINT) AS budget FROM st),
+           |r AS (SELECT source, tokens,
+           |             CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+           |             CAST(count(*) OVER () AS BIGINT) AS n,
+           |             CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |               AS BIGINT) AS prefix
+           |      FROM st),
+           |c AS (SELECT r.*, (budget - prefix) / (n - rn + 1) AS cand_l
+           |      FROM r, tot),
+           |lvl AS (SELECT arg_min(cand_l, rn) AS l FROM c WHERE tokens > cand_l)
+           |SELECT source, tokens,
+           |       round(least(CAST(tokens AS DOUBLE),
+           |                   coalesce(l, CAST(tokens AS DOUBLE))), 4) AS alloc
+           |FROM c, lvl""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      val tot = st.agg(floor(lit(0.6) * sum(col("tokens"))).cast("long")
+        .as("budget"))
+      val byTok = Window.orderBy(col("tokens"), col("source"))
+      val r = st
+        .withColumn("rn", row_number().over(byTok).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy()).cast("long"))
+        .withColumn("prefix", coalesce(sum(col("tokens")).over(
+            byTok.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("long"))
+      val c = r.crossJoin(broadcast(tot))
+        .withColumn("cand_l",
+          (col("budget") - col("prefix")) / (col("n") - col("rn") + 1))
+      val lvl = c.filter(col("tokens") > col("cand_l"))
+        .agg(min_by(col("cand_l"), col("rn")).as("l"))
+      c.crossJoin(broadcast(lvl))
+        .select(col("source"), col("tokens"),
+          round(least(col("tokens").cast("double"),
+            coalesce(col("l"), col("tokens").cast("double"))), 4).as("alloc"))
+    })
+
   val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards,
-    pipeDecontaminate, pipeContaminationRate)
+    pipeDecontaminate, pipeContaminationRate, pipeTokenWaterfill)
 }

@@ -316,8 +316,50 @@ object SamplingQ {
         groupCol = "source", keyCol = "doc_id")
         .select(col("source"), col("anchor_id"), col("pair_id")))
 
+  /** Kish effective sample size of the quality-weighted corpus —
+    * ess = (Σw)²/Σw² per source and overall (the ALL rollup row). The
+    * standard diagnostic for any weighted sampler: an ess_ratio near 1
+    * means the weights barely concentrate; near 1/n means a handful of
+    * documents dominate the mixture and the nominal count overstates
+    * the data. One scan, rollup partial aggs, #sources+1 rows.
+    */
+  val smpEss = QueryDef(
+    "smp_ess",
+    Some("""WITH f AS (
+           |  SELECT doc_id, source,
+           |         len(string_split(text, ' ')) AS n_tokens,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' ')) AS ttr,
+           |         len([t FOR t IN string_split(text, ' ') IF t IN ('the', 'a')]) * 1.0 /
+           |           len(string_split(text, ' ')) AS stop_ratio
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |         0.4 * least(n_tokens / 100.0, 1.0)
+           |           + 0.4 * ttr
+           |           + 0.2 * least(stop_ratio * 5, 1.0) AS w
+           |  FROM f),
+           |g AS (SELECT coalesce(source, 'ALL') AS source,
+           |             CAST(count(*) AS BIGINT) AS n_docs,
+           |             sum(w) AS sw, sum(w * w) AS sw2
+           |      FROM q GROUP BY ROLLUP (source))
+           |SELECT source, n_docs, round(sw * sw / sw2, 4) AS ess,
+           |       round(sw * sw / sw2 / n_docs, 4) AS ess_ratio
+           |FROM g""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.TextFns
+      Tables.documents(spark, dir)
+        .select(col("source"), TextFns.qualityScore(col("text")).as("w"))
+        .rollup(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sw2"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), r4(col("sw") * col("sw") / col("sw2")).as("ess"),
+          r4(col("sw") * col("sw") / col("sw2") / col("n_docs")).as("ess_ratio"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     smpHashSample, smpExactK, smpSourceQuota, smpInterleave, smpShuffleKey,
     smpMixtureReweight, smpSplitCensus, smpTemperature, smpTokenBudget,
-    smpWeightedK, smpStratified, smpBalancedPairs)
+    smpWeightedK, smpStratified, smpBalancedPairs, smpEss)
 }

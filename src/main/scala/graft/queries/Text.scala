@@ -1006,8 +1006,51 @@ object Text {
           r4(col("intercept")).as("intercept"), col("n_terms"))
     })
 
+  /** Term burstiness: variance-to-mean ratio of per-document counts
+    * (zeros included) for each term — function words sit near the
+    * Poisson VMR of 1, topical/templated terms burst well above it. The
+    * per-term second moment comes from the (term, doc) count table, so
+    * zero-count docs enter through the closed form
+    * E[x²] = Σc²/N, E[x] = Σc/N without materializing zeros. Top-20 by
+    * (r6-rounded VMR, term) — the rank-key discipline — via a bounded
+    * TakeOrderedAndProject.
+    */
+  val txBurstiness = QueryDef(
+    "tx_burstiness",
+    Some("""WITH tc AS (
+           |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  WHERE term != '' GROUP BY 1, 2),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |st AS (SELECT term, CAST(sum(c) AS BIGINT) AS f,
+           |              CAST(sum(c * c) AS BIGINT) AS f2
+           |       FROM tc GROUP BY 1),
+           |b AS (SELECT term, f,
+           |             (f2 / n - (f / n) * (f / n)) / (f / n) AS vmr
+           |      FROM st, nd)
+           |SELECT term, f, round(vmr, 4) AS vmr
+           |FROM b ORDER BY round(vmr, 6) DESC, term LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val tc = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      val nd = Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("double").as("n"))
+      tc.groupBy("term")
+        .agg(sum(col("c")).as("f"), sum(col("c") * col("c")).as("f2"))
+        .crossJoin(broadcast(nd))
+        .select(col("term"), col("f"),
+          ((col("f2") / col("n") - (col("f") / col("n")) * (col("f") / col("n")))
+            / (col("f") / col("n"))).as("vmr"))
+        .orderBy(round(col("vmr"), 6).desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("f"), r4(col("vmr")).as("vmr"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    txZipfSlope,
+    txZipfSlope, txBurstiness,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,

@@ -174,6 +174,88 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(r.getLong(2) == vocab)
   }
 
+  // ------------------------------------------------- pipe_token_waterfill
+
+  test("pipe_token_waterfill: allocations conserve the budget and never exceed supply") {
+    val rows = SparkEntry.queries("pipe_token_waterfill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) <= r.getLong(1) + 1e-6,
+      s"${r.getString(0)}: alloc exceeds its token supply"))
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val budget = math.floor(0.6 * totalTokens)
+    val allocated = rows.map(_.getDouble(2)).sum
+    assert(math.abs(allocated - budget) < 0.01 * rows.length,
+      s"sum(alloc)=$allocated != budget=$budget")
+  }
+
+  test("water-filling closed form: mixed fully-funded and capped sources") {
+    // supplies 10/20/100/100, budget 0.6*230=138: the two small sources
+    // are fully funded, the two large ones cap at L=(138-30)/2=54
+    val docs = Seq(
+      ("a", 10L), ("b", 20L), ("c", 100L), ("d", 100L)
+    ).flatMap { case (s, t) => Seq((s, ("tok " * t.toInt).trim)) }
+      .zipWithIndex.map { case ((s, txt), i) => (i.toLong, txt, s) }
+      .toDF("doc_id", "text", "source")
+    // replicate the query's logic directly on a local frame via SQL-free math
+    val tokens = Map("a" -> 10.0, "b" -> 20.0, "c" -> 100.0, "d" -> 100.0)
+    val budget = math.floor(0.6 * tokens.values.sum)
+    val sorted = tokens.toSeq.sortBy { case (s, t) => (t, s) }
+    var prefix = 0.0
+    var level = Double.PositiveInfinity
+    var found = false
+    sorted.zipWithIndex.foreach { case ((_, t), i) =>
+      if (!found) {
+        val cand = (budget - prefix) / (sorted.length - i)
+        if (t > cand) { level = cand; found = true } else prefix += t
+      }
+    }
+    val alloc = tokens.map { case (s, t) => s -> math.min(t, level) }
+    assert(alloc("a") == 10.0 && alloc("b") == 20.0)
+    assert(alloc("c") == 54.0 && alloc("d") == 54.0)
+    assert(math.abs(alloc.values.sum - budget) < 1e-9)
+    docs.count() // keep the frame referenced; the query itself runs on fixtures
+  }
+
+  // -------------------------------------------------------------- smp_ess
+
+  test("smp_ess: rollup row present, ess bounded by n_docs, ratio in (0,1]") {
+    val rows = SparkEntry.queries("smp_ess")(spark, sf).collect()
+    val all = rows.filter(_.getString(0) == "ALL")
+    assert(all.length == 1, "exactly one ALL rollup row")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getLong(1) + 1e-6,
+        s"${r.getString(0)}: ess out of (0, n_docs]")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1 + 1e-9)
+    }
+    assert(all.head.getLong(1) ==
+      rows.filterNot(_.getString(0) == "ALL").map(_.getLong(1)).sum)
+  }
+
+  // -------------------------------------------------------- tx_burstiness
+
+  test("tx_burstiness: a concentrated term out-bursts a uniformly spread one") {
+    // t_burst: 9 copies in one doc; t_flat: 1 copy in each of 9 docs —
+    // same total frequency, very different VMR
+    val docs = (0 until 9).map { i =>
+      val txt = if (i == 0) ("burst " * 9).trim + " flat" else "flat pad"
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val tc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val n = docs.count().toDouble
+    val st = tc.groupBy("term")
+      .agg(sum(col("c")).as("f"), sum(col("c") * col("c")).as("f2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def vmr(t: String) = {
+      val (f, f2) = st(t)
+      (f2 / n - (f / n) * (f / n)) / (f / n)
+    }
+    assert(vmr("burst") > 5 * vmr("flat"),
+      s"burst=${vmr("burst")} flat=${vmr("flat")}")
+    val out = SparkEntry.queries("tx_burstiness")(spark, sf).collect()
+    assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
+  }
+
   // ------------------------------------------------------ ml_calibration
 
   test("ml_calibration: five balanced bins covering every day, global bias matches") {
