@@ -274,8 +274,19 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, textCol, idCol)
+      maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(simhashSignatures(docs, textCol, idCol), maxDist)
+
+  /** All pairs with Hamming(sig_a, sig_b) ≤ maxDist via 16-bit band
+    * blocking over a (id, sig) signature table — EXACT for maxDist ≤ 3
+    * (4 bands; a pair differing in ≤ 3 bits leaves ≥ 1 band identical by
+    * pigeonhole). Shared by the text (SimHash) and image (pHash)
+    * near-dup paths: the blocking is a property of 64-bit signatures,
+    * not of what produced them.
+    */
+  def bandedHammingPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"16-bit banding is exact only for maxDist <= 3, got $maxDist")
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -391,6 +391,42 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual hash (average-hash) of a BMP payload: the real
+    * decode path (`resizeBmpGrid`) shrinks the image to an 8×8 mean-luma
+    * grid; each cell contributes a 1 bit iff it is brighter than the mean
+    * of the 64 cells. Uniform-intensity edits (brightness shift) flip few
+    * bits; unrelated images differ in ~32 — the classic pre-neural image
+    * dedup signature. None for non-BMP / malformed payloads.
+    */
+  def phash64(b: Array[Byte]): Option[Long] =
+    resizeBmpGrid(b, 8).map { case (_, _, cells, _) =>
+      val cellMean = cells.sum / cells.length
+      var sig = 0L
+      var i = 0
+      while (i < cells.length) {
+        if (cells(i) > cellMean) sig |= 1L << i
+        i += 1
+      }
+      sig
+    }
+
+  /** (id, sig) pHash signature table over the image rows of a media
+    * frame — the input contract of [[Dedup.bandedHammingPairs]]. Map-only
+    * (`mapPartitions`, no shuffle): each 64-bit signature replaces a
+    * payload that is arbitrarily large, which is the point at 100 TB —
+    * the banding join downstream carries 8 bytes a row, not pixels.
+    */
+  def phashSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        phash64(bytes).map(sig => (id, sig))
+      })
+      .toDF("id", "sig")
+  }
+
   /** Real header parsing (no codec libraries needed): sniff the container
     * format from magic bytes and extract intrinsic dimensions/rates from
     * the header — PNG IHDR width/height, JPEG SOF0/SOF2 dimensions, WAV

@@ -75,5 +75,26 @@ object MultimodalQ {
         .orderBy(col("doc_id"), col("frame_idx"))
     })
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample)
+  /** Perceptual-hash near-dup pairs over the image payloads: real BMP
+    * decode → 8×8 average-hash signature (`Multimodal.phash64`) → the
+    * shared 16-bit-band Hamming blocking (`Dedup.bandedHammingPairs`,
+    * exact for distance ≤ 3 by pigeonhole). The image-side counterpart
+    * of `dd_simhash` — the pre-neural image dedup a multimodal corpus
+    * runs before any embedding model is spent on it. No SQL oracle
+    * (binary decode); the banding-vs-brute exactness is gated in
+    * qc_quant_gates and the signature behavior spec'd on crafted BMPs.
+    */
+  val mmPhashNeardup = QueryDef(
+    "mm_phash_neardup",
+    None,
+    (spark, dir) => {
+      val media = Multimodal.attachMediaPayloads(Tables.documents(spark, dir))
+        .filter(col("media_type") === "image")
+      graft.operators.Dedup.bandedHammingPairs(
+          Multimodal.phashSignatures(media), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample,
+    mmPhashNeardup)
 }

@@ -188,6 +188,24 @@ object QuantGates {
         if (freshTotal == 0) 1.0
         else freshRows.filter(!col("might_dup")).count().toDouble / freshTotal
 
+      // ---- gate 12: pHash banding exactness — the image near-dup pairs
+      // (mm_phash_neardup) must equal the brute-force Hamming<=3 pair set
+      // over the same signatures, both directions (pigeonhole soundness
+      // of the shared 16-bit banding, now on the pHash path)
+      val phSigs = graft.operators.Multimodal.phashSignatures(
+        graft.operators.Multimodal.attachMediaPayloads(docs)
+          .filter(col("media_type") === "image"))
+      val phBrute = phSigs.toDF("id_a", "sig_a")
+        .join(phSigs.toDF("id_b", "sig_b"), col("id_a") < col("id_b"))
+        .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+        .select("id_a", "id_b")
+      val phBanded = Dedup.bandedHammingPairs(phSigs, maxDist = 3)
+        .select("id_a", "id_b")
+      val phashBandDiff =
+        (phBrute.join(phBanded, Seq("id_a", "id_b"), "left_anti").count() +
+          phBanded.join(phBrute, Seq("id_a", "id_b"), "left_anti").count())
+          .toDouble
+
       Seq(
         // pair-set diff must be empty both ways — the dd_minhash_lsh
         // oracle grades the LSH output against the brute-force pair set,
@@ -204,7 +222,8 @@ object QuantGates {
         ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),
         ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", ""),
         ("bloom_false_negatives", bloomFalseNeg, 0.0, "<=", ""),
-        ("bloom_prune_rate", bloomPrune, 0.5, ">=", "")
+        ("bloom_prune_rate", bloomPrune, 0.5, ">=", ""),
+        ("phash_banding_vs_brute_diff", phashBandDiff, 0.0, "<=", "")
       ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {
           case ">=" => value >= threshold

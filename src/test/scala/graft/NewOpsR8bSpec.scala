@@ -256,6 +256,56 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // ---------------------------------------------------- mm_phash_neardup
+
+  test("phash64: brightness-shift invariant, localized edits flip localized bits") {
+    import graft.operators.Multimodal
+    val w = 16; val h = 16
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = (f(x, y) & 0xFF).toByte
+      Multimodal.encodeBmp(px, w, h)
+    }
+    // vertical gradient: left half dark, right half bright
+    val base = img((x, _) => if (x < w / 2) 40 else 200)
+    val brighter = img((x, _) => if (x < w / 2) 80 else 240) // +40 everywhere
+    val oneCell = img((x, y) =>
+      if (x < 2 && y < 2) 255 // flip the top-left (dark) grid cell to bright
+      else if (x < w / 2) 40 else 200)
+    val garbage = Array[Byte](1, 2, 3, 4, 5)
+    val hBase = Multimodal.phash64(base).get
+    val hBright = Multimodal.phash64(brighter).get
+    val hEdit = Multimodal.phash64(oneCell).get
+    assert(hBase == hBright,
+      "uniform brightness shift must not change the average-hash")
+    val flipped = java.lang.Long.bitCount(hBase ^ hEdit)
+    assert(flipped >= 1 && flipped <= 4,
+      s"a one-cell edit should flip few bits, flipped $flipped")
+    assert(Multimodal.phash64(garbage).isEmpty)
+  }
+
+  test("mm_phash_neardup: identical payloads pair at distance 0; output is banding-exact") {
+    val out = SparkEntry.queries("mm_phash_neardup")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered id_a < id_b")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 3)
+    }
+    // docs with IDENTICAL text produce identical payloads -> distance 0;
+    // find one such image pair and require it in the output
+    val dupPair = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0) // image rows
+      .groupBy("text").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).limit(1).collect()
+    dupPair.headOption.foreach { row =>
+      val ids = row.getSeq[Long](0).sorted
+      val found = out.exists(r =>
+        r.getLong(0) == ids(0) && r.getLong(1) == ids(1) && r.getInt(2) == 0)
+      assert(found, s"identical-text image pair ${ids.take(2)} missing at distance 0")
+    }
+  }
+
   // ------------------------------------------------------ ml_calibration
 
   test("ml_calibration: five balanced bins covering every day, global bias matches") {
