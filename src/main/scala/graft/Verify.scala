@@ -49,25 +49,29 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
     // quantitative gates (no-oracle operators): any failed gate turns the
-    // whole verify run red instead of hiding behind a rows-only check
-    val gateOk =
-      if (only.exists(!_.contains("qc_quant_gates"))) true
-      else try {
-        val failed = spark.read.parquet(s"$outDir/qc_quant_gates")
-          .filter(!org.apache.spark.sql.functions.col("pass")).collect()
-        failed.foreach { r =>
-          val detail =
-            if (r.length > 5 && r.getString(5).nonEmpty) s" [${r.getString(5)}]"
-            else ""
-          System.err.println(
-            s"[verify] QUANT_GATE_FAIL ${r.getString(0)}: value=${r.getDouble(1)} " +
-              s"required ${r.getString(3)} ${r.getDouble(2)}$detail")
+    // whole verify run red instead of hiding behind a rows-only check.
+    // EVERY qc_* query that emits a boolean `pass` column is enforced —
+    // adding a new gate query makes it load-bearing with no Verify edit.
+    val gateQueries = SparkEntry.registry.map(_.name)
+      .filter(_.startsWith("qc_"))
+      .filter(n => only.forall(_.contains(n)))
+    val gateOk = gateQueries.forall { name =>
+      try {
+        val df = spark.read.parquet(s"$outDir/$name")
+        if (!df.columns.contains("pass")) true
+        else {
+          val failed = df
+            .filter(!org.apache.spark.sql.functions.col("pass")).collect()
+          failed.foreach(r =>
+            System.err.println(s"[verify] QUANT_GATE_FAIL $name: $r"))
+          failed.isEmpty
         }
-        failed.isEmpty
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] QUANT_GATE_FAIL unreadable: ${e.getMessage}")
+        System.err.println(
+          s"[verify] QUANT_GATE_FAIL $name unreadable: ${e.getMessage}")
         false
       }
+    }
     spark.stop()
     if (!gateOk) sys.exit(2)
   }

@@ -234,5 +234,41 @@ object QuantGates {
         .orderBy("gate")
     })
 
-  val all: Seq[QueryDef] = Seq(qcQuantGates)
+  /** IVF recall@5 curve across probe budgets — the accuracy/cost
+    * tradeoff every ANN deployment is tuned on, quantified instead of
+    * assumed. nProbe ∈ {1, 2, 4, 8, 16} of 16 cells; each row carries
+    * its own gate verdict: the curve must be non-decreasing (scanning
+    * more cells can only add candidates — the per-cell rankings are
+    * deterministic) and the full-scan endpoint (nProbe = nCells) must
+    * recover the exact brute-force top-k, because at that point IVF
+    * degenerates to an exhaustive search with the same tiebreak.
+    * `qc_` prefix: correctness instrumentation, excluded from Bench;
+    * Verify exits 2 if any row's gate fails.
+    */
+  val qcIvfRecallCurve = QueryDef(
+    "qc_ivf_recall_curve",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+      val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+        .select("probe_id", "cand_id")
+      val nBrute = brute.count()
+      val recalls = Seq(1, 2, 4, 8, 16).map { np =>
+        val hit = Similarity.ivfKnn(probes, e, k = 5, nCells = 16, nProbe = np)
+          .join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
+        np -> (if (nBrute == 0) 1.0 else hit.toDouble / nBrute)
+      }
+      val monotone = recalls.zip(recalls.tail).forall {
+        case ((_, a), (_, b)) => b >= a - 1e-12
+      }
+      recalls.map { case (np, r) =>
+        val pass = monotone && (np != 16 || r >= 1.0 - 1e-12)
+        (np, math.rint(r * 10000) / 10000, pass)
+      }.toDF("nprobe", "recall_at5", "pass")
+        .orderBy("nprobe")
+    })
+
+  val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve)
 }

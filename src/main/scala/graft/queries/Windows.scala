@@ -717,8 +717,81 @@ object Windows {
             .as("alarm"))
     })
 
+  /** W14: calendar gap-fill + linear interpolation — the series-repair
+    * step every forecast chain needs before lag features make sense
+    * (a missing day silently shifts lag(7) semantics). Synthetic gaps
+    * (every 7th day-of-month dropped) make the operator observable on
+    * the gap-free fixture. The spine is `sequence(min, max, 1 day)`
+    * exploded; the fill is the classic four-window form: last/first
+    * non-null value and day on each side, linear weight by day distance.
+    * Endpoints degrade to nearest-neighbor fill.
+    *
+    * Scale: O(days) rows after the daily pre-agg (header note); the
+    * spine explode is one generator over a 2-column bound row.
+    */
+  val w14GapFill = QueryDef(
+    "w14_gap_fill",
+    Some(s"""WITH daily AS ($dailyRevenueSql),
+            |gappy AS (SELECT * FROM daily WHERE dayofmonth(day) % 7 != 3),
+            |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM gappy),
+            |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            |          FROM bounds),
+            |j AS (SELECT s.day, g.avg_value
+            |      FROM spine s LEFT JOIN gappy g ON s.day = g.day),
+            |f AS (SELECT day, avg_value,
+            |             last_value(avg_value IGNORE NULLS) OVER (ORDER BY day
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+            |             first_value(avg_value IGNORE NULLS) OVER (ORDER BY day
+            |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            |             last_value(CASE WHEN avg_value IS NOT NULL THEN day END
+            |               IGNORE NULLS) OVER (ORDER BY day
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+            |             first_value(CASE WHEN avg_value IS NOT NULL THEN day END
+            |               IGNORE NULLS) OVER (ORDER BY day
+            |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+            |      FROM j)
+            |SELECT day,
+            |       CASE WHEN avg_value IS NOT NULL THEN 0 ELSE 1 END AS filled,
+            |       round(CASE
+            |         WHEN avg_value IS NOT NULL THEN avg_value
+            |         WHEN prev_v IS NULL THEN next_v
+            |         WHEN next_v IS NULL THEN prev_v
+            |         ELSE prev_v + (next_v - prev_v)
+            |              * datediff('day', prev_d, day) * 1.0
+            |              / datediff('day', prev_d, next_d)
+            |       END, 4) AS value
+            |FROM f""".stripMargin),
+    (spark, dir) => {
+      val gappy = dailyRevenue(spark, dir)
+        .select("day", "avg_value")
+        .filter(dayofmonth(col("day")) % 7 =!= 3)
+      val spine = gappy.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val back = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(gappy, Seq("day"), "left")
+        .withColumn("prev_v", last(col("avg_value"), ignoreNulls = true).over(back))
+        .withColumn("next_v", first(col("avg_value"), ignoreNulls = true).over(fwd))
+        .withColumn("prev_d", last(when(col("avg_value").isNotNull, col("day")),
+          ignoreNulls = true).over(back))
+        .withColumn("next_d", first(when(col("avg_value").isNotNull, col("day")),
+          ignoreNulls = true).over(fwd))
+        .select(col("day"),
+          when(col("avg_value").isNotNull, 0).otherwise(1).as("filled"),
+          round(when(col("avg_value").isNotNull, col("avg_value"))
+            .when(col("prev_v").isNull, col("next_v"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v"))
+              * datediff(col("day"), col("prev_d")).cast("double")
+              / datediff(col("next_d"), col("prev_d")).cast("double")), 4)
+            .as("value"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    w13Cusum,
+    w13Cusum, w14GapFill,
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,

@@ -256,6 +256,34 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // --------------------------------------------------------- w14_gap_fill
+
+  test("w14_gap_fill: complete spine, observed days untouched, linear interior fill") {
+    val rows = SparkEntry.queries("w14_gap_fill")(spark, sf).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.zip(days.tail).foreach { case (a, b) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) == 1,
+        s"spine gap between $a and $b")
+    }
+    // reconstruct the source series and check each filled day is the
+    // linear interpolation of its surviving neighbors
+    val byDay = rows.map(r => r.getDate(0).toLocalDate ->
+      (r.getInt(1), r.getDouble(2))).toMap
+    val observed = byDay.filter(_._2._1 == 0).view.mapValues(_._2).toMap
+    byDay.filter(_._2._1 == 1).foreach { case (d, (_, v)) =>
+      val prev = observed.keys.filter(_.isBefore(d))
+        .maxOption.getOrElse(fail(s"no left anchor for $d"))
+      val next = observed.keys.filter(_.isAfter(d))
+        .minOption.getOrElse(fail(s"no right anchor for $d"))
+      val w = java.time.temporal.ChronoUnit.DAYS.between(prev, d).toDouble /
+        java.time.temporal.ChronoUnit.DAYS.between(prev, next)
+      val expect = observed(prev) + (observed(next) - observed(prev)) * w
+      assert(math.abs(v - expect) < 5e-4, s"$d: $v vs interpolated $expect")
+    }
+    assert(rows.count(_.getInt(1) == 1) > 0, "no gaps were synthesized")
+  }
+
   // ---------------------------------------------------- mm_phash_neardup
 
   test("phash64: brightness-shift invariant, localized edits flip localized bits") {
