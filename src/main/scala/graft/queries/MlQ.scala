@@ -253,6 +253,62 @@ object MlQ {
           round(avg(col("yhat")) - avg(col("y")), 2).as("bias"))
     })
 
+  /** M11: classical decomposition of the daily revenue series —
+    * y = trend + weekly seasonal + residual, with the trend from the
+    * exact-OLS fit (bit-reproducible, M8) and the seasonal term the
+    * per-day-of-week mean of the detrended series. The additive
+    * decomposition every forecasting/anomaly chain starts from, built so
+    * each component is independently checkable: trend is deterministic,
+    * seasonals sum the same detrended values in both engines (r2
+    * absorbs order), and resid = y − trend − seasonal reconstructs y
+    * exactly by construction.
+    */
+  val mlSeasonalDecompose = QueryDef(
+    "ml_seasonal_decompose",
+    Some("""WITH d AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ydec
+           |  FROM orders GROUP BY 1),
+           |x AS (SELECT day, ydec,
+           |             CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS xi
+           |      FROM d),
+           |f AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |             CAST(sum(xi) AS DOUBLE) AS sx,
+           |             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+           |             CAST(sum(ydec) AS DOUBLE) AS sy,
+           |             CAST(sum(CAST(xi AS DECIMAL(5,0)) * ydec) AS DOUBLE) AS sxy
+           |      FROM x),
+           |c AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b, n, sx, sy FROM f),
+           |c2 AS (SELECT sy / n - b * (sx / n) AS a, b FROM c),
+           |s AS (SELECT day, CAST(ydec AS DOUBLE) AS y,
+           |             a + b * CAST(xi AS DOUBLE) AS trend,
+           |             dayofweek(day) AS dow
+           |      FROM x, c2),
+           |seas AS (SELECT dow, avg(y - trend) AS seasonal FROM s GROUP BY 1)
+           |SELECT s.day, round(s.y, 2) AS y, round(s.trend, 2) AS trend,
+           |       round(seas.seasonal, 2) AS seasonal,
+           |       round(s.y - s.trend - seas.seasonal, 2) AS resid
+           |FROM s JOIN seas USING (dow)""".stripMargin),
+    (spark, dir) => {
+      val d = Tables.orders(spark, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+        .select(col("day"), col("yraw").cast("decimal(18,2)").as("ydec"),
+          datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+      val coef = graft.ml.Ols.fitExactInt(d, "xi", "ydec")
+      val s = d.crossJoin(broadcast(coef))
+        .select(col("day"), col("ydec").cast("double").as("y"),
+          (col("a") + col("b") * col("xi").cast("double")).as("trend"),
+          dayOfWeekSnowflake(col("day")).as("dow"))
+      val seas = s.groupBy("dow")
+        .agg(avg(col("y") - col("trend")).as("seasonal"))
+      s.join(broadcast(seas), Seq("dow"))
+        .select(col("day"), round(col("y"), 2).as("y"),
+          round(col("trend"), 2).as("trend"),
+          round(col("seasonal"), 2).as("seasonal"),
+          round(col("y") - col("trend") - col("seasonal"), 2).as("resid"))
+    })
+
   val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
-    mlOlsResiduals, mlBaselineCompare, mlCalibration)
+    mlOlsResiduals, mlBaselineCompare, mlCalibration, mlSeasonalDecompose)
 }

@@ -138,6 +138,52 @@ object QualityQ {
       statusBad.crossJoin(typeBad).crossJoin(liOrphans).crossJoin(orderOrphans)
     })
 
+  /** Q8: quarantine routing — dbt's store_failures pattern as an
+    * operator. Every event is classified by the FIRST failing
+    * expectation (priority order: error events, then the value-range
+    * tails); failing rows land in a quarantine report with counts, id
+    * bounds (the re-drive handle: the quarantine slice can be re-read
+    * by id range after a fix), and corpus share. Rows passing every
+    * expectation stay out — the report is the exception stream, not a
+    * census.
+    *
+    * Scale: one scan, conditional classification in the projection,
+    * partial-agg rollup at reason grain (≤ #reasons rows out).
+    */
+  val q8AnomalyQuarantine = QueryDef(
+    "q8_anomaly_quarantine",
+    Some("""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+           |cls AS (
+           |  SELECT event_id,
+           |         CASE WHEN event_type = 'error' THEN 'error_event'
+           |              WHEN value > 95 THEN 'value_high'
+           |              WHEN value < 5 THEN 'value_low'
+           |         END AS reason
+           |  FROM events),
+           |q AS (SELECT reason, CAST(count(*) AS BIGINT) AS n_rows,
+           |             CAST(min(event_id) AS BIGINT) AS min_id,
+           |             CAST(max(event_id) AS BIGINT) AS max_id
+           |      FROM cls WHERE reason IS NOT NULL GROUP BY 1)
+           |SELECT reason, n_rows, min_id, max_id,
+           |       round(n_rows * 1.0 / tot.n, 4) AS share
+           |FROM q, tot""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val tot = e.agg(count(lit(1)).as("n"))
+      e.select(col("event_id"),
+          when(col("event_type") === "error", "error_event")
+            .when(col("value") > 95, "value_high")
+            .when(col("value") < 5, "value_low")
+            .as("reason"))
+        .filter(col("reason").isNotNull)
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .crossJoin(broadcast(tot))
+        .select(col("reason"), col("n_rows"), col("min_id"), col("max_id"),
+          round(col("n_rows") * lit(1.0) / col("n"), 4).as("share"))
+    })
+
   val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness, qcDrift,
-    q6ReferentialSuite)
+    q6ReferentialSuite, q8AnomalyQuarantine)
 }

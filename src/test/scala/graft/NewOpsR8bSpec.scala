@@ -256,6 +256,41 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // ------------------------------------------------- ml_seasonal_decompose
+
+  test("ml_seasonal_decompose: components reconstruct y, seasonal is weekly, resid centered") {
+    val rows = SparkEntry.queries("ml_seasonal_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (y, t, s, e) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(y - (t + s + e)) < 0.03, // r2 rounding of 3 addends
+        s"${r.get(0)}: decomposition does not reconstruct y")
+    }
+    assert(rows.map(_.getDouble(3)).distinct.length <= 7,
+      "weekly seasonal must take at most 7 values")
+    val meanResid = rows.map(_.getDouble(4)).sum / rows.length
+    val meanY = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(meanResid) < 0.02 * math.abs(meanY),
+      s"residual mean $meanResid not centered (mean y $meanY)")
+  }
+
+  // ------------------------------------------------- q8_anomaly_quarantine
+
+  test("q8_anomaly_quarantine: first-match routing partitions the failing rows") {
+    val rows = SparkEntry.queries("q8_anomaly_quarantine")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sf)
+    assert(rows("error_event") ==
+      e.filter(col("event_type") === "error").count())
+    // value_high counts only non-error rows (priority order)
+    assert(rows("value_high") ==
+      e.filter(col("event_type") =!= "error" && col("value") > 95).count())
+    assert(rows.values.sum ==
+      e.filter(col("event_type") === "error" ||
+        col("value") > 95 || col("value") < 5).count(),
+      "quarantine classes must partition the failing set exactly")
+  }
+
   // --------------------------------------------------------- w14_gap_fill
 
   test("w14_gap_fill: complete spine, observed days untouched, linear interior fill") {
