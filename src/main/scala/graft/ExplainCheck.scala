@@ -85,6 +85,12 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // nearest as-of: the dual-frame window form — one shuffle on the key,
+    // both frames over the same sort, never a lateral/range/nested-loop join
+    check("jx_asof_nearest", "dual-frame window, no nested-loop join") { p =>
+      p.contains("Window") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
     // burstiness: the top-20 by VMR is a bounded heap, not a full sort
     check("tx_burstiness", "top-20 via TakeOrderedAndProject")(
       _.contains("TakeOrderedAndProject"))

@@ -506,6 +506,44 @@ object Relational {
           tsStr(col("ts")).as("ts_s"), col("last_order_id"))
     })
 
+  /** Nearest-direction as-of join (pandas merge_asof
+    * direction='nearest'): each purchase attaches its time-closest click
+    * by the same user, either side, equal-distance ties backward. The
+    * oracle is the lateral nearest-1 subquery DuckDB executes directly;
+    * the engine is `AsOfJoin.joinNearest`'s one-shuffle dual-frame
+    * window (no lateral, no range join).
+    */
+  val jxAsOfNearest = QueryDef(
+    "jx_asof_nearest",
+    Some("""WITH p AS (SELECT user_id, event_id, ts FROM events
+           |           WHERE event_type = 'purchase'),
+           |c AS (SELECT user_id, event_id, ts FROM events
+           |      WHERE event_type = 'click')
+           |SELECT p.user_id, p.event_id AS purchase_id,
+           |       n.click_id, n.asof_dir,
+           |       round(n.dist_us / 1000000.0, 4) AS dist_sec
+           |FROM p LEFT JOIN LATERAL (
+           |  SELECT c.event_id AS click_id,
+           |         CASE WHEN c.ts <= p.ts THEN 'backward'
+           |              ELSE 'forward' END AS asof_dir,
+           |         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us
+           |  FROM c WHERE c.user_id = p.user_id
+           |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+           |           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END, c.event_id
+           |  LIMIT 1) n ON TRUE""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      graft.operators.AsOfJoin.joinNearest(p, c, key = "user_id",
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("click_id"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("click_id"), col("asof_dir"),
+          round(col("asof_dist_us") / lit(1000000.0), 4).as("dist_sec"))
+    })
+
   /** Range (interval) join: orders placed inside each probe shipment's
     * 14-day delivery window. Spark side is the bucketized equi-join
     * (operators.RangeJoin — no BroadcastNestedLoopJoin, shuffle-bounded);
@@ -732,6 +770,34 @@ object Relational {
       i.unionByName(x)
     })
 
+  /** U4: multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL keep
+    * duplicity (bag semantics), the axis `u2_set_ops`' DISTINCT forms
+    * erase: a user purchasing 3× and erroring once keeps 2 rows in
+    * EXCEPT ALL and 1 in INTERSECT ALL. Counts pin the multiset math
+    * cross-engine.
+    */
+  val u4MultisetOps = QueryDef(
+    "u4_multiset_ops",
+    Some("""SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |  EXCEPT ALL
+           |  SELECT user_id FROM events WHERE event_type = 'error')
+           |UNION ALL
+           |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |  INTERSECT ALL
+           |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val purchasers = e.filter(col("event_type") === "purchase").select("user_id")
+      val erroring = e.filter(col("event_type") === "error").select("user_id")
+      val x = purchasers.exceptAll(erroring)
+        .agg(count(lit(1)).as("n")).select(lit("except_all").as("op"), col("n"))
+      val i = purchasers.intersectAll(erroring)
+        .agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"), col("n"))
+      x.unionByName(i)
+    })
+
   /** A17: exact percentiles (median/p90) — Spark `percentile` and DuckDB
     * `quantile_cont` share linear-interpolation semantics; the
     * bounded-memory approximate path is `Scale.approxQuantiles`.
@@ -913,7 +979,8 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     j9BloomSemi, j10SaltedSkew,
-    a15ErrorMetrics, jxAsOfJoin, jxRangeJoin, a16Rollup, a18Pivot, a19Cube,
+    a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, a16Rollup,
+    a18Pivot, a19Cube, u4MultisetOps,
     a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized, a22CohortRetention,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile, j8TableDiff,
     s3ScanProject, p3PositiveFilter, p5ThetaFilter, p9SentinelExclusion,

@@ -256,6 +256,54 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // --------------------------------------------------- AsOfJoin.joinNearest
+
+  test("joinNearest: backward tie preference, forward fill, keyless nulls") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")), // equidistant: 11:00 vs 13:00 -> backward
+      (1L, 11L, ts("2024-01-01 10:00:00")), // before all right rows -> forward
+      (2L, 20L, ts("2024-01-01 12:00:00")), // key with no right rows -> nulls
+      (3L, 30L, ts("2024-01-01 12:30:00"))  // strictly nearer forward side
+    ).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 11:00:00")),
+      (1L, 101L, ts("2024-01-01 13:00:00")),
+      (3L, 300L, ts("2024-01-01 10:00:00")),
+      (3L, 301L, ts("2024-01-01 12:45:00"))
+    ).toDF("k", "rid", "rts")
+    val out = graft.operators.AsOfJoin.joinNearest(
+        left, right, key = "k", leftTs = "lts", rightTs = "rts",
+        rightCols = Seq("rid"))
+      .select("lid", "rid", "asof_dir", "asof_dist_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2)))).toMap
+    assert(out(10L) == (Some(100L), Some("backward")),
+      "equal-distance tie must resolve backward")
+    assert(out(11L) == (Some(100L), Some("forward")),
+      "a left row before all right rows must fill forward")
+    assert(out(20L) == (None, None), "keyless left row must stay null")
+    assert(out(30L) == (Some(301L), Some("forward")),
+      "strictly nearer forward row must win")
+  }
+
+  test("joinNearest agrees with the backward join wherever a prior row exists and is nearer") {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val nearest = graft.operators.AsOfJoin.joinNearest(p, c, "user_id", "ts", "ts",
+      Seq("click_id")).filter(col("asof_dir") === "backward")
+      .select(col("event_id"), col("click_id"))
+    val backward = graft.operators.AsOfJoin.join(p, c, "user_id", "ts", "ts",
+      Seq("click_id")).select(col("event_id"), col("click_id").as("b_click"))
+    val joined = nearest.join(backward, "event_id")
+    assert(joined.filter(col("click_id") =!= col("b_click")).isEmpty,
+      "backward-direction nearest matches must equal the backward as-of join")
+  }
+
   // ------------------------------------------------- ml_seasonal_decompose
 
   test("ml_seasonal_decompose: components reconstruct y, seasonal is weekly, resid centered") {
