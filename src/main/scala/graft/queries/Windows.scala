@@ -790,8 +790,46 @@ object Windows {
             .as("value"))
     })
 
+  /** T9: streaming as-of enrichment — a LIVE Structured Streaming run
+    * (flatMapGroupsWithState, one bounded (click_id, click_ts) state per
+    * user) whose output must hash-match the batch backward-as-of oracle.
+    * The stateful streaming twin of jx_asof_join: same inclusive
+    * `click.ts <= purchase.ts` semantics, state instead of a window.
+    */
+  val t9StreamAsof = QueryDef(
+    "t9_stream_asof",
+    Some("""WITH p AS (SELECT user_id, event_id, ts FROM events
+           |           WHERE event_type = 'purchase'),
+           |c AS (SELECT user_id, event_id, ts FROM events
+           |      WHERE event_type = 'click')
+           |SELECT p.user_id, p.event_id AS purchase_id,
+           |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           |       n.click_id,
+           |       strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+           |FROM p LEFT JOIN LATERAL (
+           |  SELECT c.event_id AS click_id, c.ts
+           |  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+           |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) n ON TRUE""".stripMargin),
+    (spark, dir) => {
+      import graft.streaming.EventsStreaming
+      import spark.implicits._
+      val name = "t9_asof_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = EventsStreaming.readEvents(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .as[EventsStreaming.AsofIn]
+        val enriched = EventsStreaming.asofEnrich(stream).toDF()
+        EventsStreaming.runToCompletion(enriched, name)
+          .select(col("user_id"), col("purchase_id"),
+            tsStr(col("purchase_ts")).as("purchase_ts"),
+            col("click_id"), tsStr(col("click_ts")).as("click_ts"))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    })
+
   val all: Seq[QueryDef] = Seq(
-    w13Cusum, w14GapFill,
+    w13Cusum, w14GapFill, t9StreamAsof,
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,

@@ -261,6 +261,54 @@ object EventsStreaming {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  final case class AsofIn(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class AsofState(click_id: Long, click_ts: java.sql.Timestamp)
+  final case class AsofOut(user_id: Long, purchase_id: Long,
+      purchase_ts: java.sql.Timestamp, click_id: Option[Long],
+      click_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of enrichment: every purchase is annotated with the
+    * user's most recent click AT OR BEFORE it — `AsOfJoin.join` as keyed
+    * state instead of a window. The state per user is exactly one
+    * (click_id, click_ts) pair (bounded, no timeline buffering — compare
+    * the stream-stream join's four state stores of row history), carried
+    * across micro-batches so a purchase in batch N matches a click from
+    * batch 1.
+    *
+    * Within a micro-batch rows sort by (event time, clicks-before-
+    * purchases, id) — the inclusive `right ≤ left` tie semantics of the
+    * batch operator. Cross-batch, correctness relies on the source
+    * delivering a user's events non-decreasing in event time across
+    * batch boundaries (true for replayed file fixtures and any
+    * log-ordered source; an out-of-order regression would need the
+    * watermark + buffer form).
+    */
+  def asofEnrich(events: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.ts.getTime, r.ts.getNanos, if (r.event_type == "click") 0 else 1,
+              r.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { r =>
+            r.event_type match {
+              case "click" => last = Some(AsofState(r.event_id, r.ts))
+              case "purchase" =>
+                out += AsofOut(uid, r.event_id, r.ts,
+                  last.map(_.click_id), last.map(_.click_ts))
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Drive a streaming query over the (finite) fixture to completion into
     * an in-memory table; returns the result as a batch DataFrame.
     */

@@ -256,6 +256,44 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // ---------------------------------------------------------- asofEnrich
+
+  test("streaming asofEnrich carries click state across micro-batches") {
+    import graft.streaming.EventsStreaming
+    import graft.streaming.EventsStreaming.AsofIn
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_asof_src")
+    def writeBatch(file: String, rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .select(col("event_id"),
+          (unix_timestamp(col("ts_s")).cast("long") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(srcDir.toString + "/in")
+    // batch 1: only clicks
+    writeBatch("b1", Seq(
+      (100L, 1L, "2024-01-01 10:00:00", "click"),
+      (101L, 2L, "2024-01-01 10:30:00", "click")))
+    val stream = EventsStreaming.readEventsDir(spark, srcDir.toString + "/in")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[AsofIn]
+    val name = "asof_carry_test"
+    val q = EventsStreaming.asofEnrich(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    // batch 2: purchases only — the matching click lives in batch 1's state
+    writeBatch("b2", Seq(
+      (200L, 1L, "2024-01-01 12:00:00", "purchase"),
+      (201L, 3L, "2024-01-01 12:00:00", "purchase"))) // user 3: no click ever
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(name)
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(200L) == Some(100L),
+      "purchase in batch 2 must match the click carried from batch 1's state")
+    assert(out(201L) == None, "user with no clicks must stay null")
+  }
+
   // --------------------------------------------------- AsOfJoin.joinNearest
 
   test("joinNearest: backward tie preference, forward fill, keyless nulls") {
