@@ -280,6 +280,69 @@ object PipelineQ {
             coalesce(col("l"), col("tokens").cast("double"))), 4).as("alloc"))
     })
 
+  /** Dataset card: the one-row corpus summary a training-data release
+    * ships with — volume (docs/sources/tokens/vocabulary), central
+    * quality, exact-duplication rate, and language-mix entropy. Each
+    * number is a one-pass aggregate; the card is the join of four
+    * 1-row frames (all broadcast). The per-metric deep dives are their
+    * own queries (tx_*, dd_*, smp_ess); this is the cover sheet.
+    */
+  val pipeDatasetCard = QueryDef(
+    "pipe_dataset_card",
+    Some("""WITH f AS (
+           |  SELECT doc_id, text, lang, source,
+           |         len(string_split(text, ' ')) AS n_tokens,
+           |         len(list_distinct(string_split(text, ' '))) * 1.0 /
+           |           len(string_split(text, ' ')) AS ttr,
+           |         len([t FOR t IN string_split(text, ' ') IF t IN ('the', 'a')]) * 1.0 /
+           |           len(string_split(text, ' ')) AS stop_ratio
+           |  FROM documents),
+           |q AS (SELECT doc_id, text, lang, source, n_tokens,
+           |             0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * ttr
+           |               + 0.2 * least(stop_ratio * 5, 1.0) AS quality FROM f),
+           |lang_h AS (
+           |  SELECT -sum(p * ln(p)) AS h FROM (
+           |    SELECT count(*) * 1.0 / (SELECT count(*) FROM documents) AS p
+           |    FROM documents GROUP BY lang)),
+           |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM (
+           |  SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE t != '')
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       (SELECT v FROM vocab) AS vocab,
+           |       round(avg(quality), 4) AS mean_quality,
+           |       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+           |         AS exact_dup_rate,
+           |       round((SELECT h FROM lang_h), 4) AS lang_entropy
+           |FROM q""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.TextFns
+      val docs = Tables.documents(spark, dir)
+      val q = docs.select(col("text"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextFns.qualityScore(col("text")).as("quality"))
+      val main = q.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("quality")), 4).as("mean_quality"),
+        round(lit(1.0) - countDistinct(col("text")) * lit(1.0) / count(lit(1)), 4)
+          .as("exact_dup_rate"))
+      val nDocs = docs.count().toDouble
+      val langH = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .select((col("c") * lit(1.0) / lit(nDocs)).as("p"))
+        .agg(round(-sum(col("p") * log(col("p"))), 4).as("lang_entropy"))
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .agg(countDistinct(col("t")).as("vocab"))
+      main.crossJoin(broadcast(vocab)).crossJoin(broadcast(langH))
+        .select(col("n_docs"), col("n_sources"), col("n_tokens"), col("vocab"),
+          col("mean_quality"), col("exact_dup_rate"), col("lang_entropy"))
+    })
+
   val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards,
-    pipeDecontaminate, pipeContaminationRate, pipeTokenWaterfill)
+    pipeDecontaminate, pipeContaminationRate, pipeTokenWaterfill,
+    pipeDatasetCard)
 }

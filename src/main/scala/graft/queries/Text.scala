@@ -1049,8 +1049,37 @@ object Text {
         .select(col("term"), col("f"), r4(col("vmr")).as("vmr"))
     })
 
+  /** Corpus-adaptive stopword discovery: terms whose DOCUMENT frequency
+    * ratio is ≥ 0.5 — the list BM25/quality scorers should be using
+    * instead of a hardcoded English set (on a domain corpus the
+    * ubiquitous terms are domain words, exactly what this fixture
+    * shows). DF via per-doc distinct terms (one dropDuplicates shuffle
+    * at (term, doc) grain, then a term-grain partial agg).
+    */
+  val txStopwordAdaptive = QueryDef(
+    "tx_stopword_adaptive",
+    Some("""WITH tc AS (SELECT DISTINCT doc_id, term FROM (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents) WHERE term != ''),
+           |nd AS (SELECT count(*) AS n FROM documents),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1)
+           |SELECT term, df, round(df * 1.0 / nd.n, 4) AS df_ratio
+           |FROM df, nd WHERE df * 1.0 / nd.n >= 0.5""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val nd = docs.agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .dropDuplicates("doc_id", "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") * lit(1.0) / col("n") >= 0.5)
+        .select(col("term"), col("df"),
+          round(col("df") * lit(1.0) / col("n"), 4).as("df_ratio"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    txZipfSlope, txBurstiness,
+    txZipfSlope, txBurstiness, txStopwordAdaptive,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
     txHeavyHittersBySource, txRepetition,

@@ -256,6 +256,32 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // ----------------------------------------------------- pipe_dataset_card
+
+  test("pipe_dataset_card: cover-sheet numbers agree with their deep-dive queries") {
+    val card = SparkEntry.queries("pipe_dataset_card")(spark, sf).head()
+    assert(card.getLong(0) == Tables.documents(spark, sf).count())
+    val zipfVocab = SparkEntry.queries("tx_zipf_slope")(spark, sf).head().getLong(2)
+    assert(card.getLong(3) == zipfVocab,
+      "card vocabulary must equal the Zipf query's n_terms")
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(card.getDouble(6) >= 0 &&
+      card.getDouble(6) <= math.log(nLangs.toDouble) + 1e-9,
+      "language entropy must sit in [0, ln(#langs)]")
+    assert(card.getDouble(4) > 0 && card.getDouble(4) <= 1, "mean quality in (0,1]")
+  }
+
+  // -------------------------------------------------- tx_stopword_adaptive
+
+  test("tx_stopword_adaptive: discovers the scorer's hardcoded stopwords and more") {
+    val rows = SparkEntry.queries("tx_stopword_adaptive")(spark, sf).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    val terms = rows.map(_.getString(0)).toSet
+    assert(terms.contains("the") && terms.contains("a"),
+      "the fixture's ubiquitous function words must be discovered")
+    assert(terms.size > 2, "a domain corpus should surface domain stopwords too")
+  }
+
   // ---------------------------------------------------------- asofEnrich
 
   test("streaming asofEnrich carries click state across micro-batches") {
