@@ -270,5 +270,72 @@ object QuantGates {
         .orderBy("nprobe")
     })
 
-  val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve)
+  /** HyperLogLog++ accuracy audit: approx_count_distinct vs the exact
+    * distinct count on three cardinality profiles (users ~10², order
+    * keys ~10⁴, lineitem partkeys ~10⁴ with heavy repetition). Each row
+    * gates |approx/exact − 1| ≤ 3·rsd — beyond three standard errors
+    * the sketch implementation (not the data) is wrong. The audit that
+    * justifies `Scale.approxDistinct` replacing exact distincts at
+    * 100 TB cardinalities.
+    */
+  val qcHllAccuracy = QueryDef(
+    "qc_hll_accuracy",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val rsd = 0.05
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, c: String) = {
+        val row = df.agg(
+          countDistinct(col(c)).as("exact"),
+          approx_count_distinct(col(c), rsd).as("approx")).head
+        val exact = row.getLong(0)
+        val approx = row.getLong(1)
+        val relErr = if (exact == 0) 0.0
+          else math.abs(approx.toDouble / exact - 1.0)
+        (name, exact, approx, math.rint(relErr * 10000) / 10000,
+          relErr <= 3 * rsd)
+      }
+      Seq(
+        audit("events_users", Tables.events(spark, dir), "user_id"),
+        audit("orders_keys", Tables.orders(spark, dir), "o_orderkey"),
+        audit("lineitem_parts", Tables.lineitem(spark, dir), "l_partkey")
+      ).toDF("metric", "exact", "approx", "rel_err", "pass")
+        .orderBy("metric")
+    })
+
+  /** PQ rerank sweep: recall@5 for rerank ∈ {10, 20, 40, 80} — the ADC
+    * shortlist accuracy/cost knob quantified the way qc_ivf_recall_curve
+    * does nProbe. Gates: the curve is non-decreasing (a longer exact
+    * re-rank list can only improve the final top-k) and the production
+    * budgets (rerank ≥ 40, what sim_knn_pq ships with) must clear the
+    * qc_quant_gates floor of 0.5 — the smaller budgets are
+    * informational points on the tradeoff curve, not deployments.
+    */
+  val qcPqRecallCurve = QueryDef(
+    "qc_pq_recall_curve",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+      val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+        .select("probe_id", "cand_id")
+      val nBrute = brute.count()
+      val recalls = Seq(10, 20, 40, 80).map { rr =>
+        val hit = Similarity.pqKnn(probes, e, k = 5, m = 8, kSub = 16,
+            rerank = rr)
+          .join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
+        rr -> (if (nBrute == 0) 1.0 else hit.toDouble / nBrute)
+      }
+      val monotone = recalls.zip(recalls.tail).forall {
+        case ((_, a), (_, b)) => b >= a - 1e-12
+      }
+      recalls.map { case (rr, r) =>
+        (rr, math.rint(r * 10000) / 10000, monotone && (rr < 40 || r >= 0.5))
+      }.toDF("rerank", "recall_at5", "pass")
+        .orderBy("rerank")
+    })
+
+  val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
+    qcPqRecallCurve)
 }
