@@ -828,8 +828,56 @@ object Windows {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     })
 
+  /** W15: the remaining ranking-function family in one audited shape —
+    * rank (gapped), dense_rank, percent_rank, cume_dist, and
+    * nth_value(2) over the full partition frame — per order priority,
+    * top-3 orders by value. Rounded-total ordering with key tiebreak
+    * (the rank-key discipline) so every rank function is deterministic
+    * cross-engine; the nth_value frame is pinned to the FULL partition
+    * explicitly in both engines (their default frames differ).
+    */
+  val w15RankFamily = QueryDef(
+    "w15_rank_family",
+    Some("""WITH r AS (
+           |  SELECT o_orderpriority, o_orderkey,
+           |         round(o_totalprice, 2) AS total,
+           |         row_number() OVER w AS rn,
+           |         rank() OVER w AS rk,
+           |         dense_rank() OVER w AS drk,
+           |         round(percent_rank() OVER w, 4) AS prk,
+           |         round(cume_dist() OVER w, 4) AS cd,
+           |         nth_value(o_orderkey, 2) OVER (
+           |           PARTITION BY o_orderpriority
+           |           ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+           |           ROWS BETWEEN UNBOUNDED PRECEDING
+           |             AND UNBOUNDED FOLLOWING) AS second_key
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_orderpriority
+           |               ORDER BY round(o_totalprice, 2) DESC, o_orderkey))
+           |SELECT o_orderpriority, o_orderkey, total, rk, drk, prk, cd,
+           |       second_key
+           |FROM r WHERE rn <= 3""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(round(col("o_totalprice"), 2).desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          r4(percent_rank().over(w)).as("prk"),
+          r4(cume_dist().over(w)).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("total"),
+          col("rk"), col("drk"), col("prk"), col("cd"), col("second_key"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    w13Cusum, w14GapFill, t9StreamAsof,
+    w13Cusum, w14GapFill, t9StreamAsof, w15RankFamily,
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
