@@ -336,6 +336,41 @@ object QuantGates {
         .orderBy("rerank")
     })
 
+  /** Hash-uniformity audit of the sampling primitive: every smp_* and
+    * split operator derives its determinism from `Sampling.hexVal`
+    * (md5-prefix → [0, 65536)); if that map were biased, every sampling
+    * rate in the engine would silently drift from its nominal value.
+    * Chi-square over 16 equal-width value buckets against the uniform
+    * expectation, gated at the p ≈ 0.001 critical value for 15 dof
+    * (37.70) on two key populations.
+    */
+  val qcHashUniformity = QueryDef(
+    "qc_hash_uniformity",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val crit = 37.70 // chi-square 0.999 quantile, 15 dof
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, c: String) = {
+        val counts = df
+          .select(pmod(graft.operators.Sampling.hexVal(col(c)), lit(16))
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n = counts.values.sum.toDouble
+        val e = n / 16.0
+        val chi2 = (0L until 16L).map { b =>
+          val o = counts.getOrElse(b, 0L).toDouble
+          (o - e) * (o - e) / e
+        }.sum
+        (name, math.rint(chi2 * 100) / 100, 15L, crit, chi2 <= crit)
+      }
+      Seq(
+        audit("documents_doc_id", Tables.documents(spark, dir), "doc_id"),
+        audit("events_event_id", Tables.events(spark, dir), "event_id")
+      ).toDF("metric", "chi2", "dof", "critical", "pass")
+        .orderBy("metric")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
-    qcPqRecallCurve)
+    qcPqRecallCurve, qcHashUniformity)
 }
