@@ -85,6 +85,11 @@ object ExplainCheck {
     check("sim_knn_ivf", "distributed probe cell assignment") { p =>
       p.contains("Generate") && !p.contains("LocalTableScan")
     }
+    // grouped OLS: a million models is ONE grouped partial aggregation of
+    // sufficient statistics — no join, no window, no per-group subplan
+    check("ml_grouped_ols", "sufficient-statistic partial agg only") { p =>
+      p.contains("partial_") && !p.contains("Join") && !p.contains("Window")
+    }
     // nearest as-of: the dual-frame window form — one shuffle on the key,
     // both frames over the same sort, never a lateral/range/nested-loop join
     check("jx_asof_nearest", "dual-frame window, no nested-loop join") { p =>

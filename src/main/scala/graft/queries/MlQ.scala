@@ -309,6 +309,61 @@ object MlQ {
           round(col("y") - col("trend") - col("seasonal"), 2).as("resid"))
     })
 
+  /** M12: grouped exact-OLS — one trend model PER GROUP (order priority)
+    * fitted in a single grouped aggregation. This is the shape that
+    * matters at 100 TB: a million per-key models is ONE shuffle at key
+    * grain carrying five sufficient statistics each (n, Σx, Σx², Σy,
+    * Σxy), not a million driver-side fits — the sufficient-statistic
+    * factorization is the whole trick, and the integer/DECIMAL sums
+    * keep every coefficient bit-reproducible cross-engine (M8's
+    * discipline, grouped).
+    */
+  val mlGroupedOls = QueryDef(
+    "ml_grouped_ols",
+    Some("""WITH d AS (
+           |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ydec
+           |  FROM orders GROUP BY 1, 2),
+           |x AS (SELECT grp, ydec,
+           |             CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS xi
+           |      FROM d),
+           |f AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+           |             CAST(sum(xi) AS DOUBLE) AS sx,
+           |             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+           |             CAST(sum(ydec) AS DOUBLE) AS sy,
+           |             CAST(sum(CAST(xi AS DECIMAL(5,0)) * ydec) AS DOUBLE) AS sxy
+           |      FROM x GROUP BY 1),
+           |c AS (SELECT grp, n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+           |             sx, sy FROM f)
+           |SELECT grp, CAST(n AS BIGINT) AS n_days, round(b, 4) AS slope,
+           |       round(sy / n - b * (sx / n), 2) AS intercept
+           |FROM c""".stripMargin),
+    (spark, dir) => {
+      val xi = col("xi").cast("decimal(5,0)")
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("grp"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+        .select(col("grp"), col("yraw").cast("decimal(18,2)").as("ydec"),
+          datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+        .groupBy("grp")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("xi").cast("long")).cast("double").as("sx"),
+          sum(col("xi").cast("long") * col("xi").cast("long"))
+            .cast("double").as("sxx"),
+          sum(col("ydec")).cast("double").as("sy"),
+          sum(xi * col("ydec")).cast("double").as("sxy"))
+        .select(col("grp"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("b"),
+          col("sx"), col("sy"))
+        .select(col("grp"), col("n").cast("long").as("n_days"),
+          round(col("b"), 4).as("slope"),
+          round(col("sy") / col("n") - col("b") * (col("sx") / col("n")), 2)
+            .as("intercept"))
+    })
+
   val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
-    mlOlsResiduals, mlBaselineCompare, mlCalibration, mlSeasonalDecompose)
+    mlOlsResiduals, mlBaselineCompare, mlCalibration, mlSeasonalDecompose,
+    mlGroupedOls)
 }

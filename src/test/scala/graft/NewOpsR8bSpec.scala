@@ -256,6 +256,27 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.length <= 20 && out.forall(_.getDouble(2) >= -1e-9))
   }
 
+  // -------------------------------------------------------- ml_grouped_ols
+
+  test("ml_grouped_ols: each group's coefficients equal its standalone exact fit") {
+    val grouped = SparkEntry.queries("ml_grouped_ols")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val one = "3-MEDIUM"
+    val d = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === one)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("yraw"))
+      .select(col("day"), col("yraw").cast("decimal(18,2)").as("ydec"),
+        datediff(col("day"), lit("1998-01-01").cast("date")).as("xi"))
+    val fit = graft.ml.Ols.fitExactInt(d, "xi", "ydec").head()
+    assert(math.abs(grouped(one)._1 -
+      math.rint(fit.getDouble(1) * 10000) / 10000) < 1e-9,
+      "grouped slope must equal the standalone exact fit")
+    assert(math.abs(grouped(one)._2 -
+      math.rint(fit.getDouble(0) * 100) / 100) < 1e-9,
+      "grouped intercept must equal the standalone exact fit")
+  }
+
   // ----------------------------------------------------- pipe_dataset_card
 
   test("pipe_dataset_card: cover-sheet numbers agree with their deep-dive queries") {
