@@ -294,6 +294,19 @@ object ExplainCheck {
       !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
         p.contains("BroadcastNestedLoopJoin")
     }
+    // PageRank superstep: both nation dims broadcast onto the fact scan
+    // (the edge build never shuffles the fact on a dim key), and the
+    // rank-contribution aggregation keeps map-side partials
+    check("g1_pagerank", "dims broadcast + partial agg in supersteps") { p =>
+      p.contains("BroadcastHashJoin") && p.contains("partial_")
+    }
+    // triangle census: the wedge probe must be a real shuffled join on the
+    // oriented edge set (broadcast would mean the optimizer saw a tiny
+    // graph — fine at fixtures — but partial agg on the census must hold)
+    check("g2_triangles", "edge joins planned + partial agg census") { p =>
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin")) && p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._
