@@ -300,9 +300,9 @@ object ExplainCheck {
     check("g1_pagerank", "dims broadcast + partial agg in supersteps") { p =>
       p.contains("BroadcastHashJoin") && p.contains("partial_")
     }
-    // triangle census: the wedge probe must be a real shuffled join on the
-    // oriented edge set (broadcast would mean the optimizer saw a tiny
-    // graph — fine at fixtures — but partial agg on the census must hold)
+    // triangle census: the adjacency-intersection probes plan as joins
+    // (broadcast at fixture scale by the operator's hints) and the census
+    // aggregations keep map-side partials
     check("g2_triangles", "edge joins planned + partial agg census") { p =>
       (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin")) && p.contains("partial_")

@@ -342,7 +342,65 @@ object SqlSurface {
         |       CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ALL""".stripMargin))
 
+  /** WITH RECURSIVE on the SQL surface (Spark ≥ 4.0 linear recursion —
+    * RecursiveProbeSpec pins the capability boundary): a monthly
+    * calendar spine generated by recursion from the data's own min/max
+    * bounds, left-joined to the monthly order census so absent months
+    * would surface as zero rows rather than silently missing. Depth is
+    * the month span (80 at the fixtures' fixed date range) — safely
+    * inside Spark's default 100-level recursion limit, and pinned
+    * explicitly so a wider spine can't hit the ceiling mid-quarter.
+    * DuckDB's recursion is the same linear form with `+ INTERVAL`
+    * arithmetic in place of `add_months`.
+    */
+  val sqlRecursiveSpine = QueryDef(
+    "sql_recursive_spine",
+    Some("""WITH RECURSIVE b AS (SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+           |                            CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi FROM orders),
+           |spine(m) AS (SELECT lo FROM b
+           |             UNION ALL
+           |             SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, b WHERE m < b.hi),
+           |c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2,
+           |             CAST(count(*) AS BIGINT) AS n_orders,
+           |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |      FROM orders GROUP BY 1)
+           |SELECT m AS month, coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+           |       round(coalesce(revenue, 0), 4) AS revenue
+           |FROM spine LEFT JOIN c ON c.m2 = spine.m""".stripMargin),
+    (spark, dir) => {
+      val prev = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+      spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+      try {
+        Tables.registerAll(spark, dir)
+        // resolve the data-dependent bounds ONCE before the recursion:
+        // Spark's UnionLoop re-evaluates the recursive step's other
+        // operands every level, so bounds left as a CTE would rescan
+        // orders per month (80 scans; 13.8s → 0.7s at sf0.01). At 100 TB
+        // the bounds probe is one min/max scan and the recursion itself
+        // touches no data.
+        val b = spark.sql(
+          """SELECT CAST(CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS STRING),
+            |       CAST(CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS STRING)
+            |FROM orders""".stripMargin).head
+        val (lo, hi) = (b.getString(0), b.getString(1))
+        spark.sql(
+          s"""WITH RECURSIVE spine(m) AS (SELECT CAST('$lo' AS DATE)
+             |             UNION ALL
+             |             SELECT add_months(m, 1) FROM spine WHERE m < CAST('$hi' AS DATE)),
+             |c AS (SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m2,
+             |             CAST(count(*) AS BIGINT) AS n_orders,
+             |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |      FROM orders GROUP BY 1)
+             |SELECT m AS month, coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+             |       round(coalesce(revenue, 0), 4) AS revenue
+             |FROM spine LEFT JOIN c ON c.m2 = spine.m""".stripMargin)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+        case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+      }
+    })
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
     sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis,
-    sqlDecontaminate, sqlLateralTopk, sqlGroupByAll)
+    sqlDecontaminate, sqlLateralTopk, sqlGroupByAll, sqlRecursiveSpine)
 }

@@ -20,6 +20,22 @@ class RecursiveProbeSpec extends AnyFunSuite {
     assert(got == 15L)
   }
 
+  test("sql_recursive_spine: spine is contiguous first-of-month with no census rows lost") {
+    val rows = SparkEntry.queries("sql_recursive_spine")(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getDate(0).toLocalDate)
+    months.foreach(m => assert(m.getDayOfMonth == 1, s"$m not month-start"))
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a.plusMonths(1) == b, s"spine gap between $a and $b")
+    case _ => ()
+    }
+    // every order lands in some spine month: census total equals table count
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, sf).count(),
+      "spine census lost or duplicated orders")
+  }
+
   test("distinct-UNION recursion (cyclic closure) is rejected, not wrong") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
