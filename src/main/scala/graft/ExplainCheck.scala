@@ -307,6 +307,12 @@ object ExplainCheck {
       (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin")) && p.contains("partial_")
     }
+    // k-means supersteps: the centroid table broadcasts onto the point
+    // stream (points never shuffle for the distance join) and both the
+    // distance and update aggregations keep map-side partials
+    check("ml_kmeans", "centroids broadcast + partial aggs") { p =>
+      p.contains("BroadcastHashJoin") && p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._
