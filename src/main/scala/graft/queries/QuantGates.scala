@@ -371,6 +371,44 @@ object QuantGates {
         .orderBy("metric")
     })
 
+  /** Quantile-sketch accuracy audit: `approx_percentile` (Greenwald-
+    * Khanna style, accuracy = 1000 → guaranteed rank error ≤ n/1000)
+    * vs the exact rank of the returned value, at p50/p90/p99 on two
+    * value profiles (uniform-ish prices, discrete heavy-tied
+    * quantities). The returned value's exact rank interval
+    * [count(x < v), count(x ≤ v)] must sit within εn of the target
+    * rank q·n — the guarantee itself, gated per row. The audit that
+    * justifies swapping exact percentile_disc for the sketch at 100 TB
+    * (a17_percentile stays exact; this quantifies the substitution).
+    */
+  val qcQuantileAccuracy = QueryDef(
+    "qc_quantile_accuracy",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val acc = 1000
+      val qs = Seq(0.5, 0.9, 0.99)
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, c: String) = {
+        val x = df.select(col(c).cast("double").as("x")).cache()
+        val n = x.count().toDouble
+        val approx = x.agg(percentile_approx(col("x"),
+            array(qs.map(lit): _*), lit(acc)).as("a"))
+          .head.getSeq[Double](0)
+        qs.zip(approx).map { case (q, v) =>
+          val lo = x.filter(col("x") < v).count().toDouble
+          val hi = x.filter(col("x") <= v).count().toDouble
+          val target = q * n
+          val rankErr = (math.max(0.0, math.max(lo - target, target - hi))) / n
+          (name, q, math.rint(v * 10000) / 10000,
+            math.rint(rankErr * 100000) / 100000, rankErr <= 1.0 / acc + 1e-9)
+        }
+      }
+      (audit("lineitem_price", Tables.lineitem(spark, dir), "l_extendedprice") ++
+        audit("lineitem_qty", Tables.lineitem(spark, dir), "l_quantity"))
+        .toDF("metric", "q", "approx_value", "rank_err", "pass")
+        .orderBy("metric", "q")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
-    qcPqRecallCurve, qcHashUniformity)
+    qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy)
 }
