@@ -189,7 +189,23 @@ object Multimodal {
     * (sampleRate, nSamples, RMS amplitude normalized to [0,1]). None for
     * non-PCM16 or malformed payloads.
     */
-  def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Double)] = {
+  def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Double)] =
+    decodeWavPcm(b).map { case (rate, pcm) =>
+      var sumSq = 0.0
+      var s = 0
+      while (s < pcm.length) {
+        val v = pcm(s) / 32768.0
+        sumSq += v * v
+        s += 1
+      }
+      (rate, pcm.length,
+        if (pcm.isEmpty) 0.0 else math.sqrt(sumSq / pcm.length))
+    }
+
+  /** Raw PCM16 decode: (sampleRate, samples) via the chunk walk. None
+    * for non-PCM16-mono or malformed payloads.
+    */
+  def decodeWavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
     if (b.length < 44 || !b.startsWith("RIFF".getBytes) ||
         new String(b.slice(8, 12)) != "WAVE") return None
     var i = 12
@@ -209,14 +225,68 @@ object Multimodal {
     }
     if (!ok || rate <= 0 || dataAt < 0) return None
     val n = dataLen / 2
-    var sumSq = 0.0
+    val pcm = new Array[Short](n)
     var s = 0
     while (s < n) {
-      val v = le16(b, dataAt + s * 2).toShort / 32768.0
-      sumSq += v * v
+      pcm(s) = le16(b, dataAt + s * 2).toShort
       s += 1
     }
-    Some((rate, n, if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+    Some((rate, pcm))
+  }
+
+  final case class AudioEnergy(doc_id: Long, sample_rate: Int, n_samples: Int,
+      n_windows: Int, silence_ratio: Double, mean_rms: Double,
+      peak_rms: Double, peak_win: Int, clip_ratio: Double)
+
+  /** Windowed loudness census per audio payload — the VAD / loudness-
+    * normalization pre-pass of an audio corpus pipeline: fixed
+    * `winSamples` windows (trailing partial window kept), per-window
+    * RMS in [0,1], silence below `silenceRms`, clipping at |s| ≥ 32760.
+    * Emits one row per document: window count, silence ratio, mean and
+    * peak window RMS with the (first) peak window index, clipped-sample
+    * ratio. Same batch shape as `decodeFeatures`: one mapPartitions
+    * pass, fixed-width output columns, payloads never leave the
+    * executor.
+    */
+  def audioEnergy(media: DataFrame, winSamples: Int = 128,
+      silenceRms: Double = 0.01): Dataset[AudioEnergy] = {
+    require(winSamples >= 1, s"winSamples must be >= 1, got $winSamples")
+    import media.sparkSession.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavPcm(bytes).map { case (rate, pcm) =>
+          val nw = (pcm.length + winSamples - 1) / winSamples
+          var w = 0
+          var silent = 0
+          var sumRms = 0.0
+          var peak = -1.0
+          var peakW = -1
+          var clipped = 0
+          while (w < nw) {
+            val from = w * winSamples
+            val to = math.min(from + winSamples, pcm.length)
+            var sumSq = 0.0
+            var s = from
+            while (s < to) {
+              val v = pcm(s) / 32768.0
+              sumSq += v * v
+              if (pcm(s) >= 32760 || pcm(s) <= -32760) clipped += 1
+              s += 1
+            }
+            val rms = math.sqrt(sumSq / (to - from))
+            if (rms < silenceRms) silent += 1
+            if (rms > peak) { peak = rms; peakW = w }
+            sumRms += rms
+            w += 1
+          }
+          AudioEnergy(id, rate, pcm.length, nw,
+            if (nw == 0) 0.0 else silent.toDouble / nw,
+            if (nw == 0) 0.0 else sumRms / nw,
+            math.max(peak, 0.0), peakW,
+            if (pcm.isEmpty) 0.0 else clipped.toDouble / pcm.length)
+        }
+      })
   }
 
   /** Decode one payload by sniffing its real format. Brightness carries

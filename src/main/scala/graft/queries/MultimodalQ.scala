@@ -95,6 +95,28 @@ object MultimodalQ {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  /** Windowed loudness census over the audio payloads: real WAV PCM16
+    * decode → 128-sample windows → per-doc silence ratio, mean/peak
+    * window RMS, clipping ratio — the VAD / loudness-normalization
+    * audit an audio corpus runs before transcription is spent on dead
+    * or clipped segments. Completes the modality triple (image pHash,
+    * video frame-sample, audio energy). Rows-only (binary decode);
+    * window arithmetic pinned on crafted WAVs in MlMultimodalSpec.
+    */
+  val mmAudioEnergy = QueryDef(
+    "mm_audio_energy",
+    None,
+    (spark, dir) => {
+      val media = Multimodal.attachMediaPayloads(Tables.documents(spark, dir))
+        .filter(col("media_type") === "audio")
+      Multimodal.audioEnergy(media, winSamples = 128, silenceRms = 0.01).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("n_windows"), r4(col("silence_ratio")).as("silence_ratio"),
+          r4(col("mean_rms")).as("mean_rms"), r4(col("peak_rms")).as("peak_rms"),
+          col("peak_win"), r4(col("clip_ratio")).as("clip_ratio"))
+        .orderBy(col("doc_id"))
+    })
+
   val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample,
-    mmPhashNeardup)
+    mmPhashNeardup, mmAudioEnergy)
 }

@@ -120,6 +120,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(rms - expected) < 1e-12)
   }
 
+  test("audioEnergy: window census exact on a crafted silence/loud/clip WAV") {
+    import spark.implicits._
+    // 3 windows of 4 samples: silent, half-amplitude, clipped-loud
+    val samples = Array[Short](0, 0, 0, 0,
+      16384, -16384, 16384, -16384,
+      32767, -32768, 32767, 32760)
+    val wav = Multimodal.encodeWav(samples, 8000)
+    val media = Seq((7L, wav)).toDF("doc_id", "payload")
+    val r = Multimodal.audioEnergy(media, winSamples = 4, silenceRms = 0.01)
+      .collect()
+    assert(r.length == 1)
+    val a = r.head
+    assert(a.doc_id == 7L && a.sample_rate == 8000 && a.n_samples == 12)
+    assert(a.n_windows == 3)
+    assert(math.abs(a.silence_ratio - 1.0 / 3) < 1e-12)
+    assert(a.peak_win == 2, s"loudest window must be the clipped one, got ${a.peak_win}")
+    assert(math.abs(a.peak_rms - math.sqrt(
+      Array(32767, -32768, 32767, 32760).map(s => math.pow(s / 32768.0, 2)).sum / 4)) < 1e-12)
+    assert(math.abs(a.clip_ratio - 4.0 / 12) < 1e-12,
+      s"all four samples of the last window clip, got ${a.clip_ratio}")
+  }
+
+  test("audioEnergy: trailing partial window is kept and mean_rms averages windows") {
+    import spark.implicits._
+    val samples = Array[Short](16384, 16384, 16384, 16384, 32767) // 4+1
+    val wav = Multimodal.encodeWav(samples, 16000)
+    val a = Multimodal.audioEnergy(Seq((1L, wav)).toDF("doc_id", "payload"),
+      winSamples = 4, silenceRms = 0.01).collect().head
+    assert(a.n_windows == 2, "5 samples at win=4 must give 2 windows")
+    val w1 = 16384 / 32768.0
+    val w2 = 32767 / 32768.0 // singleton window RMS = |sample|
+    assert(math.abs(a.mean_rms - (w1 + w2) / 2) < 1e-12)
+    assert(a.peak_win == 1)
+  }
+
+  test("mm_audio_energy: audio docs only, deterministic, no dead fixture rows") {
+    val out = SparkEntry.queries("mm_audio_energy")(spark, sf).cache()
+    val audioDocs = graft.operators.Multimodal
+      .attachMediaPayloads(Tables.documents(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("media_type") === "audio").count()
+    assert(out.count() == audioDocs, "every audio payload must decode")
+    val again = SparkEntry.queries("mm_audio_energy")(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty,
+      "decode census must be deterministic")
+    val stats = out.agg(
+      org.apache.spark.sql.functions.min("peak_rms"),
+      org.apache.spark.sql.functions.max("n_windows")).head
+    assert(stats.getDouble(0) > 0.0, "synthetic audio has no all-silent payloads")
+    assert(stats.getInt(1) >= 1)
+  }
+
   test("GFV1 container decodes every real BMP frame") {
     val frame = (f: Int) =>
       Multimodal.encodeBmp(Array.fill(4 * 4 * 3)((40 * f).toByte), 4, 4)
