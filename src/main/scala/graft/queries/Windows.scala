@@ -876,11 +876,58 @@ object Windows {
           col("rk"), col("drk"), col("prk"), col("cd"), col("second_key"))
     })
 
+  /** W16: first/last-touch attribution — every purchase attributed to
+    * the earliest and latest view/click by the same user within the
+    * trailing 7 days. One pass of two struct-ordered RANGE-frame
+    * windows over the user-partitioned stream (no self-join: the
+    * (tsl, event_id) struct min/max IS the argmin/argmax with a
+    * deterministic tiebreak, and event_id uniqueness means the type
+    * field never decides). The oracle states the same semantics as two
+    * correlated LATERAL top-1 probes. ~4% of purchases have no touch
+    * in window and keep NULL attribution — the left-join contract.
+    */
+  val w16Attribution = QueryDef(
+    "w16_attribution",
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |                  epoch_us(ts) AS tsl FROM events),
+           |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id,
+           |       ft.event_id AS first_touch_id, ft.event_type AS first_touch_type,
+           |       lt.event_id AS last_touch_id, lt.event_type AS last_touch_type,
+           |       CAST(p.tsl - lt.tsl AS BIGINT) AS micros_since_last
+           |FROM p
+           |LEFT JOIN LATERAL (SELECT t.event_id, t.event_type, t.tsl FROM e t
+           |  WHERE t.user_id = p.user_id AND t.event_type IN ('view','click')
+           |    AND t.tsl <= p.tsl AND t.tsl >= p.tsl - 604800000000
+           |  ORDER BY t.tsl, t.event_id LIMIT 1) ft ON TRUE
+           |LEFT JOIN LATERAL (SELECT t.event_id, t.event_type, t.tsl FROM e t
+           |  WHERE t.user_id = p.user_id AND t.event_type IN ('view','click')
+           |    AND t.tsl <= p.tsl AND t.tsl >= p.tsl - 604800000000
+           |  ORDER BY t.tsl DESC, t.event_id DESC LIMIT 1) lt ON TRUE""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsl"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsl"))
+        .rangeBetween(-604800000000L, 0L)
+      val touch = when(col("event_type").isin("view", "click"),
+        struct(col("tsl"), col("event_id"), col("event_type")))
+      e.withColumn("ft", min(touch).over(w))
+        .withColumn("lt", max(touch).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ft.event_id").as("first_touch_id"),
+          col("ft.event_type").as("first_touch_type"),
+          col("lt.event_id").as("last_touch_id"),
+          col("lt.event_type").as("last_touch_type"),
+          (col("tsl") - col("lt.tsl")).as("micros_since_last"))
+    })
+
   val all: Seq[QueryDef] = Seq(
     w13Cusum, w14GapFill, t9StreamAsof, w15RankFamily,
     w1Lag, w3MovingAvg, w4Top1PerKey, w5LastK, scd2Intervals,
     t1TumblingWindow, t2Sessionize, t3StreamWindows, t4StreamJoin,
     t5SessionWindow, t6StreamStaticJoin, w6QualityNtile, w7RangeFrame,
     t7StreamHeavyHitters, w8ShareOfDay, w9TransitionMatrix, w10AnomalyFlags,
-    w11Streaks, w12Ewma, t8WindowFunnel)
+    w11Streaks, w12Ewma, t8WindowFunnel, w16Attribution)
 }

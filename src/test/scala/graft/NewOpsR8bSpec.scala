@@ -518,4 +518,45 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(math.abs(weightedBias) < 0.05 * days,
       s"count-weighted calibration bias $weightedBias not ~0 — fit is off")
   }
+
+  // ----------------------------------------------------- w16_attribution
+
+  test("w16_attribution: hand-built journey picks first/last touch inside the window only") {
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    // u1: view(t0) click(t1) purchase(t2) → first=view, last=click
+    // u2: click 8 days before purchase → outside 7d window → NULLs
+    // u3: purchase with a signup before it → signup is not a touch → NULLs
+    val e = Seq(
+      (100L, 1L, "view", ts(0)), (101L, 1L, "click", ts(1)),
+      (102L, 1L, "purchase", ts(2)),
+      (200L, 2L, "click", ts(0)), (201L, 2L, "purchase", ts(8 * 24 + 1)),
+      (300L, 3L, "signup", ts(0)), (301L, 3L, "purchase", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsl"))
+      .rangeBetween(-604800000000L, 0L)
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("tsl"), col("event_id"), col("event_type")))
+    val out = e.withColumn("tsl", unix_micros(col("ts")))
+      .withColumn("ft", min(touch).over(w))
+      .withColumn("lt", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ft.event_id").as("f"), col("lt.event_id").as("l"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(102L) == (Some(100L), Some(101L)), s"u1 attribution: ${out(102L)}")
+    assert(out(201L) == (None, None), "8-day-old click must fall outside the window")
+    assert(out(301L) == (None, None), "signup is not an attributable touch")
+  }
+
+  test("w16_attribution: attribution is total over purchases and touches precede conversions") {
+    val out = SparkEntry.queries("w16_attribution")(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == purchases, "one attribution row per purchase")
+    assert(out.filter(col("micros_since_last") < 0).count() == 0,
+      "a last touch can never postdate its purchase")
+    val attributed = out.filter(col("last_touch_id").isNotNull).count()
+    assert(attributed > purchases / 2, "fixture journeys should mostly attribute")
+  }
 }
