@@ -977,7 +977,86 @@ object Relational {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     })
 
+  /** A23: RFM customer segmentation — recency/frequency/monetary
+    * quintiles (ntile over a deterministic (metric, custkey) order) and
+    * the 5×5×5 segment census. The per-customer base is dimension-
+    * sized (one row per customer), so the global ntile sort is a
+    * dimension sort, not a fact sort; at 100 TB customer counts you'd
+    * swap ntile for approx-quantile thresholds — the substitution
+    * qc_quantile_accuracy quantifies.
+    */
+  val a23RfmSegments = QueryDef(
+    "a23_rfm_segments",
+    Some("""WITH mx AS (SELECT max(o_orderdate) AS d FROM orders),
+           |base AS (SELECT o_custkey,
+           |         CAST(date_diff('day', max(o_orderdate), (SELECT d FROM mx)) AS BIGINT) AS recency_days,
+           |         CAST(count(*) AS BIGINT) AS frequency,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           |         FROM orders GROUP BY 1),
+           |s AS (SELECT o_custkey,
+           |        ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+           |        ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           |        ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+           |        monetary
+           |      FROM base)
+           |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+           |       round(sum(monetary), 4) AS total_monetary
+           |FROM s GROUP BY 1, 2, 3""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val mx = o.agg(max(col("o_orderdate")).as("d"))
+      val base = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("d"), col("last_order")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
+      import org.apache.spark.sql.expressions.Window
+      val s = base.select(col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))).as("r"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f"),
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).as("m"))
+      s.groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("monetary")), 4).as("total_monetary"))
+    })
+
+  /** A24: exact equi-width histogram — the profiling primitive behind
+    * every column-stats page. Bucketing runs on integer cents with
+    * integer ceil-width and integer division, so bucket edges are
+    * exact on any engine (the tx_length_bands rule: never let a float
+    * log/divide decide a BUCKET; floats are fine as VALUES). One
+    * metadata-scale min/max probe, then one map-side-partial
+    * aggregation of the fact scan.
+    */
+  val a24Histogram = QueryDef(
+    "a24_histogram",
+    Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+           |b AS (SELECT min(cents) AS lo,
+           |             CAST(ceil((max(cents) - min(cents) + 1) / 16.0) AS BIGINT) AS w FROM c)
+           |SELECT CAST(least((cents - lo) // w, 15) AS INT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(min(cents) / 100.0, 2) AS lo_val,
+           |       round(max(cents) / 100.0, 2) AS hi_val
+           |FROM c, b GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.lineitem(spark, dir)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val b = c.agg(min(col("cents")).as("lo"),
+        ceil((max(col("cents")) - min(col("cents")) + 1) / 16.0).cast("long").as("w"))
+      c.crossJoin(broadcast(b))
+        .select(least(expr("(cents - lo) div w"), lit(15L)).cast("int").as("bucket"),
+          col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("cents")) / 100.0, 2).as("lo_val"),
+          round(max(col("cents")) / 100.0, 2).as("hi_val"))
+    })
+
   val all: Seq[QueryDef] = Seq(
+    a23RfmSegments, a24Histogram,
     j9BloomSemi, j10SaltedSkew,
     a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, a16Rollup,
     a18Pivot, a19Cube, u4MultisetOps,

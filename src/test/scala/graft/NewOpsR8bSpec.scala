@@ -559,4 +559,34 @@ class NewOpsR8bSpec extends AnyFunSuite {
     val attributed = out.filter(col("last_touch_id").isNotNull).count()
     assert(attributed > purchases / 2, "fixture journeys should mostly attribute")
   }
+
+  // ---------------------------------------------------- a23_rfm_segments
+
+  test("a23_rfm_segments: segments partition customers and quintiles are balanced") {
+    val rows = SparkEntry.queries("a23_rfm_segments")(spark, sf).collect()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == customers, "segments must partition all customers")
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(q =>
+        assert(q >= 1 && q <= 5, s"quintile out of range in $r"))
+    }
+    // each R quintile individually holds a balanced fifth (ntile contract)
+    val byR = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byR.values.max - byR.values.min <= 1, s"unbalanced R quintiles: $byR")
+  }
+
+  // ------------------------------------------------------- a24_histogram
+
+  test("a24_histogram: 16 contiguous buckets cover every row with exact edges") {
+    val rows = SparkEntry.queries("a24_histogram")(spark, sf)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 16), "buckets must be 0..15")
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+    // observed per-bucket ranges never overlap and ascend
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) < b.getDouble(2),
+        s"bucket ranges overlap: ${a.getDouble(3)} vs ${b.getDouble(2)}")
+    case _ => ()
+    }
+  }
 }
