@@ -1078,7 +1078,66 @@ object Text {
           round(col("df") * lit(1.0) / col("n"), 4).as("df_ratio"))
     })
 
-  val all: Seq[QueryDef] = Seq(
+  /** TextRank keyword extraction (the original co-occurrence-graph
+    * PageRank): tokens co-occurring within a 2-token forward window
+    * become a symmetrized weighted graph; Graph.pageRank (3 supersteps,
+    * per-iteration 10dp rounding) scores global keyword centrality.
+    * Frequency-blind by construction — a token ranks high when it
+    * co-occurs with many distinct well-connected tokens, not when it
+    * is merely common (cf. tx_heavy_hitters). The pair census is one
+    * doc-local positional self-join that never leaves the partition
+    * grain; the graph that iterates is vocabulary-sized.
+    */
+  val txTextrankKeywords = QueryDef(
+    "tx_textrank_keywords",
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |t AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS pos, w FROM d),
+           |tk AS (SELECT doc_id, pos, w[pos] AS tok FROM t),
+           |pr AS (SELECT a.tok AS src, b.tok AS dst, count(*) AS c
+           |       FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+           |            AND b.pos - a.pos BETWEEN 1 AND 2 AND a.tok <> b.tok
+           |       GROUP BY 1, 2),
+           |e AS (SELECT src, dst, CAST(sum(c) AS DOUBLE) AS w FROM (
+           |        SELECT src, dst, c FROM pr UNION ALL SELECT dst, src, c FROM pr)
+           |      GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+           |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+           |r1 AS (SELECT nodes.node, round(0.15/(SELECT n FROM nn) + 0.85*coalesce(sum(r0.r*e.w/ow.ow), 0), 10) AS r
+           |       FROM nodes LEFT JOIN e ON e.dst = nodes.node LEFT JOIN ow ON ow.src = e.src
+           |            LEFT JOIN r0 ON r0.node = e.src GROUP BY 1),
+           |r2 AS (SELECT nodes.node, round(0.15/(SELECT n FROM nn) + 0.85*coalesce(sum(r1.r*e.w/ow.ow), 0), 10) AS r
+           |       FROM nodes LEFT JOIN e ON e.dst = nodes.node LEFT JOIN ow ON ow.src = e.src
+           |            LEFT JOIN r1 ON r1.node = e.src GROUP BY 1),
+           |r3 AS (SELECT nodes.node, round(0.15/(SELECT n FROM nn) + 0.85*coalesce(sum(r2.r*e.w/ow.ow), 0), 10) AS r
+           |       FROM nodes LEFT JOIN e ON e.dst = nodes.node LEFT JOIN ow ON ow.src = e.src
+           |            LEFT JOIN r2 ON r2.node = e.src GROUP BY 1)
+           |SELECT node AS token, round(r, 6) AS textrank FROM r3""".stripMargin),
+    (spark, dir) => {
+      // forward window as lead() pairs — O(tokens), never the O(tokens ×
+      // width) banded self-join the declarative oracle states
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tk = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text")))
+          .as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      val pairs = tk
+        .withColumn("n1", lead(col("tok"), 1).over(w))
+        .withColumn("n2", lead(col("tok"), 2).over(w))
+      val pr = pairs.select(col("tok").as("src"), col("n1").as("dst"))
+        .union(pairs.select(col("tok"), col("n2")))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val e = pr.select(col("src"), col("dst"), col("c"))
+        .union(pr.select(col("dst"), col("src"), col("c")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).cast("double").as("w"))
+      graft.operators.Graph.pageRank(e, iterations = 3, damping = 0.85, iterDp = 10)
+        .select(col("node").as("token"), round(col("r"), 6).as("textrank"))
+    })
+
+  val all: Seq[QueryDef] = Seq(txTextrankKeywords,
     txZipfSlope, txBurstiness, txStopwordAdaptive,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,

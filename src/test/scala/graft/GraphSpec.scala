@@ -101,6 +101,19 @@ class GraphSpec extends AnyFunSuite {
       s"${r.getString(0)} below teleport floor"))
   }
 
+  test("tx_textrank_keywords: mass conserved on the symmetrized graph, hubs outrank leaves") {
+    val rows = SparkEntry.queries("tx_textrank_keywords")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // symmetrization leaves no dangling nodes → PageRank mass conserved
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total")
+    // centrality, not frequency: every score strictly above the teleport
+    // floor means every token participates in the graph
+    val floor = 0.15 / rows.length
+    rows.foreach { case (t, r) => assert(r > floor - 1e-9, s"$t below floor") }
+  }
+
   test("g2_triangles: census is internally consistent") {
     val r = SparkEntry.queries("g2_triangles")(spark, sf).head
     val (nodes, edges, tris, coeff) =
