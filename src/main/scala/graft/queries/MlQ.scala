@@ -401,7 +401,36 @@ object MlQ {
           k = 8, iters = 1)
         .select(col("vec_id"), col("cluster"), round(col("d"), 4).as("d2")))
 
+  /** Signed feature hashing (the hashing trick, Weinberger et al.):
+    * tokens hash to 64 buckets via the engine's portable md5 variate,
+    * with a second hash bit giving each token a ±1 sign so collisions
+    * cancel in expectation. Output is the long-form sparse feature
+    * matrix (doc_id, bucket, feat) — fixed dimensionality with NO
+    * vocabulary table, the property that makes featurization a pure
+    * map-side pass at 100 TB (one partial-aggregable groupBy, nothing
+    * model-sized shuffles). Exactly oracle-checked since the hash is
+    * md5, not murmur.
+    */
+  val mlFeatureHashing = QueryDef(
+    "ml_feature_hashing",
+    Some {
+      val hv = SamplingQ.hexValSql("t.tok")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT doc_id, CAST(($hv) % 64 AS BIGINT) AS bucket,
+         |       CAST(sum(CASE WHEN (($hv) // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+         |FROM t GROUP BY 1, 2""".stripMargin
+    },
+    (spark, dir) => {
+      val hv = graft.operators.Sampling.hexVal(col("tok"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), pmod(hv, lit(64)).cast("long").as("bucket"))
+        .agg(sum(when(pmod((hv / lit(64)).cast("long"), lit(2)) === 0, 1)
+          .otherwise(-1)).cast("long").as("feat"))
+    })
+
   val all: Seq[QueryDef] = Seq(mlFeatureTable, mlForecast, mlEval,
     mlOlsResiduals, mlBaselineCompare, mlCalibration, mlSeasonalDecompose,
-    mlGroupedOls, mlKmeans)
+    mlGroupedOls, mlKmeans, mlFeatureHashing)
 }

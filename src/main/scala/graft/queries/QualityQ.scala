@@ -184,6 +184,70 @@ object QualityQ {
           round(col("n_rows") * lit(1.0) / col("n"), 4).as("share"))
     })
 
+  /** Q7: one-stop table profiler — the dbt-docs / data-catalog summary
+    * for every column of `orders` in one query: row count, null count,
+    * exact distinct count, min/max, and the modal value with its count
+    * (deterministic (count DESC, value) tiebreak). Values are published
+    * as canonical strings (dates DATE-cast, doubles printf'd to 2dp) so
+    * one schema serves every column type on both engines. Each per-
+    * column block prunes the scan to that single column — the profiler
+    * costs one column-pruned pass per column, not #cols full-table
+    * passes; at 100 TB the distinct counts are the only shuffles, and
+    * qc_hll_accuracy documents when to swap them for HLL.
+    */
+  val q7ProfileTable = QueryDef(
+    "q7_profile_table", {
+      def block(c: String, expr: String, vfmt: String => String) = {
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $expr) AS BIGINT) AS n_distinct,
+           |       ${vfmt(s"min($expr)")} AS min_val, ${vfmt(s"max($expr)")} AS max_val,
+           |       (SELECT ${vfmt(expr)} FROM orders WHERE $expr IS NOT NULL GROUP BY $expr
+           |        ORDER BY count(*) DESC, $expr LIMIT 1) AS top_val,
+           |       CAST((SELECT count(*) FROM orders WHERE $expr IS NOT NULL GROUP BY $expr
+           |        ORDER BY count(*) DESC, $expr LIMIT 1) AS BIGINT) AS top_n
+           |FROM orders""".stripMargin
+      }
+      val s = (v: String) => s"CAST($v AS VARCHAR)"
+      val f2 = (v: String) => s"printf('%.2f', $v)"
+      Some(Seq(
+        block("o_orderkey", "o_orderkey", s),
+        block("o_custkey", "o_custkey", s),
+        block("o_orderstatus", "o_orderstatus", s),
+        block("o_totalprice", "o_totalprice", f2),
+        block("o_orderdate", "CAST(o_orderdate AS DATE)", s),
+        block("o_orderpriority", "o_orderpriority", s)).mkString(" UNION ALL "))
+    },
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir).cache()
+      def block(name: String, e: org.apache.spark.sql.Column,
+          fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val base = o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(e.isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          countDistinct(e).as("n_distinct"),
+          fmt(min(e)).as("min_val"), fmt(max(e)).as("max_val"))
+        val top = o.filter(e.isNotNull).groupBy(e.as("v"))
+          .agg(count(lit(1)).as("top_n"))
+          .orderBy(col("top_n").desc, col("v")).limit(1)
+          .select(fmt(col("v")).as("top_val"), col("top_n"))
+        base.crossJoin(top)
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"),
+            col("top_val"), col("top_n"))
+      }
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val f2 = (c: org.apache.spark.sql.Column) => format_string("%.2f", c)
+      Seq(
+        block("o_orderkey", col("o_orderkey"), str),
+        block("o_custkey", col("o_custkey"), str),
+        block("o_orderstatus", col("o_orderstatus"), str),
+        block("o_totalprice", col("o_totalprice"), f2),
+        block("o_orderdate", col("o_orderdate").cast("date"), str),
+        block("o_orderpriority", col("o_orderpriority"), str))
+        .reduce(_ union _)
+    })
+
   val all: Seq[QueryDef] = Seq(q1NotNullRange, q2Unique, q4Freshness, qcDrift,
-    q6ReferentialSuite, q8AnomalyQuarantine)
+    q6ReferentialSuite, q8AnomalyQuarantine, q7ProfileTable)
 }

@@ -575,6 +575,42 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(byR.values.max - byR.values.min <= 1, s"unbalanced R quintiles: $byR")
   }
 
+  // ---------------------------------------------------- q7_profile_table
+
+  test("q7_profile_table: per-column stats agree with direct computation") {
+    val rows = SparkEntry.queries("q7_profile_table")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, sf)
+    assert(rows.size == 6, "one profile row per orders column")
+    rows.values.foreach(r => assert(r.getLong(1) == o.count()))
+    val pk = rows("o_orderkey")
+    assert(pk.getLong(2) == 0 && pk.getLong(3) == o.count(),
+      "primary key: no nulls, all distinct")
+    assert(pk.getLong(7) == 1, "unique column's modal count must be 1")
+    val st = rows("o_orderstatus")
+    assert(st.getLong(3) == o.select("o_orderstatus").distinct().count())
+    assert(st.getString(4) <= st.getString(5), "min_val must not exceed max_val")
+  }
+
+  // -------------------------------------------------- ml_feature_hashing
+
+  test("ml_feature_hashing: fixed dimensionality, per-doc mass bounded by token count") {
+    val out = SparkEntry.queries("ml_feature_hashing")(spark, sf).cache()
+    val b = out.agg(min("bucket"), max("bucket")).head
+    assert(b.getLong(0) >= 0 && b.getLong(1) <= 63, "buckets must stay in [0, 64)")
+    // sum of |feat| per doc can never exceed its token count (signs cancel,
+    // they don't amplify), and equals it when no within-bucket collisions
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+    val bad = out.groupBy("doc_id")
+      .agg(sum(abs(col("feat"))).as("mass"))
+      .join(toks, "doc_id").filter(col("mass") > col("n")).count()
+    assert(bad == 0, "hashed feature mass exceeded token count")
+    // same token always lands in the same signed bucket: deterministic
+    val again = SparkEntry.queries("ml_feature_hashing")(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   // ------------------------------------------------------- a24_histogram
 
   test("a24_histogram: 16 contiguous buckets cover every row with exact edges") {
