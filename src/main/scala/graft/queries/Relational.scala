@@ -1055,8 +1055,72 @@ object Relational {
           round(max(col("cents")) / 100.0, 2).as("hi_val"))
     })
 
+  /** A25: Kaplan-Meier time-to-repurchase — survival analysis of the
+    * gap between each user's first and second purchase, right-censored
+    * at the observation horizon for one-purchase users. The per-user
+    * duration census is one fact pass; the risk table (n_risk via a
+    * reverse cumulative sum) and the survival curve are windows over
+    * the handful of distinct event times — metadata-scale, so the
+    * unpartitioned window is a dozen rows, never the fact table.
+    * Hazards are 6dp-rounded BEFORE the product so both engines
+    * compound identical terms; the hazard=1 terminal step maps to a
+    * -1e9 log-sum sentinel (exp → exact 0) instead of ln(0).
+    */
+  val a25Survival = QueryDef(
+    "a25_survival",
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS tsl,
+           |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |           FROM events WHERE event_type = 'purchase'),
+           |mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+           |u AS (SELECT p1.user_id,
+           |             CAST(floor((coalesce(p2.tsl, (SELECT m FROM mx)) - p1.tsl) / 86400000000.0) AS BIGINT) AS dur_days,
+           |             CASE WHEN p2.tsl IS NULL THEN 0 ELSE 1 END AS observed
+           |      FROM (SELECT * FROM p WHERE rn = 1) p1
+           |      LEFT JOIN (SELECT * FROM p WHERE rn = 2) p2 USING (user_id)),
+           |rt AS (SELECT dur_days AS t_days,
+           |              CAST(sum(observed) AS BIGINT) AS n_events,
+           |              CAST(count(*) AS BIGINT) AS n_exits
+           |       FROM u GROUP BY 1),
+           |km AS (SELECT t_days, n_events,
+           |              CAST(sum(n_exits) OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk
+           |       FROM rt),
+           |h AS (SELECT t_days, n_risk, n_events,
+           |             round(n_events * 1.0 / n_risk, 6) AS hazard
+           |      FROM km WHERE n_events > 0)
+           |SELECT t_days, n_risk, n_events, hazard,
+           |       round(exp(sum(CASE WHEN hazard >= 1 THEN -1e9 ELSE ln(1 - hazard) END)
+           |                 OVER (ORDER BY t_days)), 4) AS survival
+           |FROM h""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+          row_number().over(wu).as("rn"))
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("m"))
+      val p1 = p.filter(col("rn") === 1).select(col("user_id"), col("tsl").as("t1"))
+      val p2 = p.filter(col("rn") === 2).select(col("user_id"), col("tsl").as("t2"))
+      val u = p1.join(p2, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          floor((coalesce(col("t2"), col("m")) - col("t1")) / 86400000000.0)
+            .cast("long").as("dur_days"),
+          when(col("t2").isNull, 0).otherwise(1).as("observed"))
+      val rt = u.groupBy(col("dur_days").as("t_days"))
+        .agg(sum(col("observed")).cast("long").as("n_events"),
+          count(lit(1)).as("n_exits"))
+      val km = rt.select(col("t_days"), col("n_events"),
+        sum(col("n_exits")).over(Window.orderBy(col("t_days").desc)).as("n_risk"))
+      val h = km.filter(col("n_events") > 0)
+        .select(col("t_days"), col("n_risk"), col("n_events"),
+          round(col("n_events") * 1.0 / col("n_risk"), 6).as("hazard"))
+      h.select(col("t_days"), col("n_risk"), col("n_events"), col("hazard"),
+        round(exp(sum(when(col("hazard") >= 1, -1e9).otherwise(log(lit(1) - col("hazard"))))
+          .over(Window.orderBy(col("t_days")))), 4).as("survival"))
+    })
+
   val all: Seq[QueryDef] = Seq(
-    a23RfmSegments, a24Histogram,
+    a23RfmSegments, a24Histogram, a25Survival,
     j9BloomSemi, j10SaltedSkew,
     a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, a16Rollup,
     a18Pivot, a19Cube, u4MultisetOps,

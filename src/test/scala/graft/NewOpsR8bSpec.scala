@@ -611,6 +611,36 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  // -------------------------------------------------------- a25_survival
+
+  test("a25_survival: KM curve is a proper survival function") {
+    val rows = SparkEntry.queries("a25_survival")(spark, sf)
+      .orderBy("t_days").collect()
+    assert(rows.nonEmpty)
+    // risk sets shrink, survival is non-increasing from <= 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1), "n_risk must strictly shrink over event times")
+      assert(a.getDouble(4) >= b.getDouble(4) - 1e-12, "survival must be non-increasing")
+    case _ => ()
+    }
+    assert(rows.head.getDouble(4) <= 1.0 + 1e-12)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "events cannot exceed the risk set")
+      // survival replays as the product of published (1 - hazard) steps
+    }
+    val replay = rows.scanLeft(1.0)((s, r) => s * (1 - r.getDouble(3))).tail
+    rows.zip(replay).foreach { case (r, exp) =>
+      assert(math.abs(r.getDouble(4) - exp) < 5e-4,
+        s"t=${r.getLong(0)}: survival ${r.getDouble(4)} vs replay $exp")
+    }
+    // the initial risk set is every user with at least one purchase
+    val users = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) <= users &&
+      rows.map(_.getLong(2)).sum <= users)
+  }
+
   // ------------------------------------------------------- a24_histogram
 
   test("a24_histogram: 16 contiguous buckets cover every row with exact edges") {
