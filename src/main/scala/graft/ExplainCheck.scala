@@ -313,6 +313,16 @@ object ExplainCheck {
     check("ml_kmeans", "centroids broadcast + partial aggs") { p =>
       p.contains("BroadcastHashJoin") && p.contains("partial_")
     }
+    // attribution: two RANGE-frame windows and no join of any kind —
+    // the struct min/max IS the argmin, so the plan must be join-free
+    check("w16_attribution", "windows only, join-free") { p =>
+      p.contains("Window") && !p.contains("Join")
+    }
+    // histogram: the one-row bounds frame broadcasts onto the scan and
+    // the bucket census keeps map-side partials
+    check("a24_histogram", "broadcast bounds + partial agg") { p =>
+      p.contains("BroadcastNestedLoopJoin") && p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

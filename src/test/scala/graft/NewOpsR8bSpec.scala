@@ -611,6 +611,26 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  // ------------------------------------------------------- smp_bootstrap
+
+  test("smp_bootstrap: 32 replicas resample to ~n and their means bracket the truth") {
+    val rows = SparkEntry.queries("smp_bootstrap")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 32))
+    val n = Tables.lineitem(spark, sf).count().toDouble
+    // Poisson(1) weights: each replica's effective n concentrates at n
+    // (sd = sqrt(n), so ±5% is ~38 sigma at the fixture n — a real bug
+    // detector, not a tolerance)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) / n - 1.0) < 0.05,
+        s"replica ${r.getInt(0)} resampled ${r.getLong(1)} of $n rows")
+    }
+    val truth = Tables.lineitem(spark, sf)
+      .agg(avg("l_extendedprice")).head.getDouble(0)
+    val means = rows.map(_.getDouble(2))
+    assert(means.min < truth && truth < means.max,
+      s"true mean $truth outside the bootstrap spread [${means.min}, ${means.max}]")
+  }
+
   // -------------------------------------------------------- a25_survival
 
   test("a25_survival: KM curve is a proper survival function") {
