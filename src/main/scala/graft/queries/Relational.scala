@@ -1119,8 +1119,56 @@ object Relational {
           .over(Window.orderBy(col("t_days")))), 4).as("survival"))
     })
 
+  /** A26: pairwise Pearson correlation matrix over the lineitem
+    * numeric columns — the ml_ols trick generalized: every sufficient
+    * statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT DECIMAL sum of
+    * 2dp inputs, cast to double only after aggregation, so both
+    * engines derive each correlation from bit-identical scalars and
+    * the result is exact at 4dp (never trusting a built-in corr()'s
+    * engine-specific accumulation order). One partial-aggregable pass
+    * computes all six pairs; the matrix assembly is a 1-row fan-out.
+    */
+  val a26CorrMatrix = QueryDef(
+    "a26_corr_matrix", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+      def dsum2(a: String, b: String) =
+        s"CAST(sum(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+      val blocks = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |       round((count(*) * ${dsum2(a, b)} - ${dsum(a)} * ${dsum(b)}) /
+           |             (sqrt(count(*) * ${dsum2(a, a)} - ${dsum(a)} * ${dsum(a)}) *
+           |              sqrt(count(*) * ${dsum2(b, b)} - ${dsum(b)} * ${dsum(b)})), 4) AS pearson_r
+           |FROM lineitem""".stripMargin
+      }
+      Some(blocks.mkString(" UNION ALL "))
+    },
+    (spark, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      def dsum(e: org.apache.spark.sql.Column) =
+        sum(e.cast("decimal(18,2)")).cast("double")
+      def dsum2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+      val li = Tables.lineitem(spark, dir)
+      pairs.map { case (a, b) =>
+        val (ca, cb) = (col(a), col(b))
+        li.agg(count(lit(1)).as("n"), dsum2(ca, cb).as("sxy"),
+            dsum(ca).as("sx"), dsum(cb).as("sy"),
+            dsum2(ca, ca).as("sxx"), dsum2(cb, cb).as("syy"))
+          .select(lit(a).as("col_a"), lit(b).as("col_b"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+              .as("pearson_r"))
+      }.reduce(_ union _)
+    })
+
   val all: Seq[QueryDef] = Seq(
-    a23RfmSegments, a24Histogram, a25Survival,
+    a23RfmSegments, a24Histogram, a25Survival, a26CorrMatrix,
     j9BloomSemi, j10SaltedSkew,
     a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, a16Rollup,
     a18Pivot, a19Cube, u4MultisetOps,

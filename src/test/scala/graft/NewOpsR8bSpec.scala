@@ -611,6 +611,24 @@ class NewOpsR8bSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  // ----------------------------------------------------- a26_corr_matrix
+
+  test("a26_corr_matrix: bounded, complete, and agrees with the built-in corr()") {
+    val rows = SparkEntry.queries("a26_corr_matrix")(spark, sf).collect()
+    assert(rows.length == 6, "4 columns give 6 unordered pairs")
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12,
+      s"correlation out of bounds: $r"))
+    // exact-decimal formulation must agree with Spark's streaming corr()
+    // to well inside the published rounding
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val builtin = li.agg(corr(col(r.getString(0)), col(r.getString(1))))
+        .head.getDouble(0)
+      assert(math.abs(builtin - r.getDouble(2)) < 5e-4,
+        s"${r.getString(0)}~${r.getString(1)}: exact ${r.getDouble(2)} vs corr() $builtin")
+    }
+  }
+
   // ------------------------------------------------------- smp_bootstrap
 
   test("smp_bootstrap: 32 replicas resample to ~n and their means bracket the truth") {
