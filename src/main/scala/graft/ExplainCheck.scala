@@ -323,6 +323,12 @@ object ExplainCheck {
     check("a24_histogram", "broadcast bounds + partial agg") { p =>
       p.contains("BroadcastNestedLoopJoin") && p.contains("partial_")
     }
+    // correlation matrix: all 15 sufficient statistics come from ONE
+    // lineitem scan (a 6-way unioned per-pair plan would scan it 6×)
+    check("a26_corr_matrix", "single lineitem scan + partial agg") { p =>
+      p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
+        p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

@@ -1147,24 +1147,28 @@ object Relational {
     },
     (spark, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
-        yield (cols(i), cols(j))
       def dsum(e: org.apache.spark.sql.Column) =
         sum(e.cast("decimal(18,2)")).cast("double")
       def dsum2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
-      val li = Tables.lineitem(spark, dir)
-      pairs.map { case (a, b) =>
-        val (ca, cb) = (col(a), col(b))
-        li.agg(count(lit(1)).as("n"), dsum2(ca, cb).as("sxy"),
-            dsum(ca).as("sx"), dsum(cb).as("sy"),
-            dsum2(ca, ca).as("sxx"), dsum2(cb, cb).as("syy"))
-          .select(lit(a).as("col_a"), lit(b).as("col_b"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
-              .as("pearson_r"))
-      }.reduce(_ union _)
+      // ONE scan computes all 15 sufficient statistics (n, 4×Σx, 10×Σxᵢxⱼ
+      // for i ≤ j) as a single partial-aggregable census row ...
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.indices.map(i => dsum(col(cols(i))).as(s"s_$i")) ++
+        (for { i <- cols.indices; j <- cols.indices if i <= j }
+          yield dsum2(col(cols(i)), col(cols(j))).as(s"q_${i}_$j"))
+      def r(i: Int, j: Int) =
+        round((col("n") * col(s"q_${i}_$j") - col(s"s_$i") * col(s"s_$j")) /
+          (sqrt(col("n") * col(s"q_${i}_$i") - col(s"s_$i") * col(s"s_$i")) *
+            sqrt(col("n") * col(s"q_${j}_$j") - col(s"s_$j") * col(s"s_$j"))),
+          4)
+      // ... and the matrix assembly fans that 1 row out to the 6 pairs
+      Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          r(i, j).as("pearson_r"))): _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
     })
 
   val all: Seq[QueryDef] = Seq(
