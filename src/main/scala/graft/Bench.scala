@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   *     being measured);
   *   - one untimed warmup pass (tiny range + parquet footer read) absorbs
   *     JVM/codegen startup so the first timed query isn't penalized;
-  *   - queries run sequentially in one session, mirroring the driver.
+  *   - queries run sequentially in one session, mirroring the driver;
+  *   - each query is timed TWICE and the min is reported: the driver's
+  *     bench window shares the machine with unrelated load, and single
+  *     timings have fabricated >30× phantoms two rounds running
+  *     (r9: a19_cube 39.05s driver vs 1.73s warm). Min-of-2 bounds the
+  *     contention noise a plan audit would otherwise chase.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,12 +45,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("qc_"))
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> math.min(once(), once())
     }
     val total = results.map(_._2).sum
 

@@ -36,17 +36,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as raw long (legacy conf) and
-    * rebuild a TimestampType column via integer µs division — lossless for
-    * the fixture's µs-precision values, and integer `div` avoids the
-    * double-precision overflow a `/ 1000` would hit on epoch-nanos.
+  /** events.parquet has shipped with two physical encodings of `ts` over
+    * time: TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+    * as a raw long under the legacy conf) and plain `timestamp[us]` (which
+    * Spark 4 reads as TIMESTAMP_NTZ). Schema-on-read: dispatch on the
+    * footer dtype instead of assuming one encoding — the reference takes
+    * the same stance for the TLC parquet (schema-on-read at
+    * dags/etl_spark_historical.py:178 with explicit casts at :185-189).
+    * Any new encoding fails loudly here rather than corrupting event time
+    * downstream (at 100 TB a silent unit error is a state explosion in
+    * every interval join, not just a wrong answer).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize `ts` to TimestampType regardless of physical encoding.
+    * Integer `div` for the nanos→µs path avoids the double-precision
+    * overflow a `/ 1000` would hit on epoch-nanos; the NTZ cast is
+    * wall-clock-preserving under the session's fixed UTC timezone.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend " +
+          "Tables.normalizeEventTs for the new fixture encoding")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

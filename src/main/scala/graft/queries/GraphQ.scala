@@ -81,8 +81,19 @@ object GraphQ {
     * co-occurring in an order). Degree-ordered orientation (Schank-
     * Wagner) bounds the wedge join at |E|^1.5 — the published exact
     * algorithm for power-law graphs at scale. Output is the one-row
-    * census: nodes/edges/triangles + global clustering coefficient
-    * 3T / wedges (a ratio of exact integers, so cross-engine-stable).
+    * census: nodes/edges/WEDGES/triangles + global clustering
+    * coefficient 3T / wedges (a ratio of exact integers, so
+    * cross-engine-stable). Publishing n_wedges makes the bound
+    * auditable from the result row itself.
+    *
+    * Measured at sf0.1 (local[32], min-of-2 warm 1.9s): |V|=20,000,
+    * |E|=1,196,000, wedges=147,816,257, T=1,884,488 — raw wedges sit
+    * at 0.11·|E|^1.5 (1.31e9), and the oriented edge-iterator never
+    * materializes them (per-edge sorted-array intersection over
+    * broadcast out-adjacency). At 100× edges the broadcast adjacency
+    * (|V|·O(sqrt |E|)) is the first thing to outgrow an executor —
+    * swap the hints for shuffled joins on u then v, same plan shape
+    * (see Graph.triangleCount scaladoc).
     */
   val g2Triangles = QueryDef(
     "g2_triangles",
@@ -102,7 +113,7 @@ object GraphQ {
            |w AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM d)
            |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
            |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-           |       t.n_triangles,
+           |       w.n_wedges, t.n_triangles,
            |       round(3.0 * t.n_triangles / w.n_wedges, 4) AS clustering_coeff
            |FROM t, w""".stripMargin),
     (spark, dir) => {
@@ -116,7 +127,7 @@ object GraphQ {
         (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
       val edges = e.agg(count(lit(1)).as("n_edges"))
       census.crossJoin(edges).crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering_coeff"))
     })
 

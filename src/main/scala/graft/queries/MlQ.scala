@@ -364,17 +364,33 @@ object MlQ {
     })
 
   /** Distributed Lloyd's k-means (ml.KMeans) on the embeddings table:
-    * hash-order seeding, one update superstep, final re-assignment —
+    * hash-order seeding, THREE update supersteps, final re-assignment —
     * every step a join+aggregation in the long-form (vec_id, pos, x)
     * layout, with the determinism contract (6dp distance and centroid
     * rounding, cluster-id tiebreaks) that makes an iterative float fit
-    * exactly oracle-checkable per point. The oracle unrolls the same
-    * supersteps as CTEs; `hexValSql` mirrors the seed hash.
+    * exactly oracle-checkable per point across multiple iterations
+    * (the unrolled-superstep discipline of g1_pagerank). The oracle
+    * CTEs are generated by the same loop shape as the engine's
+    * superstep loop; `hexValSql` mirrors the seed hash.
     */
+  private val kmeansIters = 3
+
   val mlKmeans = QueryDef(
     "ml_kmeans",
     Some {
       val hv = SamplingQ.hexValSql("vec_id")
+      def assignSql(i: Int) =
+        s"""d$i AS (SELECT p.vec_id, c.cluster, round(sum((p.x - c.v) * (p.x - c.v)), 6) AS d
+           |       FROM pts p JOIN c${i - 1} c ON c.pos = p.pos GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cluster, d FROM (
+           |         SELECT vec_id, cluster, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM d$i)
+           |       WHERE rn = 1)""".stripMargin
+      def updateSql(i: Int) =
+        s"""c$i AS (SELECT a.cluster, p.pos, round(avg(p.x), 6) AS v
+           |       FROM a$i a JOIN pts p ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+      val supersteps = (1 to kmeansIters)
+        .map(i => assignSql(i) + ",\n" + updateSql(i)).mkString(",\n")
+      val fin = kmeansIters + 1
       s"""WITH pts AS (
          |  SELECT vec_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS x
          |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
@@ -382,23 +398,13 @@ object MlQ {
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY $hv, vec_id) AS BIGINT) - 1 AS cluster
          |  FROM embeddings ORDER BY $hv, vec_id LIMIT 8),
          |c0 AS (SELECT s.cluster, p.pos, p.x AS v FROM seeds s JOIN pts p ON p.vec_id = s.vec_id),
-         |d1 AS (SELECT p.vec_id, c.cluster, round(sum((p.x - c.v) * (p.x - c.v)), 6) AS d
-         |       FROM pts p JOIN c0 c ON c.pos = p.pos GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cluster FROM (
-         |         SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM d1)
-         |       WHERE rn = 1),
-         |c1 AS (SELECT a.cluster, p.pos, round(avg(p.x), 6) AS v
-         |       FROM a1 a JOIN pts p ON p.vec_id = a.vec_id GROUP BY 1, 2),
-         |d2 AS (SELECT p.vec_id, c.cluster, round(sum((p.x - c.v) * (p.x - c.v)), 6) AS d
-         |       FROM pts p JOIN c1 c ON c.pos = p.pos GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, cluster, d FROM (
-         |         SELECT vec_id, cluster, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM d2)
-         |       WHERE rn = 1)
-         |SELECT vec_id, cluster, round(d, 4) AS d2 FROM a2""".stripMargin
+         |$supersteps,
+         |${assignSql(fin)}
+         |SELECT vec_id, cluster, round(d, 4) AS d2 FROM a$fin""".stripMargin
     },
     (spark, dir) =>
       graft.ml.KMeans.lloyd(Tables.embeddings(spark, dir), "vec_id", "embedding",
-          k = 8, iters = 1)
+          k = 8, iters = kmeansIters)
         .select(col("vec_id"), col("cluster"), round(col("d"), 4).as("d2")))
 
   /** Signed feature hashing (the hashing trick, Weinberger et al.):

@@ -219,7 +219,11 @@ object QualityQ {
         block("o_orderpriority", "o_orderpriority", s)).mkString(" UNION ALL "))
     },
     (spark, dir) => {
-      val o = Tables.orders(spark, dir).cache()
+      // no .cache(): each block's aggs prune to one column at the parquet
+      // scan, which beats materializing all columns into executor memory —
+      // and a QueryDef returns a lazy plan, so a cache here could never be
+      // unpersisted and would leak into every later query in the session
+      val o = Tables.orders(spark, dir)
       def block(name: String, e: org.apache.spark.sql.Column,
           fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
         val base = o.agg(

@@ -96,7 +96,18 @@ object SamplingQ {
     * and every replica b reads its own disjoint 16-bit slice of digest
     * b/8 at offset 4·(b mod 8) — 32 independent variates for 4 hashes,
     * which is what keeps the 32× row blow-up from being 32× the hash
-    * cost (13.2s → ~2s at sf0.1).
+    * cost.
+    *
+    * Parallelism: the per-row work (4 md5 + 32 hex-slice decodes) is
+    * CPU-bound, and the sf0.1 fixture is ONE small parquet file — one
+    * input split, so without intervention the whole fan-out runs on a
+    * single core (measured 11.7s warm). When the scan yields fewer
+    * partitions than cores, shuffle the three skinny input columns
+    * (two longs + a double — ~trivial bytes vs the compute) across
+    * defaultParallelism first; measured 3.9s warm (min-of-2) at
+    * sf0.1/local[32] after the spread, vs 11.7s single-split. On a real
+    * 100 TB layout the scan already has more splits than cores and the
+    * spread is a no-op (no shuffle).
     */
   val smpBootstrap = QueryDef(
     "smp_bootstrap",
@@ -129,7 +140,14 @@ object SamplingQ {
       // single census row fans back out to (replica, ...) rows
       val k = concat(col("l_orderkey").cast("string"), lit("_"),
         col("l_linenumber").cast("string"))
-      val x = Tables.lineitem(spark, dir)
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      // CPU-bound fan-out: spread the skinny columns if the scan has
+      // fewer splits than cores (see scaladoc; no-op on large layouts)
+      val cores = spark.sparkContext.defaultParallelism
+      val spread =
+        if (base.rdd.getNumPartitions < cores) base.repartition(cores) else base
+      val x = spread
         .select(col("l_extendedprice").as("v"),
           array(md5(k.cast("binary")),
             md5(concat(k, lit("~")).cast("binary")),
@@ -141,11 +159,16 @@ object SamplingQ {
         when(hvar < 24109, 0).when(hvar < 48218, 1)
           .when(hvar < 60273, 2).when(hvar < 64291, 3).otherwise(4)
       }
+      // project each replica weight ONCE (32 hex-slice decodes per row in
+      // one codegen'd projection) instead of re-evaluating wOf(b) inside
+      // both of its aggregates (64 decodes per row through the agg paths)
+      val withW = x.select(
+        col("v") +: (0 until 32).map(b => wOf(b).as(s"w_$b")): _*)
       val cells = (0 until 32).flatMap { b =>
-        Seq(sum(wOf(b)).cast("long").as(s"n_$b"),
-          round(sum(wOf(b) * col("v")) / sum(wOf(b)), 4).as(s"m_$b"))
+        Seq(sum(col(s"w_$b")).cast("long").as(s"n_$b"),
+          round(sum(col(s"w_$b") * col("v")) / sum(col(s"w_$b")), 4).as(s"m_$b"))
       }
-      x.agg(cells.head, cells.tail: _*)
+      withW.agg(cells.head, cells.tail: _*)
         .select(posexplode(array((0 until 32).map(b =>
           struct(col(s"n_$b").as("n_eff"), col(s"m_$b").as("boot_mean"))): _*))
           .as(Seq("replica", "s")))

@@ -250,9 +250,15 @@ object Windows {
       // stream-stream joins keep FOUR state stores per shuffle partition;
       // for a single-batch fixture run, 32 partitions mean 128 store
       // commits of trivial size — scope the stream to fewer partitions
-      // (production sizes this to state volume, not core count)
+      // (production sizes this to state volume, not core count).
+      // Cost anatomy at sf0.1/local[32], measured r10: ~3s warm, of which
+      // the two single-split scans of the one-file fixture (each branch
+      // re-reads the source) and the one-shot state commit of the FULL
+      // click history dominate — a finite replay never advances the
+      // watermark mid-batch, so no state is evicted; a live stream with
+      // many files and advancing watermarks has neither bottleneck.
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val stream = EventsStreaming.readEvents(spark, dir)
         val joined = EventsStreaming.purchaseAttribution(stream, windowMinutes = 60)

@@ -24,27 +24,51 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Post-read schema of events.parquet under nanosAsLong (see
-    * Tables.events): ts arrives as epoch-nanos long.
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of an events directory (file-source micro-batches —
     * the production shape: new parquet files land in the directory).
+    *
+    * Schema-on-read, not schema-by-assumption: the file source requires a
+    * fixed schema up front, so take it from the parquet footers of the
+    * files already present (one static read at stream-setup time) and
+    * route `ts` through the same dtype dispatch as the batch adapter
+    * (`Tables.normalizeEventTs`). The fixture has shipped `ts` as both
+    * TIMESTAMP(NANOS) and `timestamp[us]`; forcing one encoding here is
+    * how event time gets silently compressed 1000× — at scale that turns
+    * every watermarked interval join into an unbounded state explosion.
+    * `assertSaneEventTime` makes any future unit drift fail loudly at
+    * setup instead.
     */
   def readEventsDir(spark: SparkSession, streamDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    assertSaneEventTime(spark, streamDir)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
       .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(raw)
   }
+
+  private val saneDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Setup-time guard: max event time must land in a plausible year.
+    * A nanos-misread-as-micros lands in 1970; micros-misread-as-nanos in
+    * the year ~57000. One bounded ts-pruned static aggregation per
+    * directory per JVM (memoized — drift is a property of the files, not
+    * of the run); on a production sink this would sample the newest
+    * file's footer stats instead of scanning.
+    */
+  private[graft] def assertSaneEventTime(spark: SparkSession, where: String): Unit =
+    if (!saneDirs.contains(where)) {
+      val static = graft.Tables.normalizeEventTs(spark.read.parquet(where))
+      val r = static.agg(min(year(col("ts"))), max(year(col("ts")))).head
+      if (!r.isNullAt(0)) {
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        require(lo >= 2000 && hi <= 2100,
+          s"events.ts in $where spans years [$lo,$hi] — outside [2000,2100]; " +
+            "the physical encoding has drifted (unit error?), refusing to stream")
+      }
+      saneDirs.add(where)
+    }
 
   /** Fixture adapter: the file source requires a directory, and the
     * fixtures are single read-only files — stage a symlink dir per fixture.

@@ -116,10 +116,13 @@ class GraphSpec extends AnyFunSuite {
 
   test("g2_triangles: census is internally consistent") {
     val r = SparkEntry.queries("g2_triangles")(spark, sf).head
-    val (nodes, edges, tris, coeff) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-    assert(nodes > 0 && edges > 0 && tris > 0)
+    val (nodes, edges, wedges, tris, coeff) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nodes > 0 && edges > 0 && wedges > 0 && tris > 0)
     assert(edges <= nodes.toLong * (nodes - 1) / 2, "more edges than a clique")
+    // the published wedge bound the census row now makes auditable:
+    // every triangle closes 3 wedges, so 3T ≤ wedges
+    assert(3 * tris <= wedges, s"3·$tris triangles exceed $wedges wedges")
     assert(coeff > 0.0 && coeff <= 1.0, s"clustering coefficient $coeff out of range")
   }
 }
