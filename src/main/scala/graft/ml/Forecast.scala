@@ -73,7 +73,8 @@ object Forecast {
     * trees, minInstancesPerNode=2, seed=42) → holdout MAE.
     */
   def train(features: DataFrame): TrainResult = {
-    val clean = features.na.drop().orderBy("trip_date").cache()
+    val clean = graft.ScopedCache.replace("forecast.clean",
+      features.na.drop().orderBy("trip_date"))
     val n = clean.count()
     val cut = math.max(1L, (n * 0.7).toLong)
     val w = Window.orderBy(col("trip_date"))
@@ -171,12 +172,12 @@ object Forecast {
       .select(col("trip_date").cast("string").as("day"),
         col("avg_fare").as("actual"), col("prediction").as("predicted"),
         abs(col("avg_fare") - col("prediction")).as("abs_err"))
-      .cache()
-    val summary = scored.agg(
+    val scoredCached = graft.ScopedCache.replace("forecast.scored", scored)
+    val summary = scoredCached.agg(
         lit("ALL").as("day"), avg("actual").as("actual"),
         avg("predicted").as("predicted"), avg("abs_err").as("abs_err"),
         avg(col("abs_err") / abs(col("actual"))).as("mape"))
-    scored.withColumn("mape", col("abs_err") / abs(col("actual")))
+    scoredCached.withColumn("mape", col("abs_err") / abs(col("actual")))
       .unionByName(summary)
   }
 }

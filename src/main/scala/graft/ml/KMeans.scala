@@ -65,7 +65,10 @@ object KMeans {
   def lloyd(points: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
-    val pts = explodePoints(points, idCol, vecCol).cache()
+    // generation-bounded cache: the long-form points are re-scanned by
+    // every assign/update superstep (graft.ScopedCache keeps one live copy)
+    val pts = graft.ScopedCache.replace("kmeans.pts",
+      explodePoints(points, idCol, vecCol))
     val seeds = hashSeeds(points, idCol, k)
     var centroids = seeds.join(pts, "vec_id")
       .select(col("cluster"), col("pos"), col("x").as("v"))

@@ -49,13 +49,17 @@ object Graph {
       damping: Double = 0.85,
       iterDp: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst")))
-      .distinct()
-      .cache()
+    // generation-bounded caches (graft.ScopedCache): nodes (|V|) and the
+    // weighted edge set (|E|) are reused every superstep; both are far
+    // smaller than the joins that build them
+    val nodes = graft.ScopedCache.replace("pagerank.nodes",
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst")))
+        .distinct())
     val n = nodes.count().toDouble
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val ew = edges.join(outw, "src").cache() // (src, dst, w, ow) — reused every superstep
+    // (src, dst, w, ow) — reused every superstep
+    val ew = graft.ScopedCache.replace("pagerank.ew", edges.join(outw, "src"))
 
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))

@@ -69,11 +69,13 @@ object CorpusPipeline {
         else col("lang").isInCollection(cfg.keepLangs))
 
     // The gated subset feeds the exact-dedup groupBy, the LSH banded join
-    // AND the final keep-join — persist it so the quality scan runs once,
-    // not once per consumer. (At 100 TB: checkpoint to storage instead;
-    // MEMORY_AND_DISK spills, it never OOMs.)
-    val gated = base.filter(col("q_pass") && col("l_pass"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AND the final keep-join — cache it so the quality scan runs once,
+    // not once per consumer; generation-bounded (ScopedCache) so repeated
+    // pipeline runs replace rather than stack the persisted copy. (At
+    // 100 TB: checkpoint to storage instead; the default MEMORY_AND_DISK
+    // level spills, it never OOMs.)
+    val gated = graft.ScopedCache.replace("pipe.gated",
+      base.filter(col("q_pass") && col("l_pass")))
 
     // 3. LM perplexity gate (CCNet's actual filter): train a bigram LM on
     // the gated corpus's own doc_id % 5 != 0 split, score every gated doc

@@ -117,11 +117,16 @@ object GraphQ {
            |       round(3.0 * t.n_triangles / w.n_wedges, 4) AS clustering_coeff
            |FROM t, w""".stripMargin),
     (spark, dir) => {
-      val e = Graph.coOccurrenceEdges(
+      // caches are generation-bounded (ScopedCache): edges/degrees/
+      // orientation are each reused 2-3× inside this one census, and are
+      // |E|-sized — far smaller than the lineitem self-join that builds
+      // them, so they earn a cache even at scale
+      val e = graft.ScopedCache.replace("g2.edges", Graph.coOccurrenceEdges(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey").cache()
-      val deg = Graph.degrees(e).cache()
-      val tri = Graph.triangleCount(Graph.orientByDegree(e, deg).cache())
+        "l_orderkey", "l_partkey"))
+      val deg = graft.ScopedCache.replace("g2.deg", Graph.degrees(e))
+      val tri = Graph.triangleCount(
+        graft.ScopedCache.replace("g2.oriented", Graph.orientByDegree(e, deg)))
       val census = deg.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))

@@ -389,7 +389,8 @@ object QuantGates {
       val acc = 1000
       val qs = Seq(0.5, 0.9, 0.99)
       def audit(name: String, df: org.apache.spark.sql.DataFrame, c: String) = {
-        val x = df.select(col(c).cast("double").as("x")).cache()
+        val x = graft.ScopedCache.replace(s"qc_quant.$name",
+          df.select(col(c).cast("double").as("x")))
         val n = x.count().toDouble
         val approx = x.agg(percentile_approx(col("x"),
             array(qs.map(lit): _*), lit(acc)).as("a"))

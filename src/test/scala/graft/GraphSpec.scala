@@ -125,4 +125,15 @@ class GraphSpec extends AnyFunSuite {
     assert(3 * tris <= wedges, s"3·$tris triangles exceed $wedges wedges")
     assert(coeff > 0.0 && coeff <= 1.0, s"clustering coefficient $coeff out of range")
   }
+
+  test("repeated invocations do not accumulate cached generations") {
+    // the q7 leak class: a lazy QueryDef can never unpersist its own
+    // cache, so repeats must REPLACE the previous generation, not stack
+    SparkEntry.queries("g2_triangles")(spark, sf).collect()
+    val live0 = ScopedCache.liveCount
+    SparkEntry.queries("g2_triangles")(spark, sf).collect()
+    SparkEntry.queries("g2_triangles")(spark, sf).collect()
+    assert(ScopedCache.liveCount == live0,
+      s"cache generations grew: $live0 -> ${ScopedCache.liveCount}")
+  }
 }
