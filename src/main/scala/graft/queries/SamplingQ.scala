@@ -104,10 +104,11 @@ object SamplingQ {
     * single core (measured 11.7s warm). When the scan yields fewer
     * partitions than cores, shuffle the three skinny input columns
     * (two longs + a double — ~trivial bytes vs the compute) across
-    * defaultParallelism first; measured 3.9s warm (min-of-2) at
-    * sf0.1/local[32] after the spread, vs 11.7s single-split. On a real
-    * 100 TB layout the scan already has more splits than cores and the
-    * spread is a no-op (no shuffle).
+    * defaultParallelism first; measured 2.0s warm in a full-suite
+    * session / 3.9s cold-session (min-of-2, sf0.1/local[32]) after the
+    * spread, vs 11.7s single-split. On a real 100 TB layout the scan
+    * already has more splits than cores and the spread is a no-op
+    * (no shuffle).
     */
   val smpBootstrap = QueryDef(
     "smp_bootstrap",
