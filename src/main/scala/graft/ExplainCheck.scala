@@ -329,6 +329,13 @@ object ExplainCheck {
       p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
         p.contains("partial_")
     }
+    // bootstrap: the CPU-bound hash fan-out must be SPREAD across cores
+    // before the 32-replica decode — the single-row-group fixture file
+    // yields one input split, so dropping the round-robin repartition
+    // silently serializes the whole fan-out (measured 11.7s vs 2s warm)
+    check("smp_bootstrap", "hash fan-out spread across cores") { p =>
+      p.contains("RoundRobinPartitioning") && p.contains("partial_")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._
