@@ -19,6 +19,7 @@ object Verify {
     // dev loop: SPARK_GRAFT_VERIFY_ONLY=a,b runs a subset (driver sets nothing)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,9 +30,19 @@ object Verify {
         val sorted = df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One unmissable summary line: in round 9 a single adapter break made
+    // 61 queries silently absent from the correctness JSON (each failure
+    // was an isolated stderr line nobody aggregated). Absence must be
+    // LOUD — but still write everything that succeeded, so one broken
+    // query never zeroes the round.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED_QUERIES (${failed.size}/${SparkEntry.queries.size}): " +
+          failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
