@@ -108,17 +108,24 @@ object CorpusPipeline {
       case None       => gated
     }
 
-    // 4. exact dedup: keep the canonical (min doc_id) copy per content hash
-    val canonical = Dedup.exact(lmGated)
-      .select(col("canonical_id").as("doc_id"))
+    // 4. exact dedup: keep the canonical (min doc_id) copy per content
+    // hash. Materialized once (id-sized): it feeds the funnel count, the
+    // semi-join below AND (through it) the LSH leg — without the
+    // checkpoint each consumer re-runs the content-hash groupBy.
+    val canonical = graft.operators.Materialize.stable(
+      Dedup.exact(lmGated).select(col("canonical_id").as("doc_id")))
     val exactKept = lmGated.join(canonical, Seq("doc_id"), "left_semi")
 
     // 5. near dedup: LSH candidates verified exact; drop the larger id of
     // every surviving pair (transitive enough for dedup purposes: every
-    // dropped doc has a kept or smaller near-duplicate)
+    // dropped doc has a kept or smaller near-duplicate). The drop set is
+    // id-sized but its lineage is the whole banded LSH join — materialize
+    // it once, or the funnel count and the decontamination leg each
+    // re-run the LSH (measured: the whole pipeline pays the join twice).
     val nearPairs = Dedup.minhashNearDups(exactKept, cfg.nearDupThreshold,
       shingleN = cfg.shingleN)
-    val dropIds = nearPairs.select(col("id_b").as("doc_id")).distinct()
+    val dropIds = graft.operators.Materialize.stable(
+      nearPairs.select(col("id_b").as("doc_id")).distinct())
     val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
 
     // 6. decontamination (optional): drop survivors that leak benchmark
