@@ -108,6 +108,22 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("encoding has drifted"))
   }
 
+  test("real fixture's post-adapter events schema matches the column contract") {
+    // the 61-query blast radius of r9 came from ONE column's encoding;
+    // pin every column the registry depends on so any future fixture
+    // drift fails here, in one obvious place, not as scattered failures
+    import org.apache.spark.sql.types._
+    val sch = Tables.events(spark, sf).schema
+    val contract = Map[String, DataType](
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+    contract.foreach { case (name, t) =>
+      assert(sch.fieldNames.contains(name), s"events lost column $name")
+      assert(sch(name).dataType == t,
+        s"events.$name drifted to ${sch(name).dataType}, contract expects $t")
+    }
+  }
+
   test("an unknown ts dtype fails loudly in the batch adapter") {
     val dir = Files.createTempDirectory("graft_drift_str").toString
     rows(spark).withColumn("ts", lit("2024-01-01"))
