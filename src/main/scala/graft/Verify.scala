@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -20,9 +21,9 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // total row order (all columns, nulls-first asc) mirrors the
@@ -41,7 +42,7 @@ object Verify {
     // query never zeroes the round.
     if (failed.nonEmpty)
       System.err.println(
-        s"[verify] FAILED_QUERIES (${failed.size}/${SparkEntry.queries.size}): " +
+        s"[verify] FAILED_QUERIES (${failed.size}/${selected.size}): " +
           failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
