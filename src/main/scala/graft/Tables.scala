@@ -38,18 +38,116 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** events.parquet has shipped with two physical encodings of `ts` over
     * time: TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
-    * as a raw long under the legacy conf) and plain `timestamp[us]` (which
-    * Spark 4 reads as TIMESTAMP_NTZ). Schema-on-read: dispatch on the
-    * footer dtype instead of assuming one encoding — the reference takes
-    * the same stance for the TLC parquet (schema-on-read at
+    * as a raw long under the legacy conf — set once at session build, see
+    * [[GraftSession.local]]) and plain `timestamp[us]` (which Spark 4
+    * reads as TIMESTAMP_NTZ). Schema-on-read: dispatch on the footer
+    * dtype instead of assuming one encoding — the reference takes the
+    * same stance for the TLC parquet (schema-on-read at
     * dags/etl_spark_historical.py:178 with explicit casts at :185-189).
     * Any new encoding fails loudly here rather than corrupting event time
     * downstream (at 100 TB a silent unit error is a state explosion in
-    * every interval join, not just a wrong answer).
+    * every interval join, not just a wrong answer); `assertSaneEventTime`
+    * extends that loud failure to unit drift the dtype dispatch cannot
+    * see (micros shipped as a raw int64 decode as nanos → 1970 — the
+    * batch twin of the streaming setup guard).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assertSaneEventTime(spark, s"$dir/events.parquet")
     normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  private val saneEventDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Loud-failure guard shared by the batch and streaming event readers:
+    * min/max event time must land in a plausible year. A nanos-misread-
+    * as-micros lands in 1970; micros-misread-as-nanos in the year ~57000.
+    * Memoized per path per JVM (drift is a property of the files, not of
+    * the run). The check reads the NEWEST file's parquet footer
+    * statistics — no Spark job, no data scan — and falls back to one
+    * bounded static aggregation only when footer stats are absent. At
+    * 100 TB the footer probe is the only shape that stays O(1): a
+    * setup-time full scan of the landed history is itself a scale bug.
+    */
+  private[graft] def assertSaneEventTime(spark: SparkSession, where: String): Unit =
+    if (!saneEventDirs.contains(where)) {
+      val range: Option[(Int, Int)] = footerTsYearRange(spark, where).orElse {
+        // fallback: stats-free writer / exotic layout — one ts-only scan
+        import org.apache.spark.sql.functions.{col, max, min, year}
+        val static = normalizeEventTs(spark.read.parquet(where))
+        val r = static.agg(min(year(col("ts"))), max(year(col("ts")))).head
+        if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
+      }
+      range.foreach { case (lo, hi) =>
+        require(lo >= 2000 && hi <= 2100,
+          s"events.ts in $where spans years [$lo,$hi] — outside [2000,2100]; " +
+            "the physical encoding has drifted (unit error?), refusing to read")
+      }
+      saneEventDirs.add(where)
+    }
+
+  /** Year range of the `ts` column from the newest parquet file's footer
+    * statistics — None when the file/column/stats are absent or the
+    * physical type is not an int64 timestamp shape. The unit dispatch
+    * mirrors `normalizeEventTs`: annotated MILLIS/MICROS/NANOS scale per
+    * unit; a BARE int64 is exactly the raw-nanos drift shape the Long
+    * branch decodes, so its stats are read as nanos too.
+    */
+  private def footerTsYearRange(spark: SparkSession, where: String): Option[(Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(where)
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      val newest =
+        if (st.isFile) Some(st)
+        else fs.listStatus(p).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.sortBy(_.getModificationTime).lastOption
+      newest.flatMap { file =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file.getPath, hconf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val prim: Option[PrimitiveType] = schema.getFields.asScala
+            .find(_.getName == "ts").filter(_.isPrimitive)
+            .map(_.asPrimitiveType())
+          val toMicros: Option[Long => Long] = prim.flatMap { t =>
+            if (t.getPrimitiveTypeName != PrimitiveType.PrimitiveTypeName.INT64) None
+            else t.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((v: Long) => v * 1000L)
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some((v: Long) => v)
+                  case LogicalTypeAnnotation.TimeUnit.NANOS  => Some((v: Long) => v / 1000L)
+                }
+              case null => Some((v: Long) => v / 1000L) // bare int64 ≡ raw nanos
+              case _ => None
+            }
+          }
+          toMicros.flatMap { scale =>
+            val stats = reader.getFooter.getBlocks.asScala.toSeq
+              .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "ts"))
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            // only trust footers where EVERY row group carries ts stats —
+            // a partial view could pass a guard the data would fail
+            if (stats.isEmpty || stats.size != reader.getFooter.getBlocks.size) None
+            else {
+              def yearOf(us: Long): Int = java.time.Instant
+                .ofEpochMilli(us / 1000L).atZone(java.time.ZoneOffset.UTC).getYear
+              val los = stats.map(s => scale(s.genericGetMin.asInstanceOf[java.lang.Long]))
+              val his = stats.map(s => scale(s.genericGetMax.asInstanceOf[java.lang.Long]))
+              Some((yearOf(los.min), yearOf(his.max)))
+            }
+          }
+        } finally reader.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Normalize `ts` to TimestampType regardless of physical encoding.
@@ -92,6 +190,11 @@ object GraftSession {
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // events.parquet shipped TIMESTAMP(NANOS) through r8 — the legacy
+      // conf makes the vectorized reader surface it as a raw long for
+      // Tables.normalizeEventTs; set ONCE here instead of mutating the
+      // shared session conf per read (action-at-a-distance)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -95,6 +95,79 @@ class SchemaDriftSpec extends AnyFunSuite {
     EventsStreaming.readEvents(spark, sf)
   }
 
+  test("a unit-drifted encoding fails loudly in the BATCH adapter too") {
+    // micros stored as a raw long decode as nanos → 1970; before r11 only
+    // the streaming path guarded this — a batch read silently dated every
+    // event to 1970 (the r9 class). Batch and streaming now share the
+    // same loud-failure guard.
+    val dir = Files.createTempDirectory("graft_drift_bad_batch").toString
+    rows(spark).withColumn("ts", col("us"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+    assert(ex.getMessage.contains("encoding has drifted"))
+  }
+
+  test("the sanity guard reads footer statistics, not the data (zero Spark jobs)") {
+    // a setup-time full scan of the landed history is itself a scale bug:
+    // on a stats-bearing file the guard must resolve from the parquet
+    // footer alone. Sentinel-job technique: listener events are ordered,
+    // so once the sentinel job's event arrives, any job the guard had
+    // launched would already have been counted.
+    val dir = writeEncoding("ts_ntz")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // drain in-flight events (the fixture write, earlier tests): a new
+      // listener still receives events queued before registration
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(250) }
+      val base = jobs.get()
+      Tables.assertSaneEventTime(spark, s"$dir/events.parquet")
+      // RDD sentinel: exactly ONE job (a SQL count under AQE runs ≥2)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (jobs.get() < base + 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == base + 1,
+        s"guard ran ${jobs.get() - base - 1} Spark job(s) on a stats-bearing file")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("stream setup over an EMPTY directory falls back to the contract schema") {
+    // production shape: the stream is set up before the first file lands;
+    // schema inference has nothing to read, so the reader assumes the
+    // current fixture contract and still normalizes ts on arrival
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_empty_stream").toString
+    val stream = EventsStreaming.readEventsDir(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == TimestampType)
+    assert(Set("event_id", "ts", "user_id", "event_type", "value", "props")
+      .subsetOf(stream.schema.fieldNames.toSet))
+    // first file lands AFTER setup — rows flow through the same normalize
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_first_file").start()
+    rows(spark).withColumn("ts",
+        timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late_first_file")
+      .select(col("event_id"), col("ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (0L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 01:00:00.123456"),
+      (2L, "2024-01-30 23:00:00"),
+      (3L, "2024-01-01 00:00:00")))
+  }
+
   test("a unit-drifted encoding fails loudly at stream setup, never silently") {
     // micros stored as a raw long: the Long branch must treat it as nanos
     // → 1970 → the sanity guard refuses to stream
