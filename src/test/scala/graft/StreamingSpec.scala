@@ -74,6 +74,39 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not duplicate surviving docs")
   }
 
+  test("decontaminatedAppend also skips re-delivered batches via the mark") {
+    // same commit-log rewind as the appendWithDedup test, on the
+    // decontamination sink: the replayed batch must skip without
+    // re-cleaning or re-probing the landed corpus
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_hwm_dc").toString
+    val chk = s"$base/chk"
+    val outPath = s"$base/clean"
+    def start() = EventsStreaming.decontaminatedAppend(
+      EventsStreaming.readDocuments(spark, sf).filter(col("doc_id") % 10 =!= 0),
+      evalDocs, n = 5, outPath, checkpoint = Some(chk))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(outPath).count()
+    assert(n1 > 0)
+    val commits = new java.io.File(s"$chk/commits")
+    val lastName = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).maxBy(_.toLong)
+    commits.listFiles()
+      .filter(f => f.getName == lastName ||
+        f.getName.stripPrefix(".").startsWith(lastName + "."))
+      .foreach(f => assert(f.delete(), s"could not delete $f"))
+    val skipped0 = EventsStreaming.hwmSkippedBatches.get()
+    val anti0 = EventsStreaming.antiJoinedBatches.get()
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == n1,
+      "replayed batch must land zero docs")
+    assert(EventsStreaming.hwmSkippedBatches.get() == skipped0 + 1)
+    assert(EventsStreaming.antiJoinedBatches.get() == anti0)
+  }
+
   test("foreachBatch append sink is idempotent across stream replays") {
     val factPath = java.nio.file.Files.createTempDirectory("graft_fact").toString + "/events"
     // first run: full fixture lands
@@ -102,6 +135,54 @@ class StreamingSpec extends AnyFunSuite {
     val scan = probe.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("p_date"),
       s"probe should prune on p_date partitions:\n${scan.take(1000)}")
+  }
+
+  test("a re-delivered batch is skipped via the high-water mark, no landed scan") {
+    // the at-least-once window foreachBatch documents: offsets logged,
+    // foreachBatch ran, but the commit-log entry was never written (crash
+    // between the two) → restart re-delivers the SAME batchId. Simulate
+    // by deleting the last commits/ entry after a clean run.
+    val base = java.nio.file.Files.createTempDirectory("graft_hwm").toString
+    val chk = s"$base/chk"
+    val factPath = s"$base/events"
+    val q1 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath, checkpoint = Some(chk))
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(factPath).count()
+    assert(n1 > 0)
+    val commits = new java.io.File(s"$chk/commits")
+    val lastName = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).maxBy(_.toLong)
+    // take the checksum/crc sidecars with it, or Spark 4.1's checkpoint
+    // manager reads the orphan sidecar as a concurrent-writer conflict
+    commits.listFiles()
+      .filter(f => f.getName == lastName ||
+        f.getName.stripPrefix(".").startsWith(lastName + "."))
+      .foreach(f => assert(f.delete(), s"could not delete $f"))
+
+    val skipped0 = EventsStreaming.hwmSkippedBatches.get()
+    val anti0 = EventsStreaming.antiJoinedBatches.get()
+    // restart from the same checkpoint: same queryId, same batchId
+    val q2 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath, checkpoint = Some(chk))
+    q2.processAllAvailable(); q2.stop()
+
+    assert(spark.read.parquet(factPath).count() == n1,
+      "replayed batch must land zero rows")
+    assert(EventsStreaming.hwmSkippedBatches.get() == skipped0 + 1,
+      "replay must be recognized by the high-water mark")
+    assert(EventsStreaming.antiJoinedBatches.get() == anti0,
+      "the skip must not fall back to the landed anti-join")
+
+    // and a FRESH query over the same sink (new queryId, batch ids
+    // restart) must NOT trust the mark — it takes the anti-join safety
+    // net and still inserts zero duplicates
+    val q3 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath)
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(factPath).count() == n1)
+    assert(EventsStreaming.antiJoinedBatches.get() > anti0,
+      "a fresh query must use the safety net, not the foreign mark")
   }
 
   test("appendWithDedup drops duplicate keys arriving within one micro-batch") {
