@@ -329,12 +329,37 @@ object ExplainCheck {
       p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
         p.contains("partial_")
     }
+    // census normalizers: the temperature partition function and the
+    // token total are window sums OVER the #sources census — a
+    // crossJoin-broadcast normalizer re-executes the census lineage,
+    // i.e. scans the 100 TB corpus twice for a 20-row frame
+    check("smp_temperature", "single documents scan, join-free census") { p =>
+      p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
+        !p.contains("Join") && p.contains("partial_")
+    }
+    check("smp_token_budget", "single documents scan, join-free census") { p =>
+      p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
+        !p.contains("Join") && p.contains("partial_")
+    }
     // bootstrap: the CPU-bound hash fan-out must be SPREAD across cores
     // before the 32-replica decode — the single-row-group fixture file
     // yields one input split, so dropping the round-robin repartition
-    // silently serializes the whole fan-out (measured 11.7s vs 2s warm)
-    check("smp_bootstrap", "hash fan-out spread across cores") { p =>
-      p.contains("RoundRobinPartitioning") && p.contains("partial_")
+    // silently serializes the whole fan-out (measured 11.7s vs 2s warm).
+    // The query skips the spread by design when the scan already has
+    // ≥ cores splits (multi-row-group fixture / low-core runner), so
+    // gate the assertion on the query's own condition: spread expected
+    // iff splits < cores, and a spread in the ≥-cores branch would be a
+    // pointless shuffle — assert its ABSENCE there.
+    val bootstrapSplits = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .rdd.getNumPartitions
+    val bootstrapNeedsSpread =
+      bootstrapSplits < spark.sparkContext.defaultParallelism
+    check("smp_bootstrap",
+      if (bootstrapNeedsSpread) "hash fan-out spread across cores"
+      else "no redundant spread (scan already parallel)") { p =>
+      p.contains("RoundRobinPartitioning") == bootstrapNeedsSpread &&
+        p.contains("partial_")
     }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {

@@ -263,9 +263,15 @@ object SamplingQ {
     * clipping the big ones.
     *
     * Scale design: the whole computation happens on the per-source census
-    * (20 rows here, #sources at 100 TB) — two one-row normalizer frames
-    * broadcast back into it; the corpus is scanned exactly once for the
-    * initial partial-agg count and never carries text into a shuffle.
+    * (20 rows here, #sources at 100 TB) — the corpus is scanned EXACTLY
+    * once for the initial partial-agg count and never carries text into a
+    * shuffle. The two normalizers (total count, temperature partition
+    * function) are unpartitioned window sums OVER THE CENSUS, not
+    * broadcast-back crossJoins: a crossJoin normalizer re-executes the
+    * census lineage — two scans of a 100 TB corpus for a 20-row frame
+    * (the r10 finding). The single-reducer window is safe by the frame's
+    * own bound: #sources rows, never the corpus. ExplainCheck pins the
+    * one-scan shape.
     */
   val smpTemperature = QueryDef(
     "smp_temperature",
@@ -281,14 +287,14 @@ object SamplingQ {
            |       round((pa / zsum) / praw, 4) AS boost
            |FROM p, z""".stripMargin),
     (spark, dir) => {
-      val cnt = Tables.documents(spark, dir)
+      val censusW = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(spark, dir)
         .groupBy("source").agg(count(lit(1)).as("c"))
-      val tot = cnt.agg(sum(col("c")).as("n"))
-      val p = cnt.crossJoin(broadcast(tot)) // one row by construction
-        .select(col("source"), col("c"),
-          (col("c") / col("n")).as("praw"),
-          pow(col("c") / col("n"), 0.3).as("pa"))
-      p.crossJoin(broadcast(p.agg(sum(col("pa")).as("zsum"))))
+        .withColumn("n", sum(col("c")).over(censusW))
+        .withColumn("praw", col("c") / col("n"))
+        .withColumn("pa", pow(col("c") / col("n"), 0.3))
+        .withColumn("zsum", sum(col("pa")).over(censusW))
         .select(col("source"), col("c").as("n_docs"),
           round(col("praw"), 6).as("p_raw"),
           round(col("pa") / col("zsum"), 6).as("p_temp"),
@@ -302,8 +308,11 @@ object SamplingQ {
     * effort goes.
     *
     * Scale design: the corpus collapses to #sources rows in one
-    * partial-agg scan; the ordered window and the broadcast total both
-    * run over that census, never the corpus.
+    * partial-agg scan; the ordered window and the total both run over
+    * that census, never the corpus. The total is an unpartitioned window
+    * sum over the census — not a broadcast-back crossJoin, which would
+    * re-execute the census lineage and scan the corpus twice (the r10
+    * finding). ExplainCheck pins the one-scan shape.
     */
   val smpTokenBudget = QueryDef(
     "smp_token_budget",
@@ -324,7 +333,9 @@ object SamplingQ {
         .groupBy("source").agg(sum(col("n")).as("toks"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("toks").desc, col("source"))
-      s.crossJoin(broadcast(s.agg(sum(col("toks")).as("total"))))
+      val censusW = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      s.withColumn("total", sum(col("toks")).over(censusW))
         .select(col("source"), col("toks"),
           round(col("toks") * lit(1.0) / col("total"), 6).as("share"),
           round(sum(col("toks")).over(w.rowsBetween(Window.unboundedPreceding, 0))
