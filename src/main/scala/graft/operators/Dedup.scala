@@ -209,6 +209,35 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 3): DataFrame = {
+    val cands = ppjoinCandidatePairs(docs, threshold, textCol, idCol, shingleN)
+    val full = docs.select(col(idCol).as("id"),
+      TextFns.shingleHashes(col(textCol), shingleN).as("sh"))
+    cands
+      .join(full.toDF("id_a", "sh_a"), "id_a")
+      .join(full.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
+          .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The candidate-pair stage of [[ppjoinNearDups]] — everything before
+    * exact verification: prefix self-join + length filter + pair dedup.
+    * Exposed so `qc_ppjoin_candidates` can publish the join's
+    * amplification (candidates vs verified) as an auditable census row —
+    * at 100 TB this ratio IS the cost of the exactness contract, and a
+    * regression here (a lost length filter, a df-ordering bug inflating
+    * prefixes) would show up as cost long before it shows up as wrong
+    * answers. Output: (id_a, id_b, na, nb).
+    */
+  private[graft] def ppjoinCandidatePairs(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = explodedHashedShingles(docs, textCol, idCol, shingleN)
     // Document frequency via groupBy + join, NOT `count(*) over
@@ -227,24 +256,13 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked.filter(
       col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-    val cands = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .filter(col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)
       .dropDuplicates("id_a", "id_b")
-    val full = docs.select(col(idCol).as("id"),
-      TextFns.shingleHashes(col(textCol), shingleN).as("sh"))
-    cands
-      .join(full.toDF("id_a", "sh_a"), "id_a")
-      .join(full.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        when(size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, 0.0)
-          .otherwise(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
@@ -253,16 +271,21 @@ object Dedup {
     * expression: the entire vote-accumulate-threshold loop runs inside one
     * codegen'd projection — the signature stage is MAP-ONLY (the previous
     * explode + 64-column hash-agg formulation shuffled (id, 64 longs) per
-    * doc). Token hashing is bit-identical to `xxhash64(token)`, so
-    * signatures match the aggregation form for every doc with ≥1 token.
+    * doc). Default token hashing is bit-identical to `xxhash64(token)`,
+    * so signatures match the aggregation form for every doc with ≥1
+    * token; `portable = true` switches to the md5-derived 64-bit hash
+    * (the `Sampling.hexVal` convention widened) so any engine with an
+    * md5 builtin recomputes identical signatures — the mode the graded
+    * `dd_simhash` runs so DuckDB can oracle the full pair set.
     */
   def simhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
       graft.plans.SimHash64.simhash64(
-        array_distinct(TextFns.tokens(col(textCol)))).as("sig"))
+        array_distinct(TextFns.tokens(col(textCol))), portable).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -274,8 +297,9 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame =
-    bandedHammingPairs(simhashSignatures(docs, textCol, idCol), maxDist)
+      maxDist: Int = 3,
+      portable: Boolean = false): DataFrame =
+    bandedHammingPairs(simhashSignatures(docs, textCol, idCol, portable), maxDist)
 
   /** All pairs with Hamming(sig_a, sig_b) ≤ maxDist via 16-bit band
     * blocking over a (id, sig) signature table — EXACT for maxDist ≤ 3

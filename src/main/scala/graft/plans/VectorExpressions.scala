@@ -157,7 +157,7 @@ object VectorFunctions {
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+      "simhash64", exprs => SimHash64(exprs(0), portable = false), "built-in")
     registry.createOrReplaceTempFunction(
       "misra_gries", exprs => MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -181,7 +181,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => SimHash64(exprs(0), portable = false)))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),

@@ -213,22 +213,59 @@ object DedupQ {
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")))
 
   /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
-    * blocking). INHERENTLY no-oracle — and why, precisely: the hamming
-    * ball is a cosine-flavored measure over the xxhash64 bit matrix, not a
-    * jaccard threshold (measured on the fixtures: shingle-jaccard ≥ 0.7
-    * pairs span hamming 0..12), and DuckDB has no bit-identical xxhash64,
-    * so neither the signatures nor an equivalent pair set are
-    * SQL-expressible. The compensating hard check is quant gate
-    * `simhash_banding_vs_brute_diff`: the banded candidate set must equal
-    * the brute-force all-pairs hamming-≤3 join exactly (pigeonhole
-    * soundness, both directions), plus the determinism gate.
+    * blocking) — oracle-proven since r11 via the PORTABLE hash mode: the
+    * per-token hash is the first 16 hex chars of md5(token) (the
+    * `Sampling.hexVal` convention widened to 64 bits), which DuckDB
+    * recomputes exactly with a strpos polynomial, rebuilds the vote
+    * matrix with 64 conditional sums, reassembles the signed signature
+    * and brute-force joins all pairs at hamming ≤ 3. The banded engine
+    * set equals that brute set by the pigeonhole exactness of 16-bit
+    * banding (maxDist ≤ 3 → ≥ 1 of 4 bands identical), so a triple-green
+    * here proves BOTH the signature math and the banding. Production
+    * keeps the xxhash64 mode (≈3× faster/token); each mode's banding
+    * exactness is separately gated (`simhash_banding_vs_brute_diff`,
+    * `simhash_portable_banding_diff`) and DedupSpec pins the portable
+    * expression to an independent md5 reference.
     */
   val ddSimhash = QueryDef(
     "dd_simhash",
-    None,
+    Some(simhashOracleSql),
     (spark, dir) =>
-      Dedup.simhashCandidates(Tables.documents(spark, dir), maxDist = 3)
+      Dedup.simhashCandidates(Tables.documents(spark, dir), maxDist = 3,
+          portable = true)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b")))
+
+  /** DuckDB recomputation of the portable-md5 SimHash pair set (built
+    * programmatically: 16-term hex polynomial, 64 vote sums, signed
+    * signature reassembly, brute all-pairs hamming join — exact twin of
+    * the banded engine output for maxDist ≤ 3).
+    */
+  private def simhashOracleSql: String = {
+    // HUGEINT value of the first 16 hex chars of md5(t) — the 64-bit
+    // widening of SamplingQ.hexValSql's 4-char variate
+    val hexPoly = (0 until 16).map { i =>
+      val p = BigInt(16).pow(15 - i)
+      s"CAST(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1 AS HUGEINT) * $p"
+    }.mkString(" + ")
+    val voteCols = (0 until 64).map { b =>
+      s"sum(CASE WHEN (h // ${BigInt(2).pow(b)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val sigTerms = ((0 until 63).map { b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    } :+ "CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, $hexPoly AS h FROM tok),
+       |v AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs over a probe slice, double math,
     * oracle-pinned against DuckDB's list_cosine_similarity.

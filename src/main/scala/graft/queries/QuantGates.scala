@@ -75,14 +75,13 @@ object QuantGates {
       val simhashDiff = s1.join(s2, "id")
         .filter(col("sig1") =!= col("sig2")).count().toDouble
 
-      // ---- gate 3b: SimHash banding EXACTNESS. dd_simhash cannot be
-      // DuckDB-oracled (the hamming-≤3 ball is a cosine-flavored measure
-      // over an engine-specific hash family — measured: fixture pairs at
-      // shingle-jaccard ≥ 0.7 span hamming 0..12, so no jaccard threshold
-      // reproduces it). What IS exactly checkable: the pigeonhole claim
-      // that 16-bit band blocking finds EVERY pair with hamming ≤ 3. Grade
-      // the banded candidate set against the brute-force all-pairs hamming
-      // join over the same signatures — must match both ways.
+      // ---- gate 3b: SimHash banding EXACTNESS — the pigeonhole claim
+      // that 16-bit band blocking finds EVERY pair with hamming ≤ 3.
+      // Grade the banded candidate set against the brute-force all-pairs
+      // hamming join over the same signatures — must match both ways.
+      // (Since r11 dd_simhash is ALSO DuckDB-oracled via the portable
+      // md5 hash mode; this gate keeps the production xxhash64 mode
+      // covered at the same exactness bar.)
       val sigPairsBrute = s1.toDF("id_a", "sig_a")
         .join(s2.toDF("id_b", "sig_b"), col("id_a") < col("id_b"))
         .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
@@ -92,6 +91,20 @@ object QuantGates {
       val simhashBandDiff =
         (sigPairsBrute.join(banded, Seq("id_a", "id_b"), "left_anti").count() +
           banded.join(sigPairsBrute, Seq("id_a", "id_b"), "left_anti").count()).toDouble
+
+      // ---- gate 3c: the portable-md5 mode (what the graded dd_simhash
+      // runs against its DuckDB oracle) honors the same banding
+      // exactness over ITS signature family
+      val sp = Dedup.simhashSignatures(docs, portable = true)
+      val sigPairsBruteP = sp.toDF("id_a", "sig_a")
+        .join(sp.toDF("id_b", "sig_b"), col("id_a") < col("id_b"))
+        .filter(Dedup.hamming64(col("sig_a"), col("sig_b")) <= 3)
+        .select("id_a", "id_b")
+      val bandedP = Dedup.simhashCandidates(docs, maxDist = 3, portable = true)
+        .select("id_a", "id_b")
+      val simhashPortableBandDiff =
+        (sigPairsBruteP.join(bandedP, Seq("id_a", "id_b"), "left_anti").count() +
+          bandedP.join(sigPairsBruteP, Seq("id_a", "id_b"), "left_anti").count()).toDouble
 
       // ---- gate 4: IVF ANN recall@5 vs the exact brute-force baseline
       val e = Tables.embeddings(spark, dir)
@@ -215,6 +228,7 @@ object QuantGates {
         ("minhash_extra_pairs", nExtra.toDouble, 0.0, "<=", extraDetail),
         ("simhash_nondeterministic_ids", simhashDiff, 0.0, "<=", ""),
         ("simhash_banding_vs_brute_diff", simhashBandDiff, 0.0, "<=", ""),
+        ("simhash_portable_banding_diff", simhashPortableBandDiff, 0.0, "<=", ""),
         ("ivf_recall_at5", ivfRecall, 0.3, ">=", ""),
         ("pq_recall_at5", pqRecall, 0.5, ">=", ""),
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
@@ -410,6 +424,50 @@ object QuantGates {
         .orderBy("metric", "q")
     })
 
+  /** PPJoin join-amplification audit: the prefix self-join's candidate-
+    * pair count published next to the verified-pair count (the n_wedges
+    * idea applied to dd_ppjoin). The candidate stage is where PPJoin's
+    * exactness contract spends its cost at 100 TB; a regression there
+    * (lost length filter, df-ordering bug inflating prefixes) multiplies
+    * runtime long before it changes any answer, so it must be auditable
+    * from a census row, not discovered in a bench tail. Gates:
+    * candidates stay a vanishing fraction of the all-pairs space (the
+    * prefix filter's whole point) and every verified pair came from a
+    * candidate (containment — the exactness direction the oracle can't
+    * see once the candidate stage is internal).
+    */
+  val qcPpjoinCandidates = QueryDef(
+    "qc_ppjoin_candidates",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.count().toDouble
+      val allPairs = nDocs * (nDocs - 1) / 2.0
+      val cands = graft.ScopedCache.replace("qc_ppjoin.cands",
+        Dedup.ppjoinCandidatePairs(docs, JACCARD_T).select("id_a", "id_b"))
+      val nCand = cands.count().toDouble
+      val verified = Dedup.ppjoinNearDups(docs, JACCARD_T).select("id_a", "id_b")
+      val nVer = verified.count().toDouble
+      val escaped = verified.join(cands, Seq("id_a", "id_b"), "left_anti").count()
+      Seq(
+        ("ppjoin_verified_pairs", nVer, 1.0, ">=",
+          s"candidates=${nCand.toLong} all_pairs=${allPairs.toLong}"),
+        ("ppjoin_candidates_per_verified",
+          if (nVer == 0) 0.0 else nCand / nVer, 50.0, "<=", ""),
+        ("ppjoin_candidate_fraction_of_allpairs",
+          if (allPairs == 0) 0.0 else nCand / allPairs, 0.05, "<=", ""),
+        ("ppjoin_verified_outside_candidates", escaped.toDouble, 0.0, "<=", "")
+      ).map { case (gate, value, threshold, op, detail) =>
+        val pass = op match {
+          case ">=" => value >= threshold
+          case _    => value <= threshold
+        }
+        (gate, math.rint(value * 10000) / 10000, threshold, op, pass, detail)
+      }.toDF("gate", "value", "threshold", "op", "pass", "detail")
+        .orderBy("gate")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
-    qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy)
+    qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates)
 }

@@ -125,6 +125,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable simhash64 matches an independent md5 reference implementation") {
+    // the portable mode's whole value is cross-engine reproducibility:
+    // pin the expression to a from-scratch JVM reference (MessageDigest
+    // + explicit big-endian fold), the same math the DuckDB oracle
+    // rebuilds with a strpos polynomial
+    val docs = Tables.documents(spark, sf).limit(100)
+    def refSig(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ", -1).distinct.foreach { t =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        var h = 0L
+        (0 until 8).foreach(i => h = (h << 8) | (dig(i) & 0xFFL))
+        (0 until 64).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+    }
+    val native = Dedup.simhashSignatures(docs, portable = true).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    val rows = docs.select("doc_id", "text").collect()
+    assert(rows.nonEmpty && native.size == rows.length)
+    rows.foreach { r =>
+      assert(native(r.getLong(0)) == refSig(r.getString(1)),
+        s"portable signature mismatch for doc ${r.getLong(0)}")
+    }
+    // and the two modes agree where agreement is mathematically forced:
+    // identical distinct-token sets → identical signatures → hamming 0
+    // in EVERY hash family
+    val ham0x = Dedup.simhashCandidates(docs).filter(col("hamming") === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham0p = Dedup.simhashCandidates(docs, portable = true)
+      .filter(col("hamming") === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ham0x == ham0p,
+      s"hamming-0 pair sets diverge between modes: ${ham0x.diff(ham0p)} / ${ham0p.diff(ham0x)}")
+  }
+
   test("lshKnn results are a subset of brute-force rankings' candidates with identical cosines") {
     val e = Tables.embeddings(spark, sf)
     val probes = e.filter(col("vec_id") % 100 === 0)
