@@ -51,6 +51,73 @@ class IncrementalSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("date-partitioned fact layout prunes partitions for range scans and merge probes") {
+    // the 100 TB claim the docs make (Ingest.writePartitioned,
+    // appendWithDedup's probe, mergeInsertOnly's scaladoc), proven at the
+    // plan AND file level: a date-scoped query over the partitioned fact
+    // must read only that date's files, and the J5 merge probe must hit
+    // the fact through the same pruned scan — not the full history
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val events = Tables.events(spark, sf)
+    val base = Files.createTempDirectory("graft_part").toString
+    val factPath = s"$base/events_part"
+    graft.warehouse.Ingest.writePartitioned(events, factPath, "ts",
+      mode = "overwrite")
+    val partDirs = new java.io.File(factPath).listFiles()
+      .filter(_.getName.startsWith("p_date="))
+    assert(partDirs.length > 1, "fixture should span multiple dates")
+    def parquetFilesIn(d: java.io.File): Int =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    val totalFiles = partDirs.map(parquetFilesIn).sum
+    val day = java.sql.Date.valueOf("2024-01-03")
+    val dayFiles = partDirs.find(_.getName == "p_date=2024-01-03")
+      .map(parquetFilesIn).getOrElse(0)
+    assert(dayFiles > 0 && dayFiles < totalFiles)
+
+    // files the executed plan actually read from the partitioned fact
+    def factFilesRead(df: DataFrame): Long = {
+      df.collect()
+      def go(p: SparkPlan): Seq[Long] = p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        // AQE hides materialized stages: QueryStageExec has no children,
+        // its actual subtree hangs off `plan`
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("events_part")) =>
+          Seq(f.metrics("numFiles").value)
+        case other => other.children.flatMap(go)
+      }
+      go(df.queryExecution.executedPlan).sum
+    }
+
+    val fact = spark.read.parquet(factPath)
+
+    // heavy date-scoped scan: partition filter prunes to one date's
+    // files, data filter reaches the parquet reader as a pushed filter
+    val scanQ = fact.filter(col("p_date") === lit(day) && col("value") > 0)
+      .agg(sum(col("value")).as("total"))
+    val plan = scanQ.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*p_date".r.findFirstIn(plan).nonEmpty,
+      s"no partition filter on p_date:\n${plan.take(1500)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]"),
+      s"value predicate not pushed:\n${plan.take(1500)}")
+    assert(factFilesRead(scanQ) == dayFiles,
+      "scan must read exactly the target partition's files")
+
+    // J5 merge-insert-only probe shape against the partitioned fact:
+    // batch date range → p_date range filter → anti-join; replay of an
+    // already-landed batch inserts zero AND reads only its partitions
+    val batch = events.filter(to_date(col("ts")) === lit(day))
+    val r = batch.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head
+    val probe = fact.filter(
+      col("p_date") >= lit(r.getDate(0)) && col("p_date") <= lit(r.getDate(1)))
+    val inserts = batch.join(probe.select("event_id"), Seq("event_id"), "left_anti")
+    assert(inserts.count() == 0, "replayed batch must find every key landed")
+    assert(factFilesRead(inserts) == dayFiles,
+      "merge probe must read only the touched date partitions")
+  }
+
   test("touchedDates finds exactly the batch's dates") {
     val batch = Tables.events(spark, sf)
       .filter(col("ts").cast("date").isin("2024-01-01", "2024-01-05"))
