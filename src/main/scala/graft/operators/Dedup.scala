@@ -265,6 +265,100 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-document duplicated n-gram window census — the exact-substring
+    * dedup diagnostic of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), at word-window granularity: for
+    * every document, how many of its n-token windows also occur verbatim
+    * in ANOTHER document, and what fraction of the document that is. The
+    * ratio is the per-doc "memorization surface" — the signal that decides
+    * between dropping a doc, trimming the duplicated span, or keeping it.
+    *
+    * Shape at 100 TB: windows hash inside one codegen'd projection
+    * (`ShingleHash64` multiplicity mode — positions preserved, strings
+    * never leave the scan), the cross-doc test is a partial-aggregable
+    * min≠max over the (hash, doc) stream (never a countDistinct), and
+    * the flag rides back on an AQE-splittable hash equi-join. Total: two
+    * shuffles of 8-byte hashes, no all-pairs anything.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_ratio) for every doc
+    * with ≥ 1 window (docs shorter than n tokens are absent, same
+    * contract as the shingle set operators).
+    */
+  def dupNgramSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(graft.plans.ShingleHash64.shingle_hash64(
+        TextFns.tokens(col(textCol)), n, distinct = false)).as("h"))
+    val crossDoc = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("h"), lit(1L).as("dup"))
+    grams.join(crossDoc, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows"), 4))
+  }
+
+  /** Exact-substring TRIM — the action arm of [[dupNgramSpans]]: remove
+    * from every document the tokens covered by an n-token window that
+    * occurs verbatim in another document, UNLESS this document is the
+    * window's canonical owner (the min doc_id containing it — the same
+    * deterministic keeper rule as the exact-dup and cluster-rep
+    * operators). Owners keep their text; every other occurrence of the
+    * duplicated span is cut, and the surviving tokens are rejoined in
+    * order. This is the span-level alternative to dropping whole
+    * near-dup docs: boilerplate disappears, the unique remainder stays.
+    *
+    * Scale shape: same two hash-shuffles as the census (positions ride
+    * along as ints), plus one per-doc regroup to rebuild text; covered
+    * positions expand n-fold but remain (doc_id, int) pairs. The only
+    * per-doc state is its own token list — nothing corpus-sized
+    * concentrates anywhere.
+    *
+    * Output: (doc_id, n_tokens, n_kept, trimmed_md5) for EVERY doc —
+    * docs shorter than n tokens, or owning all their windows, keep
+    * everything; fully-duplicated non-owners keep nothing (md5 of "").
+    */
+  def trimDupSpans(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(graft.plans.ShingleHash64.shingle_hash64(
+        col("w"), n, distinct = false)).as(Seq("pos", "h")))
+    val owners = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
+      .filter(col("owner") =!= col("hi"))
+      .select("h", "owner")
+    val dupWins = grams.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val covered = dupWins.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("ti", "tok")))
+      .join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          s => s.getField("tok")), " ").as("trimmed"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("trimmed"), lit("")).cast("binary")).as("trimmed_md5"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash signatures per doc, via the native [[graft.plans.SimHash64]]

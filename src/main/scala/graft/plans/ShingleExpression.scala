@@ -25,8 +25,14 @@ import org.apache.spark.unsafe.Platform
   * Documents with fewer than n tokens yield an empty array. Null token
   * elements are treated as empty strings (`array_join` semantics drop
   * nothing for our single-space fixtures; split() never yields nulls).
+  *
+  * `distinct = false` keeps one hash PER WINDOW POSITION (multiplicity
+  * preserved, original order) — the form positional statistics need
+  * (duplicated-span census, frequency profiles); set-similarity
+  * consumers keep the default distinct form.
   */
-case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash64(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -40,10 +46,10 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHash64.compute(input.asInstanceOf[ArrayData], n)
+    ShingleHash64.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleHash64.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleHash64.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -52,11 +58,12 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash64 {
 
   /** One-pass shingle hashing; invoked from generated code. */
-  def compute(toks: ArrayData, n: Int): ArrayData = {
+  def compute(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val numToks = toks.numElements()
     val count = numToks - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val seen =
+      if (distinct) new java.util.HashSet[java.lang.Long](count * 2) else null
     val out = new Array[Long](count)
     var outLen = 0
     var buf = new Array[Byte](64)
@@ -82,13 +89,13 @@ object ShingleHash64 {
         j += 1
       }
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      if (seen == null || seen.add(h)) { out(outLen) = h; outLen += 1 }
       i += 1
     }
     if (outLen == count) new GenericArrayData(out)
     else new GenericArrayData(java.util.Arrays.copyOf(out, outLen))
   }
 
-  def shingle_hash64(tokens: Column, n: Int): Column =
-    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), n))
+  def shingle_hash64(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), n, distinct))
 }

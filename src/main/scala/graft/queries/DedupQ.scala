@@ -212,6 +212,68 @@ object DedupQ {
           shingleN = 3, bands = 16, rowsPerBand = 2)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")))
 
+  /** Per-doc duplicated 8-token-window census (exact-substring dedup
+    * diagnostic, Lee et al. ACL 2022): which fraction of each document
+    * occurs verbatim in another document, at window granularity. DuckDB
+    * recomputes it from string windows; the engine works on the native
+    * multiplicity-mode shingle hashes — equality of results is also a
+    * cross-check that the hash family is collision-free on the corpus.
+    */
+  val ddDupNgramSpans = QueryDef(
+    "dd_dup_ngram_spans",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
+           |                             FOR i IN range(1, greatest(len(w) - 6, 1))]) AS g
+           |      FROM w),
+           |d AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id))
+           |SELECT g.doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_windows,
+           |       CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_dup_windows,
+           |       round(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           |             / count(*), 4) AS dup_ratio
+           |FROM g LEFT JOIN d ON g.g = d.g
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) =>
+      Dedup.dupNgramSpans(Tables.documents(spark, dir), n = 8)
+        .orderBy(col("doc_id")))
+
+  /** Span-level exact-substring dedup (the trim action): cut every
+    * non-canonical verbatim 8-token span, keep the unique remainder.
+    * The DuckDB oracle rebuilds each trimmed document from string
+    * windows and compares md5 of the reconstructed text — the strongest
+    * cross-engine pin available (any off-by-one in window coverage or
+    * token order changes the digest).
+    */
+  val ddTrimDupSpans = QueryDef(
+    "dd_trim_dup_spans",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+           |      FROM (SELECT doc_id, w,
+           |                   unnest(range(1, greatest(len(w) - 6, 1))) AS i
+           |            FROM w)),
+           |own AS (SELECT g, min(doc_id) AS owner FROM g
+           |        GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+           |dup AS (SELECT g.doc_id, g.i FROM g JOIN own USING (g)
+           |        WHERE g.doc_id <> own.owner),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS ti FROM dup),
+           |tok AS (SELECT doc_id, ti, w[ti] AS tok
+           |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS ti
+           |              FROM w)),
+           |kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |                string_agg(t.tok, ' ' ORDER BY t.ti) AS trimmed
+           |         FROM tok t LEFT JOIN cov c
+           |           ON t.doc_id = c.doc_id AND t.ti = c.ti
+           |         WHERE c.doc_id IS NULL
+           |         GROUP BY 1)
+           |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           |       coalesce(k.n_kept, 0) AS n_kept,
+           |       md5(coalesce(k.trimmed, '')) AS trimmed_md5
+           |FROM w LEFT JOIN kept k USING (doc_id)""".stripMargin),
+    (spark, dir) =>
+      Dedup.trimDupSpans(Tables.documents(spark, dir), n = 8)
+        .orderBy(col("doc_id")))
+
   /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
     * blocking) — oracle-proven since r11 via the PORTABLE hash mode: the
     * per-token hash is the first 16 hex chars of md5(token) (the
@@ -884,7 +946,7 @@ object DedupQ {
   val all: Seq[QueryDef] = Seq(
     ddDedupWeights,
     ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddCdcChunks,
-    ddPpjoin, ddMinhashLsh, ddSimhash,
+    ddPpjoin, ddMinhashLsh, ddSimhash, ddDupNgramSpans, ddTrimDupSpans,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,

@@ -125,6 +125,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupNgramSpans flags exactly the planted cross-doc duplicated windows") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share exactly one verbatim 8-token window (a..h)
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h"),
+      // unique single-window doc
+      (3L, "p q r s t u v w"),
+      // WITHIN-doc repetition only — cross-doc contract must not flag it
+      (4L, "m n o p q r s t m n o p q r s t"),
+      // shorter than the window: absent from the census
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramSpans(docs, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(got == Map(
+      1L -> (3L, 1L),
+      2L -> (3L, 1L),
+      3L -> (1L, 0L),
+      4L -> (9L, 0L)))
+  }
+
+  test("trimDupSpans keeps owners whole and cuts exactly the duplicated span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),              // owner of the shared span
+      (2L, "x y a b c d e f g h"),              // loses tokens 2..9, keeps "x y"
+      (3L, "p q r s t u v w"),                  // unique: untouched
+      (4L, "m n o p q r s t m n o p q r s t"),  // within-doc repeat: untouched
+      (5L, "too short")                         // < n tokens: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimDupSpans(docs, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("trimmed_md5"))).toMap
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(1L) == (10L, 10L, h("a b c d e f g h i j")))
+    assert(got(2L) == (10L, 2L, h("x y")))
+    assert(got(3L) == (8L, 8L, h("p q r s t u v w")))
+    assert(got(4L) == (16L, 16L, h("m n o p q r s t m n o p q r s t")))
+    assert(got(5L) == (2L, 2L, h("too short")))
+  }
+
   test("portable simhash64 matches an independent md5 reference implementation") {
     // the portable mode's whole value is cross-engine reproducibility:
     // pin the expression to a from-scratch JVM reference (MessageDigest
