@@ -329,6 +329,19 @@ object ExplainCheck {
       p.linesIterator.count(_.contains("FileScan parquet")) == 1 &&
         p.contains("partial_")
     }
+    // duplicated-window census: cross-doc test is a partial-aggregable
+    // min/max over hashes (never countDistinct), flag rides back on a
+    // real equi-join — window-free, nothing all-pairs
+    check("dd_dup_ngram_spans", "partial min/max census, join-free of windows") { p =>
+      p.contains("partial_min") && p.contains("partial_max") &&
+        !p.contains("windowspecdefinition") && !p.contains("CartesianProduct")
+    }
+    // span trim: same hash-census core plus the per-doc rebuild — still
+    // no cartesian, no global window; per-doc state only
+    check("dd_trim_dup_spans", "hash census + per-doc rebuild, no cartesian") { p =>
+      p.contains("partial_") && !p.contains("CartesianProduct") &&
+        !p.contains("windowspecdefinition")
+    }
     // census normalizers: the temperature partition function and the
     // token total are window sums OVER the #sources census — a
     // crossJoin-broadcast normalizer re-executes the census lineage,
