@@ -96,7 +96,9 @@ object SamplingQ {
     * and every replica b reads its own disjoint 16-bit slice of digest
     * b/8 at offset 4·(b mod 8) — 32 independent variates for 4 hashes,
     * which is what keeps the 32× row blow-up from being 32× the hash
-    * cost.
+    * cost. The slices come from the native [[graft.plans.Md5Variates]]
+    * expression (digest-byte reads, no hex-string round trip); the
+    * DuckDB oracle recomputes the identical values from the hex form.
     *
     * Parallelism: the per-row work (4 md5 + 32 hex-slice decodes) is
     * CPU-bound, and the sf0.1 fixture is ONE small parquet file — one
@@ -148,21 +150,22 @@ object SamplingQ {
       val cores = spark.sparkContext.defaultParallelism
       val spread =
         if (base.rdd.getNumPartitions < cores) base.repartition(cores) else base
+      // native md5_variates: all 32 16-bit variates read straight from
+      // the 4 digests' bytes in one codegen'd pass — no hex strings, no
+      // conv() parsing (the composed form materialized four 32-char hex
+      // strings per row and re-parsed 128 hex chars; VectorExprSpec pins
+      // bit-parity between the two)
       val x = spread
         .select(col("l_extendedprice").as("v"),
-          array(md5(k.cast("binary")),
-            md5(concat(k, lit("~")).cast("binary")),
-            md5(concat(k, lit("~~")).cast("binary")),
-            md5(concat(k, lit("~~~")).cast("binary"))).as("hs"))
+          graft.plans.Md5Variates.md5_variates(k, 32).as("vs"))
       def wOf(b: Int) = {
-        val hvar = conv(substring(element_at(col("hs"), b / 8 + 1),
-          (b % 8) * 4 + 1, 4), 16, 10).cast("long")
+        val hvar = element_at(col("vs"), b + 1)
         when(hvar < 24109, 0).when(hvar < 48218, 1)
           .when(hvar < 60273, 2).when(hvar < 64291, 3).otherwise(4)
       }
-      // project each replica weight ONCE (32 hex-slice decodes per row in
+      // project each replica weight ONCE (32 slice reads per row in
       // one codegen'd projection) instead of re-evaluating wOf(b) inside
-      // both of its aggregates (64 decodes per row through the agg paths)
+      // both of its aggregates (64 reads per row through the agg paths)
       val withW = x.select(
         col("v") +: (0 until 32).map(b => wOf(b).as(s"w_$b")): _*)
       val cells = (0 until 32).flatMap { b =>

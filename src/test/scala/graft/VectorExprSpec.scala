@@ -15,6 +15,32 @@ class VectorExprSpec extends AnyFunSuite {
     (3L, Seq(1.0, 0.0), Seq(1.0, 0.0))            // identical
   ).toDF("id", "a", "b")
 
+  test("native md5_variates matches the composed md5/conv formulation bit-for-bit") {
+    // the bootstrap fan-out's hash convention: variate b = hex chars
+    // (b%8)*4+1..+4 of md5(key ++ "~"*(b/8)), as a number — the same
+    // values the DuckDB oracles recompute with a strpos polynomial
+    val keys = Tables.lineitem(spark, sf).limit(500)
+      .select(concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string")).as("k"))
+    val composed = keys.select(col("k"),
+      array(md5(col("k").cast("binary")),
+        md5(concat(col("k"), lit("~")).cast("binary")),
+        md5(concat(col("k"), lit("~~")).cast("binary")),
+        md5(concat(col("k"), lit("~~~")).cast("binary"))).as("hs"))
+      .select(col("k") +: (0 until 32).map(b =>
+        conv(substring(element_at(col("hs"), b / 8 + 1),
+          (b % 8) * 4 + 1, 4), 16, 10).cast("long").as(s"v$b")): _*)
+    val native = keys.select(col("k"),
+      graft.plans.Md5Variates.md5_variates(col("k"), 32).as("vs"))
+    val joined = composed.join(native, "k")
+    val bad = joined.filter((0 until 32).map(b =>
+      col(s"v$b") =!= element_at(col("vs"), b + 1)).reduce(_ || _)).count()
+    // limit() is nondeterministic across the two branches — the join
+    // hits their overlap; parity over that overlap is the claim
+    assert(joined.count() > 100 && bad == 0,
+      s"$bad keys diverge between native and composed variates")
+  }
+
   test("native cosine_sim matches the HOF formulation exactly") {
     val rows = vecs.select(
       VectorFunctions.cosine_sim(col("a"), col("b")).as("native"),
