@@ -56,6 +56,12 @@ object ExplainCheck {
         (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("BroadcastHashJoin"))
     }
+    // interval overlap join: same contract on both exploded sides
+    check("jx_interval_overlap", "bucketized overlap equi-join, no BNLJ") { p =>
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"))
+    }
     // ppjoin: document frequency must come from a (partial-agg) groupBy +
     // join, never a window partitioned by the shingle hash — a window
     // would funnel each hot shingle's posting list through one reducer.

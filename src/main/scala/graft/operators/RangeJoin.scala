@@ -41,4 +41,40 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join: pairs whose half-open spans
+    * intersect (`s_l < e_r && s_r < e_l`), optionally under extra equi
+    * keys. Same bucketization as [[intervalJoin]] on BOTH sides, with
+    * the classic first-common-bucket rule replacing a dedup pass: a
+    * qualifying pair shares the contiguous bucket run
+    * [bucket(max(s)), bucket(min(e)−1)], so emitting it only where
+    * `__bucket = bucket(max(s_l, s_r))` yields each pair EXACTLY once —
+    * no dropDuplicates shuffle of the (potentially huge) pair stream.
+    * Shuffle volume is O(Σ span/bucket) exploded rows on each side, the
+    * join key (`keys`, bucket) is AQE-skew-splittable, and a hot key's
+    * time range spreads across buckets instead of one reducer.
+    *
+    * Caller renames overlapping column names before the call (the
+    * self-join case). Half-open semantics assume second-or-coarser
+    * timestamps (`max(s) ≤ min(e) − 1s` whenever the overlap is
+    * non-empty).
+    */
+  def overlapJoin(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketDays: Int, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketDays > 0)
+    val b = bucketDays.toLong * 86400L
+    def buckets(s: String, e: String) = sequence(
+      floor(unix_timestamp(col(s)) / b),
+      floor((unix_timestamp(col(e)) - 1) / b))
+    val lb = left.withColumn("__bucket", explode(buckets(lStart, lEnd)))
+    val rb = right.withColumn("__bucket", explode(buckets(rStart, rEnd)))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") === greatest(
+        floor(unix_timestamp(col(lStart)) / b),
+        floor(unix_timestamp(col(rStart)) / b)))
+      .drop("__bucket")
+  }
 }

@@ -569,6 +569,40 @@ object Relational {
         .select(col("ship_orderkey"), col("l_linenumber"), col("o_orderkey"))
     })
 
+  /** Interval×interval OVERLAP join: pairs of the same customer's orders
+    * whose processing windows (order date + 1..5 days, keyed off the
+    * order id so both engines derive identical spans) intersect — the
+    * concurrent-orders shape. Spark side is the bucketized overlap join
+    * with first-common-bucket emission (operators.RangeJoin.overlapJoin:
+    * no nested-loop, no pair dedup shuffle); the oracle is DuckDB's
+    * plain inequality join.
+    */
+  val jxIntervalOverlap = QueryDef(
+    "jx_interval_overlap",
+    Some("""WITH iv AS (
+           |  SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS s,
+           |         o_orderdate + INTERVAL ((o_orderkey % 5) + 1) DAY AS e
+           |  FROM orders)
+           |SELECT a.c, a.k AS k_a, b.k AS k_b,
+           |       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT)
+           |         AS overlap_days
+           |FROM iv a JOIN iv b
+           |  ON a.c = b.c AND a.k < b.k AND a.s < b.e AND b.s < a.e""".stripMargin),
+    (spark, dir) => {
+      def iv(suf: String) = Tables.orders(spark, dir).select(
+        col("o_custkey").as("c"), col("o_orderkey").as(s"k$suf"),
+        col("o_orderdate").as(s"s$suf"),
+        (col("o_orderdate") +
+          make_dt_interval(col("o_orderkey") % 5 + 1)).as(s"e$suf"))
+      graft.operators.RangeJoin.overlapJoin(
+          iv("_a"), "s_a", "e_a", iv("_b"), "s_b", "e_b",
+          bucketDays = 7, keys = Seq("c"))
+        .filter(col("k_a") < col("k_b"))
+        .select(col("c"), col("k_a"), col("k_b"),
+          datediff(least(col("e_a"), col("e_b")),
+            greatest(col("s_a"), col("s_b"))).cast("long").as("overlap_days"))
+    })
+
   /** A18: pivot — event-type counts as columns per day. Spark's `pivot`
     * relational operator (explicit value list → deterministic schema) vs
     * the portable conditional-aggregation oracle; empty cells coalesced
@@ -1174,7 +1208,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     a23RfmSegments, a24Histogram, a25Survival, a26CorrMatrix,
     j9BloomSemi, j10SaltedSkew,
-    a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, a16Rollup,
+    a15ErrorMetrics, jxAsOfJoin, jxAsOfNearest, jxRangeJoin, jxIntervalOverlap, a16Rollup,
     a18Pivot, a19Cube, u4MultisetOps,
     a20GroupingSets, u3Unpivot, f18TryCast, a21Winsorized, a22CohortRetention,
     j7NullSafeJoin, o3TopKPerKey, u2SetOps, a17Percentile, j8TableDiff,

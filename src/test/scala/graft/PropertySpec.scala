@@ -115,6 +115,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketized overlap join equals the naive conditional join on random intervals") {
+    // 300 random half-open intervals (spans 1s .. ~40 days, so many
+    // cross bucket boundaries and some exceed the bucket width), three
+    // key groups; the first-common-bucket rule must emit every
+    // overlapping pair exactly once — equality with the O(n^2) naive
+    // join checks both misses and duplicates
+    val base = 1704067200L // 2024-01-01
+    val rows = (1 to 300).map { i =>
+      val s = base + rnd.nextInt(90 * 86400).toLong
+      val span = 1L + rnd.nextInt(40 * 86400)
+      (i.toLong, i % 3, s, s + span)
+    }
+    val df = rows.toDF("id", "g", "ss", "es")
+      .select(col("id"), col("g"),
+        timestamp_seconds(col("ss")).as("s"), timestamp_seconds(col("es")).as("e"))
+    def side(suf: String) = df.select(col("g"), col("id").as(s"id$suf"),
+      col("s").as(s"s$suf"), col("e").as(s"e$suf"))
+    val got = graft.operators.RangeJoin.overlapJoin(
+        side("_a"), "s_a", "e_a", side("_b"), "s_b", "e_b",
+        bucketDays = 7, keys = Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = for {
+      (i1, g1, s1, e1) <- rows; (i2, g2, s2, e2) <- rows
+      if g1 == g2 && i1 < i2 && s1 < e2 && s2 < e1
+    } yield (i1, i2)
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == naive.toSet,
+      s"missed ${(naive.toSet -- got).size}, extra ${(got.toSet -- naive.toSet).size}")
+  }
+
   test("SCD2 invariants hold across a randomized 6-step update/delete sequence") {
     val keys = Seq("A", "B", "C", "D")
     def at(off: Long) = new Timestamp(1700000000000L + off * 3600000L)
