@@ -342,7 +342,51 @@ object PipelineQ {
           col("mean_quality"), col("exact_dup_rate"), col("lang_entropy"))
     })
 
+  /** Per-source curation savings from span-level exact-substring dedup:
+    * what fraction of each source's tokens disappears when every
+    * non-canonical duplicated 8-token span is trimmed
+    * (`Dedup.trimDupSpans`). This is the roll-up that turns the per-doc
+    * census into a curation decision — a source with a high trim_frac
+    * is boilerplate-heavy and gets span-trim (not whole-doc drop) in
+    * the pipeline. One doc-keyed join onto the trim output (doc-sized,
+    * never window-sized) and a #sources-row census.
+    */
+  val pipeTrimSavings = QueryDef(
+    "pipe_trim_savings",
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |           FROM documents),
+           |g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+           |      FROM (SELECT doc_id, w,
+           |                   unnest(range(1, greatest(len(w) - 6, 1))) AS i
+           |            FROM w)),
+           |own AS (SELECT g, min(doc_id) AS owner FROM g
+           |        GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+           |dup AS (SELECT g.doc_id, g.i FROM g JOIN own USING (g)
+           |        WHERE g.doc_id <> own.owner),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS ti FROM dup),
+           |kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           |         FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS ti
+           |               FROM w) t
+           |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+           |         WHERE c.doc_id IS NULL GROUP BY 1)
+           |SELECT w.source, CAST(sum(len(w.w)) AS BIGINT) AS n_tokens,
+           |       CAST(sum(coalesce(k.n_kept, 0)) AS BIGINT) AS n_kept,
+           |       round(1.0 - sum(coalesce(k.n_kept, 0)) * 1.0
+           |             / sum(len(w.w)), 4) AS trim_frac
+           |FROM w LEFT JOIN kept k USING (doc_id)
+           |GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Dedup.trimDupSpans(docs, n = 8)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_kept")).as("n_kept"),
+          round(lit(1.0) - sum(col("n_kept")) * lit(1.0) /
+            sum(col("n_tokens")), 4).as("trim_frac"))
+    })
+
   val all: Seq[QueryDef] = Seq(pipeCorpusReport, pipePackShards,
     pipeDecontaminate, pipeContaminationRate, pipeTokenWaterfill,
-    pipeDatasetCard)
+    pipeDatasetCard, pipeTrimSavings)
 }
