@@ -86,12 +86,25 @@ object Tables {
       saneEventDirs.add(where)
     }
 
-  /** Year range of the `ts` column from the newest parquet file's footer
-    * statistics — None when the file/column/stats are absent or the
-    * physical type is not an int64 timestamp shape. The unit dispatch
-    * mirrors `normalizeEventTs`: annotated MILLIS/MICROS/NANOS scale per
-    * unit; a BARE int64 is exactly the raw-nanos drift shape the Long
-    * branch decodes, so its stats are read as nanos too.
+  /** True iff `name` is a data file a parquet reader would see (the one
+    * visibility rule shared by the guard and the streaming emptiness
+    * probe — `_`/`.`-prefixed sidecars like `_SUCCESS`, `_graft_hwm`
+    * and checksum files are invisible).
+    */
+  private[graft] def isVisibleParquet(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** Year range of the `ts` column from EVERY visible file's parquet
+    * footer statistics — None when the column/stats are absent anywhere
+    * or the physical type is not an int64 timestamp shape (a one-file
+    * drift must not hide behind its healthy siblings, so a single
+    * stats-less or unreadable footer fails the whole fast path over to
+    * the scan). Footer reads are metadata-only — the same cost class as
+    * the file listing the reader does anyway; no Spark job runs. The
+    * unit dispatch mirrors `normalizeEventTs` PER FILE: annotated
+    * MILLIS/MICROS/NANOS scale per unit; a BARE int64 is exactly the
+    * raw-nanos drift shape the Long branch decodes, so its stats are
+    * read as nanos too.
     */
   private def footerTsYearRange(spark: SparkSession, where: String): Option[(Int, Int)] = {
     import scala.jdk.CollectionConverters._
@@ -101,51 +114,56 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(where)
       val fs = p.getFileSystem(hconf)
       val st = fs.getFileStatus(p)
-      val newest =
-        if (st.isFile) Some(st)
-        else fs.listStatus(p).filter { f =>
-          val n = f.getPath.getName
-          f.isFile && n.endsWith(".parquet") &&
-            !n.startsWith("_") && !n.startsWith(".")
-        }.sortBy(_.getModificationTime).lastOption
-      newest.flatMap { file =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file.getPath, hconf))
-        try {
-          val schema = reader.getFooter.getFileMetaData.getSchema
-          val prim: Option[PrimitiveType] = schema.getFields.asScala
-            .find(_.getName == "ts").filter(_.isPrimitive)
-            .map(_.asPrimitiveType())
-          val toMicros: Option[Long => Long] = prim.flatMap { t =>
-            if (t.getPrimitiveTypeName != PrimitiveType.PrimitiveTypeName.INT64) None
-            else t.getLogicalTypeAnnotation match {
-              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                ts.getUnit match {
-                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((v: Long) => v * 1000L)
-                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some((v: Long) => v)
-                  case LogicalTypeAnnotation.TimeUnit.NANOS  => Some((v: Long) => v / 1000L)
-                }
-              case null => Some((v: Long) => v / 1000L) // bare int64 ≡ raw nanos
-              case _ => None
+      val files =
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq
+          .filter(f => f.isFile && isVisibleParquet(f.getPath.getName))
+      if (files.isEmpty) None
+      else {
+        val perFile = files.map { file =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file.getPath, hconf))
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            val prim: Option[PrimitiveType] = schema.getFields.asScala
+              .find(_.getName == "ts").filter(_.isPrimitive)
+              .map(_.asPrimitiveType())
+            val toMicros: Option[Long => Long] = prim.flatMap { t =>
+              if (t.getPrimitiveTypeName != PrimitiveType.PrimitiveTypeName.INT64) None
+              else t.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((v: Long) => v * 1000L)
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => Some((v: Long) => v)
+                    case LogicalTypeAnnotation.TimeUnit.NANOS  => Some((v: Long) => v / 1000L)
+                  }
+                case null => Some((v: Long) => v / 1000L) // bare int64 ≡ raw nanos
+                case _ => None
+              }
             }
-          }
-          toMicros.flatMap { scale =>
-            val stats = reader.getFooter.getBlocks.asScala.toSeq
-              .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "ts"))
-              .map(_.getStatistics)
-              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            // only trust footers where EVERY row group carries ts stats —
-            // a partial view could pass a guard the data would fail
-            if (stats.isEmpty || stats.size != reader.getFooter.getBlocks.size) None
-            else {
-              def yearOf(us: Long): Int = java.time.Instant
-                .ofEpochMilli(us / 1000L).atZone(java.time.ZoneOffset.UTC).getYear
-              val los = stats.map(s => scale(s.genericGetMin.asInstanceOf[java.lang.Long]))
-              val his = stats.map(s => scale(s.genericGetMax.asInstanceOf[java.lang.Long]))
-              Some((yearOf(los.min), yearOf(his.max)))
+            toMicros.flatMap { scale =>
+              val stats = reader.getFooter.getBlocks.asScala.toSeq
+                .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "ts"))
+                .map(_.getStatistics)
+                .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+              // only trust footers where EVERY row group carries ts
+              // stats — a partial view could pass a guard the data fails
+              if (stats.isEmpty || stats.size != reader.getFooter.getBlocks.size) None
+              else {
+                def yearOf(us: Long): Int = java.time.Instant
+                  .ofEpochMilli(us / 1000L).atZone(java.time.ZoneOffset.UTC).getYear
+                val los = stats.map(s => scale(s.genericGetMin.asInstanceOf[java.lang.Long]))
+                val his = stats.map(s => scale(s.genericGetMax.asInstanceOf[java.lang.Long]))
+                Some((yearOf(los.min), yearOf(his.max)))
+              }
             }
-          }
-        } finally reader.close()
+          } finally reader.close()
+        }
+        if (perFile.exists(_.isEmpty)) None
+        else {
+          val ranges = perFile.flatten
+          Some((ranges.map(_._1).min, ranges.map(_._2).max))
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -208,11 +208,21 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      shingleN: Int = 3): DataFrame = {
-    val cands = ppjoinCandidatePairs(docs, threshold, textCol, idCol, shingleN)
+      shingleN: Int = 3): DataFrame =
+    verifyPpjoinCandidates(docs,
+      ppjoinCandidatePairs(docs, threshold, textCol, idCol, shingleN),
+      threshold, textCol, idCol, shingleN)
+
+  /** Exact-verification arm of [[ppjoinNearDups]], parameterized on the
+    * candidate set so `qc_ppjoin_candidates` can verify a CACHED
+    * candidate frame instead of recomputing the prefix self-join twice.
+    */
+  private[graft] def verifyPpjoinCandidates(
+      docs: DataFrame, cands: DataFrame, threshold: Double,
+      textCol: String, idCol: String, shingleN: Int): DataFrame = {
     val full = docs.select(col(idCol).as("id"),
       TextFns.shingleHashes(col(textCol), shingleN).as("sh"))
-    cands
+    cands.select("id_a", "id_b")
       .join(full.toDF("id_a", "sh_a"), "id_a")
       .join(full.toDF("id_b", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

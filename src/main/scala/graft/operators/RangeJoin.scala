@@ -68,8 +68,17 @@ object RangeJoin {
     def buckets(s: String, e: String) = sequence(
       floor(unix_timestamp(col(s)) / b),
       floor((unix_timestamp(col(e)) - 1) / b))
-    val lb = left.withColumn("__bucket", explode(buckets(lStart, lEnd)))
-    val rb = right.withColumn("__bucket", explode(buckets(rStart, rEnd)))
+    // drop empty ([t,t) overlaps nothing under half-open semantics) and
+    // inverted intervals BEFORE bucketing: Spark's sequence(start, stop)
+    // silently generates a DESCENDING list when stop < start, so an
+    // inverted interval would explode into bogus buckets instead of
+    // erroring, and a zero-length one would still pass the residual
+    // strict-inequality filter against intervals containing its instant
+    def valid(s: String, e: String) = col(s) < col(e)
+    val lb = left.filter(valid(lStart, lEnd))
+      .withColumn("__bucket", explode(buckets(lStart, lEnd)))
+    val rb = right.filter(valid(rStart, rEnd))
+      .withColumn("__bucket", explode(buckets(rStart, rEnd)))
     lb.join(rb, keys :+ "__bucket")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("__bucket") === greatest(

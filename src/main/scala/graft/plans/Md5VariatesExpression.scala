@@ -50,16 +50,23 @@ case class Md5Variates(child: Expression, count: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object Md5Variates {
-
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+/** Per-thread MessageDigest holder shared by every md5-convention
+  * expression in the package (MessageDigest is stateful — one instance
+  * per executor thread).
+  */
+private[plans] object Md5Local {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  def get(): java.security.MessageDigest = tl.get()
+}
+
+object Md5Variates {
 
   /** Invoked from generated code. */
   def compute(key: UTF8String, count: Int): GenericArrayData = {
-    val d = md5.get()
+    val d = Md5Local.get()
     val base = key.getBytes
     val out = new Array[Long](count)
     val nDigests = (count + 7) / 8

@@ -57,18 +57,12 @@ case class SimHash64(child: Expression, portable: Boolean) extends UnaryExpressi
 
 object SimHash64 {
 
-  // MessageDigest is stateful — one instance per executor thread
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** First 8 bytes of md5(utf8) big-endian — equals the value of the
     * digest's first 16 hex chars (the `Sampling.hexVal` convention
     * widened to 64 bits), as a signed-Long bit pattern.
     */
   def md5Hash64(bytes: Array[Byte]): Long = {
-    val d = md5.get()
+    val d = Md5Local.get()
     d.reset()
     val dig = d.digest(bytes)
     var h = 0L

@@ -447,7 +447,10 @@ object QuantGates {
       val cands = graft.ScopedCache.replace("qc_ppjoin.cands",
         Dedup.ppjoinCandidatePairs(docs, JACCARD_T).select("id_a", "id_b"))
       val nCand = cands.count().toDouble
-      val verified = Dedup.ppjoinNearDups(docs, JACCARD_T).select("id_a", "id_b")
+      // verify the CACHED candidates — the prefix self-join (the very
+      // cost this gate audits) runs once, not twice
+      val verified = Dedup.verifyPpjoinCandidates(docs, cands, JACCARD_T,
+        "text", "doc_id", 3).select("id_a", "id_b")
       val nVer = verified.count().toDouble
       val escaped = verified.join(cands, Seq("id_a", "id_b"), "left_anti").count()
       Seq(

@@ -39,8 +39,9 @@ object EventsStreaming {
     * setup instead.
     */
   def readEventsDir(spark: SparkSession, streamDir: String): DataFrame = {
+    val preSeeded = hasParquetFiles(spark, streamDir)
     val schema =
-      if (hasParquetFiles(spark, streamDir)) {
+      if (preSeeded) {
         // guard + schema-on-read share the batch adapter's footer-stats
         // path (Tables.assertSaneEventTime — no data scan when stats
         // are present)
@@ -49,9 +50,7 @@ object EventsStreaming {
       } else
         // production shape: the stream is set up BEFORE the first file
         // lands — nothing to infer from, so assume the current fixture
-        // contract (ts as timestamp[us]-without-tz → NTZ). The sanity
-        // guard is deferred to the next setup over a non-empty dir; the
-        // dtype dispatch below still normalizes whatever actually lands.
+        // contract (ts as timestamp[us]-without-tz → NTZ)
         StructType(Seq(
           StructField("event_id", LongType),
           StructField("ts", TimestampNTZType),
@@ -60,7 +59,21 @@ object EventsStreaming {
           StructField("value", DoubleType),
           StructField("props", StringType)))
     val raw = spark.readStream.schema(schema).parquet(streamDir)
-    graft.Tables.normalizeEventTs(raw)
+    val normalized = graft.Tables.normalizeEventTs(raw)
+    if (preSeeded) normalized
+    else
+      // setup saw no files, so the footer guard never ran and will not
+      // run again for this query's lifetime — carry the sane-year check
+      // INTO the stream instead: a codegen'd per-row year test that
+      // raises on the first drifted row (one `year()` per row — noise
+      // next to the parquet decode; the loud failure matters more)
+      normalized.withColumn("ts",
+        when(year(col("ts")).between(2000, 2100), col("ts"))
+          .otherwise(raise_error(concat(
+            lit(s"events.ts in $streamDir landed outside years [2000,2100] "),
+            lit("after empty-dir stream setup — the physical encoding has "),
+            lit("drifted (unit error?), failing the stream: ts="),
+            col("ts").cast("string")))))
   }
 
   /** True iff `where` already holds at least one visible parquet file
@@ -72,11 +85,8 @@ object EventsStreaming {
     fs.exists(p) && {
       val st = fs.getFileStatus(p)
       if (st.isFile) st.getLen > 0
-      else fs.listStatus(p).exists { f =>
-        val n = f.getPath.getName
-        f.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }
+      else fs.listStatus(p).exists(f =>
+        f.isFile && graft.Tables.isVisibleParquet(f.getPath.getName))
     }
   }
 

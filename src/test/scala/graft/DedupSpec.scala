@@ -59,7 +59,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("native shingle_hash64 matches xxhash64 of the composed string shingles") {
     import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sf).limit(100)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
     val composed = docs
       .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
       .select(col("doc_id"),
@@ -105,7 +105,7 @@ class DedupSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // the composed form the expression replaced: explode distinct tokens,
     // 64 conditional-sum vote columns, sign-threshold bit reassembly
-    val docs = Tables.documents(spark, sf).limit(200)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
     val tok = docs.select(col("doc_id").as("id"),
         explode(array_distinct(graft.functions.TextFns.tokens(col("text")))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -175,7 +175,9 @@ class DedupSpec extends AnyFunSuite {
     // pin the expression to a from-scratch JVM reference (MessageDigest
     // + explicit big-endian fold), the same math the DuckDB oracle
     // rebuilds with a strpos polynomial
-    val docs = Tables.documents(spark, sf).limit(100)
+    // doc_id filter, not limit(): limit is nondeterministic across the
+    // several independent actions below
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
     def refSig(text: String): Long = {
       val votes = new Array[Int](64)
       text.split(" ", -1).distinct.foreach { t =>

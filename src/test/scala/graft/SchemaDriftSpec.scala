@@ -168,6 +168,29 @@ class SchemaDriftSpec extends AnyFunSuite {
       (3L, "2024-01-01 00:00:00")))
   }
 
+  test("unit drift arriving AFTER empty-dir setup still fails the stream loudly") {
+    // the footer guard runs at setup; a stream set up over an empty dir
+    // never re-runs it, so the deferred per-row year check must catch
+    // value-level drift in files that land later (seconds-scale values
+    // inside a schema-compatible micros column → 1970)
+    val dir = Files.createTempDirectory("graft_empty_drift").toString
+    val q = EventsStreaming.readEventsDir(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drift").start()
+    rows(spark).withColumn("ts",
+        timestamp_micros((col("us") / 1000000L).cast("long")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("drifted")),
+      s"expected the drift guard, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("a unit-drifted encoding fails loudly at stream setup, never silently") {
     // micros stored as a raw long: the Long branch must treat it as nanos
     // → 1970 → the sanity guard refuses to stream
