@@ -338,6 +338,21 @@ object Dedup {
       docs: DataFrame,
       n: Int = 8,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    trimmedDocs(docs, n, textCol, idCol)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("trimmed").cast("binary")).as("trimmed_md5"))
+
+  /** [[trimDupSpans]] with the rebuilt text itself instead of its md5 —
+    * the form `qc_trim_invariants` re-shingles to audit gram retention
+    * (the graded query ships the digest: comparing full texts
+    * cross-engine is the same proof at a fraction of the transfer).
+    * Output: (doc_id, n_tokens, n_kept, trimmed).
+    */
+  private[graft] def trimmedDocs(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFns.tokens(col(textCol)).as("w"))
@@ -366,7 +381,7 @@ object Dedup {
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("trimmed"), lit("")).cast("binary")).as("trimmed_md5"))
+        coalesce(col("trimmed"), lit("")).as("trimmed"))
   }
 
   // -------------------------------------------------------------- simhash

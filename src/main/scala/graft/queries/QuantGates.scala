@@ -471,6 +471,54 @@ object QuantGates {
         .orderBy("gate")
     })
 
+  /** Span-trim semantic audit. The canonical-owner policy has a known
+    * theoretical limit: overlapping duplicated spans with DIFFERENT
+    * owners can cut into each other inside the owner's text, so "every
+    * cross-doc gram survives somewhere" is a property of the data, not
+    * of the algorithm — exactly the kind of silent semantic erosion that
+    * must be measured, not assumed. Gates: (a) hard invariant — no doc
+    * keeps more tokens than it had; (b) measured guarantee — the
+    * fraction of distinct cross-doc grams still present as windows in
+    * the trimmed corpus (1.0 on the fixtures; the 0.95 floor leaves
+    * room for adversarial overlap without letting retention quietly
+    * collapse).
+    */
+  val qcTrimInvariants = QueryDef(
+    "qc_trim_invariants",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val td = graft.ScopedCache.replace("qc_trim.docs",
+        Dedup.trimmedDocs(docs, n = 8))
+      val violations = td.filter(col("n_kept") > col("n_tokens")).count()
+      def winHashes(df: org.apache.spark.sql.DataFrame, textCol: String) =
+        df.select(col("doc_id"),
+          explode(graft.plans.ShingleHash64.shingle_hash64(
+            graft.functions.TextFns.tokens(col(textCol)), 8)).as("h"))
+      val crossGrams = winHashes(docs, "text")
+        .groupBy("h").agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .filter(col("lo") =!= col("hi")).select("h")
+      val nCross = crossGrams.count()
+      val surviving = crossGrams
+        .join(winHashes(td, "trimmed").select("h").distinct(), Seq("h"), "left_semi")
+        .count()
+      val retention = if (nCross == 0) 1.0 else surviving.toDouble / nCross
+      Seq(
+        ("trim_kept_gt_tokens_violations", violations.toDouble, 0.0, "<=", ""),
+        ("trim_crossdoc_gram_retention", retention, 0.95, ">=",
+          s"surviving=$surviving of $nCross")
+      ).map { case (gate, value, threshold, op, detail) =>
+        val pass = op match {
+          case ">=" => value >= threshold
+          case _    => value <= threshold
+        }
+        (gate, math.rint(value * 10000) / 10000, threshold, op, pass, detail)
+      }.toDF("gate", "value", "threshold", "op", "pass", "detail")
+        .orderBy("gate")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
-    qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates)
+    qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates,
+    qcTrimInvariants)
 }
