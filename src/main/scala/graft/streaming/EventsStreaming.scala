@@ -377,6 +377,79 @@ object EventsStreaming {
       .start()
   }
 
+  /** Streaming span-level duplication flagging at ingest — the
+    * incremental twin of `Dedup.dupNgramSpans`: every document
+    * micro-batch is scored against the GRAM INDEX of everything landed
+    * before it (n_dup_vs_landed = how many of the doc's n-token windows
+    * already occur in the landed corpus), then appended with its flags,
+    * and the batch's distinct gram hashes join the index. Asymmetric by
+    * construction (docs are only compared against STRICTLY earlier
+    * batches — arrival order is the dedup order, the same contract as
+    * incremental doc-level dedup), so batch-at-a-time composes
+    * deterministically; StreamingSpec pins it against a batch-computed
+    * reference over an ordered multi-file arrival.
+    *
+    * Scale shape: the index holds 8-byte hashes only (≈10⁻³ of corpus
+    * bytes); the per-batch probe is a hash equi-join of batch grams
+    * against it. Exact substring dedup inherently consults all history —
+    * at 100 TB the index would be bucketed by hash prefix so each batch
+    * gram probes one bucket (and a Bloom front-filter drops the ~all
+    * non-dup grams before the join), the documented-swap discipline of
+    * the other landed-state sinks. Replay safety is the same two-tier
+    * scheme as `appendWithDedup`: batch-id high-water mark first, landed
+    * doc_id anti-join as the safety net.
+    */
+  def dupFlaggedAppend(docs: DataFrame, outPath: String, indexPath: String,
+      n: Int = 8,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val outP = new org.apache.hadoop.fs.Path(outPath)
+        val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (alreadyCommitted(spark, fs, outPath, batchId)) {
+          hwmSkippedBatches.incrementAndGet()
+          ()
+        } else {
+          val fresh =
+            if (fs.exists(outP)) {
+              antiJoinedBatches.incrementAndGet()
+              batch.join(spark.read.parquet(outPath).select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+            } else batch
+          val grams = fresh.select(col("doc_id"),
+            explode(graft.plans.ShingleHash64.shingle_hash64(
+              graft.functions.TextFns.tokens(col("text")), n,
+              distinct = false)).as("h"))
+          val idxP = new org.apache.hadoop.fs.Path(indexPath)
+          val flagged =
+            if (fs.exists(idxP)) {
+              // crash-replay can append the same gram set twice — the
+              // index is consulted as a SET, so distinct() here keeps
+              // the probe exact regardless
+              val idx = spark.read.parquet(indexPath).select("h").distinct()
+              grams.join(idx.withColumn("dup", lit(1L)), Seq("h"), "left")
+                .groupBy("doc_id")
+                .agg(count(lit(1)).as("n_windows"),
+                  sum(coalesce(col("dup"), lit(0L))).as("n_dup_vs_landed"))
+            } else
+              grams.groupBy("doc_id")
+                .agg(count(lit(1)).as("n_windows"))
+                .withColumn("n_dup_vs_landed", lit(0L))
+          fresh.join(flagged, Seq("doc_id"), "left")
+            .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+            .withColumn("n_dup_vs_landed", coalesce(col("n_dup_vs_landed"), lit(0L)))
+            .write.mode("append").parquet(outPath)
+          grams.select("h").distinct().write.mode("append").parquet(indexPath)
+          recordCommitted(spark, fs, outPath, batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Stream-stream interval join (purchase→click attribution): each
     * purchase matches the same user's clicks in the preceding
     * `windowMinutes`. Both sides carry watermarks and the join condition

@@ -107,6 +107,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventsStreaming.antiJoinedBatches.get() == anti0)
   }
 
+  test("dupFlaggedAppend scores each arrival only against earlier batches") {
+    import org.apache.spark.sql.types._
+    // three ordered arrivals of the documents fixture; each batch's
+    // n_dup_vs_landed must count exactly the windows present in
+    // STRICTLY earlier batches (asymmetric incremental contract)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val parts = Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300))
+    val base = java.nio.file.Files.createTempDirectory("graft_dupflag")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    parts.zipWithIndex.foreach { case (p, k) =>
+      val tmp = base.resolve(s"tmp$k").toString
+      p.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"batch$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // arrival order = file mtime order for maxFilesPerTrigger=1
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val q = EventsStreaming.dupFlaggedAppend(stream, outPath, idxPath, n = 8)
+    q.processAllAvailable(); q.stop()
+
+    // reference: plain Scala replay of the asymmetric contract
+    def windows(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    var landed = Set.empty[String]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    parts.foreach { p =>
+      val rows = p.select("doc_id", "text").collect()
+      rows.foreach { r =>
+        val ws = windows(r.getString(1))
+        expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
+      }
+      landed ++= rows.flatMap(r => windows(r.getString(1)))
+    }
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == expected.size, s"${got.size} docs landed, expected ${expected.size}")
+    val diff = expected.filter { case (id, e) => got(id) != e }
+    assert(diff.isEmpty, s"${diff.size} docs mis-flagged, e.g. ${diff.take(3)}")
+    assert(got.values.exists(_._2 > 0),
+      "fixture boilerplate should produce cross-batch duplicated windows")
+    // the index holds exactly the distinct grams of everything landed
+    assert(spark.read.parquet(idxPath).distinct().count() == landed.size)
+  }
+
   test("foreachBatch append sink is idempotent across stream replays") {
     val factPath = java.nio.file.Files.createTempDirectory("graft_fact").toString + "/events"
     // first run: full fixture lands
