@@ -356,9 +356,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFns.tokens(col(textCol)).as("w"))
-    val grams = toks.select(col("doc_id"),
-      posexplode(graft.plans.ShingleHash64.shingle_hash64(
-        col("w"), n, distinct = false)).as(Seq("pos", "h")))
+    val grams = positionedGrams(toks, n)
     val owners = grams.groupBy("h")
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
       .filter(col("owner") =!= col("hi"))
@@ -366,7 +364,55 @@ object Dedup {
     val dupWins = grams.join(owners, Seq("h"))
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("pos"))
-    val covered = dupWins.select(col("doc_id"),
+    rebuildWithoutWindows(toks, dupWins, n)
+  }
+
+  /** Within-doc self-repeat TRIM: cut every n-token window whose gram
+    * already occurred at an EARLIER position in the SAME document —
+    * the cleanup for generation loops, chat echoes and template
+    * stutter, where a document repeats itself rather than another
+    * document (the case the cross-doc [[trimDupSpans]] deliberately
+    * ignores: its min≠max test is blind to within-doc repeats). First
+    * occurrence always survives; determinism comes from positions, not
+    * hashing. Same scale shape as the cross-doc trim, except the
+    * repeat test is a per-(doc, gram) min-position partial agg — no
+    * cross-document state at all, so the operator is embarrassingly
+    * parallel over docs.
+    *
+    * Output: (doc_id, n_tokens, n_kept, trimmed_md5) for every doc.
+    */
+  def trimSelfRepeats(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val grams = positionedGrams(toks, n)
+    val firstPos = grams.groupBy("doc_id", "h").agg(min(col("pos")).as("fpos"))
+    val repeats = grams.join(firstPos, Seq("doc_id", "h"))
+      .filter(col("pos") > col("fpos"))
+      .select(col("doc_id"), col("pos"))
+    rebuildWithoutWindows(toks, repeats, n)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("trimmed").cast("binary")).as("trimmed_md5"))
+  }
+
+  /** One hash per window position (multiplicity mode), with the 0-based
+    * start position — the shared front of both trim operators.
+    */
+  private def positionedGrams(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"),
+      posexplode(graft.plans.ShingleHash64.shingle_hash64(
+        col("w"), n, distinct = false)).as(Seq("pos", "h")))
+
+  /** Cut the tokens covered by `cutWins` (doc_id, pos window starts) and
+    * rebuild each document's text in order — the shared tail of both
+    * trim operators. Output: (doc_id, n_tokens, n_kept, trimmed).
+    */
+  private def rebuildWithoutWindows(
+      toks: DataFrame, cutWins: DataFrame, n: Int): DataFrame = {
+    val covered = cutWins.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
       .distinct()
     val kept = toks

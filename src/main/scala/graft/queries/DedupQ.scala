@@ -274,6 +274,42 @@ object DedupQ {
       Dedup.trimDupSpans(Tables.documents(spark, dir), n = 8)
         .orderBy(col("doc_id")))
 
+  /** Within-doc self-repeat trim (generation loops, chat echoes,
+    * template stutter): cut every 8-token window whose gram already
+    * occurred earlier in the SAME document; first occurrence survives.
+    * md5 of the rebuilt text pins the exact cut set cross-engine, same
+    * contract as dd_trim_dup_spans.
+    */
+  val ddSelfRepeatTrim = QueryDef(
+    "dd_selfrepeat_trim",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+           |      FROM (SELECT doc_id, w,
+           |                   unnest(range(1, greatest(len(w) - 6, 1))) AS i
+           |            FROM w)),
+           |rep AS (SELECT g.doc_id, g.i
+           |        FROM g JOIN (SELECT doc_id, g, min(i) AS fi FROM g
+           |                     GROUP BY 1, 2) f
+           |          ON g.doc_id = f.doc_id AND g.g = f.g
+           |        WHERE g.i > f.fi),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS ti FROM rep),
+           |tok AS (SELECT doc_id, ti, w[ti] AS tok
+           |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS ti
+           |              FROM w)),
+           |kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |                string_agg(t.tok, ' ' ORDER BY t.ti) AS trimmed
+           |         FROM tok t LEFT JOIN cov c
+           |           ON t.doc_id = c.doc_id AND t.ti = c.ti
+           |         WHERE c.doc_id IS NULL
+           |         GROUP BY 1)
+           |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           |       coalesce(k.n_kept, 0) AS n_kept,
+           |       md5(coalesce(k.trimmed, '')) AS trimmed_md5
+           |FROM w LEFT JOIN kept k USING (doc_id)""".stripMargin),
+    (spark, dir) =>
+      Dedup.trimSelfRepeats(Tables.documents(spark, dir), n = 8)
+        .orderBy(col("doc_id")))
+
   /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
     * blocking) — oracle-proven since r11 via the PORTABLE hash mode: the
     * per-token hash is the first 16 hex chars of md5(token) (the
@@ -946,7 +982,7 @@ object DedupQ {
   val all: Seq[QueryDef] = Seq(
     ddDedupWeights,
     ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddCdcChunks,
-    ddPpjoin, ddMinhashLsh, ddSimhash, ddDupNgramSpans, ddTrimDupSpans,
+    ddPpjoin, ddMinhashLsh, ddSimhash, ddDupNgramSpans, ddTrimDupSpans, ddSelfRepeatTrim,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,

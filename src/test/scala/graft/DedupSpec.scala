@@ -170,6 +170,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (2L, 2L, h("too short")))
   }
 
+  test("trimSelfRepeats cuts within-doc echoes, keeps first occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      // exact self-echo: window at pos 8 repeats pos 0 → tokens 8..15 cut
+      (1L, "m n o p q r s t m n o p q r s t"),
+      // no repeats: untouched
+      (2L, "a b c d e f g h i j"),
+      // cross-doc dup but NOT self-repeat: untouched by this operator
+      (3L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimSelfRepeats(docs, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("trimmed_md5"))).toMap
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(1L) == (16L, 8L, h("m n o p q r s t")))
+    assert(got(2L) == (10L, 10L, h("a b c d e f g h i j")))
+    assert(got(3L) == (10L, 10L, h("a b c d e f g h i j")))
+  }
+
   test("portable simhash64 matches an independent md5 reference implementation") {
     // the portable mode's whole value is cross-engine reproducibility:
     // pin the expression to a from-scratch JVM reference (MessageDigest
