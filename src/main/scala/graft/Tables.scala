@@ -189,6 +189,25 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** THE declared events contract — the one schema every consumer that
+    * cannot infer from files assumes (a stream set up before its first
+    * file lands, a create-path writing an empty table). `ts` is
+    * `timestamp[us]`-without-tz → NTZ, the current fixture encoding;
+    * [[normalizeEventTs]] remains the dtype dispatch for files that
+    * predate it. Single definition on purpose: the streaming fallback
+    * used to carry its own copy, and two declarations drift.
+    */
+  val eventsContractSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
   /** Register every fixture table as a temp view (handy for spark.sql
     * paths). `events` goes through the nanos-safe reader so SQL-text
     * queries see a proper TimestampType `ts`.

@@ -49,15 +49,10 @@ object EventsStreaming {
         spark.read.parquet(streamDir).schema
       } else
         // production shape: the stream is set up BEFORE the first file
-        // lands — nothing to infer from, so assume the current fixture
-        // contract (ts as timestamp[us]-without-tz → NTZ)
-        StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", TimestampNTZType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
+        // lands — nothing to infer from, so assume the declared events
+        // contract (ONE definition, shared with every other consumer
+        // that cannot infer: Tables.eventsContractSchema)
+        graft.Tables.eventsContractSchema
     val raw = spark.readStream.schema(schema).parquet(streamDir)
     val normalized = graft.Tables.normalizeEventTs(raw)
     if (preSeeded) normalized
@@ -254,6 +249,13 @@ object EventsStreaming {
     * a skipped-but-unlanded batch. Temp-write + rename (atomic on HDFS;
     * a torn write elsewhere just demotes the next replay to the safety
     * net).
+    *
+    * A failed write is SAFE (the next replay just takes the anti-join
+    * safety net) but must not be SILENT: a persistently unwritable
+    * sidecar (permissions, quota) demotes every future batch to
+    * O(landed-history) recovery cost — the steady-state O(1) contract
+    * degrades invisibly unless it is counted. Failures land in
+    * `hwmWriteFailures` (spec hook / ops metric) and log once per sink.
     */
   private def recordCommitted(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, outPath: String,
@@ -265,15 +267,30 @@ object EventsStreaming {
         val out = fs.create(tmp, true)
         try out.write(s"$qid:$batchId".getBytes("UTF-8")) finally out.close()
         if (fs.exists(f)) fs.delete(f, false)
-        fs.rename(tmp, f)
-      } catch { case scala.util.control.NonFatal(_) => () }
+        if (!fs.rename(tmp, f)) throw new java.io.IOException(
+          s"rename $tmp -> $f returned false")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          hwmWriteFailures.incrementAndGet()
+          if (hwmWarnedSinks.add(outPath))
+            System.err.println(
+              s"[graft] WARN: high-water-mark write failed for sink $outPath " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — replays of " +
+                "this sink will take the landed anti-join safety net until " +
+                "the sidecar becomes writable (logged once per sink; see " +
+                "hwmWriteFailures)")
+      }
     }
 
-  /** Spec hooks: replayed batches skipped via the high-water mark, and
-    * batches that went through the landed anti-join safety net.
+  /** Spec hooks: replayed batches skipped via the high-water mark,
+    * batches that went through the landed anti-join safety net, and
+    * failed hwm sidecar writes (the observable degradation signal).
     */
   private[graft] val hwmSkippedBatches = new java.util.concurrent.atomic.AtomicLong
   private[graft] val antiJoinedBatches = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val hwmWriteFailures = new java.util.concurrent.atomic.AtomicLong
+  private val hwmWarnedSinks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** T1+T3 sink: micro-batch append with MERGE-insert-only dedup —
     * `foreachBatch` anti-joins each micro-batch against the fact on the
@@ -382,22 +399,48 @@ object EventsStreaming {
     * micro-batch is scored against the GRAM INDEX of everything landed
     * before it (n_dup_vs_landed = how many of the doc's n-token windows
     * already occur in the landed corpus), then appended with its flags,
-    * and the batch's distinct gram hashes join the index. Asymmetric by
-    * construction (docs are only compared against STRICTLY earlier
-    * batches — arrival order is the dedup order, the same contract as
-    * incremental doc-level dedup), so batch-at-a-time composes
-    * deterministically; StreamingSpec pins it against a batch-computed
-    * reference over an ordered multi-file arrival.
+    * and the batch's NEW gram hashes (anti-joined against the index) are
+    * appended to the index. Asymmetric by construction (docs are only
+    * compared against STRICTLY earlier batches — arrival order is the
+    * dedup order, the same contract as incremental doc-level dedup), so
+    * batch-at-a-time composes deterministically; StreamingSpec pins it
+    * against a batch-computed reference over an ordered multi-file
+    * arrival.
+    *
+    * Index maintenance invariants (the steady-state O(batch) contract):
+    *   - The index is a SET: every append is batch-distinct AND
+    *     anti-joined against the current index, so no read-side
+    *     `distinct()` (an O(landed-history) shuffle per micro-batch) is
+    *     ever needed — the probe is a plain equi-join.
+    *   - Crash replay between the flagged-output append and the index
+    *     append must not lose grams: on replay the batch's docs are
+    *     landed, so `fresh` is empty — the TOP-UP leg re-derives grams
+    *     for batch docs that already landed (`batch` minus `fresh`,
+    *     batch-bounded, never a landed scan) and routes them through the
+    *     same anti-joined append, restoring the "index of everything
+    *     landed" contract. In steady state that leg is empty.
+    *   - Each micro-batch's expensive lineage executes ONCE: `fresh`
+    *     (the landed anti-join) and its gram hashing are
+    *     `localCheckpoint`ed, so the flags write, the index append and
+    *     the top-up all reuse the same blocks — one landed-output scan
+    *     per batch.
+    *   - A Bloom sidecar over the index grams ([[gramBloomPath]]) is
+    *     merged BEFORE the index append (bloom ⊇ index at every instant,
+    *     so a torn update only adds false-positive probes, never false
+    *     negatives). The probe tests the bloom MAP-SIDE and routes only
+    *     might-dup grams into the equi-join — non-dup-heavy batches skip
+    *     the shuffle for ~all grams (Bloom filters have no false
+    *     negatives, so `might_dup = false` grams are definitely absent
+    *     from the index).
     *
     * Scale shape: the index holds 8-byte hashes only (≈10⁻³ of corpus
-    * bytes); the per-batch probe is a hash equi-join of batch grams
-    * against it. Exact substring dedup inherently consults all history —
-    * at 100 TB the index would be bucketed by hash prefix so each batch
-    * gram probes one bucket (and a Bloom front-filter drops the ~all
-    * non-dup grams before the join), the documented-swap discipline of
-    * the other landed-state sinks. Replay safety is the same two-tier
-    * scheme as `appendWithDedup`: batch-id high-water mark first, landed
-    * doc_id anti-join as the safety net.
+    * bytes); the per-batch probe is a bloom test + a hash equi-join of
+    * the surviving grams. Exact substring dedup inherently consults all
+    * history — at 100 TB the index would additionally be bucketed by
+    * hash prefix so each probe gram touches one bucket
+    * (`warehouse.Maintenance.compactGramIndex` is that rewrite). Replay
+    * safety is the same two-tier scheme as `appendWithDedup`: batch-id
+    * high-water mark first, landed doc_id anti-join as the safety net.
     */
   def dupFlaggedAppend(docs: DataFrame, outPath: String, indexPath: String,
       n: Int = 8,
@@ -413,42 +456,180 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // one landed-output scan per batch: the anti-join lineage is
+          // checkpointed; flags, index append and top-up reuse its blocks
           val fresh =
-            if (fs.exists(outP)) {
+            (if (fs.exists(outP)) {
               antiJoinedBatches.incrementAndGet()
               batch.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
-            } else batch
-          val grams = fresh.select(col("doc_id"),
+            } else batch.toDF()).localCheckpoint(true)
+          def hashGrams(df: DataFrame) = df.select(col("doc_id"),
             explode(graft.plans.ShingleHash64.shingle_hash64(
               graft.functions.TextFns.tokens(col("text")), n,
               distinct = false)).as("h"))
+          // hashing runs once — probe, flags and index append all read
+          // the checkpointed (doc_id, h) blocks
+          val grams = hashGrams(fresh).localCheckpoint(true)
           val idxP = new org.apache.hadoop.fs.Path(indexPath)
+          val idxExists = fs.exists(idxP)
           val flagged =
-            if (fs.exists(idxP)) {
-              // crash-replay can append the same gram set twice — the
-              // index is consulted as a SET, so distinct() here keeps
-              // the probe exact regardless
-              val idx = spark.read.parquet(indexPath).select("h").distinct()
-              grams.join(idx.withColumn("dup", lit(1L)), Seq("h"), "left")
+            if (idxExists) {
+              // the index is a set by construction (see append below) —
+              // plain equi-join, no Aggregate over the index scan; the
+              // bloom sidecar drops definitely-new grams map-side first
+              val idx = spark.read.parquet(indexPath).select("h")
+              probeWithBloom(spark, fs, indexPath, grams, idx)
                 .groupBy("doc_id")
                 .agg(count(lit(1)).as("n_windows"),
-                  sum(coalesce(col("dup"), lit(0L))).as("n_dup_vs_landed"))
+                  sum(col("dup")).as("n_dup_vs_landed"))
             } else
               grams.groupBy("doc_id")
                 .agg(count(lit(1)).as("n_windows"))
                 .withColumn("n_dup_vs_landed", lit(0L))
-          fresh.join(flagged, Seq("doc_id"), "left")
+          val out = fresh.join(flagged, Seq("doc_id"), "left")
             .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
             .withColumn("n_dup_vs_landed", coalesce(col("n_dup_vs_landed"), lit(0L)))
-            .write.mode("append").parquet(outPath)
-          grams.select("h").distinct().write.mode("append").parquet(indexPath)
+          planSpy.foreach(_(out))
+          out.write.mode("append").parquet(outPath)
+          // top-up: batch docs that already landed (crash replay between
+          // the output append and the index append, or full re-delivery
+          // by a fresh query) may be missing from the index — re-derive
+          // their grams (batch-bounded; empty in steady state)
+          val topup = hashGrams(
+            batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_anti"))
+          val batchHs = grams.select("h").union(topup.select("h")).distinct()
+          // bloom first: bloom ⊇ index must hold across a torn update
+          mergeGramBloom(spark, fs, indexPath, batchHs)
+          // SET-maintained append: only grams absent from the index land;
+          // a compacted index (hash-prefix-bucketed by Maintenance.
+          // compactGramIndex) keeps its layout — new grams land inside
+          // their hb= bucket directory, never as mixed root files
+          val newHs =
+            if (idxExists)
+              batchHs.join(spark.read.parquet(indexPath).select("h"),
+                Seq("h"), "left_anti")
+            else batchHs
+          graft.warehouse.Maintenance.gramIndexBuckets(spark, indexPath) match {
+            case Some(b) =>
+              newHs.withColumn("hb", pmod(col("h"), lit(b)).cast("int"))
+                .write.mode("append").partitionBy("hb").parquet(indexPath)
+            case None =>
+              newHs.write.mode("append").parquet(indexPath)
+          }
           recordCommitted(spark, fs, outPath, batchId)
           ()
         }
       }
       .start()
   }
+
+  /** Test hook: observes each micro-batch's flagged-output frame before
+    * it is written (StreamingSpec walks the plan to prove the probe
+    * carries no Aggregate over the index scan).
+    */
+  @volatile private[graft] var planSpy: Option[DataFrame => Unit] = None
+
+  // -------------------------------------------- gram-index bloom sidecar
+
+  /** Bloom filter over every gram hash in the index, persisted as a
+    * sidecar inside the index directory (underscore-prefixed — invisible
+    * to parquet readers). Spark's `BloomFilterAggregate` sketch format,
+    * fixed size so per-batch merges are a bitwise OR. 2^23 bits = 1 MiB;
+    * at 100 TB the sidecar becomes one bloom per hash-prefix bucket
+    * (sized per bucket), the same layout `compactGramIndex` gives the
+    * data files.
+    */
+  private[graft] val gramBloomBits = 1L << 23
+  private def gramBloomPath(indexPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(indexPath, "_graft_gram_bloom")
+
+  private def readGramBloom(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val f = gramBloomPath(indexPath)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Merge the batch's gram hashes into the bloom sidecar. Runs BEFORE
+    * the index append (bloom ⊇ index — a crash in between yields only
+    * false-positive probes, never a missed flag). The batch-side sketch
+    * comes from the distributed `BloomFilterAggregate` (partial buffers
+    * merge map-side; one bounded sketch reaches the driver), the merge
+    * is a bitwise OR of same-sized filters, and the write is the same
+    * temp+rename shape as the hwm sidecar.
+    */
+  private def mergeGramBloom(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      batchHs: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(col("h")),
+      Literal(gramBloomBits / 8), Literal(gramBloomBits))
+    val bytes = batchHs
+      .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bytes == null) return // empty batch — nothing to add
+    val batchBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val merged = readGramBloom(fs, indexPath) match {
+      case Some(existing) => existing.mergeInPlace(batchBloom)
+      case None => batchBloom
+    }
+    val f = gramBloomPath(indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(f.getParent, "._graft_gram_bloom.tmp")
+    val out = fs.create(tmp, true)
+    try merged.writeTo(out) finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    fs.rename(tmp, f)
+  }
+
+  /** Per-gram dup verdict against the index: bloom-negative grams take
+    * `dup = 0` MAP-SIDE (no false negatives — definitely absent); only
+    * might-dup grams shuffle into the equi-join. No sidecar (pre-bloom
+    * index) → every gram joins, same exact result. Output columns:
+    * (doc_id, h, dup).
+    */
+  private def probeWithBloom(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      grams: DataFrame, idx: DataFrame): DataFrame = {
+    def joined(g: DataFrame) =
+      g.join(idx.withColumn("dup", lit(1L)), Seq("h"), "left")
+        .withColumn("dup", coalesce(col("dup"), lit(0L)))
+    readGramBloom(fs, indexPath) match {
+      case None => joined(grams)
+      case Some(bloom) =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graft.ColumnBridge
+        val baos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(baos)
+        val might = ColumnBridge.column(BloomFilterMightContain(
+          Literal(baos.toByteArray),
+          ColumnBridge.expression(col("h"))))
+        val tagged = grams.withColumn("might_dup", might)
+        if (trackBloomStats) {
+          bloomProbedGrams.addAndGet(tagged.count())
+          bloomPassedGrams.addAndGet(tagged.filter(col("might_dup")).count())
+        }
+        joined(tagged.filter(col("might_dup")).drop("might_dup"))
+          .unionByName(tagged.filter(!col("might_dup")).drop("might_dup")
+            .withColumn("dup", lit(0L)))
+    }
+  }
+
+  /** Spec hooks for the bloom front-filter: when enabled, counts grams
+    * probed vs grams that passed the bloom into the join.
+    */
+  @volatile private[graft] var trackBloomStats = false
+  private[graft] val bloomProbedGrams = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val bloomPassedGrams = new java.util.concurrent.atomic.AtomicLong
 
   /** Stream-stream interval join (purchase→click attribution): each
     * purchase matches the same user's clicks in the preceding

@@ -116,4 +116,107 @@ object Maintenance {
     */
   def readEvolved(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(tablePath)
+
+  // --------------------------------------------- gram-index maintenance
+
+  /** Compact a gram index (the single-`h`-column sidecar table
+    * `streaming.EventsStreaming.dupFlaggedAppend` maintains) into a
+    * hash-prefix-bucketed, sorted layout:
+    *
+    *   - rows land under `hb=<pmod(h, buckets)>` partition directories,
+    *     so a bounded probe (spot audit, targeted backfill) reads ONLY
+    *     the buckets its grams hash into ([[prunedGramIndex]]) —
+    *     partition pruning at the file listing, before any IO;
+    *   - files are sorted by `h` within each bucket, so parquet row-group
+    *     min/max stats range-prune even inside a bucket;
+    *   - the bucket count is recorded in a `_graft_buckets` sidecar and
+    *     the streaming append honors it from then on (new grams keep
+    *     landing inside their bucket directory — the layout never
+    *     regresses to mixed-root files);
+    *   - the accreted small append files (one per micro-batch) coalesce
+    *     into `buckets` files — the same small-files motivation as
+    *     [[compact]].
+    *
+    * Swap is rename-based with a recovery rule: the rewrite lands in
+    * `<path>.__compact_tmp`, the live dir moves to `<path>.__compact_old`,
+    * tmp moves live, old is deleted. A crash between the two renames
+    * leaves `.__compact_old` behind with no live dir — the next call (or
+    * [[recoverGramIndex]]) moves it back before doing anything else, so
+    * the index is never lost, only un-compacted. The bloom sidecar is
+    * carried across the swap unchanged (it is layout-independent).
+    */
+  def compactGramIndex(
+      spark: SparkSession, indexPath: String, buckets: Int = 64): Unit = {
+    require(buckets > 0)
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverGramIndex(spark, indexPath)
+    require(fs.exists(p), s"no gram index at $indexPath")
+    val tmp = new Path(indexPath + ".__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(indexPath).select("h")
+      .withColumn("hb", pmod(col("h"), lit(buckets)).cast("int"))
+      .repartition(buckets, col("hb"))
+      .sortWithinPartitions("h")
+      .write.partitionBy("hb").parquet(tmp.toString)
+    // carry the layout-independent sidecars, then declare the bucketing
+    val bloom = new Path(p, "_graft_gram_bloom")
+    if (fs.exists(bloom))
+      org.apache.hadoop.fs.FileUtil.copy(fs, bloom, fs,
+        new Path(tmp, "_graft_gram_bloom"), false,
+        spark.sparkContext.hadoopConfiguration)
+    val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
+    try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
+    val old = new Path(indexPath + ".__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    fs.delete(old, true)
+  }
+
+  /** Restore a gram index stranded by a crash mid-swap (live dir absent,
+    * `.__compact_old` present). No-op otherwise.
+    */
+  def recoverGramIndex(spark: SparkSession, indexPath: String): Unit = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(indexPath + ".__compact_old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
+  /** Declared bucket count of a gram index (the `_graft_buckets`
+    * sidecar), None for the flat pre-compaction layout.
+    */
+  def gramIndexBuckets(spark: SparkSession, indexPath: String): Option[Int] = {
+    val f = new Path(new Path(indexPath), "_graft_buckets")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Bucket-pruned read of a compacted gram index for a BOUNDED probe
+    * set: the probe's bucket ids (≤ `buckets` values, one bounded
+    * driver-side collect) become a partition filter, so the scan lists
+    * and reads only the matching `hb=` directories. Falls back to the
+    * full read on a flat (pre-compaction) index. This is the
+    * spot-audit/targeted-lookup path; a full micro-batch probe touches
+    * ~every bucket of a uniform hash family and goes through the bloom +
+    * equi-join instead.
+    */
+  def prunedGramIndex(
+      spark: SparkSession, indexPath: String, probeHs: DataFrame): DataFrame =
+    gramIndexBuckets(spark, indexPath) match {
+      case None => spark.read.parquet(indexPath).select("h")
+      case Some(b) =>
+        val hbs = probeHs
+          .select(pmod(col("h"), lit(b)).cast("int").as("hb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(indexPath)
+          .filter(col("hb").isInCollection(hbs))
+          .select("h")
+    }
 }

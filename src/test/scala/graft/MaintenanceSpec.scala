@@ -64,4 +64,123 @@ class MaintenanceSpec extends AnyFunSuite {
     // numeric batch column cast to the table's type on the common columns
     assert(spark.read.parquet(dir).schema("score").dataType.typeName == "double")
   }
+
+  test("compactGramIndex buckets the index; pruned probe reads only matching buckets") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gramidx")
+    val idxPath = base.resolve("gram_index").toString
+    // accreted flat layout: several small append files (the micro-batch shape)
+    (0 until 4).foreach { k =>
+      (0 until 500).map(i => (k * 10000L + i * 7L))
+        .toDF("h").coalesce(1).write.mode("append").parquet(idxPath)
+    }
+    val before = spark.read.parquet(idxPath).select("h")
+      .collect().map(_.getLong(0)).sorted
+
+    Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+
+    // layout: hb= partition dirs, no data files at the root, sidecar set
+    val root = new java.io.File(idxPath)
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("hb=")), dirs.mkString(","))
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "no data files may remain at the index root")
+    assert(Maintenance.gramIndexBuckets(spark, idxPath).contains(8))
+    // data identical
+    val after = spark.read.parquet(idxPath).select("h")
+      .collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(before), "compaction must not change the gram set")
+
+    // bounded probe: partition pruning reaches the scan — only the
+    // probe grams' buckets are listed/read
+    val probe = Seq(before.head, before.last).toDF("h")
+    val pruned = Maintenance.prunedGramIndex(spark, idxPath, probe)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    val expectedBuckets = Set(before.head % 8, before.last % 8).size
+    assert(scan.head.selectedPartitions.partitionCount == expectedBuckets,
+      s"probe must read ${expectedBuckets} bucket(s), " +
+        s"read ${scan.head.selectedPartitions.partitionCount}")
+    assert(scan.head.toString.contains("PartitionFilters"))
+    // semantics: the pruned view still contains the probed grams
+    val got = pruned.join(probe, Seq("h"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(before.head, before.last))
+
+    // post-compaction APPENDS keep the bucketed layout (no mixed root)
+    Seq(999999983L).toDF("h")
+      .withColumn("hb", pmod(col("h"), lit(8)).cast("int"))
+      .write.mode("append").partitionBy("hb").parquet(idxPath)
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    assert(spark.read.parquet(idxPath).count() == before.length + 1)
+
+    // crash-mid-swap recovery: live dir missing, __compact_old present
+    val p = new java.io.File(idxPath)
+    val old = new java.io.File(idxPath + ".__compact_old")
+    assert(p.renameTo(old))
+    Maintenance.recoverGramIndex(spark, idxPath)
+    assert(spark.read.parquet(idxPath).count() == before.length + 1,
+      "recovery must restore the stranded index")
+  }
+
+  test("dupFlaggedAppend keeps flagging correctly across a mid-stream compaction") {
+    import graft.streaming.EventsStreaming
+    // batches 0,1 land on the flat index; compaction rewrites it to the
+    // bucketed layout; batch 2 must (a) append INSIDE buckets, (b) flag
+    // its spans against everything landed, identically to an
+    // uncompacted from-scratch run
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val parts = Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300))
+    val base = java.nio.file.Files.createTempDirectory("graft_gramidx_stream")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    def land(k: Int): Unit = {
+      val tmp = base.resolve(s"tmp$k").toString
+      parts(k).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"batch$k.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val schema = spark.read.parquet(sf + "/documents.parquet").schema
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    land(0); land(1); run()
+    Maintenance.compactGramIndex(spark, idxPath, buckets = 16)
+    land(2); run()
+    // reference: plain replay of the asymmetric contract over all parts
+    def windows(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    var landed = Set.empty[String]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    parts.foreach { pdf =>
+      val rows = pdf.select("doc_id", "text").collect()
+      rows.foreach { r =>
+        val ws = windows(r.getString(1))
+        expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
+      }
+      landed ++= rows.flatMap(r => windows(r.getString(1)))
+    }
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected.toMap, "flags must be unchanged by compaction")
+    // index stayed a set, inside buckets only
+    assert(spark.read.parquet(idxPath).select("h").count() == landed.size)
+    assert(!new java.io.File(idxPath).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "post-compaction appends must land inside hb= buckets")
+  }
 }

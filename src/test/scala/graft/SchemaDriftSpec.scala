@@ -139,6 +139,22 @@ class SchemaDriftSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("empty-dir fallback IS the declared contract (one definition, no drift)") {
+    // the streaming fallback used to carry its own StructType copy next
+    // to everything Tables knows — two declarations drift. Pin: the
+    // empty-dir stream's schema is exactly Tables.eventsContractSchema
+    // modulo the ts normalization every events path applies (NTZ → TS).
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_contract_stream").toString
+    val stream = EventsStreaming.readEventsDir(spark, dir)
+    val normalizedContract = StructType(Tables.eventsContractSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampType)
+      case f => f
+    })
+    assert(stream.schema.map(f => (f.name, f.dataType)) ==
+      normalizedContract.map(f => (f.name, f.dataType)))
+  }
+
   test("stream setup over an EMPTY directory falls back to the contract schema") {
     // production shape: the stream is set up before the first file lands;
     // schema inference has nothing to read, so the reader assumes the

@@ -107,66 +107,212 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventsStreaming.antiJoinedBatches.get() == anti0)
   }
 
-  test("dupFlaggedAppend scores each arrival only against earlier batches") {
-    import org.apache.spark.sql.types._
-    // three ordered arrivals of the documents fixture; each batch's
-    // n_dup_vs_landed must count exactly the windows present in
-    // STRICTLY earlier batches (asymmetric incremental contract)
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val parts = Seq(
-      docs.filter(col("doc_id") < 150),
-      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
-      docs.filter(col("doc_id") >= 300))
-    val base = java.nio.file.Files.createTempDirectory("graft_dupflag")
+  // ----- dupFlaggedAppend helpers: staged multi-file arrival + reference
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Stage each part as one parquet file in an arrival dir, mtimes in
+    * part order (arrival order = file mtime order for maxFilesPerTrigger=1).
+    */
+  private def stageArrival(base: java.nio.file.Path,
+      parts: Seq[org.apache.spark.sql.DataFrame],
+      startK: Int = 0): String = {
     val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
-    parts.zipWithIndex.foreach { case (p, k) =>
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val k = startK + i
       val tmp = base.resolve(s"tmp$k").toString
       p.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = srcDir.resolve(s"batch$k.parquet")
       java.nio.file.Files.copy(part.toPath, dst)
-      // arrival order = file mtime order for maxFilesPerTrigger=1
       dst.toFile.setLastModified(1700000000000L + k * 60000L)
     }
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir.toString)
-    val outPath = base.resolve("flagged").toString
-    val idxPath = base.resolve("gram_index").toString
-    val q = EventsStreaming.dupFlaggedAppend(stream, outPath, idxPath, n = 8)
-    q.processAllAvailable(); q.stop()
+    srcDir.toString
+  }
 
-    // reference: plain Scala replay of the asymmetric contract
-    def windows(text: String): Seq[String] = {
-      val w = text.split(" ", -1)
-      if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
-    }
+  private def docStream(srcDir: String) = spark.readStream
+    .schema(docSchema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+  private def windows8(text: String): Seq[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+  }
+
+  /** Plain Scala replay of the asymmetric contract: per-doc
+    * (n_windows, n_dup_vs_landed) plus the landed distinct-gram set.
+    */
+  private def dupFlagReference(parts: Seq[org.apache.spark.sql.DataFrame])
+      : (Map[Long, (Long, Long)], Set[String]) = {
     var landed = Set.empty[String]
     val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     parts.foreach { p =>
       val rows = p.select("doc_id", "text").collect()
       rows.foreach { r =>
-        val ws = windows(r.getString(1))
+        val ws = windows8(r.getString(1))
         expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
       }
-      landed ++= rows.flatMap(r => windows(r.getString(1)))
+      landed ++= rows.flatMap(r => windows8(r.getString(1)))
     }
+    (expected.toMap, landed)
+  }
+
+  private def assertFlagsMatch(outPath: String,
+      expected: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] = {
     val got = spark.read.parquet(outPath)
       .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.size == expected.size, s"${got.size} docs landed, expected ${expected.size}")
     val diff = expected.filter { case (id, e) => got(id) != e }
     assert(diff.isEmpty, s"${diff.size} docs mis-flagged, e.g. ${diff.take(3)}")
+    got
+  }
+
+  private def fixtureParts(): Seq[org.apache.spark.sql.DataFrame] = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300))
+  }
+
+  test("dupFlaggedAppend scores each arrival only against earlier batches") {
+    // three ordered arrivals of the documents fixture; each batch's
+    // n_dup_vs_landed must count exactly the windows present in
+    // STRICTLY earlier batches (asymmetric incremental contract)
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_dupflag")
+    val srcDir = stageArrival(base, parts)
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    // spy on every micro-batch's output plan: the probe must carry no
+    // Aggregate/Distinct whose whole subtree is the index scan (the
+    // O(landed-history)-per-batch shape this sink is specified against)
+    val plans = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    EventsStreaming.planSpy = Some(df => plans.synchronized {
+      plans += df.queryExecution.optimizedPlan })
+    try {
+      val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    } finally EventsStreaming.planSpy = None
+
+    val (expected, landed) = dupFlagReference(parts)
+    val got = assertFlagsMatch(outPath, expected)
     assert(got.values.exists(_._2 > 0),
       "fixture boilerplate should produce cross-batch duplicated windows")
-    // the index holds exactly the distinct grams of everything landed
-    assert(spark.read.parquet(idxPath).distinct().count() == landed.size)
+    // the index is a SET holding exactly the landed distinct grams — the
+    // append is anti-joined, so row count EQUALS distinct count
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "index must hold each landed gram exactly once")
+    // plan audit: no aggregation over the index scan alone
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // one label per leaf: the index relation's path, or the node name for
+    // non-relation leaves (checkpointed grams arrive as LogicalRDD)
+    def leafLabels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.collectLeaves().map {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.getClass.getSimpleName
+        }
+        case other => other.nodeName
+      }
+    assert(plans.nonEmpty, "plan spy should observe every micro-batch")
+    plans.foreach { plan =>
+      plan.foreach {
+        case agg: Aggregate =>
+          val leaves = leafLabels(agg)
+          assert(!(leaves.nonEmpty && leaves.forall(_.contains("gram_index"))),
+            s"probe aggregates over the index scan alone:\n$agg")
+        case _ => ()
+      }
+    }
+
+    // full re-delivery by a FRESH query (at-least-once): the doc_id
+    // safety net lands zero rows and the top-up leg appends zero grams —
+    // the index stays a set, byte-for-byte the same content
+    val q2 = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == expected.size,
+      "re-delivery must land zero duplicate rows")
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "re-delivery must append zero grams — the index stays a set")
+  }
+
+  test("dupFlaggedAppend tops up the index for landed-but-unindexed docs") {
+    // the crash window between the flagged-output append and the index
+    // append: output landed, grams never indexed. Simulate the resulting
+    // state (landed output + missing index), then re-deliver: the replay
+    // batch's docs are all landed (fresh is empty), so the TOP-UP leg
+    // must re-derive their grams and restore the index — and the NEXT
+    // batch must be flagged against it exactly as a from-scratch run.
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_dupflag_topup")
+    val src1 = stageArrival(base, parts.take(1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val q1 = EventsStreaming.dupFlaggedAppend(docStream(src1), outPath, idxPath, n = 8)
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(outPath).count()
+    // wipe the index — the landed-but-unindexed state a torn batch leaves
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(idxPath))
+    // fresh query re-delivers part 0 (replay → top-up), then parts 1,2
+    stageArrival(base, parts.drop(1), startK = 1)
+    val q2 = EventsStreaming.dupFlaggedAppend(docStream(src1), outPath, idxPath, n = 8)
+    q2.processAllAvailable(); q2.stop()
+    val (expected, landed) = dupFlagReference(parts)
+    assertFlagsMatch(outPath, expected)
+    assert(spark.read.parquet(outPath).count() == expected.size && n1 < expected.size)
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "top-up must restore the full landed gram set, exactly once each")
+  }
+
+  test("bloom front-filter skips the index join for novel grams, flags exact") {
+    import spark.implicits._
+    // batch 0: boilerplate corpus; batch 1: mostly novel docs plus a few
+    // repeating batch-0 spans verbatim. The bloom sidecar must route the
+    // novel grams around the index join (no false negatives ⇒ exactness
+    // is free) — ≥90% of batch-1 grams skip the shuffle.
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"b${i % 4}_$j").mkString(" "), "en", "s0", 0L))
+    val novel = (100 until 400).map(i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "), "en", "s1", 0L))
+    val echo = (500 until 504).map(i =>
+      (i.toLong, (0 until 30).map(j => s"b${i % 4}_$j").mkString(" "), "en", "s1", 0L))
+    val p0 = boiler.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p1 = (novel ++ echo).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft_dupflag_bloom")
+    val srcDir = stageArrival(base, Seq(p0, p1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    EventsStreaming.trackBloomStats = true
+    EventsStreaming.bloomProbedGrams.set(0)
+    EventsStreaming.bloomPassedGrams.set(0)
+    try {
+      val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    } finally EventsStreaming.trackBloomStats = false
+    val (expected, _) = dupFlagReference(Seq(p0, p1))
+    val got = assertFlagsMatch(outPath, expected)
+    assert(got.collect { case (k, v) if k >= 500 => v }.forall(_._2 > 0),
+      "echo docs must be flagged against batch-0 boilerplate")
+    assert(got.collect { case (k, v) if k >= 100 && k < 500 => v }.forall(_._2 == 0L),
+      "novel docs must not be flagged")
+    val probed = EventsStreaming.bloomProbedGrams.get().toDouble
+    val passed = EventsStreaming.bloomPassedGrams.get().toDouble
+    assert(probed > 0, "batch 1 must probe the bloom")
+    assert(passed / probed <= 0.1,
+      f"bloom should skip >=90%% of novel grams (passed ${passed / probed}%.3f)")
   }
 
   test("foreachBatch append sink is idempotent across stream replays") {
@@ -245,6 +391,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(factPath).count() == n1)
     assert(EventsStreaming.antiJoinedBatches.get() > anti0,
       "a fresh query must use the safety net, not the foreign mark")
+  }
+
+  test("hwm sidecar write failure is surfaced, data stays correct") {
+    // a persistently unwritable hwm sidecar demotes every future batch to
+    // the anti-join safety net — safe, but it must be OBSERVABLE: the
+    // failure counter fires (and a once-per-sink warning logs) while the
+    // data path stays exact
+    val base = java.nio.file.Files.createTempDirectory("graft_hwm_fail").toString
+    val factPath = s"$base/events"
+    val q1 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath)
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(factPath).count()
+    assert(n1 > 0)
+    // poison the sidecar: its temp path becomes a NON-EMPTY DIRECTORY,
+    // which fs.create(overwrite = true) cannot replace
+    new java.io.File(factPath, "_graft_hwm").delete()
+    val poison = new java.io.File(factPath, "._graft_hwm.tmp")
+    assert(poison.mkdirs())
+    assert(new java.io.File(poison, "block").createNewFile())
+    val fails0 = EventsStreaming.hwmWriteFailures.get()
+    val q2 = EventsStreaming.appendWithDedup(
+      EventsStreaming.readEvents(spark, sf), factPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(factPath).count() == n1,
+      "the degraded sink must still dedup exactly via the safety net")
+    assert(EventsStreaming.hwmWriteFailures.get() > fails0,
+      "an unwritable hwm sidecar must be counted, not swallowed")
   }
 
   test("appendWithDedup drops duplicate keys arriving within one micro-batch") {
