@@ -348,6 +348,15 @@ object ExplainCheck {
       p.contains("partial_") && !p.contains("CartesianProduct") &&
         !p.contains("windowspecdefinition")
     }
+    // span-length histogram: the gaps-and-islands window must PARTITION
+    // on doc_id (per-doc frames bounded by the doc's own token count) —
+    // an unpartitioned window here is a full-corpus single-reducer sort
+    check("dd_dup_span_hist", "islands window partitioned per doc") { p =>
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      parts.nonEmpty && parts.forall(_ == "doc_id") &&
+        !p.contains("CartesianProduct")
+    }
     // census normalizers: the temperature partition function and the
     // token total are window sums OVER the #sources census — a
     // crossJoin-broadcast normalizer re-executes the census lineage,

@@ -430,6 +430,55 @@ object Dedup {
         coalesce(col("trimmed"), lit("")).as("trimmed"))
   }
 
+  /** Maximal duplicated spans — the Lee-et-al-style duplicate-LENGTH
+    * census the per-window counts cannot give: adjacent/overlapping
+    * duplicated windows coalesce into maximal contiguous runs, so a
+    * 50-token verbatim quote reports as ONE span of 50, not 43
+    * overlapping windows. The span-length distribution (per source) is
+    * what decides the window size `n` itself: if most mass sits at
+    * exactly n, the threshold is clipping real duplication and n is too
+    * large; a long tail far above n says n can grow without losing
+    * recall.
+    *
+    * Same ownership semantics as [[trimDupSpans]]: only NON-OWNER
+    * occurrences count (the canonical min-doc_id owner keeps its text,
+    * so its copy is not "duplicated mass" to remove).
+    *
+    * Scale shape: the same two hash-shuffles as the census, then island
+    * detection as `ti - row_number()` over a window PARTITIONED BY
+    * doc_id — per-doc frames only (a doc's covered positions are bounded
+    * by its own token count), never a global sort. Output:
+    * (doc_id, span_start, span_len) — 0-based token position.
+    */
+  def dupSpanIslands(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val grams = positionedGrams(toks, n)
+    val owners = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
+      .filter(col("owner") =!= col("hi"))
+      .select("h", "owner")
+    val covered = grams.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+    // gaps-and-islands: ti minus its per-doc rank is constant within a
+    // contiguous run — one partitioned window, then a plain hash agg
+    val w = Window.partitionBy("doc_id").orderBy("ti")
+    covered
+      .withColumn("grp", col("ti") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("ti")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash signatures per doc, via the native [[graft.plans.SimHash64]]

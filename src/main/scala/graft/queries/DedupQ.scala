@@ -310,6 +310,44 @@ object DedupQ {
       Dedup.trimSelfRepeats(Tables.documents(spark, dir), n = 8)
         .orderBy(col("doc_id")))
 
+  /** Duplicate-span LENGTH distribution per source (maximal spans, not
+    * windows): adjacent duplicated windows coalesce into maximal runs
+    * ([[graft.operators.Dedup.dupSpanIslands]]), and the histogram of
+    * run lengths per source is the Lee-et-al diagnostic that decides the
+    * window size n itself — mass at exactly n means n is clipping real
+    * duplication; a tail far above n means n can grow. The DuckDB oracle
+    * recomputes the islands with the classic ti − row_number() trick
+    * over the same covered-position set.
+    */
+  val ddDupSpanHist = QueryDef(
+    "dd_dup_span_hist",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+           |      FROM (SELECT doc_id, w,
+           |                   unnest(range(1, greatest(len(w) - 6, 1))) AS i
+           |            FROM w)),
+           |own AS (SELECT g, min(doc_id) AS owner FROM g
+           |        GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+           |dup AS (SELECT g.doc_id, g.i FROM g JOIN own USING (g)
+           |        WHERE g.doc_id <> own.owner),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS ti FROM dup),
+           |isl AS (SELECT doc_id,
+           |               ti - row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+           |        FROM cov),
+           |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS span_len
+           |          FROM isl GROUP BY doc_id, grp)
+           |SELECT d.source, s.span_len, CAST(count(*) AS BIGINT) AS n_spans
+           |FROM spans s JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      Dedup.dupSpanIslands(docs, n = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("span_len"))
+        .agg(count(lit(1)).as("n_spans"))
+        .orderBy("source", "span_len")
+    })
+
   /** SimHash near-dup candidates (Hamming ≤ 3 on 64-bit signatures, banded
     * blocking) — oracle-proven since r11 via the PORTABLE hash mode: the
     * per-token hash is the first 16 hex chars of md5(token) (the
@@ -983,6 +1021,7 @@ object DedupQ {
     ddDedupWeights,
     ddExact, ddBowGroups, ddJaccardShingles, ddContainment, ddCdcChunks,
     ddPpjoin, ddMinhashLsh, ddSimhash, ddDupNgramSpans, ddTrimDupSpans, ddSelfRepeatTrim,
+    ddDupSpanHist,
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,

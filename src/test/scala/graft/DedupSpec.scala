@@ -267,6 +267,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 $recall too low")
   }
 
+  test("dupSpanIslands coalesces overlapping windows into maximal spans, owner exempt") {
+    import spark.implicits._
+    // A and B are 8-token blocks; docs 2 and 3 share both, separated by a
+    // unique middle token — the non-owner (3) must report exactly TWO
+    // maximal spans of 8, never the per-window count, and never a merged
+    // span across the unique gap. Docs 0/1 are verbatim copies: the
+    // non-owner's whole 10-token text is ONE span of 10 (3 overlapping
+    // windows coalesced).
+    val blockA = (0 until 8).map(i => s"a$i")
+    val blockB = (0 until 8).map(i => s"b$i")
+    val ten = (0 until 10).map(i => s"t$i")
+    val docs = Seq(
+      (0L, ten.mkString(" ")),
+      (1L, ten.mkString(" ")),
+      (2L, (blockA ++ Seq("x2") ++ blockB).mkString(" ")),
+      (3L, (blockA ++ Seq("y3") ++ blockB).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanIslands(docs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 10L),       // full-copy non-owner: one maximal span
+      (3L, 0L, 8L),        // block A
+      (3L, 9L, 8L)))       // block B, after the unique gap at position 8
+  }
+
   test("bowFingerprint is order- and repetition-invariant") {
     import spark.implicits._
     val fps = Seq("a b c c", "c b a", "b a c c c")
