@@ -21,9 +21,42 @@ import org.apache.spark.sql.functions._
   *
   * Pick `bucketDays` near the TYPICAL interval span: much smaller → the
   * interval side explodes too much; much larger → each bucket pairs too
-  * many non-matches for the residual filter.
+  * many non-matches for the residual filter. The no-`bucketDays`
+  * overloads derive it from the data ([[RangeJoin.autoBucketDays]]) —
+  * a hand-picked width that drifts from the real span distribution is
+  * the one knob that can quietly make these joins explode at scale.
   */
 object RangeJoin {
+
+  /** Derive the bucket width from the interval-span census: the MEDIAN
+    * span (approx_percentile, one scan of the interval side, one bounded
+    * row to the driver), rounded up to whole days, clamped to ≥ 1.
+    * Median, not mean: a heavy tail of long intervals should not widen
+    * every bucket (long intervals explode into more buckets — bounded,
+    * AQE-visible); a median-sized bucket keeps the TYPICAL interval at
+    * ≈1-2 exploded rows while the residual filter stays selective. The
+    * explicit-width overloads remain for callers that know better.
+    */
+  def autoBucketDays(
+      intervals: DataFrame, startCol: String, endCol: String): Int = {
+    val r = intervals
+      .filter(col(startCol) < col(endCol))
+      .select(percentile_approx(
+        (unix_timestamp(col(endCol)) - unix_timestamp(col(startCol))).cast("double"),
+        lit(0.5), lit(10000)).as("med"))
+      .head
+    if (r.isNullAt(0)) 1
+    else math.max(1, math.ceil(r.getDouble(0) / 86400.0).toInt)
+  }
+
+  /** [[intervalJoin]] with the bucket width derived from the interval
+    * side's median span.
+    */
+  def intervalJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String): DataFrame =
+    intervalJoin(points, ptCol, intervals, startCol, endCol,
+      autoBucketDays(intervals, startCol, endCol))
 
   def intervalJoin(
       points: DataFrame, ptCol: String,
@@ -59,6 +92,20 @@ object RangeJoin {
     * timestamps (`max(s) ≤ min(e) − 1s` whenever the overlap is
     * non-empty).
     */
+  /** [[overlapJoin]] with the bucket width derived from the combined
+    * span census of BOTH sides (the self-join case sees its distribution
+    * once on each leg — the median is unchanged).
+    */
+  def overlapJoin(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      keys: Seq[String]): DataFrame = {
+    val spans = left.select(col(lStart).as("s"), col(lEnd).as("e"))
+      .unionByName(right.select(col(rStart).as("s"), col(rEnd).as("e")))
+    overlapJoin(left, lStart, lEnd, right, rStart, rEnd,
+      autoBucketDays(spans, "s", "e"), keys)
+  }
+
   def overlapJoin(
       left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,

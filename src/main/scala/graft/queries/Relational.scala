@@ -564,8 +564,11 @@ object Relational {
           (col("l_shipdate") + expr("INTERVAL 14 DAYS")).as("w_end"))
       val pts = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderdate"))
+      // no explicit bucketDays: derived from the interval-span census
+      // (all spans are 14 days here → auto picks 14) — the graded query
+      // exercises the default path so a census regression can't hide
       graft.operators.RangeJoin.intervalJoin(
-          pts, "o_orderdate", iv, "w_start", "w_end", bucketDays = 14)
+          pts, "o_orderdate", iv, "w_start", "w_end")
         .select(col("ship_orderkey"), col("l_linenumber"), col("o_orderkey"))
     })
 
@@ -594,9 +597,12 @@ object Relational {
         col("o_orderdate").as(s"s$suf"),
         (col("o_orderdate") +
           make_dt_interval(col("o_orderkey") % 5 + 1)).as(s"e$suf"))
+      // auto bucket width from the span census (spans are 1..5 days →
+      // median 3); bucketization is correctness-neutral, so the oracle
+      // pins the auto path end to end
       graft.operators.RangeJoin.overlapJoin(
           iv("_a"), "s_a", "e_a", iv("_b"), "s_b", "e_b",
-          bucketDays = 7, keys = Seq("c"))
+          keys = Seq("c"))
         .filter(col("k_a") < col("k_b"))
         .select(col("c"), col("k_a"), col("k_b"),
           datediff(least(col("e_a"), col("e_b")),

@@ -147,6 +147,39 @@ class PropertySpec extends AnyFunSuite {
       s"missed ${(naive.toSet -- got).size}, extra ${(got.toSet -- naive.toSet).size}")
   }
 
+  test("autoBucketDays tracks the median span within 2x; auto overlap join stays exact") {
+    // random spans centered around ~6 days: the derived width must land
+    // within 2x of the true median (the done-bar for the census default),
+    // and the no-bucketDays overload must produce the same exact pair
+    // set as any hand-picked width (bucketization is correctness-neutral)
+    val base = 1704067200L
+    val rows = (1 to 300).map { i =>
+      val s = base + rnd.nextInt(90 * 86400).toLong
+      val span = 86400L + rnd.nextInt(11 * 86400)
+      (i.toLong, i % 3, s, s + span)
+    }
+    val df = rows.toDF("id", "g", "ss", "es")
+      .select(col("id"), col("g"),
+        timestamp_seconds(col("ss")).as("s"), timestamp_seconds(col("es")).as("e"))
+    val trueMedianDays = rows.map(r => r._4 - r._3).sorted
+      .apply(rows.size / 2) / 86400.0
+    val auto = graft.operators.RangeJoin.autoBucketDays(df, "s", "e")
+    assert(auto >= trueMedianDays / 2 && auto <= trueMedianDays * 2,
+      s"auto=$auto days vs true median $trueMedianDays days")
+    def side(suf: String) = df.select(col("g"), col("id").as(s"id$suf"),
+      col("s").as(s"s$suf"), col("e").as(s"e$suf"))
+    val got = graft.operators.RangeJoin.overlapJoin(
+        side("_a"), "s_a", "e_a", side("_b"), "s_b", "e_b", keys = Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = for {
+      (i1, g1, s1, e1) <- rows; (i2, g2, s2, e2) <- rows
+      if g1 == g2 && i1 < i2 && s1 < e2 && s2 < e1
+    } yield (i1, i2)
+    assert(got.length == got.toSet.size && got.toSet == naive.toSet)
+  }
+
   test("SCD2 invariants hold across a randomized 6-step update/delete sequence") {
     val keys = Seq("A", "B", "C", "D")
     def at(off: Long) = new Timestamp(1700000000000L + off * 3600000L)
