@@ -432,9 +432,14 @@ object QuantGates {
     * runtime long before it changes any answer, so it must be auditable
     * from a census row, not discovered in a bench tail. Gates:
     * candidates stay a vanishing fraction of the all-pairs space (the
-    * prefix filter's whole point) and every verified pair came from a
-    * candidate (containment — the exactness direction the oracle can't
-    * see once the candidate stage is internal).
+    * prefix filter's whole point), no TRUE pair escapes the candidate
+    * stage, and the verified output equals the truth exactly. The truth
+    * set is computed INDEPENDENTLY of the prefix machinery (the same
+    * inverted-index all-pairs Jaccard `qc_quant_gates` grades LSH with —
+    * it shares nothing with PPJoin's df-ordering/prefix/length logic),
+    * so a candidate-stage regression that drops pairs actually trips
+    * the gate — the r11 containment check joined the candidate set
+    * against itself and could never fire.
     */
   val qcPpjoinCandidates = QueryDef(
     "qc_ppjoin_candidates",
@@ -449,10 +454,29 @@ object QuantGates {
       val nCand = cands.count().toDouble
       // verify the CACHED candidates — the prefix self-join (the very
       // cost this gate audits) runs once, not twice
-      val verified = Dedup.verifyPpjoinCandidates(docs, cands, JACCARD_T,
-        "text", "doc_id", 3).select("id_a", "id_b")
+      val verified = graft.ScopedCache.replace("qc_ppjoin.verified",
+        Dedup.verifyPpjoinCandidates(docs, cands, JACCARD_T,
+          "text", "doc_id", 3).select("id_a", "id_b"))
       val nVer = verified.count().toDouble
-      val escaped = verified.join(cands, Seq("id_a", "id_b"), "left_anti").count()
+      // independent truth: inverted-index exact all-pairs Jaccard — no
+      // prefix filter, no df ordering, no length bound
+      val sh = docs.select(col("doc_id"),
+        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
+      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+      val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+      val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+      val truth = ex.join(ex2, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
+        .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= JACCARD_T)
+        .select("id_a", "id_b")
+      val missedByCands = truth.join(cands, Seq("id_a", "id_b"), "left_anti").count()
+      val verDiff =
+        truth.join(verified, Seq("id_a", "id_b"), "left_anti").count() +
+          verified.join(truth, Seq("id_a", "id_b"), "left_anti").count()
       Seq(
         ("ppjoin_verified_pairs", nVer, 1.0, ">=",
           s"candidates=${nCand.toLong} all_pairs=${allPairs.toLong}"),
@@ -460,7 +484,9 @@ object QuantGates {
           if (nVer == 0) 0.0 else nCand / nVer, 50.0, "<=", ""),
         ("ppjoin_candidate_fraction_of_allpairs",
           if (allPairs == 0) 0.0 else nCand / allPairs, 0.05, "<=", ""),
-        ("ppjoin_verified_outside_candidates", escaped.toDouble, 0.0, "<=", "")
+        ("ppjoin_true_pairs_missing_from_candidates",
+          missedByCands.toDouble, 0.0, "<=", "vs independent inverted-index truth"),
+        ("ppjoin_verified_vs_truth_diff", verDiff.toDouble, 0.0, "<=", "")
       ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {
           case ">=" => value >= threshold
