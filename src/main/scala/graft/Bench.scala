@@ -21,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   *     warm). Interleaving separates the two timings of each query by
   *     the full suite length (~minutes), so a bounded contention window
   *     can poison at most one of them. Both passes land in
-  *     target/bench_full.json, and when they disagree >3× in aggregate
-  *     the emitted line carries "contended":true — a phantom tail is
-  *     self-evident instead of needing a judge re-run.
+  *     target/bench_full.json, and the emitted line carries
+  *     "contended":true when the passes disagree >3× in aggregate OR
+  *     any single query's passes disagree >5× (>1s apart) — aggregate
+  *     dilution must not hide a per-query phantom (the documented r10
+  *     failure class); the disputed query names land in
+  *     target/bench_full.json's "disputed" list.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,7 +74,15 @@ object Bench {
     val results = pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
     val total = results.map(_._2).sum
     val worstTotal = pass1.map { case (n, t1) => math.max(t1, p2(n)) }.sum
-    val contended = worstTotal > 3 * total
+    // contention is flagged BOTH in aggregate and per query: a single
+    // phantom (one 40s-vs-2s outlier, the r10 failure mode) is diluted
+    // to invisibility in a ~190-query total, so any query whose two
+    // passes disagree >5x (with >1s absolute spread, so micro-query
+    // jitter can't trip it) marks the run contended and is listed
+    val disputed = pass1.collect { case (n, t1)
+      if math.max(t1, p2(n)) > 5 * math.min(t1, p2(n)) &&
+        math.max(t1, p2(n)) - math.min(t1, p2(n)) > 1.0 => n }
+    val contended = worstTotal > 3 * total || disputed.nonEmpty
 
     // Full-precision dump (both passes) for local inspection /
     // round-over-round diffing; a phantom shows as pass1≫pass2 here.
@@ -80,8 +91,9 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
+      val dispList = disputed.map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.write(p,
-        (s"""{"total":$total,"contended":$contended,""" +
+        (s"""{"total":$total,"contended":$contended,"disputed":$dispList,""" +
           s""""queries":${dict(results)},"pass1":${dict(pass1)},""" +
           s""""pass2":${dict(pass2)},"sf":"$sfDir"}\n""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
@@ -101,7 +113,9 @@ object Bench {
         .mkString("{", ",", "}")
       val other = if (small.isEmpty) ""
         else s""","other_n":${small.size},"other_sec":${r2(small.map(_._2).sum)}"""
-      val flag = if (contended) s""","contended":true,"worst_pass_total":${r2(worstTotal)}""" else ""
+      val flag = if (contended)
+        s""","contended":true,"worst_pass_total":${r2(worstTotal)},"disputed_n":${disputed.size}"""
+      else ""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$other$flag,"sf":"$sfDir"}"""
     }
     var keep = results.size
