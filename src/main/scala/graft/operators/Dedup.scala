@@ -136,6 +136,32 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(TextFns.shingleHashes(col(textCol), shingleN)).as("h"))
 
+  /** Per-doc LSH band hashes — the banding front of
+    * [[minhashLshCandidates]] WITHOUT the self-join, exposed for
+    * ASYMMETRIC probes (a micro-batch against a landed signature index,
+    * `streaming.EventsStreaming.nearDupFlaggedAppend`). One row per
+    * (doc, band): (doc_id, band, bucket) — 16 fixed-width rows per doc
+    * at the defaults, ≈10⁻³ of text bytes, the right thing to persist
+    * as an incremental index. Docs shorter than the shingle width get
+    * the all-MaxValue signature (they band-collide only with each other
+    * and exact verification rejects them — empty shingle sets have
+    * jaccard 0 by contract).
+    */
+  def minhashBandHashes(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame =
+    minhashSignatures(docs, textCol, idCol, shingleN, bands * rowsPerBand)
+      .select(col("id").as("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   def minhashLshCandidates(
       docs: DataFrame,
       textCol: String = "text",

@@ -631,6 +631,122 @@ object EventsStreaming {
   private[graft] val bloomProbedGrams = new java.util.concurrent.atomic.AtomicLong
   private[graft] val bloomPassedGrams = new java.util.concurrent.atomic.AtomicLong
 
+  /** Streaming NEAR-dup flagging at ingest — the doc-level LSH
+    * complement of [[dupFlaggedAppend]]'s exact-span probe: every
+    * arriving document is scored against the LANDED corpus for
+    * whole-doc near-duplication (MinHash banding for candidates, exact
+    * shingle-Jaccard verification — precision 1, same contract as
+    * `Dedup.minhashNearDups`) and appended with
+    * (n_near_dups, dup_of, verdict). Asymmetric like the span sink:
+    * docs compare only against STRICTLY earlier batches (arrival order
+    * is the dedup order; within-batch pairs are by-construction out of
+    * scope — run the batch operator over a window for those).
+    *
+    * State is a SIGNATURE index, not text: (doc_id, band, bucket) —
+    * `bands` fixed-width rows per landed doc (≈10⁻³ of corpus bytes).
+    * The per-batch probe broadcasts the batch's band rows, so the index
+    * side streams map-side (no landed shuffle); candidate pairs are
+    * bounded by real bucket collisions, and only the candidates' landed
+    * docs are re-read for exact verification (a semi-join on the landed
+    * output — at 100 TB the landed table is bucketed by doc_id per
+    * `operators.Layout` so that fetch prunes to matching buckets; the
+    * candidate-free steady case skips the landed read entirely).
+    *
+    * Index maintenance mirrors the gram index: fresh docs' band rows
+    * append directly (a never-landed doc is never indexed, because the
+    * index append strictly follows the output append), and the TOP-UP
+    * leg re-indexes batch docs that already landed (crash replay
+    * between the two appends, or full re-delivery) behind a doc-level
+    * anti-join — empty in steady state, batch-bounded always. Replay
+    * safety: the same two-tier hwm + landed-doc_id scheme.
+    */
+  def nearDupFlaggedAppend(docs: DataFrame, outPath: String,
+      sigIndexPath: String,
+      threshold: Double = 0.7, shingleN: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val outP = new org.apache.hadoop.fs.Path(outPath)
+        val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (alreadyCommitted(spark, fs, outPath, batchId)) {
+          hwmSkippedBatches.incrementAndGet()
+          ()
+        } else {
+          val fresh =
+            (if (fs.exists(outP)) {
+              antiJoinedBatches.incrementAndGet()
+              batch.join(spark.read.parquet(outPath).select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+            } else batch.toDF()).localCheckpoint(true)
+          def bandsOf(df: DataFrame) = graft.operators.Dedup.minhashBandHashes(
+            df, "text", "doc_id", shingleN, bands, rowsPerBand)
+          val bandRows = bandsOf(fresh).localCheckpoint(true)
+          val idxP = new org.apache.hadoop.fs.Path(sigIndexPath)
+          val idxExists = fs.exists(idxP)
+          val flags: Option[DataFrame] =
+            if (!idxExists) None
+            else {
+              val idx = spark.read.parquet(sigIndexPath)
+                .select(col("doc_id").as("landed_id"), col("band"), col("bucket"))
+              // broadcast the batch side: the landed index never shuffles
+              val cands = broadcast(bandRows).join(idx, Seq("band", "bucket"))
+                .select(col("doc_id"), col("landed_id")).distinct()
+                .localCheckpoint(true)
+              if (cands.isEmpty) None
+              else {
+                val shNew = fresh.select(col("doc_id"),
+                  graft.functions.TextFns.shingleHashes(col("text"), shingleN).as("sh_a"))
+                val landedIds = cands.select("landed_id").distinct()
+                val shOld = spark.read.parquet(outPath)
+                  .select(col("doc_id").as("landed_id"), col("text"))
+                  .join(broadcast(landedIds), Seq("landed_id"), "left_semi")
+                  .select(col("landed_id"),
+                    graft.functions.TextFns.shingleHashes(col("text"), shingleN).as("sh_b"))
+                val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+                val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+                val verified = cands
+                  .join(shNew, Seq("doc_id"))
+                  .join(shOld, Seq("landed_id"))
+                  .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= threshold)
+                Some(verified.groupBy("doc_id")
+                  .agg(count(lit(1)).as("n_near_dups"),
+                    min(col("landed_id")).as("dup_of")))
+              }
+            }
+          val out0 = flags match {
+            case Some(fl) => fresh.join(fl, Seq("doc_id"), "left")
+            case None => fresh
+              .withColumn("n_near_dups", lit(null).cast("long"))
+              .withColumn("dup_of", lit(null).cast("long"))
+          }
+          out0
+            .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
+            .withColumn("verdict",
+              when(col("dup_of").isNotNull, "near_dup").otherwise("keep"))
+            .write.mode("append").parquet(outPath)
+          // index append: fresh band rows directly (never-landed ⇒ never
+          // indexed); landed-from-batch docs via the anti-joined top-up
+          val topupDocs = batch.join(fresh.select("doc_id"),
+            Seq("doc_id"), "left_anti").localCheckpoint(true)
+          val topupBands =
+            if (topupDocs.isEmpty) None
+            else if (idxExists) Some(bandsOf(topupDocs).join(
+              spark.read.parquet(sigIndexPath).select("doc_id"),
+              Seq("doc_id"), "left_anti"))
+            else Some(bandsOf(topupDocs))
+          topupBands.fold(bandRows)(bandRows.unionByName(_))
+            .write.mode("append").parquet(sigIndexPath)
+          recordCommitted(spark, fs, outPath, batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Stream-stream interval join (purchase→click attribution): each
     * purchase matches the same user's clicks in the preceding
     * `windowMinutes`. Both sides carry watermarks and the join condition

@@ -393,6 +393,82 @@ class StreamingSpec extends AnyFunSuite {
       "a fresh query must use the safety net, not the foreign mark")
   }
 
+  test("nearDupFlaggedAppend flags near-dups against earlier batches only") {
+    import spark.implicits._
+    // batch 0: ten 30-token base docs; batch 1: near-copies (one token
+    // changed, jaccard ~0.8) of five bases + a second near-copy of base
+    // 0 + five unique docs; batch 2: a verbatim copy of base 0. The
+    // asymmetric contract: each doc is flagged against STRICTLY earlier
+    // batches (105 matches 0, not its same-batch sibling 100).
+    def base(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    def mutated(i: Int, pos: Int, tag: String) = {
+      val t = (0 until 30).map(j => s"w${i}_$j").toArray
+      t(pos) = tag; t.mkString(" ")
+    }
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p0 = df((0 until 10).map(i => (i.toLong, base(i))))
+    val p1 = df(
+      (0 until 5).map(i => (100L + i, mutated(i, 15, s"z$i"))) ++
+        Seq((105L, mutated(0, 5, "q105"))) ++
+        (0 until 5).map(i => (110L + i, base(50 + i))))
+    val p2 = df(Seq((200L, base(0))))
+    val parts = Seq(p0, p1, p2)
+    val bse = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val srcDir = stageArrival(bse, parts)
+    val outPath = bse.resolve("flagged").toString
+    val idxPath = bse.resolve("sig_index").toString
+    val q = EventsStreaming.nearDupFlaggedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q.processAllAvailable(); q.stop()
+
+    // reference: plain Scala replay — exact 3-shingle jaccard vs landed
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]) = {
+      val i = (a & b).size.toDouble
+      val u = a.size + b.size - i
+      if (u == 0) 0.0 else i / u
+    }
+    var landed = Vector.empty[(Long, Set[String])]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Option[Long])]
+    parts.foreach { p =>
+      val rows = p.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), sh(r.getString(1))))
+      rows.foreach { case (id, s) =>
+        val m = landed.filter { case (_, ls) => jac(s, ls) >= 0.7 }.map(_._1)
+        expected(id) = (m.size.toLong, m.minOption)
+      }
+      landed ++= rows
+    }
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "n_near_dups", "dup_of", "verdict").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+      .toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (n, dupOf)) =>
+      val (gn, gd, gv) = got(id)
+      assert((gn, gd) == (n, dupOf), s"doc $id: got ($gn,$gd), want ($n,$dupOf)")
+      assert(gv == (if (dupOf.isDefined) "near_dup" else "keep"))
+    }
+    // sanity on the crafted corpus: the verbatim copy matched base 0 AND
+    // both its near-copies; the same-batch sibling pair was NOT compared
+    assert(got(200L)._1 == 3 && got(200L)._2.contains(0L))
+    assert(got(105L)._1 == 1 && got(105L)._2.contains(0L),
+      "105 must match base 0 only — not its same-batch sibling 100")
+    assert((110 until 115).forall(i => got(i.toLong)._3 == "keep"))
+    // the signature index is a per-doc set: bands rows per landed doc
+    assert(spark.read.parquet(idxPath).count() == expected.size * 16L)
+    // full re-delivery by a fresh query: zero new rows, index unchanged
+    val q2 = EventsStreaming.nearDupFlaggedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == expected.size)
+    assert(spark.read.parquet(idxPath).count() == expected.size * 16L,
+      "re-delivery must not grow the signature index")
+  }
+
   test("hwm sidecar write failure is surfaced, data stays correct") {
     // a persistently unwritable hwm sidecar demotes every future batch to
     // the anti-join safety net — safe, but it must be OBSERVABLE: the
