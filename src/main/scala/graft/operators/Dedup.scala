@@ -100,16 +100,26 @@ object Dedup {
     * signature fraction. The band self-join shuffles on (band, bucket),
     * so skewed mega-buckets are visible to AQE's skew-join handling.
     */
-  private def bandedCandidates(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val banded = sigs.select(
+  /** (id, sig, band, bucket) rows from a signature table — THE one
+    * band/bucket derivation, shared by the batch self-join and the
+    * asymmetric probe ([[minhashBandHashes]]) so a landed signature
+    * index and a live candidate join can never bucket differently.
+    */
+  private def bandRowsOf(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  private def bandedCandidates(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded = bandRowsOf(sigs, bands, rowsPerBand)
 
     val a = banded.as("a")
     val b = banded.as("b")
@@ -154,13 +164,10 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 2): DataFrame =
-    minhashSignatures(docs, textCol, idCol, shingleN, bands * rowsPerBand)
-      .select(col("id").as("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bandRowsOf(
+      minhashSignatures(docs, textCol, idCol, shingleN, bands * rowsPerBand),
+      bands, rowsPerBand)
+      .select(col("id").as("doc_id"), col("band"), col("bucket"))
 
   def minhashLshCandidates(
       docs: DataFrame,
@@ -382,15 +389,24 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFns.tokens(col(textCol)).as("w"))
-    val grams = positionedGrams(toks, n)
+    val dupWins = nonOwnerDupWindows(positionedGrams(toks, n))
+    rebuildWithoutWindows(toks, dupWins, n)
+  }
+
+  /** Window positions duplicated ACROSS docs, excluding each window's
+    * canonical owner (the min doc_id containing it) — the ONE cut-set
+    * derivation shared by the cross-doc trim and the span-length census,
+    * so "same ownership semantics" is enforced structurally rather than
+    * by keeping two copies in sync. Output: (doc_id, pos).
+    */
+  private def nonOwnerDupWindows(grams: DataFrame): DataFrame = {
     val owners = grams.groupBy("h")
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
       .filter(col("owner") =!= col("hi"))
       .select("h", "owner")
-    val dupWins = grams.join(owners, Seq("h"))
+    grams.join(owners, Seq("h"))
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("pos"))
-    rebuildWithoutWindows(toks, dupWins, n)
   }
 
   /** Within-doc self-repeat TRIM: cut every n-token window whose gram
@@ -484,13 +500,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFns.tokens(col(textCol)).as("w"))
-    val grams = positionedGrams(toks, n)
-    val owners = grams.groupBy("h")
-      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
-      .filter(col("owner") =!= col("hi"))
-      .select("h", "owner")
-    val covered = grams.join(owners, Seq("h"))
-      .filter(col("doc_id") =!= col("owner"))
+    val covered = nonOwnerDupWindows(positionedGrams(toks, n))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
       .distinct()

@@ -25,6 +25,31 @@ object QuantGates {
 
   private val JACCARD_T = 0.7
 
+  /** Exact all-pairs shingle-Jaccard truth (id_a < id_b, jaccard ≥ t)
+    * via the inverted-index join — the ONE ground-truth construction
+    * every similarity gate grades against (LSH in `qc_quant_gates`,
+    * the candidate stage in `qc_ppjoin_candidates`). Shares nothing
+    * with the machinery under audit: no prefix filter, no df ordering,
+    * no banding.
+    */
+  private def exactJaccardPairs(
+      docs: org.apache.spark.sql.DataFrame, shingleN: Int,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFns.shingleHashes(col("text"), shingleN).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
+    val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
+    ex.join(ex2, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= t)
+      .select("id_a", "id_b")
+  }
+
   val qcQuantGates = QueryDef(
     "qc_quant_gates",
     None,
@@ -35,19 +60,7 @@ object QuantGates {
       // ---- ground truth: exact all-pairs shingle Jaccard ≥ 0.7 via the
       // inverted-index join (the same shape dd_jaccard_shingles pins
       // against DuckDB, here over ALL pairs, no probe slice)
-      val sh = docs.select(col("doc_id"),
-        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
-      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-      val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
-      val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
-      val truth = ex.join(ex2, Seq("shingle"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
-        .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= JACCARD_T)
-        .select("id_a", "id_b")
+      val truth = exactJaccardPairs(docs, 3, JACCARD_T)
       val nTruth = truth.count()
 
       // ---- gate 1/2: MinHash+LSH graded as a PAIR-SET DIFF, not a ratio:
@@ -459,20 +472,9 @@ object QuantGates {
           "text", "doc_id", 3).select("id_a", "id_b"))
       val nVer = verified.count().toDouble
       // independent truth: inverted-index exact all-pairs Jaccard — no
-      // prefix filter, no df ordering, no length bound
-      val sh = docs.select(col("doc_id"),
-        graft.functions.TextFns.shingleHashes(col("text"), 3).as("s"))
-      val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-      val ex = sh.select(col("doc_id").as("id_a"), explode(col("s")).as("shingle"))
-      val ex2 = sh.select(col("doc_id").as("id_b"), explode(col("s")).as("shingle"))
-      val truth = ex.join(ex2, Seq("shingle"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.toDF("id_a", "na")), "id_a")
-        .join(broadcast(sizes.toDF("id_b", "nb")), "id_b")
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= JACCARD_T)
-        .select("id_a", "id_b")
+      // prefix filter, no df ordering, no length bound (shared helper
+      // with qc_quant_gates so both gates grade against ONE truth)
+      val truth = exactJaccardPairs(docs, 3, JACCARD_T)
       val missedByCands = truth.join(cands, Seq("id_a", "id_b"), "left_anti").count()
       val verDiff =
         truth.join(verified, Seq("id_a", "id_b"), "left_anti").count() +

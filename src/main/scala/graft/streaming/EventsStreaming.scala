@@ -85,6 +85,32 @@ object EventsStreaming {
     }
   }
 
+  /** True iff the sink path holds at least one visible DATA file,
+    * recursing into partition directories (`p_date=`/`hb=` layouts) but
+    * never into underscore/dot sidecars. This — not `fs.exists` — is
+    * the landed/indexed existence test for every foreachBatch sink: a
+    * torn write can leave a directory containing only sidecars (a bloom
+    * written before the first index append, a `_temporary` husk from a
+    * failed parquet job), and `spark.read.parquet` on such a directory
+    * throws — `fs.exists` would turn one torn first batch into a
+    * permanent crash loop on replay. Early-exits on the first data file
+    * found, so on a healthy table it costs one or two list calls.
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      where: org.apache.hadoop.fs.Path): Boolean = {
+    def visible(name: String) = !name.startsWith("_") && !name.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { f =>
+        if (!visible(f.getPath.getName)) false
+        else if (f.isFile) f.getPath.getName.endsWith(".parquet")
+        else walk(f.getPath)
+      }
+    fs.exists(where) && {
+      val st = fs.getFileStatus(where)
+      if (st.isFile) st.getLen > 0 else walk(where)
+    }
+  }
+
   /** Fixture adapter: the file source requires a directory, and the
     * fixtures are single read-only files — stage a symlink dir per fixture.
     */
@@ -326,7 +352,7 @@ object EventsStreaming {
           val batch = rawBatch.dropDuplicates(key)
             .withColumn("p_date", to_date(col(tsCol)))
           val inserts =
-            if (fs.exists(hPath)) {
+            if (hasDataFiles(fs, hPath)) {
               antiJoinedBatches.incrementAndGet()
               val r = batch.agg(min(col("p_date")), max(col("p_date"))).head
               val fact = spark.read.parquet(factPath)
@@ -381,7 +407,7 @@ object EventsStreaming {
         } else {
           val cleaned = graft.operators.Decontaminate.clean(batch, evalDocs, n)
           val inserts =
-            if (fs.exists(hPath)) {
+            if (hasDataFiles(fs, hPath)) {
               antiJoinedBatches.incrementAndGet()
               cleaned.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
@@ -459,7 +485,7 @@ object EventsStreaming {
           // one landed-output scan per batch: the anti-join lineage is
           // checkpointed; flags, index append and top-up reuse its blocks
           val fresh =
-            (if (fs.exists(outP)) {
+            (if (hasDataFiles(fs, outP)) {
               antiJoinedBatches.incrementAndGet()
               batch.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
@@ -472,11 +498,14 @@ object EventsStreaming {
           // the checkpointed (doc_id, h) blocks
           val grams = hashGrams(fresh).localCheckpoint(true)
           val idxP = new org.apache.hadoop.fs.Path(indexPath)
-          val idxExists = fs.exists(idxP)
+          // data-file probe, not fs.exists: a torn first batch can leave
+          // the dir holding only the bloom sidecar — that must replay as
+          // "no index yet", not crash-loop on an unreadable read
+          val idxExists = hasDataFiles(fs, idxP)
           val flagged =
             if (idxExists) {
               // the index is a set by construction (see append below) —
-              // plain equi-join, no Aggregate over the index scan; the
+              // semi-join probe, no Aggregate over the index scan; the
               // bloom sidecar drops definitely-new grams map-side first
               val idx = spark.read.parquet(indexPath).select("h")
               probeWithBloom(spark, fs, indexPath, grams, idx)
@@ -499,17 +528,22 @@ object EventsStreaming {
           val topup = hashGrams(
             batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_anti"))
           val batchHs = grams.select("h").union(topup.select("h")).distinct()
+            .localCheckpoint(true)
           // bloom first: bloom ⊇ index must hold across a torn update
           mergeGramBloom(spark, fs, indexPath, batchHs)
-          // SET-maintained append: only grams absent from the index land;
-          // a compacted index (hash-prefix-bucketed by Maintenance.
-          // compactGramIndex) keeps its layout — new grams land inside
-          // their hb= bucket directory, never as mixed root files
+          // SET-maintained append: only grams absent from the index land.
+          // Shape: the landed index is NEVER shuffled — it is semi-joined
+          // map-side against the broadcast batch-gram set (bounded), and
+          // the anti-join runs batch vs that bounded hit set. A compacted
+          // index (hash-prefix-bucketed by Maintenance.compactGramIndex)
+          // keeps its layout — new grams land inside their hb= bucket
+          // directory, never as mixed root files
           val newHs =
-            if (idxExists)
-              batchHs.join(spark.read.parquet(indexPath).select("h"),
-                Seq("h"), "left_anti")
-            else batchHs
+            if (idxExists) {
+              val hits = spark.read.parquet(indexPath).select("h")
+                .join(broadcast(batchHs), Seq("h"), "left_semi")
+              batchHs.join(broadcast(hits), Seq("h"), "left_anti")
+            } else batchHs
           graft.warehouse.Maintenance.gramIndexBuckets(spark, indexPath) match {
             case Some(b) =>
               newHs.withColumn("hb", pmod(col("h"), lit(b)).cast("int"))
@@ -593,16 +627,25 @@ object EventsStreaming {
 
   /** Per-gram dup verdict against the index: bloom-negative grams take
     * `dup = 0` MAP-SIDE (no false negatives — definitely absent); only
-    * might-dup grams shuffle into the equi-join. No sidecar (pre-bloom
-    * index) → every gram joins, same exact result. Output columns:
+    * might-dup grams proceed to the index lookup. No sidecar (pre-bloom
+    * index) → every gram proceeds, same exact result. Output columns:
     * (doc_id, h, dup).
+    *
+    * Join shape: the landed index is NEVER shuffled. Its matching h's
+    * are extracted by a map-side semi-join against the BROADCAST
+    * probe-gram set (batch-bounded), and the per-gram verdict is then a
+    * broadcast hash lookup of that bounded hit set — per-batch cost is
+    * one index scan plus batch-sized joins, O(landed) IO but zero
+    * O(landed) shuffle.
     */
   private def probeWithBloom(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
       grams: DataFrame, idx: DataFrame): DataFrame = {
-    def joined(g: DataFrame) =
-      g.join(idx.withColumn("dup", lit(1L)), Seq("h"), "left")
+    def joined(g: DataFrame) = {
+      val hits = idx.join(broadcast(g.select("h").distinct()), Seq("h"), "left_semi")
+      g.join(broadcast(hits.withColumn("dup", lit(1L))), Seq("h"), "left")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
+    }
     readGramBloom(fs, indexPath) match {
       case None => joined(grams)
       case Some(bloom) =>
@@ -677,7 +720,7 @@ object EventsStreaming {
           ()
         } else {
           val fresh =
-            (if (fs.exists(outP)) {
+            (if (hasDataFiles(fs, outP)) {
               antiJoinedBatches.incrementAndGet()
               batch.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
@@ -686,7 +729,7 @@ object EventsStreaming {
             df, "text", "doc_id", shingleN, bands, rowsPerBand)
           val bandRows = bandsOf(fresh).localCheckpoint(true)
           val idxP = new org.apache.hadoop.fs.Path(sigIndexPath)
-          val idxExists = fs.exists(idxP)
+          val idxExists = hasDataFiles(fs, idxP)
           val flags: Option[DataFrame] =
             if (!idxExists) None
             else {
@@ -734,10 +777,16 @@ object EventsStreaming {
             Seq("doc_id"), "left_anti").localCheckpoint(true)
           val topupBands =
             if (topupDocs.isEmpty) None
-            else if (idxExists) Some(bandsOf(topupDocs).join(
-              spark.read.parquet(sigIndexPath).select("doc_id"),
-              Seq("doc_id"), "left_anti"))
-            else Some(bandsOf(topupDocs))
+            else if (idxExists) {
+              // same no-index-shuffle shape as the gram sink: semi-join
+              // the index map-side against the broadcast (tiny) top-up
+              // id set, then anti-join against the bounded hits
+              val idxHit = spark.read.parquet(sigIndexPath).select("doc_id")
+                .join(broadcast(topupDocs.select("doc_id")),
+                  Seq("doc_id"), "left_semi").distinct()
+              Some(bandsOf(topupDocs).join(broadcast(idxHit),
+                Seq("doc_id"), "left_anti"))
+            } else Some(bandsOf(topupDocs))
           topupBands.fold(bandRows)(bandRows.unionByName(_))
             .write.mode("append").parquet(sigIndexPath)
           recordCommitted(spark, fs, outPath, batchId)

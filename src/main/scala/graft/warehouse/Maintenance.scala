@@ -154,10 +154,19 @@ object Maintenance {
     require(fs.exists(p), s"no gram index at $indexPath")
     val tmp = new Path(indexPath + ".__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(indexPath).select("h")
+    // distinct(): the live append path keeps the index a set, but a
+    // legacy index written by a pre-set-maintenance engine can carry one
+    // row per batch-that-contained-the-gram — compaction is the
+    // migration point that restores the set invariant (one bounded
+    // full-index shuffle, the cost class a compaction job owns anyway).
+    // sortWithinPartitions leads with hb so the dynamic-partition writer
+    // reuses this sort (its required ordering is a prefix) instead of
+    // re-sorting, and the within-file h order is guaranteed, giving
+    // parquet row-group min/max range-pruning inside each bucket.
+    spark.read.parquet(indexPath).select("h").distinct()
       .withColumn("hb", pmod(col("h"), lit(buckets)).cast("int"))
       .repartition(buckets, col("hb"))
-      .sortWithinPartitions("h")
+      .sortWithinPartitions("hb", "h")
       .write.partitionBy("hb").parquet(tmp.toString)
     // carry the layout-independent sidecars, then declare the bucketing
     val bloom = new Path(p, "_graft_gram_bloom")

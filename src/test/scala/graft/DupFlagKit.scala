@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Shared machinery for the streaming dup-flagging specs
+  * (StreamingSpec, MaintenanceSpec): staged multi-file arrivals with
+  * deterministic order, and the plain-Scala reference replay of the
+  * asymmetric contract. One definition so both suites pin the SAME
+  * arrival convention and reference semantics.
+  */
+object DupFlagKit {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stage each part as one parquet file in `<base>/in`, mtimes in part
+    * order (arrival order = file mtime order for maxFilesPerTrigger=1).
+    * Callable repeatedly with increasing `startK` to land parts
+    * mid-test.
+    */
+  def stageArrival(base: java.nio.file.Path, parts: Seq[DataFrame],
+      startK: Int = 0): String = {
+    val srcDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val k = startK + i
+      val tmp = base.resolve(s"tmp$k").toString
+      p.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"batch$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    srcDir.toString
+  }
+
+  def docStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+  def windows8(text: String): Seq[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 8) Nil
+    else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+  }
+
+  /** Plain Scala replay of the asymmetric span-dup contract: per-doc
+    * (n_windows, n_dup_vs_landed) plus the landed distinct-gram set.
+    */
+  def dupFlagReference(parts: Seq[DataFrame])
+      : (Map[Long, (Long, Long)], Set[String]) = {
+    var landed = Set.empty[String]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    parts.foreach { p =>
+      val rows = p.select("doc_id", "text").collect()
+      rows.foreach { r =>
+        val ws = windows8(r.getString(1))
+        expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
+      }
+      landed ++= rows.flatMap(r => windows8(r.getString(1)))
+    }
+    (expected.toMap, landed)
+  }
+
+  /** The documents fixture cut into three ordered arrival parts. */
+  def fixtureParts(spark: SparkSession, sf: String): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300))
+  }
+
+  /** Read the flagged output and compare against the reference map. */
+  def readFlags(spark: SparkSession, outPath: String): Map[Long, (Long, Long)] =
+    spark.read.parquet(outPath)
+      .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+}

@@ -129,54 +129,25 @@ class MaintenanceSpec extends AnyFunSuite {
     // batches 0,1 land on the flat index; compaction rewrites it to the
     // bucketed layout; batch 2 must (a) append INSIDE buckets, (b) flag
     // its spans against everything landed, identically to an
-    // uncompacted from-scratch run
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val parts = Seq(
-      docs.filter(col("doc_id") < 150),
-      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
-      docs.filter(col("doc_id") >= 300))
+    // uncompacted from-scratch run. Arrival staging + reference replay
+    // are the SAME DupFlagKit machinery StreamingSpec pins the flat
+    // path with — one contract, two layouts.
+    val parts = DupFlagKit.fixtureParts(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft_gramidx_stream")
-    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
-    def land(k: Int): Unit = {
-      val tmp = base.resolve(s"tmp$k").toString
-      parts(k).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = srcDir.resolve(s"batch$k.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      dst.toFile.setLastModified(1700000000000L + k * 60000L)
-    }
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
-    val schema = spark.read.parquet(sf + "/documents.parquet").schema
+    val srcDir = base.resolve("in").toString
     def run(): Unit = {
       val q = EventsStreaming.dupFlaggedAppend(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(srcDir.toString), outPath, idxPath, n = 8)
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
       q.processAllAvailable(); q.stop()
     }
-    land(0); land(1); run()
+    DupFlagKit.stageArrival(base, parts.take(2)); run()
     Maintenance.compactGramIndex(spark, idxPath, buckets = 16)
-    land(2); run()
-    // reference: plain replay of the asymmetric contract over all parts
-    def windows(text: String): Seq[String] = {
-      val w = text.split(" ", -1)
-      if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
-    }
-    var landed = Set.empty[String]
-    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-    parts.foreach { pdf =>
-      val rows = pdf.select("doc_id", "text").collect()
-      rows.foreach { r =>
-        val ws = windows(r.getString(1))
-        expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
-      }
-      landed ++= rows.flatMap(r => windows(r.getString(1)))
-    }
-    val got = spark.read.parquet(outPath)
-      .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(got == expected.toMap, "flags must be unchanged by compaction")
+    DupFlagKit.stageArrival(base, parts.drop(2), startK = 2); run()
+    val (expected, landed) = DupFlagKit.dupFlagReference(parts)
+    val got = DupFlagKit.readFlags(spark, outPath)
+    assert(got == expected, "flags must be unchanged by compaction")
     // index stayed a set, inside buckets only
     assert(spark.read.parquet(idxPath).select("h").count() == landed.size)
     assert(!new java.io.File(idxPath).listFiles()

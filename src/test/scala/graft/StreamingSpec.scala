@@ -107,79 +107,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventsStreaming.antiJoinedBatches.get() == anti0)
   }
 
-  // ----- dupFlaggedAppend helpers: staged multi-file arrival + reference
+  // ----- dupFlaggedAppend helpers: shared with MaintenanceSpec via
+  // DupFlagKit (one arrival convention, one reference contract)
+  import DupFlagKit.{stageArrival, dupFlagReference}
 
-  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+  private def docStream(srcDir: String) = DupFlagKit.docStream(spark, srcDir)
 
-  /** Stage each part as one parquet file in an arrival dir, mtimes in
-    * part order (arrival order = file mtime order for maxFilesPerTrigger=1).
-    */
-  private def stageArrival(base: java.nio.file.Path,
-      parts: Seq[org.apache.spark.sql.DataFrame],
-      startK: Int = 0): String = {
-    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val k = startK + i
-      val tmp = base.resolve(s"tmp$k").toString
-      p.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = srcDir.resolve(s"batch$k.parquet")
-      java.nio.file.Files.copy(part.toPath, dst)
-      dst.toFile.setLastModified(1700000000000L + k * 60000L)
-    }
-    srcDir.toString
-  }
-
-  private def docStream(srcDir: String) = spark.readStream
-    .schema(docSchema).option("maxFilesPerTrigger", 1).parquet(srcDir)
-
-  private def windows8(text: String): Seq[String] = {
-    val w = text.split(" ", -1)
-    if (w.length < 8) Nil else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
-  }
-
-  /** Plain Scala replay of the asymmetric contract: per-doc
-    * (n_windows, n_dup_vs_landed) plus the landed distinct-gram set.
-    */
-  private def dupFlagReference(parts: Seq[org.apache.spark.sql.DataFrame])
-      : (Map[Long, (Long, Long)], Set[String]) = {
-    var landed = Set.empty[String]
-    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-    parts.foreach { p =>
-      val rows = p.select("doc_id", "text").collect()
-      rows.foreach { r =>
-        val ws = windows8(r.getString(1))
-        expected(r.getLong(0)) = (ws.size.toLong, ws.count(landed.contains).toLong)
-      }
-      landed ++= rows.flatMap(r => windows8(r.getString(1)))
-    }
-    (expected.toMap, landed)
-  }
+  private def fixtureParts() = DupFlagKit.fixtureParts(spark, sf)
 
   private def assertFlagsMatch(outPath: String,
       expected: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] = {
-    val got = spark.read.parquet(outPath)
-      .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = DupFlagKit.readFlags(spark, outPath)
     assert(got.size == expected.size, s"${got.size} docs landed, expected ${expected.size}")
     val diff = expected.filter { case (id, e) => got(id) != e }
     assert(diff.isEmpty, s"${diff.size} docs mis-flagged, e.g. ${diff.take(3)}")
     got
-  }
-
-  private def fixtureParts(): Seq[org.apache.spark.sql.DataFrame] = {
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    Seq(
-      docs.filter(col("doc_id") < 150),
-      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
-      docs.filter(col("doc_id") >= 300))
   }
 
   test("dupFlaggedAppend scores each arrival only against earlier batches") {
