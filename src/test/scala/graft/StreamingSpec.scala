@@ -335,6 +335,31 @@ class StreamingSpec extends AnyFunSuite {
       "a fresh query must use the safety net, not the foreign mark")
   }
 
+  test("a sidecar-only sink directory replays as empty, never a crash loop") {
+    // the torn-first-batch state: the bloom sidecar (written before the
+    // first index append) or a _temporary husk exists, but no data file
+    // does. fs.exists would say "index/output present" and the parquet
+    // read would throw on every replay forever — the data-file probe
+    // must treat both dirs as absent and land the batch normally.
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_dupflag_torn")
+    val srcDir = stageArrival(base, parts.take(1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    // plant the torn state BEFORE the first batch
+    val idxDir = new java.io.File(idxPath); idxDir.mkdirs()
+    val bloom = new java.io.File(idxDir, "_graft_gram_bloom")
+    java.nio.file.Files.write(bloom.toPath, Array[Byte](1, 2, 3))
+    val outDir = new java.io.File(outPath)
+    new java.io.File(outDir, "_temporary/0").mkdirs()
+    val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+    q.processAllAvailable(); q.stop()
+    val (expected, landed) = dupFlagReference(parts.take(1))
+    assertFlagsMatch(outPath, expected)
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "the index must be rebuilt from scratch past the stranded sidecar")
+  }
+
   test("nearDupFlaggedAppend flags near-dups against earlier batches only") {
     import spark.implicits._
     // batch 0: ten 30-token base docs; batch 1: near-copies (one token
