@@ -530,7 +530,7 @@ object EventsStreaming {
           val batchHs = grams.select("h").union(topup.select("h")).distinct()
             .localCheckpoint(true)
           // bloom first: bloom ⊇ index must hold across a torn update
-          mergeGramBloom(spark, fs, indexPath, batchHs)
+          mergeSidecarBloom(spark, fs, indexPath, gramBloomName, batchHs, "h")
           // SET-maintained append: only grams absent from the index land.
           // Shape: the landed index is NEVER shuffled — it is semi-joined
           // map-side against the broadcast batch-gram set (bounded), and
@@ -575,13 +575,19 @@ object EventsStreaming {
     * data files.
     */
   private[graft] val gramBloomBits = 1L << 23
-  private def gramBloomPath(indexPath: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(indexPath, "_graft_gram_bloom")
+  private val gramBloomName = "_graft_gram_bloom"
+  private val sigBloomName = "_graft_sig_bloom"
 
-  private def readGramBloom(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+  /** Spec hook: micro-batches whose (band,bucket) bloom probe proved no
+    * landed signature can collide — the index scan was skipped outright.
+    */
+  private[graft] val sigIndexScansSkipped = new java.util.concurrent.atomic.AtomicLong
+
+  private def readSidecarBloom(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String,
+      name: String): Option[org.apache.spark.util.sketch.BloomFilter] =
     try {
-      val f = gramBloomPath(indexPath)
+      val f = new org.apache.hadoop.fs.Path(indexPath, name)
       if (!fs.exists(f)) None
       else {
         val in = fs.open(f)
@@ -590,35 +596,36 @@ object EventsStreaming {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Merge the batch's gram hashes into the bloom sidecar. Runs BEFORE
-    * the index append (bloom ⊇ index — a crash in between yields only
-    * false-positive probes, never a missed flag). The batch-side sketch
-    * comes from the distributed `BloomFilterAggregate` (partial buffers
-    * merge map-side; one bounded sketch reaches the driver), the merge
-    * is a bitwise OR of same-sized filters, and the write is the same
-    * temp+rename shape as the hwm sidecar.
+  /** Merge the batch's key hashes (a single LongType column `keyCol`)
+    * into an index-dir bloom sidecar. Runs BEFORE the index append
+    * (bloom ⊇ index — a crash in between yields only false-positive
+    * probes, never a missed flag). The batch-side sketch comes from the
+    * distributed `BloomFilterAggregate` (partial buffers merge map-side;
+    * one bounded sketch reaches the driver), the merge is a bitwise OR
+    * of same-sized filters, and the write is the same temp+rename shape
+    * as the hwm sidecar.
     */
-  private def mergeGramBloom(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
-      batchHs: DataFrame): Unit = {
+  private def mergeSidecarBloom(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String, name: String,
+      batchKeys: DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(col("h")),
+      ColumnBridge.expression(col(keyCol)),
       Literal(gramBloomBits / 8), Literal(gramBloomBits))
-    val bytes = batchHs
+    val bytes = batchKeys
       .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     if (bytes == null) return // empty batch — nothing to add
     val batchBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
-    val merged = readGramBloom(fs, indexPath) match {
+    val merged = readSidecarBloom(fs, indexPath, name) match {
       case Some(existing) => existing.mergeInPlace(batchBloom)
       case None => batchBloom
     }
-    val f = gramBloomPath(indexPath)
-    val tmp = new org.apache.hadoop.fs.Path(f.getParent, "._graft_gram_bloom.tmp")
+    val f = new org.apache.hadoop.fs.Path(indexPath, name)
+    val tmp = new org.apache.hadoop.fs.Path(f.getParent, s".$name.tmp")
     val out = fs.create(tmp, true)
     try merged.writeTo(out) finally out.close()
     if (fs.exists(f)) fs.delete(f, false)
@@ -646,7 +653,7 @@ object EventsStreaming {
       g.join(broadcast(hits.withColumn("dup", lit(1L))), Seq("h"), "left")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
     }
-    readGramBloom(fs, indexPath) match {
+    readSidecarBloom(fs, indexPath, gramBloomName) match {
       case None => joined(grams)
       case Some(bloom) =>
         import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -688,12 +695,15 @@ object EventsStreaming {
     * State is a SIGNATURE index, not text: (doc_id, band, bucket) —
     * `bands` fixed-width rows per landed doc (≈10⁻³ of corpus bytes).
     * The per-batch probe broadcasts the batch's band rows, so the index
-    * side streams map-side (no landed shuffle); candidate pairs are
-    * bounded by real bucket collisions, and only the candidates' landed
-    * docs are re-read for exact verification (a semi-join on the landed
-    * output — at 100 TB the landed table is bucketed by doc_id per
-    * `operators.Layout` so that fetch prunes to matching buckets; the
-    * candidate-free steady case skips the landed read entirely).
+    * side streams map-side (no landed shuffle); a (band,bucket) bloom
+    * sidecar (merged BEFORE every index append, so bloom ⊇ index always)
+    * drops provably-collision-free band rows map-side first — a
+    * fully-novel batch skips the index scan outright. Candidate pairs
+    * are bounded by real bucket collisions, and only the candidates'
+    * landed docs are re-read for exact verification (a semi-join on the
+    * landed output — at 100 TB the landed table is bucketed by doc_id
+    * per `operators.Layout` so that fetch prunes to matching buckets;
+    * the candidate-free steady case skips the landed read entirely).
     *
     * Index maintenance mirrors the gram index: fresh docs' band rows
     * append directly (a never-landed doc is never indexed, because the
@@ -733,10 +743,30 @@ object EventsStreaming {
           val flags: Option[DataFrame] =
             if (!idxExists) None
             else {
+              // (band,bucket) bloom sidecar: a bloom-negative band row
+              // cannot collide with ANY landed signature (no false
+              // negatives), so a fully-novel batch drops every band row
+              // map-side and SKIPS THE INDEX SCAN entirely — the
+              // signature-index twin of the gram bloom
+              val probeRows = readSidecarBloom(fs, sigIndexPath, sigBloomName) match {
+                case None => bandRows
+                case Some(bloom) =>
+                  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+                  import org.apache.spark.sql.graft.ColumnBridge
+                  val baos = new java.io.ByteArrayOutputStream()
+                  bloom.writeTo(baos)
+                  bandRows.filter(ColumnBridge.column(BloomFilterMightContain(
+                    Literal(baos.toByteArray),
+                    ColumnBridge.expression(xxhash64(col("band"), col("bucket"))))))
+              }
+              if (probeRows.isEmpty) {
+                sigIndexScansSkipped.incrementAndGet()
+                None
+              } else {
               val idx = spark.read.parquet(sigIndexPath)
                 .select(col("doc_id").as("landed_id"), col("band"), col("bucket"))
               // broadcast the batch side: the landed index never shuffles
-              val cands = broadcast(bandRows).join(idx, Seq("band", "bucket"))
+              val cands = broadcast(probeRows).join(idx, Seq("band", "bucket"))
                 .select(col("doc_id"), col("landed_id")).distinct()
                 .localCheckpoint(true)
               if (cands.isEmpty) None
@@ -758,6 +788,7 @@ object EventsStreaming {
                 Some(verified.groupBy("doc_id")
                   .agg(count(lit(1)).as("n_near_dups"),
                     min(col("landed_id")).as("dup_of")))
+              }
               }
             }
           val out0 = flags match {
@@ -787,8 +818,12 @@ object EventsStreaming {
               Some(bandsOf(topupDocs).join(broadcast(idxHit),
                 Seq("doc_id"), "left_anti"))
             } else Some(bandsOf(topupDocs))
-          topupBands.fold(bandRows)(bandRows.unionByName(_))
-            .write.mode("append").parquet(sigIndexPath)
+          val toAppend = topupBands.fold(bandRows)(bandRows.unionByName(_))
+          // (band,bucket) bloom first — bloom ⊇ index across a torn
+          // update, so the skip-the-scan shortcut can never miss a flag
+          mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
+            toAppend.select(xxhash64(col("band"), col("bucket")).as("bb")), "bb")
+          toAppend.write.mode("append").parquet(sigIndexPath)
           recordCommitted(spark, fs, outPath, batchId)
           ()
         }

@@ -436,6 +436,37 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivery must not grow the signature index")
   }
 
+  test("nearDup sig bloom skips the index scan for fully-novel batches") {
+    import spark.implicits._
+    // batch 0 seeds the signature index + (band,bucket) bloom; batch 1
+    // is entirely novel — every band row must prove collision-free in
+    // the bloom and the index scan must be skipped outright (counter),
+    // with every doc landing as keep
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p0 = df((0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"a${i}_$j").mkString(" "))))
+    val p1 = df((100 until 140).map(i =>
+      (i.toLong, (0 until 30).map(j => s"n${i}_$j").mkString(" "))))
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_bloom")
+    val srcDir = stageArrival(base, Seq(p0, p1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("sig_index").toString
+    val skipped0 = EventsStreaming.sigIndexScansSkipped.get()
+    val q = EventsStreaming.nearDupFlaggedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q.processAllAvailable(); q.stop()
+    assert(EventsStreaming.sigIndexScansSkipped.get() == skipped0 + 1,
+      "the fully-novel batch must skip the signature-index scan")
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "verdict").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 60 && got.values.forall(_ == "keep"))
+    // the index still indexed BOTH batches (the skip is probe-only)
+    assert(spark.read.parquet(idxPath).select("doc_id").distinct().count() == 60)
+  }
+
   test("hwm sidecar write failure is surfaced, data stays correct") {
     // a persistently unwritable hwm sidecar demotes every future batch to
     // the anti-join safety net — safe, but it must be OBSERVABLE: the
