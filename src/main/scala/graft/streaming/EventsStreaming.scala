@@ -502,13 +502,18 @@ object EventsStreaming {
           // the dir holding only the bloom sidecar — that must replay as
           // "no index yet", not crash-loop on an unreadable read
           val idxExists = hasDataFiles(fs, idxP)
+          // the PRE-merge bloom drives both the probe and the append
+          // anti-join: after the merge below, every batch gram is
+          // bloom-positive by construction, so skip decisions must use
+          // the state that still reflects only the landed index
+          val preBloom = readSidecarBloom(fs, indexPath, gramBloomName)
           val flagged =
             if (idxExists) {
               // the index is a set by construction (see append below) —
               // semi-join probe, no Aggregate over the index scan; the
               // bloom sidecar drops definitely-new grams map-side first
               val idx = spark.read.parquet(indexPath).select("h")
-              probeWithBloom(spark, fs, indexPath, grams, idx)
+              probeWithBloom(spark, preBloom, grams, idx)
                 .groupBy("doc_id")
                 .agg(count(lit(1)).as("n_windows"),
                   sum(col("dup")).as("n_dup_vs_landed"))
@@ -534,16 +539,28 @@ object EventsStreaming {
           // SET-maintained append: only grams absent from the index land.
           // Shape: the landed index is NEVER shuffled — it is semi-joined
           // map-side against the broadcast batch-gram set (bounded), and
-          // the anti-join runs batch vs that bounded hit set. A compacted
+          // the anti-join runs batch vs that bounded hit set; grams the
+          // PRE-merge bloom proves absent skip that check map-side, and
+          // an all-new batch skips the index read outright. A compacted
           // index (hash-prefix-bucketed by Maintenance.compactGramIndex)
           // keeps its layout — new grams land inside their hb= bucket
           // directory, never as mixed root files
           val newHs =
-            if (idxExists) {
-              val hits = spark.read.parquet(indexPath).select("h")
-                .join(broadcast(batchHs), Seq("h"), "left_semi")
-              batchHs.join(broadcast(hits), Seq("h"), "left_anti")
-            } else batchHs
+            if (!idxExists) batchHs
+            else {
+              val mightHs = preBloom match {
+                case Some(b) => bloomFiltered(batchHs, b)
+                case None => batchHs
+              }
+              if (preBloom.isDefined && mightHs.isEmpty) {
+                gramIndexScansSkipped.incrementAndGet()
+                batchHs // every gram provably new — no index read at all
+              } else {
+                val hits = spark.read.parquet(indexPath).select("h")
+                  .join(broadcast(mightHs), Seq("h"), "left_semi")
+                batchHs.join(broadcast(hits), Seq("h"), "left_anti")
+              }
+            }
           graft.warehouse.Maintenance.gramIndexBuckets(spark, indexPath) match {
             case Some(b) =>
               newHs.withColumn("hb", pmod(col("h"), lit(b)).cast("int"))
@@ -646,33 +663,54 @@ object EventsStreaming {
     * O(landed) shuffle.
     */
   private def probeWithBloom(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      preBloom: Option[org.apache.spark.util.sketch.BloomFilter],
       grams: DataFrame, idx: DataFrame): DataFrame = {
     def joined(g: DataFrame) = {
       val hits = idx.join(broadcast(g.select("h").distinct()), Seq("h"), "left_semi")
       g.join(broadcast(hits.withColumn("dup", lit(1L))), Seq("h"), "left")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
     }
-    readSidecarBloom(fs, indexPath, gramBloomName) match {
+    preBloom match {
       case None => joined(grams)
       case Some(bloom) =>
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        import org.apache.spark.sql.graft.ColumnBridge
-        val baos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(baos)
-        val might = ColumnBridge.column(BloomFilterMightContain(
-          Literal(baos.toByteArray),
-          ColumnBridge.expression(col("h"))))
-        val tagged = grams.withColumn("might_dup", might)
+        val tagged = grams.withColumn("might_dup", mightContainCol(bloom, col("h")))
         if (trackBloomStats) {
           bloomProbedGrams.addAndGet(tagged.count())
           bloomPassedGrams.addAndGet(tagged.filter(col("might_dup")).count())
         }
-        joined(tagged.filter(col("might_dup")).drop("might_dup"))
-          .unionByName(tagged.filter(!col("might_dup")).drop("might_dup")
-            .withColumn("dup", lit(0L)))
+        val might = tagged.filter(col("might_dup")).drop("might_dup")
+        val sure = tagged.filter(!col("might_dup")).drop("might_dup")
+          .withColumn("dup", lit(0L))
+        if (might.isEmpty) {
+          // every gram provably absent from the index — no index read
+          gramIndexScansSkipped.incrementAndGet()
+          sure
+        } else joined(might).unionByName(sure)
     }
   }
+
+  /** Map-side bloom membership as a Column (Spark's native
+    * BloomFilterMightContain over the serialized sketch literal).
+    */
+  private def mightContainCol(bloom: org.apache.spark.util.sketch.BloomFilter,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(baos.toByteArray), ColumnBridge.expression(key)))
+  }
+
+  /** The bloom-positive subset of a (h) frame. */
+  private def bloomFiltered(hs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    hs.filter(mightContainCol(bloom, col("h")))
+
+  /** Spec hook: batches where the bloom proved every gram new and the
+    * index read was skipped (probe and/or append leg).
+    */
+  private[graft] val gramIndexScansSkipped = new java.util.concurrent.atomic.AtomicLong
 
   /** Spec hooks for the bloom front-filter: when enabled, counts grams
     * probed vs grams that passed the bloom into the join.
@@ -750,14 +788,8 @@ object EventsStreaming {
               // signature-index twin of the gram bloom
               val probeRows = readSidecarBloom(fs, sigIndexPath, sigBloomName) match {
                 case None => bandRows
-                case Some(bloom) =>
-                  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-                  import org.apache.spark.sql.graft.ColumnBridge
-                  val baos = new java.io.ByteArrayOutputStream()
-                  bloom.writeTo(baos)
-                  bandRows.filter(ColumnBridge.column(BloomFilterMightContain(
-                    Literal(baos.toByteArray),
-                    ColumnBridge.expression(xxhash64(col("band"), col("bucket"))))))
+                case Some(bloom) => bandRows.filter(
+                  mightContainCol(bloom, xxhash64(col("band"), col("bucket"))))
               }
               if (probeRows.isEmpty) {
                 sigIndexScansSkipped.incrementAndGet()

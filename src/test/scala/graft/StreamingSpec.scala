@@ -231,25 +231,33 @@ class StreamingSpec extends AnyFunSuite {
       (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "), "en", "s1", 0L))
     val echo = (500 until 504).map(i =>
       (i.toLong, (0 until 30).map(j => s"b${i % 4}_$j").mkString(" "), "en", "s1", 0L))
+    val allNovel = (600 until 640).map(i =>
+      (i.toLong, (0 until 30).map(j => s"v${i}_$j").mkString(" "), "en", "s2", 0L))
     val p0 = boiler.toDF("doc_id", "text", "lang", "source", "n_chars")
     val p1 = (novel ++ echo).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p2 = allNovel.toDF("doc_id", "text", "lang", "source", "n_chars")
     val base = java.nio.file.Files.createTempDirectory("graft_dupflag_bloom")
-    val srcDir = stageArrival(base, Seq(p0, p1))
+    val srcDir = stageArrival(base, Seq(p0, p1, p2))
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
     EventsStreaming.trackBloomStats = true
     EventsStreaming.bloomProbedGrams.set(0)
     EventsStreaming.bloomPassedGrams.set(0)
+    val scanSkips0 = EventsStreaming.gramIndexScansSkipped.get()
     try {
       val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
       q.processAllAvailable(); q.stop()
     } finally EventsStreaming.trackBloomStats = false
-    val (expected, _) = dupFlagReference(Seq(p0, p1))
+    // the all-novel batch skips the index read on BOTH legs (probe +
+    // set-append anti-join) — every gram was provably absent
+    assert(EventsStreaming.gramIndexScansSkipped.get() == scanSkips0 + 2,
+      "an all-novel batch must skip the gram-index read on probe and append")
+    val (expected, _) = dupFlagReference(Seq(p0, p1, p2))
     val got = assertFlagsMatch(outPath, expected)
-    assert(got.collect { case (k, v) if k >= 500 => v }.forall(_._2 > 0),
+    assert(got.collect { case (k, v) if k >= 500 && k < 600 => v }.forall(_._2 > 0),
       "echo docs must be flagged against batch-0 boilerplate")
-    assert(got.collect { case (k, v) if k >= 100 && k < 500 => v }.forall(_._2 == 0L),
-      "novel docs must not be flagged")
+    assert(got.collect { case (k, v) if (k >= 100 && k < 500) || k >= 600 => v }
+      .forall(_._2 == 0L), "novel docs must not be flagged")
     val probed = EventsStreaming.bloomProbedGrams.get().toDouble
     val passed = EventsStreaming.bloomPassedGrams.get().toDouble
     assert(probed > 0, "batch 1 must probe the bloom")
