@@ -806,7 +806,11 @@ object EventsStreaming {
                 val shNew = fresh.select(col("doc_id"),
                   graft.functions.TextFns.shingleHashes(col("text"), shingleN).as("sh_a"))
                 val landedIds = cands.select("landed_id").distinct()
-                val shOld = spark.read.parquet(outPath)
+                // candidate text fetch: on a doc_id-bucketed landed table
+                // (Maintenance.compactDocTable) this reads ONLY the
+                // candidates' db= buckets — the 100 TB point-lookup shape
+                val shOld = graft.warehouse.Maintenance.prunedByKey(
+                    spark, outPath, landedIds, "landed_id")
                   .select(col("doc_id").as("landed_id"), col("text"))
                   .join(broadcast(landedIds), Seq("landed_id"), "left_semi")
                   .select(col("landed_id"),
@@ -829,11 +833,19 @@ object EventsStreaming {
               .withColumn("n_near_dups", lit(null).cast("long"))
               .withColumn("dup_of", lit(null).cast("long"))
           }
-          out0
+          val out = out0
             .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
             .withColumn("verdict",
               when(col("dup_of").isNotNull, "near_dup").otherwise("keep"))
-            .write.mode("append").parquet(outPath)
+          // a compacted (doc_id-bucketed) landed table keeps its layout:
+          // new rows land inside their db= bucket, never as root files
+          graft.warehouse.Maintenance.gramIndexBuckets(spark, outPath) match {
+            case Some(b) =>
+              out.withColumn("db", pmod(col("doc_id"), lit(b)).cast("int"))
+                .write.mode("append").partitionBy("db").parquet(outPath)
+            case None =>
+              out.write.mode("append").parquet(outPath)
+          }
           // index append: fresh band rows directly (never-landed ⇒ never
           // indexed); landed-from-batch docs via the anti-joined top-up
           val topupDocs = batch.join(fresh.select("doc_id"),

@@ -193,6 +193,70 @@ object Maintenance {
     if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
   }
 
+  /** Compact a DOCUMENT table (any schema with a long key column) into a
+    * key-bucketed layout: rows land under `db=<pmod(key, buckets)>`
+    * partition directories, sorted by the key within each bucket. This
+    * is the layout the streaming near-dup sink's exact-verify fetch
+    * wants: a candidate lookup by doc_id reads ONLY the buckets its ids
+    * hash into ([[prunedByKey]]) instead of scanning the landed corpus —
+    * the same swap [[compactGramIndex]] performs for the gram probe.
+    * The `_graft_buckets` sidecar declares the bucketing; the streaming
+    * append honors it from then on (new rows keep landing inside their
+    * bucket), and every `_graft_*` root sidecar (hwm, blooms) is carried
+    * across the swap unchanged. Same rename-swap + recovery rule as the
+    * gram index ([[recoverGramIndex]] works on any compacted path).
+    */
+  def compactDocTable(
+      spark: SparkSession, tablePath: String, keyCol: String = "doc_id",
+      buckets: Int = 64): Unit = {
+    require(buckets > 0)
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverGramIndex(spark, tablePath)
+    require(fs.exists(p), s"no table at $tablePath")
+    val tmp = new Path(tablePath + ".__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(tablePath).drop("db")
+      .withColumn("db", pmod(col(keyCol), lit(buckets)).cast("int"))
+      .repartition(buckets, col("db"))
+      .sortWithinPartitions("db", keyCol)
+      .write.partitionBy("db").parquet(tmp.toString)
+    // carry every root sidecar (hwm, blooms) across the swap, then
+    // declare the bucketing
+    fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.startsWith("_graft_"))
+      .foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(tmp, f.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
+    try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
+    val old = new Path(tablePath + ".__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    fs.delete(old, true)
+  }
+
+  /** Bucket-pruned read of a compacted doc table for a BOUNDED id set:
+    * the ids' bucket values become a partition filter so the scan lists
+    * and reads only matching `db=` directories. Falls back to the full
+    * read on an uncompacted table. `ids` must be a bounded frame (a
+    * candidate set, never the corpus) — its bucket projection is
+    * collected driver-side (≤ `buckets` distinct values).
+    */
+  def prunedByKey(spark: SparkSession, tablePath: String,
+      ids: DataFrame, keyCol: String = "doc_id"): DataFrame =
+    gramIndexBuckets(spark, tablePath) match {
+      case None => spark.read.parquet(tablePath)
+      case Some(b) =>
+        val dbs = ids.select(pmod(col(keyCol), lit(b)).cast("int").as("db"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(tablePath)
+          .filter(col("db").isInCollection(dbs))
+          .drop("db")
+    }
+
   /** Declared bucket count of a gram index (the `_graft_buckets`
     * sidecar), None for the flat pre-compaction layout.
     */

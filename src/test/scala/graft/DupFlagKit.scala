@@ -84,4 +84,39 @@ object DupFlagKit {
     spark.read.parquet(outPath)
       .select("doc_id", "n_windows", "n_dup_vs_landed").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** Plain Scala replay of the asymmetric NEAR-dup contract (exact
+    * 3-shingle jaccard vs strictly-earlier batches): per-doc
+    * (n_near_dups, dup_of).
+    */
+  def nearDupReference(parts: Seq[DataFrame],
+      threshold: Double = 0.7): Map[Long, (Long, Option[Long])] = {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]) = {
+      val i = (a & b).size.toDouble
+      val u = a.size + b.size - i
+      if (u == 0) 0.0 else i / u
+    }
+    var landed = Vector.empty[(Long, Set[String])]
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Option[Long])]
+    parts.foreach { p =>
+      val rows = p.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), sh(r.getString(1))))
+      rows.foreach { case (id, s) =>
+        val m = landed.filter { case (_, ls) => jac(s, ls) >= threshold }.map(_._1)
+        expected(id) = (m.size.toLong, m.minOption)
+      }
+      landed ++= rows
+    }
+    expected.toMap
+  }
+
+  /** Read the near-dup flagged output: doc_id -> (n, dup_of, verdict). */
+  def readNearDupFlags(spark: SparkSession, outPath: String)
+      : Map[Long, (Long, Option[Long], String)] =
+    spark.read.parquet(outPath)
+      .select("doc_id", "n_near_dups", "dup_of", "verdict").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+      .toMap
 }

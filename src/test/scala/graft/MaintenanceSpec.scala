@@ -124,6 +124,58 @@ class MaintenanceSpec extends AnyFunSuite {
       "recovery must restore the stranded index")
   }
 
+  test("nearDup sink keeps flagging across a mid-stream OUTPUT compaction; fetch prunes") {
+    import graft.streaming.EventsStreaming
+    // the landed table becomes doc_id-bucketed mid-stream; the next
+    // batch must (a) fetch candidate texts through the pruned path,
+    // (b) append INSIDE db= buckets, (c) flag identically to an
+    // uncompacted run
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def base(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    val parts = Seq(
+      df((0 until 10).map(i => (i.toLong, base(i)))),
+      df((0 until 5).map(i => (100L + i, base(i)))),
+      df(Seq((200L, base(0)))))
+    val bse = java.nio.file.Files.createTempDirectory("graft_neardup_compact")
+    val outPath = bse.resolve("flagged").toString
+    val idxPath = bse.resolve("sig_index").toString
+    val srcDir = bse.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.nearDupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, threshold = 0.7)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(bse, parts.take(2)); run()
+    Maintenance.compactDocTable(spark, outPath, "doc_id", buckets = 8)
+    DupFlagKit.stageArrival(bse, parts.drop(2), startK = 2); run()
+    val expected = DupFlagKit.nearDupReference(parts, threshold = 0.7)
+    val got = DupFlagKit.readNearDupFlags(spark, outPath)
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (n, dupOf)) =>
+      assert((got(id)._1, got(id)._2) == (n, dupOf),
+        s"doc $id: got ${got(id)}, want ($n,$dupOf)")
+    }
+    assert(got(200L)._1 == 2 && got(200L)._2.contains(0L),
+      "the post-compaction batch must still verify against landed text " +
+        "(200 duplicates base 0 and its batch-1 copy 100)")
+    // appends landed inside buckets, never as root files
+    assert(!new java.io.File(outPath).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // the candidate fetch prunes to the probed ids' buckets
+    val probe = { import spark.implicits._; Seq(0L).toDF("doc_id") }
+    val scan = Maintenance.prunedByKey(spark, outPath, probe)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scan.nonEmpty &&
+      scan.head.selectedPartitions.partitionCount == 1,
+      "a one-id fetch must read exactly one db= bucket")
+  }
+
   test("dupFlaggedAppend keeps flagging correctly across a mid-stream compaction") {
     import graft.streaming.EventsStreaming
     // batches 0,1 land on the flat index; compaction rewrites it to the

@@ -399,28 +399,8 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
 
     // reference: plain Scala replay — exact 3-shingle jaccard vs landed
-    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
-    def jac(a: Set[String], b: Set[String]) = {
-      val i = (a & b).size.toDouble
-      val u = a.size + b.size - i
-      if (u == 0) 0.0 else i / u
-    }
-    var landed = Vector.empty[(Long, Set[String])]
-    val expected = scala.collection.mutable.Map.empty[Long, (Long, Option[Long])]
-    parts.foreach { p =>
-      val rows = p.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), sh(r.getString(1))))
-      rows.foreach { case (id, s) =>
-        val m = landed.filter { case (_, ls) => jac(s, ls) >= 0.7 }.map(_._1)
-        expected(id) = (m.size.toLong, m.minOption)
-      }
-      landed ++= rows
-    }
-    val got = spark.read.parquet(outPath)
-      .select("doc_id", "n_near_dups", "dup_of", "verdict").collect()
-      .map(r => r.getLong(0) ->
-        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
-      .toMap
+    val expected = DupFlagKit.nearDupReference(parts, threshold = 0.7)
+    val got = DupFlagKit.readNearDupFlags(spark, outPath)
     assert(got.size == expected.size)
     expected.foreach { case (id, (n, dupOf)) =>
       val (gn, gd, gv) = got(id)
