@@ -95,11 +95,6 @@ object Dedup {
           coalesce(col(s"m$i"), lit(Long.MaxValue))): _*).as("sig"))
   }
 
-  /** Banded candidate pairs from a signature table — (id_a < id_b) pairs
-    * sharing any band's bucket, with estimated Jaccard = matching
-    * signature fraction. The band self-join shuffles on (band, bucket),
-    * so skewed mega-buckets are visible to AQE's skew-join handling.
-    */
   /** (id, sig, band, bucket) rows from a signature table — THE one
     * band/bucket derivation, shared by the batch self-join and the
     * asymmetric probe ([[minhashBandHashes]]) so a landed signature
@@ -116,6 +111,11 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
+  /** Banded candidate pairs from a signature table — (id_a < id_b) pairs
+    * sharing any band's bucket, with estimated Jaccard = matching
+    * signature fraction. The band self-join shuffles on (band, bucket),
+    * so skewed mega-buckets are visible to AQE's skew-join handling.
+    */
   private def bandedCandidates(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
@@ -152,10 +152,13 @@ object Dedup {
     * `streaming.EventsStreaming.nearDupFlaggedAppend`). One row per
     * (doc, band): (doc_id, band, bucket) — 16 fixed-width rows per doc
     * at the defaults, ≈10⁻³ of text bytes, the right thing to persist
-    * as an incremental index. Docs shorter than the shingle width get
-    * the all-MaxValue signature (they band-collide only with each other
-    * and exact verification rejects them — empty shingle sets have
-    * jaccard 0 by contract).
+    * as an incremental index. Docs shorter than the shingle width emit
+    * NO band rows: their shingle set is empty, so they can never verify
+    * at any positive threshold — but all of them share the all-MaxValue
+    * signature, so indexing them would make every arriving short doc
+    * band-collide with every landed short doc in every band (an
+    * unboundedly growing candidate set that verification rejects every
+    * time). Filtered here, once, for every caller.
     */
   def minhashBandHashes(
       docs: DataFrame,
@@ -165,7 +168,9 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 2): DataFrame =
     bandRowsOf(
-      minhashSignatures(docs, textCol, idCol, shingleN, bands * rowsPerBand),
+      minhashSignatures(
+        docs.filter(size(TextFns.tokens(col(textCol))) >= shingleN),
+        textCol, idCol, shingleN, bands * rowsPerBand),
       bands, rowsPerBand)
       .select(col("id").as("doc_id"), col("band"), col("bucket"))
 

@@ -450,7 +450,7 @@ object EventsStreaming {
     *     `localCheckpoint`ed, so the flags write, the index append and
     *     the top-up all reuse the same blocks — one landed-output scan
     *     per batch.
-    *   - A Bloom sidecar over the index grams ([[gramBloomPath]]) is
+    *   - A Bloom sidecar over the index grams (`_graft_gram_bloom`) is
     *     merged BEFORE the index append (bloom ⊇ index at every instant,
     *     so a torn update only adds false-positive probes, never false
     *     negatives). The probe tests the bloom MAP-SIDE and routes only
@@ -482,14 +482,18 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // at-least-once sources can repeat a doc WITHIN one micro-batch
+          // too — without this, the duplicate row lands twice and its
+          // windows double-count forever (same guard as appendWithDedup)
+          val b = batch.dropDuplicates("doc_id")
           // one landed-output scan per batch: the anti-join lineage is
           // checkpointed; flags, index append and top-up reuse its blocks
           val fresh =
             (if (hasDataFiles(fs, outP)) {
               antiJoinedBatches.incrementAndGet()
-              batch.join(spark.read.parquet(outPath).select(col("doc_id")),
+              b.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
-            } else batch.toDF()).localCheckpoint(true)
+            } else b).localCheckpoint(true)
           def hashGrams(df: DataFrame) = df.select(col("doc_id"),
             explode(graft.plans.ShingleHash64.shingle_hash64(
               graft.functions.TextFns.tokens(col("text")), n,
@@ -531,11 +535,19 @@ object EventsStreaming {
           // by a fresh query) may be missing from the index — re-derive
           // their grams (batch-bounded; empty in steady state)
           val topup = hashGrams(
-            batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_anti"))
+            b.join(fresh.select("doc_id"), Seq("doc_id"), "left_anti"))
           val batchHs = grams.select("h").union(topup.select("h")).distinct()
             .localCheckpoint(true)
-          // bloom first: bloom ⊇ index must hold across a torn update
-          mergeSidecarBloom(spark, fs, indexPath, gramBloomName, batchHs, "h")
+          // bloom first: bloom ⊇ index must hold across a torn update.
+          // If the sidecar is LOST (torn delete+rename) while the index
+          // has data, a batch-only rebuild would silently violate the
+          // superset invariant every skip path trusts — rebuild from the
+          // full index instead (one scan, the recovery-path cost class)
+          val bloomKeys =
+            if (preBloom.isEmpty && idxExists)
+              spark.read.parquet(indexPath).select("h").union(batchHs)
+            else batchHs
+          mergeSidecarBloom(spark, fs, indexPath, gramBloomName, bloomKeys, "h")
           // SET-maintained append: only grams absent from the index land.
           // Shape: the landed index is NEVER shuffled — it is semi-joined
           // map-side against the broadcast batch-gram set (bounded), and
@@ -767,17 +779,24 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // intra-batch duplicate doc_ids land once (at-least-once
+          // sources; same guard as appendWithDedup — a doubled landed
+          // row would inflate later batches' n_near_dups forever)
+          val b = batch.dropDuplicates("doc_id")
           val fresh =
             (if (hasDataFiles(fs, outP)) {
               antiJoinedBatches.incrementAndGet()
-              batch.join(spark.read.parquet(outPath).select(col("doc_id")),
+              b.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
-            } else batch.toDF()).localCheckpoint(true)
+            } else b).localCheckpoint(true)
           def bandsOf(df: DataFrame) = graft.operators.Dedup.minhashBandHashes(
             df, "text", "doc_id", shingleN, bands, rowsPerBand)
           val bandRows = bandsOf(fresh).localCheckpoint(true)
           val idxP = new org.apache.hadoop.fs.Path(sigIndexPath)
           val idxExists = hasDataFiles(fs, idxP)
+          // read ONCE per batch: drives the probe filter AND the
+          // lost-sidecar rebuild decision below
+          val sigPreBloom = readSidecarBloom(fs, sigIndexPath, sigBloomName)
           val flags: Option[DataFrame] =
             if (!idxExists) None
             else {
@@ -786,7 +805,7 @@ object EventsStreaming {
               // negatives), so a fully-novel batch drops every band row
               // map-side and SKIPS THE INDEX SCAN entirely — the
               // signature-index twin of the gram bloom
-              val probeRows = readSidecarBloom(fs, sigIndexPath, sigBloomName) match {
+              val probeRows = sigPreBloom match {
                 case None => bandRows
                 case Some(bloom) => bandRows.filter(
                   mightContainCol(bloom, xxhash64(col("band"), col("bucket"))))
@@ -848,7 +867,7 @@ object EventsStreaming {
           }
           // index append: fresh band rows directly (never-landed ⇒ never
           // indexed); landed-from-batch docs via the anti-joined top-up
-          val topupDocs = batch.join(fresh.select("doc_id"),
+          val topupDocs = b.join(fresh.select("doc_id"),
             Seq("doc_id"), "left_anti").localCheckpoint(true)
           val topupBands =
             if (topupDocs.isEmpty) None
@@ -864,9 +883,17 @@ object EventsStreaming {
             } else Some(bandsOf(topupDocs))
           val toAppend = topupBands.fold(bandRows)(bandRows.unionByName(_))
           // (band,bucket) bloom first — bloom ⊇ index across a torn
-          // update, so the skip-the-scan shortcut can never miss a flag
+          // update, so the skip-the-scan shortcut can never miss a flag;
+          // a LOST sidecar over a populated index rebuilds from the full
+          // index, never from one batch (superset invariant)
+          val bbOf = (df: DataFrame) =>
+            df.select(xxhash64(col("band"), col("bucket")).as("bb"))
+          val sigBloomKeys =
+            if (sigPreBloom.isEmpty && idxExists)
+              bbOf(spark.read.parquet(sigIndexPath)).union(bbOf(toAppend))
+            else bbOf(toAppend)
           mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
-            toAppend.select(xxhash64(col("band"), col("bucket")).as("bb")), "bb")
+            sigBloomKeys, "bb")
           toAppend.write.mode("append").parquet(sigIndexPath)
           recordCommitted(spark, fs, outPath, batchId)
           ()

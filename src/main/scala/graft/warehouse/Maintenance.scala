@@ -216,7 +216,11 @@ object Maintenance {
     require(fs.exists(p), s"no table at $tablePath")
     val tmp = new Path(tablePath + ".__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(tablePath).drop("db")
+    // mergeSchema: a table widened by evolveAppend has files with and
+    // without the new columns — a footer-pick read here would silently
+    // DROP the widened columns from the rewrite (and the swap makes
+    // that permanent); union the schemas like readEvolved does
+    spark.read.option("mergeSchema", "true").parquet(tablePath).drop("db")
       .withColumn("db", pmod(col(keyCol), lit(buckets)).cast("int"))
       .repartition(buckets, col("db"))
       .sortWithinPartitions("db", keyCol)

@@ -267,6 +267,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 $recall too low")
   }
 
+  test("minhashBandHashes emits no band rows for sub-shingle docs") {
+    import spark.implicits._
+    // every short doc shares the all-MaxValue signature — indexing them
+    // would cross-collide all of them in every band forever; they can
+    // never verify at a positive threshold, so they must emit nothing
+    val docs = Seq(
+      (1L, "one two"), (2L, "x"), (3L, ""),
+      (4L, "a full three-token doc here")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashBandHashes(docs, bands = 16, rowsPerBand = 2)
+    assert(rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(rows.count() == 16)
+  }
+
   test("dupSpanIslands coalesces overlapping windows into maximal spans, owner exempt") {
     import spark.implicits._
     // A and B are 8-token blocks; docs 2 and 3 share both, separated by a

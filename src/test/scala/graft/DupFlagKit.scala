@@ -91,7 +91,14 @@ object DupFlagKit {
     */
   def nearDupReference(parts: Seq[DataFrame],
       threshold: Double = 0.7): Map[Long, (Long, Option[Long])] = {
-    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    // match the engine exactly: full-width shingles only — a doc below
+    // 3 tokens has the EMPTY set (sliding(3) alone would emit one
+    // truncated group and flag identical short docs the engine keeps)
+    def sh(t: String) = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
     def jac(a: Set[String], b: Set[String]) = {
       val i = (a & b).size.toDouble
       val u = a.size + b.size - i

@@ -424,6 +424,55 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivery must not grow the signature index")
   }
 
+  test("a LOST gram bloom is rebuilt from the index, not from one batch") {
+    // crash window in the sidecar swap (delete landed, rename didn't):
+    // the bloom vanishes while the index holds history. A batch-only
+    // rebuild would mark landed grams "definitely new" forever after —
+    // missed flags. The rebuild must come from the full index.
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_lost")
+    val chk = base.resolve("chk").toString
+    val srcDir = stageArrival(base, parts.take(1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    def start() = EventsStreaming.dupFlaggedAppend(
+      docStream(srcDir), outPath, idxPath, n = 8, checkpoint = Some(chk))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // the sidecar is lost; landed history stays
+    assert(new java.io.File(idxPath, "_graft_gram_bloom").delete())
+    // batch 1 arrives (rebuild happens here), then batch 2 echoes batch 0
+    stageArrival(base, parts.drop(1), startK = 1)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val (expected, landed) = dupFlagReference(parts)
+    assertFlagsMatch(outPath, expected) // undercounts if bloom ⊉ index
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "a bloom ⊉ index would also re-append landed grams")
+  }
+
+  test("intra-batch duplicate doc_ids land once with single-counted flags") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t5 = (0 until 30).map(j => s"d5_$j").mkString(" ")
+    // doc 5 delivered TWICE inside batch 0 (at-least-once source)
+    val p0 = df(Seq((5L, t5), (5L, t5), (6L, (0 until 30).map(j => s"d6_$j").mkString(" "))))
+    val p1 = df(Seq((100L, t5))) // near-copy arriving later
+    val base = java.nio.file.Files.createTempDirectory("graft_intradup")
+    val srcDir = stageArrival(base, Seq(p0, p1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("sig_index").toString
+    val q = EventsStreaming.nearDupFlaggedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(outPath)
+    assert(out.filter(col("doc_id") === 5).count() == 1,
+      "the intra-batch duplicate must land once")
+    val got = DupFlagKit.readNearDupFlags(spark, outPath)
+    assert(got(100L) == (1L, Some(5L), "near_dup"),
+      "a doubled landed row would report n_near_dups=2")
+  }
+
   test("nearDup sig bloom skips the index scan for fully-novel batches") {
     import spark.implicits._
     // batch 0 seeds the signature index + (band,bucket) bloom; batch 1
