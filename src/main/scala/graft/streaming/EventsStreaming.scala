@@ -894,7 +894,16 @@ object EventsStreaming {
             else bbOf(toAppend)
           mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
             sigBloomKeys, "bb")
-          toAppend.write.mode("append").parquet(sigIndexPath)
+          // a compacted (doc_id-bucketed) signature index keeps its
+          // layout too — same dispatch as the gram index and the landed
+          // doc table
+          graft.warehouse.Maintenance.gramIndexBuckets(spark, sigIndexPath) match {
+            case Some(bk) =>
+              toAppend.withColumn("db", pmod(col("doc_id"), lit(bk)).cast("int"))
+                .write.mode("append").partitionBy("db").parquet(sigIndexPath)
+            case None =>
+              toAppend.write.mode("append").parquet(sigIndexPath)
+          }
           recordCommitted(spark, fs, outPath, batchId)
           ()
         }

@@ -151,6 +151,9 @@ class MaintenanceSpec extends AnyFunSuite {
     }
     DupFlagKit.stageArrival(bse, parts.take(2)); run()
     Maintenance.compactDocTable(spark, outPath, "doc_id", buckets = 8)
+    // the signature index is doc_id-keyed too — compact it in the same
+    // maintenance window; the sink must keep BOTH layouts on append
+    Maintenance.compactDocTable(spark, idxPath, "doc_id", buckets = 4)
     DupFlagKit.stageArrival(bse, parts.drop(2), startK = 2); run()
     val expected = DupFlagKit.nearDupReference(parts, threshold = 0.7)
     val got = DupFlagKit.readNearDupFlags(spark, outPath)
@@ -162,9 +165,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got(200L)._1 == 2 && got(200L)._2.contains(0L),
       "the post-compaction batch must still verify against landed text " +
         "(200 duplicates base 0 and its batch-1 copy 100)")
-    // appends landed inside buckets, never as root files
+    // appends landed inside buckets, never as root files — on BOTH the
+    // landed table and the signature index
     assert(!new java.io.File(outPath).listFiles()
       .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    assert(!new java.io.File(idxPath).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "sig-index appends must land inside db= buckets after compaction")
     // the candidate fetch prunes to the probed ids' buckets
     val probe = { import spark.implicits._; Seq(0L).toDF("doc_id") }
     val scan = Maintenance.prunedByKey(spark, outPath, probe)
