@@ -47,10 +47,17 @@ object TextFns {
     * frequency statistics — `shingles` deduplicates for set-similarity
     * use). Same bound-column contract as `shingles`.
     */
-  def shinglesAll(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+  def shinglesAll(toks: Column, n: Int): Column = {
+    // guard, don't clamp: sequence(1, 0) generates a DESCENDING [1, 0]
+    // (Spark's sequence walks backwards when stop < start), whose 0
+    // start then crashes slice() — a doc below the shingle width must
+    // yield the EMPTY list, same contract as the native ShingleHash64
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(cnt, lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
 
   /** Mean token length (0.0 for empty docs). */
   def avgTokenLength(text: Column): Column = {

@@ -99,15 +99,25 @@ object Dedup {
     * band/bucket derivation, shared by the batch self-join and the
     * asymmetric probe ([[minhashBandHashes]]) so a landed signature
     * index and a live candidate join can never bucket differently.
+    *
+    * Empty-shingle docs (all-MaxValue signature — docs shorter than the
+    * shingle width) emit NO rows, for every caller: they can never
+    * verify at a positive threshold, but they all share one signature,
+    * so banding them makes every short doc collide with every other
+    * short doc in every band — S docs → S²/2 junk candidate pairs in
+    * the batch self-join, an unboundedly growing probe set in the
+    * streaming index. Filtered HERE, at the shared layer, so neither
+    * path can reintroduce the quadratic hazard.
     */
   private def bandRowsOf(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
-    sigs.select(
-      col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-      }: _*)).as("bb"))
+    sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(
+        col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
 
@@ -153,12 +163,8 @@ object Dedup {
     * (doc, band): (doc_id, band, bucket) — 16 fixed-width rows per doc
     * at the defaults, ≈10⁻³ of text bytes, the right thing to persist
     * as an incremental index. Docs shorter than the shingle width emit
-    * NO band rows: their shingle set is empty, so they can never verify
-    * at any positive threshold — but all of them share the all-MaxValue
-    * signature, so indexing them would make every arriving short doc
-    * band-collide with every landed short doc in every band (an
-    * unboundedly growing candidate set that verification rejects every
-    * time). Filtered here, once, for every caller.
+    * NO band rows — see [[bandRowsOf]], which enforces that for every
+    * banding consumer.
     */
   def minhashBandHashes(
       docs: DataFrame,
@@ -168,9 +174,7 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 2): DataFrame =
     bandRowsOf(
-      minhashSignatures(
-        docs.filter(size(TextFns.tokens(col(textCol))) >= shingleN),
-        textCol, idCol, shingleN, bands * rowsPerBand),
+      minhashSignatures(docs, textCol, idCol, shingleN, bands * rowsPerBand),
       bands, rowsPerBand)
       .select(col("id").as("doc_id"), col("band"), col("bucket"))
 

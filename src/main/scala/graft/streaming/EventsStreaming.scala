@@ -484,8 +484,12 @@ object EventsStreaming {
         } else {
           // at-least-once sources can repeat a doc WITHIN one micro-batch
           // too — without this, the duplicate row lands twice and its
-          // windows double-count forever (same guard as appendWithDedup)
-          val b = batch.dropDuplicates("doc_id")
+          // windows double-count forever (same guard as appendWithDedup).
+          // Checkpointed: both the fresh anti-join and the top-up consume
+          // it, and the dedup shuffle must run once (an un-pinned dedup
+          // could also pick DIFFERENT survivors per evaluation when
+          // duplicate ids carry different text)
+          val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
           // one landed-output scan per batch: the anti-join lineage is
           // checkpointed; flags, index append and top-up reuse its blocks
           val fresh =
@@ -529,7 +533,10 @@ object EventsStreaming {
             .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
             .withColumn("n_dup_vs_landed", coalesce(col("n_dup_vs_landed"), lit(0L)))
           planSpy.foreach(_(out))
-          out.write.mode("append").parquet(outPath)
+          // the flagged output is itself a doc_id-keyed table a
+          // maintenance window may bucket — honor that layout
+          graft.warehouse.Maintenance.bucketedAppend(spark, out, outPath,
+            "doc_id", "db")
           // top-up: batch docs that already landed (crash replay between
           // the output append and the index append, or full re-delivery
           // by a fresh query) may be missing from the index — re-derive
@@ -573,13 +580,8 @@ object EventsStreaming {
                 batchHs.join(broadcast(hits), Seq("h"), "left_anti")
               }
             }
-          graft.warehouse.Maintenance.gramIndexBuckets(spark, indexPath) match {
-            case Some(b) =>
-              newHs.withColumn("hb", pmod(col("h"), lit(b)).cast("int"))
-                .write.mode("append").partitionBy("hb").parquet(indexPath)
-            case None =>
-              newHs.write.mode("append").parquet(indexPath)
-          }
+          graft.warehouse.Maintenance.bucketedAppend(spark, newHs, indexPath,
+            "h", "hb")
           recordCommitted(spark, fs, outPath, batchId)
           ()
         }
@@ -781,8 +783,10 @@ object EventsStreaming {
         } else {
           // intra-batch duplicate doc_ids land once (at-least-once
           // sources; same guard as appendWithDedup — a doubled landed
-          // row would inflate later batches' n_near_dups forever)
-          val b = batch.dropDuplicates("doc_id")
+          // row would inflate later batches' n_near_dups forever).
+          // Checkpointed so the dedup shuffle runs once and both
+          // consumers (fresh, top-up) see the same survivors
+          val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
           val fresh =
             (if (hasDataFiles(fs, outP)) {
               antiJoinedBatches.incrementAndGet()
@@ -858,13 +862,8 @@ object EventsStreaming {
               when(col("dup_of").isNotNull, "near_dup").otherwise("keep"))
           // a compacted (doc_id-bucketed) landed table keeps its layout:
           // new rows land inside their db= bucket, never as root files
-          graft.warehouse.Maintenance.gramIndexBuckets(spark, outPath) match {
-            case Some(b) =>
-              out.withColumn("db", pmod(col("doc_id"), lit(b)).cast("int"))
-                .write.mode("append").partitionBy("db").parquet(outPath)
-            case None =>
-              out.write.mode("append").parquet(outPath)
-          }
+          graft.warehouse.Maintenance.bucketedAppend(spark, out, outPath,
+            "doc_id", "db")
           // index append: fresh band rows directly (never-landed ⇒ never
           // indexed); landed-from-batch docs via the anti-joined top-up
           val topupDocs = b.join(fresh.select("doc_id"),
@@ -895,15 +894,11 @@ object EventsStreaming {
           mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
             sigBloomKeys, "bb")
           // a compacted (doc_id-bucketed) signature index keeps its
-          // layout too — same dispatch as the gram index and the landed
-          // doc table
-          graft.warehouse.Maintenance.gramIndexBuckets(spark, sigIndexPath) match {
-            case Some(bk) =>
-              toAppend.withColumn("db", pmod(col("doc_id"), lit(bk)).cast("int"))
-                .write.mode("append").partitionBy("db").parquet(sigIndexPath)
-            case None =>
-              toAppend.write.mode("append").parquet(sigIndexPath)
-          }
+          // layout too. NOTE: doc_id-bucketing this index buys no read
+          // pruning (its probe key is (band,bucket)) — the dispatch is
+          // defensive, so an accidental compaction cannot wedge the sink
+          graft.warehouse.Maintenance.bucketedAppend(spark, toAppend,
+            sigIndexPath, "doc_id", "db")
           recordCommitted(spark, fs, outPath, batchId)
           ()
         }

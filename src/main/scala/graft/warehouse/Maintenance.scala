@@ -242,6 +242,25 @@ object Maintenance {
     fs.delete(old, true)
   }
 
+  /** Append to a possibly-compacted table, honoring its declared bucket
+    * layout: when the `_graft_buckets` sidecar is present the rows land
+    * inside their `pmod(key, buckets)` partition directory; otherwise a
+    * plain append. THE one append shape every streaming sink uses for
+    * its bucketed tables — the pmod formula lives here, next to
+    * [[compactGramIndex]]/[[compactDocTable]]/[[prunedByKey]], so a
+    * write site can neither skip the dispatch nor bucket differently
+    * from the layout/pruning side.
+    */
+  def bucketedAppend(spark: SparkSession, df: DataFrame, tablePath: String,
+      keyCol: String, partCol: String): Unit =
+    gramIndexBuckets(spark, tablePath) match {
+      case Some(b) =>
+        df.withColumn(partCol, pmod(col(keyCol), lit(b)).cast("int"))
+          .write.mode("append").partitionBy(partCol).parquet(tablePath)
+      case None =>
+        df.write.mode("append").parquet(tablePath)
+    }
+
   /** Bucket-pruned read of a compacted doc table for a BOUNDED id set:
     * the ids' bucket values become a partition filter so the scan lists
     * and reads only matching `db=` directories. Falls back to the full

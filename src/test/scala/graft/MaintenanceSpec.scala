@@ -151,8 +151,10 @@ class MaintenanceSpec extends AnyFunSuite {
     }
     DupFlagKit.stageArrival(bse, parts.take(2)); run()
     Maintenance.compactDocTable(spark, outPath, "doc_id", buckets = 8)
-    // the signature index is doc_id-keyed too — compact it in the same
-    // maintenance window; the sink must keep BOTH layouts on append
+    // ROBUSTNESS, not a recommendation: doc_id-bucketing the sig index
+    // buys no pruning (its probe key is (band,bucket)) — but an
+    // operator who compacts it anyway must not wedge the sink, so the
+    // append dispatch is exercised here
     Maintenance.compactDocTable(spark, idxPath, "doc_id", buckets = 4)
     DupFlagKit.stageArrival(bse, parts.drop(2), startK = 2); run()
     val expected = DupFlagKit.nearDupReference(parts, threshold = 0.7)
