@@ -55,7 +55,7 @@ object TextFns {
     val cnt = size(toks) - (n - 1)
     when(cnt <= 0, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(1), greatest(cnt, lit(1))),
+        sequence(lit(1), cnt),
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 

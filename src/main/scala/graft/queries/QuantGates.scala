@@ -59,8 +59,11 @@ object QuantGates {
 
       // ---- ground truth: exact all-pairs shingle Jaccard ≥ 0.7 via the
       // inverted-index join (the same shape dd_jaccard_shingles pins
-      // against DuckDB, here over ALL pairs, no probe slice)
-      val truth = exactJaccardPairs(docs, 3, JACCARD_T)
+      // against DuckDB, here over ALL pairs, no probe slice); cached
+      // under a key the ppjoin gate shares — the most expensive plan in
+      // either gate builds once per fixture
+      val truth = graft.ScopedCache.replace("qc_truth.jaccard",
+        exactJaccardPairs(docs, 3, JACCARD_T))
       val nTruth = truth.count()
 
       // ---- gate 1/2: MinHash+LSH graded as a PAIR-SET DIFF, not a ratio:
@@ -472,9 +475,11 @@ object QuantGates {
           "text", "doc_id", 3).select("id_a", "id_b"))
       val nVer = verified.count().toDouble
       // independent truth: inverted-index exact all-pairs Jaccard — no
-      // prefix filter, no df ordering, no length bound (shared helper
-      // with qc_quant_gates so both gates grade against ONE truth)
-      val truth = exactJaccardPairs(docs, 3, JACCARD_T)
+      // prefix filter, no df ordering, no length bound (shared helper +
+      // shared cache key with qc_quant_gates: one truth, built once,
+      // probed by three counts here without re-running the self-join)
+      val truth = graft.ScopedCache.replace("qc_truth.jaccard",
+        exactJaccardPairs(docs, 3, JACCARD_T))
       val missedByCands = truth.join(cands, Seq("id_a", "id_b"), "left_anti").count()
       val verDiff =
         truth.join(verified, Seq("id_a", "id_b"), "left_anti").count() +

@@ -482,6 +482,12 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // a crash mid-compaction-swap leaves history stranded in
+          // .__compact_old with NO live dir — without this, the next
+          // batch would recreate the table from one batch and the
+          // recovery rule could never fire again (live path exists)
+          graft.warehouse.Maintenance.recoverGramIndex(spark, outPath)
+          graft.warehouse.Maintenance.recoverGramIndex(spark, indexPath)
           // at-least-once sources can repeat a doc WITHIN one micro-batch
           // too — without this, the duplicate row lands twice and its
           // windows double-count forever (same guard as appendWithDedup).
@@ -515,20 +521,29 @@ object EventsStreaming {
           // bloom-positive by construction, so skip decisions must use
           // the state that still reflects only the landed index
           val preBloom = readSidecarBloom(fs, indexPath, gramBloomName)
-          val flagged =
+          // per-window dup verdicts, materialized ONCE (eager
+          // checkpoint): the flags aggregate AND the set-append both
+          // derive from these blocks, so the index is scanned exactly
+          // once per steady-state batch
+          val verdicts =
             if (idxExists) {
               // the index is a set by construction (see append below) —
               // semi-join probe, no Aggregate over the index scan; the
               // bloom sidecar drops definitely-new grams map-side first
               val idx = spark.read.parquet(indexPath).select("h")
-              probeWithBloom(spark, preBloom, grams, idx)
-                .groupBy("doc_id")
+              Some(probeWithBloom(spark, preBloom, grams, idx)
+                .localCheckpoint(true))
+            } else None
+          val flagged = verdicts match {
+            case Some(v) =>
+              v.groupBy("doc_id")
                 .agg(count(lit(1)).as("n_windows"),
                   sum(col("dup")).as("n_dup_vs_landed"))
-            } else
+            case None =>
               grams.groupBy("doc_id")
                 .agg(count(lit(1)).as("n_windows"))
                 .withColumn("n_dup_vs_landed", lit(0L))
+          }
           val out = fresh.join(flagged, Seq("doc_id"), "left")
             .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
             .withColumn("n_dup_vs_landed", coalesce(col("n_dup_vs_landed"), lit(0L)))
@@ -541,8 +556,9 @@ object EventsStreaming {
           // the output append and the index append, or full re-delivery
           // by a fresh query) may be missing from the index — re-derive
           // their grams (batch-bounded; empty in steady state)
-          val topup = hashGrams(
-            b.join(fresh.select("doc_id"), Seq("doc_id"), "left_anti"))
+          val topupDocs = b.join(fresh.select("doc_id"),
+            Seq("doc_id"), "left_anti").localCheckpoint(true)
+          val topup = hashGrams(topupDocs)
           val batchHs = grams.select("h").union(topup.select("h")).distinct()
             .localCheckpoint(true)
           // bloom first: bloom ⊇ index must hold across a torn update.
@@ -556,30 +572,24 @@ object EventsStreaming {
             else batchHs
           mergeSidecarBloom(spark, fs, indexPath, gramBloomName, bloomKeys, "h")
           // SET-maintained append: only grams absent from the index land.
-          // Shape: the landed index is NEVER shuffled — it is semi-joined
-          // map-side against the broadcast batch-gram set (bounded), and
-          // the anti-join runs batch vs that bounded hit set; grams the
-          // PRE-merge bloom proves absent skip that check map-side, and
-          // an all-new batch skips the index read outright. A compacted
-          // index (hash-prefix-bucketed by Maintenance.compactGramIndex)
-          // keeps its layout — new grams land inside their hb= bucket
-          // directory, never as mixed root files
-          val newHs =
-            if (!idxExists) batchHs
-            else {
-              val mightHs = preBloom match {
-                case Some(b) => bloomFiltered(batchHs, b)
-                case None => batchHs
-              }
-              if (preBloom.isDefined && mightHs.isEmpty) {
-                gramIndexScansSkipped.incrementAndGet()
-                batchHs // every gram provably new — no index read at all
-              } else {
-                val hits = spark.read.parquet(indexPath).select("h")
-                  .join(broadcast(mightHs), Seq("h"), "left_semi")
-                batchHs.join(broadcast(hits), Seq("h"), "left_anti")
-              }
-            }
+          // Steady state (no top-up) derives membership from the probe's
+          // checkpointed verdicts — dup=0 hashes ARE the new grams, ZERO
+          // additional index reads. Only the rare recovery path (crash
+          // replay / full re-delivery, where top-up grams were never
+          // probed) pays one more bounded semi-join scan: the landed
+          // index streams map-side against the broadcast batch-gram set
+          // and is never shuffled either way.
+          val newHs = verdicts match {
+            case None => batchHs
+            case Some(v) if topupDocs.isEmpty =>
+              batchHs.join(
+                broadcast(v.filter(col("dup") === 1L).select("h").distinct()),
+                Seq("h"), "left_anti")
+            case Some(_) =>
+              val hits = spark.read.parquet(indexPath).select("h")
+                .join(broadcast(batchHs), Seq("h"), "left_semi").distinct()
+              batchHs.join(broadcast(hits), Seq("h"), "left_anti")
+          }
           graft.warehouse.Maintenance.bucketedAppend(spark, newHs, indexPath,
             "h", "hb")
           recordCommitted(spark, fs, outPath, batchId)
@@ -659,8 +669,16 @@ object EventsStreaming {
     val tmp = new org.apache.hadoop.fs.Path(f.getParent, s".$name.tmp")
     val out = fs.create(tmp, true)
     try merged.writeTo(out) finally out.close()
-    if (fs.exists(f)) fs.delete(f, false)
-    fs.rename(tmp, f)
+    // FAIL the batch on a failed swap (Hadoop FSes return false, they
+    // don't throw): a silently-stale bloom would lack grams the index
+    // append below is about to land — bloom ⊉ index, which corrupts
+    // FLAGS, not just replay cost. Failing here replays the batch
+    // before anything inconsistent lands (the merge precedes the
+    // index append by design).
+    if (fs.exists(f) && !fs.delete(f, false))
+      throw new java.io.IOException(s"could not replace bloom sidecar $f")
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"rename $tmp -> $f returned false")
   }
 
   /** Per-gram dup verdict against the index: bloom-negative grams take
@@ -680,7 +698,13 @@ object EventsStreaming {
       preBloom: Option[org.apache.spark.util.sketch.BloomFilter],
       grams: DataFrame, idx: DataFrame): DataFrame = {
     def joined(g: DataFrame) = {
+      // distinct() on the BOUNDED hit set (batch-sized, not an index
+      // aggregate): an index written by a pre-set-maintenance engine
+      // can carry one row per batch-that-contained-the-gram, and a
+      // duplicated hit would multiply every matching window's row in
+      // the left join — inflating n_windows and n_dup_vs_landed
       val hits = idx.join(broadcast(g.select("h").distinct()), Seq("h"), "left_semi")
+        .distinct()
       g.join(broadcast(hits.withColumn("dup", lit(1L))), Seq("h"), "left")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
     }
@@ -781,6 +805,10 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // restore any table stranded by a crash mid-compaction-swap
+          // BEFORE probing existence (see dupFlaggedAppend)
+          graft.warehouse.Maintenance.recoverGramIndex(spark, outPath)
+          graft.warehouse.Maintenance.recoverGramIndex(spark, sigIndexPath)
           // intra-batch duplicate doc_ids land once (at-least-once
           // sources; same guard as appendWithDedup — a doubled landed
           // row would inflate later batches' n_near_dups forever).

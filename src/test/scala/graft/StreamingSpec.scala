@@ -248,10 +248,11 @@ class StreamingSpec extends AnyFunSuite {
       val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
       q.processAllAvailable(); q.stop()
     } finally EventsStreaming.trackBloomStats = false
-    // the all-novel batch skips the index read on BOTH legs (probe +
-    // set-append anti-join) — every gram was provably absent
-    assert(EventsStreaming.gramIndexScansSkipped.get() == scanSkips0 + 2,
-      "an all-novel batch must skip the gram-index read on probe and append")
+    // the all-novel batch skips the probe's index read (the set-append
+    // derives from the probe verdicts and never re-reads in steady
+    // state, so the probe is the only scan there was to skip)
+    assert(EventsStreaming.gramIndexScansSkipped.get() == scanSkips0 + 1,
+      "an all-novel batch must skip the gram-index read")
     val (expected, _) = dupFlagReference(Seq(p0, p1, p2))
     val got = assertFlagsMatch(outPath, expected)
     assert(got.collect { case (k, v) if k >= 500 && k < 600 => v }.forall(_._2 > 0),
@@ -422,6 +423,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outPath).count() == expected.size)
     assert(spark.read.parquet(idxPath).count() == expected.size * 16L,
       "re-delivery must not grow the signature index")
+  }
+
+  test("a batch arriving after a crashed compaction swap restores the stranded table") {
+    // compaction crashed between the two renames: live dir gone, all
+    // history in .__compact_old. The sink must run the recovery rule
+    // BEFORE its existence probe — otherwise it recreates the table
+    // from one batch and the stranded history is silently dropped
+    // (missed flags forever)
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_stranded")
+    val srcDir = stageArrival(base, parts.take(1))
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val q1 = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+    q1.processAllAvailable(); q1.stop()
+    // strand BOTH tables the way a torn swap does
+    assert(new java.io.File(outPath).renameTo(new java.io.File(outPath + ".__compact_old")))
+    assert(new java.io.File(idxPath).renameTo(new java.io.File(idxPath + ".__compact_old")))
+    stageArrival(base, parts.drop(1), startK = 1)
+    val q2 = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+    q2.processAllAvailable(); q2.stop()
+    val (expected, landed) = dupFlagReference(parts)
+    assertFlagsMatch(outPath, expected)
+    assert(spark.read.parquet(idxPath).count() == landed.size,
+      "the stranded gram history must be recovered, not rebuilt from one batch")
   }
 
   test("a LOST gram bloom is rebuilt from the index, not from one batch") {
