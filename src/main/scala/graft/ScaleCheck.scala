@@ -62,6 +62,85 @@ object ScaleCheck {
           println(f"$name%-26s FAILED ${e.getMessage}")
         }
       }
+    // ------- streaming-sink scale gates (VERDICT r12 #7): the per-batch
+    // cost of the dedup sinks must stay ~flat as LANDED HISTORY grows
+    // 10× — the O(batch) steady-state contract, gated by measurement
+    // instead of argued by plan shape. Per scale: land the fixture as
+    // one history batch (untimed), compact the index (the maintained
+    // steady state), then time ONE probe batch of FIXED size (200 novel
+    // docs — same rows at both scales — plus 20 verbatim dups drawn
+    // from that scale's own history, so both the skip path and the
+    // probe path execute).
+    val streamMaxRatio = sys.env.getOrElse("SCALE_STREAM_RATIO_MAX", "6").toDouble
+    import org.apache.spark.sql.functions._
+    def stage(df: org.apache.spark.sql.DataFrame,
+        srcDir: java.nio.file.Path, k: Int): Unit = {
+      val tmp = srcDir.resolveSibling(s"tmp$k").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"batch$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val novelBase = Tables.documents(spark, smallDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").limit(200)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", translate(col("text"), "aeiou", "01234"))
+      .localCheckpoint(true)
+    def probeTime(sfDir: String, kind: String): Double = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_scale_$kind")
+      val outPath = base.resolve("out").toString
+      val idxPath = base.resolve("idx").toString
+      val ckpt = base.resolve("ckpt").toString
+      val srcDir = base.resolve("in")
+      java.nio.file.Files.createDirectories(srcDir)
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      stage(docs, srcDir, 0)
+      val dups = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+      def sink() = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(srcDir.toString).schema)
+          .parquet(srcDir.toString)
+        kind match {
+          case "stream_dupflag" => graft.streaming.EventsStreaming
+            .dupFlaggedAppend(stream, outPath, idxPath, n = 8, Some(ckpt))
+          case _ => graft.streaming.EventsStreaming
+            .nearDupFlaggedAppend(stream, outPath, idxPath, checkpoint = Some(ckpt))
+        }
+      }
+      val q1 = sink(); q1.processAllAvailable(); q1.stop() // history, untimed
+      if (kind == "stream_dupflag")
+        graft.warehouse.Maintenance.compactGramIndex(spark, idxPath, 64)
+      else
+        graft.warehouse.Maintenance.compactSigIndex(spark, idxPath, 64)
+      stage(novelBase.unionByName(dups), srcDir, 1)
+      val q2 = sink() // checkpoint resume: only the probe file is new
+      val t0 = System.nanoTime()
+      q2.processAllAvailable()
+      val t = (System.nanoTime() - t0) / 1e9
+      q2.stop()
+      t
+    }
+    Seq("stream_dupflag", "stream_neardup")
+      .filter(k => only.forall(_.contains(k)))
+      .foreach { kind =>
+        try {
+          val tSmall = probeTime(smallDir, kind)
+          val tBig = probeTime(bigDir, kind)
+          val ratio = tBig / math.max(tSmall, 1e-3)
+          val violation = tBig > floorSec && ratio > streamMaxRatio
+          if (violation) bad += 1
+          println(f"$kind%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (per-batch vs 10x landed history)")
+        } catch { case e: Throwable =>
+          bad += 1
+          println(f"$kind%-26s FAILED ${e.getMessage}")
+        }
+      }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -450,18 +450,22 @@ object Dedup {
   }
 
   /** One hash per window position (multiplicity mode), with the 0-based
-    * start position — the shared front of both trim operators.
+    * start position — the shared front of both trim operators (and of
+    * the STREAMING trim sink, which derives its cut windows from the
+    * landed gram index instead of a whole-corpus ownership pass:
+    * `streaming.EventsStreaming.trimDupSpansAppend`).
     */
-  private def positionedGrams(toks: DataFrame, n: Int): DataFrame =
+  private[graft] def positionedGrams(toks: DataFrame, n: Int): DataFrame =
     toks.select(col("doc_id"),
       posexplode(graft.plans.ShingleHash64.shingle_hash64(
         col("w"), n, distinct = false)).as(Seq("pos", "h")))
 
   /** Cut the tokens covered by `cutWins` (doc_id, pos window starts) and
     * rebuild each document's text in order — the shared tail of both
-    * trim operators. Output: (doc_id, n_tokens, n_kept, trimmed).
+    * trim operators and of the streaming trim sink. Output:
+    * (doc_id, n_tokens, n_kept, trimmed).
     */
-  private def rebuildWithoutWindows(
+  private[graft] def rebuildWithoutWindows(
       toks: DataFrame, cutWins: DataFrame, n: Int): DataFrame = {
     val covered = cutWins.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))

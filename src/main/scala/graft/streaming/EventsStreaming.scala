@@ -347,6 +347,9 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          // fail loudly if a maintenance compaction owns the fact right
+          // now — appending into a partition mid-overwrite is silent loss
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, factPath)
           // at-least-once sources can repeat a key WITHIN one micro-batch
           // too — the anti-join only guards against already-landed rows
           val batch = rawBatch.dropDuplicates(key)
@@ -405,6 +408,7 @@ object EventsStreaming {
           hwmSkippedBatches.incrementAndGet()
           ()
         } else {
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
           val cleaned = graft.operators.Decontaminate.clean(batch, evalDocs, n)
           val inserts =
             if (hasDataFiles(fs, hPath)) {
@@ -470,7 +474,43 @@ object EventsStreaming {
     */
   def dupFlaggedAppend(docs: DataFrame, outPath: String, indexPath: String,
       n: Int = 8,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    spanDedupSink(docs, outPath, indexPath, n, checkpoint, trim = false)
+
+  /** Streaming span TRIM at ingest — the action arm of
+    * [[dupFlaggedAppend]] and the incremental twin of
+    * `operators.Dedup.trimDupSpans`: instead of only FLAGGING span
+    * duplication, each landed document's text has its duplicated
+    * n-token windows CUT — the ingest path emits the deduplicated
+    * corpus directly. Two cut sources, one ownership rule (arrival
+    * order is the canonical order):
+    *
+    *   - windows already in the LANDED gram index are cut from every
+    *     batch occurrence (their owner landed strictly earlier);
+    *   - windows new to the index but shared WITHIN the batch keep
+    *     exactly one canonical copy (min doc_id in the batch — the
+    *     same keeper rule as the batch operator) and are cut from the
+    *     rest.
+    *
+    * The gram INDEX keeps indexing the ORIGINAL text's grams (owners
+    * are defined on what arrived, not on what survived trimming — and
+    * rejoining trimmed tokens creates artifact windows across cut
+    * boundaries that never existed in the corpus), so when files
+    * arrive in doc_id order the landed corpus is row-for-row the batch
+    * `trimDupSpans` result — StreamingSpec pins that equivalence over
+    * an ordered multi-file arrival. Output rows carry the doc's
+    * original columns with `text` replaced by the trimmed rebuild,
+    * plus (n_tokens, n_kept, n_windows, n_dup_vs_landed).
+    */
+  def trimDupSpansAppend(docs: DataFrame, outPath: String, indexPath: String,
+      n: Int = 8,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    spanDedupSink(docs, outPath, indexPath, n, checkpoint, trim = true)
+
+  private def spanDedupSink(docs: DataFrame, outPath: String, indexPath: String,
+      n: Int,
+      checkpoint: Option[String],
+      trim: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docs.writeStream.outputMode("append")
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer
@@ -504,10 +544,13 @@ object EventsStreaming {
               b.join(spark.read.parquet(outPath).select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
             } else b).localCheckpoint(true)
+          // positions ride along (posexplode) so the TRIM variant can
+          // map dup verdicts back to token spans; the flag path ignores
+          // them (same counts either way)
           def hashGrams(df: DataFrame) = df.select(col("doc_id"),
-            explode(graft.plans.ShingleHash64.shingle_hash64(
+            posexplode(graft.plans.ShingleHash64.shingle_hash64(
               graft.functions.TextFns.tokens(col("text")), n,
-              distinct = false)).as("h"))
+              distinct = false)).as(Seq("pos", "h")))
           // hashing runs once — probe, flags and index append all read
           // the checkpointed (doc_id, h) blocks
           val grams = hashGrams(fresh).localCheckpoint(true)
@@ -516,11 +559,12 @@ object EventsStreaming {
           // the dir holding only the bloom sidecar — that must replay as
           // "no index yet", not crash-loop on an unreadable read
           val idxExists = hasDataFiles(fs, idxP)
-          // the PRE-merge bloom drives both the probe and the append
-          // anti-join: after the merge below, every batch gram is
-          // bloom-positive by construction, so skip decisions must use
-          // the state that still reflects only the landed index
-          val preBloom = readSidecarBloom(fs, indexPath, gramBloomName)
+          // the PRE-merge front filter (single sidecar or per-bucket
+          // bank) drives both the probe and the append anti-join: after
+          // the merge below, every batch gram is bloom-positive by
+          // construction, so skip decisions must use the state that
+          // still reflects only the landed index
+          val (bankMode, preFilter) = readFrontFilter(fs, indexPath, gramBloomName)
           // per-window dup verdicts, materialized ONCE (eager
           // checkpoint): the flags aggregate AND the set-append both
           // derive from these blocks, so the index is scanned exactly
@@ -529,9 +573,10 @@ object EventsStreaming {
             if (idxExists) {
               // the index is a set by construction (see append below) —
               // semi-join probe, no Aggregate over the index scan; the
-              // bloom sidecar drops definitely-new grams map-side first
-              val idx = spark.read.parquet(indexPath).select("h")
-              Some(probeWithBloom(spark, preBloom, grams, idx)
+              // front filter drops definitely-new grams map-side first,
+              // and on a compacted index the surviving grams' buckets
+              // prune the scan itself (prunedGramIndex inside)
+              Some(probeWithBloom(spark, preFilter, grams, indexPath)
                 .localCheckpoint(true))
             } else None
           val flagged = verdicts match {
@@ -544,9 +589,41 @@ object EventsStreaming {
                 .agg(count(lit(1)).as("n_windows"))
                 .withColumn("n_dup_vs_landed", lit(0L))
           }
-          val out = fresh.join(flagged, Seq("doc_id"), "left")
+          val flaggedOut = fresh.join(flagged, Seq("doc_id"), "left")
             .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
             .withColumn("n_dup_vs_landed", coalesce(col("n_dup_vs_landed"), lit(0L)))
+          val out = if (!trim) flaggedOut else {
+            // TRIM: cut (a) windows the landed index owns — every batch
+            // occurrence goes — and (b) windows new to the index but
+            // shared within the batch, keeping the min-doc_id canonical
+            // copy (the batch operator's keeper rule); then rebuild each
+            // doc's text without the covered tokens. All inputs are the
+            // checkpointed verdict/gram blocks — no extra index reads.
+            val toks = fresh.select(col("doc_id"),
+              graft.functions.TextFns.tokens(col("text")).as("w"))
+            val posVerdicts = verdicts.getOrElse(grams.withColumn("dup", lit(0L)))
+            val landedCut = posVerdicts.filter(col("dup") === 1L)
+              .select(col("doc_id"), col("pos"))
+            val notLanded = posVerdicts.filter(col("dup") === 0L)
+              .select(col("doc_id"), col("pos"), col("h"))
+            // batch-bounded ownership agg (8-byte hashes, partial-agg
+            // map-side) — never touches the landed side
+            val owners = notLanded.groupBy("h")
+              .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
+              .filter(col("owner") =!= col("hi"))
+              .select("h", "owner")
+            val batchCut = notLanded.join(owners, Seq("h"))
+              .filter(col("doc_id") =!= col("owner"))
+              .select(col("doc_id"), col("pos"))
+            val rebuilt = graft.operators.Dedup.rebuildWithoutWindows(
+              toks, landedCut.unionByName(batchCut), n)
+            flaggedOut.drop("text")
+              .join(rebuilt.withColumnRenamed("trimmed", "text"),
+                Seq("doc_id"), "left")
+              .withColumn("text", coalesce(col("text"), lit("")))
+              .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+              .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          }
           planSpy.foreach(_(out))
           // the flagged output is itself a doc_id-keyed table a
           // maintenance window may bucket — honor that layout
@@ -565,12 +642,19 @@ object EventsStreaming {
           // If the sidecar is LOST (torn delete+rename) while the index
           // has data, a batch-only rebuild would silently violate the
           // superset invariant every skip path trusts — rebuild from the
-          // full index instead (one scan, the recovery-path cost class)
-          val bloomKeys =
-            if (preBloom.isEmpty && idxExists)
-              spark.read.parquet(indexPath).select("h").union(batchHs)
-            else batchHs
-          mergeSidecarBloom(spark, fs, indexPath, gramBloomName, bloomKeys, "h")
+          // full index instead (one scan, the recovery-path cost class).
+          // Bank mode merges per touched bucket and self-heals a torn
+          // bank the same full-index way (BloomBank.mergeBatch).
+          if (bankMode)
+            graft.warehouse.BloomBank.mergeBatch(spark, indexPath,
+              batchHs, "h", spark.read.parquet(indexPath).select("h"))
+          else {
+            val bloomKeys =
+              if (preFilter.isEmpty && idxExists)
+                spark.read.parquet(indexPath).select("h").union(batchHs)
+              else batchHs
+            mergeSidecarBloom(spark, fs, indexPath, gramBloomName, bloomKeys, "h")
+          }
           // SET-maintained append: only grams absent from the index land.
           // Steady state (no top-up) derives membership from the probe's
           // checkpointed verdicts — dup=0 hashes ARE the new grams, ZERO
@@ -578,7 +662,8 @@ object EventsStreaming {
           // replay / full re-delivery, where top-up grams were never
           // probed) pays one more bounded semi-join scan: the landed
           // index streams map-side against the broadcast batch-gram set
-          // and is never shuffled either way.
+          // (bucket-pruned on a compacted layout) and is never shuffled
+          // either way.
           val newHs = verdicts match {
             case None => batchHs
             case Some(v) if topupDocs.isEmpty =>
@@ -586,7 +671,8 @@ object EventsStreaming {
                 broadcast(v.filter(col("dup") === 1L).select("h").distinct()),
                 Seq("h"), "left_anti")
             case Some(_) =>
-              val hits = spark.read.parquet(indexPath).select("h")
+              val hits = graft.warehouse.Maintenance
+                .prunedGramIndex(spark, indexPath, batchHs)
                 .join(broadcast(batchHs), Seq("h"), "left_semi").distinct()
               batchHs.join(broadcast(hits), Seq("h"), "left_anti")
           }
@@ -610,14 +696,63 @@ object EventsStreaming {
   /** Bloom filter over every gram hash in the index, persisted as a
     * sidecar inside the index directory (underscore-prefixed — invisible
     * to parquet readers). Spark's `BloomFilterAggregate` sketch format,
-    * fixed size so per-batch merges are a bitwise OR. 2^23 bits = 1 MiB;
-    * at 100 TB the sidecar becomes one bloom per hash-prefix bucket
-    * (sized per bucket), the same layout `compactGramIndex` gives the
-    * data files.
+    * fixed size so per-batch merges are a bitwise OR. 2^23 bits = 1 MiB —
+    * and because it is fixed, its fpp CLIMBS as the index grows: every
+    * merge measures the bit-fill and flags saturation (> 0.5 full) loudly,
+    * and compaction replaces the sidecar with a per-bucket
+    * [[graft.warehouse.BloomBank]] sized from the actual row count — the
+    * engineered-fpp layout a 100 TB index runs on. (A var so the
+    * saturation spec can shrink it; production never writes it.)
     */
-  private[graft] val gramBloomBits = 1L << 23
+  private[graft] var gramBloomBits = 1L << 23
   private val gramBloomName = "_graft_gram_bloom"
   private val sigBloomName = "_graft_sig_bloom"
+
+  /** Saturation observability (VERDICT r12 #1): bit-fill ratio of every
+    * single-sidecar bloom at its last merge, saturation events, and the
+    * once-per-sidecar warned set.
+    */
+  private[graft] val bloomFillRatios =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private[graft] val bloomSaturationWarnings =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val bloomSaturationThreshold = 0.5
+  private val bloomWarnedSidecars =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The map-side front filter of an index: either the flat layout's
+    * single fixed-size sidecar or a compacted layout's per-bucket
+    * [[graft.warehouse.BloomBank]]. One `filterCol` contract so the
+    * probe pipeline is filter-kind-agnostic.
+    */
+  private[graft] sealed trait FrontFilter {
+    def filterCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+  private final case class SingleBloom(bf: org.apache.spark.util.sketch.BloomFilter)
+      extends FrontFilter {
+    def filterCol(key: org.apache.spark.sql.Column) = mightContainCol(bf, key)
+  }
+  private final case class BankFilter(bank: Array[Array[Byte]]) extends FrontFilter {
+    def filterCol(key: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.BloomBankMightContain(bank,
+        ColumnBridge.expression(key)))
+    }
+  }
+
+  /** (bankMode, filter): bank mode iff a bank META is declared at the
+    * index — a declared-but-torn bank yields (true, None): the probe
+    * runs unfiltered (exact, slower) and the bank-mode MERGE heals the
+    * bank from the full index; falling back to single-sidecar mode
+    * would resurrect the saturating filter compaction just retired.
+    */
+  private def readFrontFilter(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, singleName: String): (Boolean, Option[FrontFilter]) = {
+    if (graft.warehouse.BloomBank.metaOf(fs, indexPath).isDefined)
+      (true, graft.warehouse.BloomBank.read(fs, indexPath)
+        .map { case (_, blooms) => BankFilter(blooms) })
+    else (false, readSidecarBloom(fs, indexPath, singleName).map(SingleBloom))
+  }
 
   /** Spec hook: micro-batches whose (band,bucket) bloom probe proved no
     * landed signature can collide — the index scan was skipped outright.
@@ -665,6 +800,25 @@ object EventsStreaming {
       case Some(existing) => existing.mergeInPlace(batchBloom)
       case None => batchBloom
     }
+    // saturation is a PERF contract decay, not a correctness one (blooms
+    // never false-negative) — but a silent decay zeroes the skip economy
+    // with no signal, so measure the bit-fill on every merge and warn
+    // once per sidecar past the threshold, naming the fix (VERDICT r12
+    // #1; same observability discipline as hwmWriteFailures)
+    val sidecarId = s"$indexPath/$name"
+    val fill = merged.cardinality().toDouble / merged.bitSize()
+    bloomFillRatios.put(sidecarId, fill)
+    if (fill > bloomSaturationThreshold) {
+      bloomSaturationWarnings.incrementAndGet()
+      if (bloomWarnedSidecars.add(sidecarId))
+        System.err.println(
+          f"[graft] WARN: bloom sidecar $name at $indexPath is ${fill * 100}%.0f%% " +
+            f"full (expected fpp ≈ ${merged.expectedFpp()}%.2f) — the map-side " +
+            "probe-skip economy is decaying; compact the index " +
+            "(compactGramIndex/compactSigIndex) to rebuild it as a per-bucket " +
+            "bloom bank sized to the data (logged once per sidecar; see " +
+            "bloomFillRatios/bloomSaturationWarnings)")
+    }
     val f = new org.apache.hadoop.fs.Path(indexPath, name)
     val tmp = new org.apache.hadoop.fs.Path(f.getParent, s".$name.tmp")
     val out = fs.create(tmp, true)
@@ -681,23 +835,29 @@ object EventsStreaming {
       throw new java.io.IOException(s"rename $tmp -> $f returned false")
   }
 
-  /** Per-gram dup verdict against the index: bloom-negative grams take
-    * `dup = 0` MAP-SIDE (no false negatives — definitely absent); only
-    * might-dup grams proceed to the index lookup. No sidecar (pre-bloom
-    * index) → every gram proceeds, same exact result. Output columns:
-    * (doc_id, h, dup).
+  /** Per-gram dup verdict against the index: front-filter-negative grams
+    * take `dup = 0` MAP-SIDE (no false negatives — definitely absent);
+    * only might-dup grams proceed to the index lookup. No filter
+    * (pre-bloom index) → every gram proceeds, same exact result. Output
+    * columns: (doc_id, h, dup) (+ any carried gram columns).
     *
     * Join shape: the landed index is NEVER shuffled. Its matching h's
     * are extracted by a map-side semi-join against the BROADCAST
     * probe-gram set (batch-bounded), and the per-gram verdict is then a
     * broadcast hash lookup of that bounded hit set — per-batch cost is
     * one index scan plus batch-sized joins, O(landed) IO but zero
-    * O(landed) shuffle.
+    * O(landed) shuffle. On a compacted index the scan itself is
+    * BUCKET-PRUNED to the probe grams' `hb=` directories
+    * (Maintenance.prunedGramIndex): a dup-light batch whose bloom
+    * survivors hash into a handful of buckets reads a handful of files,
+    * not the index — the O(landed)-IO term becomes O(touched buckets).
     */
   private def probeWithBloom(spark: SparkSession,
-      preBloom: Option[org.apache.spark.util.sketch.BloomFilter],
-      grams: DataFrame, idx: DataFrame): DataFrame = {
+      preFilter: Option[FrontFilter],
+      grams: DataFrame, indexPath: String): DataFrame = {
     def joined(g: DataFrame) = {
+      val idx = graft.warehouse.Maintenance
+        .prunedGramIndex(spark, indexPath, g.select("h"))
       // distinct() on the BOUNDED hit set (batch-sized, not an index
       // aggregate): an index written by a pre-set-maintenance engine
       // can carry one row per batch-that-contained-the-gram, and a
@@ -708,13 +868,34 @@ object EventsStreaming {
       g.join(broadcast(hits.withColumn("dup", lit(1L))), Seq("h"), "left")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
     }
-    preBloom match {
+    preFilter match {
       case None => joined(grams)
-      case Some(bloom) =>
-        val tagged = grams.withColumn("might_dup", mightContainCol(bloom, col("h")))
-        if (trackBloomStats) {
-          bloomProbedGrams.addAndGet(tagged.count())
-          bloomPassedGrams.addAndGet(tagged.filter(col("might_dup")).count())
+      case Some(filter) =>
+        // the bloom verdict is materialized ONCE (eager checkpoint):
+        // both filter legs, the emptiness test and the downstream joins
+        // read the same blocks — and when stats are on, the accumulator
+        // tap rides inside that single execution, so observability costs
+        // zero extra jobs (the pre-r13 spec-mode `count()` pair
+        // re-executed the probe lineage twice)
+        val tagged0 = grams.withColumn("might_dup", filter.filterCol(col("h")))
+        val acc =
+          if (trackBloomStats) {
+            val spark = grams.sparkSession
+            val p = spark.sparkContext.longAccumulator("graft.bloom.probed")
+            val q = spark.sparkContext.longAccumulator("graft.bloom.passed")
+            Some((p, q))
+          } else None
+        val tagged = acc.fold(tagged0) { case (p, q) =>
+          import org.apache.spark.sql.graft.ColumnBridge
+          tagged0.withColumn("might_dup", ColumnBridge.column(
+            graft.plans.TapBloomStat(
+              ColumnBridge.expression(col("might_dup")), p, q)))
+        }.localCheckpoint(true)
+        // checkpoint done ⇒ every task reported; mirror into the spec
+        // hooks (accumulator values are final here)
+        acc.foreach { case (p, q) =>
+          bloomProbedGrams.addAndGet(p.value)
+          bloomPassedGrams.addAndGet(q.value)
         }
         val might = tagged.filter(col("might_dup")).drop("might_dup")
         val sure = tagged.filter(!col("might_dup")).drop("might_dup")
@@ -828,25 +1009,31 @@ object EventsStreaming {
           val idxExists = hasDataFiles(fs, idxP)
           // read ONCE per batch: drives the probe filter AND the
           // lost-sidecar rebuild decision below
-          val sigPreBloom = readSidecarBloom(fs, sigIndexPath, sigBloomName)
+          val (sigBankMode, sigFilter) =
+            readFrontFilter(fs, sigIndexPath, sigBloomName)
           val flags: Option[DataFrame] =
             if (!idxExists) None
             else {
-              // (band,bucket) bloom sidecar: a bloom-negative band row
+              // (band,bucket) front filter: a filter-negative band row
               // cannot collide with ANY landed signature (no false
               // negatives), so a fully-novel batch drops every band row
               // map-side and SKIPS THE INDEX SCAN entirely — the
               // signature-index twin of the gram bloom
-              val probeRows = sigPreBloom match {
+              val probeRows = sigFilter match {
                 case None => bandRows
-                case Some(bloom) => bandRows.filter(
-                  mightContainCol(bloom, xxhash64(col("band"), col("bucket"))))
+                case Some(f) => bandRows.filter(
+                  f.filterCol(xxhash64(col("band"), col("bucket"))))
               }
               if (probeRows.isEmpty) {
                 sigIndexScansSkipped.incrementAndGet()
                 None
               } else {
-              val idx = spark.read.parquet(sigIndexPath)
+              // on an sb-compacted index (Maintenance.compactSigIndex)
+              // this lists and reads ONLY the sb= buckets the surviving
+              // band rows hash into — the probe's O(landed)-IO term
+              // becomes O(colliding buckets)
+              val idx = graft.warehouse.Maintenance
+                .prunedBySigBandBucket(spark, sigIndexPath, probeRows)
                 .select(col("doc_id").as("landed_id"), col("band"), col("bucket"))
               // broadcast the batch side: the landed index never shuffles
               val cands = broadcast(probeRows).join(idx, Seq("band", "bucket"))
@@ -901,30 +1088,45 @@ object EventsStreaming {
             else if (idxExists) {
               // same no-index-shuffle shape as the gram sink: semi-join
               // the index map-side against the broadcast (tiny) top-up
-              // id set, then anti-join against the bounded hits
-              val idxHit = spark.read.parquet(sigIndexPath).select("doc_id")
+              // id set, then anti-join against the bounded hits. The
+              // anti-join key is (doc_id, band), NOT doc_id presence: a
+              // torn sig-index append (non-atomic parquet commit on an
+              // object store) can land only SOME of a doc's band rows,
+              // and a doc-level heal would leave that doc partially
+              // indexed forever — permanently reduced near-dup recall.
+              // Per-band, the missing rows are re-appended (a band's
+              // bucket is deterministic, so no dup rows either way).
+              val idxHit = spark.read.parquet(sigIndexPath)
+                .select("doc_id", "band")
                 .join(broadcast(topupDocs.select("doc_id")),
                   Seq("doc_id"), "left_semi").distinct()
               Some(bandsOf(topupDocs).join(broadcast(idxHit),
-                Seq("doc_id"), "left_anti"))
+                Seq("doc_id", "band"), "left_anti"))
             } else Some(bandsOf(topupDocs))
           val toAppend = topupBands.fold(bandRows)(bandRows.unionByName(_))
           // (band,bucket) bloom first — bloom ⊇ index across a torn
           // update, so the skip-the-scan shortcut can never miss a flag;
           // a LOST sidecar over a populated index rebuilds from the full
-          // index, never from one batch (superset invariant)
+          // index, never from one batch (superset invariant). Bank mode
+          // (post-compactSigIndex) merges per touched bucket and
+          // self-heals a torn bank the same full-index way.
           val bbOf = (df: DataFrame) =>
             df.select(xxhash64(col("band"), col("bucket")).as("bb"))
-          val sigBloomKeys =
-            if (sigPreBloom.isEmpty && idxExists)
-              bbOf(spark.read.parquet(sigIndexPath)).union(bbOf(toAppend))
-            else bbOf(toAppend)
-          mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
-            sigBloomKeys, "bb")
-          // a compacted (doc_id-bucketed) signature index keeps its
-          // layout too. NOTE: doc_id-bucketing this index buys no read
-          // pruning (its probe key is (band,bucket)) — the dispatch is
-          // defensive, so an accidental compaction cannot wedge the sink
+          if (sigBankMode)
+            graft.warehouse.BloomBank.mergeBatch(spark, sigIndexPath,
+              bbOf(toAppend), "bb", bbOf(spark.read.parquet(sigIndexPath)))
+          else {
+            val sigBloomKeys =
+              if (sigFilter.isEmpty && idxExists)
+                bbOf(spark.read.parquet(sigIndexPath)).union(bbOf(toAppend))
+              else bbOf(toAppend)
+            mergeSidecarBloom(spark, fs, sigIndexPath, sigBloomName,
+              sigBloomKeys, "bb")
+          }
+          // an sb-compacted signature index keeps its (band,bucket)
+          // layout (Maintenance.compactSigIndex — the layout the probe
+          // prunes on); a doc_id-bucketed one (defensive: an accidental
+          // compactDocTable must not wedge the sink) keeps that instead
           graft.warehouse.Maintenance.bucketedAppend(spark, toAppend,
             sigIndexPath, "doc_id", "db")
           recordCommitted(spark, fs, outPath, batchId)

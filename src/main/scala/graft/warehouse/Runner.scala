@@ -27,8 +27,19 @@ object Runner {
   final case class StageResult(name: String, rows: Option[Long],
       gateFailures: Seq[String])
 
-  /** Execute stages topologically (stable order among ready stages). */
-  def run(inputs: Map[String, DataFrame], stages: Seq[Stage]): (Map[String, DataFrame], Seq[StageResult]) = {
+  /** Execute stages topologically, then run the scheduled MAINTENANCE
+    * gate over `maintenance` targets: each target whose data-file count
+    * crossed its threshold is compacted
+    * ([[Maintenance.maintainIfNeeded]]) — the dbt-post-hook-shaped slot
+    * where a 100 TB warehouse schedules its compaction jobs, instead of
+    * leaving the manual surface to be remembered. Actions are reported
+    * as `maintenance:<path>` StageResults. Maintenance runs AFTER the
+    * quality gates pass (never compact on top of a failed run) and only
+    * for quiesced tables — a streaming sink racing a target fails
+    * loudly via the compaction lock rather than losing rows.
+    */
+  def run(inputs: Map[String, DataFrame], stages: Seq[Stage],
+      maintenance: Seq[Maintenance.MaintenanceTarget] = Nil): (Map[String, DataFrame], Seq[StageResult]) = {
     val built = mutable.LinkedHashMap[String, DataFrame]() ++ inputs
     val results = mutable.ArrayBuffer[StageResult]()
     val pending = mutable.Queue[Stage](stages: _*)
@@ -53,6 +64,15 @@ object Runner {
       s"unresolvable stage dependencies: ${pending.map(_.name).mkString(", ")}")
     val allFailures = results.flatMap(r => r.gateFailures.map(f => s"${r.name}: $f"))
     require(allFailures.isEmpty, s"quality gates failed — ${allFailures.mkString("; ")}")
+    maintenance.foreach { t =>
+      val spark = built.values.headOption.orElse(inputs.values.headOption)
+        .map(_.sparkSession)
+        .getOrElse(org.apache.spark.sql.SparkSession.active)
+      Maintenance.maintainIfNeeded(spark, t).foreach { action =>
+        results += StageResult(s"maintenance:${t.path}", None, Nil)
+        System.err.println(s"[graft] maintenance: $action")
+      }
+    }
     (built.toMap, results.toSeq)
   }
 

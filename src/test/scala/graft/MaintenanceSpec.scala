@@ -79,8 +79,10 @@ class MaintenanceSpec extends AnyFunSuite {
     Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
 
     // layout: hb= partition dirs, no data files at the root, sidecar set
+    // (the underscore-prefixed bloom-bank dir is a sidecar, not data)
     val root = new java.io.File(idxPath)
     val dirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_"))
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("hb=")), dirs.mkString(","))
     assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
       "no data files may remain at the index root")
@@ -183,6 +185,213 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(scan.nonEmpty &&
       scan.head.selectedPartitions.partitionCount == 1,
       "a one-id fetch must read exactly one db= bucket")
+  }
+
+  test("saturated bloom is flagged; compaction rebuilds it as a sized bank that prunes") {
+    import graft.streaming.EventsStreaming
+    import graft.warehouse.BloomBank
+    // Force the single sidecar into saturation (a 1024-bit bloom vs
+    // ~1400 landed grams ⇒ fill ≈ 1, fpp ≈ 1): the merge must FLAG it,
+    // the skip economy must visibly collapse, and compactGramIndex must
+    // replace the sidecar with a per-bucket bank sized from the ACTUAL
+    // row count — restoring a ≥90% map-side drop on novel batches and
+    // bucket-pruning the post-bloom probe. Flags stay exact throughout
+    // (blooms never false-negative; saturation only costs performance).
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 30).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val p0 = df(mk("a", 0 until 60))
+    val p1 = df(mk("b", 100 until 140) :+ (999L, mk("a", 0 until 1).head._2))
+    val p2 = df(mk("c", 200 until 240) :+ (998L, mk("a", 1 until 2).head._2))
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_sat")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    val savedBits = EventsStreaming.gramBloomBits
+    EventsStreaming.gramBloomBits = 1L << 10
+    EventsStreaming.trackBloomStats = true
+    EventsStreaming.bloomProbedGrams.set(0)
+    EventsStreaming.bloomPassedGrams.set(0)
+    val warned0 = EventsStreaming.bloomSaturationWarnings.get()
+    try {
+      DupFlagKit.stageArrival(base, Seq(p0, p1)); run()
+      // the merge measured the fill and flagged saturation
+      val fill = EventsStreaming.bloomFillRatios.get(s"$idxPath/_graft_gram_bloom")
+      assert(fill != null && fill > 0.5, s"fill=$fill must be flagged as saturated")
+      assert(EventsStreaming.bloomSaturationWarnings.get() > warned0)
+      // the skip economy visibly collapsed: most NOVEL grams still pass
+      val probed1 = EventsStreaming.bloomProbedGrams.get().toDouble
+      val passed1 = EventsStreaming.bloomPassedGrams.get().toDouble
+      assert(probed1 > 0 && passed1 / probed1 > 0.5,
+        f"saturated bloom should pass ~everything, passed ${passed1 / probed1}%.2f")
+      // compaction = bloom rebuild point: bank in, single sidecar out
+      graft.warehouse.Maintenance.compactGramIndex(spark, idxPath, buckets = 64)
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(BloomBank.metaOf(fs, idxPath).isDefined, "bank must be declared")
+      assert(!new java.io.File(idxPath, "_graft_gram_bloom").exists(),
+        "the saturating single sidecar must not be carried")
+      EventsStreaming.bloomProbedGrams.set(0)
+      EventsStreaming.bloomPassedGrams.set(0)
+      DupFlagKit.stageArrival(base, Seq(p2), startK = 2); run()
+      val probed2 = EventsStreaming.bloomProbedGrams.get().toDouble
+      val passed2 = EventsStreaming.bloomPassedGrams.get().toDouble
+      assert(probed2 > 0 && passed2 / probed2 <= 0.1,
+        f"bank must restore a >=90%% drop (passed ${passed2 / probed2}%.3f)")
+      // the surviving grams' buckets pruned the index scan (dup-light
+      // batch: one echo doc ⇒ ~23 surviving grams over 64 buckets)
+      assert(Maintenance.lastPruned.exists { case (r, b) => b == 64 && r < 32 },
+        s"post-bloom probe must bucket-prune, got ${Maintenance.lastPruned}")
+      // flags bit-identical throughout
+      val (expected, _) = DupFlagKit.dupFlagReference(Seq(p0, p1, p2))
+      assert(DupFlagKit.readFlags(spark, outPath) == expected)
+    } finally {
+      EventsStreaming.gramBloomBits = savedBits
+      EventsStreaming.trackBloomStats = false
+    }
+  }
+
+  test("compactSigIndex buckets on (band,bucket); the nearDup probe prunes to colliding sb=") {
+    import graft.streaming.EventsStreaming
+    import graft.warehouse.BloomBank
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def base(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    val parts = Seq(
+      df((0 until 10).map(i => (i.toLong, base(i)))),
+      df((0 until 5).map(i => (100L + i, base(i)))),
+      df(Seq((200L, base(0)))))
+    val bse = java.nio.file.Files.createTempDirectory("graft_sig_compact")
+    val outPath = bse.resolve("flagged").toString
+    val idxPath = bse.resolve("sig_index").toString
+    val srcDir = bse.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.nearDupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, threshold = 0.7)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(bse, parts.take(2)); run()
+    Maintenance.compactSigIndex(spark, idxPath, buckets = 64)
+    // layout: sb= dirs only, scheme declared, bank replaces the sidecar
+    val root = new java.io.File(idxPath)
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("sb=")), dirs.mkString(","))
+    assert(Maintenance.bucketLayout(spark, idxPath).contains((64, "sb")))
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(BloomBank.metaOf(fs, idxPath).isDefined)
+    assert(!new java.io.File(idxPath, "_graft_sig_bloom").exists())
+    DupFlagKit.stageArrival(bse, parts.drop(2), startK = 2); run()
+    // flags unchanged vs the flat layout (same reference the flat
+    // MaintenanceSpec/StreamingSpec runs pin)
+    val expected = DupFlagKit.nearDupReference(parts, threshold = 0.7)
+    val got = DupFlagKit.readNearDupFlags(spark, outPath)
+    expected.foreach { case (id, (n, dupOf)) =>
+      assert((got(id)._1, got(id)._2) == (n, dupOf),
+        s"doc $id: got ${got(id)}, want ($n,$dupOf)")
+    }
+    assert(got(200L)._1 == 2 && got(200L)._2.contains(0L))
+    // the batch's probe read ONLY the colliding buckets (one doc ⇒ ≤16
+    // band rows ⇒ ≤16 of 64 sb= buckets)
+    assert(Maintenance.lastPruned.exists { case (r, b) => b == 64 && r <= 16 },
+      s"sig probe must prune, got ${Maintenance.lastPruned}")
+    // appends keep landing inside sb= buckets, never as root files
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // and the pruned read's partition filter reaches the file listing
+    val oneRow = spark.read.parquet(idxPath).select("band", "bucket").limit(1)
+    val pruned = Maintenance.prunedBySigBandBucket(spark, idxPath,
+      oneRow.collect().toSeq.headOption.map { r =>
+        { import spark.implicits._
+          Seq((r.getInt(0), r.getLong(1))).toDF("band", "bucket") }
+      }.get)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty && scan.head.selectedPartitions.partitionCount == 1,
+      "a one-signature probe must read exactly one sb= bucket")
+  }
+
+  test("compaction lock: sink batches fail loudly; racing appends abort the swap") {
+    import graft.streaming.EventsStreaming
+    import graft.warehouse.Maintenance.{CompactionInProgressException, ConcurrentWriterException}
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val p0 = df(mk("a", 0 until 8))
+    val p1 = df(mk("b", 100 until 108))
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_lock")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(base, Seq(p0)); run()
+
+    // 1) a batch arriving while a compaction owns the index fails with
+    //    the NAMED reason — never appends into the about-to-move dir
+    Maintenance.acquireCompactionLock(spark, idxPath)
+    DupFlagKit.stageArrival(base, Seq(p1), startK = 1)
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    val q = EventsStreaming.dupFlaggedAppend(
+      DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(causeChain(ex).exists(_.isInstanceOf[CompactionInProgressException]),
+      s"want the named compaction-in-progress reason, got ${causeChain(ex)}")
+    assert(spark.read.parquet(outPath).count() == 8, "no partial batch lands")
+    // released lock ⇒ a fresh run replays and lands the batch exactly
+    Maintenance.releaseCompactionLock(spark, idxPath)
+    run()
+    val (expected, _) = DupFlagKit.dupFlagReference(Seq(p0, p1))
+    assert(DupFlagKit.readFlags(spark, outPath) == expected)
+
+    // 2) an append that slips past the lock gate is caught by the
+    //    pre-swap change detection: compaction ABORTS, live data intact
+    val before = spark.read.parquet(idxPath).count()
+    Maintenance.compactBarrier = Some(() => {
+      import spark.implicits._
+      Seq(123456789L).toDF("h").coalesce(1).write.mode("append").parquet(idxPath)
+    })
+    try intercept[ConcurrentWriterException] {
+      Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+    } finally Maintenance.compactBarrier = None
+    assert(spark.read.parquet(idxPath).count() == before + 1,
+      "abort must leave the live index (incl. the racing row) untouched")
+    assert(!new java.io.File(idxPath + ".__compact_tmp").exists(),
+      "abort must discard the rewrite")
+
+    // 3) an in-flight write job (_temporary) is refused up front; the
+    //    lock is released on every failure path, so a quiesced retry wins
+    assert(new java.io.File(idxPath, "_temporary").mkdir())
+    intercept[ConcurrentWriterException] {
+      Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+    }
+    assert(new java.io.File(idxPath, "_temporary").delete())
+    Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+    assert(spark.read.parquet(idxPath).select("h").count() == before + 1)
   }
 
   test("dupFlaggedAppend keeps flagging correctly across a mid-stream compaction") {

@@ -53,6 +53,55 @@ class RunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique(id)"))
   }
 
+  test("post-run maintenance gate compacts a threshold-crossing index; next sink batch honors it") {
+    import graft.streaming.EventsStreaming
+    import spark.implicits._
+    // a gram index accreted by the streaming sink (one-plus files per
+    // micro-batch) crosses the policy threshold; the PIPELINE run is
+    // what compacts it — and the next sink batch must land inside the
+    // new hb= layout with unchanged flags
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val parts = Seq(df(mk("a", 0 until 6)), df(mk("b", 100 until 106)),
+      df(mk("a", 0 until 3).map { case (i, t) => (200L + i, t) }))
+    val base = java.nio.file.Files.createTempDirectory("graft_runner_maint")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def runSink(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(base, parts.take(2)); runSink()
+    assert(Maintenance.totalDataFiles(spark, idxPath) > 1, "accreted flat files")
+
+    val stages = Seq(Runner.Stage("audit", Seq("docs"),
+      m => m("docs").groupBy("source").count()))
+    val (_, results) = Runner.run(Map("docs" -> parts.head), stages,
+      maintenance = Seq(
+        Maintenance.MaintenanceTarget(idxPath, Maintenance.TableKind.GramIndex,
+          maxDataFiles = 1, buckets = 4),
+        // under threshold ⇒ untouched (no gratuitous rewrites)
+        Maintenance.MaintenanceTarget(outPath, Maintenance.TableKind.DocTable,
+          maxDataFiles = 10000)))
+    assert(results.map(_.name) == Seq("audit", s"maintenance:$idxPath"),
+      "only the threshold-crossing target may appear as an action")
+    assert(Maintenance.gramIndexBuckets(spark, idxPath).contains(4))
+    assert(!new java.io.File(outPath, "_graft_buckets").exists())
+
+    // the next sink batch honors the compacted layout and flags exactly
+    DupFlagKit.stageArrival(base, parts.drop(2), startK = 2); runSink()
+    assert(!new java.io.File(idxPath).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "post-compaction appends must land inside hb= buckets")
+    val (expected, _) = DupFlagKit.dupFlagReference(parts)
+    assert(DupFlagKit.readFlags(spark, outPath) == expected)
+  }
+
   test("unresolvable dependencies are reported, not silently dropped") {
     val stages = Seq(Runner.Stage("orphan", Seq("missing"), m => m("missing")))
     val e = intercept[IllegalArgumentException] {

@@ -264,6 +264,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(probed > 0, "batch 1 must probe the bloom")
     assert(passed / probed <= 0.1,
       f"bloom should skip >=90%% of novel grams (passed ${passed / probed}%.3f)")
+    // accumulator discipline: the stats ride inside the probe's single
+    // checkpointed execution, so every bloom-probed gram counts EXACTLY
+    // once — batches 1 and 2 probe (batch 0 lands pre-index); a
+    // re-executed lineage (the pre-r13 spec-mode count() pair) or a
+    // double-evaluated projection would inflate this
+    val expectedProbed = expected.collect {
+      case (id, (nw, _)) if id >= 100 => nw
+    }.sum
+    assert(probed.toLong == expectedProbed,
+      s"probed=$probed, want exactly $expectedProbed (once per gram)")
+  }
+
+  test("trimDupSpansAppend over an ordered arrival equals the batch trimDupSpans") {
+    // the ingest path emits the deduplicated corpus directly: landed
+    // text = the batch trimDupSpans rebuild, doc for doc, when files
+    // arrive in doc_id order (arrival order = canonical owner order)
+    val parts = fixtureParts()
+    val base = java.nio.file.Files.createTempDirectory("graft_trim_stream")
+    val srcDir = stageArrival(base, parts)
+    val outPath = base.resolve("trimmed").toString
+    val idxPath = base.resolve("gram_index").toString
+    val q = EventsStreaming.trimDupSpansAppend(docStream(srcDir), outPath, idxPath, n = 8)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val batch = graft.operators.Dedup
+      .trimDupSpans(parts.reduce(_ unionByName _), n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(streamed.size == batch.size)
+    val diff = batch.filter { case (id, e) => streamed(id) != e }
+    assert(diff.isEmpty,
+      s"${diff.size} docs differ from the batch trim, e.g. ${diff.take(3)}")
+    // the index must hold the ORIGINAL texts' grams (ownership is
+    // defined on what arrived; trimmed-text grams would add artifact
+    // windows across cut boundaries)
+    val (_, landed) = dupFlagReference(parts)
+    assert(spark.read.parquet(idxPath).count() == landed.size)
   }
 
   test("foreachBatch append sink is idempotent across stream replays") {
