@@ -309,14 +309,70 @@ object EventsStreaming {
     }
 
   /** Spec hooks: replayed batches skipped via the high-water mark,
-    * batches that went through the landed anti-join safety net, and
+    * batches that went through the landed anti-join safety net, batches
+    * whose doc-id bloom proved every key new (landed scan skipped), and
     * failed hwm sidecar writes (the observable degradation signal).
     */
   private[graft] val hwmSkippedBatches = new java.util.concurrent.atomic.AtomicLong
   private[graft] val antiJoinedBatches = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val landedScansSkipped = new java.util.concurrent.atomic.AtomicLong
   private[graft] val hwmWriteFailures = new java.util.concurrent.atomic.AtomicLong
   private val hwmWarnedSinks =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val docBloomName = "_graft_doc_bloom"
+
+  /** The not-yet-landed subset of `b`, with the landed read FRONT-
+    * FILTERED by a doc-id bloom sidecar over the output table — the
+    * last O(landed)-per-batch term the doc sinks had: the anti-join
+    * safety net used to rescan the landed id column EVERY batch, even
+    * though in steady state every arriving id is new. Bloom-negative
+    * ids are definitely unlanded (no false negatives), so an all-new
+    * batch computes `fresh = b` with ZERO landed IO (`landedScansSkipped`);
+    * only bloom-positive ids (re-deliveries, or ~1% fp) anti-join, and
+    * on a doc_id-bucketed output even that read prunes to their
+    * buckets (Maintenance.prunedByKey). Sidecar discipline matches the
+    * index blooms: merged BEFORE the output append (bloom ⊇ landed at
+    * every instant — a crash in between costs false positives, never a
+    * missed duplicate), lost-or-legacy sidecars rebuild from the full
+    * landed id set ∪ batch (one scan, recovery cost class, and the
+    * self-migration path for pre-bloom tables).
+    */
+  private def freshAgainstLanded(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, outPath: String,
+      b: DataFrame, keyCol: String = "doc_id"): DataFrame = {
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val keys = b.select(col(keyCol))
+    if (!hasDataFiles(fs, outP)) {
+      mergeSidecarBloom(spark, fs, outPath, docBloomName, keys, keyCol)
+      b
+    } else readSidecarBloom(fs, outPath, docBloomName) match {
+      case None =>
+        antiJoinedBatches.incrementAndGet()
+        val landed = spark.read.parquet(outPath).select(col(keyCol))
+        mergeSidecarBloom(spark, fs, outPath, docBloomName,
+          landed.union(keys), keyCol)
+        b.join(landed, Seq(keyCol), "left_anti")
+      case Some(bloom) =>
+        // one evaluation of the bloom verdicts (eager checkpoint), so
+        // the emptiness test and both filter legs read the same blocks
+        val tagged = b.withColumn("__maybe_landed",
+          mightContainCol(bloom, col(keyCol))).localCheckpoint(true)
+        mergeSidecarBloom(spark, fs, outPath, docBloomName, keys, keyCol)
+        val pos = tagged.filter(col("__maybe_landed")).drop("__maybe_landed")
+        val neg = tagged.filter(!col("__maybe_landed")).drop("__maybe_landed")
+        if (pos.isEmpty) {
+          landedScansSkipped.incrementAndGet()
+          neg
+        } else {
+          antiJoinedBatches.incrementAndGet()
+          val landedIds = graft.warehouse.Maintenance
+            .prunedByKey(spark, outPath, pos.select(col(keyCol)), keyCol)
+            .select(col(keyCol))
+          neg.unionByName(pos.join(landedIds, Seq(keyCol), "left_anti"))
+        }
+    }
+  }
 
   /** T1+T3 sink: micro-batch append with MERGE-insert-only dedup —
     * `foreachBatch` anti-joins each micro-batch against the fact on the
@@ -410,12 +466,7 @@ object EventsStreaming {
         } else {
           graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
           val cleaned = graft.operators.Decontaminate.clean(batch, evalDocs, n)
-          val inserts =
-            if (hasDataFiles(fs, hPath)) {
-              antiJoinedBatches.incrementAndGet()
-              cleaned.join(spark.read.parquet(outPath).select(col("doc_id")),
-                Seq("doc_id"), "left_anti")
-            } else cleaned
+          val inserts = freshAgainstLanded(spark, fs, outPath, cleaned)
           inserts.write.mode("append").parquet(outPath)
           recordCommitted(spark, fs, outPath, batchId)
           ()
@@ -536,14 +587,11 @@ object EventsStreaming {
           // could also pick DIFFERENT survivors per evaluation when
           // duplicate ids carry different text)
           val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
-          // one landed-output scan per batch: the anti-join lineage is
-          // checkpointed; flags, index append and top-up reuse its blocks
-          val fresh =
-            (if (hasDataFiles(fs, outP)) {
-              antiJoinedBatches.incrementAndGet()
-              b.join(spark.read.parquet(outPath).select(col("doc_id")),
-                Seq("doc_id"), "left_anti")
-            } else b).localCheckpoint(true)
+          // the landed anti-join is doc-bloom-front-filtered: an all-new
+          // batch derives fresh = b with zero landed IO; checkpointed so
+          // flags, index append and top-up reuse the same blocks
+          val fresh = freshAgainstLanded(spark, fs, outPath, b)
+            .localCheckpoint(true)
           // positions ride along (posexplode) so the TRIM variant can
           // map dup verdicts back to token spans; the flag path ignores
           // them (same counts either way)
@@ -996,12 +1044,10 @@ object EventsStreaming {
           // Checkpointed so the dedup shuffle runs once and both
           // consumers (fresh, top-up) see the same survivors
           val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
-          val fresh =
-            (if (hasDataFiles(fs, outP)) {
-              antiJoinedBatches.incrementAndGet()
-              b.join(spark.read.parquet(outPath).select(col("doc_id")),
-                Seq("doc_id"), "left_anti")
-            } else b).localCheckpoint(true)
+          // doc-bloom-front-filtered landed anti-join (zero landed IO
+          // for all-new batches — see freshAgainstLanded)
+          val fresh = freshAgainstLanded(spark, fs, outPath, b)
+            .localCheckpoint(true)
           def bandsOf(df: DataFrame) = graft.operators.Dedup.minhashBandHashes(
             df, "text", "doc_id", shingleN, bands, rowsPerBand)
           val bandRows = bandsOf(fresh).localCheckpoint(true)

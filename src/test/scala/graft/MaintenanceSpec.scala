@@ -324,6 +324,55 @@ class MaintenanceSpec extends AnyFunSuite {
       "a one-signature probe must read exactly one sb= bucket")
   }
 
+  test("a torn bloom bank reads as absent and heals from the full index") {
+    import graft.streaming.EventsStreaming
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 30).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val p0 = df(mk("a", 0 until 20))
+    val p1 = df(mk("b", 100 until 120) :+ (999L, mk("a", 0 until 1).head._2))
+    val p2 = df(mk("c", 200 until 220))
+    val base = java.nio.file.Files.createTempDirectory("graft_bank_torn")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(base, Seq(p0)); run()
+    Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+    val bankDir = new java.io.File(idxPath, "_graft_bloom_bank")
+    assert(bankDir.isDirectory)
+    // tear the bank: one bucket file gone — a missing bucket might hold
+    // landed keys, so "absent file = empty bloom" would fabricate false
+    // negatives; the whole bank must read as ABSENT (exact unfiltered
+    // probe) and the next merge must rebuild it from the FULL index
+    assert(new java.io.File(bankDir, "b3").delete())
+    DupFlagKit.stageArrival(base, Seq(p1), startK = 1); run()
+    assert((0 until 8).forall(b => new java.io.File(bankDir, s"b$b").exists()),
+      "merge must heal the torn bank complete")
+    val (expected, _) = DupFlagKit.dupFlagReference(Seq(p0, p1))
+    assert(DupFlagKit.readFlags(spark, outPath) == expected,
+      "the torn-bank batch must still flag exactly (echo doc included)")
+    // the healed bank is a working front filter again: an all-novel
+    // batch drops ~everything map-side
+    EventsStreaming.trackBloomStats = true
+    EventsStreaming.bloomProbedGrams.set(0)
+    EventsStreaming.bloomPassedGrams.set(0)
+    try { DupFlagKit.stageArrival(base, Seq(p2), startK = 2); run() }
+    finally EventsStreaming.trackBloomStats = false
+    val probed = EventsStreaming.bloomProbedGrams.get().toDouble
+    val passed = EventsStreaming.bloomPassedGrams.get().toDouble
+    assert(probed > 0 && passed / probed <= 0.1,
+      f"healed bank must drop novel grams (passed ${passed / probed}%.3f)")
+  }
+
   test("compaction lock: sink batches fail loudly; racing appends abort the swap") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.Maintenance.{CompactionInProgressException, ConcurrentWriterException}

@@ -276,6 +276,52 @@ class StreamingSpec extends AnyFunSuite {
       s"probed=$probed, want exactly $expectedProbed (once per gram)")
   }
 
+  test("doc-id bloom skips the landed anti-join in steady state; replays and loss still exact") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val parts = Seq(df(mk("a", 0 until 8)), df(mk("b", 100 until 108)),
+      df(mk("c", 200 until 208)), df(mk("d", 300 until 308)))
+    val base = java.nio.file.Files.createTempDirectory("graft_docbloom")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    // steady state: every batch after the first is all-new ids — the
+    // bloom proves it map-side and the landed id column is NEVER read
+    val skip0 = EventsStreaming.landedScansSkipped.get()
+    val anti0 = EventsStreaming.antiJoinedBatches.get()
+    stageArrival(base, parts.take(3)); run()
+    assert(EventsStreaming.landedScansSkipped.get() == skip0 + 2,
+      "batches 1 and 2 must skip the landed scan outright")
+    assert(EventsStreaming.antiJoinedBatches.get() == anti0,
+      "no steady-state batch may pay the anti-join")
+    // full re-delivery by a FRESH query (foreign hwm): every id is
+    // bloom-positive → the anti-join safety net runs and inserts zero
+    run()
+    assert(spark.read.parquet(outPath).count() == 24, "replay lands nothing")
+    assert(EventsStreaming.antiJoinedBatches.get() > anti0,
+      "re-delivered ids must take the safety net")
+    // LOST sidecar over a populated table: rebuilt from the landed ids
+    // (superset rule), still exact, and the skip path resumes after
+    assert(new java.io.File(outPath, "_graft_doc_bloom").delete())
+    stageArrival(base, parts.drop(3), startK = 3); run()
+    assert(new java.io.File(outPath, "_graft_doc_bloom").exists(),
+      "lost doc bloom must be rebuilt")
+    val (expected, _) = dupFlagReference(parts)
+    assertFlagsMatch(outPath, expected)
+    val skip1 = EventsStreaming.landedScansSkipped.get()
+    stageArrival(base, Seq(df(mk("e", 400 until 408))), startK = 4); run()
+    assert(EventsStreaming.landedScansSkipped.get() == skip1 + 1,
+      "skip economy must resume after the rebuild")
+  }
+
   test("trimDupSpansAppend over an ordered arrival equals the batch trimDupSpans") {
     // the ingest path emits the deduplicated corpus directly: landed
     // text = the batch trimDupSpans rebuild, doc for doc, when files
