@@ -343,22 +343,35 @@ object EventsStreaming {
       b: DataFrame, keyCol: String = "doc_id"): DataFrame = {
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val keys = b.select(col(keyCol))
+    val (bankMode, filter) = readFrontFilter(fs, outPath, docBloomName, keyCol)
+    def mergeKeys(ks: DataFrame): Unit =
+      if (bankMode)
+        graft.warehouse.BloomBank.mergeBatch(spark, outPath, ks, keyCol,
+          spark.read.parquet(outPath).select(col(keyCol)))
+      else mergeSidecarBloom(spark, fs, outPath, docBloomName, ks, keyCol)
     if (!hasDataFiles(fs, outP)) {
-      mergeSidecarBloom(spark, fs, outPath, docBloomName, keys, keyCol)
+      mergeKeys(keys)
       b
-    } else readSidecarBloom(fs, outPath, docBloomName) match {
+    } else filter match {
+      case None if bankMode =>
+        // declared-but-torn bank: probe exact this batch; the merge
+        // heals the bank from the full landed id set
+        antiJoinedBatches.incrementAndGet()
+        mergeKeys(keys)
+        b.join(spark.read.parquet(outPath).select(col(keyCol)),
+          Seq(keyCol), "left_anti")
       case None =>
         antiJoinedBatches.incrementAndGet()
         val landed = spark.read.parquet(outPath).select(col(keyCol))
         mergeSidecarBloom(spark, fs, outPath, docBloomName,
           landed.union(keys), keyCol)
         b.join(landed, Seq(keyCol), "left_anti")
-      case Some(bloom) =>
+      case Some(f) =>
         // one evaluation of the bloom verdicts (eager checkpoint), so
         // the emptiness test and both filter legs read the same blocks
         val tagged = b.withColumn("__maybe_landed",
-          mightContainCol(bloom, col(keyCol))).localCheckpoint(true)
-        mergeSidecarBloom(spark, fs, outPath, docBloomName, keys, keyCol)
+          f.filterCol(col(keyCol))).localCheckpoint(true)
+        mergeKeys(keys)
         val pos = tagged.filter(col("__maybe_landed")).drop("__maybe_landed")
         val neg = tagged.filter(!col("__maybe_landed")).drop("__maybe_landed")
         if (pos.isEmpty) {
@@ -612,7 +625,8 @@ object EventsStreaming {
           // the merge below, every batch gram is bloom-positive by
           // construction, so skip decisions must use the state that
           // still reflects only the landed index
-          val (bankMode, preFilter) = readFrontFilter(fs, indexPath, gramBloomName)
+          val (bankMode, preFilter) =
+            readFrontFilter(fs, indexPath, gramBloomName, bankKey = "h")
           // per-window dup verdicts, materialized ONCE (eager
           // checkpoint): the flags aggregate AND the set-append both
           // derive from these blocks, so the index is scanned exactly
@@ -788,16 +802,20 @@ object EventsStreaming {
     }
   }
 
-  /** (bankMode, filter): bank mode iff a bank META is declared at the
-    * index — a declared-but-torn bank yields (true, None): the probe
-    * runs unfiltered (exact, slower) and the bank-mode MERGE heals the
-    * bank from the full index; falling back to single-sidecar mode
-    * would resurrect the saturating filter compaction just retired.
+  /** (bankMode, filter): bank mode iff a bank META with the EXPECTED
+    * key domain is declared at the index — a declared-but-torn bank
+    * yields (true, None): the probe runs unfiltered (exact, slower) and
+    * the bank-mode MERGE heals the bank from the full index; falling
+    * back to single-sidecar mode would resurrect the saturating filter
+    * compaction just retired. A bank keyed on a DIFFERENT domain (e.g.
+    * a doc_id bank on a sig index after a defensive compactDocTable)
+    * reads as undeclared — probing it would fabricate false negatives.
     */
   private def readFrontFilter(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, singleName: String): (Boolean, Option[FrontFilter]) = {
-    if (graft.warehouse.BloomBank.metaOf(fs, indexPath).isDefined)
-      (true, graft.warehouse.BloomBank.read(fs, indexPath)
+      indexPath: String, singleName: String,
+      bankKey: String): (Boolean, Option[FrontFilter]) = {
+    if (graft.warehouse.BloomBank.metaOf(fs, indexPath, Some(bankKey)).isDefined)
+      (true, graft.warehouse.BloomBank.read(fs, indexPath, Some(bankKey))
         .map { case (_, blooms) => BankFilter(blooms) })
     else (false, readSidecarBloom(fs, indexPath, singleName).map(SingleBloom))
   }
@@ -1056,7 +1074,7 @@ object EventsStreaming {
           // read ONCE per batch: drives the probe filter AND the
           // lost-sidecar rebuild decision below
           val (sigBankMode, sigFilter) =
-            readFrontFilter(fs, sigIndexPath, sigBloomName)
+            readFrontFilter(fs, sigIndexPath, sigBloomName, bankKey = "bb")
           val flags: Option[DataFrame] =
             if (!idxExists) None
             else {

@@ -45,7 +45,15 @@ object BloomBank {
   private val fppTarget = 0.01
   private val headroom = 8L
 
-  final case class Meta(nb: Int, items: Long, bits: Long)
+  /** `key` is the bank's KEY DOMAIN (the column the blooms were built
+    * over — "h", "bb", "doc_id"): a probe against a bank built on a
+    * DIFFERENT key would fabricate false negatives (missed duplicates),
+    * so every reader states the key it expects and a mismatched bank
+    * reads as absent — e.g. a signature index defensively compacted by
+    * compactDocTable gets a doc_id bank that the (band,bucket) probe
+    * must ignore.
+    */
+  final case class Meta(nb: Int, items: Long, bits: Long, key: String)
 
   private def bankDir(indexPath: String) = new Path(indexPath, dirName)
   private def metaPath(indexPath: String) = new Path(bankDir(indexPath), "_meta")
@@ -54,9 +62,11 @@ object BloomBank {
 
   /** Bank declared at this index (meta readable)? Dispatch on THIS — a
     * bank that exists but is torn must route to the bank-mode heal, not
-    * back to single-sidecar mode.
+    * back to single-sidecar mode. Pass `expectedKey` to also require the
+    * bank's key domain (a wrong-domain bank reads as undeclared).
     */
-  def metaOf(fs: FileSystem, indexPath: String): Option[Meta] =
+  def metaOf(fs: FileSystem, indexPath: String,
+      expectedKey: Option[String] = None): Option[Meta] =
     try {
       val f = metaPath(indexPath)
       if (!fs.exists(f)) None
@@ -64,20 +74,24 @@ object BloomBank {
         val in = fs.open(f)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        s.split(':') match {
-          case Array(nb, items, bits) => Some(Meta(nb.toInt, items.toLong, bits.toLong))
+        val parsed = s.split(':') match {
+          case Array(nb, items, bits, key) =>
+            Some(Meta(nb.toInt, items.toLong, bits.toLong, key))
           case _ => None
         }
+        parsed.filter(m => expectedKey.forall(_ == m.key))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The complete bank, or None when absent/torn (any bucket file
     * unreadable ⇒ the whole bank is unusable as a front filter: a
     * missing bucket might hold landed keys, and "absent file = empty
-    * bloom" would fabricate false NEGATIVES).
+    * bloom" would fabricate false NEGATIVES) or keyed on a different
+    * domain than the probe expects.
     */
-  def read(fs: FileSystem, indexPath: String): Option[(Meta, Array[Array[Byte]])] =
-    metaOf(fs, indexPath).flatMap { m =>
+  def read(fs: FileSystem, indexPath: String,
+      expectedKey: Option[String] = None): Option[(Meta, Array[Array[Byte]])] =
+    metaOf(fs, indexPath, expectedKey).flatMap { m =>
       try {
         val blooms = Array.tabulate(m.nb) { b =>
           val in = fs.open(bloomPath(indexPath, b))
@@ -137,10 +151,11 @@ object BloomBank {
   def build(spark: SparkSession, indexPath: String, keys: DataFrame,
       keyCol: String, nb: Int, totalItems: Long): Meta = {
     require(nb > 0)
+    require(!keyCol.contains(":"), s"bank key must be colon-free: $keyCol")
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val items = math.max(1024L, (totalItems * headroom) / nb)
     val bits = math.max(1L << 13, BloomFilter.optimalNumOfBits(items, fppTarget))
-    val m = Meta(nb, items, bits)
+    val m = Meta(nb, items, bits, keyCol)
     fs.mkdirs(bankDir(indexPath))
     val built = bucketBlooms(keys, keyCol, m)
     (0 until nb).foreach { b =>
@@ -149,7 +164,8 @@ object BloomBank {
     val mf = metaPath(indexPath)
     val tmp = new Path(mf.getParent, "._meta.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"${m.nb}:${m.items}:${m.bits}".getBytes("UTF-8")) finally out.close()
+    try out.write(s"${m.nb}:${m.items}:${m.bits}:${m.key}".getBytes("UTF-8"))
+    finally out.close()
     if (fs.exists(mf) && !fs.delete(mf, false))
       throw new java.io.IOException(s"could not replace bank meta $mf")
     if (!fs.rename(tmp, mf))
@@ -167,7 +183,7 @@ object BloomBank {
       batchKeys: DataFrame, keyCol: String,
       fullIndexKeys: => DataFrame): Unit = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    metaOf(fs, indexPath) match {
+    metaOf(fs, indexPath, Some(keyCol)) match {
       case None => () // no bank declared — caller routes to single-sidecar mode
       case Some(m) =>
         val complete = (0 until m.nb).forall(b => fs.exists(bloomPath(indexPath, b)))

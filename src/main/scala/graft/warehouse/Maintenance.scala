@@ -506,16 +506,26 @@ object Maintenance {
         .repartition(buckets, col("db"))
         .sortWithinPartitions("db", keyCol)
         .write.partitionBy("db").parquet(tmp.toString)
-      // carry every root sidecar (hwm, blooms, a bloom BANK dir — banks
-      // are keyed on the value hash, independent of file layout, so they
-      // stay valid verbatim) across the swap, then declare the bucketing
+      // carry every root sidecar (hwm, index blooms) across the swap —
+      // EXCEPT the landed-id front filter, which compaction REBUILDS as
+      // a per-bucket bank sized from the actual row count (a fixed-size
+      // `_graft_doc_bloom` saturates on a 100 TB doc table exactly like
+      // the index blooms; compaction is the rebuild point for all
+      // three sidecar families) — then declare the bucketing
       fs.listStatus(p).filter(_.getPath.getName.startsWith("_graft_"))
-        .filterNot(_.getPath.getName == "_graft_buckets")
+        .filterNot(f => Set("_graft_buckets", "_graft_doc_bloom",
+          BloomBank.dirName).contains(f.getPath.getName))
         .foreach { f =>
           org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
             new Path(tmp, f.getPath.getName), false,
             spark.sparkContext.hadoopConfiguration)
         }
+      if (fs.exists(new Path(p, "_graft_doc_bloom")) ||
+          fs.exists(new Path(new Path(p, BloomBank.dirName), "_meta"))) {
+        val compacted = spark.read.parquet(tmp.toString).select(col(keyCol))
+        BloomBank.build(spark, tmp.toString, compacted, keyCol, buckets,
+          compacted.count())
+      }
       val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
       try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
     }

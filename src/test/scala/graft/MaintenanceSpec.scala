@@ -373,6 +373,48 @@ class MaintenanceSpec extends AnyFunSuite {
       f"healed bank must drop novel grams (passed ${passed / probed}%.3f)")
   }
 
+  test("doc-table compaction rebuilds the landed-id filter as a bank; skip economy continues") {
+    import graft.streaming.EventsStreaming
+    import graft.warehouse.BloomBank
+    def df(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    def mk(prefix: String, ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
+    val parts = Seq(df(mk("a", 0 until 8)), df(mk("b", 100 until 108)),
+      df(mk("c", 200 until 208)))
+    val base = java.nio.file.Files.createTempDirectory("graft_docbloom_bank")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(base, parts.take(2)); run()
+    Maintenance.compactDocTable(spark, outPath, "doc_id", buckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(BloomBank.metaOf(fs, outPath, Some("doc_id")).isDefined,
+      "compaction must rebuild the landed-id filter as a doc_id-keyed bank")
+    assert(!new java.io.File(outPath, "_graft_doc_bloom").exists(),
+      "the fixed-size single filter must not be carried")
+    // steady state through the bank: the next all-new batch still skips
+    // the landed scan outright, flags exact
+    val skip0 = EventsStreaming.landedScansSkipped.get()
+    DupFlagKit.stageArrival(base, parts.drop(2), startK = 2); run()
+    assert(EventsStreaming.landedScansSkipped.get() == skip0 + 1)
+    val (expected, _) = DupFlagKit.dupFlagReference(parts)
+    assert(DupFlagKit.readFlags(spark, outPath) == expected)
+    // and a full re-delivery (fresh query) is still exactly deduped —
+    // bloom-positive ids anti-join through the bucket-pruned read
+    run()
+    assert(spark.read.parquet(outPath).count() == expected.size)
+  }
+
   test("compaction lock: sink batches fail loudly; racing appends abort the swap") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.Maintenance.{CompactionInProgressException, ConcurrentWriterException}
