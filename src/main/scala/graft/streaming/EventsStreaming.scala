@@ -435,6 +435,11 @@ object EventsStreaming {
                   col("p_date") <= lit(r.getDate(1)))
               batch.join(probe.select(col(key)), Seq(key), "left_anti")
             } else batch
+          // second, NARROW gate right before the write: a maintenance
+          // compaction that took the lock during this batch's compute
+          // must not receive this append into a partition it is about
+          // to overwrite (its own pre-write re-check closes the rest)
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, factPath)
           inserts.write.mode("append").partitionBy("p_date").parquet(factPath)
           recordCommitted(spark, fs, factPath, batchId)
           ()
@@ -480,6 +485,8 @@ object EventsStreaming {
           graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
           val cleaned = graft.operators.Decontaminate.clean(batch, evalDocs, n)
           val inserts = freshAgainstLanded(spark, fs, outPath, cleaned)
+          // narrow pre-write gate, same as appendWithDedup
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
           inserts.write.mode("append").parquet(outPath)
           recordCommitted(spark, fs, outPath, batchId)
           ()

@@ -153,8 +153,20 @@ object BloomBank {
     require(nb > 0)
     require(!keyCol.contains(":"), s"bank key must be colon-free: $keyCol")
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val items = math.max(1024L, (totalItems * headroom) / nb)
-    val bits = math.max(1L << 13, BloomFilter.optimalNumOfBits(items, fppTarget))
+    // clamp to the SAME ceilings BloomFilterAggregate silently applies
+    // (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits):
+    // the aggregate-built bucket blooms and the driver-built empty
+    // buckets must share one (m, k) family or the first merge into a
+    // formerly-empty bucket throws IncompatibleMergeException — and the
+    // recorded meta must describe what was actually built
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(maxItems,
+      math.max(1024L, (totalItems * headroom) / nb))
+    val bits = math.min(maxBits,
+      math.max(1L << 13, BloomFilter.optimalNumOfBits(items, fppTarget)))
     val m = Meta(nb, items, bits, keyCol)
     fs.mkdirs(bankDir(indexPath))
     val built = bucketBlooms(keys, keyCol, m)
@@ -186,18 +198,25 @@ object BloomBank {
     metaOf(fs, indexPath, Some(keyCol)) match {
       case None => () // no bank declared — caller routes to single-sidecar mode
       case Some(m) =>
+        def rebuild(): Unit = build(spark, indexPath,
+          fullIndexKeys.select(col(keyCol)).union(batchKeys.select(col(keyCol))),
+          keyCol, m.nb, m.items * m.nb / headroom)
         val complete = (0 until m.nb).forall(b => fs.exists(bloomPath(indexPath, b)))
-        if (!complete) {
-          build(spark, indexPath,
-            fullIndexKeys.select(col(keyCol)).union(batchKeys.select(col(keyCol))),
-            keyCol, m.nb, m.items * m.nb / headroom)
-        } else {
-          bucketBlooms(batchKeys, keyCol, m).foreach { case (b, batchBloom) =>
+        if (!complete) rebuild()
+        else
+          try bucketBlooms(batchKeys, keyCol, m).foreach { case (b, batchBloom) =>
             val in = fs.open(bloomPath(indexPath, b))
             val existing = try BloomFilter.readFrom(in) finally in.close()
             writeBloom(fs, indexPath, b, existing.mergeInPlace(batchBloom))
+          } catch {
+            // a PRESENT-but-unreadable or size-mismatched bucket file
+            // (torn copy on an object store, a bank built under different
+            // clamp confs) must heal exactly like a missing one — a
+            // rethrow here would crash-loop the sink on the same file
+            // every replay. Partial merges before the failure are
+            // harmless: merged blooms are supersets.
+            case scala.util.control.NonFatal(_) => rebuild()
           }
-        }
     }
   }
 }

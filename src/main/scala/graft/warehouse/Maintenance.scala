@@ -55,16 +55,24 @@ object Maintenance {
   private[warehouse] val lockName = ".__compact_lock"
   private def lockPath(tablePath: String) = new Path(tablePath + lockName)
 
-  /** Acquire the compaction lock (atomic create-if-absent). */
+  /** Acquire the compaction lock (atomic create-if-absent). Only a
+    * create failure with the lock VISIBLE maps to "in progress" — a
+    * transient FS error must not masquerade as a held lock, or the
+    * operator follows the breakCompactionLock advice against a live
+    * compaction.
+    */
   private[graft] def acquireCompactionLock(spark: SparkSession,
       tablePath: String): Unit = {
     val fs = lockPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out =
       try fs.create(lockPath(tablePath), false)
       catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.io.IOException =>
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new CompactionInProgressException(tablePath)
+        case e: java.io.IOException =>
+          if (fs.exists(lockPath(tablePath)))
+            throw new CompactionInProgressException(tablePath)
+          else throw e
       }
     try out.write(
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
@@ -145,12 +153,21 @@ object Maintenance {
       val before = dataFileSet(fs, p)
       rewrite(tmp)
       compactBarrier.foreach(_())
+      // re-check BOTH change signals before the swap: committed files
+      // that appeared during the rewrite, and an in-flight job's
+      // _temporary (it would commit between this check and the rename —
+      // the residual window is the rename itself, microseconds)
       val after = dataFileSet(fs, p)
       if (after != before) {
         fs.delete(tmp, true)
         throw new ConcurrentWriterException(tablePath,
           s"data files changed during the rewrite " +
             s"(${(after diff before).size} new, ${(before diff after).size} gone)")
+      }
+      if (fs.exists(new Path(p, "_temporary"))) {
+        fs.delete(tmp, true)
+        throw new ConcurrentWriterException(tablePath,
+          "_temporary appeared during the rewrite — a write job is in flight")
       }
       val old = new Path(tablePath + ".__compact_old")
       if (fs.exists(old)) fs.delete(old, true)
@@ -284,6 +301,13 @@ object Maintenance {
     if (fs.exists(new Path(p, "_temporary")))
       throw new ConcurrentWriterException(tablePath,
         "_temporary present — a write job is in flight")
+    // the dynamic-partition overwrite REPLACES touched partitions from
+    // the listing frozen at this read — rows a racing append commits
+    // after it would be silently wiped, so snapshot now and re-check
+    // immediately before the write (the same change detection the
+    // rename-swap compactions run; nothing is written before that
+    // check, so a detected race aborts with zero damage)
+    val before = dataFileSet(fs, p)
     val values = oversized.map(_.split("=", 2)(1))
     val slice = spark.read.parquet(tablePath)
       .filter(col(partitionCol).cast("string").isInCollection(values))
@@ -298,6 +322,15 @@ object Maintenance {
     // regardless of targetRowsPerFile
     val salted = slice.withColumn("__salt",
       pmod(xxhash64(slice.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition)))
+    compactBarrier.foreach(_())
+    if (fs.exists(new Path(p, "_temporary")))
+      throw new ConcurrentWriterException(tablePath,
+        "_temporary appeared before the overwrite — a write job is in flight")
+    val after = dataFileSet(fs, p)
+    if (after != before)
+      throw new ConcurrentWriterException(tablePath,
+        s"data files changed before the overwrite " +
+          s"(${(after diff before).size} new, ${(before diff after).size} gone)")
     try salted
       .repartition(filesPerPartition * values.length, col(partitionCol), col("__salt"))
       .drop("__salt")

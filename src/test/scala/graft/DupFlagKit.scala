@@ -18,6 +18,24 @@ object DupFlagKit {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** One synthetic doc text: `tokens` namespaced distinct tokens —
+    * reuse the same (prefix, i) to make verbatim copies, vary it for
+    * novel docs. THE one definition (was copy-pasted per test).
+    */
+  def tokenText(prefix: String, i: Int, tokens: Int = 30): String =
+    (0 until tokens).map(j => s"$prefix${i}_$j").mkString(" ")
+
+  /** (doc_id, text) rows of novel synthetic docs. */
+  def tokenRows(prefix: String, ids: Range, tokens: Int = 30): Seq[(Long, String)] =
+    ids.map(i => (i.toLong, tokenText(prefix, i, tokens)))
+
+  /** A documents-schema frame from (doc_id, text) rows. */
+  def docsDf(spark: SparkSession, rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Stage each part as one parquet file in `<base>/in`, mtimes in part
     * order (arrival order = file mtime order for maxFilesPerTrigger=1).
     * Callable repeatedly with increasing `startK` to land parts

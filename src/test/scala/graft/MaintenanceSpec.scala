@@ -7,6 +7,7 @@ import graft.warehouse.Maintenance
 class MaintenanceSpec extends AnyFunSuite {
   import SparkTest._
   import spark.implicits._
+  import DupFlagKit.{docsDf, tokenRows, tokenText}
 
   test("compact rewrites only oversized partitions; data is identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
@@ -132,16 +133,11 @@ class MaintenanceSpec extends AnyFunSuite {
     // batch must (a) fetch candidate texts through the pruned path,
     // (b) append INSIDE db= buckets, (c) flag identically to an
     // uncompacted run
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def base(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    def base(i: Int) = tokenText("w", i)
     val parts = Seq(
-      df((0 until 10).map(i => (i.toLong, base(i)))),
-      df((0 until 5).map(i => (100L + i, base(i)))),
-      df(Seq((200L, base(0)))))
+      docsDf(spark, (0 until 10).map(i => (i.toLong, base(i)))),
+      docsDf(spark, (0 until 5).map(i => (100L + i, base(i)))),
+      docsDf(spark, Seq((200L, base(0)))))
     val bse = java.nio.file.Files.createTempDirectory("graft_neardup_compact")
     val outPath = bse.resolve("flagged").toString
     val idxPath = bse.resolve("sig_index").toString
@@ -197,16 +193,9 @@ class MaintenanceSpec extends AnyFunSuite {
     // row count — restoring a ≥90% map-side drop on novel batches and
     // bucket-pruning the post-bloom probe. Flags stay exact throughout
     // (blooms never false-negative; saturation only costs performance).
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 30).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val p0 = df(mk("a", 0 until 60))
-    val p1 = df(mk("b", 100 until 140) :+ (999L, mk("a", 0 until 1).head._2))
-    val p2 = df(mk("c", 200 until 240) :+ (998L, mk("a", 1 until 2).head._2))
+    val p0 = docsDf(spark, tokenRows("a", 0 until 60))
+    val p1 = docsDf(spark, tokenRows("b", 100 until 140) :+ ((999L, tokenText("a", 0))))
+    val p2 = docsDf(spark, tokenRows("c", 200 until 240) :+ ((998L, tokenText("a", 1))))
     val base = java.nio.file.Files.createTempDirectory("graft_bloom_sat")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
@@ -263,16 +252,11 @@ class MaintenanceSpec extends AnyFunSuite {
   test("compactSigIndex buckets on (band,bucket); the nearDup probe prunes to colliding sb=") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.BloomBank
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def base(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    def base(i: Int) = tokenText("w", i)
     val parts = Seq(
-      df((0 until 10).map(i => (i.toLong, base(i)))),
-      df((0 until 5).map(i => (100L + i, base(i)))),
-      df(Seq((200L, base(0)))))
+      docsDf(spark, (0 until 10).map(i => (i.toLong, base(i)))),
+      docsDf(spark, (0 until 5).map(i => (100L + i, base(i)))),
+      docsDf(spark, Seq((200L, base(0)))))
     val bse = java.nio.file.Files.createTempDirectory("graft_sig_compact")
     val outPath = bse.resolve("flagged").toString
     val idxPath = bse.resolve("sig_index").toString
@@ -326,16 +310,9 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("a torn bloom bank reads as absent and heals from the full index") {
     import graft.streaming.EventsStreaming
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 30).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val p0 = df(mk("a", 0 until 20))
-    val p1 = df(mk("b", 100 until 120) :+ (999L, mk("a", 0 until 1).head._2))
-    val p2 = df(mk("c", 200 until 220))
+    val p0 = docsDf(spark, tokenRows("a", 0 until 20))
+    val p1 = docsDf(spark, tokenRows("b", 100 until 120) :+ ((999L, tokenText("a", 0))))
+    val p2 = docsDf(spark, tokenRows("c", 200 until 220))
     val base = java.nio.file.Files.createTempDirectory("graft_bank_torn")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
@@ -371,20 +348,28 @@ class MaintenanceSpec extends AnyFunSuite {
     val passed = EventsStreaming.bloomPassedGrams.get().toDouble
     assert(probed > 0 && passed / probed <= 0.1,
       f"healed bank must drop novel grams (passed ${passed / probed}%.3f)")
+    // PRESENT-but-corrupt bucket file: the read path treats the bank as
+    // absent (probe exact), and the merge must heal instead of
+    // crash-looping on BloomFilter.readFrom every replay
+    val out = new java.io.FileOutputStream(new java.io.File(bankDir, "b5"))
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    DupFlagKit.stageArrival(base,
+      Seq(docsDf(spark, tokenRows("e", 300 until 310))), startK = 3); run()
+    val in = new java.io.FileInputStream(new java.io.File(bankDir, "b5"))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close() // readable again = healed
+    val (expected2, _) = DupFlagKit.dupFlagReference(
+      Seq(p0, p1, p2, docsDf(spark, tokenRows("e", 300 until 310))))
+    assert(DupFlagKit.readFlags(spark, outPath) == expected2)
   }
 
   test("doc-table compaction rebuilds the landed-id filter as a bank; skip economy continues") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.BloomBank
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val parts = Seq(df(mk("a", 0 until 8)), df(mk("b", 100 until 108)),
-      df(mk("c", 200 until 208)))
+    val parts = Seq(
+      docsDf(spark, tokenRows("a", 0 until 8, tokens = 12)),
+      docsDf(spark, tokenRows("b", 100 until 108, tokens = 12)),
+      docsDf(spark, tokenRows("c", 200 until 208, tokens = 12)))
     val base = java.nio.file.Files.createTempDirectory("graft_docbloom_bank")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
@@ -418,15 +403,8 @@ class MaintenanceSpec extends AnyFunSuite {
   test("compaction lock: sink batches fail loudly; racing appends abort the swap") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.Maintenance.{CompactionInProgressException, ConcurrentWriterException}
-    def df(rows: Seq[(Long, String)]) = {
-      import spark.implicits._
-      rows.map { case (id, t) => (id, t, "en", "s", 0L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-    }
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val p0 = df(mk("a", 0 until 8))
-    val p1 = df(mk("b", 100 until 108))
+    val p0 = docsDf(spark, tokenRows("a", 0 until 8, tokens = 12))
+    val p1 = docsDf(spark, tokenRows("b", 100 until 108, tokens = 12))
     val base = java.nio.file.Files.createTempDirectory("graft_compact_lock")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
@@ -483,6 +461,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(new java.io.File(idxPath, "_temporary").delete())
     Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
     assert(spark.read.parquet(idxPath).select("h").count() == before + 1)
+
+    // 4) the DATE-PARTITIONED compact() gets the same race detection:
+    //    a racing append is caught BEFORE the dynamic-partition
+    //    overwrite commits anything — zero rows wiped
+    val factDir = base.resolve("fact").toString
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, "2024-01-01")).toDF("v", "d")
+        .select(col("v"), col("d").cast("date").as("p_date"))
+        .write.mode("append").partitionBy("p_date").parquet(factDir)
+    }
+    Maintenance.compactBarrier = Some(() => {
+      Seq((99L, "2024-01-01")).toDF("v", "d")
+        .select(col("v"), col("d").cast("date").as("p_date"))
+        .coalesce(1).write.mode("append").partitionBy("p_date").parquet(factDir)
+    })
+    try intercept[ConcurrentWriterException] {
+      Maintenance.compact(spark, factDir, maxFilesPerPartition = 4)
+    } finally Maintenance.compactBarrier = None
+    assert(spark.read.parquet(factDir).count() == 7,
+      "the abort must leave every row (incl. the racing append) intact")
+    Maintenance.compact(spark, factDir, maxFilesPerPartition = 4)
+    assert(spark.read.parquet(factDir).count() == 7)
   }
 
   test("dupFlaggedAppend keeps flagging correctly across a mid-stream compaction") {

@@ -60,13 +60,12 @@ class RunnerSpec extends AnyFunSuite {
     // micro-batch) crosses the policy threshold; the PIPELINE run is
     // what compacts it — and the next sink batch must land inside the
     // new hb= layout with unchanged flags
-    def df(rows: Seq[(Long, String)]) = rows
-      .map { case (id, t) => (id, t, "en", "s", 0L) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val parts = Seq(df(mk("a", 0 until 6)), df(mk("b", 100 until 106)),
-      df(mk("a", 0 until 3).map { case (i, t) => (200L + i, t) }))
+    import DupFlagKit.{docsDf, tokenRows}
+    val parts = Seq(
+      docsDf(spark, tokenRows("a", 0 until 6, tokens = 12)),
+      docsDf(spark, tokenRows("b", 100 until 106, tokens = 12)),
+      docsDf(spark, tokenRows("a", 0 until 3, tokens = 12)
+        .map { case (i, t) => (200L + i, t) }))
     val base = java.nio.file.Files.createTempDirectory("graft_runner_maint")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString

@@ -277,14 +277,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("doc-id bloom skips the landed anti-join in steady state; replays and loss still exact") {
-    import spark.implicits._
-    def df(rows: Seq[(Long, String)]) = rows
-      .map { case (id, t) => (id, t, "en", "s", 0L) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    def mk(prefix: String, ids: Range) = ids.map(i =>
-      (i.toLong, (0 until 12).map(j => s"$prefix${i}_$j").mkString(" ")))
-    val parts = Seq(df(mk("a", 0 until 8)), df(mk("b", 100 until 108)),
-      df(mk("c", 200 until 208)), df(mk("d", 300 until 308)))
+    import DupFlagKit.{docsDf, tokenRows}
+    val parts = Seq(
+      docsDf(spark, tokenRows("a", 0 until 8, tokens = 12)),
+      docsDf(spark, tokenRows("b", 100 until 108, tokens = 12)),
+      docsDf(spark, tokenRows("c", 200 until 208, tokens = 12)),
+      docsDf(spark, tokenRows("d", 300 until 308, tokens = 12)))
     val base = java.nio.file.Files.createTempDirectory("graft_docbloom")
     val outPath = base.resolve("flagged").toString
     val idxPath = base.resolve("gram_index").toString
@@ -317,7 +315,9 @@ class StreamingSpec extends AnyFunSuite {
     val (expected, _) = dupFlagReference(parts)
     assertFlagsMatch(outPath, expected)
     val skip1 = EventsStreaming.landedScansSkipped.get()
-    stageArrival(base, Seq(df(mk("e", 400 until 408))), startK = 4); run()
+    stageArrival(base,
+      Seq(docsDf(spark, tokenRows("e", 400 until 408, tokens = 12))),
+      startK = 4); run()
     assert(EventsStreaming.landedScansSkipped.get() == skip1 + 1,
       "skip economy must resume after the rebuild")
   }
