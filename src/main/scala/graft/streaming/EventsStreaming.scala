@@ -1047,7 +1047,39 @@ object EventsStreaming {
       sigIndexPath: String,
       threshold: Double = 0.7, shingleN: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 2,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupSink(docs, outPath, sigIndexPath, threshold, shingleN, bands,
+      rowsPerBand, checkpoint, drop = false)
+
+  /** Doc-level near-dup DEDUP at ingest — the action arm of
+    * [[nearDupFlaggedAppend]] (flag → [[trimDupSpansAppend]] trim →
+    * this drop): documents verified near-duplicate of a landed doc are
+    * DROPPED — they never land and their band rows never enter the
+    * signature index — so the landed table IS the deduplicated corpus
+    * and every future echo still matches the KEPT canonical (greedy
+    * streaming clustering: arrival order decides keepers, matches are
+    * judged against the kept set only, the standard semantics of
+    * ingest-time dedup). A doc similar only to a DROPPED doc (not to
+    * its canonical) is legitimately kept — dedup never removes more
+    * than one hop of similarity, same contract as the batch
+    * cluster-representative operator. Re-delivered dropped docs are
+    * bloom-positive but unlanded, so they are re-scored and re-dropped
+    * — idempotent, never landed twice, never landed at all.
+    */
+  def nearDupDedupedAppend(docs: DataFrame, outPath: String,
+      sigIndexPath: String,
+      threshold: Double = 0.7, shingleN: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupSink(docs, outPath, sigIndexPath, threshold, shingleN, bands,
+      rowsPerBand, checkpoint, drop = true)
+
+  private def nearDupSink(docs: DataFrame, outPath: String,
+      sigIndexPath: String,
+      threshold: Double, shingleN: Int,
+      bands: Int, rowsPerBand: Int,
+      checkpoint: Option[String],
+      drop: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docs.writeStream.outputMode("append")
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer
@@ -1146,9 +1178,14 @@ object EventsStreaming {
             .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
             .withColumn("verdict",
               when(col("dup_of").isNotNull, "near_dup").otherwise("keep"))
+          // drop mode: verified near-dups never land — the landed table
+          // is the deduplicated corpus itself
+          val landedOut =
+            if (!drop) out
+            else out.filter(col("verdict") === "keep").localCheckpoint(true)
           // a compacted (doc_id-bucketed) landed table keeps its layout:
           // new rows land inside their db= bucket, never as root files
-          graft.warehouse.Maintenance.bucketedAppend(spark, out, outPath,
+          graft.warehouse.Maintenance.bucketedAppend(spark, landedOut, outPath,
             "doc_id", "db")
           // index append: fresh band rows directly (never-landed ⇒ never
           // indexed); landed-from-batch docs via the anti-joined top-up
@@ -1174,7 +1211,15 @@ object EventsStreaming {
               Some(bandsOf(topupDocs).join(broadcast(idxHit),
                 Seq("doc_id", "band"), "left_anti"))
             } else Some(bandsOf(topupDocs))
-          val toAppend = topupBands.fold(bandRows)(bandRows.unionByName(_))
+          // drop mode: only KEPT docs are indexed (a dropped doc is not
+          // part of the corpus, and its canonical — which future echoes
+          // must match — is already indexed); flag mode indexes every
+          // fresh doc
+          val freshBands =
+            if (!drop) bandRows
+            else bandRows.join(broadcast(landedOut.select("doc_id")),
+              Seq("doc_id"), "left_semi")
+          val toAppend = topupBands.fold(freshBands)(freshBands.unionByName(_))
           // (band,bucket) bloom first — bloom ⊇ index across a torn
           // update, so the skip-the-scan shortcut can never miss a flag;
           // a LOST sidecar over a populated index rebuilds from the full

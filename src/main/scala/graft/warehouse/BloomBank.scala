@@ -38,6 +38,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *     probe falls back to no-front-filter (exact, just slower) and the
   *     next merge rebuilds the whole bank from the full index (one scan,
   *     recovery-path cost class — never from one batch).
+  *
+  * Scale envelope, stated honestly: total bank bits grow linearly with
+  * index cardinality (~10 bits/key at 1% fpp), and a micro-batch's keys
+  * hash uniformly, so the probe reads and ships the WHOLE bank per
+  * batch — selective bucket reads buy nothing for uniform keys. The
+  * bank is therefore the right tool while Σbits fits comfortably in an
+  * executor (≤ a few GiB ≈ 10⁹ keys); past that, the per-bucket sizing
+  * clamps (BloomFilterAggregate ceilings), fpp rises smoothly, and the
+  * probe economy hands over to the layout itself: bucket-pruned index
+  * scans (`prunedGramIndex`/`prunedBySigBandBucket`) whose cost is
+  * O(touched buckets) with no resident filter at all. Both paths stay
+  * exact — blooms only ever skip work, never answers.
   */
 object BloomBank {
 

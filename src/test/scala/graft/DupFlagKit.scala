@@ -136,6 +136,37 @@ object DupFlagKit {
     expected.toMap
   }
 
+  /** Greedy kept-set replay of the streaming near-dup DEDUP contract
+    * (`nearDupDedupedAppend`): landed = kept docs only, so a doc is
+    * dropped iff it matches a KEPT doc from an EARLIER batch (within-
+    * batch pairs out of scope, one-hop similarity only — a doc similar
+    * only to a dropped doc is kept). Returns the kept ids.
+    */
+  def nearDupDedupReference(parts: Seq[DataFrame],
+      threshold: Double = 0.7): Set[Long] = {
+    def sh(t: String) = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]) = {
+      val i = (a & b).size.toDouble
+      val u = a.size + b.size - i
+      if (u == 0) 0.0 else i / u
+    }
+    var kept = Vector.empty[(Long, Set[String])]
+    parts.foreach { p =>
+      val rows = p.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), sh(r.getString(1))))
+      val keptBefore = kept
+      rows.foreach { case (id, s) =>
+        if (!keptBefore.exists { case (_, ks) => jac(s, ks) >= threshold })
+          kept :+= ((id, s))
+      }
+    }
+    kept.map(_._1).toSet
+  }
+
   /** Read the near-dup flagged output: doc_id -> (n, dup_of, verdict). */
   def readNearDupFlags(spark: SparkSession, outPath: String)
       : Map[Long, (Long, Option[Long], String)] =

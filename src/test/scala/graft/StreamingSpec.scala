@@ -586,6 +586,52 @@ class StreamingSpec extends AnyFunSuite {
       "a doubled landed row would report n_near_dups=2")
   }
 
+  test("nearDupDedupedAppend lands only canonicals; echoes match the kept doc, not a dropped one") {
+    import DupFlagKit.{docsDf, tokenText}
+    // A is the canonical; X is a near-copy of A (dropped); Y is a
+    // near-copy of X but NOT of A — the one-hop contract keeps Y
+    // because X never landed; copyA echoes A verbatim in a later batch
+    // and must still match the kept canonical (dropped docs are never
+    // indexed, so the canonical is the only possible match)
+    val aText = tokenText("w", 0)
+    def mutate(t: String, from: Int, until: Int, tag: String) = {
+      val w = t.split(" ").zipWithIndex
+        .map { case (tok, i) => if (i >= from && i < until) s"$tag$i" else tok }
+      w.mkString(" ")
+    }
+    val xText = mutate(aText, 26, 30, "x") // jac(A,X) = 24/32 = 0.75 ≥ 0.7
+    val yText = mutate(xText, 0, 4, "y")   // jac(X,Y) = 0.75; jac(A,Y) = 20/36 < 0.7
+    val p0 = docsDf(spark,
+      (0L, aText) +: (1 until 10).map(i => (i.toLong, tokenText("w", i))))
+    val p1 = docsDf(spark, Seq((100L, xText)))
+    val p2 = docsDf(spark, Seq((200L, yText), (201L, aText)))
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_drop")
+    val srcDir = stageArrival(base, Seq(p0, p1, p2))
+    val outPath = base.resolve("deduped").toString
+    val idxPath = base.resolve("sig_index").toString
+    val q = EventsStreaming.nearDupDedupedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q.processAllAvailable(); q.stop()
+    val expectedKept = DupFlagKit.nearDupDedupReference(Seq(p0, p1, p2))
+    assert(expectedKept == (0L until 10L).toSet + 200L,
+      s"fixture sanity: X and copyA drop, Y survives one-hop; got $expectedKept")
+    val landed = spark.read.parquet(outPath)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet == expectedKept)
+    assert(landed.filter(col("verdict") =!= "keep").count() == 0,
+      "everything landed is a canonical keep")
+    // dropped docs are never indexed — the index covers exactly the corpus
+    val indexed = spark.read.parquet(idxPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == expectedKept,
+      s"index must cover kept docs only, got ${indexed -- expectedKept}")
+    // replay idempotence: a fresh query re-delivers everything; dropped
+    // docs are re-scored and re-dropped, kept docs are landed-deduped
+    val q2 = EventsStreaming.nearDupDedupedAppend(
+      docStream(srcDir), outPath, idxPath, threshold = 0.7)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == expectedKept.size)
+  }
+
   test("nearDup sig bloom skips the index scan for fully-novel batches") {
     import spark.implicits._
     // batch 0 seeds the signature index + (band,bucket) bloom; batch 1
