@@ -16,7 +16,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * {{{
   * _graft_bloom_bank/
-  *   _meta          # "nb:items:bits" — bank buckets, per-bloom create params
+  *   _meta          # "nb:items:bits:key" — buckets, create params, key domain
   *   b0 .. b<nb-1>  # one serialized spark.util.sketch.BloomFilter each
   * }}}
   *
@@ -57,6 +57,17 @@ object BloomBank {
   private val fppTarget = 0.01
   private val headroom = 8L
 
+  /** Sentinel key for metas written before the key tag existed
+    * ("nb:items:bits", 3 fields). The bank's domain is unknowable from
+    * the file, so it reads as DECLARED (bank mode holds — falling back
+    * to the single sidecar would resurrect the saturating fixed filter
+    * the bank retired) but UNUSABLE as a filter (probing an unknown
+    * domain could fabricate false negatives): `read` returns None, the
+    * probe runs unfiltered, and the next `mergeBatch` rebuilds the bank
+    * under the caller's key — a one-recovery-scan migration.
+    */
+  private[graft] val legacyKey = "__legacy__"
+
   /** `key` is the bank's KEY DOMAIN (the column the blooms were built
     * over — "h", "bb", "doc_id"): a probe against a bank built on a
     * DIFFERENT key would fabricate false negatives (missed duplicates),
@@ -89,9 +100,14 @@ object BloomBank {
         val parsed = s.split(':') match {
           case Array(nb, items, bits, key) =>
             Some(Meta(nb.toInt, items.toLong, bits.toLong, key))
+          case Array(nb, items, bits) => // pre-key-tag meta: see legacyKey
+            Some(Meta(nb.toInt, items.toLong, bits.toLong, legacyKey))
           case _ => None
         }
-        parsed.filter(m => expectedKey.forall(_ == m.key))
+        // a legacy meta passes ANY expected key: the caller must see the
+        // bank as declared (to stay in bank mode and trigger the re-keying
+        // rebuild) even though `read` will refuse to probe it
+        parsed.filter(m => expectedKey.forall(k => m.key == k || m.key == legacyKey))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -103,7 +119,7 @@ object BloomBank {
     */
   def read(fs: FileSystem, indexPath: String,
       expectedKey: Option[String] = None): Option[(Meta, Array[Array[Byte]])] =
-    metaOf(fs, indexPath, expectedKey).flatMap { m =>
+    metaOf(fs, indexPath, expectedKey).filter(_.key != legacyKey).flatMap { m =>
       try {
         val blooms = Array.tabulate(m.nb) { b =>
           val in = fs.open(bloomPath(indexPath, b))
@@ -213,7 +229,10 @@ object BloomBank {
         def rebuild(): Unit = build(spark, indexPath,
           fullIndexKeys.select(col(keyCol)).union(batchKeys.select(col(keyCol))),
           keyCol, m.nb, m.items * m.nb / headroom)
-        val complete = (0 until m.nb).forall(b => fs.exists(bloomPath(indexPath, b)))
+        // a legacy (pre-key-tag) bank rebuilds even when every bucket file
+        // is present: the rebuild is what re-keys the meta to `keyCol`
+        val complete = m.key != legacyKey &&
+          (0 until m.nb).forall(b => fs.exists(bloomPath(indexPath, b)))
         if (!complete) rebuild()
         else
           try bucketBlooms(batchKeys, keyCol, m).foreach { case (b, batchBloom) =>

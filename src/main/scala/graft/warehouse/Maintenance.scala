@@ -315,8 +315,6 @@ object Maintenance {
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val maxRows = counts.values.maxOption.getOrElse(0L)
     val filesPerPartition = math.max(1L, (maxRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // repartition by (partition, deterministic row salt): hashing the
     // partition column alone would funnel each date into ONE task/file
     // regardless of targetRowsPerFile
@@ -331,6 +329,11 @@ object Maintenance {
       throw new ConcurrentWriterException(tablePath,
         s"data files changed before the overwrite " +
           s"(${(after diff before).size} new, ${(before diff after).size} gone)")
+    // the dynamic-overwrite conf is session-global: set it only once no
+    // abort path remains before the write, so the finally ALWAYS runs and
+    // a detected race can't leak dynamic mode into later plain overwrites
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try salted
       .repartition(filesPerPartition * values.length, col(partitionCol), col("__salt"))
       .drop("__salt")

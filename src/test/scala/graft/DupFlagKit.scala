@@ -107,21 +107,23 @@ object DupFlagKit {
     * 3-shingle jaccard vs strictly-earlier batches): per-doc
     * (n_near_dups, dup_of).
     */
+  // THE shingle/jaccard pair both near-dup references share — match the
+  // engine exactly: full-width shingles only, so a doc below 3 tokens has
+  // the EMPTY set (sliding(3) alone would emit one truncated group and
+  // flag identical short docs the engine keeps)
+  private def sh(t: String): Set[String] = {
+    val w = t.split(" ", -1)
+    if (w.length < 3) Set.empty[String]
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+  private def jac(a: Set[String], b: Set[String]): Double = {
+    val i = (a & b).size.toDouble
+    val u = a.size + b.size - i
+    if (u == 0) 0.0 else i / u
+  }
+
   def nearDupReference(parts: Seq[DataFrame],
       threshold: Double = 0.7): Map[Long, (Long, Option[Long])] = {
-    // match the engine exactly: full-width shingles only — a doc below
-    // 3 tokens has the EMPTY set (sliding(3) alone would emit one
-    // truncated group and flag identical short docs the engine keeps)
-    def sh(t: String) = {
-      val w = t.split(" ", -1)
-      if (w.length < 3) Set.empty[String]
-      else w.sliding(3).map(_.mkString(" ")).toSet
-    }
-    def jac(a: Set[String], b: Set[String]) = {
-      val i = (a & b).size.toDouble
-      val u = a.size + b.size - i
-      if (u == 0) 0.0 else i / u
-    }
     var landed = Vector.empty[(Long, Set[String])]
     val expected = scala.collection.mutable.Map.empty[Long, (Long, Option[Long])]
     parts.foreach { p =>
@@ -144,16 +146,6 @@ object DupFlagKit {
     */
   def nearDupDedupReference(parts: Seq[DataFrame],
       threshold: Double = 0.7): Set[Long] = {
-    def sh(t: String) = {
-      val w = t.split(" ", -1)
-      if (w.length < 3) Set.empty[String]
-      else w.sliding(3).map(_.mkString(" ")).toSet
-    }
-    def jac(a: Set[String], b: Set[String]) = {
-      val i = (a & b).size.toDouble
-      val u = a.size + b.size - i
-      if (u == 0) 0.0 else i / u
-    }
     var kept = Vector.empty[(Long, Set[String])]
     parts.foreach { p =>
       val rows = p.select("doc_id", "text").collect()

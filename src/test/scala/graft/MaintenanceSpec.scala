@@ -249,6 +249,53 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a pre-key-tag bank meta migrates: declared, unprobed, re-keyed on next merge") {
+    import graft.streaming.EventsStreaming
+    import graft.warehouse.BloomBank
+    // An index compacted before the meta carried its key domain has a
+    // 3-field "_meta". Falling back to the single sidecar would
+    // resurrect the saturating fixed filter the bank retired; probing
+    // the unknown domain could fabricate false negatives (missed dups).
+    // Contract: the bank reads as DECLARED but unusable — the probe runs
+    // unfiltered (exact, slower) — and the next batch's merge rebuilds
+    // it keyed on the probe column in one recovery-cost scan. Flags stay
+    // bit-identical throughout.
+    val p0 = docsDf(spark, tokenRows("a", 0 until 40))
+    val p1 = docsDf(spark, tokenRows("b", 100 until 120) :+ ((999L, tokenText("a", 0))))
+    val base = java.nio.file.Files.createTempDirectory("graft_bank_legacy")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(
+        DupFlagKit.docStream(spark, srcDir), outPath, idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    DupFlagKit.stageArrival(base, Seq(p0)); run()
+    Maintenance.compactGramIndex(spark, idxPath, buckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m0 = BloomBank.metaOf(fs, idxPath, Some("h")).get
+    assert(m0.key == "h")
+    val metaFile = new org.apache.hadoop.fs.Path(idxPath, BloomBank.dirName + "/_meta")
+    val out = fs.create(metaFile, true)
+    try out.write(s"${m0.nb}:${m0.items}:${m0.bits}".getBytes("UTF-8"))
+    finally out.close()
+    assert(BloomBank.metaOf(fs, idxPath, Some("h")).isDefined,
+      "legacy meta must read as DECLARED — bank mode holds")
+    assert(BloomBank.read(fs, idxPath, Some("h")).isEmpty,
+      "a legacy bank must refuse to front-filter (unknown key domain)")
+    DupFlagKit.stageArrival(base, Seq(p1), startK = 1); run()
+    val m1 = BloomBank.metaOf(fs, idxPath, Some("h")).get
+    assert(m1.key == "h", "the merge must re-key the bank under the probe column")
+    assert(BloomBank.read(fs, idxPath, Some("h")).isDefined,
+      "the rebuilt bank must be probeable again")
+    assert(!new java.io.File(idxPath, "_graft_gram_bloom").exists(),
+      "the single sidecar must not be resurrected")
+    val (expected, _) = DupFlagKit.dupFlagReference(Seq(p0, p1))
+    assert(DupFlagKit.readFlags(spark, outPath) == expected)
+  }
+
   test("compactSigIndex buckets on (band,bucket); the nearDup probe prunes to colliding sb=") {
     import graft.streaming.EventsStreaming
     import graft.warehouse.BloomBank
@@ -476,9 +523,15 @@ class MaintenanceSpec extends AnyFunSuite {
         .select(col("v"), col("d").cast("date").as("p_date"))
         .coalesce(1).write.mode("append").partitionBy("p_date").parquet(factDir)
     })
+    val prevOverwriteMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try intercept[ConcurrentWriterException] {
       Maintenance.compact(spark, factDir, maxFilesPerPartition = 4)
     } finally Maintenance.compactBarrier = None
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        == prevOverwriteMode,
+      "an aborted compact must not leak dynamic partitionOverwriteMode — " +
+        "later plain overwrites would silently keep stale partitions")
     assert(spark.read.parquet(factDir).count() == 7,
       "the abort must leave every row (incl. the racing append) intact")
     Maintenance.compact(spark, factDir, maxFilesPerPartition = 4)
