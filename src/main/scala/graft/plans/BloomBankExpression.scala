@@ -40,8 +40,11 @@ case class BloomBankMightContain(bank: Array[Array[Byte]], child: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE syntax for the cast, not classOf[...].getName: the JVM
+    // binary name "[Lorg...BloomFilter;" doesn't parse as Java and makes
+    // Janino reject the whole stage — silent interpreted fallback per task
     val ref = ctx.addReferenceObj("bloomBank", filters,
-      classOf[Array[BloomFilter]].getName)
+      classOf[BloomFilter].getName + "[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref[(int) java.lang.Math.floorMod($c, " +
         s"${filters.length}L)].mightContainLong($c);")

@@ -313,13 +313,20 @@ object Maintenance {
       .filter(col(partitionCol).cast("string").isInCollection(values))
     val counts = slice.groupBy(col(partitionCol).cast("string").as("__p"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val maxRows = counts.values.maxOption.getOrElse(0L)
-    val filesPerPartition = math.max(1L, (maxRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // file count sized PER PARTITION from its own row count: sizing every
+    // partition from the largest one would re-shard the small ones into
+    // near-empty files — the small-file problem compaction exists to fix
+    val filesFor = counts.map { case (part, n) =>
+      part -> math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    }
+    val filesForCol = element_at(
+      map(filesFor.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(partitionCol).cast("string"))
     // repartition by (partition, deterministic row salt): hashing the
     // partition column alone would funnel each date into ONE task/file
     // regardless of targetRowsPerFile
     val salted = slice.withColumn("__salt",
-      pmod(xxhash64(slice.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition)))
+      pmod(xxhash64(slice.columns.map(col).toIndexedSeq: _*), filesForCol))
     compactBarrier.foreach(_())
     if (fs.exists(new Path(p, "_temporary")))
       throw new ConcurrentWriterException(tablePath,
@@ -335,7 +342,7 @@ object Maintenance {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try salted
-      .repartition(filesPerPartition * values.length, col(partitionCol), col("__salt"))
+      .repartition(filesFor.values.sum.toInt, col(partitionCol), col("__salt"))
       .drop("__salt")
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tablePath)
     finally prev match {

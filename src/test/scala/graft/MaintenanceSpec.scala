@@ -37,6 +37,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.sameElements(before), "compaction must not change data")
   }
 
+  test("compact sizes files per partition, not from the largest one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_pp").toString + "/t"
+    // two OVERSIZED partitions with very different row counts: sizing
+    // both from the larger one (the pre-r13 behavior) would re-shard the
+    // small one into ~12 near-empty files — worse than before compaction
+    def append(day: String, ids: Range): Unit =
+      ids.grouped(math.max(1, ids.size / 6)).foreach { g =>
+        g.map(i => (i.toLong, day)).toDF("v", "d")
+          .select(col("v"), col("d").cast("date").as("p_date"))
+          .coalesce(1).write.mode("append").partitionBy("p_date").parquet(dir)
+      }
+    append("2024-01-01", 0 until 1200) // → ceil(1200/100) = 12 files
+    append("2024-01-02", 2000 until 2060) // → ceil(60/100) = 1 file
+    val before = spark.read.parquet(dir).orderBy("v").collect().map(_.toString)
+    val compacted = Maintenance.compact(spark, dir,
+      maxFilesPerPartition = 4, targetRowsPerFile = 100L)
+    assert(compacted.size == 2, "both partitions are oversized")
+    val counts = Maintenance.dataFileCounts(spark, dir)
+    assert(counts("p_date=2024-01-02") == 1,
+      s"the 60-row partition must land in ONE file, got $counts")
+    assert(counts("p_date=2024-01-01") > 1,
+      s"the 1200-row partition must still split on targetRowsPerFile, got $counts")
+    val after = spark.read.parquet(dir).orderBy("v").collect().map(_.toString)
+    assert(after.sameElements(before), "compaction must not change data")
+  }
+
+  test("bloom_bank_might_contain compiles under whole-stage codegen") {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.graft.ColumnBridge
+    // pre-r13 the codegen cast used the JVM binary array name
+    // ("[Lorg...BloomFilter;"), which Janino can't parse — every banked
+    // probe stage silently fell back to interpreted eval. fallback=false
+    // turns that silent fallback into a hard failure this test would see.
+    val nb = 4
+    val filters = Array.fill(nb)(BloomFilter.create(1000, 0.01))
+    val keys = 0L until 64L
+    keys.foreach(k => filters(java.lang.Math.floorMod(k, nb.toLong).toInt).putLong(k))
+    val bank = filters.map { f =>
+      val b = new java.io.ByteArrayOutputStream(); f.writeTo(b); b.toByteArray
+    }
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = spark.range(128).toDF("id")
+        .filter(ColumnBridge.column(graft.plans.BloomBankMightContain(bank,
+          ColumnBridge.expression(col("id")))))
+        .collect().map(_.getLong(0)).toSet
+      assert(keys.forall(got), "a bloom bank must have no false negatives")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
