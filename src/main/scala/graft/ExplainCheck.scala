@@ -389,6 +389,10 @@ object ExplainCheck {
       p.contains("RoundRobinPartitioning") == bootstrapNeedsSpread &&
         p.contains("partial_")
     }
+    // PII redaction is a pure per-row rewrite: the plan must be map-only
+    // (no Exchange) so the pass pipelines into the scan at 100 TB
+    check("tx_pii_redact", "map-only redaction, no Exchange")(
+      !_.contains("Exchange"))
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

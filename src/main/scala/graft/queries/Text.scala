@@ -1137,7 +1137,133 @@ object Text {
         .select(col("node").as("token"), round(col("r"), 6).as("textrank"))
     })
 
+  // ---------------------------------------------------------------- PII
+
+  /** The fixture corpus carries no PII (synthetic word salad, zero
+    * digits), so the PII queries run over a DETERMINISTIC enrichment of
+    * it: docs keyed by doc_id modulus get an email / phone / SSN-shaped
+    * id / IPv4 derived from their own (doc_id, source) appended. Both
+    * engines build the view with the same arithmetic, so the scan and
+    * the redaction are graded end-to-end — including byte-exact hash
+    * parity of the redacted text.
+    */
+  private def piiCorpus(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val id = col("doc_id")
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(id % 5 === 0, concat(lit(" reach user"), id.cast("string"),
+          lit("@"), col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(id % 7 === 1, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 13 === 3, concat(lit(" ssn 123-45-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 11 === 2, concat(lit(" host 10."),
+          (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"), lit(".1"))).otherwise(lit(""))
+      ).as("text"))
+  }
+
+  /** The same enrichment as a DuckDB CTE (identical append order). */
+  private val piiCorpusSql =
+    """WITH pii_corpus AS (
+      |  SELECT doc_id, source,
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |         '@' || source || '.example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 1 THEN ' call 555-' ||
+      |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 3 THEN ' ssn 123-45-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 2 THEN ' host 10.' ||
+      |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |         CAST(doc_id * 7 % 256 AS VARCHAR) || '.1' ELSE '' END
+      |    AS text
+      |  FROM documents)""".stripMargin
+
+  private def duckCount(kind: String): String =
+    s"len(regexp_extract_all(text, '${graft.functions.Pii.patternOf(kind)}'))"
+
+  /** Typed PII density audit per source: per-kind hit counts, docs
+    * carrying any PII, and hits per 1k chars — the go/no-go view before
+    * a redaction pass is spent on a 100 TB corpus. One scan, map-side
+    * regexp_count, a metadata-sized aggregate.
+    */
+  val txPiiScan = QueryDef(
+    "tx_pii_scan",
+    Some(s"""$piiCorpusSql,
+           |counts AS (
+           |  SELECT source, length(text) AS chars,
+           |         ${duckCount("email")} AS emails,
+           |         ${duckCount("phone")} AS phones,
+           |         ${duckCount("ssn")} AS ssns,
+           |         ${duckCount("ipv4")} AS ipv4s
+           |  FROM pii_corpus)
+           |SELECT source, count(*) AS docs,
+           |       CAST(sum(CASE WHEN emails + phones + ssns + ipv4s > 0
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           |       CAST(sum(emails) AS BIGINT) AS emails,
+           |       CAST(sum(phones) AS BIGINT) AS phones,
+           |       CAST(sum(ssns) AS BIGINT) AS ssns,
+           |       CAST(sum(ipv4s) AS BIGINT) AS ipv4s,
+           |       round(1000.0 * sum(emails + phones + ssns + ipv4s)
+           |             / sum(chars), 4) AS hits_per_kchar
+           |FROM counts GROUP BY source""".stripMargin),
+    (spark, dir) => {
+      import graft.functions.Pii
+      val counts = piiCorpus(spark, dir).select(
+        col("source") +: length(col("text")).as("chars") +:
+          Pii.patterns.map { case (k, _, _) =>
+            Pii.countCol(k, col("text")).as(k + "s") }: _*)
+      val total = col("emails") + col("phones") + col("ssns") + col("ipv4s")
+      counts.groupBy(col("source")).agg(
+        count(lit(1)).as("docs"),
+        sum(when(total > 0, 1).otherwise(0)).cast("long").as("docs_with_pii"),
+        sum(col("emails")).cast("long").as("emails"),
+        sum(col("phones")).cast("long").as("phones"),
+        sum(col("ssns")).cast("long").as("ssns"),
+        sum(col("ipv4s")).cast("long").as("ipv4s"),
+        round(lit(1000.0) * sum(total) / sum(col("chars")), 4)
+          .as("hits_per_kchar"))
+    })
+
+  /** Typed PII redaction per document: every match replaced by its
+    * kind's placeholder, graded byte-exactly via md5 of the redacted
+    * text against DuckDB applying the identical patterns in the
+    * identical order. Pure map-only codegen — the plan has no Exchange
+    * (asserted in ExplainCheck), so the pass pipelines into the scan at
+    * any scale.
+    */
+  val txPiiRedact = QueryDef(
+    "tx_pii_redact",
+    Some {
+      val redacted = graft.functions.Pii.patterns.foldLeft("text") {
+        case (acc, (_, p, ph)) => s"regexp_replace($acc, '$p', '$ph', 'g')"
+      }
+      s"""$piiCorpusSql
+         |SELECT doc_id,
+         |       CAST(${duckCount("email")} AS INT) AS emails,
+         |       CAST(${duckCount("phone")} AS INT) AS phones,
+         |       CAST(${duckCount("ssn")} AS INT) AS ssns,
+         |       CAST(${duckCount("ipv4")} AS INT) AS ipv4s,
+         |       md5($redacted) AS redacted_md5,
+         |       CAST(length(text) - length($redacted) AS BIGINT) AS len_delta
+         |FROM pii_corpus""".stripMargin
+    },
+    (spark, dir) => {
+      import graft.functions.Pii
+      piiCorpus(spark, dir).select(
+        col("doc_id") +:
+          Pii.patterns.map { case (k, _, _) =>
+            Pii.countCol(k, col("text")).as(k + "s") } :+
+          md5(Pii.redactAll(col("text")).cast("binary")).as("redacted_md5") :+
+          (length(col("text")) - length(Pii.redactAll(col("text"))))
+            .cast("long").as("len_delta"): _*)
+    })
+
   val all: Seq[QueryDef] = Seq(txTextrankKeywords,
+    txPiiScan, txPiiRedact,
     txZipfSlope, txBurstiness, txStopwordAdaptive,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
     txRedact, txTopBigrams, txPosTokens, txHeavyHitters,
