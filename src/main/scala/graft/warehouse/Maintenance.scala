@@ -698,6 +698,140 @@ object Maintenance {
     * the case that prunes hard — the streaming sink feeds exactly
     * that).
     */
+  /** Targeted delete ("right to be forgotten"): remove every row whose
+    * `keyCol` is in `keys` via COPY-ON-WRITE of only the storage that
+    * can contain them. `keys` must be a bounded driver-side set (a
+    * deletion-request batch, never a join side).
+    *
+    * On a key-bucketed layout (`_graft_buckets`, key scheme — what
+    * [[compactDocTable]]/[[compactGramIndex]] produce): the keys' pmod
+    * values name the affected bucket directories, each is rewritten
+    * without the deleted rows via dynamic partition overwrite, and
+    * untouched buckets are never read or written — deleting k keys
+    * touches ≤ min(k, B) of B buckets regardless of table size. On any
+    * other layout (flat, `sb`-schemed, or foreign-partitioned) the key
+    * gives no pruning: the whole table is rewritten through the same
+    * locked rename-swap as compaction, preserving the partition layout
+    * and every `_graft_*` sidecar.
+    *
+    * Sidecar blooms are deliberately NOT rebuilt: a Bloom filter cannot
+    * unlearn, so the bank stays a SUPERSET of the table — still a
+    * correct front filter (deleted keys degrade to false positives);
+    * the next compaction is the rebuild point that re-tightens it.
+    * Derived indexes (gram/signature) keyed on something other than
+    * `keyCol` are separate tables — run deleteByKey on each with its
+    * own key, or recompute them, per the caller's retention policy.
+    *
+    * Concurrency contract = [[compact]]: hold the table lock (streaming
+    * appends fail loudly), refuse under an in-flight write job, abort
+    * if data files change during the rewrite.
+    *
+    * Returns the number of rows deleted.
+    */
+  def deleteByKey(spark: SparkSession, tablePath: String,
+      keys: Seq[Long], keyCol: String = "doc_id"): Long = {
+    if (keys.isEmpty) return 0L
+    bucketLayout(spark, tablePath) match {
+      case Some((b, "key")) => deleteBucketed(spark, tablePath, keys, keyCol, b)
+      case _ => deleteViaSwap(spark, tablePath, keys, keyCol)
+    }
+  }
+
+  private def deleteBucketed(spark: SparkSession, tablePath: String,
+      keys: Seq[Long], keyCol: String, buckets: Int): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireCompactionLock(spark, tablePath)
+    try {
+      recoverLocked(fs, tablePath)
+      require(fs.exists(p), s"no table at $tablePath")
+      if (fs.exists(new Path(p, "_temporary")))
+        throw new ConcurrentWriterException(tablePath,
+          "_temporary present — a write job is in flight")
+      // partition column name is layout-dependent (db= doc tables,
+      // hb= gram indexes) — read it off the directory listing
+      val partCol = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .collectFirst { case n if n.matches("(db|hb)=.*") => n.split("=")(0) }
+        .getOrElse("db")
+      val dbs = keys.map(k => java.lang.Math.floorMod(k, buckets.toLong).toInt)
+        .distinct
+      val before = dataFileSet(fs, p)
+      val candidate = spark.read.parquet(tablePath)
+        .filter(col(partCol).isInCollection(dbs))
+      // rewrite only buckets that really hold deleted rows — a key whose
+      // pmod bucket exists but which never landed must not cost a rewrite
+      val delByDb = candidate.filter(col(keyCol).isInCollection(keys))
+        .groupBy(col(partCol).cast("int").as("__db")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val deleted = delByDb.values.sum
+      if (deleted == 0L) return 0L
+      val hitDbs = delByDb.keys.toSeq
+      val slice = spark.read.parquet(tablePath)
+        .filter(col(partCol).isInCollection(hitDbs))
+      val kept = slice.filter(!col(keyCol).isInCollection(keys))
+      // a bucket whose every row is deleted gets NO rows in the dynamic
+      // overwrite, which therefore never replaces it — its stale files
+      // would survive as resurrected rows. Find those buckets now and
+      // drop their directories after the overwrite commits.
+      val keptDbs = kept.select(col(partCol).cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = hitDbs.filterNot(keptDbs)
+      compactBarrier.foreach(_())
+      if (fs.exists(new Path(p, "_temporary")))
+        throw new ConcurrentWriterException(tablePath,
+          "_temporary appeared before the overwrite — a write job is in flight")
+      val after = dataFileSet(fs, p)
+      if (after != before)
+        throw new ConcurrentWriterException(tablePath,
+          s"data files changed before the overwrite " +
+            s"(${(after diff before).size} new, ${(before diff after).size} gone)")
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try kept.write.mode("overwrite").partitionBy(partCol).parquet(tablePath)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      emptied.foreach(db => fs.delete(new Path(p, s"$partCol=$db"), true))
+      deleted
+    } finally releaseCompactionLock(spark, tablePath)
+  }
+
+  private def deleteViaSwap(spark: SparkSession, tablePath: String,
+      keys: Seq[Long], keyCol: String): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = 0L
+    lockedCompactSwap(spark, tablePath) { tmp =>
+      // preserve whatever partition layout the table has (sb= signature
+      // buckets, p_date= dates): the partition column shows up as a
+      // directory name and as a column of the partitioned read
+      val partCol = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .collectFirst { case n if n.contains("=") => n.split("=", 2)(0) }
+      val all = spark.read.option("mergeSchema", "true").parquet(tablePath)
+      deleted = all.filter(col(keyCol).isInCollection(keys)).count()
+      val kept = all.filter(!col(keyCol).isInCollection(keys))
+      partCol match {
+        case Some(c) => kept.write.partitionBy(c).parquet(tmp.toString)
+        case None => kept.write.parquet(tmp.toString)
+      }
+      // carry every root sidecar across the swap: hwm untouched, blooms
+      // stay supersets (see scaladoc), the bucket declaration keeps the
+      // layout honored by future appends
+      fs.listStatus(p).filter { f =>
+        f.getPath.getName.startsWith("_graft_") ||
+          f.getPath.getName == BloomBank.dirName
+      }.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(tmp, f.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    deleted
+  }
+
   def prunedGramIndex(
       spark: SparkSession, indexPath: String, probeHs: DataFrame): DataFrame =
     gramIndexBuckets(spark, indexPath) match {

@@ -91,6 +91,77 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteByKey on a bucketed table rewrites only hit buckets; misses are free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_bkt").toString + "/t"
+    (0L until 200L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
+      .write.parquet(dir)
+    Maintenance.compactDocTable(spark, dir, buckets = 16)
+    def fileMap() = {
+      val root = new java.io.File(dir)
+      root.listFiles.filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles.map(_.getName).toSet).toMap
+    }
+    val beforeFiles = fileMap()
+    // keys 3 and 19 share bucket db=3; 1000 does not exist (its bucket
+    // db=8 must NOT be rewritten for a key that never landed)
+    val n = Maintenance.deleteByKey(spark, dir, Seq(3L, 19L, 1000L))
+    assert(n == 2L)
+    val afterFiles = fileMap()
+    assert(afterFiles.keySet == beforeFiles.keySet, "no bucket dir lost")
+    val changed = afterFiles.keySet.filter(k => afterFiles(k) != beforeFiles(k))
+    assert(changed == Set("db=3"), s"only the hit bucket rewrites, got $changed")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 198)
+    assert(left.filter(col("doc_id").isin(3L, 19L)).isEmpty)
+    // bloom bank survives as a SUPERSET: pruned fetch of a kept id works
+    val fetched = Maintenance.prunedByKey(spark, dir,
+      Seq(Tuple1(35L)).toDF("doc_id"), "doc_id")
+      .filter(col("doc_id") === 35L).count()
+    assert(fetched == 1L)
+    // deleting nothing is free: zero rows, zero rewrites
+    val before2 = fileMap()
+    assert(Maintenance.deleteByKey(spark, dir, Seq(1000L)) == 0L)
+    assert(fileMap() == before2)
+  }
+
+  test("deleteByKey drops a fully-emptied bucket's directory (no resurrection)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_empty").toString + "/t"
+    (0L until 64L).map(i => (i, i.toString)).toDF("doc_id", "body")
+      .write.parquet(dir)
+    Maintenance.compactDocTable(spark, dir, buckets = 8)
+    // every doc_id ≡ 5 (mod 8): bucket db=5 empties completely — the
+    // dynamic overwrite writes no rows there, so deleteByKey must drop
+    // the stale directory or the "deleted" rows survive it
+    val victims = (0L until 64L).filter(_ % 8 == 5)
+    assert(Maintenance.deleteByKey(spark, dir, victims) == victims.size.toLong)
+    assert(!new java.io.File(dir, "db=5").exists, "emptied bucket dir must go")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 56 && left.filter(col("doc_id") % 8 === 5).isEmpty)
+  }
+
+  test("deleteByKey on a flat table swaps whole, keeps sidecars and layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_flat").toString + "/t"
+    (0L until 50L).map(i => (i, s"2024-01-0${i % 3 + 1}")).toDF("doc_id", "d")
+      .select(col("doc_id"), col("d").cast("date").as("p_date"))
+      .write.partitionBy("p_date").parquet(dir)
+    val hwm = new java.io.File(dir, "_graft_hwm")
+    java.nio.file.Files.write(hwm.toPath, "42".getBytes)
+    assert(Maintenance.deleteByKey(spark, dir, Seq(7L, 11L, 999L)) == 2L)
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 48 && left.filter(col("doc_id").isin(7L, 11L)).isEmpty)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_graft_hwm").toPath)) == "42",
+      "root sidecars must survive the swap")
+    assert(new java.io.File(dir).listFiles.exists(f =>
+      f.isDirectory && f.getName.startsWith("p_date=")),
+      "foreign partition layout must be preserved")
+    // a held compaction lock blocks the delete loudly
+    Maintenance.acquireCompactionLock(spark, dir)
+    try intercept[Maintenance.CompactionInProgressException] {
+      Maintenance.deleteByKey(spark, dir, Seq(1L))
+    } finally Maintenance.breakCompactionLock(spark, dir)
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
