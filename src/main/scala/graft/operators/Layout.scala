@@ -74,4 +74,74 @@ object Layout {
       predicate: Column): Long =
     spark.read.parquet(path).filter(predicate)
       .select(input_file_name()).distinct().count()
+
+  // ------------------------------------------------------- stats skipping
+
+  private val statsDir = "_graft_stats"
+
+  /** Per-FILE column min/max manifest — the table-format stats idea
+    * (Delta add-file stats, Iceberg manifest ranges) without adopting
+    * the format: one scan collects (file, min, max) per stats column
+    * into a `_graft_stats` sidecar (underscore → invisible to data
+    * readers), so a range query prunes the FILE LIST driver-side before
+    * Spark opens a single footer. Parquet row-group skipping still needs
+    * every footer read and a task per file; at 100 TB with millions of
+    * files, manifest-level pruning is what keeps listing + planning
+    * cost proportional to the data actually selected. Z-order writes
+    * ([[zorderWrite]]) make the per-file ranges tight in BOTH
+    * dimensions, which is exactly what makes this pruning bite.
+    */
+  def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$statsDir")
+  }
+
+  /** Spec hook: (files read, files total) of the last stats-pruned read;
+    * None when no manifest was found (full scan).
+    */
+  @volatile var lastStatsPruned: Option[(Int, Int)] = None
+
+  /** Read `path` pruned by the stats manifest to files whose [min, max]
+    * ranges intersect EVERY `(col, lo, hi)` box side (inclusive). Rows
+    * outside the selected files cannot satisfy the box, so
+    * `statsPrunedRead(...).filter(box)` ≡ full-scan filter — the caller
+    * still applies the row-level predicate. Safety under drift:
+    *   - data files NOT in the manifest (appended after the manifest was
+    *     written) are always included — no stats, no skipping;
+    *   - manifest entries whose file is gone (compacted away) are
+    *     dropped — never a read of a dead path.
+    * Falls back to the plain read when no manifest exists.
+    */
+  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, statsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"${c}__max") >= lo && col(s"${c}__min") <= hi }
+      .reduce(_ && _)
+    // input_file_name() and DataFrame.inputFiles render the same file as
+    // different URI spellings (file:/// vs file:/) — canonicalize both
+    def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    val manifest = spark.read.parquet(s"$path/$statsDir")
+    val known = manifest.select("file").collect()
+      .map(r => canon(r.getString(0))).toSet
+    val selected = manifest.filter(keep)
+      .select("file").collect().map(r => canon(r.getString(0))).toSet
+    val live = spark.read.parquet(path).inputFiles.map(canon)
+    val chosen = live.filter(f => selected(f) || !known(f))
+    lastStatsPruned = Some((chosen.length, live.length))
+    if (chosen.isEmpty)
+      // preserve schema on an empty selection
+      spark.read.parquet(path).limit(0)
+    else spark.read.parquet(chosen.toIndexedSeq: _*)
+  }
 }

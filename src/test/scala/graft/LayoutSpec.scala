@@ -48,4 +48,47 @@ class LayoutSpec extends AnyFunSuite {
     // layout never changes data
     assert(spark.read.parquet(s"$base/zorder").count() == n)
   }
+
+  test("stats manifest prunes the file LIST; pruned read ≡ full-scan filter") {
+    val n = 100000
+    val grid = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1000)).cast("int").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("int").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val dir = s"$base/z"
+    Layout.zorderWrite(grid, "x", "y", dir, 64)
+    Layout.writeStatsManifest(spark, dir, Seq("x", "y"))
+
+    val box = col("x") >= 100 && col("x") < 200 && col("y") >= 100 && col("y") < 200
+    val ranges = Seq(("x", 100.0, 199.0), ("y", 100.0, 199.0))
+    val pruned = Layout.statsPrunedRead(spark, dir, ranges).filter(box)
+    val full = spark.read.parquet(dir).filter(box)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    val Some((read, total)) = Layout.lastStatsPruned
+    assert(total == 64 && read <= 16,
+      s"driver-side file pruning must bite on a z-ordered box ($read/$total)")
+    // file-level result set matches what footer-level skipping would pick
+    assert(read.toLong >= Layout.filesTouched(spark, dir, box))
+  }
+
+  test("stats pruning is safe under drift: unmanifested appends always read") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stats_drift").toString
+    val dir = s"$base/t"
+    (0 until 1000).map(i => (i % 100, i)).toDF("x", "v")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    Layout.writeStatsManifest(spark, dir, Seq("x"))
+    // an append AFTER the manifest: its rows match the range but have no
+    // stats — a reader that skipped them would silently drop data
+    Seq((50, 999999)).toDF("x", "v").write.mode("append").parquet(dir)
+    val got = Layout.statsPrunedRead(spark, dir, Seq(("x", 50.0, 50.0)))
+      .filter(col("x") === 50)
+    assert(got.count() ==
+      spark.read.parquet(dir).filter(col("x") === 50).count())
+    assert(got.filter(col("v") === 999999).count() == 1,
+      "appended-after-manifest rows must not be skipped")
+    val Some((read2, total2)) = Layout.lastStatsPruned
+    assert(read2 < total2, "manifested non-matching files still prune")
+  }
 }
