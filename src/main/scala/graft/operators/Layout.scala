@@ -77,7 +77,20 @@ object Layout {
 
   // ------------------------------------------------------- stats skipping
 
-  private val statsDir = "_graft_stats"
+  val statsDir = "_graft_stats"
+
+  /** Stats columns a manifest at `path` declares (parsed from its
+    * `<col>__min` schema), None when the table has no manifest — how
+    * maintenance rebuilds a manifest without being told the columns.
+    */
+  def statsManifestCols(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path, statsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).schema.fieldNames.toSeq
+      .collect { case n if n.endsWith("__min") => n.stripSuffix("__min") })
+  }
 
   /** Per-FILE column min/max manifest — the table-format stats idea
     * (Delta add-file stats, Iceberg manifest ranges) without adopting

@@ -104,6 +104,35 @@ object Maintenance {
       throw new CompactionInProgressException(tablePath)
   }
 
+  /** Rebuild the file-skipping stats manifest of `fromPath` (if it has
+    * one) over the rewritten files at `toPath`: every rewrite
+    * invalidates per-FILE stats wholesale (new file names), and while
+    * [[graft.operators.Layout.statsPrunedRead]] is drift-safe — dead
+    * entries dropped, unmanifested files always read — a stale manifest
+    * means a FULL scan on every range read until someone remembers to
+    * rebuild. Compaction/delete are the rebuild points, exactly like the
+    * bloom sidecars. The stats columns come from the old manifest's own
+    * schema.
+    */
+  private def refreshStatsManifest(spark: SparkSession,
+      fromPath: String, toPath: String): Unit =
+    rebuildStats(spark, toPath,
+      graft.operators.Layout.statsManifestCols(spark, fromPath))
+
+  /** Swap-path variant: per-file stats embed ABSOLUTE paths, so a
+    * manifest computed on `.__compact_tmp` dies at the rename — swap
+    * rewrites capture the stats columns BEFORE the swap and rebuild on
+    * the live path AFTER it (one extra column-pruned scan). A crash in
+    * between loses only the manifest, and a missing manifest is the safe
+    * state (readers full-scan).
+    */
+  private def rebuildStats(spark: SparkSession, path: String,
+      cols: Option[Seq[String]]): Unit =
+    cols.foreach { cs =>
+      if (cs.nonEmpty)
+        graft.operators.Layout.writeStatsManifest(spark, path, cs)
+    }
+
   /** Recursive set of visible data-file paths — the rewrite-window
     * change detector: compaction snapshots it before reading and again
     * before swapping, and ABORTS if they differ (a racing append slipped
@@ -349,6 +378,7 @@ object Maintenance {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    refreshStatsManifest(spark, tablePath, tablePath)
     oversized
   }
 
@@ -537,6 +567,7 @@ object Maintenance {
       spark: SparkSession, tablePath: String, keyCol: String = "doc_id",
       buckets: Int = 64): Unit = {
     require(buckets > 0)
+    val statsCols = graft.operators.Layout.statsManifestCols(spark, tablePath)
     lockedCompactSwap(spark, tablePath) { tmp =>
       val p = new Path(tablePath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -557,7 +588,8 @@ object Maintenance {
       // three sidecar families) — then declare the bucketing
       fs.listStatus(p).filter(_.getPath.getName.startsWith("_graft_"))
         .filterNot(f => Set("_graft_buckets", "_graft_doc_bloom",
-          BloomBank.dirName).contains(f.getPath.getName))
+          BloomBank.dirName, graft.operators.Layout.statsDir)
+          .contains(f.getPath.getName))
         .foreach { f =>
           org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
             new Path(tmp, f.getPath.getName), false,
@@ -572,6 +604,10 @@ object Maintenance {
       val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
       try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
     }
+    // per-file stats are void after a rewrite — compaction is their
+    // rebuild point, same as the bloom families (post-swap: see
+    // rebuildStats for why not on tmp)
+    rebuildStats(spark, tablePath, statsCols)
   }
 
   /** Append to a possibly-compacted table, honoring its declared bucket
@@ -795,6 +831,7 @@ object Maintenance {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       emptied.foreach(db => fs.delete(new Path(p, s"$partCol=$db"), true))
+      refreshStatsManifest(spark, tablePath, tablePath)
       deleted
     } finally releaseCompactionLock(spark, tablePath)
   }
@@ -803,6 +840,7 @@ object Maintenance {
       keys: Seq[Long], keyCol: String): Long = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsCols = graft.operators.Layout.statsManifestCols(spark, tablePath)
     var deleted = 0L
     lockedCompactSwap(spark, tablePath) { tmp =>
       // preserve whatever partition layout the table has (sb= signature
@@ -821,14 +859,17 @@ object Maintenance {
       // stay supersets (see scaladoc), the bucket declaration keeps the
       // layout honored by future appends
       fs.listStatus(p).filter { f =>
-        f.getPath.getName.startsWith("_graft_") ||
-          f.getPath.getName == BloomBank.dirName
+        (f.getPath.getName.startsWith("_graft_") ||
+          f.getPath.getName == BloomBank.dirName) &&
+          f.getPath.getName != graft.operators.Layout.statsDir
       }.foreach { f =>
         org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
           new Path(tmp, f.getPath.getName), false,
           spark.sparkContext.hadoopConfiguration)
       }
     }
+    // per-file stats don't survive a rewrite — rebuild, don't carry
+    rebuildStats(spark, tablePath, statsCols)
     deleted
   }
 

@@ -162,6 +162,41 @@ class MaintenanceSpec extends AnyFunSuite {
     } finally Maintenance.breakCompactionLock(spark, dir)
   }
 
+  test("rewrites rebuild the stats manifest instead of carrying it stale") {
+    import graft.operators.Layout
+    def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    def manifestFresh(dir: String): Boolean = {
+      val m = spark.read.parquet(s"$dir/${Layout.statsDir}").select("file")
+        .collect().map(r => canon(r.getString(0))).toSet
+      m == spark.read.parquet(dir).inputFiles.map(canon).toSet
+    }
+    // deleteViaSwap on a range-sorted flat table: stats keep pruning
+    val base = java.nio.file.Files.createTempDirectory("graft_stats_maint").toString
+    val flat = s"$base/flat"
+    Layout.linearWrite(
+      spark.range(8000).select(col("id"), (col("id") * 2).as("v")),
+      "id", flat, 16)
+    Layout.writeStatsManifest(spark, flat, Seq("id"))
+    assert(Maintenance.deleteByKey(spark, flat, Seq(10L, 20L), "id") == 2L)
+    assert(manifestFresh(flat), "swap-path delete must rebuild the manifest")
+    val pruned = Layout.statsPrunedRead(spark, flat, Seq(("id", 100.0, 199.0)))
+      .filter(col("id").between(100, 199))
+    assert(pruned.count() == 100)
+    val Some((read, total)) = Layout.lastStatsPruned
+    assert(read < total, s"fresh stats must still prune ($read/$total)")
+    // compactDocTable: the bucketed rewrite renames every file — the
+    // manifest must follow (stale entries are all dead → every read
+    // would degrade to a full scan)
+    val docs = s"$base/docs"
+    (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "b").write.parquet(docs)
+    Layout.writeStatsManifest(spark, docs, Seq("doc_id"))
+    Maintenance.compactDocTable(spark, docs, buckets = 8)
+    assert(manifestFresh(docs), "compaction must rebuild the manifest")
+    // bucketed delete refreshes in place
+    assert(Maintenance.deleteByKey(spark, docs, Seq(3L)) == 1L)
+    assert(manifestFresh(docs), "bucketed delete must rebuild the manifest")
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
