@@ -495,6 +495,46 @@ object EventsStreaming {
       .start()
   }
 
+  /** Streaming PII redaction at ingest — the privacy twin of
+    * [[decontaminatedAppend]]: every document micro-batch lands with
+    * [[graft.functions.Pii.redactAll]] already applied to `textCol`, so
+    * the landed corpus IS the redacted corpus and raw PII never
+    * persists (scrub-before-storage — the retention property a privacy
+    * review actually asks for; a scrub-after-landing pass leaves the
+    * raw text recoverable until a rewrite). The transform is per-row,
+    * deterministic, and codegen'd map-only, so batch-at-a-time equals
+    * whole-corpus-at-once by construction (pinned in StreamingSpec);
+    * replay idempotence is the same two-tier scheme as every doc sink —
+    * `_graft_hwm` committed-batch skip (O(1) fast path) with the
+    * landed-id anti-join (bloom-front-filtered) as the exact fallback.
+    */
+  def redactedAppend(docs: DataFrame, outPath: String,
+      textCol: String = "text",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (alreadyCommitted(spark, fs, outPath, batchId)) {
+          hwmSkippedBatches.incrementAndGet()
+          ()
+        } else {
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
+          val scrubbed = batch.withColumn(textCol,
+            graft.functions.Pii.redactAll(col(textCol)))
+          val inserts = freshAgainstLanded(spark, fs, outPath, scrubbed)
+          graft.warehouse.Maintenance.assertNoCompactionInProgress(spark, outPath)
+          inserts.write.mode("append").parquet(outPath)
+          recordCommitted(spark, fs, outPath, batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming span-level duplication flagging at ingest — the
     * incremental twin of `Dedup.dupNgramSpans`: every document
     * micro-batch is scored against the GRAM INDEX of everything landed

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not duplicate surviving docs")
   }
 
+  test("streaming PII redaction equals the batch redaction; replay inserts nothing") {
+    import graft.functions.Pii
+    // give the fixture text real PII to scrub, derived per doc (the
+    // fixture corpus itself is digit-free word salad)
+    def enrich(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+        lit("@x.io or 555-123-4567")))
+    val docs = enrich(Tables.documents(spark, sf).select("doc_id", "text"))
+    val expected = docs
+      .select(col("doc_id"), md5(Pii.redactAll(col("text")).cast("binary")))
+      .collect().map(_.toString).sorted
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft_pii_stream").toString + "/scrubbed"
+    def start() = EventsStreaming.redactedAppend(
+      enrich(EventsStreaming.readDocuments(spark, sf).select("doc_id", "text")),
+      outPath)
+    val q = start(); q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(outPath)
+    val got = landed
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      "landed corpus must be exactly the batch-redacted corpus")
+    // the retention property itself: nothing PII-shaped persisted
+    assert(landed.select(sum(Pii.totalCol(col("text")))).head.getLong(0) == 0L)
+    // at-least-once replay: full redelivery inserts zero duplicates
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(outPath).count() == expected.length)
+  }
+
   test("decontaminatedAppend also skips re-delivered batches via the mark") {
     // same commit-log rewind as the appendWithDedup test, on the
     // decontamination sink: the replayed batch must skip without
