@@ -551,7 +551,48 @@ object QuantGates {
         .orderBy("gate")
     })
 
+  /** Rolling cumulative distinct via MERGEABLE HLL sketches — the
+    * incremental-telemetry shape a 100 TB warehouse runs nightly: one
+    * sketch per day (the unit a pipeline would PERSIST as a binary
+    * column; round-trip proven in ScaleSpec), cumulative distinct as a
+    * running UNION of sketches — never a rescan of history, O(days ×
+    * 2^lgK) state instead of O(users × days). Exact truth comes free at
+    * audit scale from the first-seen-day census (a user adds to
+    * cumulative distinct exactly once, on its first day), and every day
+    * is gated at |approx/exact − 1| ≤ 3·rsd(lgK=14) ≈ 2.4% (gate at 3%).
+    * The running-union window is metadata-scale (one row per DAY), so
+    * the single-partition window is deliberate.
+    */
+  val qcHllRolling = QueryDef(
+    "qc_hll_rolling",
+    None,
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      def cumW = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val approx = daily
+        .withColumn("approx_cum",
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(cumW)))
+        .select("day", "approx_cum")
+      val firstDays = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      approx.join(firstDays, Seq("day"), "left")
+        .na.fill(0, Seq("new_users"))
+        .withColumn("exact_cum", sum(col("new_users")).over(cumW))
+        .withColumn("rel_err",
+          abs(col("approx_cum") / col("exact_cum") - 1))
+        .select(col("day"), col("new_users"), col("exact_cum"),
+          col("approx_cum").cast("long").as("approx_cum"),
+          round(col("rel_err"), 4).as("rel_err"),
+          (col("rel_err") <= 0.03).as("pass"))
+        .orderBy("day")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
     qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates,
-    qcTrimInvariants)
+    qcTrimInvariants, qcHllRolling)
 }

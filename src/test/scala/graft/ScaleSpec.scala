@@ -46,6 +46,30 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches persist as binary columns and merge without a history rescan") {
+    // the qc_hll_rolling contract's storage leg: per-day sketches written
+    // to parquet, read back, UNIONed with a brand-new day's sketch — the
+    // estimate must equal the all-at-once aggregation over the raw rows,
+    // proving cumulative distinct at 100 TB never rescans history
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/sk"
+    val (oldDays, newDay) = (col("day") < "2024-01-20", col("day") >= "2024-01-20")
+    ev.filter(oldDays).groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .write.parquet(dir)
+    val merged = spark.read.parquet(dir).select(col("sk"))
+      .unionAll(ev.filter(newDay)
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk")))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0)
+    val direct = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))))
+      .head.getLong(0)
+    assert(merged == direct,
+      s"re-read + merged sketches must estimate like one pass ($merged vs $direct)")
+  }
+
   test("approxQuantiles brackets the true median") {
     val e = Tables.events(spark, sf)
     val Array(q50) = Scale.approxQuantiles(e, "value", Array(0.5))
