@@ -43,6 +43,51 @@ object Similarity {
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
 
+  /** Coarse quantizer fit, cached per (corpus plan, nCells) — index
+    * build is train-once-probe-many (seed fixed → deterministic). The
+    * fit runs on a deterministic 1-in-4 sample: IVF centroids only need
+    * the corpus's density shape, not every vector (at 100 TB you'd never
+    * fit on the full corpus); cell ASSIGNMENT still covers all vectors.
+    */
+  private def fitCoarseModel(corpus: DataFrame, withVec: DataFrame,
+      nCells: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val cacheKey =
+      s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells"
+    kmeansCache.synchronized(Option(kmeansCache.get(cacheKey)))
+      .getOrElse {
+        val sample = withVec.filter(pmod(col("cand_id"), lit(4)) === 0)
+        val m = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+          .fit(sample)
+        kmeansCache.synchronized(kmeansCache.put(cacheKey, m))
+        m
+      }
+  }
+
+  /** Per-probe ranked cell list of the coarse quantizer, computed
+    * DISTRIBUTED: the centroid table is tiny (nCells × dim doubles) so
+    * it ships to every task as a literal array; assignment is a map-only
+    * projection — no shuffle, no driver collect, any probe-table size.
+    * Distance accumulates element-wise left-to-right (zip_with +
+    * aggregate), deterministic; ties break on the lower cell id.
+    */
+  private def nearestCells(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      pv: org.apache.spark.sql.Column,
+      nProbe: Int): org.apache.spark.sql.Column = {
+    val centLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        array(c.toArray.toIndexedSeq.map(lit): _*).as("cv"))
+    }.toIndexedSeq: _*)
+    val ranked = array_sort(transform(centLit, cent =>
+      struct(
+        aggregate(
+          zip_with(cent.getField("cv"), pv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("dist"),
+        cent.getField("cell").as("cell"))))
+    transform(slice(ranked, 1, nProbe), s => s.getField("cell"))
+  }
+
   /** Exact top-k neighbors per probe (cosine, self excluded, deterministic
     * vec_id tiebreak on the 6-decimal-rounded similarity).
     */
@@ -94,46 +139,13 @@ object Similarity {
     val cp = corpus.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cv"))
     val withVec = cp.withColumn("fv", array_to_vector(col("cv")))
-    // index build is train-once-probe-many (seed fixed → deterministic):
-    // cache the fitted centroids per (corpus plan, nCells) so repeated
-    // probe queries in one session skip the k-means fit. The fit itself
-    // runs on a deterministic 1-in-4 sample — IVF centroids only need the
-    // corpus's density shape, not every vector (at 100 TB you'd never fit
-    // on the full corpus); assignment below still covers ALL vectors.
-    val cacheKey =
-      s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells"
-    val model = kmeansCache.synchronized(Option(kmeansCache.get(cacheKey)))
-      .getOrElse {
-        val sample = withVec.filter(pmod(col("cand_id"), lit(4)) === 0)
-        val m = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
-          .fit(sample)
-        kmeansCache.synchronized(kmeansCache.put(cacheKey, m))
-        m
-      }
+    val model = fitCoarseModel(corpus, withVec, nCells)
     val assigned = model.transform(withVec)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
 
-    // probe-side: nProbe nearest centroids per probe, computed DISTRIBUTED.
-    // The centroid table is tiny (nCells × dim doubles) so it ships to every
-    // task as a literal array; cell assignment is then a map-only projection
-    // over the probe table — no shuffle, no driver-side collect, scales to a
-    // probe table of any size. Distance accumulates element-wise
-    // left-to-right (zip_with + aggregate), the same sequential order as a
-    // per-row loop, so cell choices are deterministic; ties break on the
-    // lower cell id via the (dist, cell) struct sort.
-    val centLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"),
-        array(c.toArray.toIndexedSeq.map(lit): _*).as("cv"))
-    }.toIndexedSeq: _*)
     val pr = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-    val rankedCells = array_sort(transform(centLit, cent =>
-      struct(
-        aggregate(
-          zip_with(cent.getField("cv"), col("pv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("dist"),
-        cent.getField("cell").as("cell"))))
     val prWithCells = pr.withColumn("cell",
-      explode(transform(slice(rankedCells, 1, nProbe), s => s.getField("cell"))))
+      explode(nearestCells(model, col("pv"), nProbe)))
 
     val sims = prWithCells.join(assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
@@ -209,36 +221,26 @@ object Similarity {
     * projects to (cand_id, codes) before any join; the rank shuffle
     * carries (probe_id, cand_id, adist) scalars only.
     */
-  def pqKnn(
-      probes: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      m: Int = 8,
-      kSub: Int = 16,
-      rerank: Int = 20,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+  /** PQ codebook training — the id-smallest 4096 of a deterministic
+    * 1-in-4 slice: a BOUNDED driver collect (≤ 4096 × d doubles, ~2 MB)
+    * that plans as TakeOrderedAndProject. Training PQ codebooks on a
+    * capped sample is the published practice (codebooks need the density
+    * shape, not every vector); the driver-side Lloyd fit on it replaces
+    * m distributed KMeans pipelines — one bounded Spark job total,
+    * milliseconds of local arithmetic, fully deterministic (ordered
+    * sample, fixed init, fixed iteration count). Returns (subspace dim,
+    * m codebooks of kSub codewords).
+    */
+  private def trainCodebooks(cp: DataFrame, m: Int,
+      kSub: Int): (Int, Seq[Array[Array[Double]]]) = {
     // bounded probe: one row to learn d (the array length is not in the
-    // schema); same pattern as Packing's min/max census. limit+collect
-    // instead of head() so an EMPTY corpus gets the intended diagnostic
-    // rather than head's bare NoSuchElementException.
-    val dRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    // schema). limit+collect instead of head() so an EMPTY corpus gets
+    // the intended diagnostic rather than head's NoSuchElementException.
+    val dRow = cp.select(size(col("cv")).as("d")).limit(1).collect()
     require(dRow.nonEmpty, "empty corpus: no codebook sample")
     val d = dRow(0).getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val sub = d / m
-
-    val cp = corpus.select(col(idCol).as("cand_id"),
-      asDouble(col(vecCol)).as("cv"))
-
-    // Codebook training sample: the id-smallest 4096 of a deterministic
-    // 1-in-4 slice — a BOUNDED driver collect (≤ 4096 × d doubles, ~2 MB)
-    // that plans as TakeOrderedAndProject. Training PQ codebooks on a
-    // capped sample is the published practice (codebooks need the
-    // density shape, not every vector); the driver-side Lloyd fit on it
-    // replaces 8 distributed KMeans pipelines — one bounded Spark job
-    // total, milliseconds of local arithmetic, fully deterministic
-    // (ordered sample, fixed init, fixed iteration count).
     val sliced: Array[Array[Double]] = cp
       .filter(pmod(col("cand_id"), lit(4)) === 0)
       .orderBy(col("cand_id")).limit(4096)
@@ -253,12 +255,18 @@ object Similarity {
         .select(col("cv")).collect()
         .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus: no codebook sample")
-    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
-        kSub)
-    }
+    (sub, (0 until m).map { j =>
+      lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), kSub)
+    })
+  }
 
-    // codeword literal for subspace j: kSub × (code, centroid) structs
+  /** The per-probe ADC table — m×kSub squared distances, computed ONCE
+    * per probe as a bound column (it rides the broadcast, never per
+    * pair).
+    */
+  private def adcTable(codebooks: Seq[Array[Array[Double]]], sub: Int,
+      pv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def cbLit(j: Int) = array(codebooks(j).zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("code"),
         array(c.toIndexedSeq.map(lit): _*).as("cw"))
@@ -266,6 +274,23 @@ object Similarity {
     def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
+    array(codebooks.indices.map(j =>
+      transform(cbLit(j), cent =>
+        sqDist(cent.getField("cw"), slice(pv, j * sub + 1, sub)))): _*)
+  }
+
+  def pqKnn(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 8,
+      kSub: Int = 16,
+      rerank: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cp = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val (sub, codebooks) = trainCodebooks(cp, m, kSub)
 
     // encode: per subspace the argmin codeword. Native codegen'd
     // expression (graft.plans.PqEncode) — arithmetic-identical to the
@@ -278,14 +303,9 @@ object Similarity {
     val encoded = cp.select(col("cand_id"),
       graft.plans.PqFunctions.pq_encode(col("cv"), cbArr).as("codes"))
 
-    // probe side: the ADC table — m×kSub squared distances, computed ONCE
-    // per probe as a bound column (it rides the broadcast, never per pair)
-    val dtab = array((0 until m).map(j =>
-      transform(cbLit(j), cent =>
-        sqDist(cent.getField("cw"), slice(col("pv"), j * sub + 1, sub)))): _*)
     val pr = probes.select(col(idCol).as("probe_id"),
         asDouble(col(vecCol)).as("pv"))
-      .withColumn("dtab", dtab)
+      .withColumn("dtab", adcTable(codebooks, sub, col("pv")))
 
     // ADC score: m table lookups per candidate, the probes×corpus hot
     // loop — native codegen'd adc_score (≡ `aggregate(zip_with(dtab,
@@ -301,6 +321,73 @@ object Similarity {
       .select("probe_id", "cand_id")
 
     // exact re-rank of the probes×rerank shortlist
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    shortlist
+      .join(pr.select(col("probe_id"), col("pv")), Seq("probe_id"))
+      .join(cp, Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(graft.plans.VectorFunctions.cosine_sim(col("pv"), col("cv")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** IVF-PQ composed ANN (the FAISS IVFPQ serving shape): the k-means
+    * coarse quantizer prunes the candidate set to each probe's `nProbe`
+    * nearest cells, PQ/ADC scores ONLY those candidates (m table lookups
+    * each), and the top `rerank` hits re-score with exact cosine. This
+    * is the 100 TB layout: cells are the stored corpus's partitioning
+    * (a probe reads only its cells' files — the [[ivfKnn]] pruning leg)
+    * while candidates cross the join as m byte-codes instead of d
+    * floats (the [[pqKnn]] compression leg). Codebooks encode RAW
+    * vectors, not residuals: residual encoding (Jégou et al. §IV.B)
+    * buys accuracy at equal code budget but couples every codebook to
+    * the coarse quantizer (retrain both or neither); the recall gates
+    * measure this variant directly and the exact re-rank restores
+    * final-order correctness either way.
+    */
+  def ivfPqKnn(
+      probes: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kSub: Int = 16,
+      rerank: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cp = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val withVec = cp.withColumn("fv", array_to_vector(col("cv")))
+    val model = fitCoarseModel(corpus, withVec, nCells)
+    val (sub, codebooks) = trainCodebooks(cp, m, kSub)
+    val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.clone()).toArray).toArray
+    // the stored index: (cell, cand_id, m codes) — at rest this is the
+    // cell-partitioned, 8-byte-per-vector table the probe scan reads
+    val indexed = model.transform(withVec)
+      .select(col("prediction").as("cell"), col("cand_id"),
+        graft.plans.PqFunctions.pq_encode(col("cv"), cbArr).as("codes"))
+
+    val pr = probes.select(col(idCol).as("probe_id"),
+        asDouble(col(vecCol)).as("pv"))
+      .withColumn("dtab", adcTable(codebooks, sub, col("pv")))
+    // each candidate lives in exactly ONE cell, so the cell equi-join
+    // cannot duplicate a (probe, cand) pair across probed cells
+    val prCells = pr.withColumn("cell",
+      explode(nearestCells(model, col("pv"), nProbe)))
+    val adist = graft.plans.PqFunctions.adc_score(col("dtab"), col("codes"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    val shortlist = broadcast(prCells).join(indexed, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), adist.as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= rerank)
+      .select("probe_id", "cand_id")
+
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     shortlist

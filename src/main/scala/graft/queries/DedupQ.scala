@@ -505,6 +505,23 @@ object DedupQ {
         .orderBy(col("probe_id"), col("rk"))
     })
 
+  /** IVF-PQ composed ANN over the same probe set — coarse cells prune
+    * the candidate set (nProbe=4 of 16), PQ codes compress what's left
+    * (8 codes/vector ADC scan), top-40 re-ranks exact: the FAISS IVFPQ
+    * serving shape. No oracle (learned coarse quantizer + codebooks);
+    * `qc_quant_gates` grades recall@5 against brute force.
+    */
+  val simKnnIvfPq = QueryDef(
+    "sim_knn_ivfpq",
+    None,
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      Similarity.ivfPqKnn(e.filter(col("vec_id") % 25 === 0), e, k = 5,
+          nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 40)
+        .select(col("probe_id"), col("cand_id"), col("cosine"), col("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    })
+
   /** Chunk-level boilerplate detection — exact-substring dedup at chunk
     * granularity (the practical approximation of suffix-array substring
     * dedup): tokenize → 32-token windows at stride 24 (the tx_chunks
@@ -1025,5 +1042,5 @@ object DedupQ {
     ddEmbeddingNearDup, simKnnBrute, simKnnLsh, simKnnIvf, simCentroidAssign,
     ddComponents, ddIncremental, ddSemantic, ddSignalAgreement,
     ddChunkBoilerplate, ddClusterRep, ddCrossSourceMatrix, simQuantizeInt8,
-    simNormOutliers, simKnnPq)
+    simNormOutliers, simKnnPq, simKnnIvfPq)
 }

@@ -140,6 +140,16 @@ object QuantGates {
       val pqHit = pq.join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
       val pqRecall = if (nBrute == 0) 1.0 else pqHit.toDouble / nBrute
 
+      // ---- gate 4c: IVF-PQ composed recall@5 — cells prune AND codes
+      // compress; the composition must still hold a floor between the
+      // single-leg gates (pruning can only lose vs exhaustive PQ)
+      val ivfpq = Similarity.ivfPqKnn(probes, e, k = 5,
+          nCells = 16, nProbe = 4, m = 8, kSub = 16, rerank = 40)
+        .select("probe_id", "cand_id")
+      val ivfpqHit =
+        ivfpq.join(brute, Seq("probe_id", "cand_id"), "left_semi").count()
+      val ivfpqRecall = if (nBrute == 0) 1.0 else ivfpqHit.toDouble / nBrute
+
       // ---- gate 5: ML holdout MAE relative to the mean label (scale-free
       // error bound; the RF must beat a 50%-of-mean naive band)
       val features = Forecast.buildDailyFeatures(Tables.events(spark, dir))
@@ -247,6 +257,10 @@ object QuantGates {
         ("simhash_portable_banding_diff", simhashPortableBandDiff, 0.0, "<=", ""),
         ("ivf_recall_at5", ivfRecall, 0.3, ">=", ""),
         ("pq_recall_at5", pqRecall, 0.5, ">=", ""),
+        // floor 0.35: above the ivf leg's 0.3 (the composition must not
+        // cost recall vs plain IVF at the same budget class) but with
+        // fixture-drift margin under the measured 0.42 at sf0.01
+        ("ivfpq_recall_at5", ivfpqRecall, 0.35, ">=", ""),
         ("ml_holdout_mae_over_mean", maeRatio, 0.5, "<=", ""),
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
         ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),

@@ -267,6 +267,36 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 $recall too low")
   }
 
+  test("ivfPqKnn: cell pruning + ADC shortlist beat either leg's recall floor") {
+    val e = Tables.embeddings(spark, sf)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceKnn(probes, e, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqKnn(probes, e, k = 5,
+      nCells = 8, nProbe = 4, m = 8, kSub = 16, rerank = 40)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // output contract = the other sim_knn_*: 5 ranked rows per probe,
+    // no self-match, monotone ranks
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"probe $p ranks")
+      assert(rs.forall(_.getLong(1) != p), s"probe $p self-match")
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pairs).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVFPQ recall@5 $recall too low")
+    // exactness of the re-ranked cosines: every reported pair's cosine
+    // equals the brute-force cosine for that pair
+    val bruteCos = Similarity.bruteForceKnn(probes, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(2), s"cosine $key"))
+    }
+  }
+
   test("minhashBandHashes emits no band rows for sub-shingle docs") {
     import spark.implicits._
     // every short doc shares the all-MaxValue signature — indexing them
