@@ -187,6 +187,56 @@ object Snapshots {
       s"merge commit to $table failed after $maxRetries attempts")
   }
 
+  /** Snapshot-isolated targeted DELETE — copy-on-write at FILE
+    * granularity: only the data files physically containing a doomed key
+    * are rewritten (found via one input_file_name probe of the pinned
+    * head); every other file is carried into the new manifest BY NAME,
+    * zero bytes moved. Like [[commitMerge]], the result depends on the
+    * head it was computed against, so a lost claim deletes its orphaned
+    * files, re-reads the new head, and recomputes — concurrent deletes /
+    * appends / merges serialize instead of losing rows.
+    *
+    * Retention semantics (the GDPR fine print): the delete is LOGICAL at
+    * commit — prior versions still reference the old files (that is what
+    * time travel means), so PHYSICAL erasure is `commitDelete` followed
+    * by [[vacuum]] with a retention window of 0/1; until the vacuum, the
+    * rows are readable via time travel by design.
+    *
+    * Returns (committed version, rows deleted) — (head, 0) when no file
+    * contains any of the keys (no-op: no rewrite, no new version).
+    */
+  def commitDelete(spark: SparkSession, table: String, keys: Seq[Long],
+      keyCol: String, maxRetries: Int = 10): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (head == 0 || keys.isEmpty) return (head, 0L)
+      val files = filesAt(spark, table, head)
+      def pathsOf(ns: Seq[String]) =
+        ns.map(n => new Path(dataDir(table), n).toString)
+      val affected = spark.read.parquet(pathsOf(files): _*)
+        .filter(col(keyCol).isInCollection(keys))
+        .select(input_file_name().as("file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      if (affected.isEmpty) return (head, 0L)
+      val aff = spark.read.parquet(pathsOf(files.filter(affected)): _*)
+      val deleted = aff.filter(col(keyCol).isInCollection(keys)).count()
+      val kept = aff.filter(!col(keyCol).isInCollection(keys))
+      val newFiles = stageData(spark, kept, table)
+      val manifest = (files.filterNot(affected) ++ newFiles).mkString("\n")
+      if (claimManifest(spark, table, head + 1, manifest))
+        return (head + 1, deleted)
+      // lost the race: computed against a stale head — drop the orphans
+      // (no manifest references them) and recompute
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"delete commit to $table failed after $maxRetries attempts")
+  }
+
   /** Read the table at `version` (default: latest). A resolved reader is
     * pinned: later commits never change the files it reads.
     */

@@ -90,6 +90,37 @@ class SnapshotsSpec extends AnyFunSuite {
       s"serialized merge state wrong: $state")
   }
 
+  test("commitDelete rewrites only hit files; time travel keeps, vacuum erases") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // two separate appends → two commits, disjoint file sets
+    Snapshots.commitAppend(spark,
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "v"), t)
+    Snapshots.commitAppend(spark,
+      (100L until 150L).map(i => (i, s"b$i")).toDF("id", "v"), t)
+    val filesBefore = Snapshots.filesAt(spark, t, 2L)
+    // keys only in the SECOND append's files
+    val (v3, n) = Snapshots.commitDelete(spark, t, Seq(110L, 120L), "id")
+    assert(v3 == 3L && n == 2L)
+    val filesAfter = Snapshots.filesAt(spark, t, 3L)
+    val firstAppend = Snapshots.filesAt(spark, t, 1L).toSet
+    assert(firstAppend.subsetOf(filesAfter.toSet),
+      "untouched files must carry into the new manifest by name")
+    assert(Snapshots.read(spark, t).count() == 98)
+    assert(Snapshots.read(spark, t)
+      .filter(col("id").isin(110L, 120L)).isEmpty)
+    // the delete is LOGICAL at commit: time travel still sees the rows
+    assert(Snapshots.read(spark, t, Some(2L)).count() == 100)
+    // deleting absent keys is a no-op: same head, no new version
+    assert(Snapshots.commitDelete(spark, t, Seq(9999L), "id") == ((3L, 0L)))
+    assert(Snapshots.currentVersion(spark, t) == 3L)
+    // physical erasure = vacuum past the retention of the old versions
+    val dropped = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(filesBefore.toSet.diff(filesAfter.toSet).subsetOf(dropped.toSet),
+      "the rewritten originals must be physically removed")
+    assert(Snapshots.read(spark, t).count() == 98)
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
