@@ -117,6 +117,41 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/$statsDir")
   }
 
+  /** Incrementally extend the stats manifest to the data files it does
+    * not cover yet — the steady-state maintenance of a table under
+    * streaming accretion: appended files are readable immediately (the
+    * pruned reader always includes unmanifested files) but unprunable
+    * until this runs, and it scans ONLY the missing files, never the
+    * table. Returns how many files were added.
+    */
+  def appendStatsManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    statsManifestCols(spark, path) match {
+      case None => 0
+      case Some(cols) =>
+        def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
+        val mPath = s"$path/$statsDir"
+        // materialize the current manifest BEFORE overwriting the dir a
+        // lazy plan would still be reading from
+        val existing = spark.read.parquet(mPath).localCheckpoint(true)
+        val known = existing.select("file").collect()
+          .map(r => canon(r.getString(0))).toSet
+        val missing = spark.read.parquet(path).inputFiles
+          .map(canon).filterNot(known)
+        if (missing.isEmpty) 0
+        else {
+          val aggs = cols.flatMap(c => Seq(
+            min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max")))
+          val fresh = spark.read.parquet(missing.toIndexedSeq: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+          existing.unionByName(fresh).coalesce(1)
+            .write.mode("overwrite").parquet(mPath)
+          missing.length
+        }
+    }
+
   /** Spec hook: (files read, files total) of the last stats-pruned read;
     * None when no manifest was found (full scan).
     */

@@ -773,6 +773,46 @@ object Maintenance {
     }
   }
 
+  /** Partition-retention expiry (TTL): drop every `partitionCol=<v>`
+    * directory whose value sorts strictly below `cutoff` — the standard
+    * warehouse retention job. When the partition IS the predicate, a
+    * delete needs no rewrite: cost is O(partitions dropped), zero bytes
+    * read or rewritten, regardless of table size. Values compare as
+    * ISO date/timestamp strings (how Spark names partition dirs), so
+    * lexicographic IS chronological. Runs under the table lock with the
+    * in-flight-writer refusal — a streaming append must not land into a
+    * directory being dropped. Rebuilds the stats manifest if one exists
+    * (its entries for dropped files are dead). Returns the dropped
+    * partition names.
+    */
+  def expirePartitions(spark: SparkSession, tablePath: String,
+      cutoff: String, partitionCol: String = "p_date"): Seq[String] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    acquireCompactionLock(spark, tablePath)
+    try {
+      if (fs.exists(new Path(p, "_temporary")))
+        throw new ConcurrentWriterException(tablePath,
+          "_temporary present — a write job is in flight")
+      val doomed = fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol="))
+        .filter(_.split("=", 2)(1) < cutoff)
+        .sorted
+      doomed.foreach(d => fs.delete(new Path(p, d), true))
+      if (doomed.nonEmpty) {
+        // a fully-expired table can't be scanned for stats — drop the
+        // manifest instead (absent = the safe full-scan state)
+        if (dataFileSet(fs, p).nonEmpty)
+          refreshStatsManifest(spark, tablePath, tablePath)
+        else fs.delete(new Path(p, graft.operators.Layout.statsDir), true)
+      }
+      doomed
+    } finally releaseCompactionLock(spark, tablePath)
+  }
+
   private def deleteBucketed(spark: SparkSession, tablePath: String,
       keys: Seq[Long], keyCol: String, buckets: Int): Long = {
     val p = new Path(tablePath)

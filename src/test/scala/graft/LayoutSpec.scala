@@ -90,5 +90,22 @@ class LayoutSpec extends AnyFunSuite {
       "appended-after-manifest rows must not be skipped")
     val Some((read2, total2)) = Layout.lastStatsPruned
     assert(read2 < total2, "manifested non-matching files still prune")
+
+    // an unmanifested file is read even for ranges it can't match...
+    Layout.statsPrunedRead(spark, dir, Seq(("x", 10.0, 10.0)))
+    val Some((readMiss, _)) = Layout.lastStatsPruned
+    // ...until appendStatsManifest covers exactly the missing files
+    // (scanning only them), after which it prunes out of range
+    assert(Layout.appendStatsManifest(spark, dir) == 1)
+    assert(Layout.appendStatsManifest(spark, dir) == 0, "idempotent")
+    Layout.statsPrunedRead(spark, dir, Seq(("x", 10.0, 10.0)))
+    val Some((readMiss2, _)) = Layout.lastStatsPruned
+    assert(readMiss2 == readMiss - 1,
+      s"the newly-manifested x=50 file must prune from an x=10 probe " +
+        s"($readMiss -> $readMiss2)")
+    // and the in-range probe still finds its row
+    val again = Layout.statsPrunedRead(spark, dir, Seq(("x", 50.0, 50.0)))
+      .filter(col("x") === 50)
+    assert(again.filter(col("v") === 999999).count() == 1)
   }
 }

@@ -197,6 +197,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(manifestFresh(docs), "bucketed delete must rebuild the manifest")
   }
 
+  test("expirePartitions drops only sub-cutoff dirs; no rewrite, stats follow") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/t"
+    (0 until 90).map(i => (i.toLong, s"2024-01-${"%02d".format(i % 9 + 1)}"))
+      .toDF("v", "d")
+      .select(col("v"), col("d").cast("date").as("p_date"))
+      .write.partitionBy("p_date").parquet(dir)
+    Layout.writeStatsManifest(spark, dir, Seq("v"))
+    def files() = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+      .flatMap(d => d.listFiles.map(f => d.getName + "/" + f.getName)).toSet
+    val before = files()
+    val dropped = Maintenance.expirePartitions(spark, dir, cutoff = "2024-01-04")
+    assert(dropped == Seq("p_date=2024-01-01", "p_date=2024-01-02",
+      "p_date=2024-01-03"))
+    // retention is a directory drop, never a rewrite: every surviving
+    // file is the SAME file
+    assert(files() == before.filterNot(f =>
+      dropped.exists(d => f.startsWith(d + "/"))))
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 60 && left.agg(min(col("p_date"))).head
+      .getDate(0).toString == "2024-01-04")
+    // the stats manifest followed the drop (no dead entries)
+    val m = spark.read.parquet(s"$dir/${Layout.statsDir}").select("file")
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toString).toSet
+    assert(m == left.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).toString).toSet)
+    // expiring everything drops the manifest rather than scanning nothing
+    Maintenance.expirePartitions(spark, dir, cutoff = "2025-01-01")
+    assert(!new java.io.File(dir, Layout.statsDir).exists)
+    assert(new java.io.File(dir).listFiles.forall(f =>
+      !f.getName.startsWith("p_date=")))
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
