@@ -231,6 +231,35 @@ class MaintenanceSpec extends AnyFunSuite {
       !f.getName.startsWith("p_date=")))
   }
 
+  test("retention policy: retainDays expires data-relative, then compaction runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString + "/t"
+    (1 to 10).foreach { d =>
+      val day = f"2024-01-$d%02d"
+      // day 10 accretes 6 small files so the compaction leg also fires
+      val copies = if (d == 10) 6 else 1
+      (1 to copies).foreach { i =>
+        Seq((d.toLong * 100 + i, day)).toDF("v", "d")
+          .select(col("v"), col("d").cast("date").as("p_date"))
+          .coalesce(1).write.mode("append").partitionBy("p_date").parquet(dir)
+      }
+    }
+    val action = Maintenance.maintainIfNeeded(spark,
+      Maintenance.MaintenanceTarget(dir, Maintenance.TableKind.DatePartitioned,
+        maxDataFiles = 4, retainDays = Some(5)))
+    assert(action.exists(a => a.contains("expired 5 partition(s)") &&
+      a.contains("compacted 1 partition(s)")), s"got $action")
+    val left = spark.read.parquet(dir)
+    // trailing 5 days measured from the table's OWN newest day (06..10)
+    assert(left.agg(min(col("p_date")).cast("string"),
+      max(col("p_date")).cast("string")).head.toSeq ==
+      Seq("2024-01-06", "2024-01-10"))
+    assert(Maintenance.dataFileCounts(spark, dir)("p_date=2024-01-10") <= 4)
+    // idempotent second run: nothing left to do
+    assert(Maintenance.maintainIfNeeded(spark,
+      Maintenance.MaintenanceTarget(dir, Maintenance.TableKind.DatePartitioned,
+        maxDataFiles = 4, retainDays = Some(5))).isEmpty)
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
