@@ -199,6 +199,32 @@ object QuantGates {
         (if (v1 == Set(1L, 2L)) 0 else 1) +
         (if (Snapshots.currentVersion(spark, snapDir) == 4L) 0 else 1)
 
+      // ---- gate 6b: stats-manifest file skipping — a z-ordered slice of
+      // lineitem with a _graft_stats manifest must answer a 2-d box read
+      // from a strict minority of its files AND equal the full-scan
+      // filter exactly (file-level min/max can't produce false skips)
+      val statsBase = java.nio.file.Files
+        .createTempDirectory("graft_qc_stats").toString + "/z"
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      graft.operators.Layout.zorderWrite(li, "l_partkey", "l_suppkey",
+        statsBase, numFiles = 32)
+      graft.operators.Layout.writeStatsManifest(spark, statsBase,
+        Seq("l_partkey", "l_suppkey"))
+      val bounds = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+      val (pHi, sHi) = (bounds.getLong(0) / 4.0, bounds.getLong(1) / 4.0)
+      val statsBox = col("l_partkey") <= pHi && col("l_suppkey") <= sHi
+      val prunedCount = graft.operators.Layout
+        .statsPrunedRead(spark, statsBase,
+          Seq(("l_partkey", 0.0, pHi), ("l_suppkey", 0.0, sHi)))
+        .filter(statsBox).count()
+      val fullCount = spark.read.parquet(statsBase).filter(statsBox).count()
+      val statsEqualityDiff = math.abs(prunedCount - fullCount).toDouble
+      val statsPruneRate = graft.operators.Layout.lastStatsPruned match {
+        case Some((read, total)) if total > 0 => 1.0 - read.toDouble / total
+        case _ => 0.0
+      }
+
       // ---- gate 7: corpus funnel monotonicity (each stage's survivor
       // count never exceeds the previous stage's)
       val report = CorpusPipeline.run(docs,
@@ -267,6 +293,8 @@ object QuantGates {
         ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", ""),
         ("bloom_false_negatives", bloomFalseNeg, 0.0, "<=", ""),
         ("bloom_prune_rate", bloomPrune, 0.5, ">=", ""),
+        ("stats_pruned_vs_full_diff", statsEqualityDiff, 0.0, "<=", ""),
+        ("stats_file_prune_rate", statsPruneRate, 0.5, ">=", ""),
         ("phash_banding_vs_brute_diff", phashBandDiff, 0.0, "<=", "")
       ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {

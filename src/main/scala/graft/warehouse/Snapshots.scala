@@ -237,6 +237,36 @@ object Snapshots {
       s"delete commit to $table failed after $maxRetries attempts")
   }
 
+  /** OPTIMIZE under the commit protocol: rewrite the head's accreted
+    * small files into ~`targetFiles`, committed as a NEW version by the
+    * same optimistic claim as merge/delete — readers pinned to earlier
+    * versions keep their files (vacuum reclaims them later), a racing
+    * append serializes before or after, never lost. Data is
+    * bit-identical; only layout changes. No-op (None) below `minFiles` —
+    * compaction that rewrites a healthy table is pure write
+    * amplification. Returns the committed version.
+    */
+  def compactData(spark: SparkSession, table: String, targetFiles: Int = 8,
+      minFiles: Int = 16, maxRetries: Int = 10): Option[Long] = {
+    require(targetFiles > 0)
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (head == 0 || filesAt(spark, table, head).size < minFiles) return None
+      val rewritten = read(spark, table, Some(head)).repartition(targetFiles)
+      val newFiles = stageData(spark, rewritten, table)
+      if (claimManifest(spark, table, head + 1, newFiles.mkString("\n")))
+        return Some(head + 1)
+      // lost the race (an append/merge landed first): this rewrite no
+      // longer represents the head — drop the orphans and recompute
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compaction commit to $table failed after $maxRetries attempts")
+  }
+
   /** Read the table at `version` (default: latest). A resolved reader is
     * pinned: later commits never change the files it reads.
     */

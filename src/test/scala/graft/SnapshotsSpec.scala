@@ -121,6 +121,25 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t).count() == 98)
   }
 
+  test("compactData: OPTIMIZE commits a new version, data identical, no-op when healthy") {
+    val t = freshTable()
+    (1 to 20).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i.toLong, s"r$i")).toDF("id", "v"), t))
+    val before = Snapshots.read(spark, t).collect().map(_.toString).sorted
+    val nFilesBefore = Snapshots.filesAt(spark, t, 20L).size
+    assert(nFilesBefore >= 20, "accretion: at least one file per append")
+    assert(Snapshots.compactData(spark, t, targetFiles = 2, minFiles = 16)
+      .contains(21L))
+    assert(Snapshots.filesAt(spark, t, 21L).size <= 2)
+    assert(Snapshots.read(spark, t).collect().map(_.toString).sorted
+      .sameElements(before), "OPTIMIZE must not change data")
+    // pinned readers: the pre-compaction version still reads in full
+    assert(Snapshots.read(spark, t, Some(20L)).count() == 20)
+    // a healthy table is left alone (write amplification guard)
+    assert(Snapshots.compactData(spark, t, targetFiles = 2, minFiles = 16).isEmpty)
+    assert(Snapshots.currentVersion(spark, t) == 21L)
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
