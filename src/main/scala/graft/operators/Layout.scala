@@ -79,6 +79,21 @@ object Layout {
 
   val statsDir = "_graft_stats"
 
+  /** Canonical URI spelling — input_file_name() and DataFrame.inputFiles
+    * render the same file differently (file:/// vs file:/).
+    */
+  private[graft] def canonFile(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toString
+
+  /** The per-file min/max aggregate columns of a manifest (one builder,
+    * shared by write and incremental append so the encodings can never
+    * diverge).
+    */
+  private def statsAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+
   /** Stats columns a manifest at `path` declares (parsed from its
     * `<col>__min` schema), None when the table has no manifest — how
     * maintenance rebuilds a manifest without being told the columns.
@@ -107,11 +122,18 @@ object Layout {
   def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max")))
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    val df = spark.read.parquet(path)
+    // numeric only: a string/date column silently casts to all-NULL
+    // min/max, and an all-NULL manifest row would mean "prunes nothing"
+    // at best — reject loudly at write time instead
+    statsCols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"stats column $c is ${t.simpleString}; per-file min/max stats " +
+          "require a numeric column")
+    }
+    val aggs = statsAggs(statsCols)
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$statsDir")
@@ -129,21 +151,19 @@ object Layout {
     statsManifestCols(spark, path) match {
       case None => 0
       case Some(cols) =>
-        def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
         val mPath = s"$path/$statsDir"
         // materialize the current manifest BEFORE overwriting the dir a
         // lazy plan would still be reading from
         val existing = spark.read.parquet(mPath).localCheckpoint(true)
         val known = existing.select("file").collect()
-          .map(r => canon(r.getString(0))).toSet
+          .map(r => canonFile(r.getString(0))).toSet
         val missing = spark.read.parquet(path).inputFiles
-          .map(canon).filterNot(known)
+          .map(canonFile).filterNot(known)
         if (missing.isEmpty) 0
         else {
-          val aggs = cols.flatMap(c => Seq(
-            min(col(c)).cast("double").as(s"${c}__min"),
-            max(col(c)).cast("double").as(s"${c}__max")))
-          val fresh = spark.read.parquet(missing.toIndexedSeq: _*)
+          val aggs = statsAggs(cols)
+          val fresh = spark.read.option("basePath", path)
+            .parquet(missing.toIndexedSeq: _*)
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
           existing.unionByName(fresh).coalesce(1)
@@ -151,6 +171,30 @@ object Layout {
           missing.length
         }
     }
+
+  /** Drop manifest entries whose data file no longer exists — the cheap
+    * maintenance after a pure directory drop (partition expiry):
+    * surviving files were not rewritten, so their stats are still valid
+    * and filtering the (tiny) manifest replaces a full-table stats
+    * rescan. Zero data files are read. Returns the number of dead
+    * entries dropped.
+    */
+  def pruneStatsManifestEntries(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val mPath = new org.apache.hadoop.fs.Path(path, statsDir)
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mPath)) return 0
+    val existing = spark.read.parquet(mPath.toString)
+    val rows = existing.collect()
+    val fileIdx = existing.schema.fieldIndex("file")
+    val live = spark.read.parquet(path).inputFiles.map(canonFile).toSet
+    val kept = rows.filter(r => live(canonFile(r.getString(fileIdx))))
+    if (kept.length == rows.length) return 0
+    spark.createDataFrame(
+        java.util.Arrays.asList(kept: _*), existing.schema)
+      .coalesce(1).write.mode("overwrite").parquet(mPath.toString)
+    rows.length - kept.length
+  }
 
   /** Spec hook: (files read, files total) of the last stats-pruned read;
     * None when no manifest was found (full scan).
@@ -173,23 +217,27 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(path, statsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }
+    // a NULL min/max (all-null values in that file, or a manifest from
+    // before the numeric-column guard) must mean "cannot prune", never
+    // "skip the file"
     val keep = ranges.map { case (c, lo, hi) =>
-      col(s"${c}__max") >= lo && col(s"${c}__min") <= hi }
+      (col(s"${c}__max") >= lo && col(s"${c}__min") <= hi) ||
+        col(s"${c}__max").isNull || col(s"${c}__min").isNull }
       .reduce(_ && _)
-    // input_file_name() and DataFrame.inputFiles render the same file as
-    // different URI spellings (file:/// vs file:/) — canonicalize both
-    def canon(s: String) = new org.apache.hadoop.fs.Path(s).toString
     val manifest = spark.read.parquet(s"$path/$statsDir")
     val known = manifest.select("file").collect()
-      .map(r => canon(r.getString(0))).toSet
+      .map(r => canonFile(r.getString(0))).toSet
     val selected = manifest.filter(keep)
-      .select("file").collect().map(r => canon(r.getString(0))).toSet
-    val live = spark.read.parquet(path).inputFiles.map(canon)
+      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+    val live = spark.read.parquet(path).inputFiles.map(canonFile)
     val chosen = live.filter(f => selected(f) || !known(f))
     lastStatsPruned = Some((chosen.length, live.length))
     if (chosen.isEmpty)
       // preserve schema on an empty selection
       spark.read.parquet(path).limit(0)
-    else spark.read.parquet(chosen.toIndexedSeq: _*)
+    else
+      // basePath keeps Hive partition columns (p_date=...) in the
+      // schema — leaf-file reads would silently drop them
+      spark.read.option("basePath", path).parquet(chosen.toIndexedSeq: _*)
   }
 }

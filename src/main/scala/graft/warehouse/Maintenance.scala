@@ -273,9 +273,14 @@ object Maintenance {
       case TableKind.DatePartitioned =>
         val expired = t.retainDays.toSeq.flatMap { rd =>
           require(rd > 0, "retainDays must be positive")
+          // ISO-date-shaped values only: one NULL-date row creates a
+          // p_date=__HIVE_DEFAULT_PARTITION__ dir that sorts LAST
+          // (underscore > digit) — parsing it as the newest day would
+          // wedge every future maintenance run on this table
           val values = dataFileCounts(spark, t.path).keys
             .filter(_.startsWith(s"${t.partitionCol}="))
-            .map(_.split("=", 2)(1)).toSeq.sorted
+            .map(_.split("=", 2)(1))
+            .filter(_.matches("""\d{4}-\d{2}-\d{2}""")).toSeq.sorted
           values.lastOption.toSeq.flatMap { newest =>
             val cutoff = java.time.LocalDate.parse(newest)
               .minusDays(rd - 1L).toString
@@ -501,7 +506,9 @@ object Maintenance {
       compacted.count())
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
-    try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
+    // declare the bucket KEY too (third field): deleteByKey gates its
+    // pruning on it — see bucketKeyCol
+    try bf.write(s"$buckets:key:h".getBytes("UTF-8")) finally bf.close()
     }
   }
 
@@ -626,7 +633,8 @@ object Maintenance {
           compacted.count())
       }
       val bf = fs.create(new Path(tmp, "_graft_buckets"), true)
-      try bf.write(buckets.toString.getBytes("UTF-8")) finally bf.close()
+      // third field = the bucket key column (see bucketKeyCol)
+      try bf.write(s"$buckets:key:$keyCol".getBytes("UTF-8")) finally bf.close()
     }
     // per-file stats are void after a rewrite — compaction is their
     // rebuild point, same as the bloom families (post-swap: see
@@ -707,8 +715,36 @@ object Maintenance {
       s.split(':') match {
         case Array(n) => Some((n.toInt, "key"))
         case Array(n, scheme) => Some((n.toInt, scheme))
+        case Array(n, scheme, _) => Some((n.toInt, scheme))
         case _ => None
       }
+    }
+  }
+
+  /** The COLUMN a key-schemed layout was bucketed on — declared as the
+    * sidecar's third field (`n:key:<col>`, written since r13) or, for a
+    * legacy 1/2-field sidecar, inferred from the partition dir prefix
+    * (`hb=` indexes bucket on `h`, `db=` doc tables on `doc_id`). None
+    * when undeclared and uninferable. [[deleteByKey]] gates its bucket
+    * pruning on this: pruning by pmod of the WRONG column would delete
+    * only the coincidentally-colocated fraction and report success.
+    */
+  def bucketKeyCol(spark: SparkSession, tablePath: String): Option[String] = {
+    val f = new Path(new Path(tablePath), "_graft_buckets")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s.split(':') match {
+      case Array(_, "key", k) => Some(k)
+      case Array(_, "sb", _*) => None
+      case _ =>
+        fs.listStatus(new Path(tablePath)).iterator
+          .map(_.getPath.getName).collectFirst {
+            case n if n.startsWith("hb=") => "h"
+            case n if n.startsWith("db=") => "doc_id"
+          }
     }
   }
 
@@ -792,7 +828,16 @@ object Maintenance {
       keys: Seq[Long], keyCol: String = "doc_id"): Long = {
     if (keys.isEmpty) return 0L
     bucketLayout(spark, tablePath) match {
-      case Some((b, "key")) => deleteBucketed(spark, tablePath, keys, keyCol, b)
+      // bucket pruning is only sound when the layout was bucketed on
+      // THIS key column: pruning by pmod of a different column would
+      // visit only the coincidentally-colocated fraction of the rows and
+      // report success (e.g. deleteByKey(gramIndex, docIds) — the index
+      // buckets on the gram hash h, not doc_id). A mismatched or
+      // unknowable bucket key falls back to the full locked swap —
+      // slower, never wrong.
+      case Some((b, "key"))
+          if bucketKeyCol(spark, tablePath).contains(keyCol) =>
+        deleteBucketed(spark, tablePath, keys, keyCol, b)
       case _ => deleteViaSwap(spark, tablePath, keys, keyCol)
     }
   }
@@ -805,9 +850,10 @@ object Maintenance {
     * ISO date/timestamp strings (how Spark names partition dirs), so
     * lexicographic IS chronological. Runs under the table lock with the
     * in-flight-writer refusal — a streaming append must not land into a
-    * directory being dropped. Rebuilds the stats manifest if one exists
-    * (its entries for dropped files are dead). Returns the dropped
-    * partition names.
+    * directory being dropped. The stats manifest (if any) has its dead
+    * entries filtered out — a pure manifest rewrite, no data read, since
+    * surviving files were not touched. Returns the dropped partition
+    * names.
     */
   def expirePartitions(spark: SparkSession, tablePath: String,
       cutoff: String, partitionCol: String = "p_date"): Seq[String] = {
@@ -827,10 +873,12 @@ object Maintenance {
         .sorted
       doomed.foreach(d => fs.delete(new Path(p, d), true))
       if (doomed.nonEmpty) {
-        // a fully-expired table can't be scanned for stats — drop the
-        // manifest instead (absent = the safe full-scan state)
+        // a directory drop never rewrites a surviving file, so surviving
+        // stats entries are still valid — filter the dead ones out of
+        // the (tiny) manifest instead of rescanning the table (which
+        // would break this function's zero-bytes-read contract)
         if (dataFileSet(fs, p).nonEmpty)
-          refreshStatsManifest(spark, tablePath, tablePath)
+          graft.operators.Layout.pruneStatsManifestEntries(spark, tablePath)
         else fs.delete(new Path(p, graft.operators.Layout.statsDir), true)
       }
       doomed
@@ -868,7 +916,10 @@ object Maintenance {
       val hitDbs = delByDb.keys.toSeq
       val slice = spark.read.parquet(tablePath)
         .filter(col(partCol).isInCollection(hitDbs))
-      val kept = slice.filter(!col(keyCol).isInCollection(keys))
+      // NULL-safe keep: `NOT (NULL IN ...)` is NULL, which a bare filter
+      // silently drops — a delete must never take NULL-key rows with it
+      val kept = slice.filter(
+        !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       // a bucket whose every row is deleted gets NO rows in the dynamic
       // overwrite, which therefore never replaces it — its stale files
       // would survive as resurrected rows. Find those buckets now and
@@ -904,6 +955,14 @@ object Maintenance {
       keys: Seq[Long], keyCol: String): Long = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    // miss short-circuit BEFORE the lock and rewrite: zero matching rows
+    // → nothing to do; without this, deleting absent keys from a flat
+    // table would cost a full rewrite + swap ("misses are free" must
+    // hold on every layout). Keys that land concurrently after this
+    // probe belong to a later deletion batch either way.
+    if (spark.read.option("mergeSchema", "true").parquet(tablePath)
+        .filter(col(keyCol).isInCollection(keys)).isEmpty) return 0L
     val statsCols = graft.operators.Layout.statsManifestCols(spark, tablePath)
     var deleted = 0L
     lockedCompactSwap(spark, tablePath) { tmp =>
@@ -914,7 +973,9 @@ object Maintenance {
         .collectFirst { case n if n.contains("=") => n.split("=", 2)(0) }
       val all = spark.read.option("mergeSchema", "true").parquet(tablePath)
       deleted = all.filter(col(keyCol).isInCollection(keys)).count()
-      val kept = all.filter(!col(keyCol).isInCollection(keys))
+      // NULL-safe keep (see deleteBucketed)
+      val kept = all.filter(
+        !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       partCol match {
         case Some(c) => kept.write.partitionBy(c).parquet(tmp.toString)
         case None => kept.write.parquet(tmp.toString)

@@ -223,7 +223,10 @@ object Snapshots {
       if (affected.isEmpty) return (head, 0L)
       val aff = spark.read.parquet(pathsOf(files.filter(affected)): _*)
       val deleted = aff.filter(col(keyCol).isInCollection(keys)).count()
-      val kept = aff.filter(!col(keyCol).isInCollection(keys))
+      // NULL-safe keep: NOT(NULL IN ...) is NULL and would silently drop
+      // NULL-key rows from the rewritten files
+      val kept = aff.filter(
+        !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
       val manifest = (files.filterNot(affected) ++ newFiles).mkString("\n")
       if (claimManifest(spark, table, head + 1, manifest))

@@ -108,4 +108,35 @@ class LayoutSpec extends AnyFunSuite {
       .filter(col("x") === 50)
     assert(again.filter(col("v") === 999999).count() == 1)
   }
+
+  test("stats manifests reject non-numeric columns; partitioned reads keep p_date") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stats_edge").toString
+    val dir = s"$base/t"
+    (0 until 300).map(i => (i.toLong, f"2024-01-${i % 3 + 1}%02d"))
+      .toDF("v", "d")
+      .select(col("v"), col("d").cast("date").as("p_date"))
+      .repartitionByRange(6, col("v"))
+      .write.partitionBy("p_date").parquet(dir)
+    // a string/date stats column would write all-NULL min/max, and a
+    // NULL-stat manifest must never ship — reject at write time
+    intercept[IllegalArgumentException] {
+      Layout.writeStatsManifest(spark, dir, Seq("p_date"))
+    }
+    Layout.writeStatsManifest(spark, dir, Seq("v"))
+    // leaf-file reads drop Hive partition columns without basePath — the
+    // pruned frame must keep p_date and agree with the full scan
+    val pruned = Layout.statsPrunedRead(spark, dir, Seq(("v", 0.0, 49.0)))
+    assert(pruned.columns.contains("p_date"),
+      "partition column must survive the pruned read")
+    val got = pruned.filter(col("v") < 50)
+      .groupBy(col("p_date")).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val want = spark.read.parquet(dir).filter(col("v") < 50)
+      .groupBy(col("p_date")).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+    val Some((read, total)) = Layout.lastStatsPruned
+    assert(read < total, s"range pruning must still fire ($read/$total)")
+  }
 }

@@ -260,6 +260,66 @@ class MaintenanceSpec extends AnyFunSuite {
         maxDataFiles = 4, retainDays = Some(5))).isEmpty)
   }
 
+  test("deleteByKey guards its pruning on the DECLARED bucket key") {
+    // table bucketed on doc_id, but the deletion request keys on
+    // user_id: pmod(user_id) pruning would visit only coincidental
+    // buckets and silently retain most matching rows — the layout
+    // declares its key, and a mismatch must take the full-swap path
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_key").toString + "/t"
+    (0L until 200L).map(i => (i, i % 10, s"d$i")).toDF("doc_id", "user_id", "b")
+      .write.parquet(dir)
+    Maintenance.compactDocTable(spark, dir, keyCol = "doc_id", buckets = 16)
+    assert(Maintenance.bucketKeyCol(spark, dir).contains("doc_id"))
+    val n = Maintenance.deleteByKey(spark, dir, Seq(3L), keyCol = "user_id")
+    assert(n == 20L, s"ALL 20 user_id=3 rows must go, got $n")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 180 && left.filter(col("user_id") === 3).isEmpty)
+    // a legacy 1-field sidecar still infers db= → doc_id (fast path ok)
+    val f = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true); out.write("16".getBytes); out.close()
+    assert(Maintenance.bucketKeyCol(spark, dir).contains("doc_id"))
+    assert(Maintenance.deleteByKey(spark, dir, Seq(8L)) == 1L)
+  }
+
+  test("deletes never take NULL-key rows; flat-table misses cost no rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_null").toString + "/t"
+    (Seq((Some(1L), "a"), (Some(2L), "b"), (None, "null1"), (None, "null2")))
+      .toDF("doc_id", "v").write.parquet(dir)
+    def mtimes() = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes()
+    // a miss on a flat table must not rewrite anything
+    assert(Maintenance.deleteByKey(spark, dir, Seq(999L)) == 0L)
+    assert(mtimes() == before, "misses must be free on every layout")
+    // NOT(NULL IN ...) is NULL — the keep filter must not drop NULL keys
+    assert(Maintenance.deleteByKey(spark, dir, Seq(1L)) == 1L)
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 3, "both NULL-key rows must survive")
+    assert(left.filter(col("doc_id").isNull).count() == 2)
+  }
+
+  test("retention survives a __HIVE_DEFAULT_PARTITION__ dir from a NULL date") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_null").toString + "/t"
+    (1 to 6).map(d => (d.toLong, Some(f"2024-01-$d%02d")))
+      .toDF("v", "d")
+      .union(Seq((99L, None: Option[String])).toDF("v", "d"))
+      .select(col("v"), col("d").cast("date").as("p_date"))
+      .write.partitionBy("p_date").parquet(dir)
+    assert(new java.io.File(dir, "p_date=__HIVE_DEFAULT_PARTITION__").exists)
+    // the null dir sorts AFTER every date — naive max() would parse it
+    val action = Maintenance.maintainIfNeeded(spark,
+      Maintenance.MaintenanceTarget(dir, Maintenance.TableKind.DatePartitioned,
+        maxDataFiles = 99, retainDays = Some(3)))
+    assert(action.exists(_.contains("expired 3 partition(s)")), s"got $action")
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("p_date").isNull).count() == 1,
+      "the NULL partition is retention-exempt, not newest-day input")
+    assert(left.filter(col("p_date").isNotNull)
+      .agg(min(col("p_date")).cast("string")).head.getString(0) == "2024-01-04")
+  }
+
   test("evolveAppend: null-fills missing columns, rejects/admits new ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a", 1.5)).toDF("id", "name", "score")
