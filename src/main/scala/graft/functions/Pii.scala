@@ -55,4 +55,21 @@ object Pii {
     */
   def redactAll(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, p, ph)) => regexp_replace(c, p, ph) }
+
+  /** Register `pii_redact(text)` for spark.sql texts — the scrub is then
+    * available to the verbatim-SQL surface like the native vector/sketch
+    * functions.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    // catalyst expressions directly, NOT the Column API: a Column built
+    // from functions.* is an unresolved ColumnNode in Spark 4, and the
+    // registry expects a resolvable Expression tree
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_redact",
+      exprs => patterns.foldLeft(exprs(0)) { case (e, (_, p, ph)) =>
+        RegExpReplace(e, Literal(p), Literal(ph))
+      },
+      "built-in")
+  }
 }

@@ -400,7 +400,47 @@ object SqlSurface {
       }
     })
 
+  /** The PII scrub through the verbatim-SQL surface: `pii_redact`
+    * registered like the native vector/sketch functions, graded
+    * byte-exactly (md5) against DuckDB running the identical pattern
+    * chain. The corpus gets deterministic doc-derived PII appended in
+    * BOTH dialects (the fixture text is digit-free — see tx_pii_*).
+    */
+  val sqlPiiScrub = QueryDef(
+    "sql_pii_scrub",
+    Some {
+      val redacted = graft.functions.Pii.patterns.foldLeft("text") {
+        case (acc, (_, p, ph)) => s"regexp_replace($acc, '$p', '$ph', 'g')"
+      }
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         text || ' u' || CAST(doc_id AS VARCHAR) || '@' || source
+        |           || '.net' ||
+        |           CASE WHEN doc_id % 3 = 0 THEN ' 555-123-4567' ELSE '' END
+        |           AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(REDACTED) AS scrubbed_md5,
+        |       CAST(length(text) - length(REDACTED) AS BIGINT) AS delta
+        |FROM c""".stripMargin.replace("REDACTED", redacted)
+    },
+    (spark, dir) => {
+      graft.functions.Pii.register(spark)
+      run(spark, dir,
+        """WITH c AS (
+          |  SELECT doc_id,
+          |         concat(text, ' u', CAST(doc_id AS STRING), '@', source,
+          |                '.net',
+          |                CASE WHEN doc_id % 3 = 0 THEN ' 555-123-4567'
+          |                     ELSE '' END) AS text
+          |  FROM documents)
+          |SELECT doc_id, md5(pii_redact(text)) AS scrubbed_md5,
+          |       CAST(length(text) - length(pii_redact(text)) AS BIGINT)
+          |         AS delta
+          |FROM c""".stripMargin)
+    })
+
   val all: Seq[QueryDef] = Seq(sqlMartDaily, sqlZoneHaving, sqlKnnNative,
     sqlHeavyHitters, sqlExistsSubquery, sqlTripsWeather, sqlZoneAnalysis,
-    sqlDecontaminate, sqlLateralTopk, sqlGroupByAll, sqlRecursiveSpine)
+    sqlDecontaminate, sqlLateralTopk, sqlGroupByAll, sqlRecursiveSpine,
+    sqlPiiScrub)
 }

@@ -269,6 +269,23 @@ object Maintenance {
     val p = new Path(t.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
+    val base = maintainKind(spark, t, fs, p)
+    // stats steady-state leg: a table with a manifest gets its appended
+    // (unmanifested) files covered — compaction already rebuilds the
+    // manifest wholesale, so this only pays when no rewrite ran, and it
+    // scans nothing but the new files
+    val statsMsg =
+      if (graft.operators.Layout.statsManifestCols(spark, t.path).isEmpty) None
+      else {
+        val n = graft.operators.Layout.appendStatsManifest(spark, t.path)
+        if (n > 0) Some(s"manifested $n new file(s) of ${t.path}") else None
+      }
+    val msgs = Seq(base, statsMsg).flatten
+    if (msgs.isEmpty) None else Some(msgs.mkString("; "))
+  }
+
+  private def maintainKind(spark: SparkSession, t: MaintenanceTarget,
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] = {
     t.kind match {
       case TableKind.DatePartitioned =>
         val expired = t.retainDays.toSeq.flatMap { rd =>

@@ -258,6 +258,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.maintainIfNeeded(spark,
       Maintenance.MaintenanceTarget(dir, Maintenance.TableKind.DatePartitioned,
         maxDataFiles = 4, retainDays = Some(5))).isEmpty)
+    // stats steady-state leg: with a manifest present, the policy covers
+    // files appended since — and only reports when it did something
+    graft.operators.Layout.writeStatsManifest(spark, dir, Seq("v"))
+    Seq((9999L, "2024-01-10")).toDF("v", "d")
+      .select(col("v"), col("d").cast("date").as("p_date"))
+      .coalesce(1).write.mode("append").partitionBy("p_date").parquet(dir)
+    val a2 = Maintenance.maintainIfNeeded(spark,
+      Maintenance.MaintenanceTarget(dir, Maintenance.TableKind.DatePartitioned,
+        maxDataFiles = 4, retainDays = Some(5)))
+    assert(a2.exists(_.contains("manifested 1 new file(s)")), s"got $a2")
   }
 
   test("deleteByKey guards its pruning on the DECLARED bucket key") {
