@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ Windows.all ++ Scalar.all ++ QualityQ.all ++
       Text.all ++ DedupQ.all ++ MlQ.all ++ MultimodalQ.all ++ SqlSurface.all ++
-      PipelineQ.all ++ SamplingQ.all ++ QuantGates.all ++ GraphQ.all
+      PipelineQ.all ++ SamplingQ.all ++ QuantGates.all ++ GraphQ.all ++
+      SnapshotQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The mart_daily_metrics shape: pre-agg both facts, broadcast-free

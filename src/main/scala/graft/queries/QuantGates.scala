@@ -199,6 +199,22 @@ object QuantGates {
         (if (v1 == Set(1L, 2L)) 0 else 1) +
         (if (Snapshots.currentVersion(spark, snapDir) == 4L) 0 else 1)
 
+      // ---- gate 8b: change-feed integrity on the same scratch table —
+      // an append step's incremental read is exactly the appended rows
+      // (served from only the step's added files), and an OPTIMIZE
+      // rewrite nets out to an EMPTY row-level feed (carried rows must
+      // cancel; any residue means the feed invents changes on rewrites)
+      val feed34 = Snapshots.incrementalRead(spark, snapDir, 3L, 4L)
+        .collect().map(_.getLong(0)).toSet
+      val cdfAppendDiff = (if (feed34 == Set(11L)) 0 else 1).toDouble
+      val optV = Snapshots.compactData(spark, snapDir,
+        targetFiles = 1, minFiles = 2)
+      val cdfRewriteNoise = optV match {
+        case Some(v) =>
+          Snapshots.rowDiff(spark, snapDir, v - 1, v, Seq("id")).count().toDouble
+        case None => 0.0
+      }
+
       // ---- gate 6b: stats-manifest file skipping — a z-ordered slice of
       // lineitem with a _graft_stats manifest must answer a 2-d box read
       // from a strict minority of its files AND equal the full-scan
@@ -291,6 +307,8 @@ object QuantGates {
         ("decode_nondeterministic_ids", decodeDiff, 0.0, "<=", ""),
         ("funnel_monotonicity_violations", monotone, 0.0, "<=", ""),
         ("snapshot_protocol_violations", snapViolations.toDouble, 0.0, "<=", ""),
+        ("cdf_append_feed_diff", cdfAppendDiff, 0.0, "<=", ""),
+        ("cdf_rewrite_noise_rows", cdfRewriteNoise, 0.0, "<=", ""),
         ("bloom_false_negatives", bloomFalseNeg, 0.0, "<=", ""),
         ("bloom_prune_rate", bloomPrune, 0.5, ">=", ""),
         ("stats_pruned_vs_full_diff", statsEqualityDiff, 0.0, "<=", ""),

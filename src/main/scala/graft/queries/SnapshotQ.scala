@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.warehouse.Snapshots
+
+/** Change-feed consumption over the snapshot commit protocol
+  * (warehouse/Snapshots.scala) — the incremental-ETL surface a 100 TB
+  * warehouse tails instead of re-scanning: append steps are served from
+  * ONLY the step's added files (IO ∝ delta), and rewrite steps
+  * (copy-on-write delete / merge / OPTIMIZE) get a row-exact feed whose
+  * IO is proportional to the churned files, never the table
+  * (Snapshots.incrementalRead / Snapshots.rowDiff).
+  *
+  * The query materializes a scratch snapshot table from the orders
+  * fixture with a deterministic three-commit history — append(even keys)
+  * → append(odd keys) → keyed delete (o_orderkey % 10 = 3) — then emits
+  * the change feed of both steps. Every emitted row is derivable from
+  * the orders table alone, so the feed is fully DuckDB-oracled: the
+  * append step's feed is exactly the odd half, the delete step's feed is
+  * exactly the doomed keys with change_type='delete' (carried rows that
+  * merely moved in the copy-on-write rewrite cancel out of rowDiff).
+  */
+object SnapshotQ {
+
+  val snapChangeFeed = QueryDef(
+    "snap_change_feed",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(o_totalprice, 4) AS o_totalprice,
+           |       'insert' AS change_type, 'append_step' AS step
+           |FROM orders WHERE o_orderkey % 2 = 1
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(o_totalprice, 4) AS o_totalprice,
+           |       'delete' AS change_type, 'delete_step' AS step
+           |FROM orders WHERE o_orderkey % 10 = 3""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // scratch table lives past return: the feed DataFrame is lazy and
+      // Verify/Bench execute it after this fn exits (same lifecycle as
+      // the QuantGates scratch tables)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_cdf").toString + "/t"
+      Snapshots.commitAppend(spark, // v1: even half
+        orders.filter(col("o_orderkey") % 2 === 0), table)
+      Snapshots.commitAppend(spark, // v2: odd half
+        orders.filter(col("o_orderkey") % 2 === 1), table)
+      // v3: keyed copy-on-write delete — the ID-list shape of the GDPR
+      // erasure API (bounded: the doomed-key list, never the table)
+      val doomed = orders.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDelete(spark, table, doomed, "o_orderkey")
+      val appendFeed = Snapshots.incrementalRead(spark, table, 1L, 2L)
+        .withColumn("change_type", lit("insert"))
+        .withColumn("step", lit("append_step"))
+      val deleteFeed = Snapshots.rowDiff(spark, table, 2L, 3L,
+          Seq("o_orderkey"))
+        .withColumn("step", lit("delete_step"))
+      appendFeed.unionByName(deleteFeed)
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "change_type", "step")
+    })
+
+  val all: Seq[QueryDef] = Seq(snapChangeFeed)
+}

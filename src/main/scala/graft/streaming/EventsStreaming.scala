@@ -495,6 +495,33 @@ object EventsStreaming {
       .start()
   }
 
+  /** Exactly-once micro-batch appends into a SNAPSHOT table: each batch
+    * commits through [[graft.warehouse.Snapshots.commitStreamAppend]],
+    * whose (streamId, batchId) watermark travels IN the manifest the
+    * commit claims — data and progress commit atomically, so restart
+    * replays and zombie twins are refused by the table itself (none of
+    * the hwm-sidecar machinery the parquet sinks need, and no torn-write
+    * recovery: an uncommitted manifest simply doesn't exist). `streamId`
+    * must be stable across restarts (the same identity contract as the
+    * checkpoint location); batch ids are Structured Streaming's
+    * monotonic epoch ids. Readers get snapshot isolation + time travel
+    * over the landed stream, and every stream commit is an append-only
+    * step, so a downstream incremental consumer tails the table with
+    * `Snapshots.incrementalRead(lastSeenVersion, head)` at IO ∝ delta.
+    */
+  def snapshotAppend(docs: DataFrame, table: String, streamId: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.warehouse.Snapshots.commitStreamAppend(
+          batch.sparkSession, batch.toDF(), table, streamId, batchId)
+        ()
+    }.start()
+  }
+
   /** Streaming PII redaction at ingest — the privacy twin of
     * [[decontaminatedAppend]]: every document micro-batch lands with
     * [[graft.functions.Pii.redactAll]] already applied to `textCol`, so

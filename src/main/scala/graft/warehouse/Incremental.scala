@@ -49,13 +49,65 @@ object Incremental {
       val mart = martOf(slice)
       require(mart.columns.contains("p_date"),
         "martOf must emit a p_date partition column")
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try mart.write.mode("overwrite").partitionBy("p_date").parquet(martPath)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      overwriteTouched(spark, mart, dates, martPath)
+    }
+    dates
+  }
+
+  /** Dynamic-partition-overwrite `mart` into `martPath`, then clear any
+    * TOUCHED date whose partition the mart no longer produces: dynamic
+    * overwrite only replaces partitions PRESENT in the written frame, so
+    * a date whose source rows all vanished would otherwise resurrect its
+    * stale mart partition (the deleteByKey trap, here on the mart side).
+    */
+  private def overwriteTouched(spark: SparkSession, mart: DataFrame,
+      touched: Seq[java.sql.Date], martPath: String): Unit = {
+    require(mart.columns.contains("p_date"),
+      "martOf must emit a p_date partition column")
+    val produced = mart.select(col("p_date")).distinct()
+      .collect().map(_.getDate(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try mart.write.mode("overwrite").partitionBy("p_date").parquet(martPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val root = new org.apache.hadoop.fs.Path(martPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(produced).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"p_date=$d"), true)
+    }
+  }
+
+  /** CDC-driven mart maintenance over a SNAPSHOT table: the base table's
+    * change feed between two committed versions (Snapshots.rowDiff — IO
+    * proportional to the churned files, never the table) identifies the
+    * touched dates; only those dates' mart partitions recompute, reading
+    * the base PINNED at `toV` (snapshot isolation: a concurrent commit
+    * can't bleed into the refresh). Inserts, updates AND deletes all
+    * reduce to "recompute the dates the feed touched" — a date emptied
+    * by deletes gets its mart partition REMOVED, not resurrected. This
+    * is the full incremental materialized-view loop a 100 TB warehouse
+    * runs: O(churn) feed read + O(touched partitions) recompute/rewrite
+    * per refresh, with the mart trailing the table's version history.
+    * Returns the refreshed dates (empty when the feed is empty).
+    */
+  def refreshFromFeed(
+      spark: SparkSession,
+      table: String,
+      fromV: Long,
+      toV: Long,
+      keys: Seq[String],
+      martOf: DataFrame => DataFrame,
+      tsCol: String,
+      martPath: String): Seq[java.sql.Date] = {
+    val feed = Snapshots.rowDiff(spark, table, fromV, toV, keys)
+    val dates = touchedDates(feed, tsCol)
+    if (dates.nonEmpty) {
+      val base = Snapshots.read(spark, table, Some(toV))
+      val slice = base.filter(to_date(col(tsCol)).isInCollection(dates))
+      overwriteTouched(spark, martOf(slice), dates, martPath)
     }
     dates
   }

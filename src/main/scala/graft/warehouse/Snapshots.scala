@@ -58,8 +58,11 @@ object Snapshots {
       .maxOption.getOrElse(0L)
   }
 
-  /** Data files of a version (empty for v0). */
-  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] = {
+  /** Raw manifest lines of a version: optional `#`-prefixed header lines
+    * (stream-commit markers) followed by data-file names. Empty for v0.
+    */
+  private def manifestLines(spark: SparkSession, table: String,
+      version: Long): Seq[String] = {
     if (version == 0) return Nil
     val p = manifestPath(table, version)
     val f = fs(spark, p)
@@ -67,6 +70,12 @@ object Snapshots {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
+
+  /** Data files of a version (empty for v0). Header lines (`#...`) are
+    * protocol metadata, never file names.
+    */
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
+    manifestLines(spark, table, version).filterNot(_.startsWith("#"))
 
   /** Append `batch` as a new snapshot version. Data lands before the
     * commit; the commit itself is an atomic create-if-absent of the next
@@ -280,6 +289,179 @@ object Snapshots {
       .map(n => new Path(dataDir(table), n).toString)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental consumption (change feed)
+  // ------------------------------------------------------------------
+
+  /** File names present in `toV` but not `fromV` — metadata-only (two
+    * manifest reads, no data IO). The physical growth of the step.
+    */
+  def addedFiles(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): Seq[String] = {
+    val before = filesAt(spark, table, fromV).toSet
+    filesAt(spark, table, toV).filterNot(before)
+  }
+
+  /** File names present in `fromV` but not `toV` — files a delete/merge/
+    * compaction rewrote away during the step. Metadata-only.
+    */
+  def removedFiles(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): Seq[String] = {
+    val after = filesAt(spark, table, toV).toSet
+    filesAt(spark, table, fromV).filterNot(after)
+  }
+
+  private def readDataFiles(spark: SparkSession, table: String,
+      names: Seq[String]): Option[DataFrame] =
+    if (names.isEmpty) None
+    else Some(spark.read.parquet(
+      names.map(n => new Path(dataDir(table), n).toString): _*))
+
+  /** Rows appended between two versions of an APPEND-ONLY step, served by
+    * reading ONLY the step's added files — IO is proportional to the new
+    * data, never the table (the contract an incremental consumer needs at
+    * 100 TB: tailing a snapshot table costs O(delta) per poll, like
+    * Delta's CDF on append commits). Throws when the step rewrote any
+    * file (delete/merge/compaction landed in the window) — added files
+    * then also carry rows that merely MOVED, so a file-level read would
+    * over-report; use [[rowDiff]] for those steps.
+    */
+  def incrementalRead(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val removed = removedFiles(spark, table, fromV, toV)
+    require(removed.isEmpty,
+      s"step v$fromV->v$toV rewrote ${removed.size} file(s) — not " +
+        "append-only; use rowDiff(keys) for a row-exact change feed")
+    readDataFiles(spark, table, addedFiles(spark, table, fromV, toV))
+      .getOrElse(read(spark, table, Some(toV)).limit(0))
+  }
+
+  /** Row-exact change feed between two versions, with IO proportional to
+    * the CHURNED files, not the table: rows can only differ inside files
+    * the step removed (pre-images) or added (post-images) — every carried
+    * file is byte-identical on both sides and is never opened. A
+    * full-outer join of just those two slices on `keys` classifies each
+    * key as insert / delete / update; keys whose payload is unchanged
+    * (rows that merely moved in a compaction or a copy-on-write rewrite)
+    * cancel out. OPTIMIZE therefore yields an EMPTY feed at full-table
+    * rewrite cost of zero extra reads beyond the rewritten files
+    * themselves.
+    *
+    * Output: the table's columns (post-image for insert/update, pre-image
+    * for delete) plus `change_type` ∈ insert|delete|update. Requires
+    * `keys` to be unique within each version (the usual CDF contract);
+    * both versions must still be within vacuum retention.
+    */
+  def rowDiff(spark: SparkSession, table: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    require(keys.nonEmpty, "rowDiff needs at least one key column")
+    val pre = readDataFiles(spark, table,
+      removedFiles(spark, table, fromV, toV))
+    val post = readDataFiles(spark, table,
+      addedFiles(spark, table, fromV, toV))
+    (pre, post) match {
+      case (None, None) =>
+        read(spark, table, Some(toV)).limit(0)
+          .withColumn("change_type", lit(""))
+      case (None, Some(a)) => a.withColumn("change_type", lit("insert"))
+      case (Some(r), None) => r.withColumn("change_type", lit("delete"))
+      case (Some(r), Some(a)) =>
+        val nonKeys = a.columns.filterNot(keys.contains).toSeq
+        val lhs = r.select(keys.map(col) ++
+          nonKeys.map(c => col(c).as(s"__pre_$c")) :+
+          lit(true).as("__in_pre"): _*)
+        val rhs = a.select(keys.map(col) ++
+          nonKeys.map(c => col(c).as(s"__post_$c")) :+
+          lit(true).as("__in_post"): _*)
+        val unchanged = nonKeys
+          .map(c => col(s"__pre_$c") <=> col(s"__post_$c"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        lhs.join(rhs, keys, "full_outer")
+          .withColumn("change_type",
+            when(!coalesce(col("__in_pre"), lit(false)), "insert")
+              .when(!coalesce(col("__in_post"), lit(false)), "delete")
+              .when(unchanged, "carried")
+              .otherwise("update"))
+          .filter(col("change_type") =!= "carried")
+          .select(keys.map(col) ++ nonKeys.map(c =>
+            coalesce(col(s"__post_$c"), col(s"__pre_$c")).as(c)) :+
+            col("change_type"): _*)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Exactly-once streaming commits
+  // ------------------------------------------------------------------
+
+  private val StreamHeader = "#stream:"
+
+  private def streamHeaderOf(spark: SparkSession, table: String,
+      version: Long): Option[(String, Long)] =
+    manifestLines(spark, table, version).headOption
+      .filter(_.startsWith(StreamHeader))
+      .map { h =>
+        val rest = h.stripPrefix(StreamHeader)
+        val cut = rest.indexOf(':')
+        (rest.substring(cut + 1), rest.substring(0, cut).toLong)
+      }
+
+  /** Highest batch id this stream has committed, scanning manifests from
+    * the head DOWN and stopping at the stream's most recent marker — for
+    * a live stream that's O(number of interleaved writers since its last
+    * batch), not O(history). None when the stream never committed.
+    */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+      streamId: String): Option[Long] = {
+    val head = currentVersion(spark, table)
+    (head to 1L by -1L).iterator
+      .map(v => streamHeaderOf(spark, table, v))
+      .collectFirst { case Some((sid, bid)) if sid == streamId => bid }
+  }
+
+  /** EXACTLY-ONCE streaming append: the foreachBatch sink body for a
+    * snapshot table. Structured Streaming replays a micro-batch (same
+    * `batchId`) after any restart whose checkpoint predates the sink's
+    * side effect; this commit is idempotent under that replay because the
+    * (streamId, batchId) watermark rides IN the manifest it claims —
+    * state and data commit atomically, the classic transactional-sink
+    * recipe. A replayed or raced batch (a zombie executor of the same
+    * stream finishing late) detects `batchId <= lastCommittedBatch`,
+    * deletes its orphaned staged files, and returns without committing.
+    * `batchId` must be monotonic per stream (Structured Streaming's
+    * contract). Returns (head version, whether THIS call committed).
+    */
+  def commitStreamAppend(spark: SparkSession, batch: DataFrame,
+      table: String, streamId: String, batchId: Long,
+      maxRetries: Int = 10): (Long, Boolean) = {
+    require(!streamId.contains("\n"), "streamId must be single-line")
+    if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId))
+      return (currentVersion(spark, table), false)
+    val newFiles = stageData(spark, batch, table)
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) {
+        // a twin of this very batch won the race while we staged: our
+        // rows are already in the table once — never land them twice
+        newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+        return (head, false)
+      }
+      val base = filesAt(spark, table, head)
+      val content = (s"$StreamHeader$batchId:$streamId" +:
+        (base ++ newFiles)).mkString("\n")
+      if (claimManifest(spark, table, head + 1, content))
+        return (head + 1, true)
+      attempt += 1 // lost to an unrelated writer: re-read head and retry
+    }
+    throw new IllegalStateException(
+      s"stream commit $streamId/$batchId to $table failed after " +
+        s"$maxRetries attempts")
   }
 
   /** Delete data files referenced by NO manifest ≤ the current head and

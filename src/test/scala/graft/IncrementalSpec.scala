@@ -118,6 +118,57 @@ class IncrementalSpec extends AnyFunSuite {
       "merge probe must read only the touched date partitions")
   }
 
+  test("refreshFromFeed: CDC-driven mart trails snapshot versions; emptied dates drop") {
+    import graft.warehouse.Snapshots
+    val base = Files.createTempDirectory("graft_feedmart").toString
+    val table = base + "/fact"
+    val martPath = base + "/mart"
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    val d3 = "2024-01-03"
+    def martState: Map[String, (Long, Double)] =
+      spark.read.parquet(martPath).collect()
+        .map(r => r.getDate(r.fieldIndex("p_date")).toString ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    def rebuilt(v: Long): Map[String, (Long, Double)] =
+      dailyMart(Snapshots.read(spark, table, Some(v))).collect()
+        .map(r => r.getDate(r.fieldIndex("p_date")).toString ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+
+    // v1: every date but d3 lands; the v0->v1 feed IS the initial build
+    Snapshots.commitAppend(spark,
+      events.filter(col("ts").cast("date") =!= d3), table)
+    Incremental.refreshFromFeed(spark, table, 0L, 1L, Seq("event_id"),
+      dailyMart, "ts", martPath)
+    assert(martState == rebuilt(1L))
+    assert(!martState.contains(d3))
+
+    // v2: d3 arrives — the feed touches ONLY d3, the mart catches up
+    Snapshots.commitAppend(spark,
+      events.filter(col("ts").cast("date") === d3), table)
+    val r2 = Incremental.refreshFromFeed(spark, table, 1L, 2L,
+      Seq("event_id"), dailyMart, "ts", martPath)
+    assert(r2.map(_.toString) == Seq(d3), s"touched $r2")
+    assert(martState == rebuilt(2L))
+
+    // v3: a copy-on-write delete empties d3 — its mart partition must
+    // DROP, not resurrect (dynamic overwrite only rewrites produced
+    // partitions; the stale-dir clear is the part under test)
+    val doomed = events.filter(col("ts").cast("date") === d3)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val (v3, nDel) = Snapshots.commitDelete(spark, table, doomed, "event_id")
+    assert(nDel == doomed.size.toLong)
+    val r3 = Incremental.refreshFromFeed(spark, table, 2L, v3,
+      Seq("event_id"), dailyMart, "ts", martPath)
+    assert(r3.map(_.toString) == Seq(d3), s"touched $r3")
+    assert(martState == rebuilt(v3))
+    assert(!martState.contains(d3), "emptied date's mart partition resurrected")
+
+    // an idle step refreshes nothing
+    assert(Incremental.refreshFromFeed(spark, table, v3, v3,
+      Seq("event_id"), dailyMart, "ts", martPath).isEmpty)
+  }
+
   test("touchedDates finds exactly the batch's dates") {
     val batch = Tables.events(spark, sf)
       .filter(col("ts").cast("date").isin("2024-01-01", "2024-01-05"))

@@ -140,6 +140,104 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(spark, t) == 21L)
   }
 
+  test("incrementalRead: append steps read only added files, rewrite steps refused") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("id", "v"), t)
+    Snapshots.commitAppend(spark, (10L until 20L).map(i => (i, s"b$i")).toDF("id", "v"), t)
+    val feed = Snapshots.incrementalRead(spark, t, 1L, 2L)
+    assert(feed.collect().map(_.getLong(0)).toSet == (10L until 20L).toSet)
+    // IO ∝ delta: the feed's scan lists exactly the step's added files,
+    // never v1's — the O(delta)-per-poll contract, checked at plan level
+    val addedNames = Snapshots.addedFiles(spark, t, 1L, 2L).toSet
+    val scanned = feed.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(scanned == addedNames, s"scanned $scanned vs added $addedNames")
+    // the full first version is itself an append step from v0
+    assert(Snapshots.incrementalRead(spark, t, 0L, 1L).count() == 10)
+    // an empty step yields an empty, correctly-typed feed
+    assert(Snapshots.incrementalRead(spark, t, 2L, 2L).isEmpty)
+    // a rewrite inside the window breaks the append-only premise loudly
+    Snapshots.commitDelete(spark, t, Seq(15L), "id")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.incrementalRead(spark, t, 2L, 3L)
+    }
+    assert(ex.getMessage.contains("rowDiff"))
+  }
+
+  test("rowDiff: insert/delete/update classified, carried rows cancel, OPTIMIZE feeds empty") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t)     // v1
+    Snapshots.commitMerge(spark,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), t, Seq("id"))    // v2: update+insert
+    val d12 = Snapshots.rowDiff(spark, t, 1L, 2L, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // 1 and 3 moved files in the merge rewrite but are payload-identical
+    // → carried, cancelled out of the feed
+    assert(d12 == Set((2L, "B2", "update"), (4L, "d", "insert")), s"got $d12")
+    val (v3, _) = Snapshots.commitDelete(spark, t, Seq(1L), "id")   // v3
+    val d23 = Snapshots.rowDiff(spark, t, 2L, v3, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d23 == Set((1L, "a", "delete")), s"got $d23")
+    // delete emits the PRE-image payload — graveyard semantics
+    // OPTIMIZE: full-file rewrite, zero logical change → empty feed
+    (5L to 9L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"r$i")).toDF("id", "v"), t))
+    val head = Snapshots.currentVersion(spark, t)
+    val opt = Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 2).get
+    assert(Snapshots.rowDiff(spark, t, head, opt, Seq("id")).isEmpty,
+      "a compaction must produce an empty change feed")
+    // identity step: no files changed, empty feed with the right schema
+    val same = Snapshots.rowDiff(spark, t, opt, opt, Seq("id"))
+    assert(same.isEmpty && same.columns.toSeq == Seq("id", "v", "change_type"))
+    // the cross-version diff composes: v1 -> opt nets out to the final edits
+    val dAll = Snapshots.rowDiff(spark, t, 1L, opt, Seq("id"))
+    assert(dAll.filter(col("change_type") === "delete").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("commitStreamAppend: replays and racing twins commit exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(Snapshots.commitStreamAppend(spark, b0, t, "s1", 0L) == ((1L, true)))
+    // restart replay: same (stream, batch) → no-op, no duplicate rows
+    assert(Snapshots.commitStreamAppend(spark, b0, t, "s1", 0L) == ((1L, false)))
+    assert(Snapshots.read(spark, t).count() == 2)
+    // an unrelated batch writer interleaves without disturbing the stream
+    Snapshots.commitAppend(spark, Seq((50L, "w")).toDF("id", "v"), t)
+    assert(Snapshots.commitStreamAppend(spark,
+      Seq((3L, "z")).toDF("id", "v"), t, "s1", 1L) == ((3L, true)))
+    // a LATE replay of batch 0 after batch 1 landed is still refused
+    assert(Snapshots.commitStreamAppend(spark, b0, t, "s1", 0L)._2 == false)
+    assert(Snapshots.lastCommittedBatch(spark, t, "s1").contains(1L))
+    // a second stream has its own watermark
+    assert(Snapshots.lastCommittedBatch(spark, t, "s2").isEmpty)
+    assert(Snapshots.commitStreamAppend(spark,
+      Seq((60L, "s2")).toDF("id", "v"), t, "s2", 0L)._2 == true)
+    // zombie-twin race: two executors of the SAME stream finish the same
+    // batch concurrently — exactly one commits, the loser's staged files
+    // are reclaimed (no unreferenced garbage beyond prior versions)
+    val twin = Seq((4L, "t"), (5L, "t")).toDF("id", "v")
+    val twins = (1 to 2).map(_ =>
+      Future(Snapshots.commitStreamAppend(spark, twin, t, "s1", 2L)))
+    val results = Await.result(Future.sequence(twins), 120.seconds)
+    assert(results.count(_._2) == 1, s"exactly one twin must commit: $results")
+    assert(Snapshots.read(spark, t)
+      .filter($"id".isin(4L, 5L)).count() == 2, "twin rows landed once")
+    // every physical file is referenced by some retained manifest
+    val head = Snapshots.currentVersion(spark, t)
+    val referenced = (1L to head)
+      .flatMap(v => Snapshots.filesAt(spark, t, v)).toSet
+    val fsPath = new org.apache.hadoop.fs.Path(t, "data")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val physical = fs.listStatus(fsPath).map(_.getPath.getName).toSet
+    assert(physical.subsetOf(referenced),
+      s"orphaned files: ${physical.diff(referenced)}")
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1

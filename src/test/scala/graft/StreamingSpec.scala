@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not duplicate surviving docs")
   }
 
+  test("snapshot stream sink: manifest watermark refuses redelivery, feed tails the table") {
+    import graft.warehouse.Snapshots
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_snapstream").toString + "/t"
+    val src = () => EventsStreaming.readDocuments(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val q = EventsStreaming.snapshotAppend(src(), table, "docs-ingest")
+    q.processAllAvailable(); q.stop()
+    val expected = Tables.documents(spark, sf).count()
+    assert(Snapshots.read(spark, table).count() == expected)
+    val head = Snapshots.currentVersion(spark, table)
+    assert(Snapshots.lastCommittedBatch(spark, table, "docs-ingest").isDefined)
+    // full redelivery (fresh checkpoint, same stream identity): every
+    // batch id re-presents and the manifest watermark refuses each one —
+    // no duplicate rows, no new versions
+    val q2 = EventsStreaming.snapshotAppend(src(), table, "docs-ingest")
+    q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.currentVersion(spark, table) == head,
+      "redelivered batches must not commit")
+    assert(Snapshots.read(spark, table).count() == expected)
+    // every stream commit is an append-only step: an incremental
+    // consumer tails the WHOLE history as one O(delta) feed
+    assert(Snapshots.incrementalRead(spark, table, 0L, head)
+      .count() == expected)
+  }
+
   test("streaming PII redaction equals the batch redaction; replay inserts nothing") {
     import graft.functions.Pii
     // give the fixture text real PII to scrub, derived per doc (the
