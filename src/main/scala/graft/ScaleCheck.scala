@@ -141,6 +141,48 @@ object ScaleCheck {
         }
       }
 
+    // ------- change-feed scale gate: rowDiff's cost must track the
+    // CHURN, never the table. Build a snapshot table with a
+    // size-proportional file count (fixed ~rows-per-file, range-laid on
+    // the key so a compact key range lives in few files — the layout a
+    // maintained table has), delete the SAME 50-key range at both
+    // scales, and time the feed read. IO ∝ churned files ⇒ ~flat across
+    // the 10× table step.
+    if (only.forall(_.contains("snap_rowdiff"))) {
+      import graft.warehouse.Snapshots
+      val cdfMaxRatio = sys.env.getOrElse("SCALE_CDF_RATIO_MAX", "6").toDouble
+      def cdfTime(sfDir: String): Double = {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_scale_cdf").toString + "/t"
+        val orders = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val nFiles = math.max(4L, orders.count() / 5000L).toInt
+        Snapshots.commitAppend(spark,
+          orders.repartitionByRange(nFiles, col("o_orderkey")), table)
+        val doomed = orders.orderBy("o_orderkey").limit(50)
+          .collect().map(_.getLong(0)).toSeq
+        val (v, _) = Snapshots.commitDelete(spark, table, doomed, "o_orderkey")
+        def feed(): Unit = Snapshots.rowDiff(spark, table, v - 1, v,
+          Seq("o_orderkey")).write.format("noop").mode("overwrite").save()
+        feed() // untimed warmup
+        val t0 = System.nanoTime()
+        feed()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val gateName = "snap_rowdiff"
+      try {
+        val tSmall = cdfTime(smallDir)
+        val tBig = cdfTime(bigDir)
+        val ratio = tBig / math.max(tSmall, 1e-3)
+        val violation = tBig > floorSec && ratio > cdfMaxRatio
+        if (violation) bad += 1
+        println(f"$gateName%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (fixed churn vs 10x table)")
+      } catch { case e: Throwable =>
+        bad += 1
+        println(f"$gateName%-26s FAILED ${e.getMessage}")
+      }
+    }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

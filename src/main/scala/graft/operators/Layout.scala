@@ -212,11 +212,16 @@ object Layout {
     *     dropped — never a read of a dead path.
     * Falls back to the plain read when no manifest exists.
     */
-  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path, statsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }
+  /** Subset of `live` canonical file URIs a stats manifest at `path`
+    * cannot rule out for `ranges` — the driver-side file-skip shared by
+    * [[statsPrunedRead]] (flat tables) and
+    * [[graft.warehouse.Snapshots.readPruned]] (versioned tables, whose
+    * live set is a manifest's file list, not a directory listing).
+    * Files the stats manifest does not cover are always kept.
+    */
+  private[graft] def selectByStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, ranges: Seq[(String, Double, Double)],
+      live: Seq[String]): Seq[String] = {
     // a NULL min/max (all-null values in that file, or a manifest from
     // before the numeric-column guard) must mean "cannot prune", never
     // "skip the file"
@@ -229,8 +234,16 @@ object Layout {
       .map(r => canonFile(r.getString(0))).toSet
     val selected = manifest.filter(keep)
       .select("file").collect().map(r => canonFile(r.getString(0))).toSet
-    val live = spark.read.parquet(path).inputFiles.map(canonFile)
-    val chosen = live.filter(f => selected(f) || !known(f))
+    live.filter(f => selected(f) || !known(f))
+  }
+
+  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, statsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }
+    val live = spark.read.parquet(path).inputFiles.map(canonFile).toSeq
+    val chosen = selectByStats(spark, path, ranges, live)
     lastStatsPruned = Some((chosen.length, live.length))
     if (chosen.isEmpty)
       // preserve schema on an empty selection

@@ -395,6 +395,74 @@ object Snapshots {
   }
 
   // ------------------------------------------------------------------
+  // Per-file stats: manifest-level file skipping on versioned tables
+  // ------------------------------------------------------------------
+
+  /** Maintain per-file min/max stats for a snapshot table (the Layout
+    * `_graft_stats` sidecar, living inside `data/` where the underscore
+    * keeps it invisible to data readers). First call scans the data dir
+    * once to build the manifest; every later call is INCREMENTAL — only
+    * files not yet covered are read, so the steady-state cost after each
+    * commit is O(new files). Stats rows for vacuumed files are dropped
+    * for free. Returns the number of files newly covered.
+    *
+    * Run it after commits (or from the maintenance policy); [[readPruned]]
+    * stays correct either way because uncovered files are never skipped.
+    */
+  def extendStats(spark: SparkSession, table: String,
+      statsCols: Seq[String]): Int = {
+    val dd = dataDir(table).toString
+    graft.operators.Layout.statsManifestCols(spark, dd) match {
+      case None =>
+        graft.operators.Layout.writeStatsManifest(spark, dd, statsCols)
+        graft.operators.Layout.pruneStatsManifestEntries(spark, dd)
+        spark.read.parquet(s"$dd/${graft.operators.Layout.statsDir}")
+          .count().toInt
+      case Some(cols) =>
+        require(cols.toSet == statsCols.toSet,
+          s"stats manifest already tracks $cols; asked for $statsCols")
+        graft.operators.Layout.pruneStatsManifestEntries(spark, dd)
+        graft.operators.Layout.appendStatsManifest(spark, dd)
+    }
+  }
+
+  /** Read a version of the table with the file list pre-pruned by the
+    * stats manifest: only files whose [min, max] range intersects every
+    * `(col, lo, hi)` box side are opened — `readPruned(...).filter(box)`
+    * ≡ `read(...).filter(box)`, with the file skip decided driver-side
+    * from the (tiny) manifest before a single footer is touched. Pruning
+    * composes with snapshot semantics: the candidate set is the VERSION's
+    * file list (never a directory listing, so orphans and other
+    * versions' files can't leak in), files the stats don't cover yet are
+    * always read, and a pinned version stays prunable after later
+    * commits. Falls back to the plain versioned read when no manifest
+    * exists.
+    */
+  def readPruned(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val f = fs(spark, dataDir(table))
+    // fully-qualified canonical URIs: the stats manifest keys files by
+    // input_file_name() (scheme-qualified), so the version's file list
+    // must compare in the same form
+    val files = filesAt(spark, table, v)
+      .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val dd = dataDir(table).toString
+    if (graft.operators.Layout.statsManifestCols(spark, dd).isEmpty) {
+      graft.operators.Layout.lastStatsPruned = None
+      return spark.read.parquet(files: _*)
+    }
+    val live = files.map(graft.operators.Layout.canonFile)
+    val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
+    graft.operators.Layout.lastStatsPruned =
+      Some((chosen.length, live.length))
+    if (chosen.isEmpty) spark.read.parquet(files: _*).limit(0)
+    else spark.read.parquet(chosen: _*)
+  }
+
+  // ------------------------------------------------------------------
   // Exactly-once streaming commits
   // ------------------------------------------------------------------
 

@@ -238,6 +238,49 @@ class SnapshotsSpec extends AnyFunSuite {
       s"orphaned files: ${physical.diff(referenced)}")
   }
 
+  test("readPruned: stats file-skipping composes with versions, accretion, and time travel") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Layout
+    val t = freshTable()
+    def slab(lo: Long, hi: Long) = (lo until hi).map(i => (i, i * 2))
+      .toDF("id", "x").repartitionByRange(2, col("id"))
+    Snapshots.commitAppend(spark, slab(0L, 100L), t)    // v1: 2 tight files
+    Snapshots.commitAppend(spark, slab(100L, 200L), t)  // v2: 2 more
+    val covered = Snapshots.extendStats(spark, t, Seq("id"))
+    assert(covered == 4, s"first build covers all files, got $covered")
+    Snapshots.commitAppend(spark, slab(200L, 300L), t)  // v3: NOT in stats yet
+    // a box inside v1's first file: pruned read must skip most files but
+    // always include the uncovered v3 files (correctness over pruning)
+    val box = Seq(("id", 0.0, 40.0))
+    val pruned = Snapshots.readPruned(spark, t, box).filter(col("id") <= 40)
+    val full = Snapshots.read(spark, t).filter(col("id") <= 40)
+    assert(pruned.collect().map(_.getLong(0)).sorted
+      .sameElements(full.collect().map(_.getLong(0)).sorted))
+    val (read1, total1) = Layout.lastStatsPruned.get
+    assert(total1 == 6 && read1 < total1,
+      s"expected a strict file skip, read $read1/$total1")
+    // incremental coverage: only v3's files are scanned and added
+    assert(Snapshots.extendStats(spark, t, Seq("id")) == 2)
+    Snapshots.readPruned(spark, t, box).collect()
+    val (read2, _) = Layout.lastStatsPruned.get
+    assert(read2 == 1, s"fully covered box should read 1 file, got $read2")
+    // a pinned OLD version prunes too — and a box outside it reads nothing
+    assert(Snapshots.readPruned(spark, t,
+      Seq(("id", 250.0, 260.0)), Some(2L)).isEmpty)
+    // copy-on-write delete: rewritten files are uncovered until the next
+    // extend; the pruned read stays exact throughout
+    Snapshots.commitDelete(spark, t, Seq(10L), "id")
+    val afterDel = Snapshots.readPruned(spark, t, box).filter(col("id") <= 40)
+    assert(afterDel.collect().map(_.getLong(0)).sorted.sameElements(
+      Snapshots.read(spark, t).filter(col("id") <= 40)
+        .collect().map(_.getLong(0)).sorted))
+    assert(Snapshots.extendStats(spark, t, Seq("id")) >= 1)
+    // the manifest now skips the box again on the rewritten layout
+    Snapshots.readPruned(spark, t, box).collect()
+    val (read3, total3) = Layout.lastStatsPruned.get
+    assert(read3 < total3)
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
