@@ -2,6 +2,7 @@ package graft.warehouse
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types
 
 /** Minimal snapshot-isolation commit protocol over plain parquet — the
   * upgrade path the README's concurrency section describes, implemented
@@ -77,6 +78,76 @@ object Snapshots {
   def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
     manifestLines(spark, table, version).filterNot(_.startsWith("#"))
 
+  // ------------------------------------------------------------------
+  // Schema evolution (manifest-recorded)
+  // ------------------------------------------------------------------
+
+  private val SchemaHeader = "#schema:"
+
+  /** Declared schema of a version, recorded at commit time in the
+    * manifest (`#schema:` header). This is what makes schema evolution
+    * scale: readers apply the DECLARED schema instead of merging footers
+    * (`mergeSchema` reads every footer — at millions of files that's a
+    * planning-time full-metadata scan), and parquet's name-based column
+    * resolution serves files from before an added column as NULLs.
+    * None for v0 and for legacy manifests written before this header.
+    */
+  def schemaAt(spark: SparkSession, table: String,
+      version: Long): Option[types.StructType] =
+    manifestLines(spark, table, version).find(_.startsWith(SchemaHeader))
+      .map(h => types.DataType.fromJson(h.stripPrefix(SchemaHeader))
+        .asInstanceOf[types.StructType])
+
+  /** Union-evolve: fields shared with the prior schema must keep their
+    * exact type (silent type drift across files is unreadable later —
+    * refused at commit time, the only place it can be refused cheaply);
+    * genuinely new fields append. Prior-only fields survive, so an
+    * append missing a column never narrows the table.
+    */
+  private def evolveSchema(prior: Option[types.StructType],
+      batch: types.StructType): types.StructType = prior match {
+    case None => batch
+    case Some(p) =>
+      batch.fields.foreach { f =>
+        p.fields.find(_.name == f.name).foreach { pf =>
+          require(pf.dataType == f.dataType,
+            s"schema evolution cannot change column ${f.name}: " +
+              s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+        }
+      }
+      types.StructType(p.fields ++
+        batch.fields.filterNot(f => p.fieldNames.contains(f.name)))
+  }
+
+  /** Null-pad and column-order `df` to `schema` (for merge inputs that
+    * predate an added column).
+    */
+  private def conform(df: DataFrame, schema: types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(schema.fields.toIndexedSeq.map { fld =>
+      if (df.columns.contains(fld.name)) col(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*)
+  }
+
+  /** Manifest body: schema header (when the table tracks one), optional
+    * stream-commit header, then the data-file names.
+    */
+  private def contentOf(schema: Option[types.StructType],
+      streamHdr: Option[String], files: Seq[String]): String =
+    (schema.map(s => SchemaHeader + s.json).toSeq ++
+      streamHdr.toSeq ++ files).mkString("\n")
+
+  /** Read `names` under the version's declared schema when one exists. */
+  private def readWithSchema(spark: SparkSession, table: String,
+      names: Seq[String], schema: Option[types.StructType]): DataFrame = {
+    val paths = names.map(n => new Path(dataDir(table), n).toString)
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Append `batch` as a new snapshot version. Data lands before the
     * commit; the commit itself is an atomic create-if-absent of the next
     * manifest. On a lost race the commit retries against the new head —
@@ -149,6 +220,11 @@ object Snapshots {
 
   private def commit(spark: SparkSession, batch: DataFrame, table: String,
       replace: Boolean, maxRetries: Int): Long = {
+    // fail-fast schema check BEFORE staging (a type conflict would
+    // otherwise strand orphaned data files until a vacuum)
+    if (!replace)
+      evolveSchema(
+        schemaAt(spark, table, currentVersion(spark, table)), batch.schema)
     // append/overwrite: data files never depend on the head, so stage
     // once and only the manifest content is recomputed per attempt
     val newFiles = stageData(spark, batch, table)
@@ -156,8 +232,11 @@ object Snapshots {
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val base = if (replace) Nil else filesAt(spark, table, head)
+      // overwrite resets the schema to the batch's; append union-evolves
+      val schema = evolveSchema(
+        if (replace) None else schemaAt(spark, table, head), batch.schema)
       if (claimManifest(spark, table, head + 1,
-          (base ++ newFiles).mkString("\n"))) return head + 1
+          contentOf(Some(schema), None, base ++ newFiles))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -180,11 +259,17 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
+      // evolve first, then conform BOTH sides: a merge may introduce a
+      // new column (target rows null-pad) or omit one (batch null-pads)
+      val schema = evolveSchema(schemaAt(spark, table, head), batch.schema)
       val merged =
         if (head == 0) batch
-        else graft.operators.Merge.upsert(read(spark, table, Some(head)), batch, keys)
+        else graft.operators.Merge.upsert(
+          conform(read(spark, table, Some(head)), schema),
+          conform(batch, schema), keys)
       val newFiles = stageData(spark, merged, table)
-      if (claimManifest(spark, table, head + 1, newFiles.mkString("\n")))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), None, newFiles)))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -223,21 +308,24 @@ object Snapshots {
       val head = currentVersion(spark, table)
       if (head == 0 || keys.isEmpty) return (head, 0L)
       val files = filesAt(spark, table, head)
-      def pathsOf(ns: Seq[String]) =
-        ns.map(n => new Path(dataDir(table), n).toString)
-      val affected = spark.read.parquet(pathsOf(files): _*)
+      // reads run under the DECLARED schema: after an evolution, a
+      // rewritten pre-evolution file must re-land with the new columns
+      // (as NULLs), not silently narrow the table to its oldest file
+      val schema = schemaAt(spark, table, head)
+      val affected = readWithSchema(spark, table, files, schema)
         .filter(col(keyCol).isInCollection(keys))
         .select(input_file_name().as("file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       if (affected.isEmpty) return (head, 0L)
-      val aff = spark.read.parquet(pathsOf(files.filter(affected)): _*)
+      val aff = readWithSchema(spark, table, files.filter(affected), schema)
       val deleted = aff.filter(col(keyCol).isInCollection(keys)).count()
       // NULL-safe keep: NOT(NULL IN ...) is NULL and would silently drop
       // NULL-key rows from the rewritten files
       val kept = aff.filter(
         !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
-      val manifest = (files.filterNot(affected) ++ newFiles).mkString("\n")
+      val manifest = contentOf(schema, None,
+        files.filterNot(affected) ++ newFiles)
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -268,7 +356,8 @@ object Snapshots {
       if (head == 0 || filesAt(spark, table, head).size < minFiles) return None
       val rewritten = read(spark, table, Some(head)).repartition(targetFiles)
       val newFiles = stageData(spark, rewritten, table)
-      if (claimManifest(spark, table, head + 1, newFiles.mkString("\n")))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaAt(spark, table, head), None, newFiles)))
         return Some(head + 1)
       // lost the race (an append/merge landed first): this rewrite no
       // longer represents the head — drop the orphans and recompute
@@ -286,9 +375,8 @@ object Snapshots {
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
     val files = filesAt(spark, table, v)
-      .map(n => new Path(dataDir(table), n).toString)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else readWithSchema(spark, table, files, schemaAt(spark, table, v))
   }
 
   // ------------------------------------------------------------------
@@ -314,10 +402,10 @@ object Snapshots {
   }
 
   private def readDataFiles(spark: SparkSession, table: String,
-      names: Seq[String]): Option[DataFrame] =
+      names: Seq[String],
+      schema: Option[types.StructType]): Option[DataFrame] =
     if (names.isEmpty) None
-    else Some(spark.read.parquet(
-      names.map(n => new Path(dataDir(table), n).toString): _*))
+    else Some(readWithSchema(spark, table, names, schema))
 
   /** Rows appended between two versions of an APPEND-ONLY step, served by
     * reading ONLY the step's added files — IO is proportional to the new
@@ -335,7 +423,10 @@ object Snapshots {
     require(removed.isEmpty,
       s"step v$fromV->v$toV rewrote ${removed.size} file(s) — not " +
         "append-only; use rowDiff(keys) for a row-exact change feed")
-    readDataFiles(spark, table, addedFiles(spark, table, fromV, toV))
+    // the TO-version's declared schema: an evolution step's feed carries
+    // the new columns, and pre-evolution consumers see a superset schema
+    readDataFiles(spark, table, addedFiles(spark, table, fromV, toV),
+        schemaAt(spark, table, toV))
       .getOrElse(read(spark, table, Some(toV)).limit(0))
   }
 
@@ -360,10 +451,14 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     require(keys.nonEmpty, "rowDiff needs at least one key column")
+    // BOTH sides read under the to-version's declared schema: files from
+    // before an added column serve it as NULL, so a backfill rewrite
+    // classifies as `update` instead of failing the column resolution
+    val toSchema = schemaAt(spark, table, toV)
     val pre = readDataFiles(spark, table,
-      removedFiles(spark, table, fromV, toV))
+      removedFiles(spark, table, fromV, toV), toSchema)
     val post = readDataFiles(spark, table,
-      addedFiles(spark, table, fromV, toV))
+      addedFiles(spark, table, fromV, toV), toSchema)
     (pre, post) match {
       case (None, None) =>
         read(spark, table, Some(toV)).limit(0)
@@ -458,8 +553,12 @@ object Snapshots {
     val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
     graft.operators.Layout.lastStatsPruned =
       Some((chosen.length, live.length))
-    if (chosen.isEmpty) spark.read.parquet(files: _*).limit(0)
-    else spark.read.parquet(chosen: _*)
+    val schema = schemaAt(spark, table, v)
+    def rd(paths: Seq[String]) = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
   }
 
   // ------------------------------------------------------------------
@@ -470,8 +569,7 @@ object Snapshots {
 
   private def streamHeaderOf(spark: SparkSession, table: String,
       version: Long): Option[(String, Long)] =
-    manifestLines(spark, table, version).headOption
-      .filter(_.startsWith(StreamHeader))
+    manifestLines(spark, table, version).find(_.startsWith(StreamHeader))
       .map { h =>
         val rest = h.stripPrefix(StreamHeader)
         val cut = rest.indexOf(':')
@@ -509,6 +607,9 @@ object Snapshots {
     require(!streamId.contains("\n"), "streamId must be single-line")
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId))
       return (currentVersion(spark, table), false)
+    // fail-fast schema check before staging (see commit)
+    evolveSchema(
+      schemaAt(spark, table, currentVersion(spark, table)), batch.schema)
     val newFiles = stageData(spark, batch, table)
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -521,8 +622,9 @@ object Snapshots {
         return (head, false)
       }
       val base = filesAt(spark, table, head)
-      val content = (s"$StreamHeader$batchId:$streamId" +:
-        (base ++ newFiles)).mkString("\n")
+      val schema = evolveSchema(schemaAt(spark, table, head), batch.schema)
+      val content = contentOf(Some(schema),
+        Some(s"$StreamHeader$batchId:$streamId"), base ++ newFiles)
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry

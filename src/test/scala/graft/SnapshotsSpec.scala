@@ -281,6 +281,54 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(read3 < total3)
   }
 
+  test("schema evolution: appends union-evolve, declared schema serves old files as NULL") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a"), (10L, "aa")).toDF("id", "v"), t)                  // v1
+    Snapshots.commitAppend(spark,
+      Seq((2L, "b", 7.5)).toDF("id", "v", "score"), t)                 // v2: +score
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    val byId = head.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "pre-evolution rows serve the new column as NULL")
+    assert(byId(2L).getDouble(2) == 7.5)
+    // time travel reads each version under ITS OWN declared schema
+    assert(Snapshots.read(spark, t, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // an append MISSING the evolved column never narrows the table
+    Snapshots.commitAppend(spark, Seq((3L, "c")).toDF("id", "v"), t)   // v3
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "v", "score"))
+    // type drift on a shared column is refused BEFORE any data stages
+    val dataFiles = { // physical census to prove no orphan landed
+      val dd = new org.apache.hadoop.fs.Path(t, "data")
+      val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      () => f.listStatus(dd).count(_.isFile)
+    }
+    val nBefore = dataFiles()
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark, Seq((4, "d")).toDF("id", "v"), t)  // Int id
+    }
+    assert(dataFiles() == nBefore, "refused commit must not strand staged files")
+    // a delete that rewrites a PRE-evolution file re-lands it under the
+    // declared schema instead of narrowing the table to its oldest file
+    val (v4, nDel) = Snapshots.commitDelete(spark, t, Seq(10L), "id")
+    assert(v4 == 4L && nDel == 1L)
+    val afterDel = Snapshots.read(spark, t)
+    assert(afterDel.columns.toSeq == Seq("id", "v", "score"))
+    assert(afterDel.count() == 3)
+    // merge across the boundary: both sides conform (replace-upsert
+    // semantics — the batch row, null-padded, replaces the target row)
+    Snapshots.commitMerge(spark, Seq((1L, 9.9)).toDF("id", "score"), t,
+      Seq("id"))                                                        // v5
+    val m = Snapshots.read(spark, t).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).isNullAt(1) && m(1L).getDouble(2) == 9.9)
+    assert(m(2L).getString(1) == "b" && m(2L).getDouble(2) == 7.5)
+    // the change feed reads both sides under the to-version's schema:
+    // the backfill is an update, untouched keys cancel as carried
+    val d45 = Snapshots.rowDiff(spark, t, 4L, 5L, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(d45 == Set((1L, "update")), s"got $d45")
+  }
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
