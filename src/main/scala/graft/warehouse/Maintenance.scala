@@ -222,6 +222,7 @@ object Maintenance {
     case object GramIndex extends TableKind
     case object SigIndex extends TableKind
     case object DocTable extends TableKind
+    case object Snapshot extends TableKind
   }
 
   /** A table the scheduled maintenance gate watches: when its data-file
@@ -246,7 +247,9 @@ object Maintenance {
       partitionCol: String = "p_date",
       maxDataFiles: Int = 64,
       buckets: Int = 64,
-      retainDays: Option[Int] = None)
+      retainDays: Option[Int] = None,
+      keepVersions: Int = 8,
+      vacuumMinAgeMs: Long = 30L * 60 * 1000)
 
   /** Total visible data files under a table (recursing into partition
     * dirs) — the accretion metric the index/doc-table policy gates on.
@@ -313,6 +316,41 @@ object Maintenance {
            else Nil)
         if (actions.isEmpty) None
         else Some(s"${actions.mkString("; ")} of ${t.path}")
+      case TableKind.Snapshot =>
+        // versioned tables: OPTIMIZE when the HEAD's file list accretes
+        // past the threshold, then vacuum to the retention window. The
+        // vacuum age floor skips a concurrent committer's staged files
+        // (unreferenced by design until its manifest claims), and the
+        // stats manifest — when the table keeps one — is pruned of dead
+        // entries and extended over only the uncovered files.
+        val head = Snapshots.currentVersion(spark, t.path)
+        if (head == 0) None
+        else {
+          val n = Snapshots.filesAt(spark, t.path, head).size
+          val optimized =
+            if (n <= t.maxDataFiles) None
+            else Snapshots.compactData(spark, t.path,
+              targetFiles = math.max(1, t.maxDataFiles / 8),
+              minFiles = t.maxDataFiles)
+              .map(v => s"optimized ${t.path} ($n files) at v$v")
+          val dropped = Snapshots.vacuum(spark, t.path, t.keepVersions,
+            t.vacuumMinAgeMs)
+          val vacMsg =
+            if (dropped.isEmpty) None
+            else Some(s"vacuumed ${dropped.size} file(s) of ${t.path}")
+          val ddPath = new Path(t.path, "data").toString
+          val statsMsg =
+            if (graft.operators.Layout.statsManifestCols(spark, ddPath).isEmpty)
+              None
+            else {
+              graft.operators.Layout.pruneStatsManifestEntries(spark, ddPath)
+              val added = graft.operators.Layout.appendStatsManifest(spark, ddPath)
+              if (added > 0) Some(s"manifested $added new file(s) of ${t.path}")
+              else None
+            }
+          val msgs = Seq(optimized, vacMsg, statsMsg).flatten
+          if (msgs.isEmpty) None else Some(msgs.mkString("; "))
+        }
       case kind =>
         val n = totalDataFiles(spark, t.path)
         if (n <= t.maxDataFiles) None

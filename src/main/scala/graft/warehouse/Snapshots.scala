@@ -14,7 +14,8 @@ import org.apache.spark.sql.types
   * {{{
   *   table/
   *     data/part-<uuid>.parquet        immutable data files
-  *     _manifests/v00000001.manifest   newline-separated data-file names
+  *     data/_graft_stats/              optional per-file min/max manifest
+  *     _manifests/v00000001.manifest   optional #-headers, then file names
   *     _manifests/v00000002.manifest
   * }}}
   *
@@ -28,12 +29,20 @@ import org.apache.spark.sql.types
   *   - readers resolve the highest manifest once and then read ONLY the
   *     files it lists — writers never disturb a running read (snapshot
   *     isolation), and any earlier version stays readable (time travel)
-  *     until a vacuum removes unreferenced files.
+  *     until a vacuum removes unreferenced files;
+  *   - everything a reader needs beyond the file list rides in
+  *     `#`-prefixed manifest header lines: the version's declared schema
+  *     (`#schema:` — schema evolution with no footer-merge reads) and
+  *     the stream-commit watermark (`#stream:` — exactly-once streaming
+  *     appends), so state and data always commit in one atomic claim.
   *
-  * This is deliberately the smallest correct core: no column stats, no
-  * compaction of the manifest log, single-table scope. It exists to make
-  * the concurrent-writer story REAL — two appenders cannot lose or
-  * double-commit data — while the sink API stays plain parquet.
+  * On top of the core commit protocol the object provides MERGE,
+  * copy-on-write DELETE, OPTIMIZE, vacuum retention, per-file-stats
+  * pruned reads ([[readPruned]]), and incremental consumption
+  * ([[incrementalRead]] / [[rowDiff]] — IO proportional to the delta /
+  * churn, never the table). Single-table scope; no manifest-log
+  * compaction (at one manifest per commit the log grows by bytes, and
+  * vacuum bounds it).
   */
 object Snapshots {
 
@@ -637,9 +646,15 @@ object Snapshots {
   /** Delete data files referenced by NO manifest ≤ the current head and
     * manifests older than `keepVersions` (retention). Returns deleted
     * file names.
+    *
+    * `minAgeMs` guards the staging race: a concurrent committer's files
+    * sit in `data/` unreferenced between [[stageData]] and its manifest
+    * claim, so an automated vacuum must skip young files (the same
+    * reason Delta's VACUUM has a retention-hours floor). 0 (the default)
+    * reclaims immediately — correct only when no commit is in flight.
     */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int = 2): Seq[String] = {
+      keepVersions: Int = 2, minAgeMs: Long = 0L): Seq[String] = {
     val head = currentVersion(spark, table)
     val keepFrom = math.max(1L, head - keepVersions + 1)
     val referenced = (keepFrom to head)
@@ -647,7 +662,9 @@ object Snapshots {
     val dd = dataDir(table)
     val f = fs(spark, dd)
     if (!f.exists(dd)) return Nil
+    val now = System.currentTimeMillis()
     val deleted = f.listStatus(dd).filter(_.isFile)
+      .filter(s => now - s.getModificationTime >= minAgeMs)
       .map(_.getPath).filterNot(p => referenced.contains(p.getName))
       .map { p => f.delete(p, false); p.getName }.toSeq
     (1L until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))

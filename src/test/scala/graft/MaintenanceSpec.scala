@@ -861,4 +861,46 @@ class MaintenanceSpec extends AnyFunSuite {
       .exists(f => f.isFile && f.getName.endsWith(".parquet")),
       "post-compaction appends must land inside hb= buckets")
   }
+
+  test("snapshot policy leg: OPTIMIZE past threshold, aged vacuum, stats extension") {
+    import graft.warehouse.Snapshots
+    import graft.warehouse.Maintenance.{MaintenanceTarget, TableKind}
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_maint_snap").toString + "/t"
+    (1L to 12L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, i * 2)).toDF("id", "x"), t))
+    Snapshots.extendStats(spark, t, Seq("id"))
+    val target = MaintenanceTarget(t, TableKind.Snapshot,
+      maxDataFiles = 8, keepVersions = 4, vacuumMinAgeMs = 0L)
+    val before = Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet
+    val msg = graft.warehouse.Maintenance.maintainIfNeeded(spark, target)
+    assert(msg.exists(_.contains("optimized")), s"got $msg")
+    // OPTIMIZE committed, data identical, head compacted under threshold
+    val head = Snapshots.currentVersion(spark, t)
+    assert(head == 13L)
+    assert(Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet == before)
+    assert(Snapshots.filesAt(spark, t, head).size <= 8)
+    // retention: only the trailing keepVersions manifests survive
+    intercept[Exception] { Snapshots.filesAt(spark, t, 1L) }
+    // the stats manifest follows the rewrite: dead entries pruned, the
+    // compacted files covered, and the pruned read still exact
+    val msg2 = graft.warehouse.Maintenance.maintainIfNeeded(spark, target)
+    assert(msg2.exists(_.contains("manifested")) || msg2.isEmpty, s"got $msg2")
+    val boxed = Snapshots.readPruned(spark, t, Seq(("id", 1.0, 3.0)))
+      .filter(col("id") <= 3).collect().map(_.getLong(0)).toSet
+    assert(boxed == Set(1L, 2L, 3L))
+    // steady state: a healthy table is left alone
+    assert(graft.warehouse.Maintenance.maintainIfNeeded(spark, target).isEmpty)
+    // a young unreferenced file survives an age-guarded vacuum
+    val dd = new org.apache.hadoop.fs.Path(t, "data")
+    val fs2 = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dd, "young-orphan.parquet")
+    fs2.create(orphan, true).close()
+    assert(!Snapshots.vacuum(spark, t, keepVersions = 4,
+      minAgeMs = 60000L).contains("young-orphan.parquet"),
+      "an in-flight committer's staged file must survive the aged vacuum")
+    assert(Snapshots.vacuum(spark, t, keepVersions = 4)
+      .contains("young-orphan.parquet"),
+      "an immediate vacuum reclaims the orphan")
+  }
 }
