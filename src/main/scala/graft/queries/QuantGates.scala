@@ -212,7 +212,9 @@ object QuantGates {
       val cdfRewriteNoise = optV match {
         case Some(v) =>
           Snapshots.rowDiff(spark, snapDir, v - 1, v, Seq("id")).count().toDouble
-        case None => 0.0
+        // a fixture too small to compact means the property never ran —
+        // that is a gate failure, not a free pass
+        case None => 1.0
       }
 
       // ---- gate 6b: stats-manifest file skipping — a z-ordered slice of

@@ -508,12 +508,22 @@ object EventsStreaming {
     * over the landed stream, and every stream commit is an append-only
     * step, so a downstream incremental consumer tails the table with
     * `Snapshots.incrementalRead(lastSeenVersion, head)` at IO ∝ delta.
+    *
+    * `checkpoint` is REQUIRED (unlike the parquet sinks, which fall back
+    * to a content-addressed landed anti-join): this sink dedups purely by
+    * batch id, and the checkpoint is what keeps batch ids monotonic
+    * across restarts. Restarting on a fresh checkpoint renumbers the
+    * source from batch 0, so a batch carrying NEW rows re-presents under
+    * an already-committed id and is refused — silent data loss, not
+    * duplicate protection. The manifest watermark's job is narrower:
+    * refusing the REPLAYED batches a checkpoint-lagging crash or zombie
+    * twin re-presents.
     */
   def snapshotAppend(docs: DataFrame, table: String, streamId: String,
-      checkpoint: Option[String] = None)
+      checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docs.writeStream.outputMode("append")
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+      .option("checkpointLocation", checkpoint)
     writer.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.warehouse.Snapshots.commitStreamAppend(

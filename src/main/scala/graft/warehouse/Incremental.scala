@@ -60,10 +60,14 @@ object Incremental {
     * a date whose source rows all vanished would otherwise resurrect its
     * stale mart partition (the deleteByKey trap, here on the mart side).
     */
-  private def overwriteTouched(spark: SparkSession, mart: DataFrame,
+  private def overwriteTouched(spark: SparkSession, martDf: DataFrame,
       touched: Seq[java.sql.Date], martPath: String): Unit = {
-    require(mart.columns.contains("p_date"),
+    require(martDf.columns.contains("p_date"),
       "martOf must emit a p_date partition column")
+    // materialize once: the produced-dates probe and the write would
+    // otherwise each run the full mart pipeline (touched-date fact scan
+    // + aggregation) end-to-end — double the refresh cost for nothing
+    val mart = martDf.localCheckpoint()
     val produced = mart.select(col("p_date")).distinct()
       .collect().map(_.getDate(0)).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -91,7 +95,11 @@ object Incremental {
     * is the full incremental materialized-view loop a 100 TB warehouse
     * runs: O(churn) feed read + O(touched partitions) recompute/rewrite
     * per refresh, with the mart trailing the table's version history.
-    * Returns the refreshed dates (empty when the feed is empty).
+    * Updates contribute BOTH image dates (rowDiff emits pre- and
+    * post-image rows): a correction that moves a row's timestamp across
+    * a date boundary refreshes the date it left as well as the date it
+    * entered — post-image-only dates would leave the old partition
+    * permanently stale. Returns the refreshed dates (empty feed → empty).
     */
   def refreshFromFeed(
       spark: SparkSession,

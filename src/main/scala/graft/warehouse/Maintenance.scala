@@ -339,12 +339,9 @@ object Maintenance {
             if (dropped.isEmpty) None
             else Some(s"vacuumed ${dropped.size} file(s) of ${t.path}")
           val ddPath = new Path(t.path, "data").toString
-          val statsMsg =
-            if (graft.operators.Layout.statsManifestCols(spark, ddPath).isEmpty)
-              None
-            else {
-              graft.operators.Layout.pruneStatsManifestEntries(spark, ddPath)
-              val added = graft.operators.Layout.appendStatsManifest(spark, ddPath)
+          val statsMsg = graft.operators.Layout
+            .statsManifestCols(spark, ddPath).flatMap { cols =>
+              val added = Snapshots.extendStats(spark, t.path, cols)
               if (added > 0) Some(s"manifested $added new file(s) of ${t.path}")
               else None
             }

@@ -33,8 +33,11 @@ import org.apache.spark.sql.types
   *   - everything a reader needs beyond the file list rides in
   *     `#`-prefixed manifest header lines: the version's declared schema
   *     (`#schema:` — schema evolution with no footer-merge reads) and
-  *     the stream-commit watermark (`#stream:` — exactly-once streaming
-  *     appends), so state and data always commit in one atomic claim.
+  *     the stream-commit watermarks (`#stream:` — exactly-once streaming
+  *     appends), so state and data always commit in one atomic claim;
+  *     every commit carries the head's stream marks forward, making each
+  *     manifest self-contained (watermark lookup = one head read, immune
+  *     to manifest vacuuming).
   *
   * On top of the core commit protocol the object provides MERGE,
   * copy-on-write DELETE, OPTIMIZE, vacuum retention, per-file-stats
@@ -81,17 +84,35 @@ object Snapshots {
     finally in.close()
   }
 
+  // pure views over one set of manifest lines — commit loops read the
+  // head manifest ONCE per attempt and derive all three (each fs.open is
+  // a round trip on an object store; 3× read amplification per commit
+  // attempt is pure waste)
+  private def filesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+  private def schemaOf(lines: Seq[String]): Option[types.StructType] =
+    lines.find(_.startsWith(SchemaHeader))
+      .map(h => types.DataType.fromJson(h.stripPrefix(SchemaHeader))
+        .asInstanceOf[types.StructType])
+  private def marksOf(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith(StreamHeader)).map { h =>
+      val rest = h.stripPrefix(StreamHeader)
+      val cut = rest.indexOf(':')
+      rest.substring(cut + 1) -> rest.substring(0, cut).toLong
+    }.toMap
+
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
     */
   def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
-    manifestLines(spark, table, version).filterNot(_.startsWith("#"))
+    filesOf(manifestLines(spark, table, version))
 
   // ------------------------------------------------------------------
   // Schema evolution (manifest-recorded)
   // ------------------------------------------------------------------
 
   private val SchemaHeader = "#schema:"
+  private val StreamHeader = "#stream:"
 
   /** Declared schema of a version, recorded at commit time in the
     * manifest (`#schema:` header). This is what makes schema evolution
@@ -103,9 +124,7 @@ object Snapshots {
     */
   def schemaAt(spark: SparkSession, table: String,
       version: Long): Option[types.StructType] =
-    manifestLines(spark, table, version).find(_.startsWith(SchemaHeader))
-      .map(h => types.DataType.fromJson(h.stripPrefix(SchemaHeader))
-        .asInstanceOf[types.StructType])
+    schemaOf(manifestLines(spark, table, version))
 
   /** Union-evolve: fields shared with the prior schema must keep their
     * exact type (silent type drift across files is unreadable later —
@@ -139,13 +158,19 @@ object Snapshots {
     }: _*)
   }
 
-  /** Manifest body: schema header (when the table tracks one), optional
-    * stream-commit header, then the data-file names.
+  /** Manifest body: schema header (when the table tracks one), the
+    * stream-watermark headers (one per stream, sorted for determinism),
+    * then the data-file names. Stream marks are CARRIED FORWARD by every
+    * commit (see [[lastCommittedBatch]]): each manifest is self-contained,
+    * so the watermark lookup is one head-manifest read and survives any
+    * vacuum of older manifests.
     */
   private def contentOf(schema: Option[types.StructType],
-      streamHdr: Option[String], files: Seq[String]): String =
+      marks: Map[String, Long], files: Seq[String]): String =
     (schema.map(s => SchemaHeader + s.json).toSeq ++
-      streamHdr.toSeq ++ files).mkString("\n")
+      marks.toSeq.sortBy(_._1)
+        .map { case (sid, bid) => s"$StreamHeader$bid:$sid" } ++
+      files).mkString("\n")
 
   /** Read `names` under the version's declared schema when one exists. */
   private def readWithSchema(spark: SparkSession, table: String,
@@ -240,12 +265,15 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
-      val base = if (replace) Nil else filesAt(spark, table, head)
-      // overwrite resets the schema to the batch's; append union-evolves
+      val lines = manifestLines(spark, table, head)
+      val base = if (replace) Nil else filesOf(lines)
+      // overwrite resets the schema to the batch's; append union-evolves;
+      // stream watermarks survive either way (dedup state, not data)
       val schema = evolveSchema(
-        if (replace) None else schemaAt(spark, table, head), batch.schema)
+        if (replace) None else schemaOf(lines), batch.schema)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), None, base ++ newFiles))) return head + 1
+          contentOf(Some(schema), marksOf(lines),
+            base ++ newFiles))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -268,17 +296,19 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
       // evolve first, then conform BOTH sides: a merge may introduce a
       // new column (target rows null-pad) or omit one (batch null-pads)
-      val schema = evolveSchema(schemaAt(spark, table, head), batch.schema)
+      val schema = evolveSchema(schemaOf(lines), batch.schema)
       val merged =
-        if (head == 0) batch
+        if (head == 0 || filesOf(lines).isEmpty) batch
         else graft.operators.Merge.upsert(
-          conform(read(spark, table, Some(head)), schema),
+          conform(readWithSchema(spark, table, filesOf(lines),
+            schemaOf(lines)), schema),
           conform(batch, schema), keys)
       val newFiles = stageData(spark, merged, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), None, newFiles)))
+          contentOf(Some(schema), marksOf(lines), newFiles)))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -316,11 +346,12 @@ object Snapshots {
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       if (head == 0 || keys.isEmpty) return (head, 0L)
-      val files = filesAt(spark, table, head)
+      val lines = manifestLines(spark, table, head)
+      val files = filesOf(lines)
       // reads run under the DECLARED schema: after an evolution, a
       // rewritten pre-evolution file must re-land with the new columns
       // (as NULLs), not silently narrow the table to its oldest file
-      val schema = schemaAt(spark, table, head)
+      val schema = schemaOf(lines)
       val affected = readWithSchema(spark, table, files, schema)
         .filter(col(keyCol).isInCollection(keys))
         .select(input_file_name().as("file")).distinct()
@@ -333,7 +364,7 @@ object Snapshots {
       val kept = aff.filter(
         !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
-      val manifest = contentOf(schema, None,
+      val manifest = contentOf(schema, marksOf(lines),
         files.filterNot(affected) ++ newFiles)
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
@@ -362,11 +393,14 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
-      if (head == 0 || filesAt(spark, table, head).size < minFiles) return None
-      val rewritten = read(spark, table, Some(head)).repartition(targetFiles)
+      val lines =
+        if (head == 0) Nil else manifestLines(spark, table, head)
+      if (head == 0 || filesOf(lines).size < minFiles) return None
+      val rewritten = readWithSchema(spark, table, filesOf(lines),
+        schemaOf(lines)).repartition(targetFiles)
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(schemaAt(spark, table, head), None, newFiles)))
+          contentOf(schemaOf(lines), marksOf(lines), newFiles)))
         return Some(head + 1)
       // lost the race (an append/merge landed first): this rewrite no
       // longer represents the head — drop the orphans and recompute
@@ -450,10 +484,17 @@ object Snapshots {
     * rewrite cost of zero extra reads beyond the rewritten files
     * themselves.
     *
-    * Output: the table's columns (post-image for insert/update, pre-image
-    * for delete) plus `change_type` ∈ insert|delete|update. Requires
-    * `keys` to be unique within each version (the usual CDF contract);
-    * both versions must still be within vacuum retention.
+    * Output: the table's columns plus `change_type`. Inserts carry the
+    * post-image, deletes the pre-image, and each update emits TWO rows —
+    * `update_preimage` and `update_postimage` (the Delta CDF convention):
+    * a consumer applying the feed takes post-images; a consumer
+    * invalidating derived state keyed by a changed column (a mart
+    * partition whose date moved) needs the pre-image row too, or the old
+    * key's state goes permanently stale. Images are side-pure — an update
+    * that sets a column to NULL has NULL in its post-image, never a value
+    * resurrected from the pre-image. Requires `keys` to be unique within
+    * each version (the usual CDF contract); both versions must still be
+    * within vacuum retention.
     */
   def rowDiff(spark: SparkSession, table: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
@@ -485,16 +526,38 @@ object Snapshots {
         val unchanged = nonKeys
           .map(c => col(s"__pre_$c") <=> col(s"__post_$c"))
           .reduceOption(_ && _).getOrElse(lit(true))
-        lhs.join(rhs, keys, "full_outer")
+        val joined = lhs.join(rhs, keys, "full_outer")
           .withColumn("change_type",
             when(!coalesce(col("__in_pre"), lit(false)), "insert")
               .when(!coalesce(col("__in_post"), lit(false)), "delete")
               .when(unchanged, "carried")
               .otherwise("update"))
           .filter(col("change_type") =!= "carried")
-          .select(keys.map(col) ++ nonKeys.map(c =>
-            coalesce(col(s"__post_$c"), col(s"__pre_$c")).as(c)) :+
-            col("change_type"): _*)
+        if (nonKeys.isEmpty)
+          // key-only table: payloads can't differ, so updates are
+          // impossible — only insert/delete rows survive the carry filter
+          joined.select(keys.map(col) :+ col("change_type"): _*)
+        else {
+          // one pass over the join: each row explodes into its image
+          // rows (1 for insert/delete, pre+post for update) — never a
+          // second join execution, and each image is taken wholly from
+          // ITS side (a coalesce would resurrect pre-image values into
+          // post-images wherever the new value is NULL)
+          val preImg = struct(nonKeys.map(c => col(s"__pre_$c").as(c)): _*)
+          val postImg = struct(nonKeys.map(c => col(s"__post_$c").as(c)): _*)
+          def img(i: org.apache.spark.sql.Column, ct: String) =
+            struct(i.as("img"), lit(ct).as("ct"))
+          joined.select(keys.map(col) :+ explode(
+              when(col("change_type") === "insert",
+                array(img(postImg, "insert")))
+              .when(col("change_type") === "delete",
+                array(img(preImg, "delete")))
+              .otherwise(array(img(preImg, "update_preimage"),
+                img(postImg, "update_postimage")))).as("__e"): _*)
+            .select(keys.map(col) ++ nonKeys.map(c =>
+              col("__e").getField("img").getField(c).as(c)) :+
+              col("__e").getField("ct").as("change_type"): _*)
+        }
     }
   }
 
@@ -553,20 +616,23 @@ object Snapshots {
     val files = filesAt(spark, table, v)
       .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
     if (files.isEmpty) return spark.emptyDataFrame
-    val dd = dataDir(table).toString
-    if (graft.operators.Layout.statsManifestCols(spark, dd).isEmpty) {
-      graft.operators.Layout.lastStatsPruned = None
-      return spark.read.parquet(files: _*)
-    }
-    val live = files.map(graft.operators.Layout.canonFile)
-    val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
-    graft.operators.Layout.lastStatsPruned =
-      Some((chosen.length, live.length))
+    // every read path honors the version's DECLARED schema — the
+    // no-manifest fallback included, or a schema-evolved table would
+    // resolve its columns from whichever file's footer Spark samples
     val schema = schemaAt(spark, table, v)
     def rd(paths: Seq[String]) = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+    val dd = dataDir(table).toString
+    if (graft.operators.Layout.statsManifestCols(spark, dd).isEmpty) {
+      graft.operators.Layout.lastStatsPruned = None
+      return rd(files)
+    }
+    val live = files.map(graft.operators.Layout.canonFile)
+    val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
+    graft.operators.Layout.lastStatsPruned =
+      Some((chosen.length, live.length))
     if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
   }
 
@@ -574,28 +640,34 @@ object Snapshots {
   // Exactly-once streaming commits
   // ------------------------------------------------------------------
 
-  private val StreamHeader = "#stream:"
+  /** Stream watermarks recorded in a version's manifest:
+    * streamId → highest committed batch id. Every commit carries the
+    * head's marks forward (plus its own, for stream commits), so the
+    * HEAD manifest always holds every stream's latest watermark.
+    */
+  private def streamMarksAt(spark: SparkSession, table: String,
+      version: Long): Map[String, Long] =
+    marksOf(manifestLines(spark, table, version))
 
-  private def streamHeaderOf(spark: SparkSession, table: String,
-      version: Long): Option[(String, Long)] =
-    manifestLines(spark, table, version).find(_.startsWith(StreamHeader))
-      .map { h =>
-        val rest = h.stripPrefix(StreamHeader)
-        val cut = rest.indexOf(':')
-        (rest.substring(cut + 1), rest.substring(0, cut).toLong)
-      }
-
-  /** Highest batch id this stream has committed, scanning manifests from
-    * the head DOWN and stopping at the stream's most recent marker — for
-    * a live stream that's O(number of interleaved writers since its last
-    * batch), not O(history). None when the stream never committed.
+  /** Highest batch id this stream has committed — ONE head-manifest read
+    * (marks are carried forward by every commit), so the lookup is O(1)
+    * and immune to manifest vacuuming. Falls back to a downward scan of
+    * the still-retained manifests for tables whose history predates the
+    * carry-forward (legacy marks live only in the claiming commit's
+    * manifest). None when the stream never committed within retention.
     */
   def lastCommittedBatch(spark: SparkSession, table: String,
       streamId: String): Option[Long] = {
     val head = currentVersion(spark, table)
-    (head to 1L by -1L).iterator
-      .map(v => streamHeaderOf(spark, table, v))
-      .collectFirst { case Some((sid, bid)) if sid == streamId => bid }
+    if (head == 0) return None
+    streamMarksAt(spark, table, head).get(streamId).orElse {
+      val dir = manifestDir(table)
+      fs(spark, dir).listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest")).map(versionOf)
+        .filter(_ < head).sorted(Ordering[Long].reverse).iterator
+        .map(v => streamMarksAt(spark, table, v).get(streamId))
+        .collectFirst { case Some(bid) => bid }
+    }
   }
 
   /** EXACTLY-ONCE streaming append: the foreachBatch sink body for a
@@ -624,16 +696,21 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
-      if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) {
+      val lines = manifestLines(spark, table, head)
+      val marks = marksOf(lines)
+      // head-mark fast path; the lastCommittedBatch fallback covers
+      // legacy tables whose mark predates the carry-forward
+      if (marks.get(streamId)
+          .orElse(lastCommittedBatch(spark, table, streamId))
+          .exists(_ >= batchId)) {
         // a twin of this very batch won the race while we staged: our
         // rows are already in the table once — never land them twice
         newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
         return (head, false)
       }
-      val base = filesAt(spark, table, head)
-      val schema = evolveSchema(schemaAt(spark, table, head), batch.schema)
-      val content = contentOf(Some(schema),
-        Some(s"$StreamHeader$batchId:$streamId"), base ++ newFiles)
+      val content = contentOf(
+        Some(evolveSchema(schemaOf(lines), batch.schema)),
+        marks + (streamId -> batchId), filesOf(lines) ++ newFiles)
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry

@@ -169,6 +169,39 @@ class IncrementalSpec extends AnyFunSuite {
       Seq("event_id"), dailyMart, "ts", martPath).isEmpty)
   }
 
+  test("refreshFromFeed: a date-moving update refreshes the date it left") {
+    import graft.warehouse.Snapshots
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_feedmove").toString
+    val table = base + "/fact"
+    val martPath = base + "/mart"
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    Snapshots.commitAppend(spark, events, table)
+    Incremental.refreshFromFeed(spark, table, 0L, 1L, Seq("event_id"),
+      dailyMart, "ts", martPath)
+    // correct one event's timestamp across a date boundary: the feed's
+    // update_preimage row carries the OLD date, so the partition the row
+    // left recomputes too — post-image-only feeds leave it stale forever
+    val mover = events.filter(col("ts").cast("date") === "2024-01-01")
+      .limit(1).collect().head
+    val moved = Seq((mover.getLong(0),
+        java.sql.Timestamp.valueOf("2024-01-02 12:00:00"),
+        mover.getDouble(2)))
+      .toDF("event_id", "ts", "value")
+    val v2 = Snapshots.commitMerge(spark, moved, table, Seq("event_id"))
+    val r = Incremental.refreshFromFeed(spark, table, 1L, v2,
+      Seq("event_id"), dailyMart, "ts", martPath)
+    assert(r.map(_.toString).toSet == Set("2024-01-01", "2024-01-02"),
+      s"touched $r")
+    def state(df: DataFrame): Map[String, (Long, Double)] =
+      df.collect().map(r => r.getDate(r.fieldIndex("p_date")).toString ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(state(spark.read.parquet(martPath)) ==
+      state(dailyMart(Snapshots.read(spark, table, Some(v2)))),
+      "incremental refresh after a date-moving update must equal a rebuild")
+  }
+
   test("touchedDates finds exactly the batch's dates") {
     val batch = Tables.events(spark, sf)
       .filter(col("ts").cast("date").isin("2024-01-01", "2024-01-05"))

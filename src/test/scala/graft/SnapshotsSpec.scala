@@ -173,8 +173,9 @@ class SnapshotsSpec extends AnyFunSuite {
     val d12 = Snapshots.rowDiff(spark, t, 1L, 2L, Seq("id")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     // 1 and 3 moved files in the merge rewrite but are payload-identical
-    // → carried, cancelled out of the feed
-    assert(d12 == Set((2L, "B2", "update"), (4L, "d", "insert")), s"got $d12")
+    // → carried, cancelled out of the feed; the update emits BOTH images
+    assert(d12 == Set((2L, "b", "update_preimage"),
+      (2L, "B2", "update_postimage"), (4L, "d", "insert")), s"got $d12")
     val (v3, _) = Snapshots.commitDelete(spark, t, Seq(1L), "id")   // v3
     val d23 = Snapshots.rowDiff(spark, t, 2L, v3, Seq("id")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
@@ -323,10 +324,43 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(m(1L).isNullAt(1) && m(1L).getDouble(2) == 9.9)
     assert(m(2L).getString(1) == "b" && m(2L).getDouble(2) == 7.5)
     // the change feed reads both sides under the to-version's schema:
-    // the backfill is an update, untouched keys cancel as carried
+    // the backfill is an update, untouched keys cancel as carried, and
+    // each image is SIDE-PURE — the post-image's v is NULL (what the
+    // merge actually wrote), never "a" resurrected from the pre-image
     val d45 = Snapshots.rowDiff(spark, t, 4L, 5L, Seq("id")).collect()
-      .map(r => (r.getLong(0), r.getString(3))).toSet
-    assert(d45 == Set((1L, "update")), s"got $d45")
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3))).toSet
+    assert(d45 == Set(
+      (1L, Some("a"), None, "update_preimage"),
+      (1L, None, Some(9.9), "update_postimage")), s"got $d45")
+  }
+
+  test("stream watermarks survive interleaved commits and manifest vacuum") {
+    val t = freshTable()
+    // stream commits batch 0, then unrelated writers bury its manifest
+    Snapshots.commitStreamAppend(spark,
+      Seq((1L, "a")).toDF("id", "v"), t, "s1", 0L)
+    (2L to 6L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"x$i")).toDF("id", "v"), t))
+    Snapshots.commitMerge(spark, Seq((2L, "y")).toDF("id", "v"), t, Seq("id"))
+    assert(Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 2)
+      .nonEmpty)
+    // vacuum drops the manifest that claimed batch 0 outright
+    Snapshots.vacuum(spark, t, keepVersions = 3)
+    intercept[Exception] { Snapshots.filesAt(spark, t, 1L) }
+    // the watermark answers from the head manifest (carried forward by
+    // every commit) — no scan of vacuumed history, no crash
+    assert(Snapshots.lastCommittedBatch(spark, t, "s1").contains(0L))
+    // a zombie replay of batch 0 is still refused; the next batch lands
+    val (_, did0) = Snapshots.commitStreamAppend(spark,
+      Seq((1L, "a")).toDF("id", "v"), t, "s1", 0L)
+    assert(!did0, "replayed batch must be refused after vacuum")
+    val (_, did1) = Snapshots.commitStreamAppend(spark,
+      Seq((10L, "z")).toDF("id", "v"), t, "s1", 1L)
+    assert(did1)
+    // an unknown stream resolves to None over retained manifests only
+    assert(Snapshots.lastCommittedBatch(spark, t, "nope").isEmpty)
   }
 
   test("vacuum removes files unreferenced by retained versions only") {

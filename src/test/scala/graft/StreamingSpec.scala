@@ -76,11 +76,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("snapshot stream sink: manifest watermark refuses redelivery, feed tails the table") {
     import graft.warehouse.Snapshots
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_snapstream").toString + "/t"
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapstream").toString
+    val table = base + "/t"
     val src = () => EventsStreaming.readDocuments(spark, sf)
       .select(col("doc_id"), col("text"))
-    val q = EventsStreaming.snapshotAppend(src(), table, "docs-ingest")
+    val q = EventsStreaming.snapshotAppend(src(), table, "docs-ingest",
+      base + "/ck1")
     q.processAllAvailable(); q.stop()
     val expected = Tables.documents(spark, sf).count()
     assert(Snapshots.read(spark, table).count() == expected)
@@ -89,7 +91,8 @@ class StreamingSpec extends AnyFunSuite {
     // full redelivery (fresh checkpoint, same stream identity): every
     // batch id re-presents and the manifest watermark refuses each one —
     // no duplicate rows, no new versions
-    val q2 = EventsStreaming.snapshotAppend(src(), table, "docs-ingest")
+    val q2 = EventsStreaming.snapshotAppend(src(), table, "docs-ingest",
+      base + "/ck2")
     q2.processAllAvailable(); q2.stop()
     assert(Snapshots.currentVersion(spark, table) == head,
       "redelivered batches must not commit")
