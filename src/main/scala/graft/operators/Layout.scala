@@ -45,7 +45,17 @@ object Layout {
     * → files tile the curve contiguously.
     */
   def zorderWrite(df: DataFrame, colX: String, colY: String,
-      path: String, numFiles: Int): Unit = {
+      path: String, numFiles: Int): Unit =
+    zorderFrame(df, colX, colY, numFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-ordered frame itself (range-partitioned on the Morton key,
+    * curve-sorted within partitions, one output file per partition) —
+    * for writers that own their commit path, e.g. the snapshot
+    * protocol's OPTIMIZE staging its rewrite before claiming a manifest.
+    */
+  def zorderFrame(df: DataFrame, colX: String, colY: String,
+      numFiles: Int): DataFrame = {
     val r = df.agg(
       min(col(colX)).cast("double"), max(col(colX)).cast("double"),
       min(col(colY)).cast("double"), max(col(colY)).cast("double")).head
@@ -56,7 +66,6 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Linear-sorted comparison layout (single-dimension clustering). */

@@ -13,13 +13,17 @@ import graft.warehouse.Snapshots
   * (Snapshots.incrementalRead / Snapshots.rowDiff).
   *
   * The query materializes a scratch snapshot table from the orders
-  * fixture with a deterministic three-commit history — append(even keys)
-  * → append(odd keys) → keyed delete (o_orderkey % 10 = 3) — then emits
-  * the change feed of both steps. Every emitted row is derivable from
-  * the orders table alone, so the feed is fully DuckDB-oracled: the
-  * append step's feed is exactly the odd half, the delete step's feed is
-  * exactly the doomed keys with change_type='delete' (carried rows that
-  * merely moved in the copy-on-write rewrite cancel out of rowDiff).
+  * fixture with a deterministic four-commit history — append(even keys)
+  * → append(odd keys) → keyed delete (o_orderkey % 10 = 3) → MERGE price
+  * bump (o_orderkey % 10 = 7) — then emits the change feed of all three
+  * steps. Every emitted row is derivable from the orders table alone, so
+  * the feed is fully DuckDB-oracled: the append step's feed is exactly
+  * the odd half, the delete step's feed is exactly the doomed keys with
+  * change_type='delete' (carried rows that merely moved in the
+  * copy-on-write rewrite cancel out of rowDiff), and the merge step's
+  * feed is one side-pure pre-image AND one post-image row per bumped key
+  * (update_preimage/update_postimage — the original price and the bumped
+  * price, nothing coalesced across sides).
   */
 object SnapshotQ {
 
@@ -33,7 +37,17 @@ object SnapshotQ {
            |SELECT o_orderkey, o_custkey,
            |       round(o_totalprice, 4) AS o_totalprice,
            |       'delete' AS change_type, 'delete_step' AS step
-           |FROM orders WHERE o_orderkey % 10 = 3""".stripMargin),
+           |FROM orders WHERE o_orderkey % 10 = 3
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(o_totalprice, 4) AS o_totalprice,
+           |       'update_preimage' AS change_type, 'merge_step' AS step
+           |FROM orders WHERE o_orderkey % 10 = 7
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE) * 1.1, 4) AS o_totalprice,
+           |       'update_postimage' AS change_type, 'merge_step' AS step
+           |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin),
     (spark, dir) => {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -51,13 +65,22 @@ object SnapshotQ {
       val doomed = orders.filter(col("o_orderkey") % 10 === 3)
         .select("o_orderkey").collect().map(_.getLong(0)).toSeq
       Snapshots.commitDelete(spark, table, doomed, "o_orderkey")
+      // v4: MERGE price bump — the update feed must carry BOTH images
+      Snapshots.commitMerge(spark,
+        orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice",
+            col("o_totalprice").cast("double") * 1.1),
+        table, Seq("o_orderkey"))
       val appendFeed = Snapshots.incrementalRead(spark, table, 1L, 2L)
         .withColumn("change_type", lit("insert"))
         .withColumn("step", lit("append_step"))
       val deleteFeed = Snapshots.rowDiff(spark, table, 2L, 3L,
           Seq("o_orderkey"))
         .withColumn("step", lit("delete_step"))
-      appendFeed.unionByName(deleteFeed)
+      val mergeFeed = Snapshots.rowDiff(spark, table, 3L, 4L,
+          Seq("o_orderkey"))
+        .withColumn("step", lit("merge_step"))
+      appendFeed.unionByName(deleteFeed).unionByName(mergeFeed)
         .withColumn("o_totalprice", round(col("o_totalprice"), 4))
         .select("o_orderkey", "o_custkey", "o_totalprice",
           "change_type", "step")

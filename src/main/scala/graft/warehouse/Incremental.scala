@@ -61,7 +61,8 @@ object Incremental {
     * stale mart partition (the deleteByKey trap, here on the mart side).
     */
   private def overwriteTouched(spark: SparkSession, martDf: DataFrame,
-      touched: Seq[java.sql.Date], martPath: String): Unit = {
+      touched: Seq[java.sql.Date],
+      martPath: String): Set[java.sql.Date] = {
     require(martDf.columns.contains("p_date"),
       "martOf must emit a p_date partition column")
     // materialize once: the produced-dates probe and the write would
@@ -82,6 +83,7 @@ object Incremental {
     touched.filterNot(produced).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"p_date=$d"), true)
     }
+    produced
   }
 
   /** CDC-driven mart maintenance over a SNAPSHOT table: the base table's
@@ -118,5 +120,95 @@ object Incremental {
       overwriteTouched(spark, martOf(slice), dates, martPath)
     }
     dates
+  }
+
+  // ------------------------------------------------------------------
+  // Self-driving mart maintenance (persisted feed cursor)
+  // ------------------------------------------------------------------
+
+  private def cursorPath(martPath: String) =
+    new org.apache.hadoop.fs.Path(martPath, "_graft_cursor")
+
+  /** The snapshot-table version this mart has been refreshed through
+    * (0 when the mart has never synced). Underscore-prefixed sidecar —
+    * invisible to parquet readers of the mart itself.
+    */
+  def martCursor(spark: SparkSession, martPath: String): Long = {
+    val p = cursorPath(martPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeCursor(spark: SparkSession, martPath: String,
+      v: Long): Unit = {
+    val p = cursorPath(martPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(martPath, "._graft_cursor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cursor rename $tmp -> $p returned false")
+  }
+
+  /** Catch the mart up to the base table's current head, remembering
+    * where it left off: the last-synced version persists in a
+    * `_graft_cursor` sidecar next to the mart, so the caller just calls
+    * `syncMart` after (or on a schedule independent of) base commits —
+    * no version bookkeeping, the self-driving loop a scheduled
+    * materialized-view job actually runs. One catch-up covers ANY number
+    * of missed commits in a single feed read ([[Snapshots.rowDiff]]
+    * composes across versions at IO ∝ the window's churned files).
+    *
+    * Crash contract: the cursor is written AFTER the mart partitions
+    * swap, so a crash in between replays the same window on the next
+    * sync — refreshFromFeed recomputes and overwrites the touched
+    * partitions idempotently (at-least-once refresh converges; state is
+    * never trusted ahead of data). A mart that lagged PAST the table's
+    * vacuum retention (its cursor's manifest is gone) can't get a
+    * precise feed anymore — it falls back to one full rebuild of every
+    * date, stale partitions dropped, and resumes incremental syncs from
+    * the head. Returns (fromV, headV, refreshed dates); fromV == headV
+    * means there was nothing to do.
+    */
+  def syncMart(
+      spark: SparkSession,
+      table: String,
+      keys: Seq[String],
+      martOf: DataFrame => DataFrame,
+      tsCol: String,
+      martPath: String): (Long, Long, Seq[java.sql.Date]) = {
+    val from = martCursor(spark, martPath)
+    val head = Snapshots.currentVersion(spark, table)
+    require(head >= from,
+      s"mart cursor v$from is ahead of $table head v$head — the base " +
+        "table was recreated; delete the mart (and its cursor) to rebuild")
+    if (head == from) return (from, head, Nil)
+    val dates =
+      if (Snapshots.hasVersion(spark, table, from))
+        refreshFromFeed(spark, table, from, head, keys, martOf, tsCol,
+          martPath)
+      else {
+        // lagged past retention: rebuild wholesale — every date the base
+        // now holds recomputes, every date only the stale mart holds drops
+        val mart = martOf(Snapshots.read(spark, table, Some(head)))
+        val existing = {
+          val root = new org.apache.hadoop.fs.Path(martPath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(root)) Nil
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("p_date="))
+            .map(n => java.sql.Date.valueOf(n.stripPrefix("p_date=")))
+            .toSeq
+        }
+        overwriteTouched(spark, mart, existing, martPath).toSeq
+      }
+    writeCursor(spark, martPath, head)
+    (from, head, dates)
   }
 }

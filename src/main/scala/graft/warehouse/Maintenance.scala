@@ -249,7 +249,11 @@ object Maintenance {
       buckets: Int = 64,
       retainDays: Option[Int] = None,
       keepVersions: Int = 8,
-      vacuumMinAgeMs: Long = 30L * 60 * 1000)
+      vacuumMinAgeMs: Long = 30L * 60 * 1000,
+      // Snapshot tables only: OPTIMIZE rewrites z-order on these two
+      // numeric columns, so the policy's compaction doubles as the
+      // clustering pass that keeps stats-pruned reads effective
+      zorderCols: Option[(String, String)] = None)
 
   /** Total visible data files under a table (recursing into partition
     * dirs) — the accretion metric the index/doc-table policy gates on.
@@ -331,7 +335,7 @@ object Maintenance {
             if (n <= t.maxDataFiles) None
             else Snapshots.compactData(spark, t.path,
               targetFiles = math.max(1, t.maxDataFiles / 8),
-              minFiles = t.maxDataFiles)
+              minFiles = t.maxDataFiles, zorderBy = t.zorderCols)
               .map(v => s"optimized ${t.path} ($n files) at v$v")
           val dropped = Snapshots.vacuum(spark, t.path, t.keepVersions,
             t.vacuumMinAgeMs)

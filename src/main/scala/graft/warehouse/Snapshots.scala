@@ -61,6 +61,17 @@ object Snapshots {
   private def manifestPath(table: String, v: Long) =
     new Path(manifestDir(table), f"v$v%08d.manifest")
 
+  /** True when `version`'s manifest is still retained (v0 always is —
+    * the empty table needs no manifest). A change-feed window whose
+    * from-version fails this check was vacuumed away; the consumer must
+    * fall back to a full re-read (see Incremental.syncMart).
+    */
+  def hasVersion(spark: SparkSession, table: String, version: Long): Boolean =
+    version == 0 || {
+      val p = manifestPath(table, version)
+      fs(spark, p).exists(p)
+    }
+
   /** Highest committed version, 0 if the table is empty. */
   def currentVersion(spark: SparkSession, table: String): Long = {
     val dir = manifestDir(table)
@@ -385,9 +396,19 @@ object Snapshots {
     * bit-identical; only layout changes. No-op (None) below `minFiles` —
     * compaction that rewrites a healthy table is pure write
     * amplification. Returns the committed version.
+    *
+    * `zorderBy` (two numeric columns) clusters the rewrite along the
+    * Morton curve instead of hash-scattering it — `OPTIMIZE ZORDER BY`:
+    * the rewrite is the one moment the table's rows move anyway, so
+    * clustering rides along for free, and with a stats manifest
+    * ([[extendStats]] after the compaction) box predicates on those
+    * columns prune to the few curve-adjacent files instead of hitting a
+    * random slice of all of them. Accreted appends degrade locality;
+    * the maintenance policy's periodic OPTIMIZE restores it.
     */
   def compactData(spark: SparkSession, table: String, targetFiles: Int = 8,
-      minFiles: Int = 16, maxRetries: Int = 10): Option[Long] = {
+      minFiles: Int = 16, maxRetries: Int = 10,
+      zorderBy: Option[(String, String)] = None): Option[Long] = {
     require(targetFiles > 0)
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -396,8 +417,13 @@ object Snapshots {
       val lines =
         if (head == 0) Nil else manifestLines(spark, table, head)
       if (head == 0 || filesOf(lines).size < minFiles) return None
-      val rewritten = readWithSchema(spark, table, filesOf(lines),
-        schemaOf(lines)).repartition(targetFiles)
+      val current = readWithSchema(spark, table, filesOf(lines),
+        schemaOf(lines))
+      val rewritten = zorderBy match {
+        case Some((x, y)) =>
+          graft.operators.Layout.zorderFrame(current, x, y, targetFiles)
+        case None => current.repartition(targetFiles)
+      }
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), newFiles)))

@@ -202,6 +202,65 @@ class IncrementalSpec extends AnyFunSuite {
       "incremental refresh after a date-moving update must equal a rebuild")
   }
 
+  test("syncMart: persisted cursor self-drives catch-up; retention lapse rebuilds") {
+    import graft.warehouse.Snapshots
+    val base = Files.createTempDirectory("graft_syncmart").toString
+    val table = base + "/fact"
+    val martPath = base + "/mart"
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    val d3 = "2024-01-03"
+    def state: Map[String, (Long, Double)] =
+      spark.read.parquet(martPath).collect()
+        .map(r => r.getDate(r.fieldIndex("p_date")).toString ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    def rebuilt(v: Long): Map[String, (Long, Double)] =
+      dailyMart(Snapshots.read(spark, table, Some(v))).collect()
+        .map(r => r.getDate(r.fieldIndex("p_date")).toString ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    def sync() = Incremental.syncMart(spark, table, Seq("event_id"),
+      dailyMart, "ts", martPath)
+
+    // first sync IS the initial build, and it records where it stopped
+    Snapshots.commitAppend(spark,
+      events.filter(col("ts").cast("date") =!= d3), table)
+    val (f1, h1, _) = sync()
+    assert((f1, h1) == (0L, 1L))
+    assert(Incremental.martCursor(spark, martPath) == 1L)
+    assert(state == rebuilt(1L) && !state.contains(d3))
+
+    // two base commits between syncs: ONE catch-up covers the window
+    Snapshots.commitAppend(spark,
+      events.filter(col("ts").cast("date") === d3), table)        // v2
+    val doomed = events.filter(col("ts").cast("date") === d3)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val (v3, _) = Snapshots.commitDelete(spark, table, doomed, "event_id")
+    val (f2, h2, _) = sync()
+    assert((f2, h2) == (1L, v3))
+    assert(state == rebuilt(v3))
+    // idle: nothing to do, cursor stays
+    assert(sync() == ((v3, v3, Nil)))
+
+    // crash between mart swap and cursor write ≡ lost cursor: the replay
+    // re-covers the whole window idempotently and converges
+    val fsys = new org.apache.hadoop.fs.Path(martPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(martPath, "_graft_cursor"), false)
+    val (f4, h4, _) = sync()
+    assert((f4, h4) == (0L, v3) && state == rebuilt(v3))
+
+    // lagging past vacuum retention: the precise feed is gone — syncMart
+    // falls back to one full rebuild and resumes incremental from head
+    val v4 = Snapshots.commitAppend(spark,
+      events.filter(col("ts").cast("date") === d3), table)
+    Snapshots.vacuum(spark, table, keepVersions = 1)
+    assert(!Snapshots.hasVersion(spark, table, v3))
+    val (f5, h5, _) = sync()
+    assert((f5, h5) == (v3, v4))
+    assert(state == rebuilt(v4) && state.contains(d3))
+    assert(Incremental.martCursor(spark, martPath) == v4)
+  }
+
   test("touchedDates finds exactly the batch's dates") {
     val batch = Tables.events(spark, sf)
       .filter(col("ts").cast("date").isin("2024-01-01", "2024-01-05"))

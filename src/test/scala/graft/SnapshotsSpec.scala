@@ -336,6 +336,41 @@ class SnapshotsSpec extends AnyFunSuite {
       (1L, None, Some(9.9), "update_postimage")), s"got $d45")
   }
 
+  test("OPTIMIZE ZORDER BY restores stats-pruning locality lost to accreted appends") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // 20 shuffled appends over a 100x100 grid: every file spans the full
+    // value range, so the stats manifest can prune nothing
+    val rnd = new scala.util.Random(7)
+    val cells = rnd.shuffle(
+      (0 until 100).flatMap(x => (0 until 100).map(y => (x.toLong, y.toLong)))
+        .toVector)
+    cells.grouped(500).foreach { chunk =>
+      Snapshots.commitAppend(spark,
+        chunk.toDF("x", "y").repartition(1), t)
+    }
+    Snapshots.extendStats(spark, t, Seq("x", "y"))
+    val box = Seq(("x", 10.0, 19.0), ("y", 10.0, 19.0))
+    Snapshots.readPruned(spark, t, box)
+    val (chosenBefore, totalBefore) =
+      graft.operators.Layout.lastStatsPruned.get
+    assert(totalBefore == 20 && chosenBefore == 20,
+      s"shuffled appends should defeat pruning, got $chosenBefore/$totalBefore")
+    // the compaction rewrite doubles as the clustering pass
+    val v = Snapshots.compactData(spark, t, targetFiles = 16, minFiles = 8,
+      zorderBy = Some(("x", "y"))).get
+    Snapshots.extendStats(spark, t, Seq("x", "y"))
+    val pruned = Snapshots.readPruned(spark, t, box)
+    val (chosenAfter, totalAfter) = graft.operators.Layout.lastStatsPruned.get
+    assert(totalAfter == 16 && chosenAfter <= 4,
+      s"curve-clustered box read should touch few files, got " +
+        s"$chosenAfter/$totalAfter")
+    // pruning must be lossless and the rewrite bit-identical
+    val boxPred = col("x").between(10, 19) && col("y").between(10, 19)
+    assert(pruned.filter(boxPred).count() == 100)
+    assert(Snapshots.read(spark, t, Some(v)).count() == 10000)
+  }
+
   test("stream watermarks survive interleaved commits and manifest vacuum") {
     val t = freshTable()
     // stream commits batch 0, then unrelated writers bury its manifest
