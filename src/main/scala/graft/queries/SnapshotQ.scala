@@ -86,5 +86,55 @@ object SnapshotQ {
           "change_type", "step")
     })
 
-  val all: Seq[QueryDef] = Seq(snapChangeFeed)
+  // one scratch time-travel table per (JVM, fixture dir): the SQL catalog
+  // binds its root at first reference (CatalogManager caches the
+  // initialized plugin), so the root must be stable across repeat
+  // invocations (Bench runs every query twice)
+  private val ttRoots = scala.collection.concurrent.TrieMap[String, String]()
+  private def ttRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ttRoots.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_tt").toString
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Snapshots.commitAppend(spark, // v1: even half
+        orders.filter(col("o_orderkey") % 2 === 0), root + "/orders_tt")
+      Snapshots.commitAppend(spark, // v2: odd half
+        orders.filter(col("o_orderkey") % 2 === 1), root + "/orders_tt")
+      root
+    })
+
+  /** Time travel on the pure-SQL surface: the snapshot table resolves
+    * through the DSv2 catalog (sources/SnapshotCatalog.scala), so
+    * `VERSION AS OF` pins the even-half v1 while the bare reference reads
+    * the head — both DuckDB-oracled from the orders fixture alone. The
+    * scan under the catalog is Spark's own parquet reader over the
+    * version's manifest-resolved file list (pushdown intact, spec-checked
+    * in SnapshotCatalogSpec).
+    */
+  val snapTimeTravel = QueryDef(
+    "snap_time_travel",
+    Some("""SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS ver
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, CAST(2 AS BIGINT) AS ver
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val root = ttRoot(spark, dir)
+      require(spark.conf.getOption("spark.sql.catalog.gtt.root")
+          .forall(_ == root),
+        "snap_time_travel catalog root drifted within one JVM")
+      spark.conf.set("spark.sql.catalog.gtt",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gtt.root", root)
+      spark.sql(
+        """SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS ver
+          |FROM gtt.orders_tt VERSION AS OF 1
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, CAST(2 AS BIGINT) AS ver
+          |FROM gtt.orders_tt""".stripMargin)
+    })
+
+  val all: Seq[QueryDef] = Seq(snapChangeFeed, snapTimeTravel)
 }

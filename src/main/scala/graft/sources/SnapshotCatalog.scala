@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.warehouse.Snapshots
+
+/** Snapshot tables as first-class SQL tables with TIME TRAVEL — the
+  * DataSource-V2 catalog face of the commit protocol
+  * (warehouse/Snapshots.scala), so the versioned tables the engine
+  * maintains are queryable with nothing but SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.snap",
+  *     "graft.sources.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.snap.root", "/warehouse/dir")
+  *   spark.sql("SELECT * FROM snap.events")                     // head
+  *   spark.sql("SELECT * FROM snap.events VERSION AS OF 3")     // pinned
+  *   spark.sql("SELECT * FROM snap.events TIMESTAMP AS OF '...'")
+  * }}}
+  *
+  * Each table identifier maps to `root/<name>`; a load resolves the
+  * manifest ONCE into an explicit file list + the version's DECLARED
+  * schema and hands both to Spark's own parquet reader, so every scan is
+  * snapshot-isolated (concurrent commits never change a resolved plan's
+  * files), schema evolution costs zero footer merges, and all of
+  * Catalyst's pushdown/pruning applies unchanged. `TIMESTAMP AS OF`
+  * resolves to the newest version whose manifest commit time is at or
+  * before the asked instant (commit time = the atomic manifest claim's
+  * file mtime — the only clock the protocol has).
+  *
+  * READ-ONLY by design: DDL/DML throw — writes must go through the
+  * commit protocol (`Snapshots.commitAppend`/`commitMerge`/...), because
+  * a bare `INSERT INTO` writing parquet under `data/` would bypass the
+  * manifest claim and corrupt every invariant the protocol guarantees
+  * (the same reason transactional table formats refuse foreign writers).
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"spark.sql.catalog.$name.root must point at the snapshot warehouse dir")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).foldLeft(new Path(root)) {
+      (p, part) => new Path(p, part)
+    }.toString
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op: snapshot tables are read-only through SQL — commit through " +
+        "graft.warehouse.Snapshots so the manifest claim stays atomic")
+
+  /** The version pinned as a DSv2 table: explicit file list + declared
+    * schema, served by Spark's own parquet Scan (full pushdown/pruning).
+    */
+  private def tableAt(ident: Identifier, version: Long): Table = {
+    val t = tablePath(ident)
+    val files = Snapshots.filesAt(spark, t, version)
+      .map(n => new Path(t, s"data/$n").toString)
+    val schema = Snapshots.schemaAt(spark, t, version)
+    if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
+    val inner = ParquetTable(s"${name()}.${ident.name()}@v$version", spark,
+      CaseInsensitiveStringMap.empty(), files, schema,
+      classOf[ParquetFileFormat])
+    // wrap to a read-only face: ParquetTable also advertises BATCH_WRITE,
+    // and a write would land files no manifest references
+    new Table with SupportsRead {
+      override def name(): String = inner.name
+      override def schema(): StructType = inner.schema
+      override def capabilities(): util.Set[TableCapability] =
+        Set(TableCapability.BATCH_READ).asJava
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        inner.newScanBuilder(options)
+    }
+  }
+
+  private def exists(ident: Identifier): Boolean =
+    Snapshots.currentVersion(spark, tablePath(ident)) > 0
+
+  override def loadTable(ident: Identifier): Table = {
+    val head = Snapshots.currentVersion(spark, tablePath(ident))
+    if (head == 0) throw new NoSuchTableException(ident)
+    tableAt(ident, head)
+  }
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    if (v < 1 || v > Snapshots.currentVersion(spark, tablePath(ident)) ||
+        !Snapshots.hasVersion(spark, tablePath(ident), v))
+      throw new NoSuchTableException(ident)
+    tableAt(ident, v)
+  }
+
+  /** SQL `TIMESTAMP AS OF <t>` (micros since epoch): the newest version
+    * committed at or before the instant.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = tablePath(ident)
+    val head = Snapshots.currentVersion(spark, t)
+    if (head == 0) throw new NoSuchTableException(ident)
+    val dir = new Path(t, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoffMs = timestampMicros / 1000L
+    val v = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .filter(_.getModificationTime <= cutoffMs)
+      .map(s => s.getPath.getName.stripPrefix("v")
+        .stripSuffix(".manifest").toLong)
+      .maxOption.getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, v)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(new Path(root))((p, n) => new Path(p, n))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(base, s"$n/_manifests")))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}

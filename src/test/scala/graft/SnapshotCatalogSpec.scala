@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.warehouse.Snapshots
+
+class SnapshotCatalogSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("snapshot tables resolve through SQL: head, VERSION AS OF, TIMESTAMP AS OF") {
+    val root = Files.createTempDirectory("graft_snapcat").toString
+    val t = root + "/orders_t"
+    Snapshots.commitAppend(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Thread.sleep(1100) // manifest mtimes are the protocol's commit clock
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    Snapshots.commitAppend(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    spark.conf.set("spark.sql.catalog.gsnap",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsnap.root", root)
+    def ids(sql: String): Set[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).toSet
+
+    assert(ids("SELECT id FROM gsnap.orders_t") == Set(1L, 2L, 3L))
+    assert(ids("SELECT id FROM gsnap.orders_t VERSION AS OF 1") == Set(1L, 2L))
+    assert(ids(s"SELECT id FROM gsnap.orders_t TIMESTAMP AS OF '$cut'") ==
+      Set(1L, 2L), "timestamp between v1 and v2 must resolve to v1")
+
+    // schema evolution: the catalog serves the version's DECLARED schema,
+    // so pre-evolution files surface the new column as NULL
+    Snapshots.commitAppend(spark,
+      Seq((4L, "d", 9.5)).toDF("id", "v", "score"), t)
+    val head = spark.sql("SELECT * FROM gsnap.orders_t")
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    assert(head.count() == 4 &&
+      head.filter("score IS NULL").count() == 3)
+    // ...while the pinned pre-evolution version keeps ITS schema
+    assert(spark.sql("SELECT * FROM gsnap.orders_t VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v"))
+
+    // Catalyst pushdown reaches the parquet scan through the catalog
+    val q = spark.sql("SELECT id FROM gsnap.orders_t WHERE id = 3")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,3"),
+      s"filter not pushed:\n${plan.take(800)}")
+
+    // read-only face: DML/DDL refuse instead of bypassing the manifest
+    intercept[Exception] {
+      spark.sql("INSERT INTO gsnap.orders_t VALUES (9, 'z', 1.0)")
+    }
+    intercept[Exception] { spark.sql("DROP TABLE gsnap.orders_t") }
+    intercept[Exception] { spark.sql("SELECT * FROM gsnap.no_such").collect() }
+
+    // a vacuumed version is a loud miss, not a partial read
+    (5L to 9L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"x$i")).toDF("id", "v").withColumn("score",
+        org.apache.spark.sql.functions.lit(1.0)), t))
+    Snapshots.vacuum(spark, t, keepVersions = 2)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gsnap.orders_t VERSION AS OF 1").collect()
+    }
+    // and the head still answers
+    assert(spark.sql("SELECT count(*) FROM gsnap.orders_t")
+      .head.getLong(0) == 9L)
+
+    // discovery: only manifest-bearing dirs list as tables
+    assert(spark.sql("SHOW TABLES IN gsnap").collect()
+      .map(_.getString(1)).toSet == Set("orders_t"))
+  }
+}
