@@ -124,6 +124,7 @@ object Snapshots {
 
   private val SchemaHeader = "#schema:"
   private val StreamHeader = "#stream:"
+  private val OpHeader = "#op:"
 
   /** Declared schema of a version, recorded at commit time in the
     * manifest (`#schema:` header). This is what makes schema evolution
@@ -177,8 +178,10 @@ object Snapshots {
     * vacuum of older manifests.
     */
   private def contentOf(schema: Option[types.StructType],
-      marks: Map[String, Long], files: Seq[String]): String =
-    (schema.map(s => SchemaHeader + s.json).toSeq ++
+      marks: Map[String, Long], files: Seq[String],
+      op: String): String =
+    (Seq(OpHeader + op) ++
+      schema.map(s => SchemaHeader + s.json).toSeq ++
       marks.toSeq.sortBy(_._1)
         .map { case (sid, bid) => s"$StreamHeader$bid:$sid" } ++
       files).mkString("\n")
@@ -283,8 +286,8 @@ object Snapshots {
       val schema = evolveSchema(
         if (replace) None else schemaOf(lines), batch.schema)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), marksOf(lines),
-            base ++ newFiles))) return head + 1
+          contentOf(Some(schema), marksOf(lines), base ++ newFiles,
+            if (replace) "overwrite" else "append"))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -319,7 +322,7 @@ object Snapshots {
           conform(batch, schema), keys)
       val newFiles = stageData(spark, merged, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), marksOf(lines), newFiles)))
+          contentOf(Some(schema), marksOf(lines), newFiles, "merge")))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -376,7 +379,7 @@ object Snapshots {
         !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
       val manifest = contentOf(schema, marksOf(lines),
-        files.filterNot(affected) ++ newFiles)
+        files.filterNot(affected) ++ newFiles, "delete")
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -426,7 +429,7 @@ object Snapshots {
       }
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(schemaOf(lines), marksOf(lines), newFiles)))
+          contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize")))
         return Some(head + 1)
       // lost the race (an append/merge landed first): this rewrite no
       // longer represents the head — drop the orphans and recompute
@@ -446,6 +449,48 @@ object Snapshots {
     val files = filesAt(spark, table, v)
     if (files.isEmpty) spark.emptyDataFrame
     else readWithSchema(spark, table, files, schemaAt(spark, table, v))
+  }
+
+  /** The table's commit log as a DataFrame — the audit surface a
+    * versioned warehouse exposes (Delta's DESCRIBE HISTORY): one row per
+    * RETAINED version (newest first) with the commit's operation (the
+    * `#op:` manifest header; "unknown" for manifests predating it), the
+    * commit instant (the atomic manifest claim's mtime — the protocol's
+    * only clock, the same one TIMESTAMP AS OF resolves against), and the
+    * physical step shape (file counts; added/removed are NULL for the
+    * oldest retained version when its predecessor was vacuumed).
+    * Metadata-only: reads manifests, never data files — O(retained
+    * versions), which vacuum bounds.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    val empty = Seq.empty[(Long, java.sql.Timestamp, String, Int,
+      Option[Int], Option[Int])]
+    if (!f.exists(dir))
+      return empty.toDF("version", "committed_at", "op", "num_files",
+        "added_files", "removed_files")
+    val byVersion = f.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .map(s => versionOf(s.getPath.getName) -> s.getModificationTime)
+      .sortBy(_._1)
+    var prior: Option[Set[String]] = None // unknown until a version reads
+    val rows = byVersion.map { case (v, mtime) =>
+      val lines = manifestLines(spark, table, v)
+      val files = filesOf(lines).toSet
+      val op = lines.find(_.startsWith(OpHeader))
+        .map(_.stripPrefix(OpHeader)).getOrElse("unknown")
+      // contiguity: vacuum retains a suffix, so only the OLDEST retained
+      // version can lack its predecessor (unless it is v1)
+      val base = if (v == 1) Some(Set.empty[String]) else prior
+      val row = (v, new java.sql.Timestamp(mtime), op, files.size,
+        base.map(b => files.diff(b).size), base.map(b => b.diff(files).size))
+      prior = Some(files)
+      row
+    }.reverse.toSeq
+    rows.toDF("version", "committed_at", "op", "num_files",
+      "added_files", "removed_files")
   }
 
   // ------------------------------------------------------------------
@@ -736,7 +781,8 @@ object Snapshots {
       }
       val content = contentOf(
         Some(evolveSchema(schemaOf(lines), batch.schema)),
-        marks + (streamId -> batchId), filesOf(lines) ++ newFiles)
+        marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
+        "streamAppend")
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry

@@ -862,6 +862,33 @@ class MaintenanceSpec extends AnyFunSuite {
       "post-compaction appends must land inside hb= buckets")
   }
 
+  test("snapshot policy with zorder columns restores pruning via the scheduled OPTIMIZE") {
+    import graft.warehouse.Snapshots
+    import graft.warehouse.Maintenance.{MaintenanceTarget, TableKind}
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_maint_zorder").toString + "/t"
+    // 20 shuffled appends over a 60x60 grid: every file spans the full
+    // range, so the stats manifest prunes nothing until a clustering pass
+    val rnd = new scala.util.Random(11)
+    val cells = rnd.shuffle(
+      (0 until 60).flatMap(x => (0 until 60).map(y => (x.toLong, y.toLong)))
+        .toVector)
+    cells.grouped(180).foreach(ch => Snapshots.commitAppend(spark,
+      ch.toDF("x", "y").repartition(1), t))
+    Snapshots.extendStats(spark, t, Seq("x", "y"))
+    val target = MaintenanceTarget(t, TableKind.Snapshot, maxDataFiles = 16,
+      keepVersions = 4, vacuumMinAgeMs = 0L, zorderCols = Some(("x", "y")))
+    val msg = graft.warehouse.Maintenance.maintainIfNeeded(spark, target)
+    assert(msg.exists(_.contains("optimized")), s"got $msg")
+    val box = Seq(("x", 0.0, 9.0), ("y", 0.0, 9.0))
+    val pruned = Snapshots.readPruned(spark, t, box)
+    val (chosen, total) = graft.operators.Layout.lastStatsPruned.get
+    assert(total == 2 && chosen < total,
+      s"policy z-order should let the box prune, got $chosen/$total")
+    assert(pruned.filter(col("x") <= 9 && col("y") <= 9).count() == 100)
+    assert(Snapshots.read(spark, t).count() == 3600)
+  }
+
   test("snapshot policy leg: OPTIMIZE past threshold, aged vacuum, stats extension") {
     import graft.warehouse.Snapshots
     import graft.warehouse.Maintenance.{MaintenanceTarget, TableKind}

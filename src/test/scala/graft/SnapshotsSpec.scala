@@ -371,6 +371,36 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t, Some(v)).count() == 10000)
   }
 
+  test("history lists retained commits newest-first with ops and step shape") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Snapshots.commitMerge(spark, Seq((2L, "B")).toDF("id", "v"), t, Seq("id"))
+    Snapshots.commitDelete(spark, t, Seq(1L), "id")
+    (3L to 6L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"x$i")).toDF("id", "v"), t))
+    Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 2)
+    val h = Snapshots.history(spark, t).collect()
+    assert(h.map(_.getLong(0)).toSeq == (8L to 1L by -1L), "newest first")
+    assert(h.map(_.getString(2)).reverse.toSeq == Seq("append", "merge",
+      "delete", "append", "append", "append", "append", "optimize"))
+    // commit instants are the manifest claims' mtimes: non-decreasing
+    val ts = h.map(_.getTimestamp(1).getTime).reverse
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // v1 adds everything from nothing; the optimize swapped all files
+    val v1 = h.find(_.getLong(0) == 1L).get
+    assert(v1.getInt(4) == v1.getInt(3) && v1.getInt(5) == 0)
+    val v8 = h.find(_.getLong(0) == 8L).get
+    assert(v8.getInt(3) == 1 && v8.getInt(4) == 1)
+    // after a vacuum the oldest retained row can't know its predecessor:
+    // added/removed go NULL instead of lying
+    Snapshots.vacuum(spark, t, keepVersions = 3)
+    val h2 = Snapshots.history(spark, t).collect()
+    assert(h2.map(_.getLong(0)).toSeq == Seq(8L, 7L, 6L))
+    val oldest = h2.last
+    assert(oldest.isNullAt(4) && oldest.isNullAt(5))
+    assert(!h2.head.isNullAt(4), "contiguous retained rows keep their diffs")
+  }
+
   test("stream watermarks survive interleaved commits and manifest vacuum") {
     val t = freshTable()
     // stream commits batch 0, then unrelated writers bury its manifest
