@@ -25,10 +25,27 @@ object Layout {
     * (x in even positions, y in odd). Pure codegen'd bit arithmetic.
     */
   def mortonKey(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
-      (shiftright(x, i).bitwiseAND(1).cast("long") * (1L << (2 * i))) +
-        (shiftright(y, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1)))
+    mortonKeyN(Seq(x, y))
+
+  /** k-dimensional Morton key (2 ≤ k ≤ 6): dimension `i`'s bit `j` lands
+    * at interleaved position `j*k + i`. Bits per dimension shrink as k
+    * grows (min(16, 62/k)) so the key stays a positive Long — rank
+    * resolution per dimension falls, which is the real Z-ORDER trade-off
+    * at high k (each extra clustered column dilutes the others' locality;
+    * the same reason Delta docs advise few ZORDER columns).
+    */
+  def mortonKeyN(ranks: Seq[Column]): Column = {
+    val k = ranks.size
+    require(k >= 2 && k <= 6, s"z-order needs 2..6 columns, got $k")
+    val bits = math.min(16, 62 / k)
+    val drop = 16 - bits // ranks are 16-bit; keep the HIGH bits
+    ranks.zipWithIndex.flatMap { case (r, i) =>
+      (0 until bits).map { j =>
+        shiftright(r, j + drop).bitwiseAND(1).cast("long") *
+          (1L << (j * k + i))
+      }
     }.reduce(_ + _)
+  }
 
   /** Normalize a numeric column to a 16-bit rank bucket given its
     * [min, max] range (driver-computed, 2 values per column).
@@ -55,14 +72,23 @@ object Layout {
     * protocol's OPTIMIZE staging its rewrite before claiming a manifest.
     */
   def zorderFrame(df: DataFrame, colX: String, colY: String,
+      numFiles: Int): DataFrame =
+    zorderFrameN(df, Seq(colX, colY), numFiles)
+
+  /** k-column z-order (2..6 numeric columns): ONE driver-side agg
+    * computes every column's [min, max] (2k values), each column
+    * normalizes to its rank bucket, and the interleaved Morton key
+    * drives the same range-partition + in-partition sort.
+    */
+  def zorderFrameN(df: DataFrame, cols: Seq[String],
       numFiles: Int): DataFrame = {
-    val r = df.agg(
-      min(col(colX)).cast("double"), max(col(colX)).cast("double"),
-      min(col(colY)).cast("double"), max(col(colY)).cast("double")).head
-    val keyed = df.withColumn("__z", mortonKey(
-      to16bit(col(colX), r.getDouble(0), r.getDouble(1)),
-      to16bit(col(colY), r.getDouble(2), r.getDouble(3))))
-    keyed
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      to16bit(col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
+    df.withColumn("__z", mortonKeyN(ranks))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -250,10 +250,10 @@ object Maintenance {
       retainDays: Option[Int] = None,
       keepVersions: Int = 8,
       vacuumMinAgeMs: Long = 30L * 60 * 1000,
-      // Snapshot tables only: OPTIMIZE rewrites z-order on these two
+      // Snapshot tables only: OPTIMIZE rewrites z-order on these 2..6
       // numeric columns, so the policy's compaction doubles as the
       // clustering pass that keeps stats-pruned reads effective
-      zorderCols: Option[(String, String)] = None)
+      zorderCols: Seq[String] = Nil)
 
   /** Total visible data files under a table (recursing into partition
     * dirs) — the accretion metric the index/doc-table policy gates on.

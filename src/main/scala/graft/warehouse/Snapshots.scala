@@ -400,7 +400,7 @@ object Snapshots {
     * compaction that rewrites a healthy table is pure write
     * amplification. Returns the committed version.
     *
-    * `zorderBy` (two numeric columns) clusters the rewrite along the
+    * `zorderBy` (2..6 numeric columns) clusters the rewrite along the
     * Morton curve instead of hash-scattering it — `OPTIMIZE ZORDER BY`:
     * the rewrite is the one moment the table's rows move anyway, so
     * clustering rides along for free, and with a stats manifest
@@ -411,7 +411,7 @@ object Snapshots {
     */
   def compactData(spark: SparkSession, table: String, targetFiles: Int = 8,
       minFiles: Int = 16, maxRetries: Int = 10,
-      zorderBy: Option[(String, String)] = None): Option[Long] = {
+      zorderBy: Seq[String] = Nil): Option[Long] = {
     require(targetFiles > 0)
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -422,11 +422,10 @@ object Snapshots {
       if (head == 0 || filesOf(lines).size < minFiles) return None
       val current = readWithSchema(spark, table, filesOf(lines),
         schemaOf(lines))
-      val rewritten = zorderBy match {
-        case Some((x, y)) =>
-          graft.operators.Layout.zorderFrame(current, x, y, targetFiles)
-        case None => current.repartition(targetFiles)
-      }
+      val rewritten =
+        if (zorderBy.nonEmpty)
+          graft.operators.Layout.zorderFrameN(current, zorderBy, targetFiles)
+        else current.repartition(targetFiles)
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize")))

@@ -49,6 +49,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/zorder").count() == n)
   }
 
+  test("k-dimensional z-order: a 3-d box localizes in all three dimensions") {
+    val n = 200000
+    val grid = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1000)).cast("int").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("int").as("y"),
+      pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("int").as("z"))
+    val base = java.nio.file.Files.createTempDirectory("graft_layout3").toString
+    val files = 64
+    Layout.zorderFrameN(grid, Seq("x", "y", "z"), files)
+      .write.parquet(s"$base/z3")
+    // a 10%-per-dimension box is 0.1% of the volume: on a 3-d curve it
+    // touches a handful of files; a 2-d curve ignores z entirely, so the
+    // same box smears across every z value inside its (x, y) band
+    val box = col("x") >= 100 && col("x") < 200 &&
+      col("y") >= 100 && col("y") < 200 &&
+      col("z") >= 100 && col("z") < 200
+    Layout.zorderWrite(grid, "x", "y", s"$base/z2", files)
+    val t3 = Layout.filesTouched(spark, s"$base/z3", box)
+    val t2 = Layout.filesTouched(spark, s"$base/z2", box)
+    assert(t3 <= files / 8,
+      s"3-d box should touch a small band of 3-d-curve files ($t3/$files)")
+    assert(t3 < t2,
+      s"clustering the third dimension must beat ignoring it ($t3 vs $t2)")
+    assert(spark.read.parquet(s"$base/z3").count() == n)
+  }
+
   test("stats manifest prunes the file LIST; pruned read ≡ full-scan filter") {
     val n = 100000
     val grid = spark.range(n).select(

@@ -877,7 +877,7 @@ class MaintenanceSpec extends AnyFunSuite {
       ch.toDF("x", "y").repartition(1), t))
     Snapshots.extendStats(spark, t, Seq("x", "y"))
     val target = MaintenanceTarget(t, TableKind.Snapshot, maxDataFiles = 16,
-      keepVersions = 4, vacuumMinAgeMs = 0L, zorderCols = Some(("x", "y")))
+      keepVersions = 4, vacuumMinAgeMs = 0L, zorderCols = Seq("x", "y"))
     val msg = graft.warehouse.Maintenance.maintainIfNeeded(spark, target)
     assert(msg.exists(_.contains("optimized")), s"got $msg")
     val box = Seq(("x", 0.0, 9.0), ("y", 0.0, 9.0))

@@ -358,7 +358,7 @@ class SnapshotsSpec extends AnyFunSuite {
       s"shuffled appends should defeat pruning, got $chosenBefore/$totalBefore")
     // the compaction rewrite doubles as the clustering pass
     val v = Snapshots.compactData(spark, t, targetFiles = 16, minFiles = 8,
-      zorderBy = Some(("x", "y"))).get
+      zorderBy = Seq("x", "y")).get
     Snapshots.extendStats(spark, t, Seq("x", "y"))
     val pruned = Snapshots.readPruned(spark, t, box)
     val (chosenAfter, totalAfter) = graft.operators.Layout.lastStatsPruned.get
