@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.warehouse.Snapshots
+
+/** Maintenance statements for snapshot tables as REAL SQL — the operator
+  * surface a versioned warehouse schedules from plain `spark.sql(...)`:
+  *
+  * {{{
+  *   OPTIMIZE <target> [ZORDER BY (c1, c2 [, ...])]
+  *   VACUUM <target> [RETAIN <n> VERSIONS]
+  *   DESC[RIBE] HISTORY <target>
+  * }}}
+  *
+  * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
+  * catalog-qualified identifier (`snap.events`) resolved through the same
+  * `spark.sql.catalog.<name>.root` configuration the DSv2 read catalog
+  * ([[graft.sources.SnapshotCatalog]]) uses — one registration serves
+  * both the read face (SELECT/time travel) and the maintenance face.
+  *
+  * Implementation is the parser-delegation recipe the transactional table
+  * formats use for their own OPTIMIZE/VACUUM (SparkSessionExtensions
+  * `injectParser`): [[GraftSqlParser]] recognizes exactly these three
+  * statements and hands EVERYTHING else verbatim to the session's normal
+  * parser, so no Spark SQL behavior changes. Each statement becomes a
+  * `LeafRunnableCommand` — executed eagerly by Spark's command machinery,
+  * results returned as a normal DataFrame.
+  *
+  * All three commands are metadata-bounded at 100 TB: OPTIMIZE rewrites
+  * one table's current file set under the optimistic commit protocol
+  * (racing appends serialize, never lost — Snapshots.compactData), VACUUM
+  * deletes only files referenced by no retained manifest, and DESCRIBE
+  * HISTORY reads manifests only (O(retained versions), never data).
+  */
+object MaintenanceSql {
+
+  /** A statement's table target, resolved lazily at execution time (the
+    * catalog root conf may be set between parse and run).
+    */
+  final case class SnapTarget(raw: String) {
+    def resolve(spark: SparkSession): String =
+      if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
+      else {
+        val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+        require(parts.size >= 2,
+          s"snapshot maintenance target '$raw' must be a quoted path or a " +
+            "catalog-qualified name (catalog.table)")
+        val key = s"spark.sql.catalog.${parts.head}.root"
+        val root = spark.conf.getOption(key).getOrElse(throw
+          new IllegalArgumentException(
+            s"catalog '${parts.head}' has no $key configured"))
+        parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
+          (p, n) => new org.apache.hadoop.fs.Path(p, n)).toString
+      }
+  }
+
+  // quoted path | multipart identifier (optionally backticked parts)
+  private val T = """('[^']+'|`?[A-Za-z_][\w]*`?(?:\.`?[A-Za-z_][\w]*`?)*)"""
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+
+  /** Some(plan) when `sqlText` is one of the three maintenance
+    * statements; None → caller delegates to the normal parser.
+    */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(target, zorder) =>
+      val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      Some(OptimizeSnapshot(SnapTarget(target), cols))
+    case VacuumRe(target, retain) =>
+      Some(VacuumSnapshot(SnapTarget(target),
+        Option(retain).map(_.toInt).getOrElse(2)))
+    case HistoryRe(target) =>
+      Some(DescribeSnapshotHistory(SnapTarget(target)))
+    case _ => None
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (...)]` → Snapshots.compactData: rewrites the
+  * head's accreted files into a compact (optionally Morton-clustered)
+  * layout as a NEW version. Returns (version, compacted); version is the
+  * unchanged head and compacted=false when the table was already healthy
+  * (below minFiles — rewrite refused as pure write amplification).
+  */
+final case class OptimizeSnapshot(target: MaintenanceSql.SnapTarget,
+    zorder: Seq[String], targetFiles: Int = 8, minFiles: Int = 16)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("compacted", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    Snapshots.compactData(spark, path, targetFiles, minFiles,
+        zorderBy = zorder) match {
+      case Some(v) => Seq(Row(v, true))
+      case None => Seq(Row(Snapshots.currentVersion(spark, path), false))
+    }
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` → Snapshots.vacuum: physically deletes
+  * data files referenced by no retained manifest and drops the expired
+  * manifests. Returns the deleted-file count and the retention floor.
+  */
+final case class VacuumSnapshot(target: MaintenanceSql.SnapTarget,
+    keepVersions: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_files", IntegerType, nullable = false)(),
+    AttributeReference("retained_versions", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val deleted = Snapshots.vacuum(spark, target.resolve(spark), keepVersions)
+    Seq(Row(deleted.size, keepVersions))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → Snapshots.history: one row per retained version
+  * (newest first) with the commit op, instant, and file-count deltas.
+  */
+final case class DescribeSnapshotHistory(target: MaintenanceSql.SnapTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("added_files", IntegerType, nullable = true)(),
+    AttributeReference("removed_files", IntegerType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import scala.jdk.CollectionConverters._
+    Snapshots.history(spark, target.resolve(spark))
+      .collectAsList().asScala.toSeq // bounded: O(retained versions)
+  }
+}
+
+/** The session parser with the three maintenance statements spliced in;
+  * every other string delegates verbatim (zero behavior drift for normal
+  * SQL — spec-pinned in SnapshotSqlSpec).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    MaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

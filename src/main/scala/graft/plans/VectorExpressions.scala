@@ -170,6 +170,7 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectOptimizerRule(_ => RewriteVectorHof)
     e.injectOptimizerRule(s => RewriteToMaterialized(s))
     e.injectPlannerStrategy(_ => TopKStrategy)

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.warehouse.Snapshots
+
+/** The SQL maintenance statements (plans/MaintenanceSql.scala):
+  * OPTIMIZE / VACUUM / DESCRIBE HISTORY parse through the injected
+  * GraftSqlParser, execute against the snapshot commit protocol, and
+  * everything that is NOT one of the three statements delegates verbatim.
+  */
+class SnapshotSqlSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def freshTable(files: Int): String = {
+    val t = Files.createTempDirectory("graft_snapsql").toString + "/t"
+    (0 until files).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 8).map(j => (i * 8L + j, i * 1.0)).toDF("id", "x")
+          .coalesce(1), t)
+    }
+    t
+  }
+
+  test("OPTIMIZE compacts an accreted table to a new version; healthy tables refuse") {
+    val t = freshTable(16)
+    val before = Snapshots.read(spark, t).collect().toSet
+    val r = spark.sql(s"OPTIMIZE '$t'").head
+    assert(r.getLong(0) == 17L && r.getBoolean(1))
+    val after = Snapshots.filesAt(spark, t, 17L)
+    assert(after.size < 16 && after.size <= 8,
+      s"expected <=8 compacted files, got ${after.size}")
+    assert(Snapshots.read(spark, t).collect().toSet == before,
+      "OPTIMIZE must be bit-identical on data")
+    // second run: below minFiles — refused, head unchanged
+    val r2 = spark.sql(s"OPTIMIZE '$t'").head
+    assert(r2.getLong(0) == 17L && !r2.getBoolean(1))
+  }
+
+  test("OPTIMIZE ZORDER BY clusters the rewrite; rows survive exactly") {
+    val t = freshTable(16)
+    val before = Snapshots.read(spark, t).collect().toSet
+    val r = spark.sql(s"OPTIMIZE '$t' ZORDER BY (id, x)").head
+    assert(r.getBoolean(1))
+    assert(Snapshots.read(spark, t).collect().toSet == before)
+    val hist = spark.sql(s"DESC HISTORY '$t'").collect()
+    assert(hist.head.getString(2) == "optimize", "newest-first history")
+  }
+
+  test("catalog-qualified targets resolve through spark.sql.catalog.<name>.root") {
+    val root = Files.createTempDirectory("graft_snapsql_cat").toString
+    val t = root + "/tt"
+    (0 until 16).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i.toLong, "v")).toDF("id", "v").coalesce(1), t))
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    assert(spark.sql("OPTIMIZE gsql.tt").head.getBoolean(1))
+    // the DSv2 read face sees the compacted head through the same conf
+    assert(spark.sql("SELECT count(*) FROM gsql.tt").head.getLong(0) == 16L)
+    val err = intercept[Exception] {
+      spark.sql("OPTIMIZE nocat.tt").collect()
+    }
+    assert(err.getMessage.contains("nocat"),
+      s"unconfigured catalog must fail loudly, got: ${err.getMessage}")
+  }
+
+  test("VACUUM RETAIN deletes exactly the unreferenced files; history shrinks") {
+    val t = freshTable(16)
+    spark.sql(s"OPTIMIZE '$t'") // v17 rewrites; v1..v16 files now stale
+    val optFiles = Snapshots.filesAt(spark, t, 17L).size
+    val del = spark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS").head
+    assert(del.getInt(0) == 16 && del.getInt(1) == 1,
+      s"expected the 16 pre-optimize files deleted, got ${del.getInt(0)}")
+    // head still fully readable from its retained files
+    assert(Snapshots.read(spark, t).count() == 16 * 8)
+    assert(Snapshots.filesAt(spark, t, 17L).size == optFiles)
+    // expired manifests are gone: history now holds only the head
+    assert(spark.sql(s"DESCRIBE HISTORY '$t'").count() == 1)
+  }
+
+  test("DESCRIBE HISTORY reports ops and file deltas, newest first") {
+    val t = freshTable(3)
+    Snapshots.commitOverwrite(spark,
+      Seq((99L, 0.0)).toDF("id", "x"), t)
+    val h = spark.sql(s"DESCRIBE HISTORY '$t'").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("overwrite", "append", "append", "append"))
+    // v2: one file added, none removed; v4 overwrite dropped all three
+    assert(h(2).getInt(4) == 1 && h(2).getInt(5) == 0)
+    assert(h.head.getInt(5) == 3)
+  }
+
+  test("everything else delegates verbatim to the normal parser") {
+    assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
+    // near-miss keywords stay vanilla errors, not silent maintenance runs
+    intercept[Exception] { spark.sql("OPTIMIZE") }
+    intercept[Exception] { spark.sql("DESCRIBE HISTORY") }
+    // a bare one-part unquoted target cannot resolve to a path
+    val t = freshTable(16)
+    val err = intercept[Exception] { spark.sql("OPTIMIZE justaname").collect() }
+    assert(err.getMessage.contains("catalog-qualified") ||
+      err.getMessage.contains("quoted path"))
+  }
+}
