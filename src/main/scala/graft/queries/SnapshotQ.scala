@@ -136,5 +136,109 @@ object SnapshotQ {
           |FROM gtt.orders_tt""".stripMargin)
     })
 
-  val all: Seq[QueryDef] = Seq(snapChangeFeed, snapTimeTravel)
+  /** The SQL maintenance face (plans/MaintenanceSql.scala): a scratch
+    * snapshot table accretes 16 single-file appends, then pure SQL runs
+    * `OPTIMIZE ... ZORDER BY`, `DESCRIBE HISTORY`, and `VACUUM ... RETAIN
+    * 1 VERSIONS` — every emitted check value is a protocol constant
+    * (versions, op counts, file counts) or the orders row count, so the
+    * whole statement surface is DuckDB-oracled. Row preservation across
+    * the z-ordered rewrite and the post-vacuum read path are asserted by
+    * the `head_rows` check reading the HEAD AFTER the vacuum deleted all
+    * pre-optimize files.
+    */
+  val snapSqlMaintenance = QueryDef(
+    "snap_sql_maintenance",
+    Some("""SELECT 'head_rows' AS check_name,
+           |       (SELECT count(*) FROM orders) AS value
+           |UNION ALL SELECT 'history_appends', 16
+           |UNION ALL SELECT 'history_optimizes', 1
+           |UNION ALL SELECT 'optimize_compacted', 1
+           |UNION ALL SELECT 'optimize_files', 8
+           |UNION ALL SELECT 'optimize_version', 17
+           |UNION ALL SELECT 'vacuumed_files', 16""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_sql").toString + "/t"
+      // 16 one-file appends: the accretion pattern OPTIMIZE exists to heal
+      (0 until 16).foreach { i =>
+        Snapshots.commitAppend(spark,
+          orders.filter(col("o_orderkey") % 16 === i).coalesce(1), table)
+      }
+      val opt = spark.sql(
+        s"OPTIMIZE '$table' ZORDER BY (o_orderkey, o_custkey)").head
+      val optFiles = Snapshots.filesAt(spark, table, opt.getLong(0)).size
+      val hist = spark.sql(s"DESCRIBE HISTORY '$table'")
+        .groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vacuumed = spark.sql(s"VACUUM '$table' RETAIN 1 VERSIONS")
+        .head.getInt(0)
+      val headRows = Snapshots.read(spark, table).count()
+      Seq(
+        ("head_rows", headRows),
+        ("history_appends", hist.getOrElse("append", 0L)),
+        ("history_optimizes", hist.getOrElse("optimize", 0L)),
+        ("optimize_compacted", if (opt.getBoolean(1)) 1L else 0L),
+        ("optimize_files", optFiles.toLong),
+        ("optimize_version", opt.getLong(0)),
+        ("vacuumed_files", vacuumed.toLong)
+      ).toDF("check_name", "value")
+    })
+
+  /** Exactly-once replica maintenance (Snapshots.syncReplica): a source
+    * table walks the same deterministic history as the change-feed query
+    * (append even → append odd → delete %10=3 → merge-bump %10=7) with a
+    * sync after each phase, so the replica exercises ALL THREE transports
+    * — `append` (added files only, IO ∝ delta), `feed` (row-exact CDC
+    * merge of the rewrite window), and a final `noop` (cursor caught up).
+    * The emitted rows are the REPLICA's final contents, fully
+    * DuckDB-oracled from orders alone: every order except the deleted
+    * tail, price bumped 10% on the merged tail. A mismatch in any
+    * transport (double-applied append, resurrected delete, lost update,
+    * pre-image leakage) lands in the diff.
+    */
+  val snapReplica = QueryDef(
+    "snap_replica",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4)
+           |         AS o_totalprice
+           |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_rep").toString
+      val src = root + "/src"
+      val dst = root + "/dst"
+      val keys = Seq("o_orderkey")
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), src)
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1), src)
+      val s1 = Snapshots.syncReplica(spark, src, dst, keys)
+      require(s1._3 == "append", s"expected append transport, got $s1")
+      val doomed = orders.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDelete(spark, src, doomed, "o_orderkey")
+      Snapshots.commitMerge(spark,
+        orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice",
+            col("o_totalprice").cast("double") * 1.1),
+        src, keys)
+      val s2 = Snapshots.syncReplica(spark, src, dst, keys)
+      require(s2._3 == "feed", s"expected feed transport, got $s2")
+      val s3 = Snapshots.syncReplica(spark, src, dst, keys)
+      require(s3._3 == "noop", s"expected noop on a caught-up replica, got $s3")
+      Snapshots.read(spark, dst)
+        .withColumn("o_totalprice",
+          round(col("o_totalprice").cast("double"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica)
 }

@@ -791,6 +791,88 @@ object Snapshots {
         s"$maxRetries attempts")
   }
 
+  /** EXACTLY-ONCE replica maintenance: catch snapshot table `dst` up to
+    * `src`'s current head in ONE sync, choosing the cheapest correct
+    * transport per window — the cross-region / dev-mirror loop a 100 TB
+    * warehouse runs on its change feed instead of re-copying tables:
+    *
+    *   - `append`  — the window added files and rewrote none: ship ONLY
+    *     the added files' rows ([[incrementalRead]], IO ∝ delta) as a
+    *     stream append;
+    *   - `feed`    — the window rewrote files (delete/merge/OPTIMIZE
+    *     landed): apply the row-exact change feed ([[rowDiff]], IO ∝
+    *     churn on the source side) to the replica's own head via the
+    *     CDC merge (operators.Merge.applyChanges);
+    *   - `rebuild` — the replica lagged past the source's vacuum
+    *     retention (its cursor's manifest is gone): one full re-mirror
+    *     of the source head, then incremental syncs resume;
+    *   - `noop`    — already caught up.
+    *
+    * The cursor is the source-head version, persisted as a STREAM MARK in
+    * the replica's own manifest (streamId `replica:<src>`) — state and
+    * data commit in one atomic claim, so a crashed or replayed sync
+    * detects `srcHead <= mark` and returns without committing
+    * (exactly-once, the same contract as [[commitStreamAppend]]). Feed
+    * and rebuild syncs are computed against the replica's head and
+    * recompute on a lost claim, like [[commitMerge]]. `keys` must be
+    * unique per version (the rowDiff contract). Returns
+    * (fromVersion, syncedThroughVersion, mode).
+    */
+  def syncReplica(spark: SparkSession, src: String, dst: String,
+      keys: Seq[String], maxRetries: Int = 10): (Long, Long, String) = {
+    import org.apache.spark.sql.functions._
+    val sid = s"replica:${new Path(src).toString}"
+    val srcHead = currentVersion(spark, src)
+    val from = lastCommittedBatch(spark, dst, sid).getOrElse(0L)
+    if (srcHead <= from) return (from, srcHead, "noop")
+    val precise = hasVersion(spark, src, from)
+    if (precise && removedFiles(spark, src, from, srcHead).isEmpty) {
+      commitStreamAppend(spark, incrementalRead(spark, src, from, srcHead),
+        dst, sid, srcHead, maxRetries)
+      return (from, srcHead, "append")
+    }
+    val mode = if (precise) "feed" else "rebuild"
+    val f = fs(spark, dataDir(dst))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, dst)
+      val lines = manifestLines(spark, dst, head)
+      val marks = marksOf(lines)
+      if (marks.get(sid).orElse(lastCommittedBatch(spark, dst, sid))
+          .exists(_ >= srcHead)) return (from, srcHead, "noop")
+      val srcSchema = read(spark, src, Some(srcHead)).schema
+      val state =
+        if (!precise || head == 0 || filesOf(lines).isEmpty)
+          read(spark, src, Some(srcHead))
+        else {
+          // replica state evolves to the union of its own schema and the
+          // source's (an evolution step's feed carries the new columns)
+          val schema = evolveSchema(schemaOf(lines), srcSchema)
+          val changes = rowDiff(spark, src, from, srcHead, keys)
+            .filter(col("change_type") =!= "update_preimage")
+            .withColumn("_deleted", col("change_type") === "delete")
+            .drop("change_type")
+          graft.operators.Merge.applyChanges(
+            conform(readWithSchema(spark, dst, filesOf(lines),
+              schemaOf(lines)), schema),
+            conform(changes, types.StructType(schema.fields :+
+              types.StructField("_deleted", types.BooleanType, false))),
+            keys)
+        }
+      val newFiles = stageData(spark, state, dst)
+      if (claimManifest(spark, dst, head + 1,
+          contentOf(Some(state.schema), marks + (sid -> srcHead), newFiles,
+            "replicaSync")))
+        return (from, srcHead, mode)
+      // lost the race: computed against a stale replica head — drop the
+      // orphans and recompute (single-writer replicas never hit this)
+      newFiles.foreach(n => f.delete(new Path(dataDir(dst), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"replica sync $src -> $dst failed after $maxRetries attempts")
+  }
+
   /** Delete data files referenced by NO manifest ≤ the current head and
     * manifests older than `keepVersions` (retention). Returns deleted
     * file names.
