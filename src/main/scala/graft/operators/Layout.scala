@@ -75,23 +75,81 @@ object Layout {
       numFiles: Int): DataFrame =
     zorderFrameN(df, Seq(colX, colY), numFiles)
 
-  /** k-column z-order (2..6 numeric columns): ONE driver-side agg
-    * computes every column's [min, max] (2k values), each column
-    * normalizes to its rank bucket, and the interleaved Morton key
-    * drives the same range-partition + in-partition sort.
+  /** k-column z-order (1..6 columns, ANY orderable type): numeric
+    * columns rank by exact [min, max] normalization (ONE driver-side agg,
+    * 2k values); string/date/timestamp columns rank by sampled range
+    * boundaries ([[boundaryRank]] — the range-partition-id idea Delta's
+    * ZORDER uses, here as a deterministic hash-sample + an `aggregate`
+    * HOF counting boundaries ≤ value). The interleaved Morton key drives
+    * the same range-partition + in-partition sort; ONE column degenerates
+    * to a plain range-cluster (a 1-d Morton curve IS a sort).
     */
   def zorderFrameN(df: DataFrame, cols: Seq[String],
       numFiles: Int): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head
-    val ranks = cols.zipWithIndex.map { case (c, i) =>
-      to16bit(col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
-    }
-    df.withColumn("__z", mortonKeyN(ranks))
+    val key =
+      if (cols.size == 1) rank16(df, cols.head)
+      else mortonKeyN(cols.map(c => rank16(df, c)))
+    df.withColumn("__z", key)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** 16-bit rank of any orderable column: exact-range normalization for
+    * numerics, sampled boundaries for everything else. NULLs rank 0
+    * (cluster together at the curve origin).
+    */
+  private def rank16(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        val r = df.agg(min(col(c)).cast("double"),
+          max(col(c)).cast("double")).head
+        if (r.isNullAt(0)) lit(0) // all-NULL column
+        else to16bit(col(c), r.getDouble(0), r.getDouble(1))
+      case _ => boundaryRank(df, c)
+    }
+
+  /** Max boundaries per non-numeric z-order column: rank resolution 256
+    * per dimension — plenty for FILE-level clustering (a table has far
+    * fewer files than 256 per dimension), and it bounds the per-row
+    * rank cost (one `aggregate` pass over ≤255 literals).
+    */
+  private val boundaryCap = 255
+
+  /** Sampled-boundary rank for non-numeric orderable columns: collect a
+    * bounded, DETERMINISTIC sample of the column's distinct domain
+    * (hash-gated — no RNG, same layout on every run), keep ≤
+    * [[boundaryCap]] evenly-spaced sorted boundaries, and rank each row
+    * by how many boundaries it is ≥ (an `aggregate` HOF — pure Catalyst,
+    * no UDF). Domain-weighted rather than frequency-weighted: heavy skew
+    * concentrates rows in one rank bucket, which costs locality, never
+    * correctness. The sample pass is bounded: the hash modulus doubles
+    * until ≤ cap·8 distinct survivors, each probe capped by LIMIT.
+    */
+  private[graft] def boundaryRank(df: DataFrame, c: String): Column = {
+    val probeCap = boundaryCap * 8 + 1
+    var k = 1L
+    var sample: Array[org.apache.spark.sql.Row] = Array.empty
+    var done = false
+    while (!done) {
+      sample = df.select(col(c)).na.drop().distinct()
+        .filter(pmod(xxhash64(col(c)), lit(k)) === 0)
+        .limit(probeCap).collect()
+      if (sample.length < probeCap || k > (1L << 40)) done = true else k *= 8
+    }
+    val bounds = sample.map(_.get(0)).sortBy(_.toString)
+    val kept =
+      if (bounds.length <= boundaryCap) bounds.toSeq
+      else (1 to boundaryCap).map(i => bounds((i * bounds.length) / (boundaryCap + 1)))
+    if (kept.isEmpty) lit(0)
+    else {
+      val scale = 65536.0 / (kept.length + 1)
+      val arr = array(kept.map(lit): _*)
+      val rank = aggregate(arr, lit(0),
+        (acc, b) => acc + when(col(c) >= b, 1).otherwise(0))
+      when(col(c).isNull, 0)
+        .otherwise(least(lit(65535), floor(rank * scale).cast("int")))
+    }
   }
 
   /** Linear-sorted comparison layout (single-dimension clustering). */
@@ -122,12 +180,32 @@ object Layout {
 
   /** The per-file min/max aggregate columns of a manifest (one builder,
     * shared by write and incremental append so the encodings can never
-    * diverge).
+    * diverge). Encoding is TYPED per column: numerics as double,
+    * string/date/timestamp as strings (ISO date/timestamp strings sort
+    * chronologically, so lexicographic range checks are correct) —
+    * corpus tables key on `source`/`lang`/dates as often as on numbers.
     */
-  private def statsAggs(cols: Seq[String]): Seq[Column] =
-    cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max")))
+  private def statsAggs(schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+        case _ => Seq(
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+    }
+
+  private def statsSupported(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
 
   /** Stats columns a manifest at `path` declares (parsed from its
     * `<col>__min` schema), None when the table has no manifest — how
@@ -158,16 +236,16 @@ object Layout {
       path: String, statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty)
     val df = spark.read.parquet(path)
-    // numeric only: a string/date column silently casts to all-NULL
-    // min/max, and an all-NULL manifest row would mean "prunes nothing"
-    // at best — reject loudly at write time instead
+    // orderable types only: a boolean/binary/array column has no useful
+    // file range, and an all-NULL or meaningless manifest row would mean
+    // "prunes nothing" at best — reject loudly at write time instead
     statsCols.foreach { c =>
       val t = df.schema(c).dataType
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      require(statsSupported(t),
         s"stats column $c is ${t.simpleString}; per-file min/max stats " +
-          "require a numeric column")
+          "require a numeric, string, date or timestamp column")
     }
-    val aggs = statsAggs(statsCols)
+    val aggs = statsAggs(df.schema, statsCols)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -196,9 +274,10 @@ object Layout {
           .map(canonFile).filterNot(known)
         if (missing.isEmpty) 0
         else {
-          val aggs = statsAggs(cols)
-          val fresh = spark.read.option("basePath", path)
+          val freshRead = spark.read.option("basePath", path)
             .parquet(missing.toIndexedSeq: _*)
+          val aggs = statsAggs(freshRead.schema, cols)
+          val fresh = freshRead
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
           existing.unionByName(fresh).coalesce(1)
@@ -255,7 +334,7 @@ object Layout {
     * Files the stats manifest does not cover are always kept.
     */
   private[graft] def selectByStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, ranges: Seq[(String, Double, Double)],
+      path: String, ranges: Seq[(String, Any, Any)],
       live: Seq[String]): Seq[String] = {
     // a NULL min/max (all-null values in that file, or a manifest from
     // before the numeric-column guard) must mean "cannot prune", never
@@ -273,7 +352,7 @@ object Layout {
   }
 
   def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): DataFrame = {
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path, statsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }

@@ -243,6 +243,40 @@ object QuantGates {
         case _ => 0.0
       }
 
+      // ---- gate 6c: STRING-column clustering + stats skipping — the
+      // corpus layout shape (documents keyed by `source`): a z-order on
+      // (source, n_chars) with a typed stats manifest must answer a
+      // source-band + length-band box from a strict minority of files
+      // AND equal the full-scan filter exactly (lexicographic file
+      // ranges can't produce false skips)
+      val strBase = java.nio.file.Files
+        .createTempDirectory("graft_qc_strstats").toString + "/z"
+      val docsLayout = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.operators.Layout.zorderFrameN(
+        docsLayout, Seq("source", "n_chars"), 32)
+        .write.parquet(strBase)
+      graft.operators.Layout.writeStatsManifest(spark, strBase,
+        Seq("source", "n_chars"))
+      val srcs = docsLayout.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0))
+      val (srcLo, srcHi) = (srcs.head, srcs(math.max(0, srcs.length / 4 - 1)))
+      val lenHi = docsLayout.agg(expr("approx_percentile(n_chars, 0.25)"))
+        .head.getLong(0).toDouble
+      val strBox = col("source").between(srcLo, srcHi) &&
+        col("n_chars") <= lenHi
+      val strPrunedCount = graft.operators.Layout
+        .statsPrunedRead(spark, strBase,
+          Seq(("source", srcLo, srcHi), ("n_chars", 0.0, lenHi)))
+        .filter(strBox).count()
+      val strFullCount = spark.read.parquet(strBase).filter(strBox).count()
+      val strStatsEqualityDiff =
+        math.abs(strPrunedCount - strFullCount).toDouble
+      val strStatsPruneRate = graft.operators.Layout.lastStatsPruned match {
+        case Some((read, total)) if total > 0 => 1.0 - read.toDouble / total
+        case _ => 0.0
+      }
+
       // ---- gate 7: corpus funnel monotonicity (each stage's survivor
       // count never exceeds the previous stage's)
       val report = CorpusPipeline.run(docs,
@@ -315,6 +349,10 @@ object QuantGates {
         ("bloom_prune_rate", bloomPrune, 0.5, ">=", ""),
         ("stats_pruned_vs_full_diff", statsEqualityDiff, 0.0, "<=", ""),
         ("stats_file_prune_rate", statsPruneRate, 0.5, ">=", ""),
+        ("str_stats_pruned_vs_full_diff", strStatsEqualityDiff, 0.0, "<=", ""),
+        // a quarter-band on each of two clustered dims: even with a
+        // domain-weighted string rank the read set must stay a minority
+        ("str_stats_file_prune_rate", strStatsPruneRate, 0.5, ">=", ""),
         ("phash_banding_vs_brute_diff", phashBandDiff, 0.0, "<=", "")
       ).map { case (gate, value, threshold, op, detail) =>
         val pass = op match {

@@ -676,7 +676,7 @@ object Snapshots {
     * exists.
     */
   def readPruned(spark: SparkSession, table: String,
-      ranges: Seq[(String, Double, Double)],
+      ranges: Seq[(String, Any, Any)],
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
     val f = fs(spark, dataDir(table))

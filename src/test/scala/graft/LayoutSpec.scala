@@ -135,19 +135,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(again.filter(col("v") === 999999).count() == 1)
   }
 
-  test("stats manifests reject non-numeric columns; partitioned reads keep p_date") {
+  test("stats manifests reject unorderable columns; partitioned reads keep p_date") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stats_edge").toString
     val dir = s"$base/t"
-    (0 until 300).map(i => (i.toLong, f"2024-01-${i % 3 + 1}%02d"))
-      .toDF("v", "d")
-      .select(col("v"), col("d").cast("date").as("p_date"))
+    (0 until 300).map(i => (i.toLong, f"2024-01-${i % 3 + 1}%02d", i % 2 == 0))
+      .toDF("v", "d", "flag")
+      .select(col("v"), col("d").cast("date").as("p_date"), col("flag"))
       .repartitionByRange(6, col("v"))
       .write.partitionBy("p_date").parquet(dir)
-    // a string/date stats column would write all-NULL min/max, and a
-    // NULL-stat manifest must never ship — reject at write time
+    // a boolean/binary/array stats column has no useful file range —
+    // reject at write time instead of shipping a prune-nothing manifest
     intercept[IllegalArgumentException] {
-      Layout.writeStatsManifest(spark, dir, Seq("p_date"))
+      Layout.writeStatsManifest(spark, dir, Seq("flag"))
     }
     Layout.writeStatsManifest(spark, dir, Seq("v"))
     // leaf-file reads drop Hive partition columns without basePath — the
@@ -164,5 +164,55 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
     val Some((read, total)) = Layout.lastStatsPruned
     assert(read < total, s"range pruning must still fire ($read/$total)")
+  }
+
+  test("z-order + stats pruning on STRING columns (source-keyed corpus shape)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_str_z").toString
+    val dir = s"$base/t"
+    // 100 sources x 100 rows: the corpus layout problem — queries filter
+    // by a source band and a numeric band together
+    val rows = for (s <- 0 until 100; i <- 0 until 100)
+      yield (f"src$s%03d", (s * 7 + i) % 100, s.toLong * 100 + i)
+    Layout.zorderFrameN(rows.toDF("source", "x", "id"),
+        Seq("source", "x"), 64)
+      .write.parquet(dir)
+    Layout.writeStatsManifest(spark, dir, Seq("source", "x"))
+    val box = col("source") >= "src010" && col("source") <= "src019" &&
+      col("x") >= 10 && col("x") <= 19
+    val pruned = Layout.statsPrunedRead(spark, dir,
+      Seq(("source", "src010", "src019"), ("x", 10.0, 19.0))).filter(box)
+    val full = spark.read.parquet(dir).filter(box)
+    assert(pruned.count() == full.count() && full.count() > 0,
+      "string-range pruning must agree with the full scan")
+    val Some((read, total)) = Layout.lastStatsPruned
+    assert(total == 64 && read * 2 < total,
+      s"a 10%x10% box over a string+numeric z-order must read a strict " +
+        s"minority of files ($read/$total)")
+  }
+
+  test("single-column ZORDER degenerates to a range cluster; date stats prune") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_date_z").toString
+    val dir = s"$base/t"
+    val rows = (0 until 3000).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i % 300)), i.toLong)
+    }
+    Layout.zorderFrameN(rows.toDF("d", "id"), Seq("d"), 16)
+      .write.parquet(dir)
+    Layout.writeStatsManifest(spark, dir, Seq("d"))
+    val lo = java.sql.Date.valueOf("2024-02-01")
+    val hi = java.sql.Date.valueOf("2024-02-15")
+    val box = col("d").between(lo, hi)
+    val pruned = Layout.statsPrunedRead(spark, dir,
+      Seq(("d", "2024-02-01", "2024-02-15"))).filter(box)
+    assert(pruned.count() ==
+      spark.read.parquet(dir).filter(box).count())
+    assert(pruned.count() > 0)
+    val Some((read, total)) = Layout.lastStatsPruned
+    assert(read * 2 < total,
+      s"a 15-of-300-day window over a date-clustered table must read a " +
+        s"strict minority of files ($read/$total)")
   }
 }
