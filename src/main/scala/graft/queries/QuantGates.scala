@@ -692,7 +692,66 @@ object QuantGates {
         .orderBy("day")
     })
 
+  /** Rolling quantiles via MERGEABLE KLL sketches — the quantile twin of
+    * [[qcHllRolling]] and the second persisted-sketch family: one
+    * KLL(k=200) sketch per day over `events.value`, PERSISTED as a
+    * binary parquet column and read back (the nightly sketch store a
+    * 100 TB telemetry pipeline maintains — the round-trip is
+    * load-bearing, the rolling merge runs on the REREAD bytes), with the
+    * cumulative median served by `kll_merge_agg` over a running window —
+    * never a rescan of history, O(days × k) state instead of
+    * O(rows × days). Every day is gated on the EXACT normalized rank of
+    * the sketch's median within that day's cumulative data:
+    * |rank − 0.5| ≤ 0.025 (KLL k=200 single-sided 99% rank error ≈
+    * 1.65%; cushion to 2.5%). The exact ranks come from ONE
+    * conditional-aggregation pass over events (2 columns per day, days
+    * are census-scale), so the truth side never shuffles per day.
+    */
+  val qcKllRolling = QueryDef(
+    "qc_kll_rolling",
+    None,
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .filter(col("value").isNotNull)
+        .localCheckpoint(true) // two bounded passes read the same blocks
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_qc_kll").toString + "/sketches"
+      ev.groupBy("day")
+        .agg(call_function("kll_sketch_agg_double", col("value"), lit(200))
+          .as("sk"))
+        .write.mode("overwrite").parquet(store)
+      val daily = spark.read.parquet(store)
+      val cumW = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // metadata-scale window (one row per day) — single partition is
+      // deliberate, same argument as qcHllRolling
+      val approx = daily.withColumn("approx_median",
+          call_function("kll_sketch_get_quantile_double",
+            call_function("kll_merge_agg_double", col("sk")).over(cumW),
+            lit(0.5)))
+        .select("day", "approx_median")
+        .orderBy("day").collect()
+        .map(r => (r.getDate(0), r.getDouble(1)))
+      val aggs = approx.zipWithIndex.flatMap { case ((d, m), i) => Seq(
+        sum(when(col("day") <= lit(d) && col("value") <= m, 1L)
+          .otherwise(0L)).as(s"le_$i"),
+        sum(when(col("day") <= lit(d), 1L).otherwise(0L)).as(s"n_$i"))
+      }.toIndexedSeq
+      val r = ev.agg(aggs.head, aggs.tail: _*).head
+      approx.zipWithIndex.map { case ((d, m), i) =>
+        val le = r.getLong(2 * i)
+        val n = r.getLong(2 * i + 1)
+        val rank = if (n == 0) 0.5 else le.toDouble / n
+        (d, n, math.rint(m * 10000) / 10000,
+          math.rint(rank * 10000) / 10000, math.abs(rank - 0.5) <= 0.025)
+      }.toSeq.toDF("day", "n_cum", "approx_median", "exact_rank", "pass")
+        .orderBy("day")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
     qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates,
-    qcTrimInvariants, qcHllRolling)
+    qcTrimInvariants, qcHllRolling, qcKllRolling)
 }

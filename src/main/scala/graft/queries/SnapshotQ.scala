@@ -122,18 +122,20 @@ object SnapshotQ {
            |FROM orders""".stripMargin),
     (spark, dir) => {
       val root = ttRoot(spark, dir)
-      require(spark.conf.getOption("spark.sql.catalog.gtt.root")
-          .forall(_ == root),
-        "snap_time_travel catalog root drifted within one JVM")
-      spark.conf.set("spark.sql.catalog.gtt",
+      // catalog NAME is per-fixture-dir: CatalogManager caches the
+      // initialized plugin per name, so one JVM running two dirs
+      // (ScaleCheck times every query at sf0.01 AND sf0.1) must not
+      // re-root a cached catalog — it gets its own instead
+      val cat = s"gtt_${java.lang.Integer.toHexString(dir.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.SnapshotCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gtt.root", root)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       spark.sql(
-        """SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS ver
-          |FROM gtt.orders_tt VERSION AS OF 1
-          |UNION ALL
-          |SELECT o_orderkey, o_custkey, CAST(2 AS BIGINT) AS ver
-          |FROM gtt.orders_tt""".stripMargin)
+        s"""SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS ver
+           |FROM $cat.orders_tt VERSION AS OF 1
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, CAST(2 AS BIGINT) AS ver
+           |FROM $cat.orders_tt""".stripMargin)
     })
 
   /** The SQL maintenance face (plans/MaintenanceSql.scala): a scratch

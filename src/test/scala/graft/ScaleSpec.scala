@@ -70,6 +70,32 @@ class ScaleSpec extends AnyFunSuite {
       s"re-read + merged sketches must estimate like one pass ($merged vs $direct)")
   }
 
+  test("KLL sketches persist as binary columns and merge without a history rescan") {
+    // the qc_kll_rolling contract's storage leg: per-day quantile
+    // sketches written to parquet, read back, merged with a brand-new
+    // day's sketch — the merged median must carry the exact normalized
+    // rank the sketch promises over ALL rows, proving rolling quantiles
+    // at 100 TB never rescan history
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .filter(col("value").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString + "/sk"
+    val (oldDays, newDay) = (col("day") < "2024-01-20", col("day") >= "2024-01-20")
+    ev.filter(oldDays).groupBy(col("day"))
+      .agg(call_function("kll_sketch_agg_double", col("value"), lit(200)).as("sk"))
+      .write.parquet(dir)
+    val med = spark.read.parquet(dir).select(col("sk"))
+      .unionAll(ev.filter(newDay)
+        .agg(call_function("kll_sketch_agg_double", col("value"), lit(200)).as("sk")))
+      .agg(call_function("kll_sketch_get_quantile_double",
+        call_function("kll_merge_agg_double", col("sk")), lit(0.5)).as("m"))
+      .head.getDouble(0)
+    val n = ev.count()
+    val rank = ev.filter(col("value") <= med).count().toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.025,
+      s"merged persisted sketches must hold the rank bound (rank=$rank)")
+  }
+
   test("approxQuantiles brackets the true median") {
     val e = Tables.events(spark, sf)
     val Array(q50) = Scale.approxQuantiles(e, "value", Array(0.5))
@@ -175,8 +201,16 @@ class ScaleSpec extends AnyFunSuite {
       assert(finalPlan.contains("skew=true"),
         s"AQE should mark the skewed join split:\n${finalPlan.take(1500)}")
     } finally {
-      s.stop()
-      prev.foreach(SparkSession.setDefaultSession)
+      // do NOT s.stop(): getOrCreate reused the GLOBAL SparkContext (a
+      // JVM has one), so stopping this session would kill the shared
+      // test session's context and poison every suite that runs after
+      // this one. The aggressive AQE confs are session-scoped and die
+      // with `s`; just restore the default/active session handles.
+      SparkSession.clearActiveSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
     }
   }
 }

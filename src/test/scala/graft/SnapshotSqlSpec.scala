@@ -48,6 +48,25 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(hist.head.getString(2) == "optimize", "newest-first history")
   }
 
+  test("OPTIMIZE ZORDER BY clusters STRING columns (source-keyed corpus shape)") {
+    val t = Files.createTempDirectory("graft_snapsql_str").toString + "/t"
+    (0 until 16).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 50).map(j => (f"src${(i * 50 + j) % 40}%03d", i * 50L + j))
+          .toDF("source", "id").coalesce(1), t)
+    }
+    val before = Snapshots.read(spark, t).collect().toSet
+    assert(spark.sql(s"OPTIMIZE '$t' ZORDER BY (source, id)").head.getBoolean(1))
+    assert(Snapshots.read(spark, t).collect().toSet == before)
+    // clustering is real: a narrow source band touches a minority of files
+    Snapshots.extendStats(spark, t, Seq("source", "id"))
+    Snapshots.readPruned(spark, t,
+      Seq(("source", "src000", "src004"))).collect()
+    val Some((read, total)) = graft.operators.Layout.lastStatsPruned
+    assert(read < total,
+      s"string z-order + stats must prune a narrow source band ($read/$total)")
+  }
+
   test("catalog-qualified targets resolve through spark.sql.catalog.<name>.root") {
     val root = Files.createTempDirectory("graft_snapsql_cat").toString
     val t = root + "/tt"
