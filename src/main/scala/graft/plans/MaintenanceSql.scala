@@ -17,6 +17,7 @@ import graft.warehouse.Snapshots
   *   OPTIMIZE <target> [ZORDER BY (c1, c2 [, ...])]
   *   VACUUM <target> [RETAIN <n> VERSIONS]
   *   DESC[RIBE] HISTORY <target>
+  *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -27,13 +28,14 @@ import graft.warehouse.Snapshots
   *
   * Implementation is the parser-delegation recipe the transactional table
   * formats use for their own OPTIMIZE/VACUUM (SparkSessionExtensions
-  * `injectParser`): [[GraftSqlParser]] recognizes exactly these three
+  * `injectParser`): [[GraftSqlParser]] recognizes exactly these
   * statements and hands EVERYTHING else verbatim to the session's normal
   * parser, so no Spark SQL behavior changes. Each statement becomes a
   * `LeafRunnableCommand` — executed eagerly by Spark's command machinery,
   * results returned as a normal DataFrame.
   *
-  * All three commands are metadata-bounded at 100 TB: OPTIMIZE rewrites
+  * All commands except OPTIMIZE are metadata-bounded at 100 TB (RESTORE
+  * is a zero-copy manifest re-reference); OPTIMIZE rewrites
   * one table's current file set under the optimistic commit protocol
   * (racing appends serialize, never lost — Snapshots.compactData), VACUUM
   * deletes only files referenced by no retained manifest, and DESCRIBE
@@ -71,8 +73,11 @@ object MaintenanceSql {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 
-  /** Some(plan) when `sqlText` is one of the three maintenance
+  /** Some(plan) when `sqlText` is one of the maintenance
     * statements; None → caller delegates to the normal parser.
     */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -85,6 +90,8 @@ object MaintenanceSql {
         Option(retain).map(_.toInt).getOrElse(2)))
     case HistoryRe(target) =>
       Some(DescribeSnapshotHistory(SnapTarget(target)))
+    case RestoreRe(target, v) =>
+      Some(RestoreSnapshot(SnapTarget(target), v.toLong))
     case _ => None
   }
 }
@@ -145,7 +152,22 @@ final case class DescribeSnapshotHistory(target: MaintenanceSql.SnapTarget)
   }
 }
 
-/** The session parser with the three maintenance statements spliced in;
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` → Snapshots.commitRestore:
+  * zero-copy rollback — the new head re-references the old version's
+  * files; stream watermarks carry forward (exactly-once survives the
+  * undo). Returns (restored-to version, new head version).
+  */
+final case class RestoreSnapshot(target: MaintenanceSql.SnapTarget,
+    toVersion: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(toVersion,
+      Snapshots.commitRestore(spark, target.resolve(spark), toVersion)))
+}
+
+/** The session parser with the maintenance statements spliced in;
   * every other string delegates verbatim (zero behavior drift for normal
   * SQL — spec-pinned in SnapshotSqlSpec).
   */

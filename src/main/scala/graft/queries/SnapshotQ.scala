@@ -241,6 +241,41 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
 
+  /** Zero-copy rollback (`RESTORE ... VERSION AS OF`, the SQL face of
+    * Snapshots.commitRestore): append the even half (v1), copy-on-write
+    * DELETE a slice of it (v2), RESTORE to v1 (v3 — undoes the delete by
+    * re-referencing v1's files, no bytes moved), then append the odd
+    * half (v4) to prove the timeline continues normally after an undo.
+    * Final contents = ALL orders — only true when the restore actually
+    * resurrected the deleted slice — with the head version pinned to the
+    * protocol constant 4.
+    */
+  val snapRestore = QueryDef(
+    "snap_restore",
+    Some("""SELECT o_orderkey, o_custkey, CAST(4 AS BIGINT) AS head_version
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_restore").toString + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), table)
+      val doomed = orders.filter(col("o_orderkey") % 10 === 2)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDelete(spark, table, doomed, "o_orderkey")
+      val r = spark.sql(s"RESTORE '$table' TO VERSION AS OF 1").head
+      require(r.getLong(0) == 1L && r.getLong(1) == 3L,
+        s"expected restore v1 -> head v3, got $r")
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1), table)
+      Snapshots.read(spark, table)
+        .withColumn("head_version",
+          lit(Snapshots.currentVersion(spark, table)))
+        .select("o_orderkey", "o_custkey", "head_version")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica)
+    Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
+      snapRestore)
 }

@@ -791,6 +791,40 @@ object Snapshots {
         s"$maxRetries attempts")
   }
 
+  /** RESTORE: roll the table back to `toVersion`'s state as a NEW commit
+    * — the time-travel undo (Delta's RESTORE TABLE). ZERO-COPY: the new
+    * manifest re-references `toVersion`'s still-retained data files by
+    * name; no bytes move, and a later vacuum keeps them because the head
+    * references them. History is preserved (the bad commits stay
+    * readable via time travel until vacuumed); the restore itself is one
+    * more optimistic manifest claim, so racing writers serialize.
+    *
+    * Stream watermarks are CARRIED FROM THE HEAD, not rewound: a
+    * restored table must not re-land stream batches it already
+    * committed (exactly-once survives the undo); re-ingesting rolled-back
+    * stream data is a new stream id's job. Throws when `toVersion` was
+    * vacuumed away. Returns the new head version.
+    */
+  def commitRestore(spark: SparkSession, table: String, toVersion: Long,
+      maxRetries: Int = 10): Long = {
+    require(toVersion >= 1, s"cannot restore to v$toVersion")
+    require(hasVersion(spark, table, toVersion),
+      s"version $toVersion of $table is not retained (vacuumed)")
+    val target = manifestLines(spark, table, toVersion)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (head == toVersion) return head // already that state
+      val marks = marksOf(manifestLines(spark, table, head))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(target), marks, filesOf(target), "restore")))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore of $table to v$toVersion failed after $maxRetries attempts")
+  }
+
   /** EXACTLY-ONCE replica maintenance: catch snapshot table `dst` up to
     * `src`'s current head in ONE sync, choosing the cheapest correct
     * transport per window — the cross-region / dev-mirror loop a 100 TB

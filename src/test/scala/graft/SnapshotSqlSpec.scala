@@ -112,6 +112,35 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(h.head.getInt(5) == 3)
   }
 
+  test("RESTORE is zero-copy undo: files re-referenced, marks carried, vacuum-safe") {
+    val t = Files.createTempDirectory("graft_snapsql_rst").toString + "/t"
+    // land batch 1 via the exactly-once stream path so the mark exists
+    Snapshots.commitStreamAppend(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), t, "s1", 1L)
+    val v1Files = Snapshots.filesAt(spark, t, 1L).toSet
+    Snapshots.commitDelete(spark, t, Seq(3L, 7L), "id")
+    assert(Snapshots.read(spark, t).count() == 8)
+    val r = spark.sql(s"RESTORE TABLE '$t' VERSION AS OF 1").head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    // zero-copy: the restored head references exactly v1's files
+    assert(Snapshots.filesAt(spark, t, 3L).toSet == v1Files)
+    assert(Snapshots.read(spark, t).count() == 10)
+    // stream marks carried forward: a replay of batch 1 must NOT re-land
+    val (_, committed) = Snapshots.commitStreamAppend(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), t, "s1", 1L)
+    assert(!committed && Snapshots.read(spark, t).count() == 10,
+      "exactly-once must survive a restore")
+    // vacuum keeps the restored files (the head references them)
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(Snapshots.read(spark, t).count() == 10)
+    // restoring to a vacuumed version is a loud miss
+    val err = intercept[Exception] {
+      spark.sql(s"RESTORE '$t' TO VERSION AS OF 2").collect()
+    }
+    assert(err.getMessage.contains("not retained") ||
+      Option(err.getCause).exists(_.getMessage.contains("not retained")))
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
