@@ -751,7 +751,68 @@ object QuantGates {
         .orderBy("day")
     })
 
+  /** Set algebra over MERGEABLE THETA sketches — the third persisted-
+    * sketch family (HLL counts distinct, KLL holds quantiles, Theta does
+    * UNION/INTERSECTION/DIFFERENCE): the audience-overlap / cohort-
+    * retention shape ("users in A but not B") that at 100 TB must come
+    * from sketch algebra, never a distinct-join of the raw sets. Two
+    * deterministic partial-overlap sets (p_size bands of `part` — ~22%
+    * overlap at any SF), one sketch each, PERSISTED to parquet and
+    * re-read before the algebra (binary round-trip is load-bearing).
+    * Each estimate gates on |approx/exact − 1| ≤ 5% (theta lgK=12 rsd
+    * ≈1.6%; intersection/difference error grows with disjointness —
+    * cushion to 5%); exact truth from plain distinct counts at audit
+    * scale.
+    */
+  val qcThetaSets = QueryDef(
+    "qc_theta_sets",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_size"))
+      val inA = col("p_size").between(1, 30)
+      val inB = col("p_size").between(20, 50)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_qc_theta").toString + "/sketches"
+      part.filter(inA)
+        .agg(call_function("theta_sketch_agg", col("p_partkey")).as("sk"))
+        .withColumn("tag", lit("A"))
+        .unionByName(part.filter(inB)
+          .agg(call_function("theta_sketch_agg", col("p_partkey")).as("sk"))
+          .withColumn("tag", lit("B")))
+        .write.mode("overwrite").parquet(store)
+      val sks = spark.read.parquet(store).collect()
+        .map(r => r.getString(r.fieldIndex("tag")) ->
+          r.getAs[Array[Byte]]("sk")).toMap
+      def est(c: org.apache.spark.sql.Column): Double =
+        spark.range(1)
+          .select(call_function("theta_sketch_estimate", c)
+            .cast("double").as("e"))
+          .head.getDouble(0)
+      val approxU = est(call_function("theta_union",
+        lit(sks("A")), lit(sks("B"))))
+      val approxI = est(call_function("theta_intersection",
+        lit(sks("A")), lit(sks("B"))))
+      val approxD = est(call_function("theta_difference",
+        lit(sks("A")), lit(sks("B"))))
+      // exact truth: ONE conditional-agg pass, no distinct-join
+      val ex = part.agg(
+        count_distinct(when(inA || inB, col("p_partkey"))).as("u"),
+        count_distinct(when(inA && inB, col("p_partkey"))).as("i"),
+        count_distinct(when(inA && !inB, col("p_partkey"))).as("d")).head
+      Seq(("union", ex.getLong(0), approxU),
+        ("intersection", ex.getLong(1), approxI),
+        ("difference", ex.getLong(2), approxD))
+        .map { case (op, exact, approx) =>
+          val rel = if (exact == 0) math.abs(approx)
+            else math.abs(approx / exact - 1)
+          (op, exact, math.rint(approx * 100) / 100,
+            math.rint(rel * 10000) / 10000, rel <= 0.05)
+        }.toDF("set_op", "exact", "approx", "rel_err", "pass")
+        .orderBy("set_op")
+    })
+
   val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
     qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates,
-    qcTrimInvariants, qcHllRolling, qcKllRolling)
+    qcTrimInvariants, qcHllRolling, qcKllRolling, qcThetaSets)
 }
