@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.lit
+
+import graft.warehouse.Snapshots
+
+/** Table-valued SQL functions over the snapshot protocol — the
+  * composable query face of the change feed (Delta's `table_changes`),
+  * injected via `SparkSessionExtensions.injectTableFunction` so they sit
+  * in FROM clauses and join/filter like any relation:
+  *
+  * {{{
+  *   SELECT * FROM snapshot_changes('/wh/t', 1, 4)            -- append-only window
+  *   SELECT * FROM snapshot_changes('/wh/t', 1, 4, 'id')      -- row-exact CDF (keys)
+  *   SELECT * FROM snapshot_at('/wh/t', 2) WHERE id > 10      -- pinned version
+  *   SELECT * FROM snapshot_history('/wh/t') WHERE op = 'append'
+  * }}}
+  *
+  * The first argument is a quoted path or a `catalog.table` name
+  * resolved through the same `spark.sql.catalog.<name>.root` conf as the
+  * read catalog and the maintenance statements. Arguments must be
+  * literals (they select WHICH relation to plan — resolved once at
+  * analysis, like a table reference). The returned plan is the same
+  * manifest-pinned parquet scan the Scala API produces, so Catalyst
+  * pushdown/pruning applies unchanged, and an append-only
+  * `snapshot_changes` window still reads ONLY the window's added files
+  * (IO ∝ delta — the TVF adds nothing on top of `incrementalRead`).
+  */
+object SnapshotTvf {
+
+  private def str(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.toString
+  }
+
+  private def long(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  /** 'path' literals pass through; `catalog.table` strings resolve via
+    * the catalog root conf (same rule as the maintenance statements).
+    */
+  private def resolve(spark: SparkSession, raw: String): String =
+    if (raw.startsWith("/") || raw.contains(":/")) raw
+    else MaintenanceSql.SnapTarget(raw).resolve(spark)
+
+  private def changes(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3 || exprs.size == 4,
+      "snapshot_changes(table, fromVersion, toVersion[, keysCsv])")
+    val spark = SparkSession.active
+    val path = resolve(spark, str(exprs(0), "table"))
+    val from = long(exprs(1), "fromVersion")
+    val to = long(exprs(2), "toVersion")
+    val df =
+      if (exprs.size == 4)
+        Snapshots.rowDiff(spark, path, from, to,
+          str(exprs(3), "keysCsv").split(',').map(_.trim).toSeq)
+      else
+        Snapshots.incrementalRead(spark, path, from, to)
+          .withColumn("change_type", lit("insert"))
+    df.queryExecution.logical
+  }
+
+  private def at(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 2, "snapshot_at(table, version)")
+    val spark = SparkSession.active
+    Snapshots.read(spark, resolve(spark, str(exprs(0), "table")),
+      Some(long(exprs(1), "version"))).queryExecution.logical
+  }
+
+  private def hist(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "snapshot_history(table)")
+    val spark = SparkSession.active
+    Snapshots.history(spark, resolve(spark, str(exprs(0), "table")))
+      .queryExecution.logical
+  }
+
+  /** The (identifier, info, builder) triples for injectTableFunction. */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("snapshot_changes"),
+      new ExpressionInfo(getClass.getName, "snapshot_changes"),
+      changes _),
+    (FunctionIdentifier("snapshot_at"),
+      new ExpressionInfo(getClass.getName, "snapshot_at"), at _),
+    (FunctionIdentifier("snapshot_history"),
+      new ExpressionInfo(getClass.getName, "snapshot_history"), hist _))
+}

@@ -171,6 +171,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    SnapshotTvf.functions.foreach(e.injectTableFunction)
     e.injectOptimizerRule(_ => RewriteVectorHof)
     e.injectOptimizerRule(s => RewriteToMaterialized(s))
     e.injectPlannerStrategy(_ => TopKStrategy)

@@ -275,7 +275,43 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "head_version")
     })
 
+  /** The change feed on the PURE-SQL surface (plans/SnapshotTvf.scala —
+    * table-valued functions via injectTableFunction): one append-only
+    * window served by `snapshot_changes(t, 1, 2)` (added files only) and
+    * one rewrite window served by the keyed row-exact form
+    * `snapshot_changes(t, 2, 3, 'o_orderkey')`, both consumed from a
+    * plain FROM clause and fully DuckDB-oracled from orders alone.
+    */
+  val snapTvfChanges = QueryDef(
+    "snap_tvf_changes",
+    Some("""SELECT o_orderkey, o_custkey, 'insert' AS change_type,
+           |       'append_win' AS win
+           |FROM orders WHERE o_orderkey % 2 = 1
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'delete', 'rewrite_win'
+           |FROM orders WHERE o_orderkey % 10 = 3""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_tvf").toString + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), table)
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1), table)
+      val doomed = orders.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDelete(spark, table, doomed, "o_orderkey")
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, change_type,
+           |       'append_win' AS win
+           |FROM snapshot_changes('$table', 1, 2)
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, change_type, 'rewrite_win'
+           |FROM snapshot_changes('$table', 2, 3, 'o_orderkey')""".stripMargin)
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
-      snapRestore)
+      snapRestore, snapTvfChanges)
 }

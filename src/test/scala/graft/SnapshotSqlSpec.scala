@@ -141,6 +141,40 @@ class SnapshotSqlSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("not retained")))
   }
 
+  test("table-valued functions: snapshot_changes / snapshot_at / snapshot_history compose in SQL") {
+    val root = Files.createTempDirectory("graft_snapsql_tvf").toString
+    val t = root + "/tv"
+    Snapshots.commitAppend(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Snapshots.commitAppend(spark, Seq((3L, "c"), (4L, "d")).toDF("id", "v"), t)
+    Snapshots.commitDelete(spark, t, Seq(2L), "id")
+    // append-only window: inserts only, composable WHERE
+    assert(spark.sql(s"SELECT id FROM snapshot_changes('$t', 1, 2) WHERE id > 3")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // rewrite window without keys is a loud refusal, not a wrong answer
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_changes('$t', 2, 3)").collect()
+    }
+    assert(err.getMessage.contains("rowDiff") ||
+      Option(err.getCause).exists(_.getMessage.contains("rowDiff")))
+    // keyed row-exact form classifies the delete
+    assert(spark.sql(
+        s"SELECT id, change_type FROM snapshot_changes('$t', 2, 3, 'id')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "delete")))
+    // pinned version + history compose like relations (join/filter)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', 1)")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(
+        s"SELECT count(*) FROM snapshot_history('$t') WHERE op = 'append'")
+      .head.getLong(0) == 2L)
+    // catalog-qualified names resolve through the same root conf
+    spark.conf.set("spark.sql.catalog.gtvf",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtvf.root", root)
+    assert(spark.sql("SELECT count(*) FROM snapshot_at('gtvf.tv', 2)")
+      .head.getLong(0) == 4L)
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
