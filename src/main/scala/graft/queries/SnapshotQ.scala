@@ -51,6 +51,7 @@ object SnapshotQ {
     (spark, dir) => {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true) // four commits + a key collect consume it
       // scratch table lives past return: the feed DataFrame is lazy and
       // Verify/Bench execute it after this fn exits (same lifecycle as
       // the QuantGates scratch tables)
@@ -160,8 +161,11 @@ object SnapshotQ {
            |UNION ALL SELECT 'vacuumed_files', 16""".stripMargin),
     (spark, dir) => {
       import spark.implicits._
+      // one eager materialization: the 16 appends below each consume a
+      // slice — without this every commit would rescan the parquet table
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true)
       val table = java.nio.file.Files
         .createTempDirectory("graft_snap_sql").toString + "/t"
       // 16 one-file appends: the accretion pattern OPTIMIZE exists to heal
@@ -212,6 +216,7 @@ object SnapshotQ {
     (spark, dir) => {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true) // consumed by four commits + a key collect
       val root = java.nio.file.Files
         .createTempDirectory("graft_snap_rep").toString
       val src = root + "/src"
@@ -257,6 +262,7 @@ object SnapshotQ {
     (spark, dir) => {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // three commits + a key collect consume it
       val table = java.nio.file.Files
         .createTempDirectory("graft_snap_restore").toString + "/t"
       Snapshots.commitAppend(spark,
@@ -293,6 +299,7 @@ object SnapshotQ {
     (spark, dir) => {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // three commits + a key collect consume it
       val table = java.nio.file.Files
         .createTempDirectory("graft_snap_tvf").toString + "/t"
       Snapshots.commitAppend(spark,
