@@ -18,6 +18,8 @@ import graft.warehouse.Snapshots
   *   VACUUM <target> [RETAIN <n> VERSIONS]
   *   DESC[RIBE] HISTORY <target>
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
+  *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <target> DROP CONSTRAINT <name>
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -76,6 +78,12 @@ object MaintenanceSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val AddCheckRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropCheckRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance
     * statements; None → caller delegates to the normal parser.
@@ -92,6 +100,10 @@ object MaintenanceSql {
       Some(DescribeSnapshotHistory(SnapTarget(target)))
     case RestoreRe(target, v) =>
       Some(RestoreSnapshot(SnapTarget(target), v.toLong))
+    case AddCheckRe(target, name, check) =>
+      Some(AddSnapshotConstraint(SnapTarget(target), name, check.trim))
+    case DropCheckRe(target, name) =>
+      Some(DropSnapshotConstraint(SnapTarget(target), name))
     case _ => None
   }
 }
@@ -165,6 +177,35 @@ final case class RestoreSnapshot(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(toVersion,
       Snapshots.commitRestore(spark, target.resolve(spark), toVersion)))
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` →
+  * Snapshots.addCheckConstraint: validates the current head data (one
+  * scan), then records the constraint in the manifest as a metadata-only
+  * commit; every later append/merge/stream batch is refused if any row
+  * violates it (NULL passes, FALSE violates — SQL CHECK semantics).
+  */
+final case class AddSnapshotConstraint(target: MaintenanceSql.SnapTarget,
+    name: String, check: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("constraint_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.addCheckConstraint(spark, target.resolve(spark),
+      name, check), name))
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` → Snapshots.dropCheckConstraint
+  * (metadata-only commit).
+  */
+final case class DropSnapshotConstraint(target: MaintenanceSql.SnapTarget,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("constraint_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropCheckConstraint(spark, target.resolve(spark),
+      name), name))
 }
 
 /** The session parser with the maintenance statements spliced in;

@@ -111,6 +111,12 @@ object Snapshots {
       val cut = rest.indexOf(':')
       rest.substring(cut + 1) -> rest.substring(0, cut).toLong
     }.toMap
+  private def checksOf(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith(CheckHeader)).map { h =>
+      val rest = h.stripPrefix(CheckHeader)
+      val cut = rest.indexOf(':')
+      rest.substring(0, cut) -> rest.substring(cut + 1)
+    }.toMap
 
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
@@ -125,6 +131,7 @@ object Snapshots {
   private val SchemaHeader = "#schema:"
   private val StreamHeader = "#stream:"
   private val OpHeader = "#op:"
+  private val CheckHeader = "#check:"
 
   /** Declared schema of a version, recorded at commit time in the
     * manifest (`#schema:` header). This is what makes schema evolution
@@ -179,11 +186,13 @@ object Snapshots {
     */
   private def contentOf(schema: Option[types.StructType],
       marks: Map[String, Long], files: Seq[String],
-      op: String): String =
+      op: String, checks: Map[String, String] = Map.empty): String =
     (Seq(OpHeader + op) ++
       schema.map(s => SchemaHeader + s.json).toSeq ++
       marks.toSeq.sortBy(_._1)
         .map { case (sid, bid) => s"$StreamHeader$bid:$sid" } ++
+      checks.toSeq.sortBy(_._1)
+        .map { case (n, ex) => s"$CheckHeader$n:$ex" } ++
       files).mkString("\n")
 
   /** Read `names` under the version's declared schema when one exists. */
@@ -194,6 +203,89 @@ object Snapshots {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (manifest-recorded, enforced at ingest)
+  // ------------------------------------------------------------------
+
+  /** Constraints declared on a version (`#check:` headers): name →
+    * boolean SQL expression. Carried forward by every commit, like
+    * stream marks.
+    */
+  def checkConstraints(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, String] =
+    checksOf(manifestLines(spark, table,
+      version.getOrElse(currentVersion(spark, table))))
+
+  /** Fail the commit when any batch row VIOLATES any declared CHECK
+    * (SQL semantics: NULL passes, only FALSE violates). ONE aggregation
+    * pass computes every constraint's violation count — enforcement
+    * costs one scan of the BATCH regardless of how many constraints the
+    * table declares, and never touches landed data.
+    */
+  private def enforceChecks(batch: DataFrame, checks: Map[String, String],
+      table: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val aggs = checks.toSeq.sortBy(_._1).map { case (n, ex) =>
+      sum(when(!coalesce(expr(ex), lit(true)), 1L).otherwise(0L)).as(n) }
+    val r = batch.agg(aggs.head, aggs.tail: _*).head
+    val bad = checks.toSeq.sortBy(_._1).zipWithIndex.collect {
+      case ((n, ex), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"$n ($ex): ${r.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint violation on $table — batch refused: " +
+        bad.mkString("; "))
+  }
+
+  /** Declare a CHECK constraint as a new commit (op `addConstraint`,
+    * files carried — metadata-only). By default the CURRENT head data is
+    * validated first (one scan; a constraint the data already violates
+    * is refused, Delta's ADD CONSTRAINT semantics); every later
+    * append/merge/stream commit enforces it on the batch. The name must
+    * be colon- and newline-free (it keys a manifest header line).
+    */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String, validate: Boolean = true,
+      maxRetries: Int = 10): Long = {
+    require(!name.contains(":") && !name.contains("\n") && name.nonEmpty,
+      s"constraint name '$name' must be non-empty and colon/newline-free")
+    require(!sqlExpr.contains("\n"), "constraint expression must be one line")
+    if (validate && currentVersion(spark, table) > 0)
+      enforceChecks(read(spark, table), Map(name -> sqlExpr), table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
+            "addConstraint", checksOf(lines) + (name -> sqlExpr))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"addCheckConstraint $name on $table failed after $maxRetries attempts")
+  }
+
+  /** Drop a declared constraint (op `dropConstraint`, metadata-only). */
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
+      require(checksOf(lines).contains(name),
+        s"no CHECK constraint named $name on $table")
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
+            "dropConstraint", checksOf(lines) - name)))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropCheckConstraint $name on $table failed after $maxRetries attempts")
   }
 
   /** Append `batch` as a new snapshot version. Data lands before the
@@ -268,11 +360,11 @@ object Snapshots {
 
   private def commit(spark: SparkSession, batch: DataFrame, table: String,
       replace: Boolean, maxRetries: Int): Long = {
-    // fail-fast schema check BEFORE staging (a type conflict would
-    // otherwise strand orphaned data files until a vacuum)
-    if (!replace)
-      evolveSchema(
-        schemaAt(spark, table, currentVersion(spark, table)), batch.schema)
+    // fail-fast schema + constraint checks BEFORE staging (a refusal
+    // would otherwise strand orphaned data files until a vacuum)
+    val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
+    if (!replace) evolveSchema(schemaOf(headLines0), batch.schema)
+    enforceChecks(batch, checksOf(headLines0), table)
     // append/overwrite: data files never depend on the head, so stage
     // once and only the manifest content is recomputed per attempt
     val newFiles = stageData(spark, batch, table)
@@ -287,7 +379,8 @@ object Snapshots {
         if (replace) None else schemaOf(lines), batch.schema)
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), base ++ newFiles,
-            if (replace) "overwrite" else "append"))) return head + 1
+            if (replace) "overwrite" else "append",
+            checksOf(lines)))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -307,6 +400,12 @@ object Snapshots {
   def commitMerge(spark: SparkSession, batch: DataFrame, table: String,
       keys: Seq[String], maxRetries: Int = 10): Long = {
     val f = fs(spark, dataDir(table))
+    // every post-merge row is either an untouched (already-valid) target
+    // row or a batch row taken wholesale — enforcing on the batch covers
+    // the new state without scanning the table
+    enforceChecks(batch,
+      checksOf(manifestLines(spark, table, currentVersion(spark, table))),
+      table)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -322,7 +421,8 @@ object Snapshots {
           conform(batch, schema), keys)
       val newFiles = stageData(spark, merged, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), marksOf(lines), newFiles, "merge")))
+          contentOf(Some(schema), marksOf(lines), newFiles, "merge",
+            checksOf(lines))))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -379,7 +479,7 @@ object Snapshots {
         !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
       val manifest = contentOf(schema, marksOf(lines),
-        files.filterNot(affected) ++ newFiles, "delete")
+        files.filterNot(affected) ++ newFiles, "delete", checksOf(lines))
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -428,7 +528,8 @@ object Snapshots {
         else current.repartition(targetFiles)
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
-          contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize")))
+          contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize",
+            checksOf(lines))))
         return Some(head + 1)
       // lost the race (an append/merge landed first): this rewrite no
       // longer represents the head — drop the orphans and recompute
@@ -758,9 +859,10 @@ object Snapshots {
     require(!streamId.contains("\n"), "streamId must be single-line")
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId))
       return (currentVersion(spark, table), false)
-    // fail-fast schema check before staging (see commit)
-    evolveSchema(
-      schemaAt(spark, table, currentVersion(spark, table)), batch.schema)
+    // fail-fast schema + constraint checks before staging (see commit)
+    val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
+    evolveSchema(schemaOf(headLines0), batch.schema)
+    enforceChecks(batch, checksOf(headLines0), table)
     val newFiles = stageData(spark, batch, table)
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -781,7 +883,7 @@ object Snapshots {
       val content = contentOf(
         Some(evolveSchema(schemaOf(lines), batch.schema)),
         marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
-        "streamAppend")
+        "streamAppend", checksOf(lines))
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
@@ -815,9 +917,14 @@ object Snapshots {
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       if (head == toVersion) return head // already that state
-      val marks = marksOf(manifestLines(spark, table, head))
+      val headLines = manifestLines(spark, table, head)
+      // marks AND constraints carry from the pre-restore head: the undo
+      // rewinds DATA, not ingestion state or declared policy (restored
+      // rows predating a constraint are an operator decision — commits
+      // after the restore enforce as usual)
       if (claimManifest(spark, table, head + 1,
-          contentOf(schemaOf(target), marks, filesOf(target), "restore")))
+          contentOf(schemaOf(target), marksOf(headLines), filesOf(target),
+            "restore", checksOf(headLines))))
         return head + 1
       attempt += 1
     }
@@ -896,7 +1003,7 @@ object Snapshots {
       val newFiles = stageData(spark, state, dst)
       if (claimManifest(spark, dst, head + 1,
           contentOf(Some(state.schema), marks + (sid -> srcHead), newFiles,
-            "replicaSync")))
+            "replicaSync", checksOf(lines))))
         return (from, srcHead, mode)
       // lost the race: computed against a stale replica head — drop the
       // orphans and recompute (single-writer replicas never hit this)

@@ -175,6 +175,45 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .head.getLong(0) == 4L)
   }
 
+  test("CHECK constraints: declared in SQL, enforced on every ingest path") {
+    val t = Files.createTempDirectory("graft_snapsql_chk").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), t)
+    val r = spark.sql(
+      s"ALTER TABLE '$t' ADD CONSTRAINT x_pos CHECK (x > 0)").head
+    assert(r.getLong(0) == 2L && r.getString(1) == "x_pos")
+    assert(Snapshots.checkConstraints(spark, t) == Map("x_pos" -> "x > 0"))
+    // a constraint the existing data violates is refused outright
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT x_big CHECK (x > 15)")
+        .collect()
+    }
+    // violating batches are refused on EVERY ingest path, named loudly
+    def violates(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("x_pos"), s"expected x_pos in: $msg")
+    }
+    violates(Snapshots.commitAppend(spark,
+      Seq((3L, -1.0)).toDF("id", "x"), t))
+    violates(Snapshots.commitMerge(spark,
+      Seq((1L, -5.0)).toDF("id", "x"), t, Seq("id")))
+    violates(Snapshots.commitStreamAppend(spark,
+      Seq((4L, -2.0)).toDF("id", "x"), t, "s1", 1L))
+    // NULL passes (SQL CHECK semantics), valid rows land, constraint
+    // survives the commit (carried forward like stream marks)
+    Snapshots.commitAppend(spark,
+      Seq((5L, Some(5.0)), (6L, None))
+        .toDF("id", "x"), t)
+    assert(Snapshots.read(spark, t).count() == 4)
+    assert(Snapshots.checkConstraints(spark, t).contains("x_pos"))
+    // DROP lifts the gate
+    spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT x_pos")
+    Snapshots.commitAppend(spark, Seq((7L, -9.0)).toDF("id", "x"), t)
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
