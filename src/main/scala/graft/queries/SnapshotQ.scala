@@ -318,7 +318,48 @@ object SnapshotQ {
            |FROM snapshot_changes('$table', 2, 3, 'o_orderkey')""".stripMargin)
     })
 
+  /** Merge-on-read lazy delete (Snapshots.commitDeleteLazy — key
+    * tombstones, the deletion-vector idea at key granularity): the
+    * doomed keys commit as a tiny sidecar with ZERO data files read or
+    * rewritten — asserted in-query by comparing the two versions' file
+    * lists — and every read anti-joins the bounded tombstone set. The
+    * emitted rows are the post-delete head plus the window's change
+    * feed (`delete` pre-images for rows no file rewrite ever touched),
+    * both fully DuckDB-oracled from orders.
+    */
+  val snapLazyDelete = QueryDef(
+    "snap_lazy_delete",
+    Some("""SELECT o_orderkey, o_custkey, 'head' AS part
+           |FROM orders WHERE o_orderkey % 10 <> 6
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'feed_delete'
+           |FROM orders WHERE o_orderkey % 10 = 6""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_lazy").toString + "/t"
+      Snapshots.commitAppend(spark, orders, table)
+      val doomed = orders.filter(col("o_orderkey") % 10 === 6)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      val (v, n) = Snapshots.commitDeleteLazy(spark, table, doomed,
+        "o_orderkey")
+      require(v == 2L && n == doomed.size, s"unexpected lazy commit ($v, $n)")
+      // the heart of the contract: the delete moved ZERO data bytes
+      require(Snapshots.filesAt(spark, table, 1L) ==
+        Snapshots.filesAt(spark, table, 2L),
+        "lazy delete must not touch data files")
+      Snapshots.read(spark, table).withColumn("part", lit("head"))
+        .unionByName(Snapshots.rowDiff(spark, table, 1L, 2L,
+            Seq("o_orderkey"))
+          .filter(col("change_type") === "delete")
+          .withColumn("part", lit("feed_delete"))
+          .select("o_orderkey", "o_custkey", "part"))
+        .select("o_orderkey", "o_custkey", "part")
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
-      snapRestore, snapTvfChanges)
+      snapRestore, snapTvfChanges, snapLazyDelete)
 }

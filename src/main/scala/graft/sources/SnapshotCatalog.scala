@@ -77,6 +77,14 @@ class SnapshotCatalog extends TableCatalog {
     */
   private def tableAt(ident: Identifier, version: Long): Table = {
     val t = tablePath(ident)
+    // the catalog hands Spark a bare file list — it has no seat for the
+    // merge-on-read anti-join, so serving a pending-tombstone version
+    // here would RESURRECT lazily-deleted rows; refuse loudly instead
+    val (_, tombs) = Snapshots.pendingTombstones(spark, t, Some(version))
+    if (tombs.nonEmpty) throw new UnsupportedOperationException(
+      s"$t@v$version has ${tombs.size} pending lazy-delete tombstone " +
+        "file(s) — OPTIMIZE the table to materialize them, or read via " +
+        "Snapshots.read / snapshot_at(...)")
     val files = Snapshots.filesAt(spark, t, version)
       .map(n => new Path(t, s"data/$n").toString)
     val schema = Snapshots.schemaAt(spark, t, version)

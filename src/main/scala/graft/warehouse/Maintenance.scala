@@ -331,8 +331,13 @@ object Maintenance {
         if (head == 0) None
         else {
           val n = Snapshots.filesAt(spark, t.path, head).size
+          // pending lazy-delete tombstones always trigger the OPTIMIZE:
+          // the scheduled materialization is what turns a logical GDPR
+          // erasure into a physical one on a bounded deadline
+          val tombsPending =
+            Snapshots.pendingTombstones(spark, t.path)._2.nonEmpty
           val optimized =
-            if (n <= t.maxDataFiles) None
+            if (n <= t.maxDataFiles && !tombsPending) None
             else Snapshots.compactData(spark, t.path,
               targetFiles = math.max(1, t.maxDataFiles / 8),
               minFiles = t.maxDataFiles, zorderBy = t.zorderCols)

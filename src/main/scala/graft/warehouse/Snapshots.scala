@@ -117,6 +117,12 @@ object Snapshots {
       val cut = rest.indexOf(':')
       rest.substring(0, cut) -> rest.substring(cut + 1)
     }.toMap
+  private def tombstonesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(TombstoneHeader))
+      .map(_.stripPrefix(TombstoneHeader))
+  private def tombstoneColOf(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith(TombstoneColHeader))
+      .map(_.stripPrefix(TombstoneColHeader))
 
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
@@ -132,6 +138,8 @@ object Snapshots {
   private val StreamHeader = "#stream:"
   private val OpHeader = "#op:"
   private val CheckHeader = "#check:"
+  private val TombstoneHeader = "#tombstone:"
+  private val TombstoneColHeader = "#tombstonecol:"
 
   /** Declared schema of a version, recorded at commit time in the
     * manifest (`#schema:` header). This is what makes schema evolution
@@ -186,13 +194,18 @@ object Snapshots {
     */
   private def contentOf(schema: Option[types.StructType],
       marks: Map[String, Long], files: Seq[String],
-      op: String, checks: Map[String, String] = Map.empty): String =
+      op: String, checks: Map[String, String] = Map.empty,
+      tombstones: Seq[String] = Nil,
+      tombstoneCol: Option[String] = None): String =
     (Seq(OpHeader + op) ++
       schema.map(s => SchemaHeader + s.json).toSeq ++
       marks.toSeq.sortBy(_._1)
         .map { case (sid, bid) => s"$StreamHeader$bid:$sid" } ++
       checks.toSeq.sortBy(_._1)
         .map { case (n, ex) => s"$CheckHeader$n:$ex" } ++
+      (if (tombstones.isEmpty) Nil
+       else tombstoneCol.map(TombstoneColHeader + _).toSeq ++
+         tombstones.sorted.map(TombstoneHeader + _)) ++
       files).mkString("\n")
 
   /** Read `names` under the version's declared schema when one exists. */
@@ -288,6 +301,128 @@ object Snapshots {
       s"dropCheckConstraint $name on $table failed after $maxRetries attempts")
   }
 
+  // ------------------------------------------------------------------
+  // Merge-on-read lazy deletes (key tombstones)
+  // ------------------------------------------------------------------
+
+  /** Pending lazy-delete state of a version: (key column, tombstone
+    * sidecar file names). Empty when all deletes are materialized.
+    */
+  def pendingTombstones(spark: SparkSession, table: String,
+      version: Option[Long] = None): (Option[String], Seq[String]) = {
+    val lines = manifestLines(spark, table,
+      version.getOrElse(currentVersion(spark, table)))
+    (tombstoneColOf(lines), tombstonesOf(lines))
+  }
+
+  /** Tombstone sidecars live OUTSIDE `data/` (like `_manifests`): data
+    * readers, per-file stats and the compaction file census must never
+    * see them as table files.
+    */
+  private def tombstoneDir(table: String) = new Path(table, "_tombstones")
+
+  /** The distinct tombstoned keys of a version (bounded: deletion-request
+    * batches, never the table) — None when the version has none.
+    */
+  private def tombstoneKeys(spark: SparkSession, table: String,
+      lines: Seq[String]): Option[(String, DataFrame)] = {
+    val ts = tombstonesOf(lines)
+    tombstoneColOf(lines).filter(_ => ts.nonEmpty).map { kc =>
+      kc -> spark.read
+        .parquet(ts.map(n => new Path(tombstoneDir(table), n).toString): _*)
+        .select(kc).distinct()
+    }
+  }
+
+  /** Anti-filter `df` by the version's tombstones (merge-on-read): the
+    * tombstone side is bounded and broadcast, NULL-key rows always
+    * survive (anti join on equality), and a version with no tombstones
+    * costs nothing.
+    */
+  private def applyTombstones(spark: SparkSession, table: String,
+      lines: Seq[String], df: DataFrame): DataFrame =
+    tombstoneKeys(spark, table, lines) match {
+      case None => df
+      case Some((kc, keys)) =>
+        df.join(org.apache.spark.sql.functions.broadcast(keys),
+          Seq(kc), "left_anti")
+    }
+
+  /** MERGE-ON-READ delete ("deletion vectors" at KEY granularity): the
+    * doomed keys land as a tiny tombstone sidecar referenced from the
+    * new manifest — ZERO data files are read or rewritten, so a delete
+    * request on a 100 TB table commits in O(keys) regardless of table
+    * size (the instant-logical-erasure half of the GDPR contract).
+    * Every read of the table anti-joins the (bounded, broadcast)
+    * tombstone keys; the next OPTIMIZE / merge / overwrite MATERIALIZES
+    * them — rewrites without the doomed rows and clears the headers —
+    * and a `commitDelete`-then-`vacuum` remains the immediate
+    * physical-erasure path.
+    *
+    * Key semantics, not positions: a tombstoned key means "this key is
+    * deleted", so APPENDING a tombstoned key is refused (the read-side
+    * filter would silently swallow the new row — resurrect via
+    * `commitMerge`, which materializes tombstones, or OPTIMIZE first).
+    * `keyCol` must stay consistent while tombstones are pending.
+    * Returns (new version, distinct keys tombstoned).
+    */
+  def commitDeleteLazy(spark: SparkSession, table: String, keys: Seq[Long],
+      keyCol: String, maxRetries: Int = 10): (Long, Int) = {
+    import spark.implicits._
+    if (keys.isEmpty) return (currentVersion(spark, table), 0)
+    val distinctKeys = keys.distinct
+    // stage the key list into _tombstones/ under a unique name (same
+    // write-first-claim-later discipline as data files)
+    val td = tombstoneDir(table)
+    val f = fs(spark, td)
+    val staging = new Path(table, s"_staging-ts-${java.util.UUID.randomUUID}")
+    distinctKeys.toDF(keyCol).coalesce(1).write.parquet(staging.toString)
+    f.mkdirs(td)
+    val newFiles = f.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val target = new Path(td, s"${java.util.UUID.randomUUID}.parquet")
+        require(f.rename(s.getPath, target), s"failed to stage ${s.getPath}")
+        target.getName
+      }.toSeq
+    f.delete(staging, true)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no table at $table to delete from")
+      val lines = manifestLines(spark, table, head)
+      tombstoneColOf(lines).foreach(existing => require(existing == keyCol,
+        s"pending tombstones of $table are keyed on $existing, not $keyCol" +
+          " — materialize (OPTIMIZE) before switching key columns"))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
+            "deleteLazy", checksOf(lines),
+            tombstonesOf(lines) ++ newFiles, Some(keyCol))))
+        return (head + 1, distinctKeys.size)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"lazy delete on $table failed after $maxRetries attempts")
+  }
+
+  /** Refuse a batch that re-uses a pending tombstoned key (see
+    * [[commitDeleteLazy]] — the read filter would swallow the new row).
+    * One bounded broadcast semi-join; free when no tombstones exist.
+    */
+  private def refuseTombstonedKeys(spark: SparkSession, table: String,
+      lines: Seq[String], batch: DataFrame): Unit =
+    tombstoneKeys(spark, table, lines).foreach { case (kc, keys) =>
+      if (batch.columns.contains(kc)) {
+        val clash = batch
+          .join(org.apache.spark.sql.functions.broadcast(keys), Seq(kc),
+            "left_semi").count()
+        require(clash == 0,
+          s"append to $table re-uses $clash pending-tombstoned $kc key(s)" +
+            " — the merge-on-read filter would swallow the new rows;" +
+            " OPTIMIZE to materialize the deletes first, or commitMerge")
+      }
+    }
+
   /** Append `batch` as a new snapshot version. Data lands before the
     * commit; the commit itself is an atomic create-if-absent of the next
     * manifest. On a lost race the commit retries against the new head —
@@ -360,10 +495,13 @@ object Snapshots {
 
   private def commit(spark: SparkSession, batch: DataFrame, table: String,
       replace: Boolean, maxRetries: Int): Long = {
-    // fail-fast schema + constraint checks BEFORE staging (a refusal
-    // would otherwise strand orphaned data files until a vacuum)
+    // fail-fast schema + constraint + tombstone checks BEFORE staging (a
+    // refusal would otherwise strand orphaned data files until a vacuum)
     val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
-    if (!replace) evolveSchema(schemaOf(headLines0), batch.schema)
+    if (!replace) {
+      evolveSchema(schemaOf(headLines0), batch.schema)
+      refuseTombstonedKeys(spark, table, headLines0, batch)
+    }
     enforceChecks(batch, checksOf(headLines0), table)
     // append/overwrite: data files never depend on the head, so stage
     // once and only the manifest content is recomputed per attempt
@@ -377,10 +515,13 @@ object Snapshots {
       // stream watermarks survive either way (dedup state, not data)
       val schema = evolveSchema(
         if (replace) None else schemaOf(lines), batch.schema)
+      // overwrite REPLACES the data state, pending tombstones included;
+      // append carries them (the refusal above keeps reads correct)
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), base ++ newFiles,
-            if (replace) "overwrite" else "append",
-            checksOf(lines)))) return head + 1
+            if (replace) "overwrite" else "append", checksOf(lines),
+            if (replace) Nil else tombstonesOf(lines),
+            tombstoneColOf(lines)))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -413,11 +554,16 @@ object Snapshots {
       // evolve first, then conform BOTH sides: a merge may introduce a
       // new column (target rows null-pad) or omit one (batch null-pads)
       val schema = evolveSchema(schemaOf(lines), batch.schema)
+      // merge computes against the APPLIED state (tombstones filtered)
+      // and the claim below carries NO tombstone headers: a merge is a
+      // full rewrite anyway, so it doubles as the materialization point —
+      // and it is how a tombstoned key gets legitimately re-inserted
       val merged =
         if (head == 0 || filesOf(lines).isEmpty) batch
         else graft.operators.Merge.upsert(
-          conform(readWithSchema(spark, table, filesOf(lines),
-            schemaOf(lines)), schema),
+          conform(applyTombstones(spark, table, lines,
+            readWithSchema(spark, table, filesOf(lines),
+              schemaOf(lines))), schema),
           conform(batch, schema), keys)
       val newFiles = stageData(spark, merged, table)
       if (claimManifest(spark, table, head + 1,
@@ -471,7 +617,12 @@ object Snapshots {
         .select(input_file_name().as("file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       if (affected.isEmpty) return (head, 0L)
-      val aff = readWithSchema(spark, table, files.filter(affected), schema)
+      // rewrite from the APPLIED view: already-tombstoned rows in the
+      // affected files neither count as freshly deleted nor re-land
+      // (partial materialization); untouched files keep relying on the
+      // carried tombstone headers
+      val aff = applyTombstones(spark, table, lines,
+        readWithSchema(spark, table, files.filter(affected), schema))
       val deleted = aff.filter(col(keyCol).isInCollection(keys)).count()
       // NULL-safe keep: NOT(NULL IN ...) is NULL and would silently drop
       // NULL-key rows from the rewritten files
@@ -479,7 +630,8 @@ object Snapshots {
         !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
       val newFiles = stageData(spark, kept, table)
       val manifest = contentOf(schema, marksOf(lines),
-        files.filterNot(affected) ++ newFiles, "delete", checksOf(lines))
+        files.filterNot(affected) ++ newFiles, "delete", checksOf(lines),
+        tombstonesOf(lines), tombstoneColOf(lines))
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -519,9 +671,16 @@ object Snapshots {
       val head = currentVersion(spark, table)
       val lines =
         if (head == 0) Nil else manifestLines(spark, table, head)
-      if (head == 0 || filesOf(lines).size < minFiles) return None
-      val current = readWithSchema(spark, table, filesOf(lines),
-        schemaOf(lines))
+      // pending tombstones always compact (materializing merge-on-read
+      // deletes is the point, whatever the file count); otherwise the
+      // minFiles floor refuses pure write amplification
+      if (head == 0 ||
+        (filesOf(lines).size < minFiles && tombstonesOf(lines).isEmpty))
+        return None
+      // the rewrite is the APPLIED state and the claim carries no
+      // tombstone headers — OPTIMIZE is the materialization point
+      val current = applyTombstones(spark, table, lines,
+        readWithSchema(spark, table, filesOf(lines), schemaOf(lines)))
       val rewritten =
         if (zorderBy.nonEmpty)
           graft.operators.Layout.zorderFrameN(current, zorderBy, targetFiles)
@@ -546,9 +705,11 @@ object Snapshots {
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
-    val files = filesAt(spark, table, v)
+    val lines = manifestLines(spark, table, v)
+    val files = filesOf(lines)
     if (files.isEmpty) spark.emptyDataFrame
-    else readWithSchema(spark, table, files, schemaAt(spark, table, v))
+    else applyTombstones(spark, table, lines,
+      readWithSchema(spark, table, files, schemaOf(lines)))
   }
 
   /** The table's commit log as a DataFrame — the audit surface a
@@ -637,6 +798,10 @@ object Snapshots {
     require(removed.isEmpty,
       s"step v$fromV->v$toV rewrote ${removed.size} file(s) — not " +
         "append-only; use rowDiff(keys) for a row-exact change feed")
+    require(tombstonesOf(manifestLines(spark, table, fromV)) ==
+        tombstonesOf(manifestLines(spark, table, toV)),
+      s"step v$fromV->v$toV changed the table's lazy-delete tombstones — " +
+        "not append-only; use rowDiff(keys) for a row-exact change feed")
     // the TO-version's declared schema: an evolution step's feed carries
     // the new columns, and pre-evolution consumers see a superset schema
     readDataFiles(spark, table, addedFiles(spark, table, fromV, toV),
@@ -672,15 +837,53 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     require(keys.nonEmpty, "rowDiff needs at least one key column")
+    val fromLines = manifestLines(spark, table, fromV)
+    val toLines = manifestLines(spark, table, toV)
     // BOTH sides read under the to-version's declared schema: files from
     // before an added column serve it as NULL, so a backfill rewrite
-    // classifies as `update` instead of failing the column resolution
-    val toSchema = schemaAt(spark, table, toV)
+    // classifies as `update` instead of failing the column resolution.
+    // Each side is read at ITS version's APPLIED state (tombstones
+    // filtered): a row dead at fromV must not feed a pre-image, and a
+    // row dead at toV must not feed a post-image — e.g. a window that
+    // only MATERIALIZES pending tombstones (OPTIMIZE) nets to an empty
+    // feed instead of re-reporting the deletes.
+    val toSchema = schemaOf(toLines)
     val pre = readDataFiles(spark, table,
       removedFiles(spark, table, fromV, toV), toSchema)
+      .map(applyTombstones(spark, table, fromLines, _))
     val post = readDataFiles(spark, table,
       addedFiles(spark, table, fromV, toV), toSchema)
-    (pre, post) match {
+      .map(applyTombstones(spark, table, toLines, _))
+    // lazy deletes COMMITTED in the window touch no files, so the file
+    // legs can't see them: rows of CARRIED files matching the window's
+    // NEW tombstone keys are emitted as `delete` pre-images. Restricted
+    // to carried files — removed-file rows are already classified above.
+    val tombLeg: Option[DataFrame] = tombstoneKeys(spark, table, toLines)
+      .flatMap { case (kc, toKeys) =>
+        val carried = filesAt(spark, table, fromV)
+          .toSet.intersect(filesAt(spark, table, toV).toSet).toSeq
+        if (carried.isEmpty) None
+        else {
+          // same key column at both ends → subtract the old set; a
+          // differing column means fromV's tombstones were materialized
+          // in-window (their rows left via file rewrites) — all of toV's
+          // keys are new
+          val newKeys = tombstoneKeys(spark, table, fromLines) match {
+            case Some((fkc, fromKeys)) if fkc == kc =>
+              toKeys.exceptAll(fromKeys)
+            case _ => toKeys
+          }
+          Some(readDataFiles(spark, table, carried, toSchema).get
+            .join(broadcast(newKeys), Seq(kc), "left_semi")
+            .withColumn("change_type", lit("delete")))
+        }
+      }
+    def withTombLeg(base: DataFrame): DataFrame = tombLeg match {
+      case None => base
+      case Some(t) =>
+        base.unionByName(t.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+    withTombLeg((pre, post) match {
       case (None, None) =>
         read(spark, table, Some(toV)).limit(0)
           .withColumn("change_type", lit(""))
@@ -729,7 +932,7 @@ object Snapshots {
               col("__e").getField("img").getField(c).as(c)) :+
               col("__e").getField("ct").as("change_type"): _*)
         }
-    }
+    })
   }
 
   // ------------------------------------------------------------------
@@ -781,20 +984,24 @@ object Snapshots {
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
     val f = fs(spark, dataDir(table))
+    val lines = manifestLines(spark, table, v)
     // fully-qualified canonical URIs: the stats manifest keys files by
     // input_file_name() (scheme-qualified), so the version's file list
     // must compare in the same form
-    val files = filesAt(spark, table, v)
+    val files = filesOf(lines)
       .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
     if (files.isEmpty) return spark.emptyDataFrame
     // every read path honors the version's DECLARED schema — the
     // no-manifest fallback included, or a schema-evolved table would
-    // resolve its columns from whichever file's footer Spark samples
-    val schema = schemaAt(spark, table, v)
-    def rd(paths: Seq[String]) = schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    // resolve its columns from whichever file's footer Spark samples —
+    // and the version's pending tombstones (merge-on-read deletes filter
+    // the pruned read exactly like the plain one)
+    val schema = schemaOf(lines)
+    def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
+      schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      })
     val dd = dataDir(table).toString
     if (graft.operators.Layout.statsManifestCols(spark, dd).isEmpty) {
       graft.operators.Layout.lastStatsPruned = None
@@ -859,9 +1066,11 @@ object Snapshots {
     require(!streamId.contains("\n"), "streamId must be single-line")
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId))
       return (currentVersion(spark, table), false)
-    // fail-fast schema + constraint checks before staging (see commit)
+    // fail-fast schema + constraint + tombstone checks before staging
+    // (see commit)
     val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
     evolveSchema(schemaOf(headLines0), batch.schema)
+    refuseTombstonedKeys(spark, table, headLines0, batch)
     enforceChecks(batch, checksOf(headLines0), table)
     val newFiles = stageData(spark, batch, table)
     val f = fs(spark, dataDir(table))
@@ -883,7 +1092,8 @@ object Snapshots {
       val content = contentOf(
         Some(evolveSchema(schemaOf(lines), batch.schema)),
         marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
-        "streamAppend", checksOf(lines))
+        "streamAppend", checksOf(lines),
+        tombstonesOf(lines), tombstoneColOf(lines))
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
@@ -922,9 +1132,13 @@ object Snapshots {
       // rewinds DATA, not ingestion state or declared policy (restored
       // rows predating a constraint are an operator decision — commits
       // after the restore enforce as usual)
+      // the target's tombstones are DATA state — restored with its files
+      // (a rollback past a lazy delete resurrects; a rollback INTO a
+      // pending-tombstone state keeps those rows logically deleted)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(target), marksOf(headLines), filesOf(target),
-            "restore", checksOf(headLines))))
+            "restore", checksOf(headLines),
+            tombstonesOf(target), tombstoneColOf(target))))
         return head + 1
       attempt += 1
     }
@@ -967,7 +1181,9 @@ object Snapshots {
     val from = lastCommittedBatch(spark, dst, sid).getOrElse(0L)
     if (srcHead <= from) return (from, srcHead, "noop")
     val precise = hasVersion(spark, src, from)
-    if (precise && removedFiles(spark, src, from, srcHead).isEmpty) {
+    if (precise && removedFiles(spark, src, from, srcHead).isEmpty &&
+        tombstonesOf(manifestLines(spark, src, from)) ==
+          tombstonesOf(manifestLines(spark, src, srcHead))) {
       commitStreamAppend(spark, incrementalRead(spark, src, from, srcHead),
         dst, sid, srcHead, maxRetries)
       return (from, srcHead, "append")
@@ -1038,7 +1254,20 @@ object Snapshots {
       .filter(s => now - s.getModificationTime >= minAgeMs)
       .map(_.getPath).filterNot(p => referenced.contains(p.getName))
       .map { p => f.delete(p, false); p.getName }.toSeq
+    // tombstone sidecars age out exactly like data files: unreferenced by
+    // any retained manifest (materialized, or their version expired)
+    val td = tombstoneDir(table)
+    val tombsDeleted =
+      if (!f.exists(td)) Nil
+      else {
+        val referencedTombs = (keepFrom to head)
+          .flatMap(v => tombstonesOf(manifestLines(spark, table, v))).toSet
+        f.listStatus(td).filter(_.isFile)
+          .filter(s => now - s.getModificationTime >= minAgeMs)
+          .map(_.getPath).filterNot(p => referencedTombs.contains(p.getName))
+          .map { p => f.delete(p, false); p.getName }.toSeq
+      }
     (1L until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))
-    deleted
+    deleted ++ tombsDeleted
   }
 }
