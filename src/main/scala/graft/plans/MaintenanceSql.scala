@@ -20,6 +20,7 @@ import graft.warehouse.Snapshots
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
+  *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -84,6 +85,12 @@ object MaintenanceSql {
   private val DropCheckRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
+  // QUOTED PATHS ONLY: Spark has its own DSv2 `DELETE FROM <ident>` —
+  // an identifier target must keep delegating to it, so only the form
+  // vanilla SQL cannot express (a filesystem path) is intercepted
+  private val DeleteKeysRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')""" +
+      """\s+WHERE\s+(\w+)\s+IN\s*\(\s*(\d+(?:\s*,\s*\d+)*)\s*\)\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance
     * statements; None → caller delegates to the normal parser.
@@ -104,6 +111,9 @@ object MaintenanceSql {
       Some(AddSnapshotConstraint(SnapTarget(target), name, check.trim))
     case DropCheckRe(target, name) =>
       Some(DropSnapshotConstraint(SnapTarget(target), name))
+    case DeleteKeysRe(target, keyCol, keys) =>
+      Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
+        keys.split(',').map(_.trim.toLong).toSeq))
     case _ => None
   }
 }
@@ -206,6 +216,24 @@ final case class DropSnapshotConstraint(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropCheckConstraint(spark, target.resolve(spark),
       name), name))
+}
+
+/** `DELETE FROM '<path>' WHERE k IN (...)` → Snapshots.commitDelete:
+  * copy-on-write at file granularity — only files physically holding a
+  * doomed key rewrite. Quoted-path targets only (identifier targets keep
+  * delegating to Spark's own DSv2 DELETE). Returns (version, rows
+  * deleted); a miss is a no-op at the unchanged head.
+  */
+final case class DeleteSnapshotKeys(target: MaintenanceSql.SnapTarget,
+    keyCol: String, keys: Seq[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = Snapshots.commitDelete(spark, target.resolve(spark),
+      keys, keyCol)
+    Seq(Row(v, n))
+  }
 }
 
 /** The session parser with the maintenance statements spliced in;

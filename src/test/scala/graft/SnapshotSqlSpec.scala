@@ -214,6 +214,25 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t).count() == 5)
   }
 
+  test("DELETE FROM a quoted path is copy-on-write; identifier targets delegate") {
+    val t = Files.createTempDirectory("graft_snapsql_del").toString + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(2), t)
+    val r = spark.sql(s"DELETE FROM '$t' WHERE id IN (3, 7)").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == (1L to 10L).toSet -- Set(3L, 7L))
+    // misses are free: unchanged head, zero rows
+    val miss = spark.sql(s"DELETE FROM '$t' WHERE id IN (999)").head
+    assert(miss.getLong(0) == 2L && miss.getLong(1) == 0L)
+    // identifier targets still go to Spark's own DELETE (parse-level
+    // delegation — a temp view rejects DELETE like vanilla Spark does)
+    spark.range(3).createOrReplaceTempView("plain_view")
+    intercept[Exception] {
+      spark.sql("DELETE FROM plain_view WHERE id IN (1)").collect()
+    }
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
