@@ -359,7 +359,60 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "part")
     })
 
+  /** CHECK constraints on the SQL surface (`ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`): declare on a populated table (validates the
+    * head first — a metadata-only commit), prove a violating batch is
+    * REFUSED before any manifest claim (head version unchanged, loud
+    * constraint name), then land a valid batch. Every check value is a
+    * protocol constant or an orders count, so the enforcement story is
+    * DuckDB-oracled end to end.
+    */
+  val snapConstraints = QueryDef(
+    "snap_constraints",
+    Some("""SELECT 'constraint_version' AS check_name,
+           |       CAST(2 AS BIGINT) AS value
+           |UNION ALL SELECT 'constraints_live', 1
+           |UNION ALL SELECT 'head_rows',
+           |  (SELECT count(*) FROM orders) +
+           |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)
+           |UNION ALL SELECT 'violation_refused', 1
+           |UNION ALL SELECT 'violation_version_unchanged', 1""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint(true)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_chk").toString + "/t"
+      Snapshots.commitAppend(spark, orders, table)
+      val cv = spark.sql(s"ALTER TABLE '$table' ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)").head.getLong(0)
+      val refused =
+        try {
+          Snapshots.commitAppend(spark, orders.limit(100)
+            .withColumn("o_totalprice", lit(-1.0)), table)
+          0L
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("price_pos") => 1L
+        }
+      val unchanged =
+        if (Snapshots.currentVersion(spark, table) == cv) 1L else 0L
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 10 === 0), table)
+      val live =
+        if (Snapshots.checkConstraints(spark, table).contains("price_pos"))
+          1L else 0L
+      Seq(
+        ("constraint_version", cv),
+        ("constraints_live", live),
+        ("head_rows", Snapshots.read(spark, table).count()),
+        ("violation_refused", refused),
+        ("violation_version_unchanged", unchanged)
+      ).toDF("check_name", "value")
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
-      snapRestore, snapTvfChanges, snapLazyDelete)
+      snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints)
 }
