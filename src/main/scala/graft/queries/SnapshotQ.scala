@@ -412,7 +412,49 @@ object SnapshotQ {
       ).toDF("check_name", "value")
     })
 
+  /** LIVE Structured Streaming ingestion into a snapshot table: the
+    * events fixture flows through a real micro-batch stream whose
+    * foreachBatch sink is `Snapshots.commitStreamAppend` (the
+    * exactly-once transactional-sink recipe — the (stream, batch)
+    * watermark rides IN each claimed manifest), and the emitted rows are
+    * an aggregate over the LANDED table — any lost or double-committed
+    * batch lands in the diff vs the batch oracle. Replay/zombie
+    * exactly-once proofs live in SnapshotsSpec; this grades the
+    * end-to-end stream→protocol→read path.
+    */
+  val snapStreamSink = QueryDef(
+    "snap_stream_sink",
+    Some("""SELECT event_type, count(*) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_value
+           |FROM events GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_sink").toString + "/t"
+      val stream = graft.streaming.EventsStreaming.readEvents(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = stream.writeStream.outputMode("append")
+        .queryName("snap_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            Snapshots.commitStreamAppend(spark, b.toDF(), table,
+              "snap_stream_sink", id)
+            ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      Snapshots.read(spark, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
-      snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints)
+      snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
+      snapStreamSink)
 }
