@@ -83,7 +83,9 @@ object ScaleCheck {
       java.nio.file.Files.copy(part.toPath, dst)
       dst.toFile.setLastModified(1700000000000L + k * 60000L)
     }
-    val novelBase = Tables.documents(spark, smallDir)
+    // lazy: an `only` filter that skips the streaming gates must not pay
+    // this fixture materialization
+    lazy val novelBase = Tables.documents(spark, smallDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id").limit(200)
       .withColumn("doc_id", col("doc_id") + 10000000L)

@@ -408,7 +408,7 @@ object Dedup {
     * so "same ownership semantics" is enforced structurally rather than
     * by keeping two copies in sync. Output: (doc_id, pos).
     */
-  private def nonOwnerDupWindows(grams: DataFrame): DataFrame = {
+  private[graft] def nonOwnerDupWindows(grams: DataFrame): DataFrame = {
     val owners = grams.groupBy("h")
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
       .filter(col("owner") =!= col("hi"))

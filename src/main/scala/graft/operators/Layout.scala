@@ -86,28 +86,37 @@ object Layout {
     */
   def zorderFrameN(df: DataFrame, cols: Seq[String],
       numFiles: Int): DataFrame = {
+    // ONE combined agg serves every numeric column's [min, max] (2k
+    // values in one driver action): on a manifest-pinned or
+    // tombstone-filtered input, per-column aggs would re-execute the
+    // whole upstream read k times
+    val numeric = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val ranges: Map[String, (Double, Double)] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(c => Seq(
+          min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        numeric.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0) // all-NULL column
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    // 16-bit rank: exact-range normalization for numerics, sampled
+    // boundaries for everything else; NULLs rank 0 (curve origin)
+    def rank(c: String): Column = ranges.get(c) match {
+      case Some((lo, hi)) => to16bit(col(c), lo, hi)
+      case None => boundaryRank(df, c)
+    }
     val key =
-      if (cols.size == 1) rank16(df, cols.head)
-      else mortonKeyN(cols.map(c => rank16(df, c)))
+      if (cols.size == 1) rank(cols.head)
+      else mortonKeyN(cols.map(rank))
     df.withColumn("__z", key)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
   }
-
-  /** 16-bit rank of any orderable column: exact-range normalization for
-    * numerics, sampled boundaries for everything else. NULLs rank 0
-    * (cluster together at the curve origin).
-    */
-  private def rank16(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
-        val r = df.agg(min(col(c)).cast("double"),
-          max(col(c)).cast("double")).head
-        if (r.isNullAt(0)) lit(0) // all-NULL column
-        else to16bit(col(c), r.getDouble(0), r.getDouble(1))
-      case _ => boundaryRank(df, c)
-    }
 
   /** Max boundaries per non-numeric z-order column: rank resolution 256
     * per dimension — plenty for FILE-level clustering (a table has far
@@ -123,7 +132,7 @@ object Layout {
     * by how many boundaries it is ≥ (an `aggregate` HOF — pure Catalyst,
     * no UDF). Domain-weighted rather than frequency-weighted: heavy skew
     * concentrates rows in one rank bucket, which costs locality, never
-    * correctness. The sample pass is bounded: the hash modulus doubles
+    * correctness. The sample pass is bounded: the hash modulus grows 8× per probe
     * until ≤ cap·8 distinct survivors, each probe capped by LIMIT.
     */
   private[graft] def boundaryRank(df: DataFrame, c: String): Column = {

@@ -92,29 +92,44 @@ object MaintenanceSql {
     ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')""" +
       """\s+WHERE\s+(\w+)\s+IN\s*\(\s*(\d+(?:\s*,\s*\d+)*)\s*\)\s*;?\s*$""").r
 
-  /** Some(plan) when `sqlText` is one of the maintenance
-    * statements; None → caller delegates to the normal parser.
+  /** Some(plan) when `sqlText` is one of the maintenance statements AND
+    * the target is ours; None → caller delegates to the normal parser.
+    *
+    * Ownership rule: quoted paths are always ours (vanilla SQL cannot
+    * express them); an IDENTIFIER target is ours only when its leading
+    * part names a catalog with `spark.sql.catalog.<name>.root`
+    * CONFIGURED — `OPTIMIZE delta_cat.t` or foreign constraint DDL on
+    * another format's catalog must keep delegating to whoever owns it,
+    * not fail against our root lookup (the delegate-verbatim contract).
     */
-  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(target, zorder) =>
-      val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
-        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      Some(OptimizeSnapshot(SnapTarget(target), cols))
-    case VacuumRe(target, retain) =>
-      Some(VacuumSnapshot(SnapTarget(target),
-        Option(retain).map(_.toInt).getOrElse(2)))
-    case HistoryRe(target) =>
-      Some(DescribeSnapshotHistory(SnapTarget(target)))
-    case RestoreRe(target, v) =>
-      Some(RestoreSnapshot(SnapTarget(target), v.toLong))
-    case AddCheckRe(target, name, check) =>
-      Some(AddSnapshotConstraint(SnapTarget(target), name, check.trim))
-    case DropCheckRe(target, name) =>
-      Some(DropSnapshotConstraint(SnapTarget(target), name))
-    case DeleteKeysRe(target, keyCol, keys) =>
-      Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
-        keys.split(',').map(_.trim.toLong).toSeq))
-    case _ => None
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    def ours(target: String): Boolean =
+      target.startsWith("'") ||
+        org.apache.spark.sql.SparkSession.getActiveSession.exists(
+          _.conf.getOption("spark.sql.catalog." +
+            target.split('.').head.stripPrefix("`").stripSuffix("`") +
+            ".root").isDefined)
+    sqlText match {
+      case OptimizeRe(target, zorder) if ours(target) =>
+        val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(OptimizeSnapshot(SnapTarget(target), cols))
+      case VacuumRe(target, retain) if ours(target) =>
+        Some(VacuumSnapshot(SnapTarget(target),
+          Option(retain).map(_.toInt).getOrElse(2)))
+      case HistoryRe(target) if ours(target) =>
+        Some(DescribeSnapshotHistory(SnapTarget(target)))
+      case RestoreRe(target, v) if ours(target) =>
+        Some(RestoreSnapshot(SnapTarget(target), v.toLong))
+      case AddCheckRe(target, name, check) if ours(target) =>
+        Some(AddSnapshotConstraint(SnapTarget(target), name, check.trim))
+      case DropCheckRe(target, name) if ours(target) =>
+        Some(DropSnapshotConstraint(SnapTarget(target), name))
+      case DeleteKeysRe(target, keyCol, keys) => // quoted paths only
+        Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
+          keys.split(',').map(_.trim.toLong).toSeq))
+      case _ => None
+    }
   }
 }
 

@@ -367,10 +367,17 @@ object EventsStreaming {
           landed.union(keys), keyCol)
         b.join(landed, Seq(keyCol), "left_anti")
       case Some(f) =>
-        // one evaluation of the bloom verdicts (eager checkpoint), so
-        // the emptiness test and both filter legs read the same blocks
+        // one evaluation of the verdicts (eager checkpoint): the
+        // emptiness test and both filter legs read the same blocks, and
+        // some callers pass UNmaterialized lineage (the decontamination
+        // join) that must not run three times.
+        // NULL-key rows get a NULL bloom verdict, which both legs'
+        // filters would silently drop — coalesce them into the
+        // definitely-new leg, matching the anti-join fallback (and the
+        // first batch), where a NULL key never matches and always lands
         val tagged = b.withColumn("__maybe_landed",
-          f.filterCol(col(keyCol))).localCheckpoint(true)
+          coalesce(f.filterCol(col(keyCol)), lit(false)))
+          .localCheckpoint(true)
         mergeKeys(keys)
         val pos = tagged.filter(col("__maybe_landed")).drop("__maybe_landed")
         val neg = tagged.filter(!col("__maybe_landed")).drop("__maybe_landed")
@@ -752,15 +759,11 @@ object EventsStreaming {
               .select(col("doc_id"), col("pos"))
             val notLanded = posVerdicts.filter(col("dup") === 0L)
               .select(col("doc_id"), col("pos"), col("h"))
-            // batch-bounded ownership agg (8-byte hashes, partial-agg
-            // map-side) — never touches the landed side
-            val owners = notLanded.groupBy("h")
-              .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
-              .filter(col("owner") =!= col("hi"))
-              .select("h", "owner")
-            val batchCut = notLanded.join(owners, Seq("h"))
-              .filter(col("doc_id") =!= col("owner"))
-              .select(col("doc_id"), col("pos"))
+            // batch-bounded ownership cut — THE batch operators' keeper
+            // rule (Dedup.nonOwnerDupWindows), shared structurally so the
+            // canonical-owner policy can never drift between the batch
+            // trim and this sink; never touches the landed side
+            val batchCut = graft.operators.Dedup.nonOwnerDupWindows(notLanded)
             val rebuilt = graft.operators.Dedup.rebuildWithoutWindows(
               toks, landedCut.unionByName(batchCut), n)
             flaggedOut.drop("text")
@@ -1035,14 +1038,21 @@ object EventsStreaming {
             val q = spark.sparkContext.longAccumulator("graft.bloom.passed")
             Some((p, q))
           } else None
+        // the checkpoint is paid ONLY on the stats path, where it is
+        // load-bearing (exactly-once accumulator counting + final values
+        // before the read below). The production path re-evaluates the
+        // bloom expression map-side over the caller's already-checkpointed
+        // gram blocks — cheaper than materializing the tagged frame again
+        // every micro-batch
         val tagged = acc.fold(tagged0) { case (p, q) =>
           import org.apache.spark.sql.graft.ColumnBridge
           tagged0.withColumn("might_dup", ColumnBridge.column(
             graft.plans.TapBloomStat(
               ColumnBridge.expression(col("might_dup")), p, q)))
-        }.localCheckpoint(true)
-        // checkpoint done ⇒ every task reported; mirror into the spec
-        // hooks (accumulator values are final here)
+            .localCheckpoint(true)
+        }
+        // (stats path) checkpoint done ⇒ every task reported; mirror into
+        // the spec hooks (accumulator values are final here)
         acc.foreach { case (p, q) =>
           bloomProbedGrams.addAndGet(p.value)
           bloomPassedGrams.addAndGet(q.value)

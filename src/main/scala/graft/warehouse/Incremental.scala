@@ -189,23 +189,29 @@ object Incremental {
       s"mart cursor v$from is ahead of $table head v$head — the base " +
         "table was recreated; delete the mart (and its cursor) to rebuild")
     if (head == from) return (from, head, Nil)
+    val existing = {
+      val root = new org.apache.hadoop.fs.Path(martPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("p_date="))
+        .map(n => java.sql.Date.valueOf(n.stripPrefix("p_date=")))
+        .toSeq
+    }
+    // a ZERO cursor over a mart that already has partitions is a LOST
+    // cursor (crash inside writeCursor), not a fresh mart: the v0→head
+    // feed is inserts-only and would never clear a partition whose dates
+    // the head no longer holds — rebuild wholesale like the
+    // lagged-past-retention case, which lists and drops stale partitions
     val dates =
-      if (Snapshots.hasVersion(spark, table, from))
+      if (Snapshots.hasVersion(spark, table, from) &&
+          !(from == 0 && existing.nonEmpty))
         refreshFromFeed(spark, table, from, head, keys, martOf, tsCol,
           martPath)
       else {
-        // lagged past retention: rebuild wholesale — every date the base
-        // now holds recomputes, every date only the stale mart holds drops
+        // rebuild wholesale — every date the base now holds recomputes,
+        // every date only the stale mart holds drops
         val mart = martOf(Snapshots.read(spark, table, Some(head)))
-        val existing = {
-          val root = new org.apache.hadoop.fs.Path(martPath)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(root)) Nil
-          else fs.listStatus(root).map(_.getPath.getName)
-            .filter(_.startsWith("p_date="))
-            .map(n => java.sql.Date.valueOf(n.stripPrefix("p_date=")))
-            .toSeq
-        }
         overwriteTouched(spark, mart, existing, martPath).toSeq
       }
     writeCursor(spark, martPath, head)

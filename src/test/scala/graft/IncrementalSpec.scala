@@ -261,6 +261,36 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.martCursor(spark, martPath) == v4)
   }
 
+  test("syncMart: a lost cursor over a mart with stale partitions rebuilds, dropping them") {
+    import graft.warehouse.Snapshots
+    val base = Files.createTempDirectory("graft_syncmart_lost").toString
+    val table = base + "/fact"
+    val martPath = base + "/mart"
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    val d3 = "2024-01-03"
+    def sync() = Incremental.syncMart(spark, table, Seq("event_id"),
+      dailyMart, "ts", martPath)
+    Snapshots.commitAppend(spark, events, table) // v1: d3 present
+    sync()
+    assert(spark.read.parquet(martPath)
+      .filter(col("p_date") === d3).count() > 0)
+    // base deletes ALL of d3; then the cursor is lost
+    val doomed = events.filter(col("ts").cast("date") === d3)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    Snapshots.commitDelete(spark, table, doomed, "event_id") // v2
+    val fsys = new org.apache.hadoop.fs.Path(martPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(martPath, "_graft_cursor"), false)
+    // a v0 cursor over an existing mart must REBUILD (the inserts-only
+    // v0->head feed could never clear d3's now-stale partition)
+    sync()
+    assert(spark.read.parquet(martPath)
+      .filter(col("p_date") === d3).count() == 0,
+      "stale mart partition must drop on the lost-cursor rebuild")
+    assert(Incremental.martCursor(spark, martPath) == 2L)
+  }
+
   test("touchedDates finds exactly the batch's dates") {
     val batch = Tables.events(spark, sf)
       .filter(col("ts").cast("date").isin("2024-01-01", "2024-01-05"))

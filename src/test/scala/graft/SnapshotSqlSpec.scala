@@ -78,11 +78,14 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("OPTIMIZE gsql.tt").head.getBoolean(1))
     // the DSv2 read face sees the compacted head through the same conf
     assert(spark.sql("SELECT count(*) FROM gsql.tt").head.getLong(0) == 16L)
+    // an identifier target whose catalog root is NOT configured is NOT
+    // ours — it delegates (a foreign format's OPTIMIZE must keep working
+    // for whoever owns it; vanilla Spark rejects it as a parse error)
     val err = intercept[Exception] {
       spark.sql("OPTIMIZE nocat.tt").collect()
     }
-    assert(err.getMessage.contains("nocat"),
-      s"unconfigured catalog must fail loudly, got: ${err.getMessage}")
+    assert(err.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+      s"unowned identifier targets must delegate verbatim, got: $err")
   }
 
   test("VACUUM RETAIN deletes exactly the unreferenced files; history shrinks") {
@@ -238,10 +241,15 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // near-miss keywords stay vanilla errors, not silent maintenance runs
     intercept[Exception] { spark.sql("OPTIMIZE") }
     intercept[Exception] { spark.sql("DESCRIBE HISTORY") }
-    // a bare one-part unquoted target cannot resolve to a path
-    val t = freshTable(16)
-    val err = intercept[Exception] { spark.sql("OPTIMIZE justaname").collect() }
-    assert(err.getMessage.contains("catalog-qualified") ||
-      err.getMessage.contains("quoted path"))
+    // a bare unowned identifier is not ours: verbatim delegation means a
+    // vanilla parse error, never our resolver's
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("OPTIMIZE justaname").collect()
+    }
+    // and foreign-looking constraint DDL on an unowned catalog delegates
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nocat.db.t ADD CONSTRAINT c CHECK (x > 0)")
+        .collect()
+    }
   }
 }

@@ -381,6 +381,35 @@ class StreamingSpec extends AnyFunSuite {
       "skip economy must resume after the rebuild")
   }
 
+  test("NULL-doc_id rows survive the bloom front filter like the anti-join path") {
+    import DupFlagKit.{docsDf, tokenRows}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_nullid")
+    val outPath = base.resolve("flagged").toString
+    val idxPath = base.resolve("gram_index").toString
+    val srcDir = base.resolve("in").toString
+    def run(): Unit = {
+      val q = EventsStreaming.dupFlaggedAppend(docStream(srcDir), outPath,
+        idxPath, n = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 0 creates the table and its bloom sidecar
+    stageArrival(base, Seq(docsDf(spark, tokenRows("a", 0 until 4,
+      tokens = 12)))); run()
+    // batch 1 arrives AFTER the bloom exists: a NULL bloom verdict must
+    // route the NULL-key row into the definitely-new leg (the anti-join
+    // and first-batch paths both land it — NULL never matches a key)
+    val withNull = Seq(
+      (Option.empty[Long], DupFlagKit.tokenText("n", 0, 12), "en", "s", 0L),
+      (Some(500L), DupFlagKit.tokenText("b", 0, 12), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    stageArrival(base, Seq(withNull), startK = 1); run()
+    val out = spark.read.parquet(outPath)
+    assert(out.filter(col("doc_id").isNull).count() == 1,
+      "the NULL-id document must land, not silently vanish")
+    assert(out.count() == 6)
+  }
+
   test("trimDupSpansAppend over an ordered arrival equals the batch trimDupSpans") {
     // the ingest path emits the deduplicated corpus directly: landed
     // text = the batch trimDupSpans rebuild, doc for doc, when files
