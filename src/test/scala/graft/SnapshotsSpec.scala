@@ -428,6 +428,58 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.lastCommittedBatch(spark, t, "nope").isEmpty)
   }
 
+  test("a tombstone or constraint landing between staging and claim is re-validated") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    def dataFiles(): Int = {
+      val dd = new org.apache.hadoop.fs.Path(t, "data")
+      val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(dd).count(_.isFile)
+    }
+    try {
+      // tombstone race: a lazy delete of key 2 lands AFTER the append's
+      // pre-staging validation read the head — the claim loop must
+      // refuse (a silent carry would let the read-side anti-join swallow
+      // the appended row), and the refusal reclaims the staged files
+      val before = dataFiles()
+      Snapshots.raceHookForTests = () => {
+        Snapshots.commitDeleteLazy(spark, t, Seq(2L), "id")
+        Snapshots.raceHookForTests = () => ()
+      }
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commitAppend(spark, Seq((2L, "zombie")).toDF("id", "v"), t)
+      }
+      assert(e.getMessage.contains("tombstoned"))
+      assert(dataFiles() == before, "refused claim must reclaim staged files")
+      assert(ids(Snapshots.read(spark, t)) == Set(1L, 3L, 4L, 5L))
+      // constraint race: ADD CONSTRAINT lands mid-commit; the violating
+      // batch is refused at claim time under the constraint's name
+      Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 1)
+      Snapshots.raceHookForTests = () => {
+        Snapshots.addCheckConstraint(spark, t, "id_small", "id < 100")
+        Snapshots.raceHookForTests = () => ()
+      }
+      val e2 = intercept[IllegalArgumentException] {
+        Snapshots.commitAppend(spark, Seq((500L, "big")).toDF("id", "v"), t)
+      }
+      assert(e2.getMessage.contains("id_small"))
+      // the streaming ingest path carries the same guard
+      Snapshots.raceHookForTests = () => {
+        Snapshots.commitDeleteLazy(spark, t, Seq(3L), "id")
+        Snapshots.raceHookForTests = () => ()
+      }
+      val e3 = intercept[IllegalArgumentException] {
+        Snapshots.commitStreamAppend(spark,
+          Seq((3L, "z")).toDF("id", "v"), t, "race_s", 0L)
+      }
+      assert(e3.getMessage.contains("tombstoned"))
+    } finally Snapshots.raceHookForTests = () => ()
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
   test("vacuum removes files unreferenced by retained versions only") {
     val t = freshTable()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)   // v1
