@@ -126,20 +126,18 @@ class SnapshotCatalog extends TableCatalog {
   }
 
   /** SQL `TIMESTAMP AS OF <t>` (micros since epoch): the newest version
-    * committed at or before the instant.
+    * committed at or before the instant. Commit instants come from each
+    * manifest's `#ts:` header (recorded at claim time — durable across a
+    * table copy or object-store migration, where file mtimes reset);
+    * manifests predating the header fall back to mtime.
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = tablePath(ident)
     val head = Snapshots.currentVersion(spark, t)
     if (head == 0) throw new NoSuchTableException(ident)
-    val dir = new Path(t, "_manifests")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoffMs = timestampMicros / 1000L
-    val v = fs.listStatus(dir)
-      .filter(_.getPath.getName.endsWith(".manifest"))
-      .filter(_.getModificationTime <= cutoffMs)
-      .map(s => s.getPath.getName.stripPrefix("v")
-        .stripSuffix(".manifest").toLong)
+    val v = Snapshots.commitInstants(spark, t)
+      .filter(_._2 <= cutoffMs).map(_._1)
       .maxOption.getOrElse(throw new NoSuchTableException(ident))
     tableAt(ident, v)
   }

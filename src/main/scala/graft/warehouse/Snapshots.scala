@@ -131,6 +131,9 @@ object Snapshots {
   private def tombstoneColOf(lines: Seq[String]): Option[String] =
     lines.find(_.startsWith(TombstoneColHeader))
       .map(_.stripPrefix(TombstoneColHeader))
+  private def tsOf(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith(TsHeader))
+      .map(_.stripPrefix(TsHeader).toLong)
 
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
@@ -145,6 +148,7 @@ object Snapshots {
   private val SchemaHeader = "#schema:"
   private val StreamHeader = "#stream:"
   private val OpHeader = "#op:"
+  private val TsHeader = "#ts:"
   private val CheckHeader = "#check:"
   private val TombstoneHeader = "#tombstone:"
   private val TombstoneColHeader = "#tombstonecol:"
@@ -205,7 +209,11 @@ object Snapshots {
       op: String, checks: Map[String, String] = Map.empty,
       tombstones: Seq[String] = Nil,
       tombstoneCol: Option[String] = None): String =
-    (Seq(OpHeader + op) ++
+    // the commit instant rides IN the manifest (`#ts:`): file mtimes are
+    // not durable across a table copy, an object-store migration, or
+    // writer clock skew — the header is what history() and TIMESTAMP AS
+    // OF resolve against (mtime stays the fallback for legacy manifests)
+    (Seq(OpHeader + op, TsHeader + System.currentTimeMillis()) ++
       schema.map(s => SchemaHeader + s.json).toSeq ++
       marks.toSeq.sortBy(_._1)
         .map { case (sid, bid) => s"$StreamHeader$bid:$sid" } ++
@@ -392,19 +400,19 @@ object Snapshots {
     * `keyCol` must stay consistent while tombstones are pending.
     * Returns (new version, distinct keys tombstoned).
     */
-  def commitDeleteLazy(spark: SparkSession, table: String, keys: Seq[Long],
-      keyCol: String, maxRetries: Int = 10): (Long, Int) = {
-    import spark.implicits._
-    if (keys.isEmpty) return (currentVersion(spark, table), 0)
-    val distinctKeys = keys.distinct
-    // stage the key list into _tombstones/ under a unique name (same
-    // write-first-claim-later discipline as data files)
+  /** Write a one-column key frame into `_tombstones/` under unique names
+    * (the same write-first-claim-later discipline as data files).
+    * Returns the staged sidecar names — unreferenced until a manifest
+    * claims them.
+    */
+  private def stageTombstoneSidecar(spark: SparkSession, table: String,
+      keys: DataFrame): Seq[String] = {
     val td = tombstoneDir(table)
     val f = fs(spark, td)
     val staging = new Path(table, s"_staging-ts-${java.util.UUID.randomUUID}")
-    distinctKeys.toDF(keyCol).coalesce(1).write.parquet(staging.toString)
+    keys.coalesce(1).write.parquet(staging.toString)
     f.mkdirs(td)
-    val newFiles = f.listStatus(staging)
+    val names = f.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map { s =>
         val target = new Path(td, s"${java.util.UUID.randomUUID}.parquet")
@@ -412,6 +420,16 @@ object Snapshots {
         target.getName
       }.toSeq
     f.delete(staging, true)
+    names
+  }
+
+  def commitDeleteLazy(spark: SparkSession, table: String, keys: Seq[Long],
+      keyCol: String, maxRetries: Int = 10): (Long, Int) = {
+    import spark.implicits._
+    if (keys.isEmpty) return (currentVersion(spark, table), 0)
+    val distinctKeys = keys.distinct
+    val newFiles = stageTombstoneSidecar(spark, table,
+      distinctKeys.toDF(keyCol))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -574,15 +592,127 @@ object Snapshots {
       s"commit to $table failed after $maxRetries attempts")
   }
 
-  /** MERGE with an update branch, under snapshot isolation: the new table
-    * state is `Merge.upsert(head state, batch, keys)` — every batch row
-    * lands (matched keys updated, unmatched inserted), untouched target
-    * rows survive. UNLIKE append, the result DEPENDS on the head it was
-    * computed against, so a lost claim cannot simply retry the manifest:
-    * the loser deletes its orphaned files, RE-READS the new head,
-    * RECOMPUTES the merge and tries again — full optimistic concurrency
-    * (Delta-style), serializing concurrent merges instead of losing one.
-    * Returns the committed version.
+  /** The staged outcome of one file-granular copy-on-write pass (see
+    * [[cowApply]]): the staged rewrite+insert files, the untouched files
+    * carried by name, the tombstone state the claim should record, and
+    * which of those sidecars THIS pass staged (reclaimed on a lost
+    * claim; carried-forward sidecars are never touched).
+    */
+  private final case class CowResult(newFiles: Seq[String],
+      carried: Seq[String], tombstones: Seq[String],
+      tombstoneCol: Option[String], stagedTombstones: Seq[String])
+
+  /** File-granular copy-on-write apply — the shared engine of
+    * [[commitMerge]] and [[syncReplica]]'s feed transport: stage only
+    * the files that PHYSICALLY hold a key the change set touches,
+    * carry every other file into the new manifest by name.
+    *
+    *   1. probe: ONE scan of the version's files, semi-joined against
+    *      the (bounded, broadcast) touched keys, projecting
+    *      `input_file_name()` — the same recipe [[commitDelete]] uses.
+    *      Only the key columns are read (column pruning), and the
+    *      result is the set of files whose rows can change;
+    *   2. rewrite: the affected slice, tombstone-filtered and conformed
+    *      to the evolved schema, merged with the changes (upserts
+    *      replace, `deleteCol`-flagged keys drop) — staged bytes are
+    *      O(churned files + batch), never O(table);
+    *   3. tombstones: pending tombstone headers CARRY forward, except
+    *      keys the change set re-asserts — those files are forced into
+    *      the affected set (their dead rows materialize in the rewrite)
+    *      and the keys leave the tombstone set, so a re-inserted key is
+    *      never swallowed by the read-side anti-join. When the change
+    *      set lacks the tombstone key column entirely, conforming
+    *      null-pads it and NULLs re-assert nothing.
+    *
+    * `changes` must already be conformed to `schema` (plus the optional
+    * delete-flag column); `keys` must be unique within `changes`.
+    */
+  private def cowApply(spark: SparkSession, table: String,
+      lines: Seq[String], schema: types.StructType, changes: DataFrame,
+      keys: Seq[String], deleteCol: Option[String]): CowResult = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val files = filesOf(lines)
+    val upserts = deleteCol match {
+      case None => changes
+      case Some(dc) => changes.filter(!col(dc)).drop(dc)
+    }
+    if (files.isEmpty)
+      return CowResult(stageData(spark, upserts, table), Nil, Nil, None, Nil)
+    // localCheckpoint cuts the probe frames' lineage to an in-memory RDD:
+    // the probe projects input_file_name(), which refuses plans carrying
+    // a SECOND file source (the batch's parquet lineage, the tombstone
+    // sidecar). Keys stay distributed — no driver collect.
+    val touched = changes.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true)
+    // pending-tombstone keys the change set re-asserts (bounded × bounded)
+    val tk = tombstoneKeys(spark, table, lines)
+    val reasserted = tk.map { case (kc, tkeys) =>
+      kc -> tkeys.join(broadcast(
+          changes.select(col(kc)).filter(col(kc).isNotNull).distinct()),
+        Seq(kc), "left_semi").localCheckpoint(true)
+    }.filter(_._2.limit(1).count() > 0)
+    val raw = readWithSchema(spark, table, files, schemaOf(lines))
+    val probe = raw.join(broadcast(touched), keys, "left_semi")
+      .select(input_file_name().as("file"))
+    val probeAll = reasserted match {
+      case Some((kc, r)) => probe.unionByName(
+        raw.join(broadcast(r), Seq(kc), "left_semi")
+          .select(input_file_name().as("file")))
+      case None => probe
+    }
+    val affected = probeAll.distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    val carried = files.filterNot(affected)
+    val merged =
+      if (affected.isEmpty) upserts
+      else {
+        val affState = conform(applyTombstones(spark, table, lines,
+          readWithSchema(spark, table, files.filter(affected),
+            schemaOf(lines))), schema)
+        deleteCol match {
+          case None =>
+            graft.operators.Merge.upsert(affState, changes, keys)
+          case Some(dc) =>
+            graft.operators.Merge.applyChanges(affState, changes, keys, dc)
+        }
+      }
+    val newFiles = stageData(spark, merged, table)
+    val (tombs, tombCol, stagedTombs) = (tk, reasserted) match {
+      case (None, _) => (Nil, None, Nil)
+      case (Some(_), None) => // untouched pending state carries verbatim
+        (tombstonesOf(lines), tombstoneColOf(lines), Nil)
+      case (Some((kc, tkeys)), Some(_)) =>
+        // drop the re-asserted keys; keys whose rows just materialized
+        // in the rewrite MAY stay listed (their anti-join is a no-op)
+        val remaining = tkeys.join(broadcast(
+            changes.select(col(kc)).filter(col(kc).isNotNull).distinct()),
+          Seq(kc), "left_anti")
+        if (remaining.limit(1).count() == 0) (Nil, None, Nil)
+        else {
+          val staged = stageTombstoneSidecar(spark, table, remaining)
+          (staged, Some(kc), staged)
+        }
+    }
+    CowResult(newFiles, carried, tombs, tombCol, stagedTombs)
+  }
+
+  /** MERGE with an update branch, under snapshot isolation — COPY-ON-
+    * WRITE AT FILE GRANULARITY: one `input_file_name()` probe finds the
+    * files physically holding a batch key ([[cowApply]]); ONLY those are
+    * rewritten (matched keys updated, already-tombstoned rows
+    * materialized out), batch keys no file holds land as inserts, and
+    * every untouched file carries into the new manifest BY NAME — a
+    * 10-row CDC tick against a 100 TB table stages a few files, never
+    * the table. Pending lazy-delete tombstones carry forward, minus any
+    * key the batch re-inserts (the legitimate resurrection path: its
+    * files rewrite without the dead rows and the key leaves the set).
+    *
+    * UNLIKE append, the result DEPENDS on the head it was computed
+    * against, so a lost claim cannot simply retry the manifest: the
+    * loser deletes its orphaned files (and any sidecar it staged),
+    * RE-READS the new head, RECOMPUTES the merge and tries again — full
+    * optimistic concurrency (Delta-style), serializing concurrent merges
+    * instead of losing one. Returns the committed version.
     */
   def commitMerge(spark: SparkSession, batch: DataFrame, table: String,
       keys: Seq[String], maxRetries: Int = 10): Long = {
@@ -592,33 +722,32 @@ object Snapshots {
     // the new state without scanning the table
     val headLines0 = manifestLines(spark, table, currentVersion(spark, table))
     enforceChecks(batch, checksOf(headLines0), table, schemaOf(headLines0))
+    var validatedChecks = checksOf(headLines0)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val lines = manifestLines(spark, table, head)
+      // TOCTOU guard (see commit): constraints landing mid-merge apply
+      if (checksOf(lines) != validatedChecks) {
+        enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+        validatedChecks = checksOf(lines)
+      }
       // evolve first, then conform BOTH sides: a merge may introduce a
       // new column (target rows null-pad) or omit one (batch null-pads)
       val schema = evolveSchema(schemaOf(lines), batch.schema)
-      // merge computes against the APPLIED state (tombstones filtered)
-      // and the claim below carries NO tombstone headers: a merge is a
-      // full rewrite anyway, so it doubles as the materialization point —
-      // and it is how a tombstoned key gets legitimately re-inserted
-      val merged =
-        if (head == 0 || filesOf(lines).isEmpty) batch
-        else graft.operators.Merge.upsert(
-          conform(applyTombstones(spark, table, lines,
-            readWithSchema(spark, table, filesOf(lines),
-              schemaOf(lines))), schema),
-          conform(batch, schema), keys)
-      val newFiles = stageData(spark, merged, table)
+      val cow = cowApply(spark, table, lines, schema,
+        conform(batch, schema), keys, deleteCol = None)
       if (claimManifest(spark, table, head + 1,
-          contentOf(Some(schema), marksOf(lines), newFiles, "merge",
-            checksOf(lines))))
+          contentOf(Some(schema), marksOf(lines),
+            cow.carried ++ cow.newFiles, "merge", checksOf(lines),
+            cow.tombstones, cow.tombstoneCol)))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
       // them and recompute against the new head
-      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      cow.newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      cow.stagedTombstones.foreach(n =>
+        f.delete(new Path(tombstoneDir(table), n), false))
       attempt += 1
     }
     throw new IllegalStateException(
@@ -776,12 +905,13 @@ object Snapshots {
     * versioned warehouse exposes (Delta's DESCRIBE HISTORY): one row per
     * RETAINED version (newest first) with the commit's operation (the
     * `#op:` manifest header; "unknown" for manifests predating it), the
-    * commit instant (the atomic manifest claim's mtime — the protocol's
-    * only clock, the same one TIMESTAMP AS OF resolves against), and the
-    * physical step shape (file counts; added/removed are NULL for the
-    * oldest retained version when its predecessor was vacuumed).
-    * Metadata-only: reads manifests, never data files — O(retained
-    * versions), which vacuum bounds.
+    * commit instant (the `#ts:` header recorded at claim time — durable
+    * across table copies and store migrations; the claim file's mtime is
+    * the fallback for legacy manifests), and the physical step shape
+    * (file counts; added/removed are NULL for the oldest retained
+    * version when its predecessor was vacuumed). Metadata-only: reads
+    * manifests, never data files — O(retained versions), which vacuum
+    * bounds.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -805,13 +935,32 @@ object Snapshots {
       // contiguity: vacuum retains a suffix, so only the OLDEST retained
       // version can lack its predecessor (unless it is v1)
       val base = if (v == 1) Some(Set.empty[String]) else prior
-      val row = (v, new java.sql.Timestamp(mtime), op, files.size,
+      val row = (v, new java.sql.Timestamp(tsOf(lines).getOrElse(mtime)),
+        op, files.size,
         base.map(b => files.diff(b).size), base.map(b => b.diff(files).size))
       prior = Some(files)
       row
     }.reverse.toSeq
     rows.toDF("version", "committed_at", "op", "num_files",
       "added_files", "removed_files")
+  }
+
+  /** (version, commit instant epochMs) of every RETAINED manifest,
+    * ascending — the `#ts:` header when present (durable), the manifest
+    * file's mtime for legacy manifests. What `TIMESTAMP AS OF` resolves
+    * against; O(retained versions) manifest reads, bounded by vacuum.
+    */
+  def commitInstants(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .map { s =>
+        val v = versionOf(s.getPath.getName)
+        v -> tsOf(manifestLines(spark, table, v))
+          .getOrElse(s.getModificationTime)
+      }.sortBy(_._1).toSeq
   }
 
   // ------------------------------------------------------------------

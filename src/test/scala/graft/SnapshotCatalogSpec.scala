@@ -68,4 +68,42 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN gsnap").collect()
       .map(_.getString(1)).toSet == Set("orders_t"))
   }
+
+  test("TIMESTAMP AS OF survives a table copy: #ts headers, not mtimes, are the clock") {
+    val root = Files.createTempDirectory("graft_snapcat_ts").toString
+    val t = root + "/ts_t"
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    Thread.sleep(1100)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    Snapshots.commitAppend(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    val instants = Snapshots.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(instants(1L) < cut.getTime && instants(2L) > cut.getTime)
+    // copy the whole table tree and RESET every mtime — the table-copy /
+    // object-store-migration case where the old clock (claim-file mtime)
+    // lies: every copied manifest now "committed" right now
+    val root2 = Files.createTempDirectory("graft_snapcat_ts2").toString
+    val src = java.nio.file.Paths.get(t)
+    val dst = java.nio.file.Paths.get(root2 + "/ts_t")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else {
+        java.nio.file.Files.copy(p, q)
+        q.toFile.setLastModified(System.currentTimeMillis())
+      }
+    }
+    spark.conf.set("spark.sql.catalog.gts",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.root", root2)
+    assert(spark.sql(s"SELECT id FROM gts.ts_t TIMESTAMP AS OF '$cut'")
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "the recorded #ts instant, not the copy's mtime, must resolve")
+    // history on the copy reports the ORIGINAL commit instants
+    val copied = Snapshots.history(spark, dst.toString).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(copied == instants, s"history drifted: $copied vs $instants")
+  }
 }

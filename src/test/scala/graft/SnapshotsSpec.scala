@@ -428,6 +428,62 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.lastCommittedBatch(spark, t, "nope").isEmpty)
   }
 
+  test("merge is copy-on-write at file granularity: a 1-key merge rewrites only its files") {
+    val t = freshTable()
+    // 32 tight single-file commits: each file holds a distinct 10-key slab
+    (0 until 32).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 10).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    val before = Snapshots.filesAt(spark, t, 32L)
+    assert(before.size >= 32)
+    // merge one updated key + one brand-new key
+    val v = Snapshots.commitMerge(spark,
+      Seq((155L, "bumped"), (9999L, "new")).toDF("id", "v"), t, Seq("id"))
+    val after = Snapshots.filesAt(spark, t, v)
+    val rewritten = before.toSet.diff(after.toSet)
+    assert(rewritten.size == 1,
+      s"exactly the file holding key 155 rewrites, got ${rewritten.size}")
+    assert(before.toSet.intersect(after.toSet).size == before.size - 1,
+      "every other file must carry into the new manifest by name")
+    val state = Snapshots.read(spark, t)
+    assert(state.count() == 321)
+    assert(state.filter("id = 155").head.getString(1) == "bumped")
+    assert(state.filter("id = 9999").head.getString(1) == "new")
+    // the merge window's change feed: only the churned slice surfaces
+    val d = Snapshots.rowDiff(spark, t, 32L, v, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d == Set((155L, "update_preimage"), (155L, "update_postimage"),
+      (9999L, "insert")), s"got $d")
+  }
+
+  test("merge carries pending tombstones it does not touch; re-asserted keys leave the set") {
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 5).map(j => (i * 5L + j, s"v$i$j")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    Snapshots.commitDeleteLazy(spark, t, Seq(2L, 12L), "id") // v5
+    // merge touching key 7 only: both tombstones carry, reads stay dead
+    Snapshots.commitMerge(spark, Seq((7L, "x")).toDF("id", "v"), t, Seq("id"))
+    assert(Snapshots.pendingTombstones(spark, t)._2.nonEmpty,
+      "a merge not touching a tombstoned key must carry the tombstones")
+    assert(ids(Snapshots.read(spark, t)) == (0L until 20L).toSet -- Set(2L, 12L))
+    // merge re-asserting key 2: its file rewrites (dead row materializes
+    // out), the key leaves the tombstone set, 12 stays dead
+    Snapshots.commitMerge(spark,
+      Seq((2L, "reborn")).toDF("id", "v"), t, Seq("id"))
+    val (kc, tombs) = Snapshots.pendingTombstones(spark, t)
+    assert(tombs.nonEmpty && kc.contains("id"),
+      "the untouched tombstone (key 12) must survive the partial re-assert")
+    val state = Snapshots.read(spark, t)
+    assert(state.filter("id = 2").head.getString(1) == "reborn")
+    assert(state.filter("id = 12").count() == 0)
+    assert(state.count() == 19)
+  }
+
   test("a tombstone or constraint landing between staging and claim is re-validated") {
     val t = freshTable()
     Snapshots.commitAppend(spark,
