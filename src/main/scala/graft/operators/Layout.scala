@@ -377,6 +377,38 @@ object Layout {
     live.filter(f => selected(f) || !known(f))
   }
 
+  /** Subset of `live` canonical file URIs whose [min, max] range for `c`
+    * can contain AT LEAST ONE of `values` — the point-set variant of
+    * [[selectByStats]], for key-list probes (tombstone feeds, merge
+    * touch-sets) where the keys are sparse points rather than one box:
+    * on a z-ordered table a 50-key list prunes to a handful of files
+    * where the coarse [min(values), max(values)] envelope would keep
+    * most of them. The membership test runs as ONE array-literal
+    * `exists` per manifest row (never a 4096-term OR chain). NULL stats
+    * keep the file (cannot prune), as do files the manifest doesn't
+    * cover.
+    */
+  private[graft] def selectByStatsAnyOf(
+      spark: org.apache.spark.sql.SparkSession, path: String, c: String,
+      values: Seq[Any], live: Seq[String]): Seq[String] = {
+    val minC = col(s"${c}__min")
+    val maxC = col(s"${c}__max")
+    // typed to the manifest's encoding (numerics as double, everything
+    // else as string) so comparisons never hit a cast surprise
+    val arr =
+      if (values.forall(_.isInstanceOf[Number]))
+        lit(values.map(_.asInstanceOf[Number].doubleValue).toArray)
+      else lit(values.map(String.valueOf).toArray)
+    val keep = exists(arr, v => minC <= v && maxC >= v) ||
+      minC.isNull || maxC.isNull
+    val manifest = spark.read.parquet(s"$path/$statsDir")
+    val known = manifest.select("file").collect()
+      .map(r => canonFile(r.getString(0))).toSet
+    val selected = manifest.filter(keep)
+      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+    live.filter(f => selected(f) || !known(f))
+  }
+
   def statsPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Any, Any)]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path, statsDir)

@@ -592,6 +592,64 @@ object Snapshots {
       s"commit to $table failed after $maxRetries attempts")
   }
 
+  /** Spec hooks: (candidate files actually probed/read, total candidate
+    * files) of the last stats-pruned copy-on-write probe ([[cowApply]])
+    * and the last lazy-delete feed leg ([[rowDiff]]). None until either
+    * path runs.
+    */
+  @volatile private[graft] var lastCowProbePruned: Option[(Int, Int)] = None
+  @volatile private[graft] var lastTombLegPruned: Option[(Int, Int)] = None
+
+  /** Beyond this many distinct probe keys, point-set pruning falls back
+    * to one coarse [min, max] envelope (the driver should not hold an
+    * unbounded key list; the envelope is still sound, just looser).
+    */
+  private val MaxPruneKeys = 4096
+
+  /** Driver-side file skipping for KEY-LIST probes: the subset of
+    * `candidates` (bare data-file names of `table`) whose `_graft_stats`
+    * [min, max] range for `kc` can hold at least one key of the
+    * one-column `keyFrame` — how a tombstone feed or a merge probe over
+    * a z-ordered, stats-manifested table opens a handful of files
+    * instead of every carried file. Sound by construction: files the
+    * stats don't cover (or whose stats are NULL) are always kept, and
+    * with no manifest — or a key type the manifest's typed encoding
+    * can't compare exactly (dates/timestamps render differently driver-
+    * side) — the candidate list returns unchanged (prune nothing, never
+    * prune wrongly).
+    */
+  private def pruneByKeyStats(spark: SparkSession, table: String,
+      kc: String, keyFrame: DataFrame,
+      candidates: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (candidates.isEmpty) return candidates
+    val dd = dataDir(table).toString
+    if (!graft.operators.Layout.statsManifestCols(spark, dd)
+        .exists(_.contains(kc))) return candidates
+    val prunable = keyFrame.schema.head.dataType match {
+      case _: types.NumericType => true
+      case types.StringType => true
+      case _ => false
+    }
+    if (!prunable) return candidates
+    val kcol = col(keyFrame.columns.head)
+    val vals = keyFrame.na.drop().distinct()
+      .limit(MaxPruneKeys + 1).collect().map(_.get(0)).toSeq
+    if (vals.isEmpty) return candidates
+    val f = fs(spark, dataDir(table))
+    val canon = candidates.map(n => graft.operators.Layout.canonFile(
+      f.makeQualified(new Path(dataDir(table), n)).toString) -> n)
+    val byCanon = canon.toMap
+    val chosen =
+      if (vals.size > MaxPruneKeys) {
+        val mm = keyFrame.agg(min(kcol), max(kcol)).head()
+        graft.operators.Layout.selectByStats(spark, dd,
+          Seq((kc, mm.get(0), mm.get(1))), canon.map(_._1))
+      } else graft.operators.Layout.selectByStatsAnyOf(
+        spark, dd, kc, vals, canon.map(_._1))
+    chosen.map(byCanon)
+  }
+
   /** The staged outcome of one file-granular copy-on-write pass (see
     * [[cowApply]]): the staged rewrite+insert files, the untouched files
     * carried by name, the tombstone state the claim should record, and
@@ -610,8 +668,11 @@ object Snapshots {
     *   1. probe: ONE scan of the version's files, semi-joined against
     *      the (bounded, broadcast) touched keys, projecting
     *      `input_file_name()` — the same recipe [[commitDelete]] uses.
-    *      Only the key columns are read (column pruning), and the
-    *      result is the set of files whose rows can change;
+    *      Only the key columns are read (column pruning), and when the
+    *      table carries a `_graft_stats` manifest covering the probe
+    *      key, the scanned candidate set is itself stats-pruned
+    *      driver-side first ([[pruneByKeyStats]]) — on a z-ordered
+    *      table the probe opens a handful of files, not the table;
     *   2. rewrite: the affected slice, tombstone-filtered and conformed
     *      to the evolved schema, merged with the changes (upserts
     *      replace, `deleteCol`-flagged keys drop) — staged bytes are
@@ -651,17 +712,34 @@ object Snapshots {
           changes.select(col(kc)).filter(col(kc).isNotNull).distinct()),
         Seq(kc), "left_semi").localCheckpoint(true)
     }.filter(_._2.limit(1).count() > 0)
-    val raw = readWithSchema(spark, table, files, schemaOf(lines))
-    val probe = raw.join(broadcast(touched), keys, "left_semi")
-      .select(input_file_name().as("file"))
-    val probeAll = reasserted match {
-      case Some((kc, r)) => probe.unionByName(
-        raw.join(broadcast(r), Seq(kc), "left_semi")
-          .select(input_file_name().as("file")))
-      case None => probe
+    // stats-pruned probe: when `_graft_stats` covers a probe key column,
+    // the candidate file set shrinks DRIVER-SIDE before the scan — on a
+    // z-ordered table a small touch-set probes a handful of files, so
+    // the probe itself costs O(candidate files), not O(table). Each leg
+    // prunes on ITS join column (the merge keys vs the tombstone
+    // column), never one leg's candidates standing in for the other's.
+    val candT = pruneByKeyStats(spark, table, keys.head,
+      touched.select(col(keys.head)).filter(col(keys.head).isNotNull),
+      files)
+    def probeOf(cand: Seq[String], frame: DataFrame,
+        on: Seq[String]): Option[DataFrame] =
+      if (cand.isEmpty) None
+      else Some(readWithSchema(spark, table, cand, schemaOf(lines))
+        .join(broadcast(frame), on, "left_semi")
+        .select(input_file_name().as("file")))
+    val probeT = probeOf(candT, touched, keys)
+    val (candR, probeR) = reasserted match {
+      case Some((kc, r)) =>
+        val c = pruneByKeyStats(spark, table, kc, r, files)
+        (c, probeOf(c, r, Seq(kc)))
+      case None => (Nil, None)
     }
-    val affected = probeAll.distinct().collect()
-      .map(r => new Path(r.getString(0)).getName).toSet
+    lastCowProbePruned = Some(((candT ++ candR).distinct.size, files.size))
+    val affected = (probeT.toSeq ++ probeR.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSet)
+      .getOrElse(Set.empty[String])
     val carried = files.filterNot(affected)
     val merged =
       if (affected.isEmpty) upserts
@@ -1082,7 +1160,15 @@ object Snapshots {
               toKeys.exceptAll(fromKeys)
             case _ => toKeys
           }
-          Some(readDataFiles(spark, table, carried, toSchema).get
+          // the feed of an O(keys) lazy-delete commit must not cost
+          // O(table): when `_graft_stats` covers the tombstone column,
+          // the carried set prunes driver-side to files whose [min,max]
+          // can hold a deleted key — on a z-ordered table the pre-images
+          // come from a handful of files, not every carried one
+          val cand = pruneByKeyStats(spark, table, kc, newKeys, carried)
+          lastTombLegPruned = Some((cand.size, carried.size))
+          if (cand.isEmpty) None
+          else Some(readDataFiles(spark, table, cand, toSchema).get
             .join(broadcast(newKeys), Seq(kc), "left_semi")
             .withColumn("change_type", lit("delete")))
         }
@@ -1380,7 +1466,12 @@ object Snapshots {
     *   - `feed`    — the window rewrote files (delete/merge/OPTIMIZE
     *     landed): apply the row-exact change feed ([[rowDiff]], IO ∝
     *     churn on the source side) to the replica's own head via the
-    *     CDC merge (operators.Merge.applyChanges);
+    *     file-granular CDC merge ([[cowApply]]) — only the REPLICA
+    *     files physically holding changed keys rewrite, every other
+    *     replica file carries by name, so destination IO tracks churn
+    *     too (never replica size), and the replica's own pending
+    *     lazy-delete tombstones survive the sync (minus keys the feed
+    *     itself re-asserts);
     *   - `rebuild` — the replica lagged past the source's vacuum
     *     retention (its cursor's manifest is gone): one full re-mirror
     *     of the source head, then incremental syncs resume;
@@ -1421,32 +1512,43 @@ object Snapshots {
       if (marks.get(sid).orElse(lastCommittedBatch(spark, dst, sid))
           .exists(_ >= srcHead)) return (from, srcHead, "noop")
       val srcSchema = read(spark, src, Some(srcHead)).schema
-      val state =
-        if (!precise || head == 0 || filesOf(lines).isEmpty)
-          read(spark, src, Some(srcHead))
-        else {
-          // replica state evolves to the union of its own schema and the
-          // source's (an evolution step's feed carries the new columns)
-          val schema = evolveSchema(schemaOf(lines), srcSchema)
-          val changes = rowDiff(spark, src, from, srcHead, keys)
-            .filter(col("change_type") =!= "update_preimage")
-            .withColumn("_deleted", col("change_type") === "delete")
-            .drop("change_type")
-          graft.operators.Merge.applyChanges(
-            conform(readWithSchema(spark, dst, filesOf(lines),
-              schemaOf(lines)), schema),
-            conform(changes, types.StructType(schema.fields :+
-              types.StructField("_deleted", types.BooleanType, false))),
-            keys)
-        }
-      val newFiles = stageData(spark, state, dst)
-      if (claimManifest(spark, dst, head + 1,
-          contentOf(Some(state.schema), marks + (sid -> srcHead), newFiles,
-            "replicaSync", checksOf(lines))))
-        return (from, srcHead, mode)
-      // lost the race: computed against a stale replica head — drop the
-      // orphans and recompute (single-writer replicas never hit this)
-      newFiles.foreach(n => f.delete(new Path(dataDir(dst), n), false))
+      if (!precise || head == 0 || filesOf(lines).isEmpty) {
+        // rebuild: one full re-mirror of the source head (the replica
+        // lagged past retention, or is empty) — O(src) by definition
+        val state = read(spark, src, Some(srcHead))
+        val newFiles = stageData(spark, state, dst)
+        if (claimManifest(spark, dst, head + 1,
+            contentOf(Some(state.schema), marks + (sid -> srcHead),
+              newFiles, "replicaSync", checksOf(lines))))
+          return (from, srcHead, mode)
+        // lost the race: computed against a stale replica head — drop
+        // the orphans and recompute (single-writer replicas never hit
+        // this)
+        newFiles.foreach(n => f.delete(new Path(dataDir(dst), n), false))
+      } else {
+        // replica state evolves to the union of its own schema and the
+        // source's (an evolution step's feed carries the new columns);
+        // the feed applies as a file-granular CDC merge against the
+        // replica's OWN files — staged bytes ∝ churn, not replica size
+        val schema = evolveSchema(schemaOf(lines), srcSchema)
+        val changes = rowDiff(spark, src, from, srcHead, keys)
+          .filter(col("change_type") =!= "update_preimage")
+          .withColumn("_deleted", col("change_type") === "delete")
+          .drop("change_type")
+        val cow = cowApply(spark, dst, lines, schema,
+          conform(changes, types.StructType(schema.fields :+
+            types.StructField("_deleted", types.BooleanType, false))),
+          keys, deleteCol = Some("_deleted"))
+        if (claimManifest(spark, dst, head + 1,
+            contentOf(Some(schema), marks + (sid -> srcHead),
+              cow.carried ++ cow.newFiles, "replicaSync", checksOf(lines),
+              cow.tombstones, cow.tombstoneCol)))
+          return (from, srcHead, mode)
+        cow.newFiles.foreach(n =>
+          f.delete(new Path(dataDir(dst), n), false))
+        cow.stagedTombstones.foreach(n =>
+          f.delete(new Path(tombstoneDir(dst), n), false))
+      }
       attempt += 1
     }
     throw new IllegalStateException(

@@ -75,6 +75,29 @@ class LazyDeleteSpec extends AnyFunSuite {
     assert(Snapshots.rowDiff(spark, t, 1L, 3L, Seq("id")).count() == 1)
   }
 
+  test("lazy-delete feed over a stats-manifested table opens few carried files") {
+    // 32 single-file key slabs (the layout a maintained, clustered table
+    // has) + a stats manifest on the key column
+    val t = Files.createTempDirectory("graft_lazy").toString + "/t"
+    (0 until 32).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 10).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    Snapshots.extendStats(spark, t, Seq("id"))
+    // delete keys living in exactly 2 slabs — zero files touched
+    val (v, _) = Snapshots.commitDeleteLazy(spark, t, Seq(55L, 171L), "id")
+    val feed = Snapshots.rowDiff(spark, t, v - 1, v, Seq("id")).collect()
+    assert(feed.map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("change_type"))).toSet ==
+      Set((55L, "delete"), (171L, "delete")))
+    // the O(keys) commit's feed must not cost O(table): the carried set
+    // pruned to the 2 files whose [min,max] can hold a deleted key
+    val Some((cand, total)) = Snapshots.lastTombLegPruned
+    assert(total >= 32 && cand == 2,
+      s"feed leg opened $cand of $total carried files; want 2")
+  }
+
   test("tombstoned keys refuse re-append; merge materializes and resurrects") {
     val t = fresh((1L to 5L).map(i => (i, s"v$i")))
     Snapshots.commitDeleteLazy(spark, t, Seq(2L), "id")

@@ -85,6 +85,61 @@ class ReplicaSpec extends AnyFunSuite {
     assert(d.filter("id = 2").count() == 0)
   }
 
+  test("feed sync is copy-on-write on the replica: small churn rewrites few replica files") {
+    val (src, dst) = pair()
+    // 24 single-file slabs land on BOTH sides via append syncs
+    (0 until 24).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 10).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+          .coalesce(1), src)
+      Snapshots.syncReplica(spark, src, dst, Seq("id"))
+    }
+    val before = Snapshots.filesAt(spark, dst,
+      Snapshots.currentVersion(spark, dst))
+    assert(before.size >= 24)
+    // a 2-key rewrite window on the source (forces feed mode)
+    Snapshots.commitDelete(spark, src, Seq(5L), "id")
+    Snapshots.commitMerge(spark, Seq((117L, "BUMP")).toDF("id", "v"),
+      src, Seq("id"))
+    assert(Snapshots.syncReplica(spark, src, dst, Seq("id"))._3 == "feed")
+    val after = Snapshots.filesAt(spark, dst,
+      Snapshots.currentVersion(spark, dst))
+    val rewritten = before.toSet.diff(after.toSet)
+    assert(rewritten.size == 2,
+      s"only the 2 replica files holding keys 5 and 117 rewrite, " +
+        s"got ${rewritten.size} of ${before.size}")
+    assert(before.toSet.intersect(after.toSet).size == before.size - 2,
+      "every untouched replica file must carry by name")
+    assert(state(dst) == state(src))
+  }
+
+  test("a replica-local lazy delete survives a feed sync (no resurrection)") {
+    val (src, dst) = pair()
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    Snapshots.syncReplica(spark, src, dst, Seq("id"))
+    // the replica locally tombstones key 9 (e.g. a regional erasure the
+    // source has not processed yet) — key-granular, zero files touched
+    Snapshots.commitDeleteLazy(spark, dst, Seq(9L), "id")
+    assert(!state(dst).exists(_._1 == 9L))
+    // a source rewrite window NOT touching key 9 feeds through: the
+    // replica's pending tombstone must carry, not silently vanish with
+    // its dead row physically re-landing
+    Snapshots.commitMerge(spark, Seq((2L, "BUMP")).toDF("id", "v"),
+      src, Seq("id"))
+    assert(Snapshots.syncReplica(spark, src, dst, Seq("id"))._3 == "feed")
+    assert(!state(dst).exists(_._1 == 9L),
+      "replica-local tombstone resurrected by the feed sync")
+    assert(Snapshots.pendingTombstones(spark, dst)._2.nonEmpty)
+    assert(state(dst) == state(src) - ((9L, "v9")))
+    // but when the SOURCE re-asserts key 9, the feed legitimately
+    // resurrects it on the replica (source truth wins)
+    Snapshots.commitMerge(spark, Seq((9L, "reborn")).toDF("id", "v"),
+      src, Seq("id"))
+    Snapshots.syncReplica(spark, src, dst, Seq("id"))
+    assert(state(dst).contains((9L, "reborn")))
+  }
+
   test("a replayed sync (crash between commit and caller ack) never double-applies") {
     val (src, dst) = pair()
     Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), src)

@@ -458,6 +458,28 @@ class SnapshotsSpec extends AnyFunSuite {
       (9999L, "insert")), s"got $d")
   }
 
+  test("merge probe is stats-pruned: candidates shrink driver-side before the scan") {
+    val t = freshTable()
+    (0 until 32).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 10).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    Snapshots.extendStats(spark, t, Seq("id"))
+    val v = Snapshots.commitMerge(spark,
+      Seq((42L, "bump"), (8888L, "new")).toDF("id", "v"), t, Seq("id"))
+    // with a stats manifest on the probe key, the probe never scans the
+    // table: 1 candidate file (key 42's slab; 8888 is out of every range)
+    val Some((cand, total)) = Snapshots.lastCowProbePruned
+    assert(total >= 32 && cand == 1,
+      s"probe scanned $cand of $total candidate files; want 1")
+    val state = Snapshots.read(spark, t)
+    assert(state.count() == 321 &&
+      state.filter("id = 42").head.getString(1) == "bump")
+    assert(Snapshots.filesAt(spark, t, v).toSet
+      .intersect(Snapshots.filesAt(spark, t, 32L).toSet).size == 31)
+  }
+
   test("merge carries pending tombstones it does not touch; re-asserted keys leave the set") {
     val t = freshTable()
     (0 until 4).foreach { i =>
