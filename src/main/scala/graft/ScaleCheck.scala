@@ -185,6 +185,55 @@ object ScaleCheck {
       }
     }
 
+    // ------- replica feed-sync scale gate: the destination side of
+    // syncReplica must track the CHURN, never the replica size. Mirror a
+    // size-proportional source table (same range layout as the cdf
+    // gate), extend stats on the replica (the maintained steady state —
+    // the policy's incremental stats pass), land a FIXED 50-key merge
+    // window on the source, and time the feed sync: rowDiff reads the
+    // churned source files, the replica probe is stats-pruned, and only
+    // the replica files holding touched keys rewrite ⇒ ~flat across the
+    // 10× table step.
+    if (only.forall(_.contains("snap_replica_sync"))) {
+      import graft.warehouse.Snapshots
+      val repMaxRatio = sys.env.getOrElse("SCALE_REP_RATIO_MAX", "6").toDouble
+      def repTime(sfDir: String): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_scale_rep").toString
+        val src = root + "/src"
+        val dst = root + "/dst"
+        val orders = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val nFiles = math.max(4L, orders.count() / 5000L).toInt
+        Snapshots.commitAppend(spark,
+          orders.repartitionByRange(nFiles, col("o_orderkey")), src)
+        Snapshots.syncReplica(spark, src, dst, Seq("o_orderkey")) // untimed
+        Snapshots.extendStats(spark, dst, Seq("o_orderkey"))
+        Snapshots.commitMerge(spark, // fixed churn: 50-key price bump
+          orders.orderBy("o_orderkey").limit(50)
+            .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+          src, Seq("o_orderkey"))
+        val t0 = System.nanoTime()
+        val (_, _, mode) = Snapshots.syncReplica(spark, src, dst,
+          Seq("o_orderkey"))
+        val t = (System.nanoTime() - t0) / 1e9
+        require(mode == "feed", s"expected a feed sync, got $mode")
+        t
+      }
+      val gateName = "snap_replica_sync"
+      try {
+        val tSmall = repTime(smallDir)
+        val tBig = repTime(bigDir)
+        val ratio = tBig / math.max(tSmall, 1e-3)
+        val violation = tBig > floorSec && ratio > repMaxRatio
+        if (violation) bad += 1
+        println(f"$gateName%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (fixed churn vs 10x replica)")
+      } catch { case e: Throwable =>
+        bad += 1
+        println(f"$gateName%-26s FAILED ${e.getMessage}")
+      }
+    }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -21,6 +21,7 @@ import graft.warehouse.Snapshots
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
+  *   DELETE FROM '<path>' WHERE <arbitrary predicate>
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -92,6 +93,12 @@ object MaintenanceSql {
   private val DeleteKeysRe =
     ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')""" +
       """\s+WHERE\s+(\w+)\s+IN\s*\(\s*(\d+(?:\s*,\s*\d+)*)\s*\)\s*;?\s*$""").r
+  // general predicate form (matched AFTER the IN-int-list fast path,
+  // which stats-prunes its probe by key list): the retention / erasure
+  // shape — `WHERE o_orderdate < DATE '1994-01-01'`, string keys, any
+  // boolean expression the session parser accepts
+  private val DeleteWhereRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')\s+WHERE\s+(.+?)\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance statements AND
     * the target is ours; None → caller delegates to the normal parser.
@@ -133,6 +140,8 @@ object MaintenanceSql {
       case DeleteKeysRe(target, keyCol, keys) => // quoted paths only
         Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
           keys.split(',').map(_.trim.toLong).toSeq))
+      case DeleteWhereRe(target, predicate) => // quoted paths only
+        Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
       case _ => None
     }
   }
@@ -256,6 +265,26 @@ final case class DeleteSnapshotKeys(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n) = Snapshots.commitDelete(spark, target.resolve(spark),
       keys, keyCol)
+    Seq(Row(v, n))
+  }
+}
+
+/** `DELETE FROM '<path>' WHERE <predicate>` → Snapshots.commitDeleteWhere:
+  * predicate-driven copy-on-write delete — the retention/erasure shape
+  * that cannot enumerate keys on the driver at 100 TB. The predicate is
+  * parsed by the SESSION's expression parser at run time (full Spark SQL
+  * expression surface: dates, LIKE, string keys, AND/OR), pushes into
+  * the probe's parquet scan, and rows where it evaluates NULL are kept
+  * (SQL DELETE semantics). Quoted-path targets only.
+  */
+final case class DeleteSnapshotWhere(target: MaintenanceSql.SnapTarget,
+    predicate: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = Snapshots.commitDeleteWhere(spark, target.resolve(spark),
+      org.apache.spark.sql.functions.expr(predicate))
     Seq(Row(v, n))
   }
 }

@@ -414,6 +414,45 @@ object SnapshotQ {
       ).toDF("check_name", "value")
     })
 
+  /** Predicate + string-key DELETE (Snapshots.commitDeleteWhere and the
+    * widened commitDelete key type): a retention job deletes by DATE
+    * PREDICATE through the SQL face (`DELETE FROM '<path>' WHERE
+    * o_orderdate < DATE ...` — no driver-side key enumeration, the shape
+    * a 100 TB table needs), then an erasure job deletes by STRING key
+    * list. Both are file-granular copy-on-write commits; the emitted
+    * rows are the final head, fully DuckDB-oracled from orders alone —
+    * any over- or under-delete in either path lands in the diff.
+    */
+  val snapPredicateDelete = QueryDef(
+    "snap_predicate_delete",
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+           |       round(o_totalprice, 4) AS o_totalprice
+           |FROM orders
+           |WHERE NOT (CAST(o_orderdate AS DATE) < DATE '1997-01-01')
+           |  AND o_orderstatus <> 'F'""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date")
+            .as("o_orderdate"))
+        .localCheckpoint(true) // one commit + two delete probes consume it
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_pdel").toString + "/t"
+      Snapshots.commitAppend(spark, orders, table)
+      // retention delete by date predicate, through pure SQL
+      val r = spark.sql(
+        s"DELETE FROM '$table' WHERE o_orderdate < DATE '1997-01-01'").head
+      require(r.getLong(0) == 2L && r.getLong(1) > 0,
+        s"expected a non-empty predicate delete at v2, got $r")
+      // erasure delete by string keys (the widened Seq[Any] key surface)
+      val (v, _) = Snapshots.commitDelete(spark, table, Seq("F"),
+        "o_orderstatus")
+      require(v >= 2L, s"string-key delete did not commit ($v)")
+      Snapshots.read(spark, table)
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    })
+
   /** LIVE Structured Streaming ingestion into a snapshot table: the
     * events fixture flows through a real micro-batch stream whose
     * foreachBatch sink is `Snapshots.commitStreamAppend` (the
@@ -458,5 +497,5 @@ object SnapshotQ {
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
-      snapStreamSink)
+      snapPredicateDelete, snapStreamSink)
 }

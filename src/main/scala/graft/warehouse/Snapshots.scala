@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types
 
 /** Minimal snapshot-isolation commit protocol over plain parquet — the
@@ -427,9 +427,28 @@ object Snapshots {
       keyCol: String, maxRetries: Int = 10): (Long, Int) = {
     import spark.implicits._
     if (keys.isEmpty) return (currentVersion(spark, table), 0)
-    val distinctKeys = keys.distinct
-    val newFiles = stageTombstoneSidecar(spark, table,
-      distinctKeys.toDF(keyCol))
+    commitDeleteLazyKeys(spark, table, keys.distinct.toDF(keyCol), maxRetries)
+  }
+
+  /** One-column-DataFrame variant of [[commitDeleteLazy]] — any key type
+    * (string user ids, dates), and the key list never lands on the
+    * driver: the frame stages straight into the tombstone sidecar, so an
+    * erasure job can tombstone the OUTPUT OF A QUERY
+    * (`read(t).filter(pred).select(k)`) at 100 TB. The frame's single
+    * column names the key column. NULL keys are dropped (a NULL key
+    * matches no row in the read-side anti-join). Returns (new version,
+    * distinct keys tombstoned).
+    */
+  def commitDeleteLazyKeys(spark: SparkSession, table: String,
+      keys: DataFrame, maxRetries: Int = 10): (Long, Int) = {
+    require(keys.columns.length == 1,
+      s"tombstone keys must be a one-column frame, got " +
+        keys.columns.mkString("(", ", ", ")"))
+    val keyCol = keys.columns.head
+    val distinctKeys = keys.na.drop().distinct().localCheckpoint(true)
+    val n = distinctKeys.count()
+    if (n == 0) return (currentVersion(spark, table), 0)
+    val newFiles = stageTombstoneSidecar(spark, table, distinctKeys)
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -442,7 +461,7 @@ object Snapshots {
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "deleteLazy", checksOf(lines),
             tombstonesOf(lines) ++ newFiles, Some(keyCol))))
-        return (head + 1, distinctKeys.size)
+        return (head + 1, n.toInt)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -636,18 +655,58 @@ object Snapshots {
     val vals = keyFrame.na.drop().distinct()
       .limit(MaxPruneKeys + 1).collect().map(_.get(0)).toSeq
     if (vals.isEmpty) return candidates
+    if (vals.size > MaxPruneKeys) {
+      // the collected sample is TRUNCATED — the envelope must come from
+      // the full frame, never the sample, or pruning would be unsound
+      val (canon, byCanon) = canonCandidates(spark, table, candidates)
+      val mm = keyFrame.agg(min(kcol), max(kcol)).head()
+      graft.operators.Layout.selectByStats(spark, dd,
+        Seq((kc, mm.get(0), mm.get(1))), canon).map(byCanon)
+    } else pruneByKeyVals(spark, table, kc, vals, candidates)
+  }
+
+  /** Driver-side value-list variant of [[pruneByKeyStats]] (key lists
+    * already on the driver — the id-list erasure API). Same soundness
+    * rules; non-uniform or non-comparable value types prune nothing.
+    */
+  private def pruneByKeyVals(spark: SparkSession, table: String,
+      kc: String, vals0: Seq[Any], candidates: Seq[String]): Seq[String] = {
+    if (candidates.isEmpty) return candidates
+    val dd = dataDir(table).toString
+    if (!graft.operators.Layout.statsManifestCols(spark, dd)
+        .exists(_.contains(kc))) return candidates
+    val vals = vals0.filter(_ != null).distinct
+    if (vals.isEmpty) return candidates
+    val numeric = vals.forall(_.isInstanceOf[Number])
+    if (!numeric && !vals.forall(_.isInstanceOf[String])) return candidates
+    val (canon, byCanon) = canonCandidates(spark, table, candidates)
+    val chosen =
+      if (vals.size > MaxPruneKeys) {
+        val (lo, hi) =
+          if (numeric) {
+            val ds = vals.map(_.asInstanceOf[Number].doubleValue)
+            (ds.min: Any, ds.max: Any)
+          } else {
+            val ss = vals.map(_.asInstanceOf[String])
+            (ss.min: Any, ss.max: Any)
+          }
+        graft.operators.Layout.selectByStats(spark, dd,
+          Seq((kc, lo, hi)), canon)
+      } else graft.operators.Layout.selectByStatsAnyOf(
+        spark, dd, kc, vals, canon)
+    chosen.map(byCanon)
+  }
+
+  /** (qualified canonical URIs, URI -> bare name) of a candidate list —
+    * the stats manifest keys files by `input_file_name()` URI while
+    * manifests carry bare names.
+    */
+  private def canonCandidates(spark: SparkSession, table: String,
+      candidates: Seq[String]): (Seq[String], Map[String, String]) = {
     val f = fs(spark, dataDir(table))
     val canon = candidates.map(n => graft.operators.Layout.canonFile(
       f.makeQualified(new Path(dataDir(table), n)).toString) -> n)
-    val byCanon = canon.toMap
-    val chosen =
-      if (vals.size > MaxPruneKeys) {
-        val mm = keyFrame.agg(min(kcol), max(kcol)).head()
-        graft.operators.Layout.selectByStats(spark, dd,
-          Seq((kc, mm.get(0), mm.get(1))), canon.map(_._1))
-      } else graft.operators.Layout.selectByStatsAnyOf(
-        spark, dd, kc, vals, canon.map(_._1))
-    chosen.map(byCanon)
+    (canon.map(_._1), canon.toMap)
   }
 
   /** The staged outcome of one file-granular copy-on-write pass (see
@@ -850,24 +909,55 @@ object Snapshots {
     * Returns (committed version, rows deleted) — (head, 0) when no file
     * contains any of the keys (no-op: no rewrite, no new version).
     */
-  def commitDelete(spark: SparkSession, table: String, keys: Seq[Long],
+  def commitDelete(spark: SparkSession, table: String, keys: Seq[Any],
       keyCol: String, maxRetries: Int = 10): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    if (keys.isEmpty) return (currentVersion(spark, table), 0L)
+    val distinctKeys = keys.distinct
+    deleteWhereImpl(spark, table, col(keyCol).isInCollection(distinctKeys),
+      maxRetries,
+      cand => pruneByKeyVals(spark, table, keyCol, distinctKeys, cand))
+  }
+
+  /** Predicate DELETE — `DELETE FROM t WHERE <predicate>` for the
+    * retention / erasure jobs that CANNOT enumerate keys on the driver
+    * at 100 TB (`ts < '2024-01-01'`, `user_id = 'x'`): the same
+    * file-granular copy-on-write as [[commitDelete]], with the probe
+    * filtering on the arbitrary predicate instead of a key list — the
+    * predicate pushes down into the probe's parquet scan, so row-group
+    * min/max skipping bounds even the probe's IO. Rows where the
+    * predicate is NULL are KEPT (SQL DELETE semantics). Returns
+    * (committed version, rows deleted); (head, 0) when no file holds a
+    * matching row.
+    */
+  def commitDeleteWhere(spark: SparkSession, table: String,
+      predicate: Column, maxRetries: Int = 10): (Long, Long) =
+    deleteWhereImpl(spark, table, predicate, maxRetries, identity)
+
+  private def deleteWhereImpl(spark: SparkSession, table: String,
+      predicate: Column, maxRetries: Int,
+      prune: Seq[String] => Seq[String]): (Long, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, dataDir(table))
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
-      if (head == 0 || keys.isEmpty) return (head, 0L)
+      if (head == 0) return (head, 0L)
       val lines = manifestLines(spark, table, head)
       val files = filesOf(lines)
       // reads run under the DECLARED schema: after an evolution, a
       // rewritten pre-evolution file must re-land with the new columns
       // (as NULLs), not silently narrow the table to its oldest file
       val schema = schemaOf(lines)
-      val affected = readWithSchema(spark, table, files, schema)
-        .filter(col(keyCol).isInCollection(keys))
-        .select(input_file_name().as("file")).distinct()
-        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      // key-list deletes stats-prune the probe candidates driver-side
+      // (pruneByKeyVals); predicate deletes rely on scan-level pushdown
+      val cand = prune(files)
+      val affected =
+        if (cand.isEmpty) Set.empty[String]
+        else readWithSchema(spark, table, cand, schema)
+          .filter(predicate)
+          .select(input_file_name().as("file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
       if (affected.isEmpty) return (head, 0L)
       // rewrite from the APPLIED view: already-tombstoned rows in the
       // affected files neither count as freshly deleted nor re-land
@@ -875,11 +965,10 @@ object Snapshots {
       // carried tombstone headers
       val aff = applyTombstones(spark, table, lines,
         readWithSchema(spark, table, files.filter(affected), schema))
-      val deleted = aff.filter(col(keyCol).isInCollection(keys)).count()
-      // NULL-safe keep: NOT(NULL IN ...) is NULL and would silently drop
-      // NULL-key rows from the rewritten files
-      val kept = aff.filter(
-        !col(keyCol).isInCollection(keys) || col(keyCol).isNull)
+      val deleted = aff.filter(predicate).count()
+      // NULL-safe keep: NOT(NULL) is NULL and would silently drop rows
+      // whose predicate is undecided — SQL DELETE keeps them
+      val kept = aff.filter(!coalesce(predicate, lit(false)))
       val newFiles = stageData(spark, kept, table)
       val manifest = contentOf(schema, marksOf(lines),
         files.filterNot(affected) ++ newFiles, "delete", checksOf(lines),

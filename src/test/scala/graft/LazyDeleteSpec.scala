@@ -154,6 +154,28 @@ class LazyDeleteSpec extends AnyFunSuite {
       ids(Snapshots.read(spark, src)))
   }
 
+  test("frame-keyed lazy delete: string keys from a query, never on the driver") {
+    val t = Files.createTempDirectory("graft_lazy").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol"), (4L, "bob"),
+        (5L, "dave")).toDF("id", "user"), t)
+    // tombstone the OUTPUT OF A QUERY — the erasure-job shape at 100 TB:
+    // no driver-side key list, string-typed keys
+    val doomed = Snapshots.read(spark, t)
+      .filter(col("user").isin("bob", "dave")).select("user")
+    val (v, n) = Snapshots.commitDeleteLazyKeys(spark, t, doomed)
+    assert(v == 2L && n == 2, s"got ($v, $n)") // 2 DISTINCT keys
+    // zero data files churned; reads anti-join the string tombstones
+    assert(Snapshots.filesAt(spark, t, 1L) == Snapshots.filesAt(spark, t, 2L))
+    assert(ids(Snapshots.read(spark, t)) == Set(1L, 3L))
+    val (kc, tombs) = Snapshots.pendingTombstones(spark, t)
+    assert(kc.contains("user") && tombs.nonEmpty)
+    // materialization clears them like any other tombstone
+    Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 0)
+    assert(Snapshots.pendingTombstones(spark, t)._2.isEmpty)
+    assert(ids(Snapshots.read(spark, t)) == Set(1L, 3L))
+  }
+
   test("NULL-key rows always survive the merge-on-read filter") {
     val t = Files.createTempDirectory("graft_lazy_null").toString + "/t"
     Snapshots.commitAppend(spark,

@@ -276,6 +276,34 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE FROM a quoted path takes arbitrary predicates: dates, strings, NULL keeps") {
+    val t = Files.createTempDirectory("graft_snapsql_delw").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "keep", "2024-03-01"), (2L, "drop", "2023-12-31"),
+        (3L, "keep", "2024-01-15"), (4L, "drop", "2023-01-01"),
+        (5L, null, "2024-06-01")).toDF("id", "tag", "d")
+        .withColumn("d", org.apache.spark.sql.functions.expr("to_date(d)")), t)
+    // date-range retention delete — the shape that cannot enumerate keys
+    val r = spark.sql(
+      s"DELETE FROM '$t' WHERE d < DATE '2024-01-01'").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // string predicate; the NULL-tag row's predicate is NULL -> KEPT
+    val r2 = spark.sql(s"DELETE FROM '$t' WHERE tag = 'keep'").head
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 2L)
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(5L))
+    // string-key list through the Scala API's widened key type
+    Snapshots.commitAppend(spark,
+      Seq((6L, "x", "2024-07-01"), (7L, "y", "2024-07-02"))
+        .toDF("id", "tag", "d").withColumn("d", org.apache.spark.sql.functions.expr("to_date(d)")), t)
+    val (v, n) = Snapshots.commitDelete(spark, t, Seq("x", "y"), "tag")
+    assert(v == 5L && n == 2L)
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(5L))
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
