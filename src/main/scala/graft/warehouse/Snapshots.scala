@@ -90,18 +90,64 @@ object Snapshots {
       .maxOption.getOrElse(0L)
   }
 
-  /** Raw manifest lines of a version: optional `#`-prefixed header lines
-    * (stream-commit markers) followed by data-file names. Empty for v0.
+  /** CANONICAL manifest lines of a version — `#`-prefixed header lines
+    * followed by the version's COMPLETE data-file list. Empty for v0.
+    *
+    * The physical manifest may be DELTA-ENCODED (`#base:<v-1>` +
+    * `#add:`/`#remove:` lines instead of the file list — see
+    * [[claimManifest]], which keeps steady-state commit bytes O(delta)
+    * instead of O(table files)): this resolver walks the base chain,
+    * applying each step's adds/removes, and returns the same canonical
+    * full form either way — every downstream view (filesOf/schemaOf/...)
+    * is delta-blind. Chain walks stop at a FULL manifest or a CHECKPOINT
+    * file (written every [[CheckpointInterval]] commits and backfilled
+    * by vacuum), so resolution is O(interval) manifest reads worst-case;
+    * resolved versions are immutable and cached, so repeat reads —
+    * commit retry loops, history(), feeds — cost zero extra IO.
     */
   private def manifestLines(spark: SparkSession, table: String,
       version: Long): Seq[String] = {
     if (version == 0) return Nil
-    val p = manifestPath(table, version)
-    val f = fs(spark, p)
-    val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
+    val key = (new Path(table).toString, version)
+    resolvedManifests.get(key) match {
+      case Some(l) => return l
+      case None =>
+    }
+    def readAll(p: Path): List[String] = {
+      val in = fs(spark, p).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val raw = readAll(manifestPath(table, version))
+    val lines = raw.find(_.startsWith(BaseHeader)) match {
+      case None => raw // full manifest — already canonical
+      case Some(bh) =>
+        val cp = checkpointPath(table, version)
+        if (fs(spark, cp).exists(cp)) readAll(cp)
+        else {
+          val base = bh.stripPrefix(BaseHeader).toLong
+          val baseFiles = filesOf(manifestLines(spark, table, base))
+          val adds = raw.filter(_.startsWith(AddHeader))
+            .map(_.stripPrefix(AddHeader))
+          val removes = raw.filter(_.startsWith(RemoveHeader))
+            .map(_.stripPrefix(RemoveHeader)).toSet
+          // every delta carries ALL non-file headers in full (they are
+          // small and bounded) — only the file list is delta-encoded
+          raw.filter(l => l.startsWith("#") && !l.startsWith(BaseHeader) &&
+            !l.startsWith(AddHeader) && !l.startsWith(RemoveHeader)) ++
+            (baseFiles.filterNot(removes) ++ adds)
+        }
+    }
+    if (resolvedManifests.size > 4096) resolvedManifests.clear()
+    resolvedManifests.put(key, lines)
+    lines
   }
+
+  // claimed manifests are immutable, so resolved lines cache safely
+  // across commit retries, history walks, and feed reads (bounded;
+  // cleared wholesale past the cap — correctness never depends on it)
+  private val resolvedManifests =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[String]]
 
   // pure views over one set of manifest lines — commit loops read the
   // head manifest ONCE per attempt and derive all three (each fs.open is
@@ -152,6 +198,19 @@ object Snapshots {
   private val CheckHeader = "#check:"
   private val TombstoneHeader = "#tombstone:"
   private val TombstoneColHeader = "#tombstonecol:"
+  // delta-encoding headers (see claimManifest / manifestLines)
+  private val BaseHeader = "#base:"
+  private val AddHeader = "#add:"
+  private val RemoveHeader = "#remove:"
+
+  /** A full checkpoint rides alongside every Nth claimed manifest (and
+    * vacuum backfills one at the new retention floor), bounding delta-
+    * chain resolution to O(N) manifest reads.
+    */
+  private val CheckpointInterval = 16L
+
+  private def checkpointPath(table: String, v: Long) =
+    new Path(manifestDir(table), f"v$v%08d.checkpoint")
 
   /** Declared schema of a version, recorded at commit time in the
     * manifest (`#schema:` header). This is what makes schema evolution
@@ -525,34 +584,74 @@ object Snapshots {
     newFiles
   }
 
-  /** Atomically PUBLISH manifest `version` with `content`. The manifest
-    * is fully written to a temp name first, then claimed atomically —
-    * readers can never observe a half-written manifest, and of two racing
-    * writers exactly one claims vN+1:
+  /** Atomically PUBLISH manifest `version` with CANONICAL `content`
+    * (headers + complete file list). The manifest is fully written to a
+    * temp name first, then claimed atomically — readers can never
+    * observe a half-written manifest, and of two racing writers exactly
+    * one claims vN+1:
     *   - file://  → hard link (atomic create-if-absent WITH content;
     *                a plain create(overwrite=false) on LocalFileSystem
     *                is check-then-create and loses commits under race)
     *   - hdfs://  → rename (atomic, fails when the target exists)
     * Returns false when another writer already owns `version`.
+    *
+    * PHYSICAL encoding is chosen here, invisibly to every commit path:
+    * when the file-list delta vs the parent version (`#add:`/`#remove:`
+    * under a `#base:` header) is smaller than the full list, the delta
+    * is what hits disk — a streaming table accreting 1M files pays
+    * O(batch) manifest bytes per commit, not a 50 MB rewrite of the
+    * whole list ([[manifestLines]] resolves either form to the same
+    * canonical lines). Overwrites/OPTIMIZE naturally fall back to full
+    * form (their delta IS the table). Every `CheckpointInterval`-th
+    * claim also drops a full checkpoint file next to the manifest
+    * (best-effort, idempotent content — a crash before it lands just
+    * means resolution walks a longer chain until the next one).
     */
   private def claimManifest(spark: SparkSession, table: String,
       version: Long, content: String): Boolean = {
     val f = fs(spark, manifestDir(table))
     f.mkdirs(manifestDir(table))
-    val tmp = new Path(manifestDir(table), s".tmp-${java.util.UUID.randomUUID}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val target = manifestPath(table, version)
-    val claimed =
-      if ("file" == f.getScheme) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !f.exists(target) && f.rename(tmp, target)
-    f.delete(tmp, false)
+    val physical = {
+      val lines = content.split("\n", -1).toSeq
+      val files = filesOf(lines)
+      val baseFiles =
+        if (version <= 1) Nil
+        else filesOf(manifestLines(spark, table, version - 1))
+      val baseSet = baseFiles.toSet
+      val fileSet = files.toSet
+      val adds = files.filterNot(baseSet)
+      val removes = baseFiles.filterNot(fileSet)
+      if (version <= 1 || adds.size + removes.size + 1 >= files.size) content
+      else (lines.filter(_.startsWith("#")) ++
+        Seq(BaseHeader + (version - 1)) ++
+        adds.map(AddHeader + _) ++ removes.map(RemoveHeader + _))
+        .mkString("\n")
+    }
+    def writeAtomic(target: Path, body: String): Boolean = {
+      val tmp = new Path(manifestDir(table),
+        s".tmp-${java.util.UUID.randomUUID}")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val ok =
+        if ("file" == f.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else !f.exists(target) && f.rename(tmp, target)
+      f.delete(tmp, false)
+      ok
+    }
+    val claimed = writeAtomic(manifestPath(table, version), physical)
+    if (claimed) {
+      // the canonical lines are known exactly — seed the resolver cache
+      resolvedManifests.put((new Path(table).toString, version),
+        content.split("\n", -1).toSeq)
+      if (version % CheckpointInterval == 0)
+        writeAtomic(checkpointPath(table, version), content)
+    }
     claimed
   }
 
@@ -1681,7 +1780,38 @@ object Snapshots {
           .map(_.getPath).filterNot(p => referencedTombs.contains(p.getName))
           .map { p => f.delete(p, false); p.getName }.toSeq
       }
-    (1L until keepFrom).foreach(v => f.delete(manifestPath(table, v), false))
+    // the new retention floor must stay resolvable after its delta-chain
+    // bases vanish: when keepFrom's physical manifest is delta-encoded
+    // and no checkpoint exists yet, write one (idempotent content — the
+    // resolved canonical lines) BEFORE deleting anything below it
+    if (keepFrom > 1 && head >= keepFrom) {
+      val cp = checkpointPath(table, keepFrom)
+      val mf = fs(spark, cp)
+      if (!mf.exists(cp)) {
+        val canonical = manifestLines(spark, table, keepFrom)
+        val raw = {
+          val in = mf.open(manifestPath(table, keepFrom))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        if (raw.exists(_.startsWith(BaseHeader))) {
+          val tmp = new Path(manifestDir(table),
+            s".tmp-${java.util.UUID.randomUUID}")
+          val out = mf.create(tmp, true)
+          try out.write(canonical.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!mf.rename(tmp, cp)) mf.delete(tmp, false)
+        }
+      }
+    }
+    val tableKey = new Path(table).toString
+    (1L until keepFrom).foreach { v =>
+      f.delete(manifestPath(table, v), false)
+      f.delete(checkpointPath(table, v), false)
+      // expired versions must READ as expired: drop their cached
+      // resolutions, or filesAt/time-travel would serve vacuumed state
+      resolvedManifests.remove((tableKey, v))
+    }
     deleted ++ tombsDeleted
   }
 }

@@ -458,6 +458,55 @@ class SnapshotsSpec extends AnyFunSuite {
       (9999L, "insert")), s"got $d")
   }
 
+  test("manifests are O(delta): steady-state commit bytes flat, checkpoints bound chains, vacuum keeps the floor resolvable") {
+    val t = freshTable()
+    (1 to 40).foreach { i =>
+      Snapshots.commitAppend(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), t)
+    }
+    def rawLines(name: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(t, "_manifests", name)
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").toSeq
+    }
+    // the physical v40 manifest is a DELTA — headers + base + 1 add —
+    // not a 40-line file list (steady-state commit bytes are O(batch))
+    val raw40 = rawLines("v00000040.manifest")
+    assert(raw40.exists(_.startsWith("#base:")) &&
+      raw40.count(_.startsWith("#add:")) == 1 &&
+      raw40.forall(_.startsWith("#")),
+      s"expected a delta manifest, got:\n${raw40.mkString("\n")}")
+    assert(raw40.size < 10, s"delta manifest carries ${raw40.size} lines")
+    // resolution returns the canonical full list at any version
+    assert(Snapshots.filesAt(spark, t, 40L).size == 40)
+    assert(Snapshots.read(spark, t, Some(25L)).count() == 25)
+    // checkpoints land on the interval and are canonical full form
+    val cp32 = rawLines("v00000032.checkpoint")
+    assert(cp32.count(!_.startsWith("#")) == 32)
+    // vacuum to a MID-CHAIN floor (v36, between checkpoints): the floor
+    // must stay resolvable after its base chain is deleted
+    Snapshots.vacuum(spark, t, keepVersions = 5) // keeps v36..v40
+    assert(!Snapshots.hasVersion(spark, t, 35L))
+    assert(Snapshots.filesAt(spark, t, 36L).size == 36)
+    assert(Snapshots.read(spark, t).count() == 40)
+    assert(Snapshots.history(spark, t).count() == 5)
+    // a COLD reader (no warm resolver cache — the copy is a new cache
+    // key) must resolve the floor purely from disk: delta manifest →
+    // backfilled checkpoint, bases gone
+    val t2 = java.nio.file.Files.createTempDirectory("graft_snap_cold")
+      .toString + "/t"
+    val src = java.nio.file.Paths.get(t)
+    val dst = java.nio.file.Paths.get(t2)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q)
+    }
+    assert(Snapshots.filesAt(spark, t2, 36L).size == 36)
+    assert(Snapshots.read(spark, t2, Some(38L)).count() == 38)
+  }
+
   test("merge probe is stats-pruned: candidates shrink driver-side before the scan") {
     val t = freshTable()
     (0 until 32).foreach { i =>
