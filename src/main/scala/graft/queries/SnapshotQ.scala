@@ -414,6 +414,49 @@ object SnapshotQ {
       ).toDF("check_name", "value")
     })
 
+  /** The SQL WRITE face of the DSv2 catalog (sources/SnapshotCatalog):
+    * a pure-SQL lifecycle — CTAS creates the table and lands the even
+    * half (createTable commits the schema-only v1, the V1 write commits
+    * v2 through `commitAppend`), `INSERT INTO ... SELECT` appends the
+    * odd half (v3) — then emits the HEAD next to the PINNED CTAS
+    * version, both DuckDB-oracled from orders alone: a write that
+    * bypassed the manifest claim, double-landed, or broke time travel
+    * across SQL commits lands in the diff.
+    */
+  val snapSqlInsert = QueryDef(
+    "snap_sql_insert",
+    Some("""SELECT o_orderkey, o_custkey, 'head' AS part
+           |FROM orders
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'ctas_version' AS part
+           |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_ins").toString
+      val cat = s"gins_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"orders_src_$u"
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"""CREATE TABLE $cat.t AS
+                   |SELECT o_orderkey, o_custkey FROM $view
+                   |WHERE o_orderkey % 2 = 0""".stripMargin)
+      spark.sql(s"""INSERT INTO $cat.t
+                   |SELECT o_orderkey, o_custkey FROM $view
+                   |WHERE o_orderkey % 2 = 1""".stripMargin)
+      require(Snapshots.currentVersion(spark, root + "/t") == 3L,
+        "CTAS (v1 create + v2 insert) then INSERT (v3) — one claim each")
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey, 'head' AS part FROM $cat.t
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'ctas_version' AS part
+           |FROM $cat.t VERSION AS OF 2""".stripMargin)
+    })
+
   /** Predicate + string-key DELETE (Snapshots.commitDeleteWhere and the
     * widened commitDelete key type): a retention job deletes by DATE
     * PREDICATE through the SQL face (`DELETE FROM '<path>' WHERE
@@ -497,5 +540,5 @@ object SnapshotQ {
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
-      snapPredicateDelete, snapStreamSink)
+      snapPredicateDelete, snapSqlInsert, snapStreamSink)
 }

@@ -40,11 +40,18 @@ import graft.warehouse.Snapshots
   * before the asked instant (commit time = the atomic manifest claim's
   * file mtime — the only clock the protocol has).
   *
-  * READ-ONLY by design: DDL/DML throw — writes must go through the
-  * commit protocol (`Snapshots.commitAppend`/`commitMerge`/...), because
-  * a bare `INSERT INTO` writing parquet under `data/` would bypass the
-  * manifest claim and corrupt every invariant the protocol guarantees
-  * (the same reason transactional table formats refuse foreign writers).
+  * WRITES GO THROUGH THE PROTOCOL, never around it: `INSERT INTO` /
+  * `INSERT OVERWRITE` on the HEAD table are served by a DSv2 write
+  * whose job commit IS `Snapshots.commitAppend`/`commitOverwrite` —
+  * data stages distributed under unique names first, then one atomic
+  * manifest claim publishes it, so a SQL writer gets the same
+  * optimistic-concurrency, constraint-enforcement and tombstone-refusal
+  * guarantees as the Scala API (a bare parquet write under `data/`
+  * would corrupt every invariant; that path stays impossible).
+  * `CREATE TABLE` commits v1 (schema-only when empty — CTAS works),
+  * `DROP TABLE` removes the table tree. Time-travel reads
+  * (`VERSION/TIMESTAMP AS OF`) remain read-only — history is immutable;
+  * ALTER/RENAME still refuse (constraints have their own SQL face).
   */
 class SnapshotCatalog extends TableCatalog {
 
@@ -69,13 +76,20 @@ class SnapshotCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op: snapshot tables are read-only through SQL — commit through " +
-        "graft.warehouse.Snapshots so the manifest claim stays atomic")
+      s"$op: not supported on snapshot tables through SQL — use " +
+        "graft.warehouse.Snapshots (or the maintenance statements) so " +
+        "the manifest claim stays atomic")
 
   /** The version pinned as a DSv2 table: explicit file list + declared
     * schema, served by Spark's own parquet Scan (full pushdown/pruning).
+    * `writable` is true ONLY for head loads: INSERT resolves through
+    * [[org.apache.spark.sql.connector.write.V1Write]] whose insert call
+    * is a protocol commit (stage-then-claim — the SQL writer serializes
+    * with every other writer); pinned versions refuse writes (history
+    * is immutable).
     */
-  private def tableAt(ident: Identifier, version: Long): Table = {
+  private def tableAt(ident: Identifier, version: Long,
+      writable: Boolean = false): Table = {
     val t = tablePath(ident)
     // the catalog hands Spark a bare file list — it has no seat for the
     // merge-on-read anti-join, so serving a pending-tombstone version
@@ -92,16 +106,62 @@ class SnapshotCatalog extends TableCatalog {
     val inner = ParquetTable(s"${name()}.${ident.name()}@v$version", spark,
       CaseInsensitiveStringMap.empty(), files, schema,
       classOf[ParquetFileFormat])
-    // wrap to a read-only face: ParquetTable also advertises BATCH_WRITE,
-    // and a write would land files no manifest references
-    new Table with SupportsRead {
-      override def name(): String = inner.name
-      override def schema(): StructType = inner.schema
-      override def capabilities(): util.Set[TableCapability] =
-        Set(TableCapability.BATCH_READ).asJava
-      override def newScanBuilder(
-          options: CaseInsensitiveStringMap): ScanBuilder =
-        inner.newScanBuilder(options)
+    // wrap to a protocol-honoring face: ParquetTable's OWN BATCH_WRITE
+    // must never surface (it would land files no manifest references);
+    // the writable face routes inserts through the commit protocol
+    if (!writable)
+      new Table with SupportsRead {
+        override def name(): String = inner.name
+        override def schema(): StructType = inner.schema
+        override def capabilities(): util.Set[TableCapability] =
+          Set(TableCapability.BATCH_READ).asJava
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          inner.newScanBuilder(options)
+      }
+    else {
+      val sp = spark
+      new Table with SupportsRead with SupportsWrite {
+        override def name(): String = inner.name
+        override def schema(): StructType = inner.schema
+        override def capabilities(): util.Set[TableCapability] =
+          Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+            TableCapability.TRUNCATE).asJava
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          inner.newScanBuilder(options)
+        override def newWriteBuilder(
+            info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.WriteBuilder =
+          new org.apache.spark.sql.connector.write.WriteBuilder
+            with org.apache.spark.sql.connector.write.SupportsTruncate {
+            private var overwrite = false
+            override def truncate()
+                : org.apache.spark.sql.connector.write.WriteBuilder = {
+              overwrite = true; this
+            }
+            override def build()
+                : org.apache.spark.sql.connector.write.Write =
+              new org.apache.spark.sql.connector.write.V1Write {
+                override def toInsertableRelation
+                    : org.apache.spark.sql.sources.InsertableRelation =
+                  new org.apache.spark.sql.sources.InsertableRelation {
+                    override def insert(
+                        data: org.apache.spark.sql.DataFrame,
+                        ov: Boolean): Unit = {
+                      // the job commit IS the protocol commit: data
+                      // stages distributed, ONE atomic claim publishes —
+                      // constraints, tombstone refusal and optimistic
+                      // retry all apply to the SQL writer too
+                      if (overwrite || ov)
+                        Snapshots.commitOverwrite(sp, data, t)
+                      else Snapshots.commitAppend(sp, data, t)
+                      ()
+                    }
+                  }
+              }
+          }
+      }
     }
   }
 
@@ -111,7 +171,7 @@ class SnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val head = Snapshots.currentVersion(spark, tablePath(ident))
     if (head == 0) throw new NoSuchTableException(ident)
-    tableAt(ident, head)
+    tableAt(ident, head, writable = true)
   }
 
   /** SQL `VERSION AS OF <v>`. */
@@ -153,13 +213,38 @@ class SnapshotCatalog extends TableCatalog {
       .map(n => Identifier.of(namespace, n))
   }
 
+  /** `CREATE TABLE snap.t (...)` — commits v1 through the protocol: an
+    * empty batch under the declared schema, so the schema header rides
+    * the manifest and `INSERT INTO` / CTAS continue the timeline
+    * normally. Partition transforms refuse (snapshot layout is
+    * file-granular; clustering is OPTIMIZE ZORDER BY's job).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables take no partition transforms — cluster with " +
+        "OPTIMIZE ... ZORDER BY instead")
+    val t = tablePath(ident)
+    require(Snapshots.currentVersion(spark, t) == 0,
+      s"table ${ident.name()} already exists at $t")
+    Snapshots.commitAppend(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), t)
+    loadTable(ident)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** `DROP TABLE snap.t` — removes the whole table tree (manifests,
+    * data, sidecars). Prior versions go with it; this is the table-level
+    * destructor, not a data delete (that's DELETE/VACUUM).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = new Path(tablePath(ident))
+    val f = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Snapshots.currentVersion(spark, t.toString) == 0) false
+    else f.delete(t, true)
+  }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

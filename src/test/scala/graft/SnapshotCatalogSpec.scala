@@ -45,11 +45,9 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,3"),
       s"filter not pushed:\n${plan.take(800)}")
 
-    // read-only face: DML/DDL refuse instead of bypassing the manifest
-    intercept[Exception] {
-      spark.sql("INSERT INTO gsnap.orders_t VALUES (9, 'z', 1.0)")
-    }
-    intercept[Exception] { spark.sql("DROP TABLE gsnap.orders_t") }
+    // INSERT routes through the commit protocol (full write-face spec
+    // below); what still refuses is anything that would BYPASS it
+    intercept[Exception] { spark.sql("ALTER TABLE gsnap.orders_t RENAME COLUMN id TO i") }
     intercept[Exception] { spark.sql("SELECT * FROM gsnap.no_such").collect() }
 
     // a vacuumed version is a loud miss, not a partial read
@@ -67,6 +65,48 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // discovery: only manifest-bearing dirs list as tables
     assert(spark.sql("SHOW TABLES IN gsnap").collect()
       .map(_.getString(1)).toSet == Set("orders_t"))
+  }
+
+  test("SQL INSERT goes through the protocol: create, insert, overwrite, drop") {
+    val root = Files.createTempDirectory("graft_snapcat_w").toString
+    spark.conf.set("spark.sql.catalog.gw",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.root", root)
+    spark.sql("CREATE TABLE gw.t (id BIGINT, v STRING)")
+    val t = root + "/t"
+    assert(Snapshots.currentVersion(spark, t) == 1L) // schema-only v1
+    spark.sql("INSERT INTO gw.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gw.t SELECT id + 10, 'x' FROM range(3)")
+    assert(Snapshots.currentVersion(spark, t) == 3L,
+      "each INSERT is ONE protocol commit")
+    assert(spark.sql("SELECT id FROM gw.t").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 11L, 12L))
+    // history carries the protocol ops — the SQL writer is a first-class
+    // committer, not a side door
+    assert(Snapshots.history(spark, t).select("op").collect()
+      .map(_.getString(0)).toSeq == Seq("append", "append", "append"))
+    // INSERT OVERWRITE = commitOverwrite: one new version, old readable
+    spark.sql("INSERT OVERWRITE gw.t VALUES (99, 'z')")
+    assert(spark.sql("SELECT id FROM gw.t").collect()
+      .map(_.getLong(0)).toSet == Set(99L))
+    assert(spark.sql("SELECT count(*) FROM gw.t VERSION AS OF 3")
+      .head.getLong(0) == 5L, "time travel across a SQL overwrite")
+    // a declared CHECK constraint binds the SQL writer too
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT pos CHECK (id > 0)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gw.t VALUES (-1, 'bad')")
+    }
+    assert(spark.sql("SELECT count(*) FROM gw.t").head.getLong(0) == 1L)
+    // pinned versions stay read-only (history is immutable)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gw.t VERSION AS OF 3 VALUES (5, 'no')")
+    }
+    // CTAS composes: createTable + the V1 write in one statement
+    spark.sql("CREATE TABLE gw.t2 AS SELECT id FROM range(4)")
+    assert(spark.sql("SELECT count(*) FROM gw.t2").head.getLong(0) == 4L)
+    assert(spark.sql("SHOW TABLES IN gw").count() == 2)
+    spark.sql("DROP TABLE gw.t2")
+    assert(spark.sql("SHOW TABLES IN gw").count() == 1)
   }
 
   test("TIMESTAMP AS OF survives a table copy: #ts headers, not mtimes, are the clock") {
