@@ -15,6 +15,7 @@ import graft.warehouse.Snapshots
   *
   * {{{
   *   OPTIMIZE <target> [TARGET <n> FILES] [ZORDER BY (c1, c2 [, ...])]
+  *   OPTIMIZE <target> SMALL FILES [UNDER <n> MB]
   *   VACUUM <target> [RETAIN <n> VERSIONS]
   *   DESC[RIBE] HISTORY <target>
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
@@ -73,6 +74,10 @@ object MaintenanceSql {
     ("""(?is)^\s*OPTIMIZE\s+""" + T +
       """(?:\s+TARGET\s+(\d+)\s+FILES?)?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+  // bin-packed partial compaction: rewrite only the small files
+  private val OptimizeSmallRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """\s+SMALL\s+FILES(?:\s+UNDER\s+(\d+)\s*MB)?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + T +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
@@ -118,6 +123,9 @@ object MaintenanceSql {
             target.split('.').head.stripPrefix("`").stripSuffix("`") +
             ".root").isDefined)
     sqlText match {
+      case OptimizeSmallRe(target, underMb) if ours(target) =>
+        Some(OptimizeSnapshotSmall(SnapTarget(target),
+          Option(underMb).map(_.toLong << 20).getOrElse(32L << 20)))
       case OptimizeRe(target, tgtFiles, zorder) if ours(target) =>
         val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -167,6 +175,28 @@ final case class OptimizeSnapshot(target: MaintenanceSql.SnapTarget,
     val path = target.resolve(spark)
     Snapshots.compactData(spark, path, targetFiles, minFiles,
         zorderBy = zorder) match {
+      case Some(v) => Seq(Row(v, true))
+      case None => Seq(Row(Snapshots.currentVersion(spark, path), false))
+    }
+  }
+}
+
+/** `OPTIMIZE t SMALL FILES [UNDER n MB]` → Snapshots.compactSmallFiles:
+  * bin-packed PARTIAL compaction — only files under the threshold
+  * (default 32 MB) rewrite, packed to ~128 MB outputs; every compact
+  * file carries by name, so the statement's IO tracks the accreted
+  * small-file debt, never the table (the steady-state OPTIMIZE at
+  * 100 TB; the full-rewrite form above remains the clustering /
+  * tombstone-materialization pass).
+  */
+final case class OptimizeSnapshotSmall(target: MaintenanceSql.SnapTarget,
+    smallBytes: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("compacted", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    Snapshots.compactSmallFiles(spark, path, smallBytes) match {
       case Some(v) => Seq(Row(v, true))
       case None => Seq(Row(Snapshots.currentVersion(spark, path), false))
     }

@@ -414,6 +414,54 @@ object SnapshotQ {
       ).toDF("check_name", "value")
     })
 
+  /** Bin-packed PARTIAL compaction (Snapshots.compactSmallFiles — the
+    * steady-state OPTIMIZE at 100 TB): one large commit then 12
+    * accreted single-file appends, compact with a threshold below the
+    * large file's size — the 12 small files pack into ONE output while
+    * the large file carries BY NAME (asserted by check rows), and the
+    * head's contents survive byte-exactly. Every check value is a
+    * protocol constant or the orders row count, so the partial-rewrite
+    * semantics are DuckDB-oracled end to end.
+    */
+  val snapSmallCompact = QueryDef(
+    "snap_small_compact",
+    Some("""SELECT 'head_rows' AS check_name,
+           |       (SELECT count(*) FROM orders) AS value
+           |UNION ALL SELECT 'files_after', 2
+           |UNION ALL SELECT 'big_carried', 1
+           |UNION ALL SELECT 'compact_version', 14""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true) // 13 commits consume it
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_small").toString + "/t"
+      Snapshots.commitAppend(spark, // v1: ONE compact file (the even half)
+        orders.filter(col("o_orderkey") % 2 === 0).coalesce(1), table)
+      (0 until 12).foreach { i => // v2..v13: accreted small files
+        Snapshots.commitAppend(spark,
+          orders.filter(col("o_orderkey") % 24 === (2 * i + 1))
+            .coalesce(1), table)
+      }
+      val dd = new org.apache.hadoop.fs.Path(table, "data")
+      val fsys = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bigName = Snapshots.filesAt(spark, table, 1L).head
+      val bigLen = fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(dd, bigName)).getLen
+      // threshold strictly below the large file: the 12 accreted files
+      // pack, the compact one must not rewrite
+      val v = Snapshots.compactSmallFiles(spark, table,
+        smallBytes = bigLen, minSmall = 8).get
+      val after = Snapshots.filesAt(spark, table, v)
+      Seq(
+        ("head_rows", Snapshots.read(spark, table).count()),
+        ("files_after", after.size.toLong),
+        ("big_carried", if (after.contains(bigName)) 1L else 0L),
+        ("compact_version", v)
+      ).toDF("check_name", "value")
+    })
+
   /** The SQL WRITE face of the DSv2 catalog (sources/SnapshotCatalog):
     * a pure-SQL lifecycle — CTAS creates the table and lands the even
     * half (createTable commits the schema-only v1, the V1 write commits
@@ -496,6 +544,66 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     })
 
+  /** Snapshot table as a LIVE STREAMING SOURCE (sources/
+    * SnapshotStreamSource — the Delta streaming-source idea over the
+    * graft protocol): a source table walks append(even) → append(odd) →
+    * MERGE price bump while a real micro-batch stream tails its commit
+    * log — the initial snapshot, an added-files append window, and a
+    * keyed rewrite window served as row-exact CDF post-images — and
+    * upserts each batch into a SECOND snapshot table. The emitted rows
+    * are that downstream table's final contents, fully DuckDB-oracled
+    * from orders alone: a lost window, replayed batch, pre-image leak,
+    * or double-served rewrite lands in the diff.
+    */
+  val snapStreamSource = QueryDef(
+    "snap_stream_source",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4)
+           |         AS o_totalprice
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true) // three commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_src").toString
+      val src = root + "/src"
+      val dst = root + "/dst"
+      Snapshots.commitAppend(spark, // v1: tailed as the initial snapshot
+        orders.filter(col("o_orderkey") % 2 === 0), src)
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", src).option("keys", "o_orderkey").load()
+        .writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("snap_src_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            if (!b.isEmpty)
+              Snapshots.commitMerge(spark, b.toDF(), dst, Seq("o_orderkey"))
+            ()
+        }
+        .start()
+      q.processAllAvailable() // initial snapshot: the even half
+      Snapshots.commitAppend(spark, // append window: added files only
+        orders.filter(col("o_orderkey") % 2 === 1), src)
+      q.processAllAvailable()
+      Snapshots.commitMerge(spark, // rewrite window: CDF post-images
+        orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice",
+            col("o_totalprice").cast("double") * 1.1),
+        src, Seq("o_orderkey"))
+      q.processAllAvailable()
+      q.stop()
+      Snapshots.read(spark, dst)
+        .withColumn("o_totalprice",
+          round(col("o_totalprice").cast("double"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+
   /** LIVE Structured Streaming ingestion into a snapshot table: the
     * events fixture flows through a real micro-batch stream whose
     * foreachBatch sink is `Snapshots.commitStreamAppend` (the
@@ -540,5 +648,6 @@ object SnapshotQ {
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
-      snapPredicateDelete, snapSqlInsert, snapStreamSink)
+      snapPredicateDelete, snapSqlInsert, snapSmallCompact,
+      snapStreamSource, snapStreamSink)
 }

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.Snapshots
+
+/** Snapshot tables as a STRUCTURED STREAMING SOURCE — tail a versioned
+  * table's commit log as a live stream (the Delta streaming-source idea
+  * re-expressed over the graft commit protocol):
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("path", "/warehouse/events")
+  *     .option("keys", "event_id")       // optional: see rewrite windows
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE table versions, so the stream's progress log and the
+  * table's commit log share one coordinate system and a restart resumes
+  * exactly where the checkpoint says. Per micro-batch the source serves
+  * the version window `(lastOffset, head]` by decomposing it into
+  * commit steps and choosing the cheapest correct read per step:
+  *
+  *   - FIRST batch on an existing table: the full applied snapshot at
+  *     the start version (Delta's "initial snapshot"), then tailing;
+  *   - append-only steps: ONLY the step's added files are read
+  *     ([[Snapshots.incrementalRead]] — IO ∝ delta, the 100 TB tailing
+  *     contract);
+  *   - rewrite steps (delete / merge / OPTIMIZE landed): with `keys`
+  *     declared, the row-exact change feed's INSERT + UPDATE POST-IMAGES
+  *     flow ([[Snapshots.rowDiff]] — IO ∝ churn; deletes do NOT flow,
+  *     downstream upsert consumers apply post-images by key; a mirror
+  *     that must also see deletes is [[Snapshots.syncReplica]]'s job);
+  *     without `keys` a rewrite step REFUSES loudly rather than
+  *     double-serving moved rows (Delta's ignoreChanges trap is opt-in
+  *     here, and exact instead of approximate).
+  *
+  * Schema is pinned at stream start (the head's declared schema) and
+  * every batch conforms to it — columns added mid-stream start flowing
+  * on restart, exactly like Delta. A start version older than vacuum
+  * retention refuses (the manifests are gone; restart the stream fresh).
+  * `startingVersion` opts out of the initial snapshot to tail from a
+  * known version (e.g. `0` = from the table's beginning, replaying every
+  * retained commit).
+  */
+class SnapshotStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot source needs option(\"path\", <table dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val t = pathOf(parameters)
+    val head = Snapshots.currentVersion(spark, t)
+    require(head > 0, s"no snapshot table at $t (no committed version)")
+    (shortName(), schema.getOrElse(
+      Snapshots.schemaAt(spark, t, head)
+        .getOrElse(Snapshots.read(spark, t).schema)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val t = pathOf(parameters)
+    new SnapshotStreamSource(spark, t,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(Nil),
+      parameters.get("startingVersion").map(_.toLong))
+  }
+}
+
+class SnapshotStreamSource(spark: SparkSession, table: String,
+    schema0: StructType, keys: Seq[String],
+    startingVersion: Option[Long]) extends Source {
+
+  override def schema: StructType = schema0
+
+  /** getBatch's contract requires `isStreaming = true` frames (the
+    * executor asserts it); the batch-built plan re-wraps over its own
+    * InternalRow RDD the way Spark's own v1 file source does.
+    */
+  private def asStreaming(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.StreamingFrames.asStreaming(df)
+
+  override def getOffset: Option[V1Offset] = {
+    val head = Snapshots.currentVersion(spark, table)
+    if (head == 0) None else Some(LongOffset(head))
+  }
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  /** Batches CONFORM to the stream's pinned schema: columns added to the
+    * table mid-stream are dropped (they flow after a restart repins),
+    * columns the window predates serve as NULL.
+    */
+  private def conform(df: DataFrame): DataFrame =
+    df.select(schema0.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+        .as(f.name)
+    }: _*)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = versionOf(end)
+    val fromOpt = start.map(versionOf).orElse(startingVersion)
+    val from = fromOpt.getOrElse(to) // no start, no override → snapshot at `to`
+    if (fromOpt.isEmpty)
+      // initial batch: the FULL applied snapshot at the end version —
+      // tombstones filtered, pinned (later commits can't change it)
+      return asStreaming(conform(Snapshots.read(spark, table, Some(to))))
+    if (from >= to)
+      return asStreaming(
+        conform(Snapshots.read(spark, table, Some(to))).limit(0))
+    require(from == 0 || Snapshots.hasVersion(spark, table, from),
+      s"stream offset v$from of $table was vacuumed away — the window " +
+        "cannot be served exactly; restart the stream fresh")
+    // decompose the window into commit steps; per step, added-files read
+    // for append steps, CDF post-images (keys declared) for rewrites
+    val steps = ((from + 1) to to).map { v =>
+      val stepFrom = v - 1
+      if (stepFrom == 0)
+        conform(Snapshots.read(spark, table, Some(v)))
+      else {
+        val appendOnly =
+          Snapshots.removedFiles(spark, table, stepFrom, v).isEmpty &&
+            Snapshots.sameTombstones(spark, table, stepFrom, v)
+        if (appendOnly)
+          conform(Snapshots.incrementalRead(spark, table, stepFrom, v))
+        else {
+          require(keys.nonEmpty,
+            s"step v$stepFrom->v$v of $table rewrote files and the " +
+              "stream declared no keys — post-images cannot be " +
+              "identified; pass option(\"keys\", ...) to stream " +
+              "rewrite windows as row-exact upserts, or keep the " +
+              "table append-only for this consumer")
+          conform(Snapshots.rowDiff(spark, table, stepFrom, v, keys)
+            .filter(col("change_type").isin("insert", "update_postimage"))
+            .drop("change_type"))
+        }
+      }
+    }
+    asStreaming(steps.reduce(_ unionByName _))
+  }
+
+  override def stop(): Unit = ()
+}

@@ -857,11 +857,22 @@ object Snapshots {
     }
     if (files.isEmpty)
       return CowResult(stageData(spark, upserts, table), Nil, Nil, None, Nil)
-    // localCheckpoint cuts the probe frames' lineage to an in-memory RDD:
-    // the probe projects input_file_name(), which refuses plans carrying
-    // a SECOND file source (the batch's parquet lineage, the tombstone
-    // sidecar). Keys stay distributed — no driver collect.
-    val touched = changes.select(keys.map(col): _*).distinct()
+    // single-column keys (the common case) probe via a literal IN-list
+    // when the touch-set is bounded: the predicate pushes into the
+    // parquet scan (row-group min/max skipping applies) and no second
+    // frame ever joins the probe — fastVals is None past the cap or for
+    // composite keys, falling back to the broadcast semi-join.
+    val fastVals: Option[Seq[Any]] =
+      if (keys.size == 1)
+        Some(changes.select(col(keys.head)).na.drop().distinct()
+            .limit(MaxPruneKeys + 1).collect().map(_.get(0)).toSeq)
+          .filter(_.size <= MaxPruneKeys)
+      else None
+    // fallback probe frame — localCheckpoint cuts its lineage to an
+    // in-memory RDD: the probe projects input_file_name(), which refuses
+    // plans carrying a SECOND file source (the batch's parquet lineage,
+    // the tombstone sidecar)
+    lazy val touched = changes.select(keys.map(col): _*).distinct()
       .localCheckpoint(true)
     // pending-tombstone keys the change set re-asserts (bounded × bounded)
     val tk = tombstoneKeys(spark, table, lines)
@@ -876,16 +887,26 @@ object Snapshots {
     // the probe itself costs O(candidate files), not O(table). Each leg
     // prunes on ITS join column (the merge keys vs the tombstone
     // column), never one leg's candidates standing in for the other's.
-    val candT = pruneByKeyStats(spark, table, keys.head,
-      touched.select(col(keys.head)).filter(col(keys.head).isNotNull),
-      files)
+    val candT = fastVals match {
+      case Some(vals) => pruneByKeyVals(spark, table, keys.head, vals, files)
+      case None => pruneByKeyStats(spark, table, keys.head,
+        touched.select(col(keys.head)).filter(col(keys.head).isNotNull),
+        files)
+    }
     def probeOf(cand: Seq[String], frame: DataFrame,
         on: Seq[String]): Option[DataFrame] =
       if (cand.isEmpty) None
       else Some(readWithSchema(spark, table, cand, schemaOf(lines))
         .join(broadcast(frame), on, "left_semi")
         .select(input_file_name().as("file")))
-    val probeT = probeOf(candT, touched, keys)
+    val probeT = fastVals match {
+      case Some(vals) =>
+        if (candT.isEmpty || vals.isEmpty) None
+        else Some(readWithSchema(spark, table, candT, schemaOf(lines))
+          .filter(col(keys.head).isInCollection(vals))
+          .select(input_file_name().as("file")))
+      case None => probeOf(candT, touched, keys)
+    }
     val (candR, probeR) = reasserted match {
       case Some((kc, r)) =>
         val c = pruneByKeyStats(spark, table, kc, r, files)
@@ -1154,6 +1175,61 @@ object Snapshots {
       s"compaction commit to $table failed after $maxRetries attempts")
   }
 
+  /** Bin-packed PARTIAL compaction — the steady-state OPTIMIZE a 100 TB
+    * table actually runs (the Delta/Iceberg bin-packing semantics):
+    * rewrite ONLY the files under `smallBytes`, packed into
+    * ~`targetFileBytes` outputs, and carry every already-compact file
+    * into the new manifest BY NAME — IO is proportional to the accreted
+    * small-file debt, never the table, so it can run after every
+    * streaming burst where [[compactData]]'s full rewrite could not.
+    * Byte census is one driver-side `listStatus` of the data dir
+    * (O(files) metadata, zero data reads for the decision).
+    *
+    * Pending lazy-delete tombstones CARRY FORWARD: the rewritten slice
+    * materializes its share (rows filtered out of the packed output),
+    * carried files keep the read-side anti-join via the carried headers
+    * — full [[compactData]] remains the total materialization point.
+    * No-op (None) below `minSmall` small files — packing two files is
+    * pure write amplification. Returns the committed version.
+    */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      smallBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
+      minSmall: Int = 8, maxRetries: Int = 10): Option[Long] = {
+    require(smallBytes > 0 && targetFileBytes > 0)
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (head == 0) return None
+      val lines = manifestLines(spark, table, head)
+      val files = filesOf(lines)
+      val sizes = f.listStatus(dataDir(table)).filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+      val small = files.filter(n => sizes.get(n).exists(_ < smallBytes))
+      if (small.isEmpty || small.size < minSmall) return None
+      val carried = files.filterNot(small.toSet)
+      val smallTotal = small.map(sizes).sum
+      val nOut = math.max(1,
+        math.ceil(smallTotal.toDouble / targetFileBytes).toInt)
+      // the packed slice is read APPLIED (its tombstoned rows leave
+      // physically); carried files keep relying on the carried headers
+      val packed = applyTombstones(spark, table, lines,
+        readWithSchema(spark, table, small, schemaOf(lines)))
+        .repartition(nOut)
+      val newFiles = stageData(spark, packed, table)
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), carried ++ newFiles,
+            "optimize", checksOf(lines),
+            tombstonesOf(lines), tombstoneColOf(lines))))
+        return Some(head + 1)
+      // lost the race — drop the orphans and recompute against the head
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"small-file compaction of $table failed after $maxRetries attempts")
+  }
+
   /** Read the table at `version` (default: latest). A resolved reader is
     * pinned: later commits never change the files it reads.
     */
@@ -1250,6 +1326,17 @@ object Snapshots {
     val after = filesAt(spark, table, toV).toSet
     filesAt(spark, table, fromV).filterNot(after)
   }
+
+  /** True when the two versions carry identical pending-tombstone state
+    * — the other half of the append-only test an incremental consumer
+    * runs before choosing the added-files transport (a lazy delete
+    * touches no files but is NOT append-only: its window must flow
+    * through [[rowDiff]]). Metadata-only: two manifest reads.
+    */
+  def sameTombstones(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): Boolean =
+    tombstonesOf(manifestLines(spark, table, fromV)) ==
+      tombstonesOf(manifestLines(spark, table, toV))
 
   private def readDataFiles(spark: SparkSession, table: String,
       names: Seq[String],

@@ -276,6 +276,30 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE SMALL FILES bin-packs under a threshold; large files carry") {
+    val t = Files.createTempDirectory("graft_snapsql_small").toString + "/t"
+    // a genuinely >1 MB file plus 9 tiny accreted ones
+    Snapshots.commitAppend(spark,
+      spark.range(200000L).selectExpr("id",
+        "repeat(uuid(), 2) AS payload").coalesce(1), t)
+    (0 until 9).foreach { i =>
+      Snapshots.commitAppend(spark,
+        Seq((9000000L + i, s"tiny$i")).toDF("id", "payload").coalesce(1), t)
+    }
+    val big = Snapshots.filesAt(spark, t, 1L).head
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, "data", big)) > (1L << 20))
+    val r = spark.sql(s"OPTIMIZE '$t' SMALL FILES UNDER 1 MB").head
+    assert(r.getLong(0) == 11L && r.getBoolean(1))
+    val after = Snapshots.filesAt(spark, t, 11L)
+    assert(after.contains(big) && after.size == 2,
+      s"9 tiny files pack into 1, the large one carries: $after")
+    assert(Snapshots.read(spark, t).count() == 200009L)
+    // re-running is a no-op below the debt floor: compacted=false
+    val r2 = spark.sql(s"OPTIMIZE '$t' SMALL FILES UNDER 1 MB").head
+    assert(r2.getLong(0) == 11L && !r2.getBoolean(1))
+  }
+
   test("DELETE FROM a quoted path takes arbitrary predicates: dates, strings, NULL keeps") {
     val t = Files.createTempDirectory("graft_snapsql_delw").toString + "/t"
     Snapshots.commitAppend(spark,

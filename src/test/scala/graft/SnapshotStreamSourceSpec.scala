@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import scala.collection.mutable
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.warehouse.Snapshots
+
+/** sources.SnapshotStreamSource — snapshot tables tailed as a live
+  * Structured Streaming source: version-aligned offsets, the initial
+  * snapshot, added-files append windows, keyed post-image rewrite
+  * windows, checkpoint resume, and the no-keys refusal.
+  */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def collectStream(src: String, ckpt: String,
+      keys: Option[String] = None)(phases: (() => Unit)*)
+      : Seq[Set[(Long, String)]] = {
+    val batches = mutable.ArrayBuffer.empty[Set[(Long, String)]]
+    var reader = spark.readStream.format("graft-snapshot")
+      .option("path", src)
+    keys.foreach(k => reader = reader.option("keys", k))
+    val q = reader.load().writeStream
+      .option("checkpointLocation", ckpt)
+      .queryName("snapsrc_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val rows = b.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSet
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+      }.start()
+    try phases.foreach { p => p(); q.processAllAvailable() }
+    finally q.stop()
+    batches.toSeq
+  }
+
+  test("tailing: initial snapshot, then append windows from added files only") {
+    val root = Files.createTempDirectory("graft_strsrc").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    val got = collectStream(t, root + "/ck")(
+      () => (), // first poll: the v1 snapshot
+      () => Snapshots.commitAppend(spark,
+        (6L to 8L).map(i => (i, s"v$i")).toDF("id", "v"), t),
+      () => Snapshots.commitAppend(spark,
+        Seq((9L, "v9")).toDF("id", "v"), t))
+    assert(got.map(_.map(_._1)) == Seq((1L to 5L).toSet, (6L to 8L).toSet,
+      Set(9L)), s"got $got")
+  }
+
+  test("checkpoint resume: offsets are versions, a restart serves exactly the missed window") {
+    val root = Files.createTempDirectory("graft_strsrc_r").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    val first = collectStream(t, root + "/ck")(() => ())
+    assert(first.map(_.map(_._1)) == Seq(Set(1L)))
+    // two commits land while the stream is DOWN
+    Snapshots.commitAppend(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    Snapshots.commitAppend(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    // same checkpoint: exactly the missed window flows, nothing replays
+    val resumed = collectStream(t, root + "/ck")(() => ())
+    assert(resumed.map(_.map(_._1)) == Seq(Set(2L, 3L)), s"got $resumed")
+  }
+
+  test("rewrite windows: post-images flow with keys, loud refusal without") {
+    val root = Files.createTempDirectory("graft_strsrc_w").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    val got = collectStream(t, root + "/ck", keys = Some("id"))(
+      () => (),
+      () => { // one update + one insert + one lazy delete in the window
+        Snapshots.commitMerge(spark,
+          Seq((3L, "BUMPED"), (10L, "NEW")).toDF("id", "v"), t, Seq("id"))
+        Snapshots.commitDeleteLazy(spark, t, Seq(5L), "id")
+        ()
+      })
+    // post-images only: the update's new row + the insert; the DELETE
+    // does not flow (documented — mirrors use syncReplica)
+    assert(got(1) == Set((3L, "BUMPED"), (10L, "NEW")), s"got ${got(1)}")
+    // without keys, the same rewrite window refuses loudly
+    Snapshots.commitMerge(spark, Seq((4L, "X")).toDF("id", "v"), t,
+      Seq("id"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-snapshot").option("path", t)
+        .option("startingVersion", Snapshots.currentVersion(spark, t) - 1)
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck2")
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("keys") ||
+      e.getCause.getMessage.contains("keys"))
+  }
+}

@@ -458,6 +458,39 @@ class SnapshotsSpec extends AnyFunSuite {
       (9999L, "insert")), s"got $d")
   }
 
+  test("compactSmallFiles packs only the small-file debt; compact files and tombstones carry") {
+    val t = freshTable()
+    // one "large" slab + 10 accreted small files
+    Snapshots.commitAppend(spark,
+      (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    (0 until 10).foreach { i =>
+      Snapshots.commitAppend(spark,
+        Seq((1000L + i, s"s$i")).toDF("id", "v").coalesce(1), t)
+    }
+    val big = Snapshots.filesAt(spark, t, 1L).head
+    val bigLen = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, "data", big))
+    // a pending tombstone on a SMALL file's row materializes in the
+    // pack; one on the LARGE file keeps riding the carried headers
+    Snapshots.commitDeleteLazy(spark, t, Seq(7L, 1003L), "id")
+    val v = Snapshots.compactSmallFiles(spark, t,
+      smallBytes = bigLen, minSmall = 8).get
+    val after = Snapshots.filesAt(spark, t, v)
+    assert(after.contains(big), "the compact file must carry by name")
+    assert(after.size == 2, s"10 small files pack into 1, got $after")
+    // carried-file tombstone still applies read-side; packed one is gone
+    val ids0 = ids(Snapshots.read(spark, t))
+    assert(!ids0.contains(7L) && !ids0.contains(1003L))
+    assert(ids0.size == 508)
+    assert(Snapshots.pendingTombstones(spark, t)._2.nonEmpty,
+      "partial compaction must NOT clear tombstone headers (carried " +
+        "files still need the anti-join); full compactData is the " +
+        "materialization point")
+    // below the debt floor: no-op
+    assert(Snapshots.compactSmallFiles(spark, t,
+      smallBytes = bigLen, minSmall = 8).isEmpty)
+  }
+
   test("manifests are O(delta): steady-state commit bytes flat, checkpoints bound chains, vacuum keeps the floor resolvable") {
     val t = freshTable()
     (1 to 40).foreach { i =>
