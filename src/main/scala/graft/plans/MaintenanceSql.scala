@@ -23,6 +23,8 @@ import graft.warehouse.Snapshots
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
   *   DELETE FROM '<path>' WHERE <arbitrary predicate>
+  *   MERGE INTO '<path>' USING <view|(subquery)> ON (k1 [, k2 ...])
+  *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -104,6 +106,17 @@ object MaintenanceSql {
   // boolean expression the session parser accepts
   private val DeleteWhereRe =
     ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  // quoted-path MERGE, key-based upsert form (the protocol's merge):
+  // source is a view/table name or a parenthesized subquery; the only
+  // supported clause pair is the canonical upsert (UPDATE SET * /
+  // INSERT *), which may be omitted entirely — identifier targets keep
+  // delegating to whichever catalog owns them
+  private val MergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+('[^']+')""" +
+      """\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.`]+)""" +
+      """\s+ON\s*\(\s*([^)]+?)\s*\)""" +
+      """(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance statements AND
     * the target is ours; None → caller delegates to the normal parser.
@@ -150,6 +163,10 @@ object MaintenanceSql {
           keys.split(',').map(_.trim.toLong).toSeq))
       case DeleteWhereRe(target, predicate) => // quoted paths only
         Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
+      case MergeRe(target, source, keys, _) => // quoted paths only
+        Some(MergeSnapshot(SnapTarget(target), source.trim,
+          keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq))
       case _ => None
     }
   }
@@ -315,6 +332,34 @@ final case class DeleteSnapshotWhere(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n) = Snapshots.commitDeleteWhere(spark, target.resolve(spark),
       org.apache.spark.sql.functions.expr(predicate))
+    Seq(Row(v, n))
+  }
+}
+
+/** `MERGE INTO '<path>' USING <src> ON (keys) [WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT *]` → Snapshots.commitMerge: the
+  * protocol's key-based upsert as real SQL — matched keys update
+  * wholesale, unmatched insert, untouched target rows carry via the
+  * file-granular copy-on-write engine (only files physically holding a
+  * source key rewrite). The source is a view/table name or a
+  * parenthesized subquery resolved by the session at run time; the
+  * clause pair is the canonical upsert and may be omitted (same
+  * semantics). Quoted-path targets only — identifier MERGE delegates to
+  * whichever catalog owns the identifier.
+  */
+final case class MergeSnapshot(target: MaintenanceSql.SnapTarget,
+    source: String, keys: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("merged_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(keys.nonEmpty, "MERGE needs at least one ON key column")
+    val src =
+      if (source.startsWith("(")) spark.sql(
+        source.stripPrefix("(").stripSuffix(")"))
+      else spark.table(source)
+    val n = src.count()
+    val v = Snapshots.commitMerge(spark, src, target.resolve(spark), keys)
     Seq(Row(v, n))
   }
 }

@@ -544,6 +544,50 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     })
 
+  /** SQL MERGE (plans/MaintenanceSql.MergeSnapshot): the protocol's
+    * keyed upsert driven entirely from a MERGE INTO statement — matched
+    * keys (o_orderkey % 10 = 7) take the source's bumped price, unmatched
+    * source keys (shifted copies of the % 10 = 3 slice) insert, untouched
+    * rows carry through the file-granular copy-on-write engine. The
+    * emitted rows are the final head, DuckDB-oracled from orders alone.
+    */
+  val snapSqlMerge = QueryDef(
+    "snap_sql_merge",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4)
+           |         AS o_totalprice
+           |FROM orders
+           |UNION ALL
+           |SELECT o_orderkey + 100000000, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 10 = 3""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_sqlm").toString + "/t"
+      Snapshots.commitAppend(spark, orders, table)
+      val view = s"merge_src_$u"
+      orders.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_totalprice", col("o_totalprice").cast("double") * 1.1)
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_totalprice", col("o_totalprice").cast("double")))
+        .createOrReplaceTempView(view)
+      val r = spark.sql(s"MERGE INTO '$table' USING $view ON (o_orderkey) " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        .head
+      require(r.getLong(0) == 2L, s"merge must commit v2, got $r")
+      Snapshots.read(spark, table)
+        .withColumn("o_totalprice",
+          round(col("o_totalprice").cast("double"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+
   /** Snapshot table as a LIVE STREAMING SOURCE (sources/
     * SnapshotStreamSource — the Delta streaming-source idea over the
     * graft protocol): a source table walks append(even) → append(odd) →
@@ -648,6 +692,6 @@ object SnapshotQ {
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
-      snapPredicateDelete, snapSqlInsert, snapSmallCompact,
+      snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSmallCompact,
       snapStreamSource, snapStreamSink)
 }

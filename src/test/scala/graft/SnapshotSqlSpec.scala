@@ -328,6 +328,34 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(5L))
   }
 
+  test("MERGE INTO a quoted path is the protocol's keyed upsert; identifiers delegate") {
+    val t = Files.createTempDirectory("graft_snapsql_merge").toString + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(2), t)
+    Seq((3L, "BUMP"), (9L, "NEW")).toDF("id", "v")
+      .createOrReplaceTempView("graft_merge_src")
+    val r = spark.sql(s"MERGE INTO '$t' USING graft_merge_src ON (id) " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    val st = Snapshots.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(st.size == 7 && st(3L) == "BUMP" && st(9L) == "NEW" &&
+      st(1L) == "v1")
+    // subquery source, clauses omitted (same canonical upsert)
+    val r2 = spark.sql(s"MERGE INTO '$t' USING " +
+      "(SELECT CAST(10 AS BIGINT) AS id, upper('s') AS v) ON (id)").head
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 1L)
+    assert(Snapshots.read(spark, t).filter("id = 10").head.getString(1)
+      == "S")
+    // identifier targets keep delegating to Spark's own MERGE machinery
+    spark.range(3).createOrReplaceTempView("graft_merge_plain")
+    intercept[Exception] {
+      spark.sql("MERGE INTO graft_merge_plain USING graft_merge_src " +
+        "ON graft_merge_plain.id = graft_merge_src.id " +
+        "WHEN MATCHED THEN UPDATE SET *").collect()
+    }
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
