@@ -649,13 +649,14 @@ object SnapshotQ {
     })
 
   /** LIVE Structured Streaming ingestion into a snapshot table: the
-    * events fixture flows through a real micro-batch stream whose
-    * foreachBatch sink is `Snapshots.commitStreamAppend` (the
-    * exactly-once transactional-sink recipe — the (stream, batch)
-    * watermark rides IN each claimed manifest), and the emitted rows are
-    * an aggregate over the LANDED table — any lost or double-committed
-    * batch lands in the diff vs the batch oracle. Replay/zombie
-    * exactly-once proofs live in SnapshotsSpec; this grades the
+    * events fixture flows through a real micro-batch stream whose sink
+    * is the `graft-snapshot` FORMAT (sources/SnapshotStreamSink — every
+    * micro-batch is one `commitStreamAppend`, the (stream, batch)
+    * watermark riding IN each claimed manifest, zero foreachBatch
+    * boilerplate), and the emitted rows are an aggregate over the
+    * LANDED table — any lost or double-committed batch lands in the
+    * diff vs the batch oracle. Replay/zombie exactly-once proofs live
+    * in SnapshotsSpec + SnapshotStreamSourceSpec; this grades the
     * end-to-end stream→protocol→read path.
     */
   val snapStreamSink = QueryDef(
@@ -665,20 +666,18 @@ object SnapshotQ {
            |         AS total_value
            |FROM events GROUP BY 1""".stripMargin),
     (spark, dir) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_snap_sink").toString + "/t"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_sink").toString
+      val table = root + "/t"
       val stream = graft.streaming.EventsStreaming.readEvents(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"))
       val q = stream.writeStream.outputMode("append")
+        .format("graft-snapshot")
+        .option("path", table)
+        .option("checkpointLocation", root + "/ck")
+        .option("streamId", "snap_stream_sink")
         .queryName("snap_sink_" +
           java.util.UUID.randomUUID.toString.replace("-", ""))
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            Snapshots.commitStreamAppend(spark, b.toDF(), table,
-              "snap_stream_sink", id)
-            ()
-        }
         .start()
       q.processAllAvailable()
       q.stop()

@@ -49,12 +49,38 @@ import graft.warehouse.Snapshots
   * retained commit).
   */
 class SnapshotStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot source needs option(\"path\", <table dir>)"))
+
+  /** The SINK face of the same format — `writeStream.format(
+    * "graft-snapshot").option("path", t)`: every micro-batch is ONE
+    * [[Snapshots.commitStreamAppend]], so the (streamId, batchId)
+    * watermark rides in the claimed manifest and a restart replay or
+    * racing zombie attempt detects the landed batch and reclaims its
+    * staged files — EXACTLY-ONCE without foreachBatch boilerplate.
+    * `streamId` defaults to the sink's table-scoped constant; set it
+    * when two independent streams feed one table. Append mode only
+    * (the protocol's commits are appends; aggregate state belongs
+    * upstream of the sink).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink is append-only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink takes no partition columns — cluster with " +
+        "OPTIMIZE ... ZORDER BY instead")
+    val t = pathOf(parameters)
+    val sid = parameters.getOrElse("streamId", s"graft-snapshot-sink:$t")
+    new SnapshotStreamSink(sqlContext.sparkSession, t, sid)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -79,6 +105,18 @@ class SnapshotStreamProvider extends StreamSourceProvider
         .getOrElse(Nil),
       parameters.get("startingVersion").map(_.toLong))
   }
+}
+
+class SnapshotStreamSink(spark: SparkSession, table: String,
+    streamId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    Snapshots.commitStreamAppend(spark,
+      org.apache.spark.sql.graft.StreamingFrames.asBatch(data.toDF()),
+      table, streamId, batchId)
+    ()
+  }
+  override def toString: String = s"SnapshotStreamSink[$table]"
 }
 
 class SnapshotStreamSource(spark: SparkSession, table: String,

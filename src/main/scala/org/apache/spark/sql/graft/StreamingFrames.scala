@@ -21,4 +21,16 @@ object StreamingFrames {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The mirror seam for a v1 streaming SINK: `addBatch` hands the sink
+    * a frame bound to the micro-batch's IncrementalExecution, which
+    * refuses batch writers — re-wrap it over its own InternalRow RDD as
+    * a plain batch frame (the same recipe transactional-format sinks
+    * use). Lazy; the batch executes once, when the sink's commit writes.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

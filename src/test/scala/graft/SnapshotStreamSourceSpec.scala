@@ -68,6 +68,50 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(resumed.map(_.map(_._1)) == Seq(Set(2L, 3L)), s"got $resumed")
   }
 
+  test("sink face: exactly-once commits via manifest stream marks, replay-safe across checkpoints") {
+    val root = Files.createTempDirectory("graft_strsink").toString
+    val in = new java.io.File(root + "/in"); in.mkdirs()
+    val dst = root + "/dst"
+    def stage(k: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root + s"/tmp$k"
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(in.toString, s"b$k.parquet"))
+      ()
+    }
+    stage(0, Seq((1L, "a"), (2L, "b")))
+    def runOnce(ck: String): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .parquet(in.toString)
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", ck)
+        .queryName("snapsink_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(root + "/ck")
+    assert(Snapshots.read(spark, dst).count() == 2)
+    assert(Snapshots.currentVersion(spark, dst) == 1L)
+    assert(Snapshots.lastCommittedBatch(spark, dst,
+      s"graft-snapshot-sink:$dst").contains(0L))
+    // restart on the SAME checkpoint with one new input file: exactly
+    // the new batch lands, as one more protocol commit
+    stage(1, Seq((3L, "c")))
+    runOnce(root + "/ck")
+    assert(Snapshots.read(spark, dst).count() == 3)
+    assert(Snapshots.currentVersion(spark, dst) == 2L)
+    // a FRESH checkpoint re-reads every input file as batch 0 — the
+    // table-scoped stream mark makes that replay a no-op instead of a
+    // double-land (the transactional-sink recipe, now as a format)
+    runOnce(root + "/ck2")
+    assert(Snapshots.read(spark, dst).count() == 3,
+      "fresh-checkpoint replay must not double-land")
+  }
+
   test("rewrite windows: post-images flow with keys, loud refusal without") {
     val root = Files.createTempDirectory("graft_strsrc_w").toString
     val t = root + "/t"
