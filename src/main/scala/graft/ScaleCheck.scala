@@ -234,6 +234,58 @@ object ScaleCheck {
       }
     }
 
+    // ------- partial-compaction scale gate: compactSmallFiles must cost
+    // O(small-file debt), never O(table). Base the table at a size-
+    // proportional compact layout, accrete a FIXED 20-file debt, and
+    // time the pack with a threshold measured strictly below the
+    // smallest base file ⇒ only the debt rewrites ⇒ ~flat on the 10×
+    // step.
+    if (only.forall(_.contains("snap_small_pack"))) {
+      import graft.warehouse.Snapshots
+      import spark.implicits._
+      val packMaxRatio = sys.env.getOrElse("SCALE_PACK_RATIO_MAX", "6").toDouble
+      def packTime(sfDir: String): Double = {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_scale_pack").toString + "/t"
+        val orders = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val nFiles = math.max(4L, orders.count() / 2500L).toInt
+        Snapshots.commitAppend(spark,
+          orders.repartitionByRange(nFiles, col("o_orderkey")), table)
+        (0 until 20).foreach { i => // the fixed debt
+          Snapshots.commitAppend(spark,
+            Seq((10000000L + i, 1L, 0.0))
+              .toDF("o_orderkey", "o_custkey", "o_totalprice")
+              .coalesce(1), table)
+        }
+        val dd = new org.apache.hadoop.fs.Path(table, "data")
+        val hfs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val minBase = Snapshots.filesAt(spark, table, 1L)
+          .map(n => hfs.getFileStatus(
+            new org.apache.hadoop.fs.Path(dd, n)).getLen).min
+        val t0 = System.nanoTime()
+        val v = Snapshots.compactSmallFiles(spark, table,
+          smallBytes = minBase, minSmall = 8)
+        val t = (System.nanoTime() - t0) / 1e9
+        require(v.nonEmpty, "pack must have fired")
+        require(Snapshots.filesAt(spark, table, v.get).size == nFiles + 1,
+          "only the debt may rewrite")
+        t
+      }
+      val gateName = "snap_small_pack"
+      try {
+        val tSmall = packTime(smallDir)
+        val tBig = packTime(bigDir)
+        val ratio = tBig / math.max(tSmall, 1e-3)
+        val violation = tBig > floorSec && ratio > packMaxRatio
+        if (violation) bad += 1
+        println(f"$gateName%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (fixed debt vs 10x table)")
+      } catch { case e: Throwable =>
+        bad += 1
+        println(f"$gateName%-26s FAILED ${e.getMessage}")
+      }
+    }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -253,7 +253,11 @@ object Maintenance {
       // Snapshot tables only: OPTIMIZE rewrites z-order on these 2..6
       // numeric columns, so the policy's compaction doubles as the
       // clustering pass that keeps stats-pruned reads effective
-      zorderCols: Seq[String] = Nil)
+      zorderCols: Seq[String] = Nil,
+      // Snapshot tables only: files under this size count as small-file
+      // debt for the policy's bin-packing tier (no tombstones, no
+      // zorder → pack instead of full rewrite)
+      smallFileBytes: Long = 32L << 20)
 
   /** Total visible data files under a table (recursing into partition
     * dirs) — the accretion metric the index/doc-table policy gates on.
@@ -338,6 +342,21 @@ object Maintenance {
             Snapshots.pendingTombstones(spark, t.path)._2.nonEmpty
           val optimized =
             if (n <= t.maxDataFiles && !tombsPending) None
+            else if (!tombsPending && t.zorderCols.isEmpty)
+              // steady-state accretion with nothing to materialize or
+              // cluster: BIN-PACK the small-file debt first — IO ∝ debt,
+              // so the policy can fire after every burst; the full
+              // rewrite only runs when packing alone cannot help (the
+              // over-threshold files are all already compact)
+              Snapshots.compactSmallFiles(spark, t.path,
+                  smallBytes = t.smallFileBytes,
+                  minSmall = math.max(2, t.maxDataFiles / 8))
+                .map(v => s"optimized ${t.path} ($n files, small-file " +
+                  s"pack) at v$v")
+                .orElse(Snapshots.compactData(spark, t.path,
+                    targetFiles = math.max(1, t.maxDataFiles / 8),
+                    minFiles = t.maxDataFiles)
+                  .map(v => s"optimized ${t.path} ($n files) at v$v"))
             else Snapshots.compactData(spark, t.path,
               targetFiles = math.max(1, t.maxDataFiles / 8),
               minFiles = t.maxDataFiles, zorderBy = t.zorderCols)
