@@ -25,6 +25,7 @@ import graft.warehouse.Snapshots
   *   DELETE FROM '<path>' WHERE <arbitrary predicate>
   *   MERGE INTO '<path>' USING <view|(subquery)> ON (k1 [, k2 ...])
   *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
+  *   UPDATE '<path>' SET c1 = e1 [, c2 = e2 ...] WHERE <predicate>
   * }}}
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
@@ -111,6 +112,11 @@ object MaintenanceSql {
   // supported clause pair is the canonical upsert (UPDATE SET * /
   // INSERT *), which may be omitted entirely — identifier targets keep
   // delegating to whichever catalog owns them
+  // quoted-path UPDATE (identifier UPDATE keeps delegating): SET list
+  // split paren-aware at run time so expressions may call functions
+  private val UpdateRe =
+    ("""(?is)^\s*UPDATE\s+('[^']+')""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+('[^']+')""" +
       """\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.`]+)""" +
@@ -163,6 +169,9 @@ object MaintenanceSql {
           keys.split(',').map(_.trim.toLong).toSeq))
       case DeleteWhereRe(target, predicate) => // quoted paths only
         Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
+      case UpdateRe(target, sets, predicate) => // quoted paths only
+        Some(UpdateSnapshotWhere(SnapTarget(target), sets.trim,
+          predicate.trim))
       case MergeRe(target, source, keys, _) => // quoted paths only
         Some(MergeSnapshot(SnapTarget(target), source.trim,
           keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -332,6 +341,52 @@ final case class DeleteSnapshotWhere(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n) = Snapshots.commitDeleteWhere(spark, target.resolve(spark),
       org.apache.spark.sql.functions.expr(predicate))
+    Seq(Row(v, n))
+  }
+}
+
+/** `UPDATE '<path>' SET c = e [, ...] WHERE <pred>` →
+  * Snapshots.commitUpdateWhere: predicate-driven copy-on-write update —
+  * only files physically holding a matching row rewrite (matching rows
+  * take the SET expressions under the column's declared type, NULL
+  * predicates leave rows untouched, CHECK constraints bind the
+  * rewritten slice). SET assignments and the predicate resolve through
+  * the session's expression parser at run time; the SET list splits
+  * paren-aware so expressions may call functions. Quoted-path targets
+  * only.
+  */
+final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
+    sets: String, predicate: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("updated_rows", LongType, nullable = false)())
+
+  /** Split `a = f(x, y), b = 2` into assignments at top-level commas. */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    parts += cur.toString
+    parts.toSeq.map { a =>
+      val cut = a.indexOf('=')
+      require(cut > 0, s"malformed SET assignment: $a")
+      (a.take(cut).trim.stripPrefix("`").stripSuffix("`"),
+        a.drop(cut + 1).trim)
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    val assignments = splitAssignments(sets)
+      .map { case (c, e) => c -> expr(e) }
+    val (v, n) = Snapshots.commitUpdateWhere(spark,
+      target.resolve(spark), expr(predicate), assignments)
     Seq(Row(v, n))
   }
 }

@@ -544,6 +544,38 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     })
 
+  /** SQL UPDATE (plans/MaintenanceSql.UpdateSnapshotWhere): a
+    * predicate-driven copy-on-write update through pure SQL — the
+    * bumped slice (o_orderkey % 10 = 7) takes the SET expression, every
+    * other row re-lands or carries untouched, and the head is
+    * DuckDB-oracled from orders alone.
+    */
+  val snapSqlUpdate = QueryDef(
+    "snap_sql_update",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4)
+           |         AS o_totalprice
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint(true)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_sqlu").toString + "/t"
+      Snapshots.commitAppend(spark, orders, table)
+      val r = spark.sql(s"UPDATE '$table' " +
+        "SET o_totalprice = o_totalprice * 1.1 " +
+        "WHERE o_orderkey % 10 = 7").head
+      require(r.getLong(0) == 2L && r.getLong(1) > 0,
+        s"expected a non-empty update at v2, got $r")
+      Snapshots.read(spark, table)
+        .withColumn("o_totalprice",
+          round(col("o_totalprice").cast("double"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+
   /** SQL MERGE (plans/MaintenanceSql.MergeSnapshot): the protocol's
     * keyed upsert driven entirely from a MERGE INTO statement — matched
     * keys (o_orderkey % 10 = 7) take the source's bumped price, unmatched
@@ -691,6 +723,6 @@ object SnapshotQ {
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
-      snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSmallCompact,
-      snapStreamSource, snapStreamSink)
+      snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
+      snapSmallCompact, snapStreamSource, snapStreamSink)
 }

@@ -1054,6 +1054,74 @@ object Snapshots {
       predicate: Column, maxRetries: Int = 10): (Long, Long) =
     deleteWhereImpl(spark, table, predicate, maxRetries, identity)
 
+  /** Predicate UPDATE — `UPDATE t SET c = expr, ... WHERE pred` as a
+    * file-granular copy-on-write commit: ONE probe (predicate pushed
+    * into the parquet scan) finds the files physically holding a
+    * matching row, only those rewrite (matching rows take the SET
+    * expressions, their neighbors re-land verbatim), every other file
+    * carries by name. Rows where the predicate is NULL are NOT updated
+    * (SQL semantics); SET columns must already exist (UPDATE never
+    * evolves schema — that's what appends and MERGE are for); declared
+    * CHECK constraints are enforced on the rewritten slice (the only
+    * rows that changed) before any claim. Returns (committed version,
+    * rows updated); (head, 0) when nothing matches.
+    */
+  def commitUpdateWhere(spark: SparkSession, table: String,
+      predicate: Column, sets: Seq[(String, Column)],
+      maxRetries: Int = 10): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val f = fs(spark, dataDir(table))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      if (head == 0) return (head, 0L)
+      val lines = manifestLines(spark, table, head)
+      val files = filesOf(lines)
+      val schema = schemaOf(lines)
+      sets.foreach { case (c, _) =>
+        require(schema.forall(_.fieldNames.contains(c)),
+          s"UPDATE SET column $c does not exist in $table — UPDATE " +
+            "never evolves schema (append or MERGE a new column)")
+      }
+      val affected =
+        if (files.isEmpty) Set.empty[String]
+        else readWithSchema(spark, table, files, schema)
+          .filter(predicate)
+          .select(input_file_name().as("file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
+      if (affected.isEmpty) return (head, 0L)
+      val aff = applyTombstones(spark, table, lines,
+        readWithSchema(spark, table, files.filter(affected), schema))
+      val updated = aff.filter(predicate).count()
+      val setMap = sets.toMap
+      // when(pred, new).otherwise(old): FALSE and NULL predicates both
+      // keep the old value — exactly SQL UPDATE's row selection
+      val rewritten = aff.select(aff.columns.toIndexedSeq.map { c =>
+        setMap.get(c) match {
+          case Some(e) => // cast pins the column's DECLARED type — a SET
+            // expression must never silently widen the stored schema
+            when(predicate, e).otherwise(col(c))
+              .cast(aff.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      // updated rows are the only new data — they must still satisfy
+      // every declared CHECK before a manifest claims them
+      enforceChecks(rewritten, checksOf(lines), table, schema)
+      val newFiles = stageData(spark, rewritten, table)
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schema, marksOf(lines),
+            files.filterNot(affected) ++ newFiles, "update",
+            checksOf(lines), tombstonesOf(lines), tombstoneColOf(lines))))
+        return (head + 1, updated)
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"update commit to $table failed after $maxRetries attempts")
+  }
+
   private def deleteWhereImpl(spark: SparkSession, table: String,
       predicate: Column, maxRetries: Int,
       prune: Seq[String] => Seq[String]): (Long, Long) = {

@@ -328,6 +328,43 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(5L))
   }
 
+  test("UPDATE a quoted path is copy-on-write: SET expressions, NULL keeps, checks bind") {
+    val t = Files.createTempDirectory("graft_snapsql_upd").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, null),
+        (4L, 40.0, "b")).toDF("id", "x", "tag").coalesce(2), t)
+    val r = spark.sql(
+      s"UPDATE '$t' SET x = round(x * 2, 1) WHERE tag = 'b'").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    val st = Snapshots.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    // NULL-tag row's predicate is NULL -> untouched, like SQL UPDATE
+    assert(st == Map(1L -> 10.0, 2L -> 40.0, 3L -> 30.0, 4L -> 80.0))
+    // multi-assignment with a function call (paren-aware SET split)
+    spark.sql(s"UPDATE '$t' SET x = greatest(x, 50.0), tag = upper(tag) " +
+      "WHERE id IN (1, 2)")
+    val st2 = Snapshots.read(spark, t).collect()
+      .map(x => (x.getLong(0), (x.getDouble(1), x.getString(2)))).toMap
+    assert(st2(1L) == (50.0, "A") && st2(2L) == (50.0, "B") &&
+      st2(4L) == (80.0, "b"))
+    // a declared CHECK binds the rewritten slice
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT x_cap CHECK (x <= 100)")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE '$t' SET x = x * 10 WHERE id = 4")
+    }
+    assert(Snapshots.read(spark, t).filter("id = 4").head.getDouble(1)
+      == 80.0, "a refused UPDATE must leave the head untouched")
+    // SET on a missing column refuses (UPDATE never evolves schema)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE '$t' SET nope = 1 WHERE id = 1")
+    }
+    // identifier targets keep delegating to Spark's own UPDATE handling
+    spark.range(3).createOrReplaceTempView("graft_upd_plain")
+    intercept[Exception] {
+      spark.sql("UPDATE graft_upd_plain SET id = 1 WHERE id = 2").collect()
+    }
+  }
+
   test("MERGE INTO a quoted path is the protocol's keyed upsert; identifiers delegate") {
     val t = Files.createTempDirectory("graft_snapsql_merge").toString + "/t"
     Snapshots.commitAppend(spark,
