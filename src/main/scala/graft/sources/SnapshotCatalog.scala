@@ -49,7 +49,9 @@ import graft.warehouse.Snapshots
   * guarantees as the Scala API (a bare parquet write under `data/`
   * would corrupt every invariant; that path stays impossible).
   * `CREATE TABLE` commits v1 (schema-only when empty — CTAS works),
-  * `DROP TABLE` removes the table tree. Time-travel reads
+  * `DROP TABLE` removes the table tree, and `DELETE FROM snap.t WHERE
+  * ...` resolves through Spark's own DSv2 delete into the protocol's
+  * copy-on-write predicate delete. Time-travel reads
   * (`VERSION/TIMESTAMP AS OF`) remain read-only — history is immutable;
   * ALTER/RENAME still refuse (constraints have their own SQL face).
   */
@@ -121,7 +123,8 @@ class SnapshotCatalog extends TableCatalog {
       }
     else {
       val sp = spark
-      new Table with SupportsRead with SupportsWrite {
+      new Table with SupportsRead with SupportsWrite
+          with SupportsDelete {
         override def name(): String = inner.name
         override def schema(): StructType = inner.schema
         override def capabilities(): util.Set[TableCapability] =
@@ -130,6 +133,25 @@ class SnapshotCatalog extends TableCatalog {
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
           inner.newScanBuilder(options)
+        // `DELETE FROM snap.t WHERE ...` through Spark's own DSv2
+        // resolution: translatable filters become one predicate and the
+        // delete is the protocol's copy-on-write commit — file-granular
+        // rewrite, NULL predicates keep their rows. Untranslatable
+        // conditions refuse at analysis (canDeleteWhere), loudly.
+        override def canDeleteWhere(
+            filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+          filters.forall(f => SnapshotCatalog.filterToColumn(f).isDefined)
+        override def deleteWhere(
+            filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+          import org.apache.spark.sql.functions.lit
+          val pred = filters.toSeq
+            .map(f => SnapshotCatalog.filterToColumn(f).getOrElse(
+              throw new UnsupportedOperationException(
+                s"cannot translate DELETE condition $f")))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          Snapshots.commitDeleteWhere(sp, t, pred)
+          ()
+        }
         override def newWriteBuilder(
             info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
             : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -247,4 +269,42 @@ class SnapshotCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}
+
+object SnapshotCatalog {
+  /** DSv2 `Filter` → `Column` for the DELETE path: Some(column) when the
+    * filter translates exactly, None otherwise (canDeleteWhere then
+    * refuses at analysis — never a silent partial delete). Covers the
+    * whole source-filter algebra Spark pushes for DELETE conditions.
+    */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc && rc
+      case Or(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 }

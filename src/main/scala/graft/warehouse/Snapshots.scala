@@ -847,10 +847,18 @@ object Snapshots {
     * delete-flag column); `keys` must be unique within `changes`.
     */
   private def cowApply(spark: SparkSession, table: String,
-      lines: Seq[String], schema: types.StructType, changes: DataFrame,
+      lines: Seq[String], schema: types.StructType, changes0: DataFrame,
       keys: Seq[String], deleteCol: Option[String]): CowResult = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     val files = filesOf(lines)
+    // ONE materialization of the (bounded-by-contract) change set: the
+    // pass consumes it several times — key collect/probe, the merge, the
+    // tombstone re-assert legs — and in feed mode the lazy plan is a
+    // whole rowDiff join that must not re-execute per consumer. The
+    // checkpoint also cuts lineage to an in-memory RDD, which the
+    // input_file_name() probes require (they refuse plans carrying a
+    // second file source).
+    val changes = changes0.localCheckpoint(true)
     val upserts = deleteCol match {
       case None => changes
       case Some(dc) => changes.filter(!col(dc)).drop(dc)
@@ -868,12 +876,7 @@ object Snapshots {
             .limit(MaxPruneKeys + 1).collect().map(_.get(0)).toSeq)
           .filter(_.size <= MaxPruneKeys)
       else None
-    // fallback probe frame — localCheckpoint cuts its lineage to an
-    // in-memory RDD: the probe projects input_file_name(), which refuses
-    // plans carrying a SECOND file source (the batch's parquet lineage,
-    // the tombstone sidecar)
     lazy val touched = changes.select(keys.map(col): _*).distinct()
-      .localCheckpoint(true)
     // pending-tombstone keys the change set re-asserts (bounded × bounded)
     val tk = tombstoneKeys(spark, table, lines)
     val reasserted = tk.map { case (kc, tkeys) =>
