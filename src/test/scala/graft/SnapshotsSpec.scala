@@ -458,6 +458,37 @@ class SnapshotsSpec extends AnyFunSuite {
       (9999L, "insert")), s"got $d")
   }
 
+  test("racing predicate updates serialize; every delta-encoded version resolves") {
+    val t = freshTable()
+    (0 until 8).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 5).map(j => (i * 5L + j, "old")).toDF("id", "v")
+          .coalesce(1), t)
+    }
+    // 8 writers race disjoint single-key updates: optimistic retry must
+    // serialize them — every update lands exactly once, none lost
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        Snapshots.commitUpdateWhere(spark, t,
+          org.apache.spark.sql.functions.col("id") === (i * 5L),
+          Seq("v" -> org.apache.spark.sql.functions.lit(s"new$i")))
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(Snapshots.currentVersion(spark, t) == 16L)
+    val st = Snapshots.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    (0 until 8).foreach(i => assert(st(i * 5L) == s"new$i"))
+    assert(st.count(_._2 == "old") == 32)
+    // every intermediate version (all delta-encoded under race) still
+    // resolves to a readable state
+    (1L to 16L).foreach { v =>
+      assert(Snapshots.read(spark, t, Some(v)).count() == math.min(v, 8) * 5)
+    }
+  }
+
   test("compactSmallFiles packs only the small-file debt; compact files and tombstones carry") {
     val t = freshTable()
     // one "large" slab + 10 accreted small files
