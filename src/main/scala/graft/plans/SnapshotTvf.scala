@@ -72,11 +72,39 @@ object SnapshotTvf {
     df.queryExecution.logical
   }
 
+  /** `snapshot_at(t, 2)` pins a version; `snapshot_at(t, TIMESTAMP
+    * '...')` / `snapshot_at(t, '2026-01-01 00:00:00')` pins the newest
+    * version committed at or before the instant — the TVF twin of the
+    * catalog's `TIMESTAMP AS OF`, resolved against the same durable
+    * `#ts:` commit instants (file mtimes only as the legacy fallback).
+    */
   private def at(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.size == 2, "snapshot_at(table, version)")
+    require(exprs.size == 2, "snapshot_at(table, versionOrTimestamp)")
     val spark = SparkSession.active
-    Snapshots.read(spark, resolve(spark, str(exprs(0), "table")),
-      Some(long(exprs(1), "version"))).queryExecution.logical
+    val path = resolve(spark, str(exprs(0), "table"))
+    val e = exprs(1)
+    require(e.foldable, "versionOrTimestamp must be a literal")
+    def instantVersion(cutoffMs: Long): Long =
+      Snapshots.commitInstants(spark, path)
+        .filter(_._2 <= cutoffMs).map(_._1).maxOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no version of $path committed at or before the instant"))
+    val version = e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        long(e, "version")
+      case org.apache.spark.sql.types.TimestampType =>
+        instantVersion(e.eval().asInstanceOf[Long] / 1000L)
+      case org.apache.spark.sql.types.StringType =>
+        instantVersion(
+          java.sql.Timestamp.valueOf(str(e, "timestamp")).getTime)
+      case other => throw new IllegalArgumentException(
+        s"snapshot_at takes an integer version or a timestamp, got " +
+          other.simpleString)
+    }
+    Snapshots.read(spark, path, Some(version)).queryExecution.logical
   }
 
   private def hist(exprs: Seq[Expression]): LogicalPlan = {

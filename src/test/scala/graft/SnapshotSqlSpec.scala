@@ -179,6 +179,18 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gtvf.root", root)
     assert(spark.sql("SELECT count(*) FROM snapshot_at('gtvf.tv', 2)")
       .head.getLong(0) == 4L)
+    // snapshot_at by TIMESTAMP: resolves against the durable #ts commit
+    // instants, like the catalog's TIMESTAMP AS OF
+    val t1 = Snapshots.history(spark, t)
+      .filter("version = 1").head.getTimestamp(1)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', '$t1')")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', " +
+      s"TIMESTAMP '$t1')").head.getLong(0) == 2L)
+    intercept[Exception] { // pre-history instants refuse loudly
+      spark.sql(
+        s"SELECT * FROM snapshot_at('$t', '1970-01-01 00:00:00')").collect()
+    }
   }
 
   test("CHECK constraints: declared in SQL, enforced on every ingest path") {
