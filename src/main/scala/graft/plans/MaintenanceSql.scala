@@ -361,15 +361,20 @@ final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("updated_rows", LongType, nullable = false)())
 
-  /** Split `a = f(x, y), b = 2` into assignments at top-level commas. */
+  /** Split `a = f(x, y), b = 'x,y'` into assignments at top-level
+    * commas — parens AND single-quoted string literals are opaque (a
+    * comma inside either never splits).
+    */
   private def splitAssignments(s: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inStr = false
     val cur = new StringBuilder
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if depth == 0 && !inStr => parts += cur.toString; cur.clear()
       case ch => cur += ch
     }
     parts += cur.toString

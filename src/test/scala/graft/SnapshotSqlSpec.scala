@@ -352,12 +352,13 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getDouble(1))).toMap
     // NULL-tag row's predicate is NULL -> untouched, like SQL UPDATE
     assert(st == Map(1L -> 10.0, 2L -> 40.0, 3L -> 30.0, 4L -> 80.0))
-    // multi-assignment with a function call (paren-aware SET split)
-    spark.sql(s"UPDATE '$t' SET x = greatest(x, 50.0), tag = upper(tag) " +
+    // multi-assignment with a function call and a comma INSIDE a string
+    // literal (paren- and quote-aware SET split)
+    spark.sql(s"UPDATE '$t' SET x = greatest(x, 50.0), tag = 'u,p' " +
       "WHERE id IN (1, 2)")
     val st2 = Snapshots.read(spark, t).collect()
       .map(x => (x.getLong(0), (x.getDouble(1), x.getString(2)))).toMap
-    assert(st2(1L) == (50.0, "A") && st2(2L) == (50.0, "B") &&
+    assert(st2(1L) == (50.0, "u,p") && st2(2L) == (50.0, "u,p") &&
       st2(4L) == (80.0, "b"))
     // a declared CHECK binds the rewritten slice
     spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT x_cap CHECK (x <= 100)")
