@@ -377,6 +377,30 @@ object Layout {
     live.filter(f => selected(f) || !known(f))
   }
 
+  /** Subset of `live` canonical file URIs the stats manifest cannot rule
+    * out for an OPEN-ENDED range on `c` — the one-sided variant of
+    * [[selectByStats]] that predicate probes need (`ts < cutoff` has no
+    * lower bound; a closed-box API would have to invent one, and there
+    * is no greatest string). A missing side simply drops that conjunct;
+    * both sides missing keeps everything. NULL stats and unmanifested
+    * files always keep, like every other selector here.
+    */
+  private[graft] def selectByStatsBounds(
+      spark: org.apache.spark.sql.SparkSession, path: String, c: String,
+      lo: Option[Any], hi: Option[Any], live: Seq[String]): Seq[String] = {
+    val sides = lo.map(v => col(s"${c}__max") >= lit(v)).toSeq ++
+      hi.map(v => col(s"${c}__min") <= lit(v)).toSeq
+    if (sides.isEmpty) return live
+    val keep = sides.reduce(_ && _) ||
+      col(s"${c}__min").isNull || col(s"${c}__max").isNull
+    val manifest = spark.read.parquet(s"$path/$statsDir")
+    val known = manifest.select("file").collect()
+      .map(r => canonFile(r.getString(0))).toSet
+    val selected = manifest.filter(keep)
+      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+    live.filter(f => selected(f) || !known(f))
+  }
+
   /** Subset of `live` canonical file URIs whose [min, max] range for `c`
     * can contain AT LEAST ONE of `values` — the point-set variant of
     * [[selectByStats]], for key-list probes (tombstone feeds, merge

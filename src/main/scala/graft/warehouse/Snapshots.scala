@@ -149,6 +149,21 @@ object Snapshots {
   private val resolvedManifests =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[String]]
 
+  /** Drop EVERY cached manifest resolution of `table` — the table-level
+    * destructor's companion (SnapshotCatalog.dropTable): "immutable once
+    * claimed" stops holding when the whole table tree is deleted and a
+    * NEW table is later created at the same path, so without this purge
+    * a same-JVM recreate would serve the DROPPED table's file lists and
+    * schemas for any version number the new table hasn't reached yet
+    * (a raw FileNotFound instead of a clean missing-version refusal).
+    * Vacuum keeps removing only its own expired keys.
+    */
+  private[graft] def invalidateTable(table: String): Unit = {
+    val key = new Path(table).toString
+    resolvedManifests.keys.filter(_._1 == key)
+      .foreach(resolvedManifests.remove)
+  }
+
   // pure views over one set of manifest lines — commit loops read the
   // head manifest ONCE per attempt and derive all three (each fs.open is
   // a round trip on an object store; 3× read amplification per commit
@@ -224,35 +239,68 @@ object Snapshots {
       version: Long): Option[types.StructType] =
     schemaOf(manifestLines(spark, table, version))
 
-  /** Union-evolve: fields shared with the prior schema must keep their
-    * exact type (silent type drift across files is unreadable later —
-    * refused at commit time, the only place it can be refused cheaply);
-    * genuinely new fields append. Prior-only fields survive, so an
-    * append missing a column never narrows the table.
+  /** True when reading parquet files written as `from` under a declared
+    * schema of `to` is a SAFE UPCAST the reader performs natively
+    * (Spark's vectorized parquet reader promotes these — the same set
+    * Delta's type widening allows): int→long, float→double, and decimal
+    * precision growth at the same scale. Everything else is a narrowing
+    * or a re-interpretation and refuses.
+    */
+  private def widens(from: types.DataType, to: types.DataType): Boolean =
+    (from, to) match {
+      case (types.IntegerType, types.LongType) => true
+      case (types.FloatType, types.DoubleType) => true
+      case (f: types.DecimalType, t: types.DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+
+  /** Union-evolve: fields shared with the prior schema keep their exact
+    * type OR WIDEN (int→long, float→double, decimal precision growth —
+    * the declared type takes the batch's wider form and parquet's
+    * name-based resolution upcasts the already-landed narrower files at
+    * read, so a 100 TB type migration is one append instead of a full
+    * overwrite); any other type change is silent drift and refuses at
+    * commit time, the only place it can be refused cheaply. Genuinely
+    * new fields append; prior-only fields survive, so an append missing
+    * a column never narrows the table.
     */
   private def evolveSchema(prior: Option[types.StructType],
       batch: types.StructType): types.StructType = prior match {
     case None => batch
     case Some(p) =>
-      batch.fields.foreach { f =>
-        p.fields.find(_.name == f.name).foreach { pf =>
-          require(pf.dataType == f.dataType,
-            s"schema evolution cannot change column ${f.name}: " +
-              s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+      val shared = p.fields.map { pf =>
+        batch.fields.find(_.name == pf.name) match {
+          case Some(bf) if bf.dataType == pf.dataType => pf
+          case Some(bf) if widens(pf.dataType, bf.dataType) =>
+            pf.copy(dataType = bf.dataType)
+          case Some(bf) =>
+            throw new IllegalArgumentException(
+              s"schema evolution cannot change column ${bf.name}: " +
+                s"${pf.dataType.simpleString} -> " +
+                s"${bf.dataType.simpleString} (only widening — int->" +
+                "long, float->double, decimal precision growth — is a " +
+                "safe in-place migration)")
+          case None => pf
         }
       }
-      types.StructType(p.fields ++
+      types.StructType(shared ++
         batch.fields.filterNot(f => p.fieldNames.contains(f.name)))
   }
 
   /** Null-pad and column-order `df` to `schema` (for merge inputs that
-    * predate an added column).
+    * predate an added column). A shared column whose type differs casts
+    * to the declared one — the widening path reads old files through a
+    * NARROWER in-flight frame (a rewrite slice read before the widening
+    * evolved), and re-landing it must stage the declared type.
     */
   private def conform(df: DataFrame, schema: types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     df.select(schema.fields.toIndexedSeq.map { fld =>
-      if (df.columns.contains(fld.name)) col(fld.name)
-      else lit(null).cast(fld.dataType).as(fld.name)
+      if (!df.columns.contains(fld.name))
+        lit(null).cast(fld.dataType).as(fld.name)
+      else if (df.schema(fld.name).dataType == fld.dataType) col(fld.name)
+      else col(fld.name).cast(fld.dataType).as(fld.name)
     }: _*)
   }
 
@@ -664,7 +712,12 @@ object Snapshots {
       evolveSchema(schemaOf(validated), batch.schema)
       refuseTombstonedKeys(spark, table, validated, batch)
     }
-    enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
+    // overwrite RESETS the declared schema, so the head schema must not
+    // conform the batch here: a legitimate column-type-changing overwrite
+    // of a CHECK-constrained table would otherwise refuse on the very
+    // type-change the overwrite exists to perform
+    enforceChecks(batch, checksOf(validated), table,
+      if (replace) None else schemaOf(validated))
     // append/overwrite: data files never depend on the head, so stage
     // once and only the manifest content is recomputed per attempt
     val newFiles = stageData(spark, batch, table)
@@ -689,7 +742,8 @@ object Snapshots {
             tombstoneColOf(lines) != tombstoneColOf(validated)))
           refuseTombstonedKeys(spark, table, lines, batch)
         if (checksOf(lines) != checksOf(validated))
-          enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          enforceChecks(batch, checksOf(lines), table,
+            if (replace) None else schemaOf(lines))
       } catch { case e: Throwable => dropStaged(); throw e }
       validated = lines
       val base = if (replace) Nil else filesOf(lines)
@@ -717,6 +771,13 @@ object Snapshots {
     */
   @volatile private[graft] var lastCowProbePruned: Option[(Int, Int)] = None
   @volatile private[graft] var lastTombLegPruned: Option[(Int, Int)] = None
+
+  /** Spec hook: (candidate files probed, total files) of the last
+    * predicate-driven DELETE/UPDATE probe (stats-pruned when the
+    * predicate constrains a stats-manifested column). None until one
+    * runs.
+    */
+  @volatile private[graft] var lastWherePruned: Option[(Int, Int)] = None
 
   /** Beyond this many distinct probe keys, point-set pruning falls back
     * to one coarse [min, max] envelope (the driver should not hold an
@@ -794,6 +855,141 @@ object Snapshots {
       } else graft.operators.Layout.selectByStatsAnyOf(
         spark, dd, kc, vals, canon)
     chosen.map(byCanon)
+  }
+
+  /** Conjunctive per-column bounds a predicate implies, in the stats
+    * manifest's TYPED ENCODING (numerics as double, string/date/
+    * timestamp as their cast-to-string form) — what lets a predicate
+    * DELETE/UPDATE probe skip files driver-side like the key-list paths
+    * do. Each element is (column, lower?, upper?), one per usable
+    * conjunct: =, <, <=, >, >=, IN and BETWEEN on a bare column vs
+    * literals. Sound by construction: ONLY top-level conjuncts
+    * contribute (an OR / NOT / complex term adds nothing — the other
+    * conjuncts still bound the matching rows), a column whose DECLARED
+    * type's encoding category differs from the literal's is skipped
+    * (a sloppy cross-type comparison must never mis-prune), and strict
+    * bounds relax to inclusive (looser, never wrong).
+    */
+  private def predicateBounds(spark: SparkSession, predicate: Column,
+      schema: types.StructType): Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal → the manifest's encoded form, ONLY when the literal's
+    // type category matches the declared column's (numeric↔numeric,
+    // string↔string, date↔date, timestamp↔timestamp): the stats encode
+    // numerics as double and the rest as cast-to-string, so a matching
+    // category is exactly what makes the comparison meaningful
+    def enc(c: String, e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null =>
+        schema.fields.find(_.name == c).map(_.dataType).flatMap { ct =>
+          (ct, dt) match {
+            case (_: types.NumericType, _: types.NumericType) => v match {
+              case n: Number => Some(n.doubleValue)
+              case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+              case _ => None
+            }
+            case (types.StringType, types.StringType) => Some(v.toString)
+            case (types.DateType, types.DateType) =>
+              Some(java.time.LocalDate.ofEpochDay(
+                v.asInstanceOf[Int].toLong).toString)
+            case (types.TimestampType, types.TimestampType) =>
+              Option(Cast(Literal(v, dt), types.StringType, Some(tz)).eval())
+                .map(_.toString)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    def inBounds(a: Expression,
+        vs: Seq[Expression]): Seq[(String, Option[Any], Option[Any])] =
+      (for {
+        c <- attrOf(a)
+        encoded = vs.flatMap(enc(c, _))
+        if encoded.size == vs.size // every member encodable, or skip
+      } yield {
+        if (encoded.forall(_.isInstanceOf[Double])) {
+          val dd = encoded.map(_.asInstanceOf[Double])
+          Seq((c, Some(dd.min: Any), Some(dd.max: Any)))
+        } else {
+          val ss = encoded.map(_.toString)
+          Seq((c, Some(ss.min: Any), Some(ss.max: Any)))
+        }
+      }).getOrElse(Nil)
+    // two spellings of the same comparisons reach here: SQL-parsed
+    // predicates (expr("...")) are the catalyst And/LessThan/... tree,
+    // while Column-DSL predicates (col("ts") < lit(x)) convert to
+    // UnresolvedFunction nodes named "<", "and", "in", ... — the DSv2
+    // DELETE face builds the latter, so both must prune
+    def walk(e: Expression): Seq[(String, Option[Any], Option[Any])] =
+      e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case EqualTo(a, v) => point(a, v) ++ point(v, a)
+        case EqualNullSafe(a, v) => point(a, v) ++ point(v, a)
+        case GreaterThan(a, v) => lower(a, v) ++ upper(v, a)
+        case GreaterThanOrEqual(a, v) => lower(a, v) ++ upper(v, a)
+        case LessThan(a, v) => upper(a, v) ++ lower(v, a)
+        case LessThanOrEqual(a, v) => upper(a, v) ++ lower(v, a)
+        case In(a, vs) if vs.nonEmpty => inBounds(a, vs)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.size == 1 =>
+          (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+            case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+            case ("=" | "==" | "<=>", Seq(a, v)) =>
+              point(a, v) ++ point(v, a)
+            case (">" | ">=", Seq(a, v)) => lower(a, v) ++ upper(v, a)
+            case ("<" | "<=", Seq(a, v)) => upper(a, v) ++ lower(v, a)
+            case ("in", a +: vs) if vs.nonEmpty => inBounds(a, vs)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    def point(a: Expression,
+        v: Expression): Seq[(String, Option[Any], Option[Any])] =
+      (for { c <- attrOf(a); ev <- enc(c, v) }
+        yield Seq((c, Some(ev), Some(ev)))).getOrElse(Nil)
+    def lower(a: Expression,
+        v: Expression): Seq[(String, Option[Any], Option[Any])] =
+      (for { c <- attrOf(a); ev <- enc(c, v) }
+        yield Seq((c, Some(ev), None: Option[Any]))).getOrElse(Nil)
+    def upper(a: Expression,
+        v: Expression): Seq[(String, Option[Any], Option[Any])] =
+      (for { c <- attrOf(a); ev <- enc(c, v) }
+        yield Seq((c, None: Option[Any], Some(ev)))).getOrElse(Nil)
+    walk(org.apache.spark.sql.graft.ColumnBridge
+      .catalystExpression(predicate))
+  }
+
+  /** Driver-side file skipping for PREDICATE probes (`UPDATE ... WHERE`,
+    * `DELETE FROM ... WHERE`): every usable conjunct of the predicate
+    * ([[predicateBounds]]) on a stats-manifested column shrinks the
+    * candidate file list BEFORE the probe scan opens a single footer —
+    * a retention delete (`ts < cutoff`) on a z-ordered table probes the
+    * curve-adjacent files only, like the key-list paths already do.
+    * No manifest, no usable conjunct, or a schema-less version → the
+    * candidates return unchanged (prune nothing, never prune wrongly).
+    */
+  private def pruneByPredicateStats(spark: SparkSession, table: String,
+      predicate: Column, schema: Option[types.StructType],
+      candidates: Seq[String]): Seq[String] = {
+    if (candidates.isEmpty) return candidates
+    val dd = dataDir(table).toString
+    val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
+      .getOrElse(return candidates).toSet
+    val s = schema.getOrElse(return candidates)
+    val boxes = predicateBounds(spark, predicate, s)
+      .filter(b => statsCols.contains(b._1))
+    if (boxes.isEmpty) return candidates
+    val (canon, byCanon) = canonCandidates(spark, table, candidates)
+    boxes.foldLeft(canon) { case (live, (c, lo, hi)) =>
+      graft.operators.Layout.selectByStatsBounds(spark, dd, c, lo, hi, live)
+    }.map(byCanon)
   }
 
   /** (qualified canonical URIs, URI -> bare name) of a candidate list —
@@ -1039,7 +1235,7 @@ object Snapshots {
     val distinctKeys = keys.distinct
     deleteWhereImpl(spark, table, col(keyCol).isInCollection(distinctKeys),
       maxRetries,
-      cand => pruneByKeyVals(spark, table, keyCol, distinctKeys, cand))
+      (cand, _) => pruneByKeyVals(spark, table, keyCol, distinctKeys, cand))
   }
 
   /** Predicate DELETE — `DELETE FROM t WHERE <predicate>` for the
@@ -1055,7 +1251,9 @@ object Snapshots {
     */
   def commitDeleteWhere(spark: SparkSession, table: String,
       predicate: Column, maxRetries: Int = 10): (Long, Long) =
-    deleteWhereImpl(spark, table, predicate, maxRetries, identity)
+    deleteWhereImpl(spark, table, predicate, maxRetries,
+      (cand, schema) =>
+        pruneByPredicateStats(spark, table, predicate, schema, cand))
 
   /** Predicate UPDATE — `UPDATE t SET c = expr, ... WHERE pred` as a
     * file-granular copy-on-write commit: ONE probe (predicate pushed
@@ -1087,15 +1285,28 @@ object Snapshots {
           s"UPDATE SET column $c does not exist in $table — UPDATE " +
             "never evolves schema (append or MERGE a new column)")
       }
+      // the probe's candidate set stats-prunes driver-side on the
+      // predicate's conjunctive bounds, like the key-list paths — a
+      // range UPDATE on a z-ordered stats column opens the
+      // curve-adjacent files, not the table
+      val cand = pruneByPredicateStats(spark, table, predicate, schema,
+        files)
+      lastWherePruned = Some((cand.size, files.size))
       val affected =
-        if (files.isEmpty) Set.empty[String]
-        else readWithSchema(spark, table, files, schema)
+        if (cand.isEmpty) Set.empty[String]
+        else readWithSchema(spark, table, cand, schema)
           .filter(predicate)
           .select(input_file_name().as("file")).distinct()
           .collect().map(r => new Path(r.getString(0)).getName).toSet
       if (affected.isEmpty) return (head, 0L)
+      // ONE materialization of the affected slice: the updated-count,
+      // the CHECK aggregation and the staged write below all consume it
+      // — a lazy plan would re-read the affected files per consumer
+      // (the cowApply recipe; bounded by affected files, never the
+      // table, but 3× read amplification is pure waste)
       val aff = applyTombstones(spark, table, lines,
         readWithSchema(spark, table, files.filter(affected), schema))
+        .localCheckpoint(true)
       val updated = aff.filter(predicate).count()
       val setMap = sets.toMap
       // when(pred, new).otherwise(old): FALSE and NULL predicates both
@@ -1127,7 +1338,8 @@ object Snapshots {
 
   private def deleteWhereImpl(spark: SparkSession, table: String,
       predicate: Column, maxRetries: Int,
-      prune: Seq[String] => Seq[String]): (Long, Long) = {
+      prune: (Seq[String], Option[types.StructType]) => Seq[String])
+      : (Long, Long) = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -1141,8 +1353,11 @@ object Snapshots {
       // (as NULLs), not silently narrow the table to its oldest file
       val schema = schemaOf(lines)
       // key-list deletes stats-prune the probe candidates driver-side
-      // (pruneByKeyVals); predicate deletes rely on scan-level pushdown
-      val cand = prune(files)
+      // (pruneByKeyVals); predicate deletes prune on the predicate's own
+      // conjunctive bounds (pruneByPredicateStats) — scan-level pushdown
+      // still applies to whatever survives
+      val cand = prune(files, schema)
+      lastWherePruned = Some((cand.size, files.size))
       val affected =
         if (cand.isEmpty) Set.empty[String]
         else readWithSchema(spark, table, cand, schema)
@@ -1153,9 +1368,11 @@ object Snapshots {
       // rewrite from the APPLIED view: already-tombstoned rows in the
       // affected files neither count as freshly deleted nor re-land
       // (partial materialization); untouched files keep relying on the
-      // carried tombstone headers
+      // carried tombstone headers. ONE materialization — the deleted
+      // count and the staged keep-rewrite both consume the slice
       val aff = applyTombstones(spark, table, lines,
         readWithSchema(spark, table, files.filter(affected), schema))
+        .localCheckpoint(true)
       val deleted = aff.filter(predicate).count()
       // NULL-safe keep: NOT(NULL) is NULL and would silently drop rows
       // whose predicate is undecided — SQL DELETE keeps them

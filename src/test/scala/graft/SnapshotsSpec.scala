@@ -683,4 +683,150 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t, Some(2L)).count() == 1)
     intercept[Exception] { Snapshots.filesAt(spark, t, 1L) }
   }
+
+  test("widening evolution: int->long append commits, old files read as long, narrowing refuses") {
+    val t = freshTable()
+    // v1 lands NARROW types: int id, float x, decimal(10,2) d
+    Snapshots.commitAppend(spark,
+      Seq((1, 1.5f, BigDecimal("1.25")), (2, 2.5f, BigDecimal("2.25")))
+        .toDF("id", "x", "d")
+        .selectExpr("CAST(id AS INT) AS id", "CAST(x AS FLOAT) AS x",
+          "CAST(d AS DECIMAL(10,2)) AS d"), t)
+    // v2 appends the WIDE types — the declared schema widens in place
+    Snapshots.commitAppend(spark,
+      Seq((3L, 3.5d, BigDecimal("3.25")))
+        .toDF("id", "x", "d")
+        .selectExpr("CAST(id AS BIGINT) AS id", "CAST(x AS DOUBLE) AS x",
+          "CAST(d AS DECIMAL(14,2)) AS d"), t)
+    val head = Snapshots.read(spark, t)
+    assert(head.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(head.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(head.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2))
+    // v1's physically-int files upcast at read under the declared long
+    assert(head.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(head.filter("id = 1").head.getDouble(1) == 1.5d)
+    assert(head.filter("id = 2").head.getDecimal(2)
+      .compareTo(new java.math.BigDecimal("2.25")) == 0)
+    // time travel keeps v1's OWN (narrow) declared schema
+    assert(Snapshots.read(spark, t, Some(1L)).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a NARROWING append still refuses (long head, int batch)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark,
+        Seq(4).toDF("id").selectExpr("CAST(id AS INT) AS id",
+          "CAST(1.0 AS DOUBLE) AS x", "CAST(1 AS DECIMAL(14,2)) AS d"), t)
+    }
+    assert(e.getMessage.contains("widening"))
+    // so does a re-interpretation (string into a numeric column)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark,
+        Seq(("5", 1.0d, BigDecimal("1.0"))).toDF("id", "x", "d")
+          .selectExpr("id", "x", "CAST(d AS DECIMAL(14,2)) AS d"), t)
+    }
+    // a copy-on-write rewrite after the widening re-lands old files
+    // under the declared wide schema (the conform cast path)
+    val (v, n) = Snapshots.commitDeleteWhere(spark, t,
+      org.apache.spark.sql.functions.expr("id = 2"))
+    assert(n == 1L)
+    val after = Snapshots.read(spark, t, Some(v))
+    assert(after.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("overwrite may change a column's type on a CHECK-constrained table") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), t)
+    Snapshots.addCheckConstraint(spark, t, "id_pos", "id > 0")
+    // overwrite RESETS the schema (x becomes a string) — the constraint
+    // must evaluate on the BATCH's schema, not refuse the type change
+    // the overwrite exists to perform
+    val v = Snapshots.commitOverwrite(spark,
+      Seq((3L, "now-a-string")).toDF("id", "x"), t)
+    val head = Snapshots.read(spark, t, Some(v))
+    assert(head.schema("x").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(head.count() == 1)
+    // the constraint itself carries forward and still binds
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark, Seq((-1L, "bad")).toDF("id", "x"), t)
+    }
+  }
+
+  test("predicate DELETE/UPDATE probes stats-prune driver-side on the predicate's bounds") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val t = freshTable()
+    (0 until 32).foreach { i =>
+      Snapshots.commitAppend(spark,
+        (0 until 10).map(j => (i * 10L + j, 1.0)).toDF("id", "x")
+          .coalesce(1), t)
+    }
+    Snapshots.extendStats(spark, t, Seq("id"))
+    // a retention-style range DELETE opens the low slabs only (strict
+    // bounds relax to inclusive — looser, never wrong); Column-DSL
+    // predicates (the DSv2 DELETE shape) prune like SQL-parsed ones
+    val (_, nd) = Snapshots.commitDeleteWhere(spark, t, col("id") < 15)
+    assert(nd == 15L)
+    val Some((candD, totalD)) = Snapshots.lastWherePruned
+    assert(candD <= 2 && totalD >= 32,
+      s"DELETE probed $candD of $totalD candidates; want the low slabs only")
+    // cover the delete's rewrite output, then a range UPDATE prunes to
+    // the range-adjacent slabs
+    Snapshots.extendStats(spark, t, Seq("id"))
+    val (_, nu) = Snapshots.commitUpdateWhere(spark, t,
+      expr("id >= 40 AND id < 60"), Seq("x" -> lit(9.0)))
+    assert(nu == 20L)
+    val Some((candU, totalU)) = Snapshots.lastWherePruned
+    assert(totalU >= 30 && candU <= 3,
+      s"UPDATE probed $candU of $totalU candidates; want the range slabs")
+    // correctness unchanged by the pruning
+    val state = Snapshots.read(spark, t)
+    assert(state.count() == 305)
+    assert(state.filter("id = 45").head.getDouble(1) == 9.0)
+    assert(state.filter("id < 15").count() == 0)
+  }
+
+  test("commitUpdateWhere reads the affected slice ONCE (single materialization)") {
+    val marker = s"graft_upd1p_${java.util.UUID.randomUUID.toString.take(8)}"
+    val t = java.nio.file.Files.createTempDirectory(marker).toString + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 400L).map(i => (i, 1.0)).toDF("id", "x").repartition(4), t)
+    val fileScans = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui
+            .SparkListenerSQLExecutionStart
+            if s.physicalPlanDescription.contains(marker) &&
+              s.physicalPlanDescription.contains("Scan parquet") =>
+          fileScans.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // drain queued events from earlier tests before counting
+      var prev = -1
+      while (fileScans.get() != prev) { prev = fileScans.get(); Thread.sleep(250) }
+      val base = fileScans.get()
+      val (_, n) = Snapshots.commitUpdateWhere(spark, t,
+        org.apache.spark.sql.functions.expr("id % 2 = 0"),
+        Seq("x" -> org.apache.spark.sql.functions.lit(2.0)))
+      assert(n == 200L)
+      prev = -1
+      while (fileScans.get() != prev) { prev = fileScans.get(); Thread.sleep(250) }
+      // exactly TWO executions scan the table's parquet: the probe and
+      // the one localCheckpoint materialization — the updated-count, the
+      // CHECK pass and the staged write all reuse the checkpointed slice
+      // (the lazy plan used to re-read the affected files 3x)
+      assert(fileScans.get() - base <= 2,
+        s"update ran ${fileScans.get() - base} file-scanning executions; " +
+          "want <= 2 (probe + one materialization)")
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(Snapshots.read(spark, t).filter("x = 2.0").count() == 200L)
+  }
 }
