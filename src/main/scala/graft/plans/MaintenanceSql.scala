@@ -23,10 +23,20 @@ import graft.warehouse.Snapshots
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
   *   DELETE FROM '<path>' WHERE <arbitrary predicate>
-  *   MERGE INTO '<path>' USING <view|(subquery)> ON (k1 [, k2 ...])
+  *   MERGE INTO <target> USING <view|(subquery)> ON (k1 [, k2 ...])
   *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
-  *   UPDATE '<path>' SET c1 = e1 [, c2 = e2 ...] WHERE <predicate>
+  *   UPDATE <target> SET c1 = e1 [, c2 = e2 ...] WHERE <predicate>
   * }}}
+  *
+  * UPDATE and MERGE take quoted paths AND owned catalog identifiers
+  * (`snap.t` — the catalog declares `spark.sql.catalog.snap.root`): the
+  * DSv2 catalog has no row-level-operation seat, so delegating those
+  * identifiers to Spark would fail where the quoted-path form works.
+  * DELETE keeps delegating identifier targets to Spark's own DSv2
+  * DELETE (the catalog's SupportsDelete serves it through the same
+  * copy-on-write commit). All DML refuses loudly when no snapshot table
+  * exists at the target — a typo'd path must never no-op as success or
+  * have MERGE quietly create a table there.
   *
   * `<target>` is either a quoted filesystem path (`'/warehouse/t'`) or a
   * catalog-qualified identifier (`snap.events`) resolved through the same
@@ -107,18 +117,23 @@ object MaintenanceSql {
   // boolean expression the session parser accepts
   private val DeleteWhereRe =
     ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')\s+WHERE\s+(.+?)\s*;?\s*$""").r
-  // quoted-path MERGE, key-based upsert form (the protocol's merge):
+  // MERGE, key-based upsert form (the protocol's merge): the target is a
+  // quoted path OR an owned catalog identifier (`snap.t` whose catalog
+  // declares a `.root` conf — the ours() gate below); unowned
+  // identifiers keep delegating to whichever catalog owns them. The
   // source is a view/table name or a parenthesized subquery; the only
   // supported clause pair is the canonical upsert (UPDATE SET * /
-  // INSERT *), which may be omitted entirely — identifier targets keep
-  // delegating to whichever catalog owns them
-  // quoted-path UPDATE (identifier UPDATE keeps delegating): SET list
-  // split paren-aware at run time so expressions may call functions
+  // INSERT *), which may be omitted entirely.
+  // UPDATE takes the same targets (quoted path or owned identifier —
+  // Spark's own UPDATE on our catalog would refuse for lack of
+  // SupportsRowLevelOperations, so the parser face closes the
+  // asymmetry); SET list split paren-aware at run time so expressions
+  // may call functions
   private val UpdateRe =
-    ("""(?is)^\s*UPDATE\s+('[^']+')""" +
+    ("""(?is)^\s*UPDATE\s+""" + T +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val MergeRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+('[^']+')""" +
+    ("""(?is)^\s*MERGE\s+INTO\s+""" + T +
       """\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.`]+)""" +
       """\s+ON\s*\(\s*([^)]+?)\s*\)""" +
       """(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -169,16 +184,35 @@ object MaintenanceSql {
           keys.split(',').map(_.trim.toLong).toSeq))
       case DeleteWhereRe(target, predicate) => // quoted paths only
         Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
-      case UpdateRe(target, sets, predicate) => // quoted paths only
+      // UPDATE/MERGE take owned identifiers too (ours() gate): our DSv2
+      // catalog has no SupportsRowLevelOperations seat, so delegating
+      // `UPDATE snap.t` to Spark would FAIL where the quoted-path form
+      // works — the parser face serves both spellings of the same
+      // copy-on-write commit. Unowned identifiers delegate verbatim.
+      case UpdateRe(target, sets, predicate) if ours(target) =>
         Some(UpdateSnapshotWhere(SnapTarget(target), sets.trim,
           predicate.trim))
-      case MergeRe(target, source, keys, _) => // quoted paths only
+      case MergeRe(target, source, keys, _) if ours(target) =>
         Some(MergeSnapshot(SnapTarget(target), source.trim,
           keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq))
       case _ => None
     }
   }
+
+  /** DML must hit an EXISTING snapshot table: a typo'd or non-snapshot
+    * path would otherwise no-op as success (DELETE/UPDATE return (0, 0)
+    * on an empty head) or, worse, MERGE would quietly CREATE a brand-new
+    * table at the wrong path (commitMerge on head 0 commits v1). Reads
+    * and OPTIMIZE/VACUUM share the same protection through their own
+    * head lookups; the DML statements refuse loudly here instead.
+    */
+  private[plans] def requireTable(spark: SparkSession, path: String,
+      stmt: String): Unit =
+    require(Snapshots.currentVersion(spark, path) > 0,
+      s"$stmt: no snapshot table at $path (no committed version) — " +
+        "check the path/identifier; creating a table is CREATE TABLE / " +
+        "CTAS / commitAppend's job, never a DML side effect")
 }
 
 /** `OPTIMIZE t [TARGET n FILES] [ZORDER BY (...)]` →
@@ -319,8 +353,9 @@ final case class DeleteSnapshotKeys(target: MaintenanceSql.SnapTarget,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (v, n) = Snapshots.commitDelete(spark, target.resolve(spark),
-      keys, keyCol)
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "DELETE FROM")
+    val (v, n) = Snapshots.commitDelete(spark, path, keys, keyCol)
     Seq(Row(v, n))
   }
 }
@@ -339,21 +374,24 @@ final case class DeleteSnapshotWhere(target: MaintenanceSql.SnapTarget,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (v, n) = Snapshots.commitDeleteWhere(spark, target.resolve(spark),
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "DELETE FROM")
+    val (v, n) = Snapshots.commitDeleteWhere(spark, path,
       org.apache.spark.sql.functions.expr(predicate))
     Seq(Row(v, n))
   }
 }
 
-/** `UPDATE '<path>' SET c = e [, ...] WHERE <pred>` →
+/** `UPDATE <target> SET c = e [, ...] WHERE <pred>` →
   * Snapshots.commitUpdateWhere: predicate-driven copy-on-write update —
   * only files physically holding a matching row rewrite (matching rows
   * take the SET expressions under the column's declared type, NULL
   * predicates leave rows untouched, CHECK constraints bind the
   * rewritten slice). SET assignments and the predicate resolve through
   * the session's expression parser at run time; the SET list splits
-  * paren-aware so expressions may call functions. Quoted-path targets
-  * only.
+  * paren- and quote-aware so expressions may call functions. Targets are
+  * quoted paths or owned catalog identifiers; unowned identifiers
+  * delegate to Spark's own UPDATE handling.
   */
 final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
     sets: String, predicate: String) extends LeafRunnableCommand {
@@ -363,14 +401,21 @@ final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
 
   /** Split `a = f(x, y), b = 'x,y'` into assignments at top-level
     * commas — parens AND single-quoted string literals are opaque (a
-    * comma inside either never splits).
+    * comma inside either never splits). Inside a literal a backslash
+    * escapes the NEXT character (Spark's default string-literal
+    * escaping), so `'a\'b,c'` stays one literal — the escaped quote
+    * never toggles the string state; `''` doubling keeps working because
+    * its two toggles cancel with no comma possible between them.
     */
   private def splitAssignments(s: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var inStr = false
+    var esc = false
     val cur = new StringBuilder
     s.foreach {
+      case ch if esc => esc = false; cur += ch
+      case '\\' if inStr => esc = true; cur += '\\'
       case '\'' => inStr = !inStr; cur += '\''
       case '(' if !inStr => depth += 1; cur += '('
       case ')' if !inStr => depth -= 1; cur += ')'
@@ -388,15 +433,17 @@ final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "UPDATE")
     val assignments = splitAssignments(sets)
       .map { case (c, e) => c -> expr(e) }
     val (v, n) = Snapshots.commitUpdateWhere(spark,
-      target.resolve(spark), expr(predicate), assignments)
+      path, expr(predicate), assignments)
     Seq(Row(v, n))
   }
 }
 
-/** `MERGE INTO '<path>' USING <src> ON (keys) [WHEN MATCHED THEN UPDATE
+/** `MERGE INTO <target> USING <src> ON (keys) [WHEN MATCHED THEN UPDATE
   * SET * WHEN NOT MATCHED THEN INSERT *]` → Snapshots.commitMerge: the
   * protocol's key-based upsert as real SQL — matched keys update
   * wholesale, unmatched insert, untouched target rows carry via the
@@ -404,8 +451,9 @@ final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
   * source key rewrite). The source is a view/table name or a
   * parenthesized subquery resolved by the session at run time; the
   * clause pair is the canonical upsert and may be omitted (same
-  * semantics). Quoted-path targets only — identifier MERGE delegates to
-  * whichever catalog owns the identifier.
+  * semantics). Targets are quoted paths or owned catalog identifiers —
+  * unowned identifier MERGE delegates to whichever catalog owns it, and
+  * a target with no committed version refuses (MERGE never creates).
   */
 final case class MergeSnapshot(target: MaintenanceSql.SnapTarget,
     source: String, keys: Seq[String]) extends LeafRunnableCommand {
@@ -414,12 +462,19 @@ final case class MergeSnapshot(target: MaintenanceSql.SnapTarget,
     AttributeReference("merged_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     require(keys.nonEmpty, "MERGE needs at least one ON key column")
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "MERGE INTO")
+    // ONE materialization serves both the merged_rows metric and the
+    // merge itself: counting the raw plan would execute the source
+    // subquery once and commitMerge a second time — wasted IO, and a
+    // non-deterministic source (a sampled subquery) would merge rows its
+    // reported count never saw
     val src =
-      if (source.startsWith("(")) spark.sql(
+      (if (source.startsWith("(")) spark.sql(
         source.stripPrefix("(").stripSuffix(")"))
-      else spark.table(source)
+      else spark.table(source)).localCheckpoint(true)
     val n = src.count()
-    val v = Snapshots.commitMerge(spark, src, target.resolve(spark), keys)
+    val v = Snapshots.commitMerge(spark, src, path, keys)
     Seq(Row(v, n))
   }
 }

@@ -97,9 +97,18 @@ object SnapshotTvf {
         long(e, "version")
       case org.apache.spark.sql.types.TimestampType =>
         instantVersion(e.eval().asInstanceOf[Long] / 1000L)
-      case org.apache.spark.sql.types.StringType =>
-        instantVersion(
-          java.sql.Timestamp.valueOf(str(e, "timestamp")).getTime)
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType =>
+        // cast THROUGH Spark under the session timezone — the exact
+        // semantics of the catalog's TIMESTAMP AS OF twin (a
+        // java.sql.Timestamp.valueOf here would parse in the JVM default
+        // zone and reject date-only forms like '2026-01-01')
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        require(micros != null,
+          s"cannot parse '${e.eval()}' as a timestamp")
+        instantVersion(micros.asInstanceOf[Long] / 1000L)
       case other => throw new IllegalArgumentException(
         s"snapshot_at takes an integer version or a timestamp, got " +
           other.simpleString)

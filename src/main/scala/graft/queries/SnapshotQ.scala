@@ -620,6 +620,67 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
 
+  /** Row-level SQL on CATALOG IDENTIFIERS (plans/MaintenanceSql via the
+    * ours() parser gate): the same UPDATE and MERGE INTO that work on
+    * quoted paths run against `<catalog>.<table>` names resolved through
+    * `spark.sql.catalog.<name>.root` — closing the SQL face's last
+    * asymmetry (Spark's own UPDATE/MERGE would refuse: the DSv2 catalog
+    * has no row-level-operation seat). The lifecycle is pure SQL on the
+    * identifier: UPDATE bumps the %10=7 slice 10% (v2), MERGE upserts
+    * bumped-key updates plus shifted inserts (v3), and the emitted rows
+    * read back through the catalog's own SQL face — fully DuckDB-oracled
+    * from orders alone; a lost update, double-applied merge, or a
+    * commit that bypassed the protocol lands in the diff.
+    */
+  val snapSqlRowLevel = QueryDef(
+    "snap_sql_rowlevel",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.21
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4)
+           |         AS o_totalprice
+           |FROM orders
+           |UNION ALL
+           |SELECT o_orderkey + 100000000, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 10 = 3""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_rl").toString
+      val cat = s"grl_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Snapshots.commitAppend(spark, orders, root + "/t")
+      // v2: identifier UPDATE — 10% bump on the %10=7 slice
+      val ru = spark.sql(s"UPDATE $cat.t SET " +
+        "o_totalprice = o_totalprice * 1.1 WHERE o_orderkey % 10 = 7")
+        .head
+      require(ru.getLong(0) == 2L && ru.getLong(1) > 0,
+        s"identifier UPDATE must commit v2 with rows, got $ru")
+      // v3: identifier MERGE — a further 10% bump on the same keys
+      // (compounding to 1.21x, so a silently-skipped statement is
+      // visible) plus shifted inserts
+      val view = s"rl_src_$u"
+      orders.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.21)
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        .createOrReplaceTempView(view)
+      val rm = spark.sql(s"MERGE INTO $cat.t USING $view ON (o_orderkey) " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        .head
+      require(rm.getLong(0) == 3L, s"identifier MERGE must commit v3, got $rm")
+      spark.sql(s"""SELECT o_orderkey, o_custkey,
+                   |round(o_totalprice, 4) AS o_totalprice
+                   |FROM $cat.t""".stripMargin)
+    })
+
   /** Snapshot table as a LIVE STREAMING SOURCE (sources/
     * SnapshotStreamSource — the Delta streaming-source idea over the
     * graft protocol): a source table walks append(even) → append(odd) →
@@ -724,5 +785,5 @@ object SnapshotQ {
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
-      snapSmallCompact, snapStreamSource, snapStreamSink)
+      snapSqlRowLevel, snapSmallCompact, snapStreamSource, snapStreamSink)
 }

@@ -265,7 +265,13 @@ class SnapshotCatalog extends TableCatalog {
     val t = new Path(tablePath(ident))
     val f = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (Snapshots.currentVersion(spark, t.toString) == 0) false
-    else f.delete(t, true)
+    else {
+      val gone = f.delete(t, true)
+      // purge cached manifest resolutions: a same-JVM recreate at this
+      // path must never time-travel into the dropped table's state
+      if (gone) Snapshots.invalidateTable(t.toString)
+      gone
+    }
   }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")

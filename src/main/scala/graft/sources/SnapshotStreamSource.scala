@@ -46,7 +46,11 @@ import graft.warehouse.Snapshots
   * retention refuses (the manifests are gone; restart the stream fresh).
   * `startingVersion` opts out of the initial snapshot to tail from a
   * known version (e.g. `0` = from the table's beginning, replaying every
-  * retained commit).
+  * retained commit). `maxVersionsPerBatch` is the admission-control
+  * option (Delta's maxFilesPerTrigger analog): each micro-batch serves
+  * at most that many commit steps, so a stream restarted far behind
+  * drains its backlog across bounded batches instead of one unbounded
+  * N-way-union batch — exactly-once totals unchanged.
   */
 class SnapshotStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
@@ -99,11 +103,15 @@ class SnapshotStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val t = pathOf(parameters)
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0,
+      s"maxVersionsPerBatch must be positive, got $m"))
     new SnapshotStreamSource(spark, t,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
         .getOrElse(Nil),
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      maxVersions)
   }
 }
 
@@ -121,7 +129,8 @@ class SnapshotStreamSink(spark: SparkSession, table: String,
 
 class SnapshotStreamSource(spark: SparkSession, table: String,
     schema0: StructType, keys: Seq[String],
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   override def schema: StructType = schema0
 
@@ -132,9 +141,37 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
   private def asStreaming(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(df)
 
+  /** Highest version this source has been asked to serve — what
+    * admission control advances from. Seeded by the engine itself: on a
+    * restart, MicroBatchExecution re-calls getBatch with the
+    * checkpointed offsets BEFORE the first getOffset (the documented
+    * v1-source recovery contract the Kafka source also relies on), so a
+    * stream restarted far behind sees its true cursor, not the head.
+    */
+  @volatile private var cursor: Option[Long] = None
+
+  /** ADMISSION CONTROL (`maxVersionsPerBatch`): without it, a stream
+    * restarted 1,000 commits behind — or `startingVersion=0` on a long
+    * table — would land the WHOLE backlog as ONE micro-batch whose plan
+    * is a 1,000-leg union (Delta bounds this with maxFilesPerTrigger).
+    * With it, getOffset advances at most `m` versions past the cursor
+    * per batch, so backlog recovery drains in bounded micro-batches and
+    * exactly-once totals are untouched (each version window is served
+    * exactly once, just across more batches). The first-ever batch of a
+    * cursor-less, no-startingVersion stream is the initial snapshot —
+    * ONE batch by design, regardless of the cap.
+    */
   override def getOffset: Option[V1Offset] = {
     val head = Snapshots.currentVersion(spark, table)
-    if (head == 0) None else Some(LongOffset(head))
+    if (head == 0) return None
+    val bounded = maxVersionsPerBatch match {
+      case Some(m) => cursor.orElse(startingVersion) match {
+        case Some(b) if b < head => math.min(head, b + m)
+        case _ => head
+      }
+      case None => head
+    }
+    Some(LongOffset(bounded))
   }
 
   private def versionOf(o: V1Offset): Long = o match {
@@ -156,6 +193,9 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
+    // every served (or recovery-replayed) window advances the admission
+    // cursor — monotonic, never rewound by a stale call
+    cursor = Some(cursor.fold(to)(math.max(_, to)))
     val fromOpt = start.map(versionOf).orElse(startingVersion)
     val from = fromOpt.getOrElse(to) // no start, no override → snapshot at `to`
     if (fromOpt.isEmpty)

@@ -117,6 +117,35 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN gw").count() == 1)
   }
 
+  test("DROP TABLE purges cached manifest resolutions: a recreate never serves dropped state") {
+    val root = Files.createTempDirectory("graft_snapcat_drop").toString
+    spark.conf.set("spark.sql.catalog.gdrop",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdrop.root", root)
+    val t = root + "/t"
+    Snapshots.commitAppend(spark, Seq((1L, "old")).toDF("id", "v"), t)
+    Snapshots.commitAppend(spark, Seq((2L, "old2")).toDF("id", "v"), t)
+    // warm the resolver cache for v1 AND v2 of the soon-dropped table
+    assert(spark.sql("SELECT count(*) FROM gdrop.t VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 1L)
+    spark.sql("DROP TABLE gdrop.t")
+    // recreate at the SAME path in the same JVM, one version only
+    Snapshots.commitAppend(spark, Seq((9L, "new")).toDF("id", "v"), t)
+    // v1 must serve the NEW table's state, not the dropped one's cache
+    assert(Snapshots.read(spark, t, Some(1L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(9L),
+      "a stale cached resolution served the dropped table's v1")
+    // v2 does not exist on the new table: a clean missing-version
+    // refusal, never the dropped table's file list (raw FileNotFound)
+    assert(!Snapshots.hasVersion(spark, t, 2L))
+    // a clean analysis-time refusal (table/version not found) — a stale
+    // cached resolution would surface as a raw FileNotFound at execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gdrop.t VERSION AS OF 2").collect()
+    }
+  }
+
   test("TIMESTAMP AS OF survives a table copy: #ts headers, not mtimes, are the clock") {
     val root = Files.createTempDirectory("graft_snapcat_ts").toString
     val t = root + "/ts_t"

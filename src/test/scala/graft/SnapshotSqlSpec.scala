@@ -187,9 +187,19 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .head.getLong(0) == 2L)
     assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', " +
       s"TIMESTAMP '$t1')").head.getLong(0) == 2L)
+    // DATE-ONLY strings parse too (cast through Spark under the session
+    // timezone — java.sql.Timestamp.valueOf rejected them): a far-future
+    // day resolves to the head
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', '2099-01-01')")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_at('$t', " +
+      "DATE '2099-01-01')").head.getLong(0) == 3L)
     intercept[Exception] { // pre-history instants refuse loudly
       spark.sql(
         s"SELECT * FROM snapshot_at('$t', '1970-01-01 00:00:00')").collect()
+    }
+    intercept[Exception] { // ...including date-only pre-history forms
+      spark.sql(s"SELECT * FROM snapshot_at('$t', '1970-01-01')").collect()
     }
   }
 
@@ -404,6 +414,79 @@ class SnapshotSqlSpec extends AnyFunSuite {
         "ON graft_merge_plain.id = graft_merge_src.id " +
         "WHEN MATCHED THEN UPDATE SET *").collect()
     }
+  }
+
+  test("UPDATE and MERGE INTO owned catalog identifiers run the protocol's commits") {
+    val root = Files.createTempDirectory("graft_snapsql_rl").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 6L).map(i => (i, i * 10.0)).toDF("id", "x").coalesce(2), t)
+    spark.conf.set("spark.sql.catalog.gsqlrl",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsqlrl.root", root)
+    // identifier UPDATE — the same copy-on-write commit the quoted-path
+    // form runs (Spark's own UPDATE would refuse: no row-level-op seat)
+    val ru = spark.sql("UPDATE gsqlrl.t SET x = x + 1 WHERE id <= 2").head
+    assert(ru.getLong(0) == 2L && ru.getLong(1) == 2L)
+    assert(spark.sql("SELECT x FROM gsqlrl.t WHERE id = 1").head
+      .getDouble(0) == 11.0)
+    // identifier MERGE — the keyed upsert through the same engine
+    Seq((3L, 999.0), (9L, 90.0)).toDF("id", "x")
+      .createOrReplaceTempView("graft_rl_src")
+    val rm = spark.sql("MERGE INTO gsqlrl.t USING graft_rl_src ON (id) " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").head
+    assert(rm.getLong(0) == 3L && rm.getLong(1) == 2L)
+    val st = spark.sql("SELECT id, x FROM gsqlrl.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(st.size == 7 && st(3L) == 999.0 && st(9L) == 90.0 &&
+      st(1L) == 11.0)
+    // the commits are first-class history (no side door)
+    assert(Snapshots.history(spark, t).select("op").collect()
+      .map(_.getString(0)).toSeq == Seq("merge", "update", "append"))
+    // UNOWNED identifiers keep delegating to Spark (vanilla failure
+    // modes, never our resolver's)
+    spark.range(3).createOrReplaceTempView("graft_rl_plain")
+    intercept[Exception] {
+      spark.sql("UPDATE graft_rl_plain SET id = 1 WHERE id = 2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("MERGE INTO graft_rl_plain USING graft_rl_src ON (id)")
+        .collect()
+    }
+  }
+
+  test("DML against a path with no snapshot table refuses loudly, never no-ops or creates") {
+    val empty = Files.createTempDirectory("graft_snapsql_missing")
+      .toString + "/nope"
+    def refuses(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("no snapshot table"), s"for [$sql] got: $msg")
+    }
+    refuses(s"DELETE FROM '$empty' WHERE id IN (1, 2)")
+    refuses(s"DELETE FROM '$empty' WHERE id < 5")
+    refuses(s"UPDATE '$empty' SET x = 1 WHERE id = 1")
+    spark.range(2).createOrReplaceTempView("graft_missing_src")
+    refuses(s"MERGE INTO '$empty' USING graft_missing_src ON (id)")
+    // above all: the refused MERGE must not have CREATED a table there
+    assert(Snapshots.currentVersion(spark, empty) == 0L,
+      "a refused MERGE must never create a table at the typo'd path")
+  }
+
+  test("SET-list splitter: a backslash-escaped quote inside a literal never splits") {
+    val t = Files.createTempDirectory("graft_snapsql_esc").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), t)
+    // one literal containing an ESCAPED quote and a comma: 'a\'b,c'
+    spark.sql(s"UPDATE '$t' SET tag = 'a\\'b,c' WHERE id = 1")
+    assert(Snapshots.read(spark, t).filter("id = 1").head.getString(1)
+      == "a'b,c")
+    // '' doubling still works alongside a second assignment
+    spark.sql(s"UPDATE '$t' SET tag = 'it''s, fine', id = id + 10 " +
+      "WHERE id = 2")
+    val r = Snapshots.read(spark, t).filter("id = 12").head
+    assert(r.getString(1) == "it's, fine")
   }
 
   test("everything else delegates verbatim to the normal parser") {

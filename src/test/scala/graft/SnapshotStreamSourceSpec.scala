@@ -112,6 +112,73 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       "fresh-checkpoint replay must not double-land")
   }
 
+  test("admission control: a backlogged restart drains in bounded batches, exactly-once") {
+    val root = Files.createTempDirectory("graft_strsrc_adm").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    def run(expectBatches: Range): Seq[Set[Long]] = {
+      val batches = mutable.ArrayBuffer.empty[Set[Long]]
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", t)
+        .option("maxVersionsPerBatch", "2")
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("snapadm_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val rows = b.collect().map(_.getLong(0)).toSet
+            if (rows.nonEmpty) batches.synchronized { batches += rows }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(expectBatches.contains(batches.size),
+        s"wanted ${expectBatches} batches, got ${batches.size}: $batches")
+      batches.toSeq
+    }
+    // initial snapshot: ONE batch by design, cap or no cap
+    assert(run(1 to 1) == Seq(Set(1L)))
+    // the stream falls SIX commits behind while down
+    (2L to 7L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"v$i")).toDF("id", "v"), t))
+    // restart on the same checkpoint: the backlog drains across ≥3
+    // bounded micro-batches (2 versions each), totals exactly-once —
+    // without the cap this was ONE 6-leg-union batch
+    val drained = run(3 to 6)
+    assert(drained.flatten.toSet == (2L to 7L).toSet, s"got $drained")
+    assert(drained.map(_.size).sum == 6, "no version window served twice")
+    assert(drained.forall(_.size <= 2),
+      s"a batch exceeded the 2-version admission cap: $drained")
+  }
+
+  test("startingVersion=0 replay honors the admission cap from the first batch") {
+    val root = Files.createTempDirectory("graft_strsrc_adm0").toString
+    val t = root + "/t"
+    (1L to 5L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"v$i")).toDF("id", "v"), t))
+    val batches = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", t)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "2")
+      .load().writeStream
+      .option("checkpointLocation", root + "/ck")
+      .queryName("snapadm0_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val rows = b.collect().map(_.getLong(0)).toSet
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.flatten.toSet == (1L to 5L).toSet, s"got $batches")
+    assert(batches.size >= 3 && batches.forall(_.size <= 2),
+      s"replay must drain in <=2-version batches: $batches")
+  }
+
   test("rewrite windows: post-images flow with keys, loud refusal without") {
     val root = Files.createTempDirectory("graft_strsrc_w").toString
     val t = root + "/t"
