@@ -21,6 +21,8 @@ import graft.warehouse.Snapshots
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
+  *   ALTER TABLE <target> ADD COLUMNS (c1 TYPE [, c2 TYPE ...])
+  *   ALTER TABLE <target> ALTER COLUMN <c> TYPE <widerType>
   *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
   *   DELETE FROM '<path>' WHERE <arbitrary predicate>
   *   MERGE INTO <target> USING <view|(subquery)> ON (k1 [, k2 ...])
@@ -105,6 +107,16 @@ object MaintenanceSql {
   private val DropCheckRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
+  // metadata-only schema evolution: ADD COLUMNS appends forced-nullable
+  // fields to the declared schema; ALTER COLUMN TYPE performs the safe
+  // widenings (int->long, float->double, decimal precision growth) —
+  // zero data moves for either, at any table size
+  private val AddColumnsRe = // one paren nesting: DECIMAL(10,2) etc.
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+COLUMNS?\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s*;?\s*$""").r
+  private val AlterColTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ALTER\s+COLUMN\s+(`?\w+`?)\s+TYPE\s+([\w(),.\s]+?)\s*;?\s*$""").r
   // QUOTED PATHS ONLY: Spark has its own DSv2 `DELETE FROM <ident>` —
   // an identifier target must keep delegating to it, so only the form
   // vanilla SQL cannot express (a filesystem path) is intercepted
@@ -179,6 +191,11 @@ object MaintenanceSql {
         Some(AddSnapshotConstraint(SnapTarget(target), name, check.trim))
       case DropCheckRe(target, name) if ours(target) =>
         Some(DropSnapshotConstraint(SnapTarget(target), name))
+      case AddColumnsRe(target, cols) if ours(target) =>
+        Some(AddSnapshotColumns(SnapTarget(target), cols.trim))
+      case AlterColTypeRe(target, col, typ) if ours(target) =>
+        Some(WidenSnapshotColumn(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`"), typ.trim))
       case DeleteKeysRe(target, keyCol, keys) => // quoted paths only
         Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
           keys.split(',').map(_.trim.toLong).toSeq))
@@ -339,6 +356,50 @@ final case class DropSnapshotConstraint(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropCheckConstraint(spark, target.resolve(spark),
       name), name))
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c1 TYPE [, c2 TYPE ...])` →
+  * Snapshots.commitAddColumns: metadata-only schema evolution — the new
+  * manifest re-references the same files under an extended declared
+  * schema, landed rows serve the new (forced-nullable) columns as NULL,
+  * zero data moves at any table size. The column list parses with
+  * Spark's own DDL parser, so any SQL type spelling works.
+  */
+final case class AddSnapshotColumns(target: MaintenanceSql.SnapTarget,
+    colsDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("added_columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER TABLE ADD COLUMNS")
+    val fields = StructType.fromDDL(colsDdl).fields.toSeq
+    val v = graft.warehouse.Snapshots.commitAddColumns(spark, path, fields)
+    Seq(Row(v, fields.map(_.name).mkString(",")))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <type>` →
+  * Snapshots.commitWidenColumn: the explicit type-migration statement —
+  * metadata-only widening (int→long, float→double, decimal precision
+  * growth); old narrower files upcast at read, appends in the wide type
+  * are legal from the next commit, and a non-widening change refuses
+  * loudly (a 100 TB migration must never silently rewrite).
+  */
+final case class WidenSnapshotColumn(target: MaintenanceSql.SnapTarget,
+    column: String, typeDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("new_type", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER TABLE ALTER COLUMN")
+    val to = spark.sessionState.sqlParser.parseDataType(typeDdl)
+    val v = graft.warehouse.Snapshots.commitWidenColumn(spark, path,
+      column, to)
+    Seq(Row(v, column, to.simpleString))
+  }
 }
 
 /** `DELETE FROM '<path>' WHERE k IN (...)` → Snapshots.commitDelete:

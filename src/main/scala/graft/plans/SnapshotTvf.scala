@@ -85,8 +85,7 @@ object SnapshotTvf {
     val e = exprs(1)
     require(e.foldable, "versionOrTimestamp must be a literal")
     def instantVersion(cutoffMs: Long): Long =
-      Snapshots.commitInstants(spark, path)
-        .filter(_._2 <= cutoffMs).map(_._1).maxOption
+      Snapshots.versionAtInstant(spark, path, cutoffMs)
         .getOrElse(throw new IllegalArgumentException(
           s"no version of $path committed at or before the instant"))
     val version = e.dataType match {

@@ -681,6 +681,68 @@ object SnapshotQ {
                    |FROM $cat.t""".stripMargin)
     })
 
+  /** SQL SCHEMA EVOLUTION as metadata-only commits (plans/MaintenanceSql
+    * AddSnapshotColumns / WidenSnapshotColumn over
+    * Snapshots.commitAddColumns / commitWidenColumn): a populated table
+    * gains two columns via `ALTER TABLE ... ADD COLUMNS` (v2 — zero data
+    * moves, landed rows read the new columns as NULL), widens its INT
+    * key to BIGINT via `ALTER TABLE ... ALTER COLUMN ... TYPE` (v3 —
+    * old int32 files upcast at read), then an `INSERT INTO` lands rows
+    * in the evolved wide schema (v4). The emitted rows are the final
+    * head read through the DSv2 catalog — fully DuckDB-oracled from
+    * orders alone: a lost evolution, a rewritten file, or a mis-typed
+    * upcast lands in the diff. An in-query require pins the zero-move
+    * contract (v1/v2/v3 share the same file list).
+    */
+  val snapSqlEvolve = QueryDef(
+    "snap_sql_evolve",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice,
+           |       CAST(NULL AS VARCHAR) AS category,
+           |       -1.0 AS bonus
+           |FROM orders
+           |UNION ALL
+           |SELECT o_orderkey + 100000000, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4), 'new', 2.5
+           |FROM orders WHERE o_orderkey % 10 = 1""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_ev").toString
+      val cat = s"gev_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = root + "/t"
+      Snapshots.commitAppend(spark, orders, t) // v1: int o_custkey
+      spark.sql(
+        s"ALTER TABLE $cat.t ADD COLUMNS (category STRING, bonus DOUBLE)")
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN o_custkey TYPE BIGINT")
+      require(Snapshots.filesAt(spark, t, 1L) ==
+        Snapshots.filesAt(spark, t, 3L),
+        "schema evolution must be metadata-only: zero data files moved")
+      val view = s"ev_src_$u"
+      orders.filter(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_totalprice"), lit("new").as("category"),
+          lit(2.5).as("bonus"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM $view") // v4: wide rows
+      require(Snapshots.currentVersion(spark, t) == 4L,
+        "three metadata/SQL commits after v1")
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |round(o_totalprice, 4) AS o_totalprice, category,
+           |coalesce(bonus, -1.0) AS bonus
+           |FROM $cat.t""".stripMargin)
+    })
+
   /** Snapshot table as a LIVE STREAMING SOURCE (sources/
     * SnapshotStreamSource — the Delta streaming-source idea over the
     * graft protocol): a source table walks append(even) → append(odd) →
@@ -785,5 +847,6 @@ object SnapshotQ {
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
-      snapSqlRowLevel, snapSmallCompact, snapStreamSource, snapStreamSink)
+      snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
+      snapStreamSink)
 }

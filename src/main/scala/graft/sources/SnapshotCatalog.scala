@@ -217,10 +217,11 @@ class SnapshotCatalog extends TableCatalog {
     val t = tablePath(ident)
     val head = Snapshots.currentVersion(spark, t)
     if (head == 0) throw new NoSuchTableException(ident)
-    val cutoffMs = timestampMicros / 1000L
-    val v = Snapshots.commitInstants(spark, t)
-      .filter(_._2 <= cutoffMs).map(_._1)
-      .maxOption.getOrElse(throw new NoSuchTableException(ident))
+    // binary search over the retained instants: O(log retained)
+    // manifest reads, not O(retained) — long-retention tables resolve
+    // TIMESTAMP AS OF without touching every manifest
+    val v = Snapshots.versionAtInstant(spark, t, timestampMicros / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
     tableAt(ident, v)
   }
 

@@ -394,6 +394,81 @@ object Snapshots {
         bad.mkString("; "))
   }
 
+  /** ADD COLUMNS as a METADATA-ONLY commit (op `addColumn`): the new
+    * manifest carries the same files under a declared schema extended
+    * with the new (forced-nullable) fields — zero data moves at any
+    * table size, and every reader serves the new columns as NULL for
+    * all landed rows (parquet name-based resolution). Later appends may
+    * then populate them. Refuses columns that already exist; the table
+    * must have at least one committed version (schema-only tables
+    * included — CREATE TABLE commits v1).
+    */
+  def commitAddColumns(spark: SparkSession, table: String,
+      fields: Seq[types.StructField], maxRetries: Int = 10): Long = {
+    require(fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table to add columns to")
+      val lines = manifestLines(spark, table, head)
+      // legacy tables without a #schema header derive the prior from a
+      // footer read once — every commit after this records the header
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      fields.foreach(f => require(!prior.fieldNames.contains(f.name),
+        s"column ${f.name} already exists on $table"))
+      // forced nullable: landed rows HAVE no value for the new column,
+      // so a non-null declaration would lie to every reader
+      val schema = types.StructType(prior.fields ++
+        fields.map(_.copy(nullable = true)))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "addColumn", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"addColumns on $table failed after $maxRetries attempts")
+  }
+
+  /** WIDEN a column's declared type as a METADATA-ONLY commit (op
+    * `widenColumn`): int→long, float→double, decimal precision growth —
+    * the same safe set [[evolveSchema]] accepts from appends, but
+    * driven explicitly (the migration statement a 100 TB table runs
+    * INSTEAD of an overwrite: zero data moves, old narrower files
+    * upcast at read, and appends in the wide type are legal from the
+    * next commit on). Any non-widening change refuses.
+    */
+  def commitWidenColumn(spark: SparkSession, table: String, column: String,
+      to: types.DataType, maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table to widen")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      val field = prior.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $column on $table"))
+      require(widens(field.dataType, to),
+        s"ALTER COLUMN $column ${field.dataType.simpleString} -> " +
+          s"${to.simpleString} is not a safe widening (int->long, " +
+          "float->double, decimal precision growth)")
+      val schema = types.StructType(prior.fields.map(f =>
+        if (f.name == column) f.copy(dataType = to) else f))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "widenColumn", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"widenColumn on $table failed after $maxRetries attempts")
+  }
+
   /** Declare a CHECK constraint as a new commit (op `addConstraint`,
     * files carried — metadata-only). By default the CURRENT head data is
     * validated first (one scan; a constraint the data already violates
@@ -1591,6 +1666,42 @@ object Snapshots {
         v -> tsOf(manifestLines(spark, table, v))
           .getOrElse(s.getModificationTime)
       }.sortBy(_._1).toSeq
+  }
+
+  /** The newest retained version committed at or before `cutoffMs` —
+    * what `TIMESTAMP AS OF` / `snapshot_at(t, ts)` resolve. BINARY
+    * SEARCH over the retained version range: commit instants are
+    * monotone in version order by claim construction (each `#ts:` is
+    * stamped as its claim wins, and claims are ordered), so the lookup
+    * reads O(log retained) manifests instead of every one —
+    * [[commitInstants]] stays the exhaustive audit surface. A writer
+    * with a skewed clock degrades this to the same approximation every
+    * timestamp-ordered log accepts (Delta's commit-timestamp lookup has
+    * the identical caveat). None when every retained commit is after
+    * the cutoff.
+    */
+  def versionAtInstant(spark: SparkSession, table: String,
+      cutoffMs: Long): Option[Long] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return None
+    val statuses = f.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+    if (statuses.isEmpty) return None
+    val mtimes = statuses
+      .map(s => versionOf(s.getPath.getName) -> s.getModificationTime).toMap
+    val versions = mtimes.keys.toIndexedSeq.sorted
+    def instant(v: Long): Long =
+      tsOf(manifestLines(spark, table, v)).getOrElse(mtimes(v))
+    // largest index whose instant <= cutoff
+    var lo = 0
+    var hi = versions.size - 1
+    if (instant(versions(lo)) > cutoffMs) return None
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (instant(versions(mid)) <= cutoffMs) lo = mid else hi = mid - 1
+    }
+    Some(versions(lo))
   }
 
   // ------------------------------------------------------------------

@@ -489,6 +489,82 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(r.getString(1) == "it's, fine")
   }
 
+  test("ALTER TABLE ADD COLUMNS / ALTER COLUMN TYPE: metadata-only schema evolution") {
+    val root = Files.createTempDirectory("graft_snapsql_ev").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x")
+        .selectExpr("CAST(id AS INT) AS id", "CAST(x AS FLOAT) AS x"), t)
+    val files1 = Snapshots.filesAt(spark, t, 1L)
+    // ADD COLUMNS: declared schema extends, files carry, rows serve NULL
+    val ra = spark.sql(
+      s"ALTER TABLE '$t' ADD COLUMNS (tag STRING, score DOUBLE)").head
+    assert(ra.getLong(0) == 2L && ra.getString(1) == "tag,score")
+    assert(Snapshots.filesAt(spark, t, 2L) == files1,
+      "ADD COLUMNS must move zero data files")
+    val head2 = Snapshots.read(spark, t)
+    assert(head2.columns.toSeq == Seq("id", "x", "tag", "score"))
+    assert(head2.filter("tag IS NULL").count() == 2)
+    // ALTER COLUMN TYPE: int->long widens in place; files still carry
+    val rw = spark.sql(s"ALTER TABLE '$t' ALTER COLUMN id TYPE BIGINT").head
+    assert(rw.getLong(0) == 3L && rw.getString(2) == "bigint")
+    assert(Snapshots.filesAt(spark, t, 3L) == files1)
+    assert(Snapshots.read(spark, t).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "old int32 files must upcast at read")
+    // identifier form through the catalog root conf
+    spark.conf.set("spark.sql.catalog.gev",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gev.root", root)
+    spark.sql("ALTER TABLE gev.t ALTER COLUMN x TYPE DOUBLE")
+    assert(spark.sql("SELECT x FROM gev.t WHERE id = 1").head.getDouble(0)
+      == 1.5d)
+    // refusals: narrowing, unknown column, duplicate column — all loud,
+    // all leaving the head untouched
+    val headV = Snapshots.currentVersion(spark, t)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ALTER COLUMN nope TYPE BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ADD COLUMNS (tag STRING)")
+    }
+    assert(Snapshots.currentVersion(spark, t) == headV)
+    // appends in the widened type are legal from the next commit on
+    Snapshots.commitAppend(spark,
+      Seq((3L, 3.5d, "w", 1.0)).toDF("id", "x", "tag", "score"), t)
+    assert(Snapshots.read(spark, t).count() == 3)
+    // unowned catalogs keep delegating (vanilla failure, not ours)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nocat.db.t ADD COLUMNS (c INT)").collect()
+    }
+  }
+
+  test("versionAtInstant: binary search agrees with the exhaustive instant scan") {
+    val t = Files.createTempDirectory("graft_snapsql_vai").toString + "/t"
+    (1L to 9L).foreach { i =>
+      Snapshots.commitAppend(spark, Seq((i, s"v$i")).toDF("id", "v"), t)
+    }
+    val instants = Snapshots.commitInstants(spark, t)
+    def linear(cut: Long): Option[Long] =
+      instants.filter(_._2 <= cut).map(_._1).maxOption
+    // before-first refuses; every midpoint, exact instant, and the
+    // far future agree with the linear scan
+    val probes = Seq(instants.head._2 - 1000, instants.head._2,
+      instants(4)._2, instants(4)._2 + 1,
+      (instants(3)._2 + instants(4)._2) / 2,
+      instants.last._2, instants.last._2 + 100000)
+    probes.foreach { cut =>
+      assert(Snapshots.versionAtInstant(spark, t, cut) == linear(cut),
+        s"binary search diverged from the linear scan at cutoff $cut")
+    }
+    assert(Snapshots.versionAtInstant(spark, t,
+      instants.head._2 - 999999).isEmpty)
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
