@@ -286,6 +286,51 @@ object ScaleCheck {
       }
     }
 
+    // ------- predicate-probe scale gate: a range DELETE's cost must
+    // track the files the predicate's bounds select, never the table.
+    // Same range layout + stats manifest as the cdf gate; delete the
+    // SAME fixed 50-key low range at both scales — the predicate-bound
+    // stats prune keeps the probe to the one or two boundary slabs, so
+    // the whole commit stays ~flat across the 10× table step (an
+    // unpruned probe would scan every file and grow ~10×).
+    if (only.forall(_.contains("snap_where_prune"))) {
+      import graft.warehouse.Snapshots
+      val whereMaxRatio = sys.env.getOrElse("SCALE_WHERE_RATIO_MAX", "6").toDouble
+      def whereTime(sfDir: String): Double = {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_scale_where").toString + "/t"
+        val orders = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val nFiles = math.max(4L, orders.count() / 5000L).toInt
+        Snapshots.commitAppend(spark,
+          orders.repartitionByRange(nFiles, col("o_orderkey")), table)
+        Snapshots.extendStats(spark, table, Seq("o_orderkey"))
+        val cutoff = orders.orderBy("o_orderkey").limit(50)
+          .collect().map(_.getLong(0)).max
+        val t0 = System.nanoTime()
+        val (_, n) = Snapshots.commitDeleteWhere(spark, table,
+          col("o_orderkey") <= cutoff)
+        val t = (System.nanoTime() - t0) / 1e9
+        require(n >= 50, s"fixed-range delete removed only $n rows")
+        val Some((cand, total)) = Snapshots.lastWherePruned
+        require(cand <= math.max(3, total / 4),
+          s"predicate probe did not prune: $cand of $total candidates")
+        t
+      }
+      val gateName = "snap_where_prune"
+      try {
+        val tSmall = whereTime(smallDir)
+        val tBig = whereTime(bigDir)
+        val ratio = tBig / math.max(tSmall, 1e-3)
+        val violation = tBig > floorSec && ratio > whereMaxRatio
+        if (violation) bad += 1
+        println(f"$gateName%-26s small=$tSmall%7.2fs big=$tBig%7.2fs ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (fixed-range delete vs 10x table)")
+      } catch { case e: Throwable =>
+        bad += 1
+        println(f"$gateName%-26s FAILED ${e.getMessage}")
+      }
+    }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)
