@@ -16,8 +16,9 @@ import graft.warehouse.Snapshots
   * {{{
   *   OPTIMIZE <target> [TARGET <n> FILES] [ZORDER BY (c1, c2 [, ...])]
   *   OPTIMIZE <target> SMALL FILES [UNDER <n> MB]
-  *   VACUUM <target> [RETAIN <n> VERSIONS]
+  *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
   *   DESC[RIBE] HISTORY <target>
+  *   DESC[RIBE] DETAIL <target>
   *   RESTORE [TABLE] <target> [TO] VERSION AS OF <n>
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
@@ -95,9 +96,11 @@ object MaintenanceSql {
       """\s+SMALL\s+FILES(?:\s+UNDER\s+(\d+)\s*MB)?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -180,11 +183,14 @@ object MaintenanceSql {
         // table into 8 enormous files
         Some(OptimizeSnapshot(SnapTarget(target), cols,
           Option(tgtFiles).map(_.toInt).getOrElse(0)))
-      case VacuumRe(target, retain) if ours(target) =>
-        Some(VacuumSnapshot(SnapTarget(target),
-          Option(retain).map(_.toInt).getOrElse(2)))
+      case VacuumRe(target, retain, dry) if ours(target) =>
+        val keep = Option(retain).map(_.toInt).getOrElse(2)
+        if (dry != null) Some(VacuumSnapshotDryRun(SnapTarget(target), keep))
+        else Some(VacuumSnapshot(SnapTarget(target), keep))
       case HistoryRe(target) if ours(target) =>
         Some(DescribeSnapshotHistory(SnapTarget(target)))
+      case DetailRe(target) if ours(target) =>
+        Some(DescribeSnapshotDetail(SnapTarget(target)))
       case RestoreRe(target, v) if ours(target) =>
         Some(RestoreSnapshot(SnapTarget(target), v.toLong))
       case AddCheckRe(target, name, check) if ours(target) =>
@@ -292,6 +298,59 @@ final case class VacuumSnapshot(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val deleted = Snapshots.vacuum(spark, target.resolve(spark), keepVersions)
     Seq(Row(deleted.size, keepVersions))
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS] DRY RUN` → Snapshots.vacuumDryRun: one
+  * row per file the equivalent VACUUM would physically delete, with
+  * NOTHING touched — the audit step before an irreversible erasure.
+  */
+final case class VacuumSnapshotDryRun(target: MaintenanceSql.SnapTarget,
+    keepVersions: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.vacuumDryRun(spark, target.resolve(spark), keepVersions)
+      .map(Row(_))
+}
+
+/** `DESC[RIBE] DETAIL t` → one row of table-level metadata (Delta's
+  * DESCRIBE DETAIL shape): head version, live file count and bytes,
+  * declared schema DDL, constraint and pending-tombstone counts, and
+  * the head commit instant. Metadata-only — the head manifest plus one
+  * getFileStatus per live file, never a data read.
+  */
+final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("schema_ddl", StringType, nullable = false)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)(),
+    AttributeReference("pending_tombstone_files", IntegerType,
+      nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "DESCRIBE DETAIL")
+    val head = Snapshots.currentVersion(spark, path)
+    val files = Snapshots.filesAt(spark, path, head)
+    val dd = new org.apache.hadoop.fs.Path(path, "data")
+    val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = files.map { n =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(dd, n)).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+    val schema = Snapshots.schemaAt(spark, path, head)
+      .map(_.toDDL).getOrElse("")
+    val checks = Snapshots.checkConstraints(spark, path, Some(head))
+    val (_, tombs) = Snapshots.pendingTombstones(spark, path, Some(head))
+    val instant = Snapshots.commitInstants(spark, path)
+      .find(_._1 == head).map(t => new java.sql.Timestamp(t._2)).orNull
+    Seq(Row(path, head, files.size, bytes, schema, checks.size,
+      tombs.size, instant))
   }
 }
 

@@ -46,11 +46,14 @@ import graft.warehouse.Snapshots
   * retention refuses (the manifests are gone; restart the stream fresh).
   * `startingVersion` opts out of the initial snapshot to tail from a
   * known version (e.g. `0` = from the table's beginning, replaying every
-  * retained commit). `maxVersionsPerBatch` is the admission-control
-  * option (Delta's maxFilesPerTrigger analog): each micro-batch serves
-  * at most that many commit steps, so a stream restarted far behind
-  * drains its backlog across bounded batches instead of one unbounded
-  * N-way-union batch — exactly-once totals unchanged.
+  * retained commit). `maxVersionsPerBatch` and `maxBytesPerBatch` are
+  * the admission-control options (Delta's maxFilesPerTrigger /
+  * maxBytesPerTrigger analogs): each micro-batch serves at most that
+  * many commit steps / approximately that many added-file bytes (soft
+  * cap — the first pending version always admits), so a stream
+  * restarted far behind drains its backlog across bounded batches
+  * instead of one unbounded N-way-union batch — exactly-once totals
+  * unchanged. They compose; the tighter bound wins.
   */
 class SnapshotStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
@@ -106,12 +109,15 @@ class SnapshotStreamProvider extends StreamSourceProvider
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
     maxVersions.foreach(m => require(m > 0,
       s"maxVersionsPerBatch must be positive, got $m"))
+    val maxBytes = parameters.get("maxBytesPerBatch").map(_.toLong)
+    maxBytes.foreach(m => require(m > 0,
+      s"maxBytesPerBatch must be positive, got $m"))
     new SnapshotStreamSource(spark, t,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
         .getOrElse(Nil),
       parameters.get("startingVersion").map(_.toLong),
-      maxVersions)
+      maxVersions, maxBytes)
   }
 }
 
@@ -130,7 +136,8 @@ class SnapshotStreamSink(spark: SparkSession, table: String,
 class SnapshotStreamSource(spark: SparkSession, table: String,
     schema0: StructType, keys: Seq[String],
     startingVersion: Option[Long],
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    maxBytesPerBatch: Option[Long] = None) extends Source {
 
   override def schema: StructType = schema0
 
@@ -164,12 +171,38 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
   override def getOffset: Option[V1Offset] = {
     val head = Snapshots.currentVersion(spark, table)
     if (head == 0) return None
-    val bounded = maxVersionsPerBatch match {
-      case Some(m) => cursor.orElse(startingVersion) match {
-        case Some(b) if b < head => math.min(head, b + m)
+    val bounded = (maxVersionsPerBatch, maxBytesPerBatch) match {
+      case (None, None) => head
+      case (mv, mb) => cursor.orElse(startingVersion) match {
+        case Some(b) if b < head =>
+          val capV = mv.map(m => math.min(head, b + m)).getOrElse(head)
+          mb match {
+            case None => capV
+            case Some(bytes) =>
+              // soft byte cap from manifest deltas (Delta's
+              // maxBytesPerTrigger semantics): always admit the first
+              // pending version, then further ones only while the
+              // admitted steps' ADDED-file bytes stay under the cap —
+              // cost is a getFileStatus per added file, O(delta) per
+              // trigger, never a data-dir listing
+              val f = new org.apache.hadoop.fs.Path(table, "data")
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              def stepBytes(v: Long): Long =
+                Snapshots.addedFiles(spark, table, v - 1, v).map { n =>
+                  val p = new org.apache.hadoop.fs.Path(
+                    new org.apache.hadoop.fs.Path(table, "data"), n)
+                  try f.getFileStatus(p).getLen catch { case _: Exception => 0L }
+                }.sum
+              var next = b + 1
+              var acc = stepBytes(next)
+              while (next < capV && acc < bytes) {
+                next += 1
+                acc += stepBytes(next)
+              }
+              next
+          }
         case _ => head
       }
-      case None => head
     }
     Some(LongOffset(bounded))
   }

@@ -2240,7 +2240,22 @@ object Snapshots {
     * reclaims immediately — correct only when no commit is in flight.
     */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int = 2, minAgeMs: Long = 0L): Seq[String] = {
+      keepVersions: Int = 2, minAgeMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, table, keepVersions, minAgeMs, dryRun = false)
+
+  /** `VACUUM ... DRY RUN`: the exact file names [[vacuum]] would delete
+    * under the same retention arguments, with NOTHING touched — no data
+    * deletes, no manifest expiry, no checkpoint backfill, no cache
+    * eviction. The audit step an operator runs before an irreversible
+    * physical erasure. Metadata-only (directory listings + retained
+    * manifest reads).
+    */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      keepVersions: Int = 2, minAgeMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, table, keepVersions, minAgeMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, table: String,
+      keepVersions: Int, minAgeMs: Long, dryRun: Boolean): Seq[String] = {
     val head = currentVersion(spark, table)
     val keepFrom = math.max(1L, head - keepVersions + 1)
     val referenced = (keepFrom to head)
@@ -2252,7 +2267,7 @@ object Snapshots {
     val deleted = f.listStatus(dd).filter(_.isFile)
       .filter(s => now - s.getModificationTime >= minAgeMs)
       .map(_.getPath).filterNot(p => referenced.contains(p.getName))
-      .map { p => f.delete(p, false); p.getName }.toSeq
+      .map { p => if (!dryRun) f.delete(p, false); p.getName }.toSeq
     // tombstone sidecars age out exactly like data files: unreferenced by
     // any retained manifest (materialized, or their version expired)
     val td = tombstoneDir(table)
@@ -2264,8 +2279,9 @@ object Snapshots {
         f.listStatus(td).filter(_.isFile)
           .filter(s => now - s.getModificationTime >= minAgeMs)
           .map(_.getPath).filterNot(p => referencedTombs.contains(p.getName))
-          .map { p => f.delete(p, false); p.getName }.toSeq
+          .map { p => if (!dryRun) f.delete(p, false); p.getName }.toSeq
       }
+    if (dryRun) return deleted ++ tombsDeleted
     // the new retention floor must stay resolvable after its delta-chain
     // bases vanish: when keepFrom's physical manifest is delta-encoded
     // and no checkpoint exists yet, write one (idempotent content — the

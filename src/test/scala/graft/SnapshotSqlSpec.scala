@@ -565,6 +565,45 @@ class SnapshotSqlSpec extends AnyFunSuite {
       instants.head._2 - 999999).isEmpty)
   }
 
+  test("VACUUM DRY RUN lists exactly what VACUUM would delete, touching nothing") {
+    val t = freshTable(16)
+    spark.sql(s"OPTIMIZE '$t' TARGET 1 FILES") // v17: 16 stale files
+    val before = Snapshots.read(spark, t).count()
+    val dry = spark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(dry.size == 16, s"expected the 16 pre-optimize files, got $dry")
+    // nothing touched: all versions still readable, files still on disk
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 8)
+    assert(Snapshots.read(spark, t).count() == before)
+    // the real VACUUM deletes exactly the dry-run list
+    val real = spark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS").head
+    assert(real.getInt(0) == 16)
+    intercept[Exception] { Snapshots.filesAt(spark, t, 1L) }
+  }
+
+  test("DESCRIBE DETAIL reports head metadata in one metadata-only row") {
+    val t = Files.createTempDirectory("graft_snapsql_det").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").coalesce(2), t)
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT x_pos CHECK (x > 0)")
+    Snapshots.commitDeleteLazy(spark, t, Seq(2L), "id")
+    val d = spark.sql(s"DESC DETAIL '$t'").head
+    assert(d.getString(0) == t)
+    assert(d.getLong(1) == 3L) // append + constraint + lazy delete
+    assert(d.getInt(2) == 2 && d.getLong(3) > 0L)
+    assert(d.getString(4).toLowerCase.contains("id") &&
+      d.getString(4).toLowerCase.contains("bigint"))
+    assert(d.getInt(5) == 1 && d.getInt(6) == 1)
+    assert(d.getTimestamp(7) != null)
+    // a missing table refuses loudly, like the DML statements
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE DETAIL '/tmp/graft_no_such_detail'").collect()
+    }
+    assert((e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("no snapshot table"))
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs

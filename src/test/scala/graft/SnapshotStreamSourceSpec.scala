@@ -179,6 +179,41 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       s"replay must drain in <=2-version batches: $batches")
   }
 
+  test("maxBytesPerBatch: a byte cap drains the backlog one admitted window at a time") {
+    val root = Files.createTempDirectory("graft_strsrc_bytes").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    // first run establishes the checkpoint at v1
+    val batches = mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", t)
+        .option("maxBytesPerBatch", "1") // soft cap: 1 byte → 1 version
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("snapbytes_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val rows = b.collect().map(_.getLong(0)).toSet
+            if (rows.nonEmpty) batches.synchronized { batches += rows }
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    batches.clear()
+    // four commits land while the stream is down; a 1-byte soft cap
+    // admits exactly one version per micro-batch on restart
+    (2L to 5L).foreach(i => Snapshots.commitAppend(spark,
+      Seq((i, s"v$i")).toDF("id", "v"), t))
+    run()
+    assert(batches.map(_.size).forall(_ == 1) && batches.size == 4,
+      s"1-byte soft cap must admit one version per batch: $batches")
+    assert(batches.flatten.toSet == (2L to 5L).toSet)
+  }
+
   test("rewrite windows: post-images flow with keys, loud refusal without") {
     val root = Files.createTempDirectory("graft_strsrc_w").toString
     val t = root + "/t"
