@@ -803,6 +803,57 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
 
+  /** Admission-controlled BACKLOG DRAIN (sources/SnapshotStreamSource
+    * `maxVersionsPerBatch`): a 7-commit table replays from version 0
+    * through a live stream capped at 2 commit steps per micro-batch —
+    * the recovery shape of a consumer restarted far behind, where an
+    * uncapped source would land ONE unbounded 7-leg-union batch. The
+    * emitted check rows grade BOTH halves of the contract against the
+    * DuckDB oracle: `total_rows` (exactly-once — any double-served or
+    * lost window diverges from the orders count) and `batches` (the
+    * protocol constant ceil(7/2) = 4 — an uncapped drain would be 1).
+    */
+  val snapStreamBacklog = QueryDef(
+    "snap_stream_backlog",
+    Some("""SELECT 'batches' AS check_name,
+           |       CAST(4 AS BIGINT) AS value
+           |UNION ALL
+           |SELECT 'total_rows', (SELECT count(*) FROM orders)""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // seven commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_bl").toString
+      val src = root + "/src"
+      (0 until 7).foreach { i =>
+        Snapshots.commitAppend(spark,
+          orders.filter(col("o_orderkey") % 7 === i), src)
+      }
+      val rows = new java.util.concurrent.atomic.AtomicLong
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerBatch", "2")
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("snap_bl_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val n = b.count()
+            if (n > 0) { rows.addAndGet(n); batches.incrementAndGet() }
+            ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      Seq(("batches", batches.get().toLong),
+        ("total_rows", rows.get())).toDF("check_name", "value")
+    })
+
   /** LIVE Structured Streaming ingestion into a snapshot table: the
     * events fixture flows through a real micro-batch stream whose sink
     * is the `graft-snapshot` FORMAT (sources/SnapshotStreamSink — every
@@ -848,5 +899,5 @@ object SnapshotQ {
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
-      snapStreamSink)
+      snapStreamSink, snapStreamBacklog)
 }
