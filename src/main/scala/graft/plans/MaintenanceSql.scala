@@ -25,10 +25,10 @@ import graft.warehouse.Snapshots
   *   ALTER TABLE <target> ADD COLUMNS (c1 TYPE [, c2 TYPE ...])
   *   ALTER TABLE <target> ALTER COLUMN <c> TYPE <widerType>
   *   DELETE FROM '<path>' WHERE <keyCol> IN (<k1>, <k2>, ...)
-  *   DELETE FROM '<path>' WHERE <arbitrary predicate>
+  *   DELETE FROM '<path>' [WHERE <arbitrary predicate>]
   *   MERGE INTO <target> USING <view|(subquery)> ON (k1 [, k2 ...])
   *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
-  *   UPDATE <target> SET c1 = e1 [, c2 = e2 ...] WHERE <predicate>
+  *   UPDATE <target> SET c1 = e1 [, c2 = e2 ...] [WHERE <predicate>]
   * }}}
   *
   * UPDATE and MERGE take quoted paths AND owned catalog identifiers
@@ -132,6 +132,11 @@ object MaintenanceSql {
   // boolean expression the session parser accepts
   private val DeleteWhereRe =
     ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  // bare DELETE (no WHERE): every row — SQL-legal, served as the
+  // predicate form with TRUE (the schema survives; TRUNCATE-like but
+  // versioned). Quoted paths only, like the other DELETE forms.
+  private val DeleteAllRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+('[^']+')\s*;?\s*$""").r
   // MERGE, key-based upsert form (the protocol's merge): the target is a
   // quoted path OR an owned catalog identifier (`snap.t` whose catalog
   // declares a `.root` conf — the ours() gate below); unowned
@@ -144,9 +149,13 @@ object MaintenanceSql {
   // SupportsRowLevelOperations, so the parser face closes the
   // asymmetry); SET list split paren-aware at run time so expressions
   // may call functions
+  // WHERE is optional (SQL UPDATE without one touches every row): the
+  // split happens at the FIRST ` WHERE ` after SET — a WHERE inside a
+  // SET-side string literal mis-splits into fragments that fail
+  // expression parsing LOUDLY (never a silent wrong update)
   private val UpdateRe =
     ("""(?is)^\s*UPDATE\s+""" + T +
-      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+      """\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+""" + T +
       """\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[\w.`]+)""" +
@@ -207,6 +216,8 @@ object MaintenanceSql {
           keys.split(',').map(_.trim.toLong).toSeq))
       case DeleteWhereRe(target, predicate) => // quoted paths only
         Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
+      case DeleteAllRe(target) => // quoted paths only: every row
+        Some(DeleteSnapshotWhere(SnapTarget(target), "true"))
       // UPDATE/MERGE take owned identifiers too (ours() gate): our DSv2
       // catalog has no SupportsRowLevelOperations seat, so delegating
       // `UPDATE snap.t` to Spark would FAIL where the quoted-path form
@@ -214,7 +225,7 @@ object MaintenanceSql {
       // copy-on-write commit. Unowned identifiers delegate verbatim.
       case UpdateRe(target, sets, predicate) if ours(target) =>
         Some(UpdateSnapshotWhere(SnapTarget(target), sets.trim,
-          predicate.trim))
+          Option(predicate).map(_.trim).orNull)) // null = no WHERE
       case MergeRe(target, source, keys, _) if ours(target) =>
         Some(MergeSnapshot(SnapTarget(target), source.trim,
           keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -557,8 +568,10 @@ final case class UpdateSnapshotWhere(target: MaintenanceSql.SnapTarget,
     MaintenanceSql.requireTable(spark, path, "UPDATE")
     val assignments = splitAssignments(sets)
       .map { case (c, e) => c -> expr(e) }
-    val (v, n) = Snapshots.commitUpdateWhere(spark,
-      path, expr(predicate), assignments)
+    // no WHERE clause → every row (SQL semantics)
+    val pred = Option(predicate).map(_.trim).filter(_.nonEmpty)
+      .map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+    val (v, n) = Snapshots.commitUpdateWhere(spark, path, pred, assignments)
     Seq(Row(v, n))
   }
 }

@@ -604,6 +604,30 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .contains("no snapshot table"))
   }
 
+  test("UPDATE without WHERE touches every row; bare DELETE empties but keeps the schema") {
+    val t = Files.createTempDirectory("graft_snapsql_all").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "x"), t)
+    val ru = spark.sql(s"UPDATE '$t' SET x = x * 10").head
+    assert(ru.getLong(0) == 2L && ru.getLong(1) == 3L)
+    assert(Snapshots.read(spark, t).select("x").collect()
+      .map(_.getDouble(0)).toSet == Set(10.0, 20.0, 30.0))
+    val rd = spark.sql(s"DELETE FROM '$t'").head
+    assert(rd.getLong(0) == 3L && rd.getLong(1) == 3L)
+    val head = Snapshots.read(spark, t)
+    assert(head.count() == 0 &&
+      head.columns.toSeq == Seq("id", "x"),
+      "bare DELETE empties the table but the declared schema survives")
+    // the timeline continues: an append after the full delete is normal
+    Snapshots.commitAppend(spark, Seq((9L, 9.0)).toDF("id", "x"), t)
+    assert(Snapshots.read(spark, t).count() == 1)
+    // identifier bare-DELETE keeps delegating to Spark's DSv2 machinery
+    spark.range(3).createOrReplaceTempView("graft_all_plain")
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_all_plain").collect()
+    }
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
