@@ -812,20 +812,24 @@ object Snapshots {
       // swallow the new rows) or land a violating batch under a manifest
       // that claims the constraint holds. A refusal reclaims the staged
       // files (they are unreferenced — no manifest names them).
-      try {
-        if (!replace && (tombstonesOf(lines) != tombstonesOf(validated) ||
-            tombstoneColOf(lines) != tombstoneColOf(validated)))
-          refuseTombstonedKeys(spark, table, lines, batch)
-        if (checksOf(lines) != checksOf(validated))
-          enforceChecks(batch, checksOf(lines), table,
-            if (replace) None else schemaOf(lines))
-      } catch { case e: Throwable => dropStaged(); throw e }
+      // the schema re-evolution below is ALSO a guarded re-validation: a
+      // widen/evolution landing while we staged can make this batch's
+      // types illegal against the new head — the refusal must reclaim
+      // the staged files like the tombstone/constraint refusals do
+      val schema =
+        try {
+          if (!replace && (tombstonesOf(lines) != tombstonesOf(validated) ||
+              tombstoneColOf(lines) != tombstoneColOf(validated)))
+            refuseTombstonedKeys(spark, table, lines, batch)
+          if (checksOf(lines) != checksOf(validated))
+            enforceChecks(batch, checksOf(lines), table,
+              if (replace) None else schemaOf(lines))
+          // overwrite resets the schema to the batch's; append
+          // union-evolves; stream watermarks survive either way
+          evolveSchema(if (replace) None else schemaOf(lines), batch.schema)
+        } catch { case e: Throwable => dropStaged(); throw e }
       validated = lines
       val base = if (replace) Nil else filesOf(lines)
-      // overwrite resets the schema to the batch's; append union-evolves;
-      // stream watermarks survive either way (dedup state, not data)
-      val schema = evolveSchema(
-        if (replace) None else schemaOf(lines), batch.schema)
       // overwrite REPLACES the data state, pending tombstones included;
       // append carries them (the refusal above keeps reads correct)
       if (claimManifest(spark, table, head + 1,
@@ -2048,18 +2052,21 @@ object Snapshots {
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val lines = manifestLines(spark, table, head)
-      // TOCTOU guard (see commit): re-validate against tombstones or
-      // constraints that landed after the pre-staging checks ran
-      try {
-        if (tombstonesOf(lines) != tombstonesOf(validated) ||
-            tombstoneColOf(lines) != tombstoneColOf(validated))
-          refuseTombstonedKeys(spark, table, lines, batch)
-        if (checksOf(lines) != checksOf(validated))
-          enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
-      } catch { case e: Throwable =>
-        newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
-        throw e
-      }
+      // TOCTOU guard (see commit): re-validate against tombstones,
+      // constraints, or a schema evolution that landed after the
+      // pre-staging checks ran — any refusal reclaims the staged files
+      val evolved =
+        try {
+          if (tombstonesOf(lines) != tombstonesOf(validated) ||
+              tombstoneColOf(lines) != tombstoneColOf(validated))
+            refuseTombstonedKeys(spark, table, lines, batch)
+          if (checksOf(lines) != checksOf(validated))
+            enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          evolveSchema(schemaOf(lines), batch.schema)
+        } catch { case e: Throwable =>
+          newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+          throw e
+        }
       validated = lines
       val marks = marksOf(lines)
       // head-mark fast path; the lastCommittedBatch fallback covers
@@ -2073,7 +2080,7 @@ object Snapshots {
         return (head, false)
       }
       val content = contentOf(
-        Some(evolveSchema(schemaOf(lines), batch.schema)),
+        Some(evolved),
         marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
         "streamAppend", checksOf(lines),
         tombstonesOf(lines), tombstoneColOf(lines))

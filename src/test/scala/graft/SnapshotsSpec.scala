@@ -790,6 +790,59 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(state.filter("id < 15").count() == 0)
   }
 
+  test("a widening landing between staging and claim refuses the stale-typed batch, reclaiming files") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1, "a")).toDF("id", "v")
+        .selectExpr("CAST(id AS INT) AS id", "v"), t)
+    def dataFiles(): Int = {
+      val dd = new org.apache.hadoop.fs.Path(t, "data")
+      val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(dd).count(_.isFile)
+    }
+    try {
+      // an ALTER COLUMN ... TYPE BIGINT lands AFTER the int batch's
+      // pre-staging validation read the (still-int) head: the claim
+      // loop must re-evolve against the widened head, refuse the now-
+      // narrowing batch, and reclaim its staged files
+      val before = dataFiles()
+      Snapshots.raceHookForTests = () => {
+        Snapshots.commitWidenColumn(spark, t, "id",
+          org.apache.spark.sql.types.LongType)
+        Snapshots.raceHookForTests = () => ()
+      }
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commitAppend(spark,
+          Seq((2, "b")).toDF("id", "v")
+            .selectExpr("CAST(id AS INT) AS id", "v"), t)
+      }
+      assert(e.getMessage.contains("widening"))
+      assert(dataFiles() == before,
+        "a schema-refused claim must reclaim its staged files")
+      // the stream ingest path carries the same guard
+      Snapshots.raceHookForTests = () => ()
+      val t2 = freshTable()
+      Snapshots.commitAppend(spark,
+        Seq((1, "a")).toDF("id", "v")
+          .selectExpr("CAST(id AS INT) AS id", "v"), t2)
+      Snapshots.raceHookForTests = () => {
+        Snapshots.commitWidenColumn(spark, t2, "id",
+          org.apache.spark.sql.types.LongType)
+        Snapshots.raceHookForTests = () => ()
+      }
+      val e2 = intercept[IllegalArgumentException] {
+        Snapshots.commitStreamAppend(spark,
+          Seq((2, "b")).toDF("id", "v")
+            .selectExpr("CAST(id AS INT) AS id", "v"), t2, "widen_s", 0L)
+      }
+      assert(e2.getMessage.contains("widening"))
+      // the widened head itself is intact and wide-typed appends land
+      Snapshots.commitAppend(spark,
+        Seq((3L, "c")).toDF("id", "v"), t2)
+      assert(Snapshots.read(spark, t2).count() == 2)
+    } finally Snapshots.raceHookForTests = () => ()
+  }
+
   test("commitUpdateWhere reads the affected slice ONCE (single materialization)") {
     val marker = s"graft_upd1p_${java.util.UUID.randomUUID.toString.take(8)}"
     val t = java.nio.file.Files.createTempDirectory(marker).toString + "/t"
