@@ -803,6 +803,51 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
 
+  /** The DESCRIBE DETAIL audit surface (plans/MaintenanceSql
+    * DescribeSnapshotDetail): a table with a known lifecycle — 4-file
+    * append, CHECK constraint, lazy delete — reports its head metadata
+    * in ONE metadata-only row, and every reported value is a protocol
+    * constant gradeable against the DuckDB oracle: the version, the
+    * LIVE file count (still 4 — the lazy delete moved zero data files),
+    * the constraint and pending-tombstone counts, plus liveness flags
+    * for the byte census, the declared-schema DDL, and the durable
+    * commit instant.
+    */
+  val snapDetail = QueryDef(
+    "snap_detail",
+    Some("""SELECT 'constraints' AS check_name, CAST(1 AS BIGINT) AS value
+           |UNION ALL SELECT 'instant_set', 1
+           |UNION ALL SELECT 'num_files', 4
+           |UNION ALL SELECT 'pending_tombstones', 1
+           |UNION ALL SELECT 'schema_has_price', 1
+           |UNION ALL SELECT 'size_positive', 1
+           |UNION ALL SELECT 'version', 3""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint(true)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_det").toString + "/t"
+      Snapshots.commitAppend(spark, orders.repartition(4), table) // v1
+      Snapshots.addCheckConstraint(spark, table, "price_pos",
+        "o_totalprice > 0") // v2: metadata-only
+      val doomed = orders.orderBy("o_orderkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDeleteLazy(spark, table, doomed, "o_orderkey") // v3
+      val d = spark.sql(s"DESC DETAIL '$table'").head
+      Seq(
+        ("constraints", d.getInt(5).toLong),
+        ("instant_set", if (d.getTimestamp(7) != null) 1L else 0L),
+        ("num_files", d.getInt(2).toLong),
+        ("pending_tombstones", d.getInt(6).toLong),
+        ("schema_has_price",
+          if (d.getString(4).contains("o_totalprice")) 1L else 0L),
+        ("size_positive", if (d.getLong(3) > 0L) 1L else 0L),
+        ("version", d.getLong(1))
+      ).toDF("check_name", "value")
+    })
+
   /** Admission-controlled BACKLOG DRAIN (sources/SnapshotStreamSource
     * `maxVersionsPerBatch`): a 7-commit table replays from version 0
     * through a live stream capped at 2 commit steps per micro-batch —
@@ -899,5 +944,5 @@ object SnapshotQ {
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
-      snapStreamSink, snapStreamBacklog)
+      snapStreamSink, snapStreamBacklog, snapDetail)
 }
