@@ -393,6 +393,25 @@ object ExplainCheck {
     // (no Exchange) so the pass pipelines into the scan at 100 TB
     check("tx_pii_redact", "map-only redaction, no Exchange")(
       !_.contains("Exchange"))
+    // shallow clone: foreign-URI file references must not cost pushdown —
+    // the scan over a clone is the same explicit-file-list parquet scan
+    // as the source's own read, PushedFilters intact and map-only
+    locally {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_clone").toString
+      val src = root + "/src"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        (1L to 100L).map(i => (i, i * 2L)).toDF("id", "x"), src)
+      graft.warehouse.Snapshots.cloneTable(spark, src, root + "/fork")
+      val plan = graft.warehouse.Snapshots.read(spark, root + "/fork")
+        .filter($"id" > 50L).select("x")
+        .queryExecution.executedPlan.toString
+      val pass = plan.contains("GreaterThan(id,50)") &&
+        plan.contains("FileScan parquet") && !plan.contains("Exchange")
+      if (!pass) { bad += 1; println(plan.take(2500)) }
+      println(f"snap_clone_scan          ${if (pass) "PLAN_OK " else "PLAN_BAD"} pushdown through foreign refs, map-only")
+    }
     // salted-join drive: skewed key split across salt reducers, results exact
     locally {
       import spark.implicits._

@@ -162,6 +162,17 @@ object MaintenanceSql {
       """\s+ON\s*\(\s*([^)]+?)\s*\)""" +
       """(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$""").r
+  // zero-copy table fork: both names quoted paths or owned identifiers
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  // idempotent bulk file load from a landing dir (source always a path)
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + T + """\s+FROM\s+('[^']+')""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+FORCE)?\s*;?\s*$""").r
+  // in-place zero-copy import of an existing parquet dir (always a path)
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+SNAPSHOT\s+('[^']+')\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance statements AND
     * the target is ours; None → caller delegates to the normal parser.
@@ -230,6 +241,17 @@ object MaintenanceSql {
         Some(MergeSnapshot(SnapTarget(target), source.trim,
           keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq))
+      // both names must be ours: a foreign-catalog identifier on either
+      // side delegates verbatim (Spark may grow its own CLONE someday)
+      case CloneRe(target, source, v) if ours(target) && ours(source) =>
+        Some(CloneSnapshot(SnapTarget(target), SnapTarget(source),
+          Option(v).map(_.toLong)))
+      case CopyIntoRe(target, srcDir, fmt, force) if ours(target) =>
+        Some(CopyIntoSnapshot(SnapTarget(target),
+          srcDir.stripPrefix("'").stripSuffix("'"),
+          Option(fmt).getOrElse("parquet"), force != null))
+      case ConvertRe(dir) =>
+        Some(ConvertSnapshot(dir.stripPrefix("'").stripSuffix("'")))
       case _ => None
     }
   }
@@ -609,6 +631,70 @@ final case class MergeSnapshot(target: MaintenanceSql.SnapTarget,
     val n = src.count()
     val v = Snapshots.commitMerge(spark, src, path, keys)
     Seq(Row(v, n))
+  }
+}
+
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` →
+  * Snapshots.cloneTable: ZERO-COPY table fork — the new table's v1
+  * manifest references the source version's data files by qualified URI
+  * (no bytes move at any table size); later DML diverges copy-on-write
+  * into the clone's own data dir. Returns (source version cloned, files
+  * referenced).
+  */
+final case class CloneSnapshot(target: MaintenanceSql.SnapTarget,
+    source: MaintenanceSql.SnapTarget,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("files_referenced", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = source.resolve(spark)
+    val dst = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, src, "SHALLOW CLONE")
+    val srcV = version.getOrElse(Snapshots.currentVersion(spark, src))
+    Snapshots.cloneTable(spark, src, dst, Some(srcV))
+    Seq(Row(srcV, Snapshots.filesAt(spark, dst, 1L).size))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = parquet|csv] [FORCE]` →
+  * Snapshots.commitCopyInto: idempotent bulk load — files already
+  * load-marked in the table's manifest are skipped, so re-running
+  * against an unchanged landing dir is a metadata-only no-op and new
+  * files load incrementally. The table must exist (CREATE TABLE / CTAS
+  * first — a typo'd path must never silently become a table). Returns
+  * (version, files_loaded, rows_loaded).
+  */
+final case class CopyIntoSnapshot(target: MaintenanceSql.SnapTarget,
+    srcDir: String, format: String, force: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", IntegerType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "COPY INTO")
+    val (v, files, rows) =
+      Snapshots.commitCopyInto(spark, path, srcDir, format, force)
+    Seq(Row(v, files, rows))
+  }
+}
+
+/** `CONVERT TO SNAPSHOT '<dir>'` → Snapshots.convertToSnapshot:
+  * in-place, zero-copy import — the parquet dir becomes a snapshot table
+  * whose v1 references its own files by qualified URI (O(files)
+  * driver-side metadata, no data moves at any size); the whole protocol
+  * surface applies from the next statement on. Returns
+  * (version, files_referenced).
+  */
+final case class ConvertSnapshot(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_referenced", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, files) = Snapshots.convertToSnapshot(spark, dir)
+    Seq(Row(v, files))
   }
 }
 

@@ -939,10 +939,143 @@ object SnapshotQ {
             .as("total_value"))
     })
 
+  /** SHALLOW CLONE (Snapshots.cloneTable + the `CREATE TABLE ... SHALLOW
+    * CLONE` statement): a ZERO-COPY table fork — the clone's v1 manifest
+    * references the source's files by qualified URI (asserted: the
+    * clone's data dir holds NOTHING right after the clone), then a
+    * predicate DELETE diverges the clone copy-on-write while the source
+    * head stays byte-identical. Emitted rows are both tables' heads,
+    * fully DuckDB-oracled from orders alone: a clone that copied wrong
+    * state, a divergence that leaked into the source, or a
+    * foreign-reference read that dropped/duplicated rows all land in the
+    * diff. At 100 TB the clone is O(manifest) metadata — the instant
+    * dev/experiment fork where CTAS would be an hours-long copy.
+    */
+  val snapClone = QueryDef(
+    "snap_clone",
+    Some("""SELECT o_orderkey, o_custkey, 'source' AS side FROM orders
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'clone' AS side FROM orders
+           |WHERE o_orderkey % 10 <> 3""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // two commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_clone").toString
+      val src = root + "/base"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), src)
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1), src)
+      val dst = root + "/fork"
+      val c = spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'").head
+      require(c.getLong(0) == 2L && c.getInt(1) > 0,
+        s"expected a non-empty clone of v2, got $c")
+      // zero-copy: the fork referenced files, it did not copy them
+      val ddst = new java.io.File(dst, "data")
+      require(!ddst.exists() || ddst.listFiles().forall(!_.isFile),
+        "shallow clone copied data files")
+      // diverge the clone copy-on-write; the source must not move
+      spark.sql(s"DELETE FROM '$dst' WHERE o_orderkey % 10 = 3").collect()
+      require(Snapshots.currentVersion(spark, src) == 2L,
+        "clone DML leaked a commit into the source")
+      Snapshots.read(spark, src).withColumn("side", lit("source"))
+        .unionByName(
+          Snapshots.read(spark, dst).withColumn("side", lit("clone")))
+        .select("o_orderkey", "o_custkey", "side")
+    })
+
+  /** COPY INTO (Snapshots.commitCopyInto + the `COPY INTO ... FROM`
+    * statement): idempotent bulk file loading — the first load ingests a
+    * landing dir, the REPLAYED load is a metadata no-op (0 files — a
+    * double-load would double the oracle diff), and a second landing dir
+    * loads incrementally. Load marks ride IN the claimed manifest
+    * (state+data in one atomic commit), so the head is DuckDB-oracled
+    * from orders alone. The decision cost is one driver-side listing per
+    * run — the cron-plus-landing-dir ingest loop at any scale.
+    */
+  val snapCopyInto = QueryDef(
+    "snap_copy_into",
+    Some("""SELECT o_orderkey, o_custkey FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // one commit + two landing writes consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_copy").toString
+      val table = root + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 3 === 0), table)
+      val land1 = root + "/landing1"
+      val land2 = root + "/landing2"
+      orders.filter(col("o_orderkey") % 3 === 1).write.parquet(land1)
+      orders.filter(col("o_orderkey") % 3 === 2).write.parquet(land2)
+      val r1 = spark.sql(
+        s"COPY INTO '$table' FROM '$land1' FILEFORMAT = PARQUET").head
+      require(r1.getInt(1) > 0 && r1.getLong(2) > 0,
+        s"first COPY INTO loaded nothing: $r1")
+      val r2 = spark.sql(s"COPY INTO '$table' FROM '$land1'").head
+      require(r2.getInt(1) == 0 && r2.getLong(2) == 0L,
+        s"replayed COPY INTO was not idempotent: $r2")
+      val r3 = spark.sql(s"COPY INTO '$table' FROM '$land2'").head
+      require(r3.getInt(1) > 0, s"incremental COPY INTO loaded nothing: $r3")
+      Snapshots.read(spark, table).select("o_orderkey", "o_custkey")
+    })
+
+  /** CONVERT TO SNAPSHOT (Snapshots.convertToSnapshot + the SQL verb):
+    * an existing plain-parquet directory becomes a snapshot table IN
+    * PLACE — v1 references the dir's own files by qualified URI (zero
+    * copies, asserted: no local data files after the convert), and the
+    * protocol surface applies immediately: an append commits v2, a
+    * predicate UPDATE diverges v3 copy-on-write, time travel still
+    * serves the pristine import. Emitted rows are the v1 pin plus the
+    * final head, fully DuckDB-oracled from orders alone. At 100 TB the
+    * conversion is one listing + one manifest write — the adoption path
+    * for a warehouse's existing parquet estate.
+    */
+  val snapConvert = QueryDef(
+    "snap_convert",
+    Some("""SELECT o_orderkey, o_custkey, 'imported_v1' AS part
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey,
+           |       CASE WHEN o_orderkey % 10 = 4 THEN CAST(-1 AS BIGINT)
+           |            ELSE o_custkey END AS o_custkey,
+           |       'head' AS part
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // a dir write + an append consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_conv").toString
+      val estate = root + "/estate"
+      orders.filter(col("o_orderkey") % 2 === 0).write.parquet(estate)
+      val r = spark.sql(s"CONVERT TO SNAPSHOT '$estate'").head
+      require(r.getLong(0) == 1L && r.getInt(1) > 0,
+        s"expected a non-empty v1 conversion, got $r")
+      val ddir = new java.io.File(estate, "data")
+      require(!ddir.exists() || ddir.listFiles().forall(!_.isFile),
+        "CONVERT copied data files")
+      // the full protocol applies from the next statement on
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1), estate)
+      spark.sql(
+        s"UPDATE '$estate' SET o_custkey = -1 WHERE o_orderkey % 10 = 4")
+        .collect()
+      Snapshots.read(spark, estate, Some(1L))
+        .withColumn("part", lit("imported_v1"))
+        .unionByName(Snapshots.read(spark, estate)
+          .withColumn("part", lit("head")))
+        .select("o_orderkey", "o_custkey", "part")
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
-      snapStreamSink, snapStreamBacklog, snapDetail)
+      snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
+      snapCopyInto, snapConvert)
 }

@@ -101,8 +101,11 @@ class SnapshotCatalog extends TableCatalog {
       s"$t@v$version has ${tombs.size} pending lazy-delete tombstone " +
         "file(s) — OPTIMIZE the table to materialize them, or read via " +
         "Snapshots.read / snapshot_at(...)")
+    // two-arg Path resolution: bare names land under data/, a shallow
+    // clone's foreign refs (qualified URIs) resolve as themselves
+    val dd = new Path(t, "data")
     val files = Snapshots.filesAt(spark, t, version)
-      .map(n => new Path(t, s"data/$n").toString)
+      .map(n => new Path(dd, n).toString)
     val schema = Snapshots.schemaAt(spark, t, version)
     if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
     val inner = ParquetTable(s"${name()}.${ident.name()}@v$version", spark,

@@ -1083,6 +1083,21 @@ object Snapshots {
     (canon.map(_._1), canon.toMap)
   }
 
+  /** Map probed physical URIs (`input_file_name()` output) back to the
+    * MANIFEST ENTRIES that reference them: bare names for the table's
+    * own files, qualified URIs for FOREIGN refs (shallow clones,
+    * in-place conversions). Collapsing to `getName` here would be a
+    * correctness bug, not a cosmetic one: a foreign entry never equals
+    * a bare name, so the copy-on-write carry logic would keep the
+    * affected file AND stage its rewrite — silent row duplication.
+    */
+  private def probedEntries(spark: SparkSession, table: String,
+      candidates: Seq[String], probedUris: Iterable[String]): Set[String] = {
+    val canonMap = canonCandidates(spark, table, candidates)._2
+    probedUris.map(u => canonMap.getOrElse(
+      graft.operators.Layout.canonFile(u), new Path(u).getName)).toSet
+  }
+
   /** The staged outcome of one file-granular copy-on-write pass (see
     * [[cowApply]]): the staged rewrite+insert files, the untouched files
     * carried by name, the tombstone state the claim should record, and
@@ -1194,8 +1209,8 @@ object Snapshots {
     lastCowProbePruned = Some(((candT ++ candR).distinct.size, files.size))
     val affected = (probeT.toSeq ++ probeR.toSeq)
       .reduceOption(_ unionByName _)
-      .map(_.distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSet)
+      .map(p => probedEntries(spark, table, files,
+        p.distinct().collect().map(_.getString(0))))
       .getOrElse(Set.empty[String])
     val carried = files.filterNot(affected)
     val merged =
@@ -1373,10 +1388,11 @@ object Snapshots {
       lastWherePruned = Some((cand.size, files.size))
       val affected =
         if (cand.isEmpty) Set.empty[String]
-        else readWithSchema(spark, table, cand, schema)
-          .filter(predicate)
-          .select(input_file_name().as("file")).distinct()
-          .collect().map(r => new Path(r.getString(0)).getName).toSet
+        else probedEntries(spark, table, files,
+          readWithSchema(spark, table, cand, schema)
+            .filter(predicate)
+            .select(input_file_name().as("file")).distinct()
+            .collect().map(_.getString(0)))
       if (affected.isEmpty) return (head, 0L)
       // ONE materialization of the affected slice: the updated-count,
       // the CHECK aggregation and the staged write below all consume it
@@ -1439,10 +1455,11 @@ object Snapshots {
       lastWherePruned = Some((cand.size, files.size))
       val affected =
         if (cand.isEmpty) Set.empty[String]
-        else readWithSchema(spark, table, cand, schema)
-          .filter(predicate)
-          .select(input_file_name().as("file")).distinct()
-          .collect().map(r => new Path(r.getString(0)).getName).toSet
+        else probedEntries(spark, table, files,
+          readWithSchema(spark, table, cand, schema)
+            .filter(predicate)
+            .select(input_file_name().as("file")).distinct()
+            .collect().map(_.getString(0)))
       if (affected.isEmpty) return (head, 0L)
       // rewrite from the APPLIED view: already-tombstoned rows in the
       // affected files neither count as freshly deleted nor re-land
@@ -2134,6 +2151,226 @@ object Snapshots {
     }
     throw new IllegalStateException(
       s"restore of $table to v$toVersion failed after $maxRetries attempts")
+  }
+
+  /** SHALLOW CLONE: create `dst` as a ZERO-COPY snapshot of `src` at
+    * `version` (default: head) — Delta's `CREATE TABLE ... SHALLOW
+    * CLONE` semantics. The clone's v1 manifest references the source's
+    * data files by FULLY-QUALIFIED URI; no data bytes move, so cloning
+    * a 100 TB table is O(manifest) metadata work — the instant
+    * dev/test/experiment fork a warehouse runs dozens of times a day
+    * where a deep copy would be an hours-long job.
+    *
+    * Foreign references live as first-class file entries (any entry
+    * containing `/` resolves as its own URI; bare names stay relative to
+    * the table's `data/` dir — Hadoop's `Path(parent, child)` resolution
+    * makes every existing read/probe/census site handle both forms).
+    * Divergence is natural copy-on-write: the clone's DML rewrites ONLY
+    * the foreign files physically holding touched keys into the clone's
+    * own `data/` dir (the [[cowApply]] carry logic treats foreign names
+    * like any other), appends land locally, and OPTIMIZE localizes
+    * everything it rewrites. The clone's VACUUM can never delete source
+    * bytes (it reconciles only its OWN `data/` listing), and a
+    * clone-of-a-clone carries grandparent references verbatim.
+    *
+    * Carried state: declared schema, CHECK constraints, stream marks
+    * (a stream switching its sink to the clone must not re-land batches
+    * the source already committed — same rationale as [[commitRestore]]),
+    * and pending lazy-delete tombstones — their tiny key-list sidecars
+    * are COPIED (not referenced) so the source's OPTIMIZE/VACUUM
+    * materializing its own tombstones can't strand the clone's
+    * merge-on-read anti-join. The documented shallow-clone hazard is the
+    * same as Delta's: a VACUUM on the SOURCE that expires the cloned
+    * version's files breaks the clone — deep-copy (CTAS) when the source
+    * retention isn't under your control.
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val srcV = version.getOrElse(currentVersion(spark, src))
+    require(srcV >= 1, s"cannot clone $src: no committed version")
+    require(hasVersion(spark, src, srcV),
+      s"version $srcV of $src is not retained (vacuumed)")
+    require(currentVersion(spark, dst) == 0,
+      s"clone target $dst already exists (head v${currentVersion(spark, dst)})")
+    require(new Path(src).toString != new Path(dst).toString,
+      s"clone target equals source: $src")
+    val lines = manifestLines(spark, src, srcV)
+    val f = fs(spark, dataDir(src))
+    val refs = filesOf(lines).map { n =>
+      if (n.contains("/")) n // already foreign: carry verbatim
+      else f.makeQualified(new Path(dataDir(src), n)).toString
+    }
+    val tombs = tombstonesOf(lines)
+    if (tombs.nonEmpty) {
+      val td = tombstoneDir(dst)
+      val fd = fs(spark, td)
+      fd.mkdirs(td)
+      tombs.foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(f, new Path(tombstoneDir(src), n),
+          fd, new Path(td, n), false, true,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    require(claimManifest(spark, dst, 1L,
+      contentOf(schemaOf(lines), marksOf(lines), refs, "clone",
+        checksOf(lines), tombs, tombstoneColOf(lines))),
+      s"clone target $dst already has a v1 manifest")
+    1L
+  }
+
+  /** IN-PLACE conversion of an existing parquet directory into a
+    * snapshot table — Delta's `CONVERT TO DELTA` verb, zero-copy: the
+    * claimed v1 manifest references the directory's own files by
+    * qualified URI (the same foreign-reference machinery as
+    * [[cloneTable]]), so converting a 100 TB landing area is O(files)
+    * driver-side metadata — one listing, one manifest write, no data
+    * reads beyond a footer sample for the declared schema.
+    *
+    * The table root IS the directory: manifests land in
+    * `<dir>/_manifests`, later appends/rewrites stage into
+    * `<dir>/data/`, and the protocol surface (time travel, DML,
+    * OPTIMIZE, streaming, catalog reads) applies from the first commit.
+    * The imported files stay under the CALLER's ownership: VACUUM
+    * reconciles only the table's own `data/` dir, so it never deletes
+    * them even after an OPTIMIZE stops referencing them — reclaiming
+    * the originals after a full rewrite is the operator's explicit
+    * decision, exactly like the shallow-clone contract. Refuses when
+    * the directory already has a manifest log (idempotence belongs to
+    * the caller: a re-run must not silently fork history). Returns
+    * (version 1, files referenced).
+    */
+  def convertToSnapshot(spark: SparkSession, dir: String): (Long, Int) = {
+    val d = new Path(dir)
+    val f = fs(spark, d)
+    require(f.exists(d), s"CONVERT TO SNAPSHOT: $dir does not exist")
+    require(currentVersion(spark, dir) == 0,
+      s"$dir is already a snapshot table " +
+        s"(head v${currentVersion(spark, dir)})")
+    val files = f.listStatus(d).filter(_.isFile)
+      .map(s => f.makeQualified(s.getPath).toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    require(files.nonEmpty, s"CONVERT TO SNAPSHOT: no .parquet files in $dir")
+    val schema = spark.read.parquet(dir).schema
+    require(claimManifest(spark, dir, 1L,
+      contentOf(Some(schema), Map.empty, files, "convert")),
+      s"$dir claimed a v1 manifest concurrently")
+    (1L, files.size)
+  }
+
+  /** Idempotent bulk file loading — `COPY INTO` (the Delta/Snowflake
+    * ingest verb): load every data file under `srcDir` that this table
+    * has NOT already loaded, as ONE commit. Idempotence state is a
+    * LOAD MARK per source file (`copy:<qualified-uri>` in the manifest's
+    * mark ledger, the same atomically-carried channel as stream
+    * watermarks — state and data commit in one claim, so a crashed or
+    * re-run COPY INTO never double-loads). Re-running against an
+    * unchanged directory is a metadata-only no-op; dropping new files in
+    * and re-running loads ONLY the new files — the poor-man's ingest
+    * loop (`cron` + object-store landing dir) a warehouse runs where a
+    * full streaming pipeline is overkill. `force=true` reloads every
+    * listed file regardless of marks (Delta's `FORCE = true`).
+    *
+    * The listing is one driver-side `listStatus` (O(landing-dir files),
+    * no data reads for the decision); loaded bytes are read through the
+    * normal staging path so schema evolution, CHECK constraints, and
+    * tombstone refusal apply exactly as for any append. Returns
+    * (committed version, files loaded, rows loaded) — version is the
+    * unchanged head when nothing was new.
+    */
+  def commitCopyInto(spark: SparkSession, table: String, srcDir: String,
+      format: String = "parquet", force: Boolean = false,
+      maxRetries: Int = 10): (Long, Int, Long) = {
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    require(fmt == "parquet" || fmt == "csv",
+      s"COPY INTO supports FILEFORMAT parquet|csv, got $format")
+    val sd = new Path(srcDir)
+    val sf = fs(spark, sd)
+    require(sf.exists(sd), s"COPY INTO source $srcDir does not exist")
+    val ext = "." + fmt
+    val listed = sf.listStatus(sd).filter(_.isFile)
+      .map(s => sf.makeQualified(s.getPath).toString)
+      .filter(_.endsWith(ext)).sorted.toSeq
+    def markOf(uri: String) = s"copy:$uri"
+    def pending(marks: Map[String, Long]): Seq[String] =
+      if (force) listed else listed.filterNot(u => marks.contains(markOf(u)))
+    val head0 = currentVersion(spark, table)
+    val lines0 = if (head0 == 0) Nil else manifestLines(spark, table, head0)
+    val todo0 = pending(marksOf(lines0))
+    if (todo0.isEmpty) return (head0, 0, 0L)
+    def readSrc(uris: Seq[String]): DataFrame = {
+      val base = fmt match {
+        case "parquet" => spark.read.parquet(uris: _*)
+        case _ => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(uris: _*)
+      }
+      // up-cast shared columns whose LANDED type is narrower than the
+      // declared one (CSV inference reads 20 as int into a long column;
+      // a narrow parquet drop is the same case) — the batch lands in the
+      // declared type, and every OTHER mismatch still refuses in the
+      // commit loop's evolveSchema (COPY INTO is an append, not a
+      // schema-change side door). New columns pass through and evolve.
+      schemaOf(lines0) match {
+        case Some(s) =>
+          base.select(base.columns.toIndexedSeq.map { c =>
+            s.fields.find(_.name == c) match {
+              case Some(fld) if base.schema(c).dataType != fld.dataType &&
+                  widens(base.schema(c).dataType, fld.dataType) =>
+                org.apache.spark.sql.functions.col(c)
+                  .cast(fld.dataType).as(c)
+              case _ => org.apache.spark.sql.functions.col(c)
+            }
+          }: _*)
+        case _ => base
+      }
+    }
+    var validated = lines0
+    val batch = readSrc(todo0)
+    evolveSchema(schemaOf(validated), batch.schema)
+    refuseTombstonedKeys(spark, table, validated, batch)
+    enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
+    val rows = batch.count()
+    val newFiles = stageData(spark, batch, table)
+    raceHookForTests()
+    val f = fs(spark, dataDir(table))
+    def dropStaged(): Unit =
+      newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
+      val marks = marksOf(lines)
+      // a racing COPY INTO of the same landing dir won while we staged:
+      // if it loaded ANY of our files, re-landing this batch would
+      // double-load those — drop the staged files and let the caller
+      // re-run (the next run loads only what is still unmarked)
+      if (!force && pending(marks) != todo0) {
+        dropStaged()
+        require(pending(marks).isEmpty,
+          s"COPY INTO $table raced a concurrent load of $srcDir — " +
+            "re-run to load the remaining files")
+        return (head, 0, 0L)
+      }
+      val evolved =
+        try {
+          if (tombstonesOf(lines) != tombstonesOf(validated) ||
+              tombstoneColOf(lines) != tombstoneColOf(validated))
+            refuseTombstonedKeys(spark, table, lines, batch)
+          if (checksOf(lines) != checksOf(validated))
+            enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          evolveSchema(schemaOf(lines), batch.schema)
+        } catch { case e: Throwable => dropStaged(); throw e }
+      validated = lines
+      val loadMarks = todo0.map(u => markOf(u) ->
+        sf.getFileStatus(new Path(u)).getLen).toMap
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(evolved), marks ++ loadMarks,
+            filesOf(lines) ++ newFiles, "copyInto", checksOf(lines),
+            tombstonesOf(lines), tombstoneColOf(lines))))
+        return (head + 1, todo0.size, rows)
+      attempt += 1 // lost to an unrelated writer: re-read head and retry
+    }
+    throw new IllegalStateException(
+      s"COPY INTO $table from $srcDir failed after $maxRetries attempts")
   }
 
   /** EXACTLY-ONCE replica maintenance: catch snapshot table `dst` up to
