@@ -1262,7 +1262,96 @@ object Text {
             .cast("long").as("len_delta"): _*)
     })
 
-  val all: Seq[QueryDef] = Seq(txTextrankKeywords,
+  /** BPE tokenizer training, iteration-0 census (operators/Bpe.scala):
+    * the weighted adjacent-symbol pair counts over the distinct-word
+    * histogram — exactly the statistic the first merge argmax reads,
+    * fully DuckDB-oracled (the `_` end-of-word marker is a plain char,
+    * so marker pairs stay SQL-expressible via substr over word||'_').
+    * The histogram aggregation is the ONLY O(corpus) pass of BPE
+    * training; everything downstream is O(histogram) — see Bpe.scala's
+    * 100 TB notes. Top-20 deterministic under the trainer's own
+    * tie-break (weight desc, pair asc).
+    */
+  val txBpePairs = QueryDef(
+    "tx_bpe_pairs",
+    Some("""WITH hist AS (
+           |  SELECT word, count(*) AS cnt
+           |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           |        FROM documents)
+           |  GROUP BY 1
+           |),
+           |pairs AS (
+           |  SELECT substr(h.word || '_', i.i, 2) AS pair, h.cnt
+           |  FROM hist h,
+           |       LATERAL (SELECT unnest(range(1, length(h.word) + 1)) AS i) i
+           |)
+           |SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
+           |FROM pairs GROUP BY 1
+           |ORDER BY weight DESC, pair ASC LIMIT 20""".stripMargin),
+    (spark, dir) =>
+      graft.operators.Bpe
+        .wordHistogram(Tables.documents(spark, dir), "text")
+        .withColumn("wm", concat(col("word"), lit("_")))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(word)), " +
+            "i -> substring(wm, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("weight"))
+        .orderBy(desc("weight"), asc("pair")).limit(20))
+
+  /** BPE tokenizer training, full-loop accuracy gate (Verify enforces
+    * the `pass` column): learns 12 merges on the fixture corpus and
+    * asserts the trainer's published invariants — argmax weights
+    * non-increasing across merges (merging the max pair can only create
+    * pairs of at-most-that weight), every merge's parts decompose into
+    * base symbols or EARLIER merges (vocabulary closure — a rank
+    * referencing a later merge could never be applied at encode time),
+    * greedy encode round-trips the top-100 words exactly
+    * (concat(tokens) == word + marker), and encoding compresses
+    * (strictly fewer tokens than characters on the frequent words —
+    * the entire point of a subword vocabulary).
+    */
+  val qcBpeTokenizer = QueryDef(
+    "qc_bpe_tokenizer",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val hist = graft.operators.Bpe
+        .wordHistogram(Tables.documents(spark, dir), "text")
+        .localCheckpoint(true) // the merge loop + invariants reuse it
+      val merges = graft.operators.Bpe.learnMerges(hist, numMerges = 12)
+      val rank = merges.zipWithIndex
+        .map { case ((a, b, _), i) => (a, b) -> i }.toMap
+      val weights = merges.map(_._3)
+      val nonIncreasing = weights.zip(weights.drop(1)).forall {
+        case (x, y) => x >= y
+      }
+      val closure = merges.zipWithIndex.forall { case ((a, b, _), i) =>
+        val earlier = merges.take(i).map(m => m._1 + m._2).toSet
+        def known(s: String) = s.length == 1 || earlier.contains(s)
+        known(a) && known(b)
+      }
+      val top = hist.orderBy(desc("cnt"), asc("word")).limit(100)
+        .collect().map(_.getString(0))
+      val encoded = top.map(w => graft.operators.Bpe.encodeWord(w, rank))
+      val roundtrip = top.zip(encoded).forall {
+        case (w, toks) => toks.mkString("") == w + "_"
+      }
+      val tokens = encoded.map(_.size).sum.toDouble
+      val chars = top.map(_.length + 1).sum.toDouble
+      Seq(
+        ("merges_learned", merges.size.toDouble, merges.nonEmpty),
+        ("weights_non_increasing",
+          weights.lastOption.getOrElse(0L).toDouble, nonIncreasing),
+        ("parts_closure", merges.size.toDouble, closure),
+        ("roundtrip_top100", top.length.toDouble, roundtrip),
+        ("compression_top100",
+          BigDecimal(tokens / chars).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          tokens < chars)
+      ).toDF("check", "observed", "pass")
+    })
+
+  val all: Seq[QueryDef] = Seq(txTextrankKeywords, txBpePairs, qcBpeTokenizer,
     txPiiScan, txPiiRedact,
     txZipfSlope, txBurstiness, txStopwordAdaptive,
     txTokenStats, txQualityScore, txLangId, txFingerprint, txLangIdEval,
