@@ -120,6 +120,9 @@ object MaintenanceSql {
   private val AlterColTypeRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+ALTER\s+COLUMN\s+(`?\w+`?)\s+TYPE\s+([\w(),.\s]+?)\s*;?\s*$""").r
+  private val DropColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+COLUMN\s+(`?\w+`?)\s*;?\s*$""").r
   // QUOTED PATHS ONLY: Spark has its own DSv2 `DELETE FROM <ident>` —
   // an identifier target must keep delegating to it, so only the form
   // vanilla SQL cannot express (a filesystem path) is intercepted
@@ -222,6 +225,9 @@ object MaintenanceSql {
       case AlterColTypeRe(target, col, typ) if ours(target) =>
         Some(WidenSnapshotColumn(SnapTarget(target),
           col.stripPrefix("`").stripSuffix("`"), typ.trim))
+      case DropColumnRe(target, col) if ours(target) =>
+        Some(DropSnapshotColumn(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`")))
       case DeleteKeysRe(target, keyCol, keys) => // quoted paths only
         Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
           keys.split(',').map(_.trim.toLong).toSeq))
@@ -491,6 +497,28 @@ final case class WidenSnapshotColumn(target: MaintenanceSql.SnapTarget,
     val v = graft.warehouse.Snapshots.commitWidenColumn(spark, path,
       column, to)
     Seq(Row(v, column, to.simpleString))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` → Snapshots.commitDropColumn:
+  * metadata-only — the new manifest re-references the same files under
+  * the declared schema minus the column (zero data moves at any size);
+  * the NAME enters the carried `#dropped:` ledger and stays refused for
+  * re-adding until a full-rewrite OPTIMIZE physically purges the old
+  * values (name-based parquet resolution would otherwise resurrect
+  * them). Refuses the last column, the pending-tombstone key, and any
+  * CHECK-mentioned column.
+  */
+final case class DropSnapshotColumn(target: MaintenanceSql.SnapTarget,
+    column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dropped_column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER TABLE DROP COLUMN")
+    Seq(Row(graft.warehouse.Snapshots.commitDropColumn(spark, path, column),
+      column))
   }
 }
 

@@ -1071,11 +1071,62 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "part")
     })
 
+  /** DROP COLUMN lifecycle (Snapshots.commitDropColumn + the SQL verb):
+    * a metadata-only drop (v2 re-references v1's files — zero moves),
+    * a post-drop append in the narrowed schema, a full-rewrite OPTIMIZE
+    * that physically purges the dropped values, then a LEGAL re-add of
+    * the name — which must read back ALL NULL, never the pre-drop
+    * values name-based parquet resolution would otherwise resurrect
+    * (the hazard the `#dropped:` ledger exists to refuse; the refusal
+    * path itself is spec-gated in SnapshotsSpec/SnapshotSqlSpec). The
+    * v1 pin keeps the dropped column visible with its original values.
+    * Fully DuckDB-oracled from orders alone.
+    */
+  val snapDropColumn = QueryDef(
+    "snap_drop_column",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(o_totalprice, 4) AS o_totalprice,
+           |       'pre_drop' AS part
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+           |       'head' AS part
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .localCheckpoint(true) // two commits consume it
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_dropcol").toString + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), table)
+      val r = spark.sql(s"ALTER TABLE '$table' DROP COLUMN o_totalprice").head
+      require(r.getLong(0) == 2L, s"expected a v2 metadata drop, got $r")
+      // the narrowed schema keeps ingesting; the dropped values are
+      // physically purged by the full rewrite, unlocking the name
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey"), table)
+      // full rewrite regardless of file count (the SQL OPTIMIZE floor
+      // would refuse a small fixture as write amplification)
+      require(Snapshots.compactData(spark, table,
+        targetFiles = 2, minFiles = 1).nonEmpty, "full rewrite refused")
+      spark.sql(s"ALTER TABLE '$table' ADD COLUMNS (o_totalprice DOUBLE)")
+        .collect()
+      Snapshots.read(spark, table, Some(1L))
+        .withColumn("part", lit("pre_drop"))
+        .unionByName(Snapshots.read(spark, table)
+          .withColumn("part", lit("head")))
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "part")
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
-      snapCopyInto, snapConvert)
+      snapCopyInto, snapConvert, snapDropColumn)
 }

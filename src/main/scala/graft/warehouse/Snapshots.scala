@@ -195,6 +195,9 @@ object Snapshots {
   private def tsOf(lines: Seq[String]): Option[Long] =
     lines.find(_.startsWith(TsHeader))
       .map(_.stripPrefix(TsHeader).toLong)
+  private def droppedOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(DroppedHeader))
+      .map(_.stripPrefix(DroppedHeader))
 
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
@@ -213,6 +216,7 @@ object Snapshots {
   private val CheckHeader = "#check:"
   private val TombstoneHeader = "#tombstone:"
   private val TombstoneColHeader = "#tombstonecol:"
+  private val DroppedHeader = "#dropped:"
   // delta-encoding headers (see claimManifest / manifestLines)
   private val BaseHeader = "#base:"
   private val AddHeader = "#add:"
@@ -315,7 +319,8 @@ object Snapshots {
       marks: Map[String, Long], files: Seq[String],
       op: String, checks: Map[String, String] = Map.empty,
       tombstones: Seq[String] = Nil,
-      tombstoneCol: Option[String] = None): String =
+      tombstoneCol: Option[String] = None,
+      dropped: Seq[String] = Nil): String =
     // the commit instant rides IN the manifest (`#ts:`): file mtimes are
     // not durable across a table copy, an object-store migration, or
     // writer clock skew — the header is what history() and TIMESTAMP AS
@@ -329,6 +334,12 @@ object Snapshots {
       (if (tombstones.isEmpty) Nil
        else tombstoneCol.map(TombstoneColHeader + _).toSeq ++
          tombstones.sorted.map(TombstoneHeader + _)) ++
+      // DROP COLUMN ledger: names whose data still physically exists in
+      // carried files — re-adding one would RESURRECT pre-drop values
+      // through parquet's name-based resolution, so the names stay
+      // refused until a full rewrite physically purges them (the only
+      // commit that clears this list)
+      dropped.sorted.map(DroppedHeader + _) ++
       files).mkString("\n")
 
   /** Read `names` under the version's declared schema when one exists. */
@@ -417,6 +428,13 @@ object Snapshots {
         .getOrElse(read(spark, table, Some(head)).schema)
       fields.foreach(f => require(!prior.fieldNames.contains(f.name),
         s"column ${f.name} already exists on $table"))
+      // a DROPPED name is not reusable while carried files still hold
+      // its pre-drop values (name-based parquet resolution would
+      // resurrect them); OPTIMIZE's full rewrite clears the ledger
+      fields.foreach(f => require(!droppedOf(lines).contains(f.name),
+        s"column ${f.name} was DROPPED from $table and its data still " +
+          "exists in carried files — OPTIMIZE (full rewrite) before " +
+          "reusing the name"))
       // forced nullable: landed rows HAVE no value for the new column,
       // so a non-null declaration would lie to every reader
       val schema = types.StructType(prior.fields ++
@@ -424,7 +442,7 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), filesOf(lines),
             "addColumn", checksOf(lines), tombstonesOf(lines),
-            tombstoneColOf(lines))))
+            tombstoneColOf(lines), droppedOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -461,12 +479,85 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), filesOf(lines),
             "widenColumn", checksOf(lines), tombstonesOf(lines),
-            tombstoneColOf(lines))))
+            tombstoneColOf(lines), droppedOf(lines))))
         return head + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"widenColumn on $table failed after $maxRetries attempts")
+  }
+
+  /** DROP a column as a METADATA-ONLY commit (op `dropColumn`): the new
+    * manifest re-references the same files under the declared schema
+    * MINUS the column — zero data moves at any table size, readers stop
+    * projecting it immediately (explicit-schema parquet reads ignore
+    * extra physical columns), and time travel keeps the column visible
+    * in pre-drop versions.
+    *
+    * The dropped NAME enters the manifest's `#dropped:` ledger, carried
+    * forward by every commit that still references pre-drop files:
+    * re-adding the name (ADD COLUMNS, or an append/merge whose batch
+    * carries it) is REFUSED until a full-rewrite OPTIMIZE physically
+    * purges the old values — Delta needs column-mapping mode for DROP
+    * COLUMN precisely because name-based resolution would otherwise
+    * resurrect them; the ledger is this protocol's name-based answer.
+    * Refuses to drop the last column, the pending-tombstone key column
+    * (the read-side anti-join would lose its key), or a column a CHECK
+    * constraint mentions (DROP CONSTRAINT first).
+    */
+  def commitDropColumn(spark: SparkSession, table: String, column: String,
+      maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table to drop a column from")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      require(prior.fieldNames.contains(column),
+        s"no column $column on $table")
+      require(prior.fields.length > 1,
+        s"cannot drop the last column of $table")
+      require(!(tombstonesOf(lines).nonEmpty &&
+          tombstoneColOf(lines).contains(column)),
+        s"column $column keys ${tombstonesOf(lines).size} pending " +
+          s"lazy-delete tombstone file(s) on $table — OPTIMIZE to " +
+          "materialize them first")
+      val mention = ("(?i)\\b" +
+        java.util.regex.Pattern.quote(column) + "\\b").r
+      checksOf(lines).foreach { case (n, ex) =>
+        require(mention.findFirstIn(ex).isEmpty,
+          s"constraint $n CHECK ($ex) mentions column $column — " +
+            "DROP CONSTRAINT first")
+      }
+      val schema = types.StructType(prior.fields.filterNot(_.name == column))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "dropColumn", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines),
+            (droppedOf(lines) :+ column).distinct)))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropColumn on $table failed after $maxRetries attempts")
+  }
+
+  /** Refuse a batch that re-introduces a DROPPED column name: its
+    * pre-drop values still physically exist in the version's carried
+    * files, and the union-evolve would re-expose them (see
+    * [[commitDropColumn]]).
+    */
+  private def refuseDroppedColumns(batch: DataFrame, table: String,
+      lines: Seq[String]): Unit = {
+    val dropped = droppedOf(lines).toSet
+    if (dropped.nonEmpty) {
+      val hit = batch.schema.fieldNames.filter(dropped)
+      require(hit.isEmpty,
+        s"column(s) ${hit.mkString(", ")} were DROPPED from $table and " +
+          "their pre-drop data still exists in carried files — OPTIMIZE " +
+          "(full rewrite) before reusing the name(s)")
+    }
   }
 
   /** Declare a CHECK constraint as a new commit (op `addConstraint`,
@@ -488,9 +579,12 @@ object Snapshots {
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
       val lines = manifestLines(spark, table, head)
+      // tombstones CARRY: a metadata commit that dropped the headers
+      // would resurrect every lazily-deleted row
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
-            "addConstraint", checksOf(lines) + (name -> sqlExpr))))
+            "addConstraint", checksOf(lines) + (name -> sqlExpr),
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -509,7 +603,8 @@ object Snapshots {
         s"no CHECK constraint named $name on $table")
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
-            "dropConstraint", checksOf(lines) - name)))
+            "dropConstraint", checksOf(lines) - name,
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -642,7 +737,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "deleteLazy", checksOf(lines),
-            tombstonesOf(lines) ++ newFiles, Some(keyCol))))
+            tombstonesOf(lines) ++ newFiles, Some(keyCol),
+            droppedOf(lines))))
         return (head + 1, n.toInt)
       attempt += 1
     }
@@ -786,6 +882,7 @@ object Snapshots {
     if (!replace) {
       evolveSchema(schemaOf(validated), batch.schema)
       refuseTombstonedKeys(spark, table, validated, batch)
+      refuseDroppedColumns(batch, table, validated)
     }
     // overwrite RESETS the declared schema, so the head schema must not
     // conform the batch here: a legitimate column-type-changing overwrite
@@ -824,6 +921,10 @@ object Snapshots {
           if (checksOf(lines) != checksOf(validated))
             enforceChecks(batch, checksOf(lines), table,
               if (replace) None else schemaOf(lines))
+          // an append re-introducing a DROPPED column name would expose
+          // pre-drop values from carried files; overwrite replaces every
+          // file, so the name becomes legitimately reusable
+          if (!replace) refuseDroppedColumns(batch, table, lines)
           // overwrite resets the schema to the batch's; append
           // union-evolves; stream watermarks survive either way
           evolveSchema(if (replace) None else schemaOf(lines), batch.schema)
@@ -831,12 +932,15 @@ object Snapshots {
       validated = lines
       val base = if (replace) Nil else filesOf(lines)
       // overwrite REPLACES the data state, pending tombstones included;
-      // append carries them (the refusal above keeps reads correct)
+      // append carries them (the refusal above keeps reads correct) —
+      // same split for the dropped-name ledger (no pre-drop file survives
+      // an overwrite)
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), base ++ newFiles,
             if (replace) "overwrite" else "append", checksOf(lines),
             if (replace) Nil else tombstonesOf(lines),
-            tombstoneColOf(lines)))) return head + 1
+            tombstoneColOf(lines),
+            if (replace) Nil else droppedOf(lines)))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -1284,13 +1388,15 @@ object Snapshots {
       }
       // evolve first, then conform BOTH sides: a merge may introduce a
       // new column (target rows null-pad) or omit one (batch null-pads)
+      // — but never a DROPPED name while pre-drop files are carried
+      refuseDroppedColumns(batch, table, lines)
       val schema = evolveSchema(schemaOf(lines), batch.schema)
       val cow = cowApply(spark, table, lines, schema,
         conform(batch, schema), keys, deleteCol = None)
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines),
             cow.carried ++ cow.newFiles, "merge", checksOf(lines),
-            cow.tombstones, cow.tombstoneCol)))
+            cow.tombstones, cow.tombstoneCol, droppedOf(lines))))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -1422,7 +1528,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(schema, marksOf(lines),
             files.filterNot(affected) ++ newFiles, "update",
-            checksOf(lines), tombstonesOf(lines), tombstoneColOf(lines))))
+            checksOf(lines), tombstonesOf(lines), tombstoneColOf(lines),
+            droppedOf(lines))))
         return (head + 1, updated)
       newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
       attempt += 1
@@ -1476,7 +1583,7 @@ object Snapshots {
       val newFiles = stageData(spark, kept, table)
       val manifest = contentOf(schema, marksOf(lines),
         files.filterNot(affected) ++ newFiles, "delete", checksOf(lines),
-        tombstonesOf(lines), tombstoneColOf(lines))
+        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -1546,6 +1653,9 @@ object Snapshots {
           graft.operators.Layout.zorderFrameN(current, zorderBy, nOut)
         else current.repartition(nOut)
       val newFiles = stageData(spark, rewritten, table)
+      // the full rewrite is the materialization point: no tombstones,
+      // and the dropped-name ledger CLEARS (every surviving file was
+      // re-staged under the declared schema — pre-drop values are gone)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize",
             checksOf(lines))))
@@ -1601,10 +1711,12 @@ object Snapshots {
         readWithSchema(spark, table, small, schemaOf(lines)))
         .repartition(nOut)
       val newFiles = stageData(spark, packed, table)
+      // PARTIAL pack: carried files may still hold pre-drop values, so
+      // the dropped-name ledger carries (unlike the full rewrite above)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), carried ++ newFiles,
             "optimize", checksOf(lines),
-            tombstonesOf(lines), tombstoneColOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
         return Some(head + 1)
       // lost the race — drop the orphans and recompute against the head
       newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
@@ -2061,6 +2173,7 @@ object Snapshots {
     var validated = manifestLines(spark, table, currentVersion(spark, table))
     evolveSchema(schemaOf(validated), batch.schema)
     refuseTombstonedKeys(spark, table, validated, batch)
+    refuseDroppedColumns(batch, table, validated)
     enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
     val newFiles = stageData(spark, batch, table)
     raceHookForTests()
@@ -2079,6 +2192,7 @@ object Snapshots {
             refuseTombstonedKeys(spark, table, lines, batch)
           if (checksOf(lines) != checksOf(validated))
             enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          refuseDroppedColumns(batch, table, lines)
           evolveSchema(schemaOf(lines), batch.schema)
         } catch { case e: Throwable =>
           newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
@@ -2100,7 +2214,7 @@ object Snapshots {
         Some(evolved),
         marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
         "streamAppend", checksOf(lines),
-        tombstonesOf(lines), tombstoneColOf(lines))
+        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
@@ -2142,10 +2256,14 @@ object Snapshots {
       // the target's tombstones are DATA state — restored with its files
       // (a rollback past a lazy delete resurrects; a rollback INTO a
       // pending-tombstone state keeps those rows logically deleted)
+      // the dropped-name ledger is DATA state like tombstones: restored
+      // with the target's files (a pre-drop target legitimately has the
+      // column back; a post-drop target keeps its names refused)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(target), marksOf(headLines), filesOf(target),
             "restore", checksOf(headLines),
-            tombstonesOf(target), tombstoneColOf(target))))
+            tombstonesOf(target), tombstoneColOf(target),
+            droppedOf(target))))
         return head + 1
       attempt += 1
     }
@@ -2213,7 +2331,7 @@ object Snapshots {
     }
     require(claimManifest(spark, dst, 1L,
       contentOf(schemaOf(lines), marksOf(lines), refs, "clone",
-        checksOf(lines), tombs, tombstoneColOf(lines))),
+        checksOf(lines), tombs, tombstoneColOf(lines), droppedOf(lines))),
       s"clone target $dst already has a v1 manifest")
     1L
   }
@@ -2327,6 +2445,7 @@ object Snapshots {
     val batch = readSrc(todo0)
     evolveSchema(schemaOf(validated), batch.schema)
     refuseTombstonedKeys(spark, table, validated, batch)
+    refuseDroppedColumns(batch, table, validated)
     enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
     val rows = batch.count()
     val newFiles = stageData(spark, batch, table)
@@ -2357,6 +2476,7 @@ object Snapshots {
             refuseTombstonedKeys(spark, table, lines, batch)
           if (checksOf(lines) != checksOf(validated))
             enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          refuseDroppedColumns(batch, table, lines)
           evolveSchema(schemaOf(lines), batch.schema)
         } catch { case e: Throwable => dropStaged(); throw e }
       validated = lines
@@ -2365,7 +2485,7 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(evolved), marks ++ loadMarks,
             filesOf(lines) ++ newFiles, "copyInto", checksOf(lines),
-            tombstonesOf(lines), tombstoneColOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
         return (head + 1, todo0.size, rows)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
     }
@@ -2460,7 +2580,7 @@ object Snapshots {
         if (claimManifest(spark, dst, head + 1,
             contentOf(Some(schema), marks + (sid -> srcHead),
               cow.carried ++ cow.newFiles, "replicaSync", checksOf(lines),
-              cow.tombstones, cow.tombstoneCol)))
+              cow.tombstones, cow.tombstoneCol, droppedOf(lines))))
           return (from, srcHead, mode)
         cow.newFiles.foreach(n =>
           f.delete(new Path(dataDir(dst), n), false))

@@ -628,6 +628,31 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE DROP COLUMN: SQL face, refusal surface, OPTIMIZE unlocks the name") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_sql_dropcol").toString + "/t"
+    // 16 files so the default OPTIMIZE floor (minFiles) actually rewrites
+    Snapshots.commitAppend(spark,
+      (1L to 64L).map(i => (i, i * 2L, s"v$i")).toDF("id", "x", "v")
+        .repartition(16), t)
+    val r = spark.sql(s"ALTER TABLE '$t' DROP COLUMN x").head
+    assert(r.getLong(0) == 2L && r.getString(1) == "x")
+    assert(!Snapshots.read(spark, t).columns.contains("x"))
+    assert(spark.sql(s"SELECT * FROM snapshot_at('$t', 1)")
+      .columns.contains("x"))
+    // the poisoned name refuses through the SQL write face too
+    spark.range(1).selectExpr("99 AS id", "0 AS x", "'z' AS v")
+      .createOrReplaceTempView("graft_dropcol_src")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO '$t' USING graft_dropcol_src ON (id)").collect()
+    }
+    spark.sql(s"OPTIMIZE '$t' TARGET 1 FILES").collect()
+    spark.sql(s"ALTER TABLE '$t' ADD COLUMNS (x BIGINT)").collect()
+    assert(Snapshots.read(spark, t)
+      .filter(org.apache.spark.sql.functions.col("x").isNotNull)
+      .count() == 0L)
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs

@@ -882,4 +882,99 @@ class SnapshotsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
     assert(Snapshots.read(spark, t).filter("x = 2.0").count() == 200L)
   }
+
+  test("DROP COLUMN is metadata-only; the name is refused until a full rewrite purges it") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      (1L to 20L).map(i => (i, i * 2L, s"v$i")).toDF("id", "x", "v"), t)
+    val filesBefore = Snapshots.filesAt(spark, t, 1L)
+    val v2 = Snapshots.commitDropColumn(spark, t, "x")
+    assert(v2 == 2L)
+    // metadata-only: same files, column gone from reads, time travel keeps it
+    assert(Snapshots.filesAt(spark, t, 2L) == filesBefore)
+    assert(!Snapshots.read(spark, t).columns.contains("x"))
+    assert(Snapshots.read(spark, t, Some(1L)).columns.contains("x"))
+    assert(Snapshots.read(spark, t).count() == 20L)
+    // the NAME is poisoned while pre-drop files are carried: ADD COLUMNS,
+    // appends and merges carrying it would resurrect old values
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAddColumns(spark, t,
+        Seq(org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark,
+        Seq((21L, 42L, "w")).toDF("id", "x", "v"), t)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitMerge(spark,
+        Seq((1L, 0L, "m")).toDF("id", "x", "v"), t, Seq("id"))
+    }
+    // a column-free append carries the ledger forward
+    Snapshots.commitAppend(spark, Seq((21L, "w")).toDF("id", "v"), t)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark,
+        Seq((22L, 42L, "u")).toDF("id", "x", "v"), t)
+    }
+    // full-rewrite OPTIMIZE physically purges the old values and clears
+    // the ledger: the name becomes reusable and reads back NULL, never
+    // the pre-drop data
+    Snapshots.compactData(spark, t, targetFiles = 1, minFiles = 1)
+    Snapshots.commitAddColumns(spark, t,
+      Seq(org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    val back = Snapshots.read(spark, t)
+    assert(back.columns.contains("x"))
+    assert(back.filter(org.apache.spark.sql.functions.col("x").isNotNull)
+      .count() == 0L, "re-added column resurrected pre-drop values")
+  }
+
+  test("DROP COLUMN refusals: last column, pending-tombstone key, CHECK-mentioned") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"), t)
+    Snapshots.addCheckConstraint(spark, t, "pos", "x > 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, t, "x") // CHECK pos mentions it
+    }
+    Snapshots.dropCheckConstraint(spark, t, "pos")
+    Snapshots.commitDeleteLazy(spark, t, Seq(3L), "id")
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, t, "id") // pending tombstone key
+    }
+    Snapshots.commitDropColumn(spark, t, "x") // fine now
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, t, "id") // last column
+    }
+  }
+
+  test("RESTORE across a drop: pre-drop state returns the column AND clears the ledger") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "x"), t)
+    Snapshots.commitDropColumn(spark, t, "x")
+    Snapshots.commitRestore(spark, t, 1L)
+    val df = Snapshots.read(spark, t)
+    assert(df.columns.contains("x") && df.count() == 10L)
+    // the restored state's files legitimately HOLD x — appends with it
+    // are legal again (the ledger is data state, restored with the files)
+    Snapshots.commitAppend(spark, Seq((11L, 22L)).toDF("id", "x"), t)
+    assert(Snapshots.read(spark, t).count() == 11L)
+  }
+
+  test("constraint DDL carries pending tombstones: no resurrection through ADD/DROP CONSTRAINT") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"), t)
+    Snapshots.commitDeleteLazy(spark, t, Seq(3L, 4L), "id")
+    assert(Snapshots.read(spark, t).count() == 8L)
+    // a metadata-only constraint commit must CARRY the tombstone headers
+    // — dropping them would resurrect the lazily-deleted rows
+    Snapshots.addCheckConstraint(spark, t, "pos", "x > 0")
+    assert(Snapshots.read(spark, t).count() == 8L,
+      "ADD CONSTRAINT resurrected lazily-deleted rows")
+    Snapshots.dropCheckConstraint(spark, t, "pos")
+    assert(Snapshots.read(spark, t).count() == 8L,
+      "DROP CONSTRAINT resurrected lazily-deleted rows")
+  }
 }
