@@ -259,9 +259,17 @@ object Layout {
     * dimensions, which is exactly what makes this pruning bite.
     */
   def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, statsCols: Seq[String]): Unit = {
+      path: String, statsCols: Seq[String],
+      files: Option[Seq[String]] = None): Unit = {
     require(statsCols.nonEmpty)
-    val df = spark.read.parquet(path)
+    require(files.forall(_.nonEmpty), "explicit file list must be non-empty")
+    // an explicit file list (a snapshot VERSION's files — which may be
+    // foreign qualified URIs on a shallow clone or an in-place convert)
+    // beats the directory listing: orphans stay out, references stat in
+    val df = files match {
+      case Some(fs) => spark.read.parquet(fs: _*)
+      case None => spark.read.parquet(path)
+    }
     // orderable types only: a boolean/binary/array column has no useful
     // file range, and an all-NULL or meaningless manifest row would mean
     // "prunes nothing" at best — reject loudly at write time instead
@@ -286,7 +294,7 @@ object Layout {
     * table. Returns how many files were added.
     */
   def appendStatsManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int =
+      path: String, files: Option[Seq[String]] = None): Int =
     statsManifestCols(spark, path) match {
       case None => 0
       case Some(cols) =>
@@ -296,12 +304,19 @@ object Layout {
         val existing = spark.read.parquet(mPath).localCheckpoint(true)
         val known = existing.select("file").collect()
           .map(r => canonFile(r.getString(0))).toSet
-        val missing = spark.read.parquet(path).inputFiles
-          .map(canonFile).filterNot(known)
+        val candidates = files.map(_.map(canonFile))
+          .getOrElse(spark.read.parquet(path).inputFiles
+            .map(canonFile).toSeq)
+        val missing = candidates.filterNot(known)
         if (missing.isEmpty) 0
         else {
-          val freshRead = spark.read.option("basePath", path)
-            .parquet(missing.toIndexedSeq: _*)
+          // no basePath for explicit lists: a clone's foreign refs share
+          // no base with the table's own data dir
+          val freshRead = files match {
+            case Some(_) => spark.read.parquet(missing.toIndexedSeq: _*)
+            case None => spark.read.option("basePath", path)
+              .parquet(missing.toIndexedSeq: _*)
+          }
           val aggs = statsAggs(freshRead.schema, cols)
           val fresh = freshRead
             .groupBy(input_file_name().as("file"))
@@ -320,14 +335,18 @@ object Layout {
     * entries dropped.
     */
   def pruneStatsManifestEntries(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
+      path: String, files: Option[Seq[String]] = None): Int = {
     val mPath = new org.apache.hadoop.fs.Path(path, statsDir)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(mPath)) return 0
     val existing = spark.read.parquet(mPath.toString)
     val rows = existing.collect()
     val fileIdx = existing.schema.fieldIndex("file")
-    val live = spark.read.parquet(path).inputFiles.map(canonFile).toSet
+    // explicit live set (a snapshot version's files) keeps a clone's
+    // FOREIGN entries alive — a directory listing would wrongly expire
+    // every reference outside the table's own data dir
+    val live = files.map(_.map(canonFile).toSet)
+      .getOrElse(spark.read.parquet(path).inputFiles.map(canonFile).toSet)
     val kept = rows.filter(r => live(canonFile(r.getString(fileIdx))))
     if (kept.length == rows.length) return 0
     spark.createDataFrame(

@@ -1122,11 +1122,56 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice", "part")
     })
 
+  /** Per-file Bloom point-lookup index (Snapshots.extendBloom /
+    * readPrunedByKeys): the table is HASH-distributed on the key, so
+    * every file's [min,max] spans the key space and stats pruning can
+    * skip NOTHING — the exact shape the Bloom sidecar exists for. The
+    * query indexes the key column, probes three known keys, asserts
+    * in-query that the driver opened a strict subset of the files
+    * (lastBloomPruned), and emits the looked-up rows — fully
+    * DuckDB-oracled from orders alone, so a false NEGATIVE (a dropped
+    * file that held a key) is a hash mismatch, not just a slow read.
+    * At 100 TB this is the O(sidecar) GDPR / entity-lookup path on an
+    * unclustered key: files skip driver-side before any footer opens.
+    */
+  val snapBloomLookup = QueryDef(
+    "snap_bloom_lookup",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(o_totalprice, 4) AS o_totalprice
+           |FROM orders
+           |WHERE o_orderkey IN (
+           |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snap_bloom").toString + "/t"
+      Snapshots.commitAppend(spark,
+        orders.repartition(16, col("o_orderkey")), table)
+      require(Snapshots.extendBloom(spark, table, "o_orderkey") == 16,
+        "expected 16 files indexed")
+      val keys: Seq[Any] = orders.orderBy("o_orderkey")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      val out = Snapshots
+        .readPrunedByKeys(spark, table, "o_orderkey", keys)
+        .filter(col("o_orderkey").isInCollection(keys))
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(true) // pin: the hook assert below must see
+                               // THIS read's prune, executed exactly once
+      val (chosen, total) = Snapshots.lastBloomPruned.getOrElse(
+        throw new IllegalStateException("bloom index not consulted"))
+      require(total == 16 && chosen < total,
+        s"point lookup opened $chosen of $total files — no skip")
+      out
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
-      snapCopyInto, snapConvert, snapDropColumn)
+      snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup)
 }

@@ -373,7 +373,21 @@ object Maintenance {
               if (added > 0) Some(s"manifested $added new file(s) of ${t.path}")
               else None
             }
-          val msgs = Seq(optimized, vacMsg, statsMsg).flatten
+          // bloom steady-state leg, the stats twin: a compaction just
+          // replaced every file, and appends accrete uncovered ones —
+          // either way the point-lookup index re-extends over ONLY the
+          // uncovered files here, so lookups keep skipping after any
+          // rewrite without an operator remembering to re-index
+          val bloomMsg = {
+            val added = Snapshots.bloomIndexedColumns(spark, t.path)
+              .map(c => c -> Snapshots.extendBloom(spark, t.path, c))
+              .filter(_._2 > 0)
+            if (added.isEmpty) None
+            else Some(added.map { case (c, k) =>
+              s"bloomed $k new file(s) on $c" }.mkString("; ") +
+              s" of ${t.path}")
+          }
+          val msgs = Seq(optimized, vacMsg, statsMsg, bloomMsg).flatten
           if (msgs.isEmpty) None else Some(msgs.mkString("; "))
         }
       case kind =>

@@ -2055,17 +2055,29 @@ object Snapshots {
   def extendStats(spark: SparkSession, table: String,
       statsCols: Seq[String]): Int = {
     val dd = dataDir(table).toString
+    // the HEAD VERSION's file list drives the stats pass, never a
+    // directory listing: concurrent writers' staged orphans stay out,
+    // and a shallow clone's / in-place convert's FOREIGN references
+    // (qualified URIs outside the data dir) stat in — so z-order box
+    // pruning works on a zero-copy fork exactly like on the source
+    val f = fs(spark, dataDir(table))
+    val head = currentVersion(spark, table)
+    require(head > 0, s"no snapshot table at $table to stat")
+    val files = filesOf(manifestLines(spark, table, head))
+      .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
+    require(files.nonEmpty, s"$table@v$head has no data files to stat")
     graft.operators.Layout.statsManifestCols(spark, dd) match {
       case None =>
-        graft.operators.Layout.writeStatsManifest(spark, dd, statsCols)
-        graft.operators.Layout.pruneStatsManifestEntries(spark, dd)
+        graft.operators.Layout.writeStatsManifest(spark, dd, statsCols,
+          Some(files))
         spark.read.parquet(s"$dd/${graft.operators.Layout.statsDir}")
           .count().toInt
       case Some(cols) =>
         require(cols.toSet == statsCols.toSet,
           s"stats manifest already tracks $cols; asked for $statsCols")
-        graft.operators.Layout.pruneStatsManifestEntries(spark, dd)
-        graft.operators.Layout.appendStatsManifest(spark, dd)
+        graft.operators.Layout.pruneStatsManifestEntries(spark, dd,
+          Some(files))
+        graft.operators.Layout.appendStatsManifest(spark, dd, Some(files))
     }
   }
 
@@ -2113,6 +2125,178 @@ object Snapshots {
     val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
     graft.operators.Layout.lastStatsPruned =
       Some((chosen.length, live.length))
+    if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom file-skipping index (point lookups)
+  // ------------------------------------------------------------------
+
+  private def bloomDir(table: String, column: String) =
+    new Path(dataDir(table), s"_graft_bloom_$column")
+
+  /** Spec hook: (files read, files total) of the last Bloom-pruned
+    * read; None when no index covered the read (full scan).
+    */
+  @volatile var lastBloomPruned: Option[(Int, Int)] = None
+
+  /** Columns with a per-file Bloom sidecar (one `listStatus` of the
+    * data dir) — the maintenance policy's discovery hook.
+    */
+  def bloomIndexedColumns(spark: SparkSession, table: String): Seq[String] = {
+    val dd = dataDir(table)
+    val f = fs(spark, dd)
+    if (!f.exists(dd)) Nil
+    else f.listStatus(dd).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_graft_bloom_"))
+      .map(_.stripPrefix("_graft_bloom_")).toSeq.sorted
+  }
+
+  /** Incrementally extend the table's per-FILE Bloom index on `column`
+    * — the Delta bloom-filter-index idea: min/max stats prune RANGE
+    * reads but are useless for point lookups on a high-cardinality,
+    * unclustered column (every file's [min,max] spans the key space);
+    * a per-file Bloom of the column's hashed values lets the driver
+    * skip files that certainly lack a probed key before a single
+    * footer opens. One underscore-prefixed parquet sidecar per indexed
+    * column (`data/_graft_bloom_<col>`), invisible to every data read.
+    *
+    * Incremental like [[extendStats]]: driven by the HEAD VERSION's
+    * file list (never a directory listing — staged orphans stay out,
+    * and a shallow clone's / in-place convert's FOREIGN refs index in),
+    * scanning ONLY the column of the not-yet-covered files. Values
+    * hash through `xxhash64` of the column's native type; the build is
+    * ONE distributed aggregation (Spark's own BloomFilterAggregate,
+    * map-side partial like any agg), ~1.2 KB/file per 1k expected
+    * items at fpp 0.01. Returns files newly indexed.
+    */
+  def extendBloom(spark: SparkSession, table: String, column: String,
+      fpp: Double = 0.01, expectedItemsPerFile: Long = 100000L): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, xxhash64}
+    require(fpp > 0 && fpp < 1, s"fpp $fpp out of (0, 1)")
+    val head = currentVersion(spark, table)
+    require(head > 0, s"no snapshot table at $table to index")
+    val f = fs(spark, dataDir(table))
+    val lines = manifestLines(spark, table, head)
+    val files = filesOf(lines)
+      .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
+    require(files.nonEmpty, s"$table@v$head has no data files to index")
+    val bd = bloomDir(table, column)
+    val existing =
+      if (f.exists(bd))
+        Some(spark.read.parquet(bd.toString).localCheckpoint(true))
+      else None
+    val rawKnown = existing
+      .map(_.select("file").collect().map(_.getString(0)).toSeq)
+      .getOrElse(Nil)
+    val known = rawKnown.map(graft.operators.Layout.canonFile).toSet
+    val liveCanon = files.map(graft.operators.Layout.canonFile).toSet
+    // expire entries for files the head no longer references (a rewrite
+    // replaced them) — the sidecar twin of pruneStatsManifestEntries;
+    // pinned-version reads of those files simply fall back to "always
+    // read", the same staleness contract as stats
+    val dead = rawKnown
+      .filterNot(r => liveCanon(graft.operators.Layout.canonFile(r)))
+    val missing = files.map(graft.operators.Layout.canonFile)
+      .filterNot(known)
+    if (missing.isEmpty && dead.isEmpty) return 0
+    val base = existing.map { e =>
+      if (dead.isEmpty) e
+      else e.filter(!org.apache.spark.sql.functions.col("file")
+        .isInCollection(dead))
+    }
+    if (missing.isEmpty) {
+      base.get.coalesce(1).write.mode("overwrite").parquet(bd.toString)
+      return 0
+    }
+    // optimal bit count for the target fpp (standard Bloom sizing)
+    val numBits = math.max(64L, math.ceil(
+      -expectedItemsPerFile.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val rd = schemaOf(lines) match {
+      case Some(s) => spark.read
+        .schema(types.StructType(s.fields.filter(_.name == column)))
+        .parquet(missing.toIndexedSeq: _*)
+      case None => spark.read.parquet(missing.toIndexedSeq: _*)
+        .select(col(column))
+    }
+    val bloomAgg = org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            xxhash64(col(column))),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            expectedItemsPerFile),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val fresh = rd.groupBy(input_file_name().as("file"))
+      .agg(bloomAgg.as("bloom"), count(lit(1)).as("rows"))
+    base match {
+      case Some(e) => e.unionByName(fresh).coalesce(1)
+        .write.mode("overwrite").parquet(bd.toString)
+      case None => fresh.coalesce(1)
+        .write.mode("overwrite").parquet(bd.toString)
+    }
+    missing.size
+  }
+
+  /** Point-lookup read with the file list pre-pruned by the per-file
+    * Bloom index: only files that MIGHT hold one of `keys` (plus files
+    * the index does not cover yet) are opened —
+    * `readPrunedByKeys(...).filter(col(c).isin(keys))` ≡
+    * `read(...).filter(...)`, with the skip decided driver-side from
+    * the sidecar (no false negatives by the Bloom contract; false
+    * positives only cost an extra file read). Composes with snapshot
+    * semantics exactly like [[readPruned]]: the candidate set is the
+    * VERSION's file list, the declared schema applies, pending
+    * tombstones filter, pinned versions stay prunable. Keys compare
+    * after a cast to the column's declared type (hash equality needs
+    * type equality), so pass keys whose string form round-trips.
+    */
+  def readPrunedByKeys(spark: SparkSession, table: String, column: String,
+      keys: Seq[Any], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val v = version.getOrElse(currentVersion(spark, table))
+    val f = fs(spark, dataDir(table))
+    val lines = manifestLines(spark, table, v)
+    val files = filesOf(lines)
+      .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val schema = schemaOf(lines)
+    def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
+      schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      })
+    val bd = bloomDir(table, column)
+    if (!f.exists(bd) || keys.isEmpty) {
+      lastBloomPruned = None
+      return rd(files)
+    }
+    // hash the probe keys EXACTLY like the build: xxhash64 over the
+    // column's native type (one metadata-sized job)
+    val colType = schema.flatMap(_.fields.find(_.name == column))
+      .map(_.dataType)
+      .getOrElse(rd(files.take(1)).schema(column).dataType)
+    import spark.implicits._
+    val hashes = keys.map(_.toString).toDF("k")
+      .select(xxhash64(col("k").cast(colType))).collect().map(_.getLong(0))
+    val blooms = spark.read.parquet(bd.toString)
+      .select("file", "bloom").collect()
+      .map(r => graft.operators.Layout.canonFile(r.getString(0)) ->
+        r.getAs[Array[Byte]]("bloom")).toMap
+    val chosen = files.filter { orig =>
+      blooms.get(graft.operators.Layout.canonFile(orig)) match {
+        case None => true // uncovered: always read (same as stats)
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+      }
+    }
+    lastBloomPruned = Some((chosen.size, files.size))
     if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
   }
 

@@ -230,6 +230,61 @@ class CloneCopySpec extends AnyFunSuite {
     assert(f2 == 0, "restore rewound COPY INTO load marks")
   }
 
+  test("streaming source tails a clone: foreign refs serve the initial snapshot and live appends") {
+    val root = freshRoot()
+    val src = root + "/src"
+    Snapshots.commitAppend(spark,
+      (1L to 25L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    val dst = root + "/fork"
+    Snapshots.cloneTable(spark, src, dst)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", dst).load()
+      .writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .queryName("clonestream_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val ids = b.collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+          ()
+      }.start()
+    try {
+      q.processAllAvailable() // batch 0: the initial snapshot via refs
+      assert(got.synchronized(got.toSet) == (1L to 25L).toSet)
+      // a live append to the CLONE flows; the source stays silent
+      Snapshots.commitAppend(spark,
+        Seq((26L, "w")).toDF("id", "v"), dst)
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == (1L to 26L).toSet)
+    } finally q.stop()
+  }
+
+  test("stats pruning on a clone: foreign refs stat in, box reads skip files") {
+    val root = freshRoot()
+    val src = root + "/src"
+    // range-partitioned so per-file id ranges are tight (prunable)
+    Snapshots.commitAppend(spark,
+      (1L to 400L).map(i => (i, i * 3L)).toDF("id", "x")
+        .repartitionByRange(8, col("id")), src)
+    val dst = root + "/fork"
+    Snapshots.cloneTable(spark, src, dst)
+    val statted = Snapshots.extendStats(spark, dst, Seq("id"))
+    assert(statted == 8, s"expected 8 foreign files statted, got $statted")
+    val pruned = Snapshots.readPruned(spark, dst, Seq(("id", 10L, 60L)))
+    assert(pruned.filter(col("id").between(10L, 60L)).count() == 51L)
+    val (chosen, total) = graft.operators.Layout.lastStatsPruned.get
+    assert(total == 8 && chosen < total,
+      s"box read opened $chosen of $total — no pruning through foreign refs")
+    // a local append extends incrementally; the foreign entries survive
+    Snapshots.commitAppend(spark, Seq((401L, 9L)).toDF("id", "x"), dst)
+    assert(Snapshots.extendStats(spark, dst, Seq("id")) == 1)
+    assert(Snapshots.readPruned(spark, dst, Seq(("id", 399L, 401L)))
+      .filter(col("id").between(399L, 401L)).count() == 3L)
+  }
+
   test("CONVERT TO SNAPSHOT: in-place zero-copy import, full protocol applies after") {
     val root = freshRoot()
     val estate = root + "/estate"
