@@ -176,6 +176,17 @@ object MaintenanceSql {
   // in-place zero-copy import of an existing parquet dir (always a path)
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+SNAPSHOT\s+('[^']+')\s*;?\s*$""").r
+  // file-skipping index DDL: per-file Bloom (point lookups) and min/max
+  // stats (range boxes) — both incremental, version-list-driven
+  private val CreateBloomRe =
+    ("""(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+""" + T +
+      """\s*\(\s*(`?\w+`?)\s*\)(?:\s+FPP\s+(0?\.\d+))?\s*;?\s*$""").r
+  private val DropBloomRe =
+    ("""(?is)^\s*DROP\s+BLOOM\s+INDEX\s+ON\s+""" + T +
+      """\s*\(\s*(`?\w+`?)\s*\)\s*;?\s*$""").r
+  private val CreateStatsRe =
+    ("""(?is)^\s*CREATE\s+STATS\s+INDEX\s+ON\s+""" + T +
+      """\s*\(\s*([\w`,\s]+?)\s*\)\s*;?\s*$""").r
 
   /** Some(plan) when `sqlText` is one of the maintenance statements AND
     * the target is ours; None → caller delegates to the normal parser.
@@ -258,6 +269,17 @@ object MaintenanceSql {
           Option(fmt).getOrElse("parquet"), force != null))
       case ConvertRe(dir) =>
         Some(ConvertSnapshot(dir.stripPrefix("'").stripSuffix("'")))
+      case CreateBloomRe(target, col, fpp) if ours(target) =>
+        Some(CreateBloomIndex(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`"),
+          Option(fpp).map(_.toDouble).getOrElse(0.01)))
+      case DropBloomRe(target, col) if ours(target) =>
+        Some(DropBloomIndex(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`")))
+      case CreateStatsRe(target, cols) if ours(target) =>
+        Some(CreateStatsIndex(SnapTarget(target),
+          cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq))
       case _ => None
     }
   }
@@ -723,6 +745,60 @@ final case class ConvertSnapshot(dir: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, files) = Snapshots.convertToSnapshot(spark, dir)
     Seq(Row(v, files))
+  }
+}
+
+/** `CREATE BLOOM INDEX ON t (col) [FPP p]` → Snapshots.extendBloom:
+  * build/extend the per-file Bloom point-lookup sidecar over the head
+  * version's not-yet-covered files (incremental; the maintenance policy
+  * keeps it extended after rewrites). Returns (column, files_indexed).
+  */
+final case class CreateBloomIndex(target: MaintenanceSql.SnapTarget,
+    column: String, fpp: Double) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("files_indexed", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "CREATE BLOOM INDEX")
+    Seq(Row(column,
+      Snapshots.extendBloom(spark, path, column, fpp = fpp)))
+  }
+}
+
+/** `DROP BLOOM INDEX ON t (col)`: delete the sidecar — point lookups
+  * fall back to the plain versioned read from the next query on.
+  */
+final case class DropBloomIndex(target: MaintenanceSql.SnapTarget,
+    column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("dropped", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "DROP BLOOM INDEX")
+    val d = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, "data"), s"_graft_bloom_$column")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(Row(column, fs.exists(d) && fs.delete(d, true)))
+  }
+}
+
+/** `CREATE STATS INDEX ON t (c1, c2, ...)` → Snapshots.extendStats:
+  * build/extend the per-file min/max stats manifest (the range-pruning
+  * sidecar readPruned and the copy-on-write probes consult). Returns
+  * (columns, files_statted).
+  */
+final case class CreateStatsIndex(target: MaintenanceSql.SnapTarget,
+    columns: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("columns", StringType, nullable = false)(),
+    AttributeReference("files_statted", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "CREATE STATS INDEX")
+    Seq(Row(columns.mkString(","),
+      Snapshots.extendStats(spark, path, columns)))
   }
 }
 

@@ -653,6 +653,32 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("index DDL: CREATE/DROP BLOOM INDEX and CREATE STATS INDEX through SQL") {
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_sql_idx").toString + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 400L).map(i => (i, i * 2L)).toDF("id", "x")
+        .repartition(8, col("id")), t)
+    val b = spark.sql(s"CREATE BLOOM INDEX ON '$t' (id) FPP 0.01").head
+    assert(b.getString(0) == "id" && b.getInt(1) == 8)
+    // incremental: a re-run covers nothing new
+    assert(spark.sql(s"CREATE BLOOM INDEX ON '$t' (id)").head.getInt(1) == 0)
+    assert(Snapshots.readPrunedByKeys(spark, t, "id", Seq(42L))
+      .filter(col("id") === 42L).count() == 1L)
+    assert(Snapshots.lastBloomPruned.get._1 < 8)
+    val s = spark.sql(s"CREATE STATS INDEX ON '$t' (id, x)").head
+    assert(s.getString(0) == "id,x" && s.getInt(1) == 8)
+    val d = spark.sql(s"DROP BLOOM INDEX ON '$t' (id)").head
+    assert(d.getBoolean(1))
+    assert(Snapshots.readPrunedByKeys(spark, t, "id", Seq(42L))
+      .count() == 400L) // fallback: full candidate set
+    assert(Snapshots.lastBloomPruned.isEmpty)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE BLOOM INDEX ON '$t/nope' (id)").collect()
+    }
+  }
+
   test("everything else delegates verbatim to the normal parser") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
     // near-miss keywords stay vanilla errors, not silent maintenance runs
