@@ -57,9 +57,25 @@ object Bpe {
     * histogram. Returns (left, right, weight) in learned order — rank
     * is the sequence position. Stops early when the best pair's weight
     * drops below `minWeight` (merging a once-seen pair memorizes noise).
+    *
+    * Two physically different loops, ONE algorithm (same tie-breaks,
+    * identical output — spec-pinned): a vocabulary at or under
+    * `driverVocabLimit` collects once and iterates driver-side (the
+    * histogram is dimension-sized; 2·numMerges Spark jobs over a
+    * 50k-word table would be pure scheduler overhead), while a larger
+    * vocabulary runs the distributed iteration — pair-count partial agg
+    * + TakeOrdered(1) argmax + a map-only fold per merge, lineage
+    * checkpoint-bounded. Pass `driverVocabLimit = 0` to force the
+    * distributed path (the specs do, to pin the two paths equal).
     */
   def learnMerges(hist: DataFrame, numMerges: Int,
-      minWeight: Long = 2L): Seq[(String, String, Long)] = {
+      minWeight: Long = 2L,
+      driverVocabLimit: Long = 100000L): Seq[(String, String, Long)] = {
+    if (driverVocabLimit > 0 &&
+        hist.limit(driverVocabLimit.toInt + 1).count() <= driverVocabLimit)
+      return learnMergesDriver(
+        hist.collect().map(r => (r.getString(0), r.getLong(1))),
+        numMerges, minWeight)
     var words = hist.select(col("cnt"),
       expr("concat(transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1)), array('_'))").as("syms"))
@@ -87,6 +103,49 @@ object Bpe {
         // bound the iterative plan depth, like the PageRank loop
         if ((k + 1) % 8 == 0) words = words.localCheckpoint(true)
         k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The driver twin of the distributed loop — byte-identical argmax
+    * (weight desc, then (left, right) asc) and merge semantics over a
+    * collected histogram.
+    */
+  private def learnMergesDriver(hist: Array[(String, Long)],
+      numMerges: Int, minWeight: Long): Seq[(String, String, Long)] = {
+    var words = hist.map { case (w, c) =>
+      ((w.map(_.toString) :+ "_").toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.size - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), w) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (w < minWeight) done = true
+        else {
+          merges += ((a, b, w))
+          words = words.map { case (syms, c) =>
+            val out = Vector.newBuilder[String]
+            var last: String = null
+            syms.foreach { s =>
+              if (last == a && s == b) { last = a + b }
+              else { if (last != null) out += last; last = s }
+            }
+            if (last != null) out += last
+            (out.result(), c)
+          }
+        }
       }
     }
     merges.toSeq

@@ -31,6 +31,10 @@ class BpeSpec extends AnyFunSuite {
   test("learnMerges reproduces the hand-derived sequence, weights non-increasing, early stop") {
     val merges = Bpe.learnMerges(
       Bpe.wordHistogram(corpus(), "text"), numMerges = 20)
+    // the driver fast path and the distributed loop are ONE algorithm:
+    // forcing the distributed path must yield the identical sequence
+    assert(Bpe.learnMerges(Bpe.wordHistogram(corpus(), "text"),
+      numMerges = 20, driverVocabLimit = 0L) == merges)
     val expected = Seq(
       ("e", "s", 9L), ("es", "t", 9L), ("est", "_", 9L),
       ("l", "o", 7L), ("lo", "w", 7L),
