@@ -392,7 +392,9 @@ final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
     AttributeReference("num_constraints", IntegerType, nullable = false)(),
     AttributeReference("pending_tombstone_files", IntegerType,
       nullable = false)(),
-    AttributeReference("committed_at", TimestampType, nullable = true)())
+    AttributeReference("committed_at", TimestampType, nullable = true)(),
+    AttributeReference("stats_columns", StringType, nullable = false)(),
+    AttributeReference("bloom_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = target.resolve(spark)
     MaintenanceSql.requireTable(spark, path, "DESCRIBE DETAIL")
@@ -410,8 +412,14 @@ final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
     val (_, tombs) = Snapshots.pendingTombstones(spark, path, Some(head))
     val instant = Snapshots.commitInstants(spark, path)
       .find(_._1 == head).map(t => new java.sql.Timestamp(t._2)).orNull
+    // the index audit: which file-skipping sidecars this table keeps
+    val statsCols = graft.operators.Layout
+      .statsManifestCols(spark, dd.toString)
+      .map(_.sorted.mkString(",")).getOrElse("")
+    val bloomCols = Snapshots.bloomIndexedColumns(spark, path)
+      .mkString(",")
     Seq(Row(path, head, files.size, bytes, schema, checks.size,
-      tombs.size, instant))
+      tombs.size, instant, statsCols, bloomCols))
   }
 }
 

@@ -815,12 +815,14 @@ object SnapshotQ {
     */
   val snapDetail = QueryDef(
     "snap_detail",
-    Some("""SELECT 'constraints' AS check_name, CAST(1 AS BIGINT) AS value
+    Some("""SELECT 'bloom_indexed' AS check_name, CAST(1 AS BIGINT) AS value
+           |UNION ALL SELECT 'constraints', 1
            |UNION ALL SELECT 'instant_set', 1
            |UNION ALL SELECT 'num_files', 4
            |UNION ALL SELECT 'pending_tombstones', 1
            |UNION ALL SELECT 'schema_has_price', 1
            |UNION ALL SELECT 'size_positive', 1
+           |UNION ALL SELECT 'stats_indexed', 1
            |UNION ALL SELECT 'version', 3""".stripMargin),
     (spark, dir) => {
       import spark.implicits._
@@ -835,8 +837,13 @@ object SnapshotQ {
       val doomed = orders.orderBy("o_orderkey").limit(3)
         .collect().map(_.getLong(0)).toSeq
       Snapshots.commitDeleteLazy(spark, table, doomed, "o_orderkey") // v3
+      // sidecar-only index builds: no commit, num_files/version unmoved
+      spark.sql(s"CREATE BLOOM INDEX ON '$table' (o_orderkey)").collect()
+      spark.sql(s"CREATE STATS INDEX ON '$table' (o_totalprice)").collect()
       val d = spark.sql(s"DESC DETAIL '$table'").head
       Seq(
+        ("bloom_indexed",
+          if (d.getString(9) == "o_orderkey") 1L else 0L),
         ("constraints", d.getInt(5).toLong),
         ("instant_set", if (d.getTimestamp(7) != null) 1L else 0L),
         ("num_files", d.getInt(2).toLong),
@@ -844,6 +851,8 @@ object SnapshotQ {
         ("schema_has_price",
           if (d.getString(4).contains("o_totalprice")) 1L else 0L),
         ("size_positive", if (d.getLong(3) > 0L) 1L else 0L),
+        ("stats_indexed",
+          if (d.getString(8) == "o_totalprice") 1L else 0L),
         ("version", d.getLong(1))
       ).toDF("check_name", "value")
     })

@@ -595,6 +595,8 @@ class SnapshotSqlSpec extends AnyFunSuite {
       d.getString(4).toLowerCase.contains("bigint"))
     assert(d.getInt(5) == 1 && d.getInt(6) == 1)
     assert(d.getTimestamp(7) != null)
+    // no sidecar indexes declared yet: both audit columns empty
+    assert(d.getString(8) == "" && d.getString(9) == "")
     // a missing table refuses loudly, like the DML statements
     val e = intercept[Exception] {
       spark.sql("DESCRIBE DETAIL '/tmp/graft_no_such_detail'").collect()
