@@ -122,6 +122,29 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_lookup(t, 'col', 'k1,k2,...')` — the point-lookup TVF:
+    * rows whose `col` equals one of the CSV keys, served from the
+    * Bloom-pruned candidate read ([[Snapshots.readPrunedByKeys]]) — the
+    * driver skips files that certainly lack every probed key before a
+    * footer opens (falls back to the full candidate set when the table
+    * keeps no Bloom index on the column). Keys coerce to the column's
+    * type through Spark's own IN coercion, matching the index's hashing
+    * of the native type.
+    */
+  private def lookup(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 3, "snapshot_lookup(table, column, keysCsv)")
+    val spark = SparkSession.active
+    val path = resolve(spark, str(exprs(0), "table"))
+    val column = str(exprs(1), "column")
+    val keys = str(exprs(2), "keysCsv").split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "snapshot_lookup needs at least one key")
+    Snapshots.readPrunedByKeys(spark, path, column, keys)
+      .filter(org.apache.spark.sql.functions.col(column)
+        .isInCollection(keys))
+      .queryExecution.logical
+  }
+
   /** The (identifier, info, builder) triples for injectTableFunction. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
@@ -131,5 +154,7 @@ object SnapshotTvf {
     (FunctionIdentifier("snapshot_at"),
       new ExpressionInfo(getClass.getName, "snapshot_at"), at _),
     (FunctionIdentifier("snapshot_history"),
-      new ExpressionInfo(getClass.getName, "snapshot_history"), hist _))
+      new ExpressionInfo(getClass.getName, "snapshot_history"), hist _),
+    (FunctionIdentifier("snapshot_lookup"),
+      new ExpressionInfo(getClass.getName, "snapshot_lookup"), lookup _))
 }

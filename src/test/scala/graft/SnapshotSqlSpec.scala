@@ -671,6 +671,12 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(Snapshots.lastBloomPruned.get._1 < 8)
     val s = spark.sql(s"CREATE STATS INDEX ON '$t' (id, x)").head
     assert(s.getString(0) == "id,x" && s.getInt(1) == 8)
+    // the point-lookup TVF serves matching rows from the pruned read
+    val rows = spark.sql(s"SELECT * FROM snapshot_lookup('$t', 'id', '42, 77')")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows == Set(42L -> 84L, 77L -> 154L))
+    assert(Snapshots.lastBloomPruned.get._1 < 8,
+      "snapshot_lookup did not consult the bloom index")
     val d = spark.sql(s"DROP BLOOM INDEX ON '$t' (id)").head
     assert(d.getBoolean(1))
     assert(Snapshots.readPrunedByKeys(spark, t, "id", Seq(42L))
