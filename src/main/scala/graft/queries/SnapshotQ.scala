@@ -1176,11 +1176,79 @@ object SnapshotQ {
       out
     })
 
+  /** Sidecar file-skipping on the PURE-SQL surface (SnapshotCatalog's
+    * PruningScanBuilder over Snapshots.pruneFilesByFilters): two tables,
+    * two prune shapes — a RANGE-clustered table whose `_graft_stats`
+    * manifest skips files for a pushed `<` predicate, and a
+    * HASH-distributed table (every file's [min,max] spans the key space
+    * — stats can skip nothing) whose per-file Bloom index skips files
+    * for a pushed `IN` probe. Both legs are plain `SELECT ... WHERE` on
+    * catalog identifiers: no readPruned API, no TVF — the ad-hoc-SQL
+    * path every warehouse user actually takes. In-query requires assert
+    * the driver opened a strict subset of each version's 16 files
+    * (lastCatalogPruned); the emitted rows are fully DuckDB-oracled
+    * from orders alone, so a dropped file that held a matching row
+    * (unsound prune) is a hash mismatch, not just a slow read.
+    */
+  val snapCatalogSkip = QueryDef(
+    "snap_catalog_skip",
+    Some("""SELECT o_orderkey, o_custkey, 'range' AS part FROM orders
+           |WHERE o_orderkey < (SELECT min(o_orderkey) + 1000 FROM orders)
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'point' AS part FROM orders
+           |WHERE o_orderkey IN (
+           |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // two commits + two driver probes consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_cskip").toString
+      val rt = root + "/ranget"
+      val bt = root + "/bloomt"
+      Snapshots.commitAppend(spark,
+        orders.repartitionByRange(16, col("o_orderkey")), rt)
+      spark.sql(s"CREATE STATS INDEX ON '$rt' (o_orderkey)").collect()
+      Snapshots.commitAppend(spark,
+        orders.repartition(16, col("o_orderkey")), bt)
+      spark.sql(s"CREATE BLOOM INDEX ON '$bt' (o_orderkey)").collect()
+      val cat = s"gcs_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // literal probes (a scalar subquery would not push down as a
+      // source filter): the stats leg's threshold and the bloom leg's
+      // keys, both derivable by the oracle from orders alone
+      val cut = orders.agg(min(col("o_orderkey"))).head.getLong(0) + 1000L
+      val keys = orders.orderBy("o_orderkey").limit(3)
+        .collect().map(_.getLong(0))
+      val rangeLeg = spark.sql(
+        s"""SELECT o_orderkey, o_custkey, 'range' AS part
+           |FROM $cat.ranget WHERE o_orderkey < $cut""".stripMargin)
+        .localCheckpoint(true) // pin: the hook below must see THIS plan
+      val (rc, rn) = Snapshots.lastCatalogPruned.getOrElse(
+        throw new IllegalStateException("stats sidecar not consulted"))
+      require(rn == 16 && rc < rn,
+        s"range predicate opened $rc of $rn files — no skip")
+      val pointLeg = spark.sql(
+        s"""SELECT o_orderkey, o_custkey, 'point' AS part
+           |FROM $cat.bloomt
+           |WHERE o_orderkey IN (${keys.mkString(", ")})""".stripMargin)
+        .localCheckpoint(true)
+      val (bc, bn) = Snapshots.lastCatalogPruned.getOrElse(
+        throw new IllegalStateException("bloom sidecar not consulted"))
+      require(bn == 16 && bc < bn,
+        s"point probe opened $bc of $bn files — no skip")
+      rangeLeg.unionByName(pointLeg)
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
       snapPredicateDelete, snapSqlInsert, snapSqlMerge, snapSqlUpdate,
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
-      snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup)
+      snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
+      snapCatalogSkip)
 }

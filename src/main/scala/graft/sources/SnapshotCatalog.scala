@@ -6,10 +6,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,13 +109,20 @@ class SnapshotCatalog extends TableCatalog {
     // two-arg Path resolution: bare names land under data/, a shallow
     // clone's foreign refs (qualified URIs) resolve as themselves
     val dd = new Path(t, "data")
-    val files = Snapshots.filesAt(spark, t, version)
-      .map(n => new Path(dd, n).toString)
+    val entries = Snapshots.filesAt(spark, t, version)
+    val files = entries.map(n => new Path(dd, n).toString)
     val schema = Snapshots.schemaAt(spark, t, version)
     if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
-    val inner = ParquetTable(s"${name()}.${ident.name()}@v$version", spark,
+    val scanName = s"${name()}.${ident.name()}@v$version"
+    val inner = ParquetTable(scanName, spark,
       CaseInsensitiveStringMap.empty(), files, schema,
       classOf[ParquetFileFormat])
+    // every read face scans through the sidecar-pruning builder: pushed
+    // filters skip files via _graft_stats / per-file Blooms before the
+    // parquet scan is constructed (see PruningScanBuilder)
+    def pruningScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new SnapshotCatalog.PruningScanBuilder(spark, t, scanName, entries,
+        files, schema, options)
     // wrap to a protocol-honoring face: ParquetTable's OWN BATCH_WRITE
     // must never surface (it would land files no manifest references);
     // the writable face routes inserts through the commit protocol
@@ -122,7 +134,7 @@ class SnapshotCatalog extends TableCatalog {
           Set(TableCapability.BATCH_READ).asJava
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
-          inner.newScanBuilder(options)
+          pruningScanBuilder(options)
       }
     else {
       val sp = spark
@@ -135,7 +147,7 @@ class SnapshotCatalog extends TableCatalog {
             TableCapability.TRUNCATE).asJava
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
-          inner.newScanBuilder(options)
+          pruningScanBuilder(options)
         // `DELETE FROM snap.t WHERE ...` through Spark's own DSv2
         // resolution: translatable filters become one predicate and the
         // delete is the protocol's copy-on-write commit — file-granular
@@ -282,6 +294,78 @@ class SnapshotCatalog extends TableCatalog {
 }
 
 object SnapshotCatalog {
+
+  /** ScanBuilder that intersects the scanned VERSION's file list with
+    * the `_graft_stats` range bounds and per-file Bloom verdicts derived
+    * from the PUSHED-DOWN filters, BEFORE Spark's parquet scan is
+    * constructed — so plain catalog SQL (`SELECT ... FROM snap.t WHERE
+    * k = 42`) skips files exactly like `Snapshots.readPruned` /
+    * `readPrunedByKeys`, with zero new syntax. At 100 TB this is the
+    * difference between opening millions of footers and opening the
+    * files the sidecars cannot rule out, for every ad-hoc SQL user.
+    *
+    * The filters are ALSO forwarded to the inner ParquetScanBuilder
+    * unchanged, so parquet row-group skipping and Spark's post-scan
+    * re-application still happen — a sidecar false positive costs one
+    * extra file read and can never change results. Aggregate pushdown
+    * delegates too (parquet refuses it whenever data filters exist, so
+    * it only ever fires on the unpruned full list — sound).
+    */
+  private[sources] class PruningScanBuilder(spark: SparkSession,
+      table: String, scanName: String, entries: Seq[String],
+      files: Seq[String], declared: Option[StructType],
+      options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+    // this scan has consulted no sidecar yet (spec hook hygiene: a scan
+    // with nothing pushed must not inherit the previous scan's verdict)
+    Snapshots.lastCatalogPruned = None
+
+    private def builderFor(paths: Seq[String]): FileScanBuilder =
+      ParquetTable(scanName, spark, CaseInsensitiveStringMap.empty(),
+        paths, declared, classOf[ParquetFileFormat])
+        .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+    private var inner: FileScanBuilder = builderFor(files)
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      // V1-translatable conjuncts drive the sidecar prune (the same
+      // algebra the DELETE path translates); untranslatable shapes
+      // simply don't prune — soundness lives in pruneFilesByFilters
+      val translated = filters.flatMap(e =>
+        org.apache.spark.sql.graft.ColumnBridge.translateFilter(e))
+      val kept = Snapshots.pruneFilesByFilters(spark, table, entries,
+        declared, translated)
+      Snapshots.lastCatalogPruned = Some((kept.size, entries.size))
+      if (kept.size < entries.size) {
+        val keep = kept.toSet
+        val paths = entries.zip(files).collect { case (n, p) if keep(n) => p }
+        // an empty selection still needs a well-typed scan: the declared
+        // schema serves it; without one (legacy no-header table) keep a
+        // file and let the re-applied filter drop its rows
+        inner = builderFor(
+          if (paths.isEmpty && declared.isEmpty) files.take(1) else paths)
+      }
+      inner.pushFilters(filters)
+    }
+    override def pushedFilters: Array[Predicate] = inner.pushedFilters
+    override def pruneColumns(required: StructType): Unit =
+      inner.pruneColumns(required)
+    override def pushAggregation(agg: Aggregation): Boolean = inner match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case _ => false
+    }
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      inner match {
+        case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+        case _ => false
+      }
+    override def build(): Scan = inner.build()
+  }
+
   /** DSv2 `Filter` → `Column` for the DELETE path: Some(column) when the
     * filter translates exactly, None otherwise (canDeleteWhere then
     * refuses at analysis — never a silent partial delete). Covers the

@@ -199,6 +199,54 @@ object Snapshots {
     lines.filter(_.startsWith(DroppedHeader))
       .map(_.stripPrefix(DroppedHeader))
 
+  // ------------------------------------------------------------------
+  // Column mapping (RENAME COLUMN — logical name serves, physical stays)
+  // ------------------------------------------------------------------
+
+  /** logical → PHYSICAL column names of a version (`#colmap:` headers,
+    * written by [[commitRenameColumn]]): the physical name is what landed
+    * files hold forever (renames are metadata-only — Delta's
+    * column-mapping idea restricted to names), the logical name is what
+    * every API serves. Empty for never-renamed tables, so the whole
+    * mapping machinery is a no-op on the common path.
+    */
+  private def colmapOf(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith(ColmapHeader)).map { h =>
+      val rest = h.stripPrefix(ColmapHeader)
+      val cut = rest.indexOf(':')
+      rest.substring(0, cut) -> rest.substring(cut + 1)
+    }.toMap
+
+  /** Colmap of a version — the public face ([[colmapOf]]) for the DSv2
+    * catalog, which must read files under PHYSICAL names and serve the
+    * LOGICAL schema.
+    */
+  def colmapAt(spark: SparkSession, table: String,
+      version: Long): Map[String, String] =
+    colmapOf(manifestLines(spark, table, version))
+
+  private def physName(colmap: Map[String, String], c: String): String =
+    colmap.getOrElse(c, c)
+
+  /** The declared (logical) schema with renamed fields mapped back to
+    * their physical on-file names — what parquet reads resolve against.
+    */
+  private def physSchema(schema: types.StructType,
+      colmap: Map[String, String]): types.StructType =
+    if (colmap.isEmpty) schema
+    else types.StructType(schema.fields.map(f =>
+      f.copy(name = physName(colmap, f.name))))
+
+  /** Rename a LOGICAL frame's columns to their physical names before
+    * staging (the write half of the column-mapping boundary). Only
+    * columns present in the frame rename; everything else is identity.
+    */
+  private def toPhysical(df: DataFrame,
+      colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.withColumnsRenamed(
+      colmap.filter { case (l, p) => l != p && df.columns.contains(l) })
+
   /** Data files of a version (empty for v0). Header lines (`#...`) are
     * protocol metadata, never file names.
     */
@@ -217,6 +265,7 @@ object Snapshots {
   private val TombstoneHeader = "#tombstone:"
   private val TombstoneColHeader = "#tombstonecol:"
   private val DroppedHeader = "#dropped:"
+  private val ColmapHeader = "#colmap:"
   // delta-encoding headers (see claimManifest / manifestLines)
   private val BaseHeader = "#base:"
   private val AddHeader = "#add:"
@@ -2257,7 +2306,6 @@ object Snapshots {
     */
   def readPrunedByKeys(spark: SparkSession, table: String, column: String,
       keys: Seq[Any], version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val v = version.getOrElse(currentVersion(spark, table))
     val f = fs(spark, dataDir(table))
     val lines = manifestLines(spark, table, v)
@@ -2280,15 +2328,36 @@ object Snapshots {
     val colType = schema.flatMap(_.fields.find(_.name == column))
       .map(_.dataType)
       .getOrElse(rd(files.take(1)).schema(column).dataType)
+    val canon = files.map(p => graft.operators.Layout.canonFile(p) -> p)
+    val keep = bloomSurvivors(spark, table, column, colType, keys,
+      canon.map(_._1)).toSet
+    val chosen = canon.collect { case (c, orig) if keep(c) => orig }
+    lastBloomPruned = Some((chosen.size, files.size))
+    if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
+  }
+
+  /** Canonical-URI subset of `live` that MIGHT hold at least one of
+    * `keys` per the column's per-file Bloom sidecar. Files the sidecar
+    * does not cover always survive (same staleness contract as stats);
+    * no false negatives by the Bloom contract. `colType` is the
+    * column's DECLARED type — probe keys hash through
+    * `xxhash64(cast(key AS colType))`, exactly like the index build.
+    */
+  private def bloomSurvivors(spark: SparkSession, table: String,
+      column: String, colType: types.DataType, keys: Seq[Any],
+      live: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     import spark.implicits._
+    val bd = bloomDir(table, column)
+    if (!fs(spark, dataDir(table)).exists(bd) || keys.isEmpty) return live
     val hashes = keys.map(_.toString).toDF("k")
       .select(xxhash64(col("k").cast(colType))).collect().map(_.getLong(0))
     val blooms = spark.read.parquet(bd.toString)
       .select("file", "bloom").collect()
       .map(r => graft.operators.Layout.canonFile(r.getString(0)) ->
         r.getAs[Array[Byte]]("bloom")).toMap
-    val chosen = files.filter { orig =>
-      blooms.get(graft.operators.Layout.canonFile(orig)) match {
+    live.filter { c =>
+      blooms.get(c) match {
         case None => true // uncovered: always read (same as stats)
         case Some(bytes) =>
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -2296,8 +2365,88 @@ object Snapshots {
           hashes.exists(bf.mightContainLong)
       }
     }
-    lastBloomPruned = Some((chosen.size, files.size))
-    if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
+  }
+
+  /** Spec hook: (files chosen, files total) of the last DSv2 catalog
+    * scan that consulted the sidecar indexes during filter pushdown
+    * (sources/SnapshotCatalog.scala); None when the last catalog scan
+    * planned without pushed filters.
+    */
+  @volatile var lastCatalogPruned: Option[(Int, Int)] = None
+
+  /** Driver-side file skipping from PUSHED-DOWN source filters — the
+    * same prune [[readPruned]] / [[readPrunedByKeys]] perform, but
+    * triggered by plain catalog SQL (`SELECT ... FROM snap.t WHERE k =
+    * 42`, sources/SnapshotCatalog.scala) with zero new syntax: the
+    * ScanBuilder hands the pushed conjuncts here before Spark's parquet
+    * scan is constructed. `names` are the scanned VERSION's manifest
+    * entries; returns the surviving subset, order preserved.
+    *
+    * Sound by construction — the selection can only FALSE-POSITIVE
+    * (open an extra file), never drop a matching row: range conjuncts
+    * (=, <, <=, >, >=) prune via the `_graft_stats` manifest with
+    * NULL-stats/uncovered files always kept, equality/IN probes on a
+    * Bloom-indexed column prune via the per-file sidecar (no false
+    * negatives by contract), and every other shape — OR, NOT, LIKE,
+    * unindexed columns, types whose driver-side rendering differs from
+    * the stats encoding (timestamps) — keeps its files. Spark
+    * re-applies every pushed filter post-scan regardless.
+    */
+  def pruneFilesByFilters(spark: SparkSession, table: String,
+      names: Seq[String], schema: Option[types.StructType],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    if (names.isEmpty || filters.isEmpty) return names
+    val dd = dataDir(table).toString
+    val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
+      .getOrElse(Nil).toSet
+    val bloomCols = bloomIndexedColumns(spark, table).toSet
+    if (statsCols.isEmpty && bloomCols.isEmpty) return names
+    val (canon, byCanon) = canonCandidates(spark, table, names)
+    // point-set probes compare only where the stats manifest's typed
+    // encoding is exact driver-side (numerics as double, strings and
+    // ISO dates as strings); timestamps render differently → no prune
+    def statsComparable(vs: Seq[Any]): Option[Seq[Any]] = {
+      val v = vs.filter(_ != null)
+      if (v.nonEmpty && v.forall(x => x.isInstanceOf[Number] ||
+          x.isInstanceOf[String] || x.isInstanceOf[java.sql.Date]))
+        Some(v)
+      else None
+    }
+    var live = canon
+    def statsBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit =
+      if (statsCols(c) && live.nonEmpty)
+        live = graft.operators.Layout.selectByStatsBounds(spark, dd, c,
+          lo, hi, live)
+    def bloomProbe(c: String, vs: Seq[Any]): Unit =
+      if (bloomCols(c) && live.nonEmpty) {
+        val keys = vs.filter(_ != null)
+        val colType = schema.flatMap(_.fields.find(_.name == c))
+          .map(_.dataType)
+        if (keys.nonEmpty && colType.isDefined)
+          live = bloomSurvivors(spark, table, c, colType.get, keys, live)
+      }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(a, v) if v != null =>
+        statsBounds(a, Some(v), Some(v)); bloomProbe(a, Seq(v))
+      case EqualNullSafe(a, v) if v != null =>
+        statsBounds(a, Some(v), Some(v)); bloomProbe(a, Seq(v))
+      case In(a, vs) =>
+        if (statsCols(a) && live.nonEmpty)
+          statsComparable(vs.toSeq).foreach { v =>
+            live = graft.operators.Layout.selectByStatsAnyOf(spark, dd, a,
+              v, live)
+          }
+        bloomProbe(a, vs.toSeq)
+      case GreaterThan(a, v) => statsBounds(a, Some(v), None)
+      case GreaterThanOrEqual(a, v) => statsBounds(a, Some(v), None)
+      case LessThan(a, v) => statsBounds(a, None, Some(v))
+      case LessThanOrEqual(a, v) => statsBounds(a, None, Some(v))
+      case And(l, r) => walk(l); walk(r)
+      case _ => () // OR / NOT / string ops / unknown: keep (sound)
+    }
+    filters.foreach(walk)
+    live.map(byCanon)
   }
 
   // ------------------------------------------------------------------

@@ -24,6 +24,15 @@ object ColumnBridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Catalyst predicate → V1 `sources.Filter` (DataSourceStrategy's own
+    * translator, `protected[sql]`) — how the snapshot catalog's pruning
+    * ScanBuilder turns pushed-down conjuncts into the range/key probes
+    * the sidecar indexes understand. None when untranslatable.
+    */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** DataFrame from a custom LogicalPlan (Dataset.ofRows is private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -146,6 +146,75 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog SQL file-skipping: stats ranges and Bloom point probes prune the scan") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_snapcat_skip").toString
+    spark.conf.set("spark.sql.catalog.gskip",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gskip.root", root)
+    val base = spark.range(0, 16000).toDF("id")
+      .withColumn("grp", (col("id") % 7).cast("int"))
+
+    // RANGE-clustered table + stats index: a range predicate must skip
+    val rt = root + "/ranget"
+    Snapshots.commitAppend(spark,
+      base.repartitionByRange(16, col("id")), rt)
+    Snapshots.extendStats(spark, rt, Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM gskip.ranget WHERE id <= 999")
+      .head.getLong(0) == 1000L)
+    val (rc, rn) = Snapshots.lastCatalogPruned.get
+    assert(rn == 16 && rc < 4, s"range scan opened $rc of $rn files")
+    // predicate on an UNINDEXED column: everything reads (sound, visible)
+    assert(spark.sql("SELECT count(*) FROM gskip.ranget WHERE grp = 3")
+      .head.getLong(0) == base.filter(col("grp") === 3).count())
+    assert(Snapshots.lastCatalogPruned.contains((16, 16)))
+    // no filters at all: the hook reports no prune happened
+    assert(spark.sql("SELECT count(*) FROM gskip.ranget").head.getLong(0)
+      == 16000L)
+    assert(Snapshots.lastCatalogPruned.isEmpty)
+    // a selection the stats rule out ENTIRELY still answers (empty)
+    assert(spark.sql("SELECT count(*) FROM gskip.ranget WHERE id > 900000")
+      .head.getLong(0) == 0L)
+    assert(Snapshots.lastCatalogPruned.exists(_._1 == 0))
+
+    // HASH-distributed table + per-file Bloom: point/IN probes must skip
+    // where stats cannot (every file's [min,max] spans the key space)
+    val bt = root + "/bloomt"
+    Snapshots.commitAppend(spark, base.repartition(16, col("id")), bt)
+    Snapshots.extendBloom(spark, bt, "id")
+    val one = spark.sql("SELECT id, grp FROM gskip.bloomt WHERE id = 7")
+      .collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(7L))
+    val (bc, bn) = Snapshots.lastCatalogPruned.get
+    assert(bn == 16 && bc < bn, s"point lookup opened $bc of $bn files")
+    assert(spark.sql(
+      "SELECT count(*) FROM gskip.bloomt WHERE id IN (7, 8888, 15999)")
+      .head.getLong(0) == 3L)
+    assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
+    // an absent key prunes everything and still answers zero rows
+    assert(spark.sql("SELECT count(*) FROM gskip.bloomt WHERE id = -5")
+      .head.getLong(0) == 0L)
+
+    // filters STILL push into the parquet scan (row-group skipping and
+    // post-scan re-application stay Spark's own)
+    val plan = spark.sql("SELECT id FROM gskip.bloomt WHERE id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,7"),
+      s"filter not pushed through the pruning builder:\n${plan.take(800)}")
+
+    // pruning composes with snapshot semantics: a pinned version stays
+    // prunable and correct after later commits moved the head
+    Snapshots.commitAppend(spark, spark.range(20000, 20500).toDF("id")
+      .withColumn("grp", (col("id") % 7).cast("int")), bt)
+    Snapshots.extendBloom(spark, bt, "id")
+    assert(spark.sql(
+      "SELECT count(*) FROM gskip.bloomt VERSION AS OF 1 WHERE id = 20007")
+      .head.getLong(0) == 0L, "pinned v1 must not see the later append")
+    assert(spark.sql("SELECT count(*) FROM gskip.bloomt WHERE id = 20007")
+      .head.getLong(0) == 1L)
+    assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
+  }
+
   test("TIMESTAMP AS OF survives a table copy: #ts headers, not mtimes, are the clock") {
     val root = Files.createTempDirectory("graft_snapcat_ts").toString
     val t = root + "/ts_t"
