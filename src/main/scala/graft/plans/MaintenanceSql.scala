@@ -123,6 +123,26 @@ object MaintenanceSql {
   private val DropColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+COLUMN\s+(`?\w+`?)\s*;?\s*$""").r
+  private val RenameColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+RENAME\s+COLUMN\s+(`?\w+`?)\s+TO\s+(`?\w+`?)\s*;?\s*$""").r
+  // declared partition transforms: directory-level file skipping and
+  // O(entries) whole-partition retention expiry
+  private val SetPartitionRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+SET\s+PARTITION\s*\(\s*(\w+)\s*\(\s*(`?\w+`?)\s*\)\s*\)\s*;?\s*$""").r
+  private val ExpirePartitionsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+EXPIRE\s+PARTITIONS\s+OLDER\s+THAN\s+'([^']+)'\s*;?\s*$""").r
+  // column DEFAULTs: SET DEFAULT governs future writes (metadata-only);
+  // DROP DEFAULT reverts to NULL-fill; ADD COLUMNS parses per-column
+  // DEFAULT clauses itself (Spark's colTypeList has no DEFAULT seat)
+  private val SetDefaultRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ALTER\s+COLUMN\s+(`?\w+`?)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""").r
+  private val DropDefaultRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ALTER\s+COLUMN\s+(`?\w+`?)\s+DROP\s+DEFAULT\s*;?\s*$""").r
   // QUOTED PATHS ONLY: Spark has its own DSv2 `DELETE FROM <ident>` —
   // an identifier target must keep delegating to it, so only the form
   // vanilla SQL cannot express (a filesystem path) is intercepted
@@ -233,12 +253,28 @@ object MaintenanceSql {
         Some(DropSnapshotConstraint(SnapTarget(target), name))
       case AddColumnsRe(target, cols) if ours(target) =>
         Some(AddSnapshotColumns(SnapTarget(target), cols.trim))
+      case SetPartitionRe(target, kind, col) if ours(target) =>
+        Some(SetSnapshotPartition(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`"),
+          kind.toLowerCase(java.util.Locale.ROOT)))
+      case ExpirePartitionsRe(target, cutoff) if ours(target) =>
+        Some(ExpireSnapshotPartitions(SnapTarget(target), cutoff))
+      case SetDefaultRe(target, col, dflt) if ours(target) =>
+        Some(SetSnapshotColumnDefault(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`"), dflt.trim))
+      case DropDefaultRe(target, col) if ours(target) =>
+        Some(DropSnapshotColumnDefault(SnapTarget(target),
+          col.stripPrefix("`").stripSuffix("`")))
       case AlterColTypeRe(target, col, typ) if ours(target) =>
         Some(WidenSnapshotColumn(SnapTarget(target),
           col.stripPrefix("`").stripSuffix("`"), typ.trim))
       case DropColumnRe(target, col) if ours(target) =>
         Some(DropSnapshotColumn(SnapTarget(target),
           col.stripPrefix("`").stripSuffix("`")))
+      case RenameColumnRe(target, from, to) if ours(target) =>
+        Some(RenameSnapshotColumn(SnapTarget(target),
+          from.stripPrefix("`").stripSuffix("`"),
+          to.stripPrefix("`").stripSuffix("`")))
       case DeleteKeysRe(target, keyCol, keys) => // quoted paths only
         Some(DeleteSnapshotKeys(SnapTarget(target), keyCol,
           keys.split(',').map(_.trim.toLong).toSeq))
@@ -501,9 +537,115 @@ final case class AddSnapshotColumns(target: MaintenanceSql.SnapTarget,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = target.resolve(spark)
     MaintenanceSql.requireTable(spark, path, "ALTER TABLE ADD COLUMNS")
-    val fields = StructType.fromDDL(colsDdl).fields.toSeq
-    val v = graft.warehouse.Snapshots.commitAddColumns(spark, path, fields)
+    // per-column `DEFAULT <expr>` clauses (Spark's schema-DDL parser has
+    // no DEFAULT seat): split top-level commas, peel the DEFAULT tail of
+    // each entry, and hand the expressions to the commit — which folds
+    // them into EXISTS_DEFAULT so already-landed rows serve the default
+    // straight from the parquet reader, zero data movement
+    val entries = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; val sb = new StringBuilder
+      colsDdl.foreach {
+        case '(' => depth += 1; sb += '('
+        case ')' => depth -= 1; sb += ')'
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case c => sb += c
+      }
+      out += sb.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val DefaultTail = """(?is)^(.*?)\s+DEFAULT\s+(.+)$""".r
+    val (ddls, defaults) = entries.map {
+      case DefaultTail(colDdl, dflt) =>
+        val name = colDdl.trim.split("\\s+").head
+          .stripPrefix("`").stripSuffix("`")
+        (colDdl.trim, Some(name -> dflt.trim))
+      case plain => (plain, None)
+    }.unzip
+    val fields = StructType.fromDDL(ddls.mkString(", ")).fields.toSeq
+    val v = graft.warehouse.Snapshots.commitAddColumns(spark, path, fields,
+      defaults = defaults.flatten.toMap)
     Seq(Row(v, fields.map(_.name).mkString(",")))
+  }
+}
+
+/** `ALTER TABLE t SET PARTITION (date(col))` →
+  * Snapshots.commitSetPartition: declares the table's partition
+  * transform (identity|date|month) as a metadata-only commit — later
+  * commits land under `__gp=<value>` dirs, predicates on the column
+  * prune by DIRECTORY before stats/Bloom, and whole partitions expire
+  * as one metadata commit; files landed before stay flat and always
+  * read (OPTIMIZE re-stages them under the transform).
+  */
+final case class SetSnapshotPartition(target: MaintenanceSql.SnapTarget,
+    column: String, kind: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER TABLE SET PARTITION")
+    Seq(Row(graft.warehouse.Snapshots.commitSetPartition(spark, path,
+      column, kind), s"$kind($column)"))
+  }
+}
+
+/** `ALTER TABLE t EXPIRE PARTITIONS OLDER THAN '<cutoff>'` →
+  * Snapshots.commitExpirePartitions: retention as ONE metadata commit —
+  * entries whose partition value sorts below the cutoff's transform
+  * rendering leave the manifest, zero data reads, vacuum reclaims.
+  */
+final case class ExpireSnapshotPartitions(
+    target: MaintenanceSql.SnapTarget,
+    cutoff: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("expired_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "EXPIRE PARTITIONS")
+    val (v, n) = graft.warehouse.Snapshots.commitExpirePartitions(spark,
+      path, cutoff)
+    Seq(Row(v, n))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` →
+  * Snapshots.commitSetColumnDefault: metadata-only — future writes
+  * missing the column materialize the expression; landed rows are not
+  * rewritten (only `ADD COLUMNS ... DEFAULT` back-fills, via the folded
+  * EXISTS_DEFAULT the parquet reader serves).
+  */
+final case class SetSnapshotColumnDefault(
+    target: MaintenanceSql.SnapTarget, column: String,
+    defaultSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("default", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER COLUMN SET DEFAULT")
+    Seq(Row(graft.warehouse.Snapshots.commitSetColumnDefault(spark, path,
+      column, defaultSql), column, defaultSql))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT` →
+  * Snapshots.commitDropColumnDefault (metadata-only; future writes
+  * missing the column land NULL again).
+  */
+final case class DropSnapshotColumnDefault(
+    target: MaintenanceSql.SnapTarget,
+    column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER COLUMN DROP DEFAULT")
+    Seq(Row(graft.warehouse.Snapshots.commitDropColumnDefault(spark, path,
+      column), column))
   }
 }
 
@@ -549,6 +691,30 @@ final case class DropSnapshotColumn(target: MaintenanceSql.SnapTarget,
     MaintenanceSql.requireTable(spark, path, "ALTER TABLE DROP COLUMN")
     Seq(Row(graft.warehouse.Snapshots.commitDropColumn(spark, path, column),
       column))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` → Snapshots.commitRenameColumn:
+  * metadata-only column mapping — landed files keep the PHYSICAL name,
+  * the new logical name serves every read/write from this version on
+  * (a carried `#colmap:` header), time travel serves each version's own
+  * names, zero data moves at any size. The OLD name enters the
+  * `#dropped:` ledger (its physical data is live under the new name) and
+  * stays refused until a full-rewrite OPTIMIZE normalizes physical
+  * names; renaming onto a dropped name, a pending-tombstone key, or a
+  * CHECK-mentioned column refuses loudly.
+  */
+final case class RenameSnapshotColumn(target: MaintenanceSql.SnapTarget,
+    from: String, to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("from_column", StringType, nullable = false)(),
+    AttributeReference("to_column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    MaintenanceSql.requireTable(spark, path, "ALTER TABLE RENAME COLUMN")
+    Seq(Row(graft.warehouse.Snapshots.commitRenameColumn(spark, path,
+      from, to), from, to))
   }
 }
 

@@ -1243,6 +1243,203 @@ object SnapshotQ {
       rangeLeg.unionByName(pointLeg)
     })
 
+  /** RENAME COLUMN lifecycle (Snapshots.commitRenameColumn + the SQL
+    * verb — metadata-only column mapping): rename on a populated table
+    * (v2 — zero data moves, asserted in-query by comparing file lists),
+    * ingest under the NEW name (v3), a SQL UPDATE driven by the new
+    * name (v4 — the copy-on-write engine reading physical files through
+    * the logical mapping), then emit the v1 pin under its ORIGINAL name
+    * next to the head read through PURE CATALOG SQL under the new name.
+    * Fully DuckDB-oracled from orders alone: a renamed column served as
+    * NULL (the name-based-resolution hazard), a lost rename, or a
+    * mapping leak across time travel all land in the diff.
+    */
+  val snapRename = QueryDef(
+    "snap_rename",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4) AS price,
+           |       'pre_rename' AS part
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(CASE WHEN o_orderkey % 10 = 7
+           |                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+           |                  ELSE CAST(o_totalprice AS DOUBLE) END, 4),
+           |       'head'
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .localCheckpoint(true) // two commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_ren").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), t) // v1
+      val r = spark.sql(
+        s"ALTER TABLE '$t' RENAME COLUMN o_totalprice TO price").head
+      require(r.getLong(0) == 2L, s"expected a v2 metadata rename, got $r")
+      require(Snapshots.filesAt(spark, t, 1L) ==
+        Snapshots.filesAt(spark, t, 2L),
+        "RENAME COLUMN must be metadata-only: zero data files moved")
+      Snapshots.commitAppend(spark, // v3: ingest under the NEW name
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"), t)
+      val ru = spark.sql(s"UPDATE '$t' SET price = price * 1.1 " +
+        "WHERE o_orderkey % 10 = 7").head // v4: DML speaks the new name
+      require(ru.getLong(0) == 4L && ru.getLong(1) > 0,
+        s"expected a non-empty v4 update via the renamed column, got $ru")
+      val cat = s"gren_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // v1 pin serves its own (pre-rename) column name; the head is read
+      // through PURE catalog SQL under the logical name — physical files
+      // still hold o_totalprice, the mapping re-labels positionally
+      Snapshots.read(spark, t, Some(1L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("price"),
+          lit("pre_rename").as("part"))
+        .unionByName(spark.sql(
+          s"""SELECT o_orderkey, o_custkey, round(price, 4) AS price,
+             |'head' AS part FROM $cat.t""".stripMargin))
+    })
+
+  /** Column DEFAULT lifecycle (Snapshots schema-metadata defaults + the
+    * SQL verbs): `ADD COLUMNS ... DEFAULT` back-fills every LANDED row
+    * with zero data movement (the folded EXISTS_DEFAULT is served by
+    * the parquet reader itself for files that physically lack the
+    * column — asserted in-query: v1 and v2 share the same file list),
+    * an append OMITTING the defaulted column materializes the write
+    * default, `ALTER COLUMN ... SET DEFAULT` re-points future writes
+    * only, and a CHECK constraint declared against the defaulted column
+    * validates the whole head — which would refuse if landed rows read
+    * NULL. Emitted rows are the head (read through pure catalog SQL —
+    * the reader-level fill is plan-independent), fully DuckDB-oracled
+    * from orders alone.
+    */
+  val snapDefault = QueryDef(
+    "snap_default",
+    Some("""SELECT o_orderkey, o_custkey, 'open' AS status, 0.5 AS bonus
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'odd', 0.5
+           |FROM orders WHERE o_orderkey % 2 = 1
+           |UNION ALL
+           |SELECT o_orderkey + 100000000, o_custkey, 'late', 0.5
+           |FROM orders WHERE o_orderkey % 10 = 5""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true) // three commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_def").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 0), t) // v1: no defaults
+      val r = spark.sql(s"ALTER TABLE '$t' ADD COLUMNS " +
+        "(status STRING DEFAULT 'open', bonus DOUBLE DEFAULT 0.5)").head
+      require(r.getLong(0) == 2L, s"expected a v2 metadata add, got $r")
+      require(Snapshots.filesAt(spark, t, 1L) ==
+        Snapshots.filesAt(spark, t, 2L),
+        "ADD COLUMNS ... DEFAULT must move zero data files")
+      // v3: carries status explicitly, OMITS bonus (write default fills)
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("status", lit("odd")), t)
+      // future-writes-only default switch, then v4 omitting status
+      spark.sql(s"ALTER TABLE '$t' ALTER COLUMN status SET DEFAULT 'late'")
+        .collect()
+      Snapshots.commitAppend(spark,
+        orders.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L), t)
+      // a CHECK against the defaulted column validates the WHOLE head —
+      // landed rows reading NULL would refuse the declaration loudly
+      spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT st_ok " +
+        "CHECK (status IS NOT NULL)").collect()
+      val cat = s"gdef_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"""SELECT o_orderkey, o_custkey, status, bonus
+                   |FROM $cat.t""".stripMargin)
+    })
+
+  /** Declared partition transforms (Snapshots.commitSetPartition /
+    * commitExpirePartitions + the SQL verbs): a flat table declares
+    * `month(o_orderdate)` (v2, metadata-only), the next append lands
+    * under `__gp=<yyyy-MM>/` dirs (v3), a PINNED catalog-SQL read with
+    * a pushed date predicate opens a strict subset of the version's
+    * files (the 1-of-N directory-skipping proof, asserted in-query),
+    * and `EXPIRE PARTITIONS OLDER THAN` drops whole months as ONE
+    * metadata commit — pre-transform flat files are KEPT (they cannot
+    * prove their age; never over-delete). Fully DuckDB-oracled from
+    * orders alone: an over-eager expiry, a mis-bucketed row, or an
+    * unsound directory prune all land in the diff.
+    */
+  val snapPartition = QueryDef(
+    "snap_partition",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+           |       'pinned_recent' AS part
+           |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 'head'
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0
+           |   OR o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .localCheckpoint(true) // two commits consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_part").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark, // v1: FLAT (pre-transform files)
+        orders.filter(col("o_orderkey") % 2 === 0), t)
+      val r = spark.sql(
+        s"ALTER TABLE '$t' SET PARTITION (month(o_orderdate))").head
+      require(r.getLong(0) == 2L && r.getString(1) == "month(o_orderdate)",
+        s"expected a v2 transform declaration, got $r")
+      Snapshots.commitAppend(spark, // v3: lands under __gp=<yyyy-MM>/
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartition(8, date_format(col("o_orderdate").cast("date"),
+            "yyyy-MM")), t)
+      require(Snapshots.filesAt(spark, t, 3L).exists(_.startsWith("__gp=")),
+        "append after the declaration must land partitioned")
+      val cat = s"gprt_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // the 1-of-N proof: a PINNED catalog-SQL read with a pushed date
+      // predicate opens only the recent months (plus the flat files,
+      // which can never be skipped) — strict subset, asserted in-query
+      val pinned = spark.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
+           |'pinned_recent' AS part
+           |FROM $cat.t VERSION AS OF 3
+           |WHERE o_orderdate >= '2000-06-01'""".stripMargin)
+        .localCheckpoint(true) // pin: the hook must see THIS plan
+      val (pc, pn) = Snapshots.lastCatalogPruned.getOrElse(
+        throw new IllegalStateException("partition dirs not consulted"))
+      require(pc < pn, s"date predicate opened $pc of $pn files — no skip")
+      // retention: drop whole months < 1995-01 as ONE metadata commit
+      val e = spark.sql(
+        s"ALTER TABLE '$t' EXPIRE PARTITIONS OLDER THAN '1997-01-01'").head
+      require(e.getLong(0) == 4L && e.getInt(1) > 0,
+        s"expected a non-empty v4 expiry, got $e")
+      pinned.unionByName(Snapshots.read(spark, t)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").cast("string").as("odate"),
+          lit("head").as("part")))
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
@@ -1250,5 +1447,5 @@ object SnapshotQ {
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
-      snapCatalogSkip)
+      snapCatalogSkip, snapRename, snapDefault, snapPartition)
 }

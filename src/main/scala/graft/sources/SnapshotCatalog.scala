@@ -112,6 +112,11 @@ class SnapshotCatalog extends TableCatalog {
     val entries = Snapshots.filesAt(spark, t, version)
     val files = entries.map(n => new Path(dd, n).toString)
     val schema = Snapshots.schemaAt(spark, t, version)
+    // column mapping (RENAME COLUMN): files hold PHYSICAL names, the
+    // declared schema is LOGICAL — the scan builder reads physical and
+    // re-labels positionally (see PruningScanBuilder)
+    val colmap = Snapshots.colmapAt(spark, t, version)
+    val partition = Snapshots.partitionAt(spark, t, version)
     if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
     val scanName = s"${name()}.${ident.name()}@v$version"
     val inner = ParquetTable(scanName, spark,
@@ -122,7 +127,7 @@ class SnapshotCatalog extends TableCatalog {
     // parquet scan is constructed (see PruningScanBuilder)
     def pruningScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new SnapshotCatalog.PruningScanBuilder(spark, t, scanName, entries,
-        files, schema, options)
+        files, schema, colmap, partition, options)
     // wrap to a protocol-honoring face: ParquetTable's OWN BATCH_WRITE
     // must never surface (it would land files no manifest references);
     // the writable face routes inserts through the commit protocol
@@ -251,24 +256,43 @@ class SnapshotCatalog extends TableCatalog {
       .map(n => Identifier.of(namespace, n))
   }
 
-  /** `CREATE TABLE snap.t (...)` — commits v1 through the protocol: an
-    * empty batch under the declared schema, so the schema header rides
-    * the manifest and `INSERT INTO` / CTAS continue the timeline
-    * normally. Partition transforms refuse (snapshot layout is
-    * file-granular; clustering is OPTIMIZE ZORDER BY's job).
+  /** `CREATE TABLE snap.t (...) [PARTITIONED BY (<transform>(col))]` —
+    * commits v1 through the protocol: an empty batch under the declared
+    * schema, so the schema header rides the manifest and `INSERT INTO`
+    * / CTAS continue the timeline normally. One identity/days/months
+    * transform is accepted and declared on the table (v2 metadata
+    * commit — directory-level file skipping + O(entries) partition
+    * expiry); anything else refuses (finer clustering is OPTIMIZE
+    * ZORDER BY's job).
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables take no partition transforms — cluster with " +
-        "OPTIMIZE ... ZORDER BY instead")
+    require(partitions.length <= 1,
+      "snapshot tables take at most one partition transform")
+    val declared = partitions.headOption.map { tr =>
+      val col = tr.references().headOption
+        .map(_.fieldNames().mkString("."))
+        .getOrElse(throw new UnsupportedOperationException(
+          s"unsupported partition transform $tr"))
+      val kind = tr.name().toLowerCase(java.util.Locale.ROOT) match {
+        case "identity" => "identity"
+        case "days" | "day" | "date" => "date"
+        case "months" | "month" => "month"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other — " +
+            "identity/days/months only (cluster with OPTIMIZE ZORDER BY)")
+      }
+      (col, kind)
+    }
     val t = tablePath(ident)
     require(Snapshots.currentVersion(spark, t) == 0,
       s"table ${ident.name()} already exists at $t")
     Snapshots.commitAppend(spark,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), t)
+    declared.foreach { case (c, k) =>
+      Snapshots.commitSetPartition(spark, t, c, k) }
     loadTable(ident)
   }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -314,6 +338,7 @@ object SnapshotCatalog {
   private[sources] class PruningScanBuilder(spark: SparkSession,
       table: String, scanName: String, entries: Seq[String],
       files: Seq[String], declared: Option[StructType],
+      colmap: Map[String, String], partition: Option[(String, String)],
       options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -324,9 +349,19 @@ object SnapshotCatalog {
     // with nothing pushed must not inherit the previous scan's verdict)
     Snapshots.lastCatalogPruned = None
 
+    // column mapping: the parquet scan reads PHYSICAL names (renamed
+    // columns would resolve all-NULL under the logical ones); rows are
+    // positional, so only planning-time schemas need the two name views
+    private val physToLogical = colmap.map(_.swap)
+    private def toPhys(s: StructType): StructType =
+      if (colmap.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = colmap.getOrElse(f.name, f.name))))
+    private val physDeclared = declared.map(toPhys)
+
     private def builderFor(paths: Seq[String]): FileScanBuilder =
       ParquetTable(scanName, spark, CaseInsensitiveStringMap.empty(),
-        paths, declared, classOf[ParquetFileFormat])
+        paths, physDeclared, classOf[ParquetFileFormat])
         .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
     private var inner: FileScanBuilder = builderFor(files)
@@ -334,11 +369,14 @@ object SnapshotCatalog {
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       // V1-translatable conjuncts drive the sidecar prune (the same
       // algebra the DELETE path translates); untranslatable shapes
-      // simply don't prune — soundness lives in pruneFilesByFilters
+      // simply don't prune — soundness lives in pruneFilesByFilters.
+      // Filters keep their LOGICAL names: the prune maps internally,
+      // and a renamed-column filter simply doesn't reach the parquet
+      // footer level (it re-applies post-scan like any unpushed filter)
       val translated = filters.flatMap(e =>
         org.apache.spark.sql.graft.ColumnBridge.translateFilter(e))
       val kept = Snapshots.pruneFilesByFilters(spark, table, entries,
-        declared, translated)
+        declared, translated, colmap, partition)
       Snapshots.lastCatalogPruned = Some((kept.size, entries.size))
       if (kept.size < entries.size) {
         val keep = kept.toSet
@@ -353,17 +391,54 @@ object SnapshotCatalog {
     }
     override def pushedFilters: Array[Predicate] = inner.pushedFilters
     override def pruneColumns(required: StructType): Unit =
-      inner.pruneColumns(required)
-    override def pushAggregation(agg: Aggregation): Boolean = inner match {
-      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
-      case _ => false
-    }
+      inner.pruneColumns(toPhys(required))
+    override def pushAggregation(agg: Aggregation): Boolean =
+      colmap.isEmpty && (inner match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+        case _ => false
+      })
     override def supportCompletePushDown(agg: Aggregation): Boolean =
-      inner match {
+      colmap.isEmpty && (inner match {
         case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
         case _ => false
+      })
+    override def build(): Scan = {
+      val s = inner.build()
+      if (colmap.isEmpty) s
+      else new SnapshotCatalog.LogicalNameScan(s, physToLogical)
+    }
+  }
+
+  /** Scan face for column-mapped tables: the wrapped parquet scan reads
+    * PHYSICAL column names; this re-labels `readSchema()` back to the
+    * LOGICAL ones so the plan's output attributes resolve — rows are
+    * positional at execution, so nothing else changes. Statistics and
+    * batch construction delegate.
+    */
+  private[sources] class LogicalNameScan(inner: Scan,
+      physToLogical: Map[String, String])
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def readSchema(): StructType =
+      StructType(inner.readSchema().fields.map(f =>
+        f.copy(name = physToLogical.getOrElse(f.name, f.name))))
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      inner.toBatch
+    override def description(): String = inner.description()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
       }
-    override def build(): Scan = inner.build()
+    }
   }
 
   /** DSv2 `Filter` → `Column` for the DELETE path: Some(column) when the

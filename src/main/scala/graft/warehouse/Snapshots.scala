@@ -225,6 +225,216 @@ object Snapshots {
       version: Long): Map[String, String] =
     colmapOf(manifestLines(spark, table, version))
 
+  // ------------------------------------------------------------------
+  // Declared partition transforms (directory-level file skipping)
+  // ------------------------------------------------------------------
+
+  /** The version's declared partition transform (`#partition:` header):
+    * (column, kind) with kind ∈ identity | date | month. Data files of
+    * partitioned commits land under `data/__gp=<transform(col)>/...`
+    * and their manifest entries carry the dir prefix — the DIRECTORY is
+    * a pruning hint and a retention unit; the column itself stays IN
+    * every file (unlike Hive layout), so no read path ever needs to
+    * re-derive values from paths: pre-transform flat files, partitioned
+    * files, and foreign refs all read identically. Carried forward by
+    * every commit, like the colmap.
+    */
+  private def partitionOf(lines: Seq[String]): Option[(String, String)] =
+    lines.find(_.startsWith(PartitionHeader)).map { h =>
+      val rest = h.stripPrefix(PartitionHeader)
+      val cut = rest.indexOf(':')
+      (rest.substring(0, cut), rest.substring(cut + 1))
+    }
+
+  private def partRawOf(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith(PartitionHeader))
+      .map(_.stripPrefix(PartitionHeader))
+
+  /** [[partitionOf]] of a version — the DSv2 catalog's pruning face. */
+  def partitionAt(spark: SparkSession, table: String,
+      version: Long): Option[(String, String)] =
+    partitionOf(manifestLines(spark, table, version))
+
+  private val PartitionKinds = Set("identity", "date", "month")
+  private[warehouse] val PartPrefix = "__gp="
+
+  /** The partition-transform Column of a logical frame. */
+  private def partitionExpr(c: String, kind: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    kind match {
+      case "identity" => col(c).cast("string")
+      case "date" => col(c).cast("date").cast("string")
+      case "month" => date_format(col(c).cast("date"), "yyyy-MM")
+    }
+  }
+
+  /** Partition value of a manifest entry: Some(v) when the entry lands
+    * under a `__gp=` dir, None for flat/pre-transform/foreign entries
+    * (which every pruner must ALWAYS read — the stats staleness rule).
+    */
+  private def partValueOf(entry: String): Option[String] = {
+    val i = entry.indexOf(PartPrefix)
+    if (i < 0) None
+    else {
+      val rest = entry.substring(i + PartPrefix.length)
+      val cut = rest.indexOf('/')
+      if (cut < 0) None else Some(rest.substring(0, cut))
+    }
+  }
+
+  /** Declare the table's partition transform as a METADATA-ONLY commit
+    * (op `setPartition`): from the NEXT commit on, staged files land
+    * under `data/__gp=<kind(col)>/` and their manifest entries carry
+    * the prefix — directory-level file skipping for predicates on the
+    * partition column, and O(entries) whole-partition retention expiry
+    * ([[commitExpirePartitions]]). Files landed BEFORE the declaration
+    * stay flat and are simply always read (the stats staleness rule);
+    * an OPTIMIZE full rewrite re-stages everything under the transform.
+    *
+    * Refuses when a DIFFERENT transform already governs prefixed
+    * entries (their dir values would be misinterpreted): drop the
+    * transform is not supported — OPTIMIZE after declaring a fresh one
+    * on a flat table is the migration path. The column must exist and
+    * must be identity/date/month-transformable.
+    */
+  def commitSetPartition(spark: SparkSession, table: String, column: String,
+      kind: String, maxRetries: Int = 10): Long = {
+    require(PartitionKinds(kind),
+      s"partition kind $kind not in ${PartitionKinds.mkString("/")}")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table to partition")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      require(prior.fieldNames.contains(column),
+        s"no column $column on $table")
+      partitionOf(lines) match {
+        case Some((c, k)) if c == column && k == kind => return head // no-op
+        case Some((c, k)) =>
+          require(!filesOf(lines).exists(_.contains(PartPrefix)),
+            s"$table already has prefixed entries under $k($c) — their " +
+              "dir values would be misinterpreted under " +
+              s"$kind($column); OPTIMIZE (full rewrite) after changing " +
+              "is not enough, change is refused while prefixed entries " +
+              "are referenced")
+        case None => ()
+      }
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
+            "setPartition", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            Some(s"$column:$kind"))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"setPartition on $table failed after $maxRetries attempts")
+  }
+
+  /** Drop every WHOLE PARTITION older than `cutoff` as ONE metadata
+    * commit (op `expirePartitions`) — the retention path a partitioned
+    * 100 TB table runs: entries whose `__gp=` value sorts strictly
+    * below the cutoff's transform rendering leave the manifest, no data
+    * byte is read or rewritten (vacuum reclaims them after retention),
+    * and un-prefixed entries are KEPT (they can't prove their age —
+    * never silently over-delete). Cutoff takes the COLUMN's domain
+    * (a date/timestamp/ISO string for date/month transforms). Returns
+    * (version, entries dropped) — the unchanged head with 0 when
+    * nothing is old enough.
+    */
+  def commitExpirePartitions(spark: SparkSession, table: String,
+      cutoff: Any, maxRetries: Int = 10): (Long, Int) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table")
+      val lines = manifestLines(spark, table, head)
+      val (pc, kind) = partitionOf(lines).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table declares no partition transform — nothing to expire"))
+      val cut = partProbeValue(kind, cutoff).getOrElse(
+        throw new IllegalArgumentException(
+          s"cutoff $cutoff does not render under $kind($pc)"))
+      val files = filesOf(lines)
+      val (doomed, kept) = files.partition(e =>
+        partValueOf(e).exists(_ < cut))
+      if (doomed.isEmpty) return (head, 0)
+      // a pending tombstone key may live in a doomed partition — the
+      // tombstones CARRY (anti-join of a gone row is a no-op, never a
+      // resurrection)
+      if (claimManifest(spark, table, head + 1,
+          contentOf(schemaOf(lines), marksOf(lines), kept,
+            "expirePartitions", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            partRawOf(lines))))
+        return (head + 1, doomed.size)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"expirePartitions on $table failed after $maxRetries attempts")
+  }
+
+  /** Subset of `entries` the declared partition transform cannot rule
+    * out for conjunctive per-column bounds: only bounds on the
+    * partition COLUMN prune, un-prefixed entries always survive, and a
+    * probe value whose transform rendering is inexact prunes nothing.
+    * Date/month truncation is monotone, so `col >= lo` implies
+    * `trunc(col) >= trunc(lo)` — the dir-value comparison is sound in
+    * ISO string order.
+    */
+  private def pruneEntriesByPartition(
+      partition: Option[(String, String)],
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      entries: Seq[String]): Seq[String] = partition match {
+    case None => entries
+    case Some((pc, kind)) =>
+      val relevant = bounds.filter(_._1 == pc)
+      if (relevant.isEmpty) entries
+      else entries.filter { e =>
+        partValueOf(e) match {
+          case None => true // flat/foreign/pre-transform: always read
+          case Some(v) => relevant.forall { case (_, lo, hi) =>
+            lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
+              hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
+          }
+        }
+      }
+  }
+
+  /** The transform's rendering of a driver-side probe value, in the
+    * same form [[partitionExpr]] writes into dir names — None when the
+    * value's rendering is not exact (prune nothing, never wrongly).
+    */
+  private def partProbeValue(kind: String, v: Any): Option[String] = {
+    val dateStr: Option[String] = v match {
+      case d: java.sql.Date => Some(d.toString)
+      case t: java.sql.Timestamp =>
+        Some(t.toLocalDateTime.toLocalDate.toString)
+      // java8 / NTZ external forms (TIMESTAMP_NTZ filters arrive as
+      // LocalDateTime; the java8API conf serves LocalDate/Instant)
+      case ld: java.time.LocalDate => Some(ld.toString)
+      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate.toString)
+      case ins: java.time.Instant => // the engine's clock discipline
+        Some(ins.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      case s: String if s.length >= 10 &&
+        s.matches("""\d{4}-\d{2}-\d{2}.*""") => Some(s.take(10))
+      case _ => None
+    }
+    kind match {
+      case "identity" => v match {
+        // strings only: a numeric rendering would compare
+        // lexicographically ("10" < "9") — prune nothing instead
+        case str: String => Some(str)
+        case _ => None
+      }
+      case "date" => dateStr
+      case "month" => dateStr.map(_.take(7))
+    }
+  }
+
   private def physName(colmap: Map[String, String], c: String): String =
     colmap.getOrElse(c, c)
 
@@ -266,6 +476,7 @@ object Snapshots {
   private val TombstoneColHeader = "#tombstonecol:"
   private val DroppedHeader = "#dropped:"
   private val ColmapHeader = "#colmap:"
+  private val PartitionHeader = "#partition:"
   // delta-encoding headers (see claimManifest / manifestLines)
   private val BaseHeader = "#base:"
   private val AddHeader = "#add:"
@@ -341,17 +552,82 @@ object Snapshots {
         batch.fields.filterNot(f => p.fieldNames.contains(f.name)))
   }
 
-  /** Null-pad and column-order `df` to `schema` (for merge inputs that
-    * predate an added column). A shared column whose type differs casts
-    * to the declared one — the widening path reads old files through a
-    * NARROWER in-flight frame (a rewrite slice read before the widening
-    * evolved), and re-landing it must stage the declared type.
+  // ------------------------------------------------------------------
+  // Column DEFAULT values (schema-metadata-recorded)
+  // ------------------------------------------------------------------
+
+  // Spark's own default-column convention: CURRENT_DEFAULT is the SQL
+  // text future writes materialize for a missing column;
+  // EXISTS_DEFAULT is its constant-folded literal the PARQUET READER
+  // ITSELF serves for files that physically lack the column — so
+  // ADD COLUMNS ... DEFAULT is metadata-only at any table size and
+  // every read path (Scala API, catalog SQL, feeds) fills the default
+  // with zero extra code. Both ride the `#schema:` header (StructField
+  // metadata round-trips through schema JSON).
+  private val CurrentDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private val ExistsDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** Declared column defaults of a version: column → CURRENT_DEFAULT
+    * SQL text (what a write missing the column materializes).
+    */
+  def columnDefaults(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, String] = {
+    val lines = manifestLines(spark, table,
+      version.getOrElse(currentVersion(spark, table)))
+    schemaOf(lines).map(_.fields.toSeq
+      .filter(_.metadata.contains(CurrentDefaultKey))
+      .map(f => f.name -> f.metadata.getString(CurrentDefaultKey)).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Materialize CURRENT_DEFAULT values into a batch's MISSING columns
+    * (SQL write semantics: an append omitting a defaulted column lands
+    * the DEFAULT, not NULL — and CHECK constraints evaluate against the
+    * defaulted values). Columns the batch carries are untouched:
+    * an explicit NULL stays NULL.
+    */
+  private def fillWriteDefaults(batch: DataFrame,
+      head: Option[types.StructType]): DataFrame = head match {
+    case None => batch
+    case Some(s) =>
+      s.fields.filter(f => !batch.columns.contains(f.name) &&
+          (f.metadata.contains(CurrentDefaultKey) ||
+            f.metadata.contains(ExistsDefaultKey)))
+        .foldLeft(batch) { (b, f) =>
+          // a missing column with a live default materializes it; one
+          // whose default was DROPPED (EXISTS_DEFAULT only) materializes
+          // an EXPLICIT NULL — a file physically missing the column
+          // would otherwise serve the reader-level back-fill meant
+          // strictly for files predating the column
+          val v =
+            if (f.metadata.contains(CurrentDefaultKey))
+              org.apache.spark.sql.functions
+                .expr(f.metadata.getString(CurrentDefaultKey))
+            else org.apache.spark.sql.functions.lit(null)
+          b.withColumn(f.name, v.cast(f.dataType))
+        }
+  }
+
+  /** Pad and column-order `df` to `schema` (for merge inputs that
+    * predate an added column): a missing column takes its declared
+    * CURRENT_DEFAULT when one exists (write semantics), NULL otherwise.
+    * A shared column whose type differs casts to the declared one — the
+    * widening path reads old files through a NARROWER in-flight frame
+    * (a rewrite slice read before the widening evolved), and re-landing
+    * it must stage the declared type.
     */
   private def conform(df: DataFrame, schema: types.StructType): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     df.select(schema.fields.toIndexedSeq.map { fld =>
-      if (!df.columns.contains(fld.name))
-        lit(null).cast(fld.dataType).as(fld.name)
+      if (!df.columns.contains(fld.name)) {
+        val base =
+          if (fld.metadata.contains(CurrentDefaultKey))
+            expr(fld.metadata.getString(CurrentDefaultKey))
+          else lit(null)
+        base.cast(fld.dataType).as(fld.name)
+      }
       else if (df.schema(fld.name).dataType == fld.dataType) col(fld.name)
       else col(fld.name).cast(fld.dataType).as(fld.name)
     }: _*)
@@ -369,7 +645,9 @@ object Snapshots {
       op: String, checks: Map[String, String] = Map.empty,
       tombstones: Seq[String] = Nil,
       tombstoneCol: Option[String] = None,
-      dropped: Seq[String] = Nil): String =
+      dropped: Seq[String] = Nil,
+      colmap: Map[String, String] = Map.empty,
+      partition: Option[String] = None): String =
     // the commit instant rides IN the manifest (`#ts:`): file mtimes are
     // not durable across a table copy, an object-store migration, or
     // writer clock skew — the header is what history() and TIMESTAMP AS
@@ -389,14 +667,29 @@ object Snapshots {
       // refused until a full rewrite physically purges them (the only
       // commit that clears this list)
       dropped.sorted.map(DroppedHeader + _) ++
+      // column-mapping entries (logical:physical) — carried by every
+      // commit whose files may still hold the physical name, like the
+      // dropped ledger; full rewrites/overwrites normalize and clear
+      colmap.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"$ColmapHeader$l:$p" } ++
+      partition.map(PartitionHeader + _).toSeq ++
       files).mkString("\n")
 
-  /** Read `names` under the version's declared schema when one exists. */
+  /** Read `names` under the version's declared schema when one exists —
+    * the READ half of the column-mapping boundary: files resolve under
+    * PHYSICAL names (renamed columns would otherwise read all-NULL
+    * through parquet's name-based resolution), the returned frame serves
+    * LOGICAL names, so every caller above this line — probes, merges,
+    * constraints, tombstone joins, feeds — lives purely in logical space.
+    */
   private def readWithSchema(spark: SparkSession, table: String,
-      names: Seq[String], schema: Option[types.StructType]): DataFrame = {
+      names: Seq[String], schema: Option[types.StructType],
+      colmap: Map[String, String]): DataFrame = {
     val paths = names.map(n => new Path(dataDir(table), n).toString)
     schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        val df = spark.read.schema(physSchema(s, colmap)).parquet(paths: _*)
+        if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
       case None => spark.read.parquet(paths: _*)
     }
   }
@@ -464,8 +757,27 @@ object Snapshots {
     * included — CREATE TABLE commits v1).
     */
   def commitAddColumns(spark: SparkSession, table: String,
-      fields: Seq[types.StructField], maxRetries: Int = 10): Long = {
-    require(fields.nonEmpty, "ADD COLUMNS needs at least one column")
+      fields0: Seq[types.StructField], maxRetries: Int = 10,
+      defaults: Map[String, String] = Map.empty): Long = {
+    require(fields0.nonEmpty, "ADD COLUMNS needs at least one column")
+    defaults.keys.foreach(c => require(fields0.exists(_.name == c),
+      s"DEFAULT declared for $c, which is not among the added columns"))
+    // attach CURRENT_DEFAULT and constant-fold EXISTS_DEFAULT (Spark's
+    // own machinery — validates the expression and refuses non-foldable
+    // defaults): landed files lacking the column serve the folded
+    // literal straight from the parquet reader, zero data movement
+    val fields =
+      if (defaults.isEmpty) fields0
+      else org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .constantFoldCurrentDefaultsToExistDefaults(
+          types.StructType(fields0.map { f =>
+            defaults.get(f.name) match {
+              case Some(d) => f.copy(metadata =
+                new types.MetadataBuilder().withMetadata(f.metadata)
+                  .putString(CurrentDefaultKey, d).build())
+              case None => f
+            }
+          }), "ALTER TABLE ADD COLUMNS").fields.toSeq
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -491,7 +803,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), filesOf(lines),
             "addColumn", checksOf(lines), tombstonesOf(lines),
-            tombstoneColOf(lines), droppedOf(lines))))
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            partRawOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -528,7 +841,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), filesOf(lines),
             "widenColumn", checksOf(lines), tombstonesOf(lines),
-            tombstoneColOf(lines), droppedOf(lines))))
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            partRawOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -567,6 +881,8 @@ object Snapshots {
         s"no column $column on $table")
       require(prior.fields.length > 1,
         s"cannot drop the last column of $table")
+      require(!partitionOf(lines).exists(_._1 == column),
+        s"column $column is $table's declared partition column")
       require(!(tombstonesOf(lines).nonEmpty &&
           tombstoneColOf(lines).contains(column)),
         s"column $column keys ${tombstonesOf(lines).size} pending " +
@@ -580,16 +896,184 @@ object Snapshots {
             "DROP CONSTRAINT first")
       }
       val schema = types.StructType(prior.fields.filterNot(_.name == column))
+      // the ledger holds the PHYSICAL name — that is what lingers in
+      // carried files and what a later add must not collide with; a
+      // renamed column's original logical name was ledgered by the
+      // rename itself
+      val colmap = colmapOf(lines)
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines), filesOf(lines),
             "dropColumn", checksOf(lines), tombstonesOf(lines),
             tombstoneColOf(lines),
-            (droppedOf(lines) :+ column).distinct)))
+            (droppedOf(lines) :+ physName(colmap, column)).distinct,
+            colmap - column, partRawOf(lines))))
         return head + 1
       attempt += 1
     }
     throw new IllegalStateException(
       s"dropColumn on $table failed after $maxRetries attempts")
+  }
+
+  /** Declare (or replace) a column's DEFAULT as a METADATA-ONLY
+    * commit (op `setDefault`): future writes missing the column
+    * materialize the expression ([[fillWriteDefaults]]); already-landed
+    * rows are NOT rewritten and keep serving what they hold (standard
+    * `ALTER COLUMN ... SET DEFAULT` semantics — only `ADD COLUMNS ...
+    * DEFAULT` back-fills landed rows, via the folded EXISTS_DEFAULT).
+    * The expression must parse and cast to the column's declared type;
+    * it is validated here, the only cheap place.
+    */
+  def commitSetColumnDefault(spark: SparkSession, table: String,
+      column: String, defaultSql: String, maxRetries: Int = 10): Long = {
+    require(!defaultSql.contains("\n"), "DEFAULT must be one line")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      val field = prior.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(s"no column $column on $table"))
+      // validate: must analyze as a constant of the column's type
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.analyze(
+        field.copy(metadata = new types.MetadataBuilder()
+          .withMetadata(field.metadata)
+          .putString(CurrentDefaultKey, defaultSql).build()),
+        "ALTER TABLE ALTER COLUMN", CurrentDefaultKey)
+      val schema = types.StructType(prior.fields.map(f =>
+        if (f.name == column) f.copy(metadata =
+          new types.MetadataBuilder().withMetadata(f.metadata)
+            .putString(CurrentDefaultKey, defaultSql).build())
+        else f))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "setDefault", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            partRawOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"setDefault on $table failed after $maxRetries attempts")
+  }
+
+  /** Remove a column's CURRENT_DEFAULT (op `dropDefault`, metadata-only):
+    * future writes missing the column land NULL again. A folded
+    * EXISTS_DEFAULT from `ADD COLUMNS ... DEFAULT` stays — the
+    * landed-rows contract is immutable (Iceberg's initial-default).
+    */
+  def commitDropColumnDefault(spark: SparkSession, table: String,
+      column: String, maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      val field = prior.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(s"no column $column on $table"))
+      require(field.metadata.contains(CurrentDefaultKey),
+        s"column $column of $table has no DEFAULT to drop")
+      val schema = types.StructType(prior.fields.map(f =>
+        if (f.name == column) {
+          val mb = new types.MetadataBuilder().withMetadata(f.metadata)
+          mb.remove(CurrentDefaultKey)
+          f.copy(metadata = mb.build())
+        } else f))
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "dropDefault", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
+            partRawOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropDefault on $table failed after $maxRetries attempts")
+  }
+
+  /** RENAME a column as a METADATA-ONLY commit (op `renameColumn`) —
+    * the column-mapping idea (Delta's column mapping restricted to
+    * names): landed files keep the column's PHYSICAL name forever, the
+    * new LOGICAL name serves every read and write from this version on
+    * (a `#colmap:logical:physical` header, carried by every commit
+    * whose files still hold the physical name), and time travel serves
+    * each version under ITS OWN names. Zero data moves at any size.
+    *
+    * Hazard bookkeeping composes with the DROP ledger: the OLD logical
+    * name enters `#dropped:` — its physical data is still LIVE under
+    * the new name, so re-introducing it (ADD COLUMNS or a batch
+    * carrying it) must refuse until a full-rewrite OPTIMIZE normalizes
+    * physical names (which clears colmap and ledger together); renaming
+    * ONTO a dropped name refuses for the same reason in reverse.
+    * Refuses while pending lazy-delete tombstones key on the column
+    * (their sidecar holds the old name) and when a CHECK constraint
+    * mentions it (expression strings do not rewrite — DROP CONSTRAINT
+    * first, re-declare under the new name).
+    */
+  def commitRenameColumn(spark: SparkSession, table: String, from: String,
+      to: String, maxRetries: Int = 10): Long = {
+    require(from != to, s"RENAME COLUMN $from TO $to: names are equal")
+    require(!to.contains(":") && !to.contains("\n") && to.nonEmpty,
+      s"column name '$to' must be non-empty and colon/newline-free")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      require(head > 0, s"no snapshot table at $table to rename a column on")
+      val lines = manifestLines(spark, table, head)
+      val prior = schemaOf(lines)
+        .getOrElse(read(spark, table, Some(head)).schema)
+      require(prior.fieldNames.contains(from), s"no column $from on $table")
+      require(!prior.fieldNames.contains(to),
+        s"column $to already exists on $table")
+      val colmap = colmapOf(lines)
+      val physical = physName(colmap, from)
+      // renaming BACK to the physical name is always safe (the "dropped"
+      // entry is this very column's own live data) and un-ledgers it;
+      // renaming onto any OTHER ledgered name would resurrect dead data
+      val renameBack = physical == to
+      require(renameBack || !droppedOf(lines).contains(to),
+        s"column $to was DROPPED from $table and its data still exists " +
+          "in carried files — renaming onto it would resurrect them; " +
+          "OPTIMIZE (full rewrite) first")
+      require(!(tombstonesOf(lines).nonEmpty &&
+          tombstoneColOf(lines).contains(from)),
+        s"column $from keys ${tombstonesOf(lines).size} pending " +
+          s"lazy-delete tombstone file(s) on $table — OPTIMIZE to " +
+          "materialize them first")
+      require(!partitionOf(lines).exists(_._1 == from),
+        s"column $from is $table's declared partition column — the " +
+          "transform header does not rewrite")
+      val mention = ("(?i)\\b" +
+        java.util.regex.Pattern.quote(from) + "\\b").r
+      checksOf(lines).foreach { case (n, ex) =>
+        require(mention.findFirstIn(ex).isEmpty,
+          s"constraint $n CHECK ($ex) mentions column $from — " +
+            "DROP CONSTRAINT first and re-declare under the new name")
+      }
+      val schema = types.StructType(prior.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      // ledger ONLY names whose physical data lingers: the first rename
+      // of a column ledgers it (physical == from); renaming an
+      // already-mapped column retires a purely-logical name (its
+      // physical never existed — nothing to refuse); renaming BACK
+      // un-ledgers the physical name (it is live again)
+      val ledger = (if (physical == from) (droppedOf(lines) :+ from).distinct
+        else droppedOf(lines)).filterNot(n => renameBack && n == to)
+      val newColmap =
+        if (renameBack) colmap - from
+        else (colmap - from) + (to -> physical)
+      if (claimManifest(spark, table, head + 1,
+          contentOf(Some(schema), marksOf(lines), filesOf(lines),
+            "renameColumn", checksOf(lines), tombstonesOf(lines),
+            tombstoneColOf(lines), ledger, newColmap, partRawOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"renameColumn on $table failed after $maxRetries attempts")
   }
 
   /** Refuse a batch that re-introduces a DROPPED column name: its
@@ -633,7 +1117,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "addConstraint", checksOf(lines) + (name -> sqlExpr),
-            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+            colmapOf(lines), partRawOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -653,7 +1138,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "dropConstraint", checksOf(lines) - name,
-            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+            colmapOf(lines), partRawOf(lines))))
         return head + 1
       attempt += 1
     }
@@ -787,7 +1273,7 @@ object Snapshots {
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "deleteLazy", checksOf(lines),
             tombstonesOf(lines) ++ newFiles, Some(keyCol),
-            droppedOf(lines))))
+            droppedOf(lines), colmapOf(lines), partRawOf(lines))))
         return (head + 1, n.toInt)
       attempt += 1
     }
@@ -832,22 +1318,51 @@ object Snapshots {
     commit(spark, batch, table, replace = true, maxRetries)
 
   /** Write `batch`'s files into the table's data dir under unique names
-    * (no manifest references them yet — invisible to readers).
+    * (no manifest references them yet — invisible to readers). The
+    * WRITE half of the column-mapping boundary: the logical frame's
+    * renamed columns stage under their PHYSICAL names, so data files
+    * stay uniformly physical whatever commit staged them.
     */
-  private def stageData(spark: SparkSession, batch: DataFrame,
-      table: String): Seq[String] = {
+  private def stageData(spark: SparkSession, batch0: DataFrame,
+      table: String, colmap: Map[String, String],
+      partition: Option[(String, String)] = None): Seq[String] = {
     val dd = dataDir(table)
     val f = fs(spark, dd)
     val staging = new Path(table, s"_staging-${java.util.UUID.randomUUID}")
-    batch.write.parquet(staging.toString)
+    // the declared transform routes rows into __gp=<value> dirs — the
+    // DIRECTORY is a pruning hint and a retention unit; the column
+    // itself STAYS in every file (no read path ever re-derives values
+    // from paths). A batch lacking the column stages flat (its entries
+    // carry no prefix, so every pruner always reads them — sound).
+    partition.filter(p => batch0.columns.contains(p._1)) match {
+      case Some((c, kind)) =>
+        toPhysical(batch0.withColumn("__gp", partitionExpr(c, kind)), colmap)
+          .write.partitionBy("__gp").parquet(staging.toString)
+      case None =>
+        toPhysical(batch0, colmap).write.parquet(staging.toString)
+    }
     f.mkdirs(dd)
-    val newFiles = f.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val target = new Path(dd, s"${java.util.UUID.randomUUID}.parquet")
-        require(f.rename(s.getPath, target), s"failed to stage ${s.getPath}")
-        target.getName
-      }.toSeq
+    // collect staged files RECURSIVELY, keeping the partition dir in the
+    // manifest entry (relative paths resolve through two-arg Path like
+    // bare names do)
+    val staged = {
+      val it = f.listFiles(staging, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath
+      }
+      buf.toSeq
+    }
+    val newFiles = staged.map { p =>
+      val dir = p.getParent.getName
+      val rel = if (dir.startsWith(PartPrefix)) dir + "/" else ""
+      if (rel.nonEmpty) f.mkdirs(new Path(dd, dir))
+      val target = new Path(dd, s"$rel${java.util.UUID.randomUUID}.parquet")
+      require(f.rename(p, target), s"failed to stage $p")
+      rel + target.getName
+    }
     f.delete(staging, true)
     newFiles
   }
@@ -923,11 +1438,15 @@ object Snapshots {
     claimed
   }
 
-  private def commit(spark: SparkSession, batch: DataFrame, table: String,
+  private def commit(spark: SparkSession, batch0: DataFrame, table: String,
       replace: Boolean, maxRetries: Int): Long = {
     // fail-fast schema + constraint + tombstone checks BEFORE staging (a
     // refusal would otherwise strand orphaned data files until a vacuum)
     var validated = manifestLines(spark, table, currentVersion(spark, table))
+    // a batch omitting a defaulted column lands the DEFAULT, not NULL
+    // (and the CHECK enforcement below sees the defaulted values)
+    val batch = if (replace) batch0
+      else fillWriteDefaults(batch0, schemaOf(validated))
     if (!replace) {
       evolveSchema(schemaOf(validated), batch.schema)
       refuseTombstonedKeys(spark, table, validated, batch)
@@ -940,8 +1459,16 @@ object Snapshots {
     enforceChecks(batch, checksOf(validated), table,
       if (replace) None else schemaOf(validated))
     // append/overwrite: data files never depend on the head, so stage
-    // once and only the manifest content is recomputed per attempt
-    val newFiles = stageData(spark, batch, table)
+    // once and only the manifest content is recomputed per attempt.
+    // Appends stage under the head's PHYSICAL names (column mapping);
+    // an overwrite REPLACES every file, so its physical names normalize
+    // to the batch's own logical ones and the claim carries no colmap.
+    val stagedColmap = if (replace) Map.empty[String, String]
+      else colmapOf(validated)
+    // the partition transform is LAYOUT POLICY and survives overwrite
+    val stagedPart = partRawOf(validated)
+    val newFiles = stageData(spark, batch, table, stagedColmap,
+      partitionOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     def dropStaged(): Unit =
@@ -974,6 +1501,19 @@ object Snapshots {
           // pre-drop values from carried files; overwrite replaces every
           // file, so the name becomes legitimately reusable
           if (!replace) refuseDroppedColumns(batch, table, lines)
+          // a RENAME landing while we staged means the staged files hold
+          // stale physical names — refuse loudly and reclaim (rare race;
+          // the caller re-runs against the renamed head)
+          if (!replace && colmapOf(lines) != stagedColmap)
+            throw new IllegalStateException(
+              s"append to $table raced a concurrent RENAME COLUMN — " +
+                "the staged files carry stale physical names; re-run")
+          // a transform change mid-stage would leave entries whose
+          // prefixes LIE under the new transform — refuse and reclaim
+          if (partRawOf(lines) != stagedPart)
+            throw new IllegalStateException(
+              s"commit to $table raced a concurrent partition-transform " +
+                "change — staged entries carry stale prefixes; re-run")
           // overwrite resets the schema to the batch's; append
           // union-evolves; stream watermarks survive either way
           evolveSchema(if (replace) None else schemaOf(lines), batch.schema)
@@ -989,7 +1529,9 @@ object Snapshots {
             if (replace) "overwrite" else "append", checksOf(lines),
             if (replace) Nil else tombstonesOf(lines),
             tombstoneColOf(lines),
-            if (replace) Nil else droppedOf(lines)))) return head + 1
+            if (replace) Nil else droppedOf(lines),
+            if (replace) Map.empty else colmapOf(lines),
+            partRawOf(lines)))) return head + 1
       attempt += 1 // lost the race; re-read the new head and retry
     }
     throw new IllegalStateException(
@@ -1030,11 +1572,14 @@ object Snapshots {
     * prune wrongly).
     */
   private def pruneByKeyStats(spark: SparkSession, table: String,
-      kc: String, keyFrame: DataFrame,
+      kc0: String, keyFrame: DataFrame,
       candidates: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (candidates.isEmpty) return candidates
     val dd = dataDir(table).toString
+    // the stats manifest keys PHYSICAL column names (it reads footers)
+    val kc = physName(colmapOf(manifestLines(spark, table,
+      currentVersion(spark, table))), kc0)
     if (!graft.operators.Layout.statsManifestCols(spark, dd)
         .exists(_.contains(kc))) return candidates
     val prunable = keyFrame.schema.head.dataType match {
@@ -1062,9 +1607,25 @@ object Snapshots {
     * rules; non-uniform or non-comparable value types prune nothing.
     */
   private def pruneByKeyVals(spark: SparkSession, table: String,
-      kc: String, vals0: Seq[Any], candidates: Seq[String]): Seq[String] = {
-    if (candidates.isEmpty) return candidates
+      kc0: String, vals0: Seq[Any], candidates0: Seq[String]): Seq[String] = {
+    if (candidates0.isEmpty) return candidates0
     val dd = dataDir(table).toString
+    val headLines = manifestLines(spark, table,
+      currentVersion(spark, table))
+    // DIRECTORY leg: a key-list probe on the partition column keeps only
+    // partitions that can hold at least one key (one unrenderable key
+    // keeps everything — sound)
+    val candidates = partitionOf(headLines) match {
+      case Some((pc, kind)) if pc == kc0 =>
+        val rendered = vals0.filter(_ != null).map(partProbeValue(kind, _))
+        if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
+          val set = rendered.flatten.toSet
+          candidates0.filter(e => partValueOf(e).forall(set.contains))
+        } else candidates0
+      case _ => candidates0
+    }
+    if (candidates.isEmpty) return candidates
+    val kc = physName(colmapOf(headLines), kc0)
     if (!graft.operators.Layout.statsManifestCols(spark, dd)
         .exists(_.contains(kc))) return candidates
     val vals = vals0.filter(_ != null).distinct
@@ -1211,14 +1772,25 @@ object Snapshots {
       predicate: Column, schema: Option[types.StructType],
       candidates: Seq[String]): Seq[String] = {
     if (candidates.isEmpty) return candidates
+    val s = schema.getOrElse(return candidates)
+    val headLines = manifestLines(spark, table,
+      currentVersion(spark, table))
+    val bounds0 = predicateBounds(spark, predicate, s)
+    // DIRECTORY leg first: the declared partition transform prunes on
+    // the predicate's own bounds with zero sidecar reads (the bounds'
+    // typed encodings — ISO strings for dates — are exactly the dir
+    // rendering)
+    var cand = pruneEntriesByPartition(partitionOf(headLines), bounds0,
+      candidates)
     val dd = dataDir(table).toString
     val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
-      .getOrElse(return candidates).toSet
-    val s = schema.getOrElse(return candidates)
-    val boxes = predicateBounds(spark, predicate, s)
+      .getOrElse(return cand).toSet
+    val colmap = colmapOf(headLines)
+    val boxes = bounds0
+      .map { case (c, lo, hi) => (physName(colmap, c), lo, hi) }
       .filter(b => statsCols.contains(b._1))
-    if (boxes.isEmpty) return candidates
-    val (canon, byCanon) = canonCandidates(spark, table, candidates)
+    if (boxes.isEmpty) return cand
+    val (canon, byCanon) = canonCandidates(spark, table, cand)
     boxes.foldLeft(canon) { case (live, (c, lo, hi)) =>
       graft.operators.Layout.selectByStatsBounds(spark, dd, c, lo, hi, live)
     }.map(byCanon)
@@ -1306,8 +1878,11 @@ object Snapshots {
       case None => changes
       case Some(dc) => changes.filter(!col(dc)).drop(dc)
     }
+    val colmap = colmapOf(lines)
     if (files.isEmpty)
-      return CowResult(stageData(spark, upserts, table), Nil, Nil, None, Nil)
+      return CowResult(
+        stageData(spark, upserts, table, colmap, partitionOf(lines)),
+        Nil, Nil, None, Nil)
     // single-column keys (the common case) probe via a literal IN-list
     // when the touch-set is bounded: the predicate pushes into the
     // parquet scan (row-group min/max skipping applies) and no second
@@ -1342,13 +1917,14 @@ object Snapshots {
     def probeOf(cand: Seq[String], frame: DataFrame,
         on: Seq[String]): Option[DataFrame] =
       if (cand.isEmpty) None
-      else Some(readWithSchema(spark, table, cand, schemaOf(lines))
+      else Some(readWithSchema(spark, table, cand, schemaOf(lines), colmap)
         .join(broadcast(frame), on, "left_semi")
         .select(input_file_name().as("file")))
     val probeT = fastVals match {
       case Some(vals) =>
         if (candT.isEmpty || vals.isEmpty) None
-        else Some(readWithSchema(spark, table, candT, schemaOf(lines))
+        else Some(readWithSchema(spark, table, candT, schemaOf(lines),
+            colmap)
           .filter(col(keys.head).isInCollection(vals))
           .select(input_file_name().as("file")))
       case None => probeOf(candT, touched, keys)
@@ -1371,7 +1947,7 @@ object Snapshots {
       else {
         val affState = conform(applyTombstones(spark, table, lines,
           readWithSchema(spark, table, files.filter(affected),
-            schemaOf(lines))), schema)
+            schemaOf(lines), colmap)), schema)
         deleteCol match {
           case None =>
             graft.operators.Merge.upsert(affState, changes, keys)
@@ -1379,7 +1955,8 @@ object Snapshots {
             graft.operators.Merge.applyChanges(affState, changes, keys, dc)
         }
       }
-    val newFiles = stageData(spark, merged, table)
+    val newFiles = stageData(spark, merged, table, colmap,
+      partitionOf(lines))
     val (tombs, tombCol, stagedTombs) = (tk, reasserted) match {
       case (None, _) => (Nil, None, Nil)
       case (Some(_), None) => // untouched pending state carries verbatim
@@ -1445,7 +2022,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(schema), marksOf(lines),
             cow.carried ++ cow.newFiles, "merge", checksOf(lines),
-            cow.tombstones, cow.tombstoneCol, droppedOf(lines))))
+            cow.tombstones, cow.tombstoneCol, droppedOf(lines),
+            colmapOf(lines), partRawOf(lines))))
         return head + 1
       // lost the race: this merge was computed against a stale head —
       // its files are unreachable (no manifest references them); drop
@@ -1544,7 +2122,7 @@ object Snapshots {
       val affected =
         if (cand.isEmpty) Set.empty[String]
         else probedEntries(spark, table, files,
-          readWithSchema(spark, table, cand, schema)
+          readWithSchema(spark, table, cand, schema, colmapOf(lines))
             .filter(predicate)
             .select(input_file_name().as("file")).distinct()
             .collect().map(_.getString(0)))
@@ -1555,7 +2133,8 @@ object Snapshots {
       // (the cowApply recipe; bounded by affected files, never the
       // table, but 3× read amplification is pure waste)
       val aff = applyTombstones(spark, table, lines,
-        readWithSchema(spark, table, files.filter(affected), schema))
+        readWithSchema(spark, table, files.filter(affected), schema,
+          colmapOf(lines)))
         .localCheckpoint(true)
       val updated = aff.filter(predicate).count()
       val setMap = sets.toMap
@@ -1573,12 +2152,13 @@ object Snapshots {
       // updated rows are the only new data — they must still satisfy
       // every declared CHECK before a manifest claims them
       enforceChecks(rewritten, checksOf(lines), table, schema)
-      val newFiles = stageData(spark, rewritten, table)
+      val newFiles = stageData(spark, rewritten, table, colmapOf(lines),
+        partitionOf(lines))
       if (claimManifest(spark, table, head + 1,
           contentOf(schema, marksOf(lines),
             files.filterNot(affected) ++ newFiles, "update",
             checksOf(lines), tombstonesOf(lines), tombstoneColOf(lines),
-            droppedOf(lines))))
+            droppedOf(lines), colmapOf(lines), partRawOf(lines))))
         return (head + 1, updated)
       newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
       attempt += 1
@@ -1612,7 +2192,7 @@ object Snapshots {
       val affected =
         if (cand.isEmpty) Set.empty[String]
         else probedEntries(spark, table, files,
-          readWithSchema(spark, table, cand, schema)
+          readWithSchema(spark, table, cand, schema, colmapOf(lines))
             .filter(predicate)
             .select(input_file_name().as("file")).distinct()
             .collect().map(_.getString(0)))
@@ -1623,16 +2203,19 @@ object Snapshots {
       // carried tombstone headers. ONE materialization — the deleted
       // count and the staged keep-rewrite both consume the slice
       val aff = applyTombstones(spark, table, lines,
-        readWithSchema(spark, table, files.filter(affected), schema))
+        readWithSchema(spark, table, files.filter(affected), schema,
+          colmapOf(lines)))
         .localCheckpoint(true)
       val deleted = aff.filter(predicate).count()
       // NULL-safe keep: NOT(NULL) is NULL and would silently drop rows
       // whose predicate is undecided — SQL DELETE keeps them
       val kept = aff.filter(!coalesce(predicate, lit(false)))
-      val newFiles = stageData(spark, kept, table)
+      val newFiles = stageData(spark, kept, table, colmapOf(lines),
+        partitionOf(lines))
       val manifest = contentOf(schema, marksOf(lines),
         files.filterNot(affected) ++ newFiles, "delete", checksOf(lines),
-        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))
+        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+        colmapOf(lines), partRawOf(lines))
       if (claimManifest(spark, table, head + 1, manifest))
         return (head + 1, deleted)
       // lost the race: computed against a stale head — drop the orphans
@@ -1696,18 +2279,23 @@ object Snapshots {
       // the rewrite is the APPLIED state and the claim carries no
       // tombstone headers — OPTIMIZE is the materialization point
       val current = applyTombstones(spark, table, lines,
-        readWithSchema(spark, table, filesOf(lines), schemaOf(lines)))
+        readWithSchema(spark, table, filesOf(lines), schemaOf(lines),
+          colmapOf(lines)))
       val rewritten =
         if (zorderBy.nonEmpty)
           graft.operators.Layout.zorderFrameN(current, zorderBy, nOut)
         else current.repartition(nOut)
-      val newFiles = stageData(spark, rewritten, table)
+      // the full rewrite NORMALIZES physical names (stage the logical
+      // frame verbatim) — the colmap clears with the ledger below; the
+      // partition transform is layout policy and the restage honors it
+      val newFiles = stageData(spark, rewritten, table, Map.empty,
+        partitionOf(lines))
       // the full rewrite is the materialization point: no tombstones,
       // and the dropped-name ledger CLEARS (every surviving file was
       // re-staged under the declared schema — pre-drop values are gone)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), newFiles, "optimize",
-            checksOf(lines))))
+            checksOf(lines), partition = partRawOf(lines))))
         return Some(head + 1)
       // lost the race (an append/merge landed first): this rewrite no
       // longer represents the head — drop the orphans and recompute
@@ -1746,8 +2334,23 @@ object Snapshots {
       if (head == 0) return None
       val lines = manifestLines(spark, table, head)
       val files = filesOf(lines)
-      val sizes = f.listStatus(dataDir(table)).filter(_.isFile)
-        .map(s => s.getPath.getName -> s.getLen).toMap
+      // recursive census keyed by data-dir-RELATIVE path: partitioned
+      // entries (`__gp=.../f.parquet`) size like flat ones; sidecar
+      // dirs (underscore) and foreign refs (absent) stay out
+      val ddQ = f.makeQualified(dataDir(table)).toString + "/"
+      val sizes = {
+        val it = f.listFiles(dataDir(table), true)
+        val buf = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = f.makeQualified(st.getPath).toString.stripPrefix(ddQ)
+          if (st.isFile && !rel.split('/').exists(c =>
+              (c.startsWith("_") && !c.startsWith(PartPrefix)) ||
+                c.startsWith(".")))
+            buf(rel) = st.getLen
+        }
+        buf.toMap
+      }
       val small = files.filter(n => sizes.get(n).exists(_ < smallBytes))
       if (small.isEmpty || small.size < minSmall) return None
       val carried = files.filterNot(small.toSet)
@@ -1757,15 +2360,18 @@ object Snapshots {
       // the packed slice is read APPLIED (its tombstoned rows leave
       // physically); carried files keep relying on the carried headers
       val packed = applyTombstones(spark, table, lines,
-        readWithSchema(spark, table, small, schemaOf(lines)))
+        readWithSchema(spark, table, small, schemaOf(lines),
+          colmapOf(lines)))
         .repartition(nOut)
-      val newFiles = stageData(spark, packed, table)
+      val newFiles = stageData(spark, packed, table, colmapOf(lines),
+        partitionOf(lines))
       // PARTIAL pack: carried files may still hold pre-drop values, so
       // the dropped-name ledger carries (unlike the full rewrite above)
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), carried ++ newFiles,
             "optimize", checksOf(lines),
-            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+            colmapOf(lines), partRawOf(lines))))
         return Some(head + 1)
       // lost the race — drop the orphans and recompute against the head
       newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
@@ -1785,7 +2391,7 @@ object Snapshots {
     val files = filesOf(lines)
     if (files.isEmpty) spark.emptyDataFrame
     else applyTombstones(spark, table, lines,
-      readWithSchema(spark, table, files, schemaOf(lines)))
+      readWithSchema(spark, table, files, schemaOf(lines), colmapOf(lines)))
   }
 
   /** The table's commit log as a DataFrame — the audit surface a
@@ -1920,10 +2526,10 @@ object Snapshots {
       tombstonesOf(manifestLines(spark, table, toV))
 
   private def readDataFiles(spark: SparkSession, table: String,
-      names: Seq[String],
-      schema: Option[types.StructType]): Option[DataFrame] =
+      names: Seq[String], schema: Option[types.StructType],
+      colmap: Map[String, String]): Option[DataFrame] =
     if (names.isEmpty) None
-    else Some(readWithSchema(spark, table, names, schema))
+    else Some(readWithSchema(spark, table, names, schema, colmap))
 
   /** Rows appended between two versions of an APPEND-ONLY step, served by
     * reading ONLY the step's added files — IO is proportional to the new
@@ -1948,7 +2554,7 @@ object Snapshots {
     // the TO-version's declared schema: an evolution step's feed carries
     // the new columns, and pre-evolution consumers see a superset schema
     readDataFiles(spark, table, addedFiles(spark, table, fromV, toV),
-        schemaAt(spark, table, toV))
+        schemaAt(spark, table, toV), colmapAt(spark, table, toV))
       .getOrElse(read(spark, table, Some(toV)).limit(0))
   }
 
@@ -1991,11 +2597,12 @@ object Snapshots {
     // only MATERIALIZES pending tombstones (OPTIMIZE) nets to an empty
     // feed instead of re-reporting the deletes.
     val toSchema = schemaOf(toLines)
+    val toColmap = colmapOf(toLines)
     val pre = readDataFiles(spark, table,
-      removedFiles(spark, table, fromV, toV), toSchema)
+      removedFiles(spark, table, fromV, toV), toSchema, toColmap)
       .map(applyTombstones(spark, table, fromLines, _))
     val post = readDataFiles(spark, table,
-      addedFiles(spark, table, fromV, toV), toSchema)
+      addedFiles(spark, table, fromV, toV), toSchema, toColmap)
       .map(applyTombstones(spark, table, toLines, _))
     // lazy deletes COMMITTED in the window touch no files, so the file
     // legs can't see them: rows of CARRIED files matching the window's
@@ -2024,7 +2631,7 @@ object Snapshots {
           val cand = pruneByKeyStats(spark, table, kc, newKeys, carried)
           lastTombLegPruned = Some((cand.size, carried.size))
           if (cand.isEmpty) None
-          else Some(readDataFiles(spark, table, cand, toSchema).get
+          else Some(readDataFiles(spark, table, cand, toSchema, toColmap).get
             .join(broadcast(newKeys), Seq(kc), "left_semi")
             .withColumn("change_type", lit("delete")))
         }
@@ -2112,18 +2719,22 @@ object Snapshots {
     val f = fs(spark, dataDir(table))
     val head = currentVersion(spark, table)
     require(head > 0, s"no snapshot table at $table to stat")
-    val files = filesOf(manifestLines(spark, table, head))
+    val headLines = manifestLines(spark, table, head)
+    val files = filesOf(headLines)
       .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
     require(files.nonEmpty, s"$table@v$head has no data files to stat")
+    // the sidecar reads footers, so it tracks PHYSICAL column names;
+    // callers speak logical — map before touching the manifest
+    val physCols = statsCols.map(physName(colmapOf(headLines), _))
     graft.operators.Layout.statsManifestCols(spark, dd) match {
       case None =>
-        graft.operators.Layout.writeStatsManifest(spark, dd, statsCols,
+        graft.operators.Layout.writeStatsManifest(spark, dd, physCols,
           Some(files))
         spark.read.parquet(s"$dd/${graft.operators.Layout.statsDir}")
           .count().toInt
       case Some(cols) =>
-        require(cols.toSet == statsCols.toSet,
-          s"stats manifest already tracks $cols; asked for $statsCols")
+        require(cols.toSet == physCols.toSet,
+          s"stats manifest already tracks $cols; asked for $physCols")
         graft.operators.Layout.pruneStatsManifestEntries(spark, dd,
           Some(files))
         graft.operators.Layout.appendStatsManifest(spark, dd, Some(files))
@@ -2160,9 +2771,13 @@ object Snapshots {
     // and the version's pending tombstones (merge-on-read deletes filter
     // the pruned read exactly like the plain one)
     val schema = schemaOf(lines)
+    val colmap = colmapOf(lines)
     def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
       schema match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case Some(s) =>
+          val df = spark.read.schema(physSchema(s, colmap))
+            .parquet(paths: _*)
+          if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
         case None => spark.read.parquet(paths: _*)
       })
     val dd = dataDir(table).toString
@@ -2171,7 +2786,8 @@ object Snapshots {
       return rd(files)
     }
     val live = files.map(graft.operators.Layout.canonFile)
-    val chosen = graft.operators.Layout.selectByStats(spark, dd, ranges, live)
+    val chosen = graft.operators.Layout.selectByStats(spark, dd,
+      ranges.map { case (c, lo, hi) => (physName(colmap, c), lo, hi) }, live)
     graft.operators.Layout.lastStatsPruned =
       Some((chosen.length, live.length))
     if (chosen.isEmpty) rd(files).limit(0) else rd(chosen)
@@ -2232,7 +2848,9 @@ object Snapshots {
     val files = filesOf(lines)
       .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
     require(files.nonEmpty, s"$table@v$head has no data files to index")
-    val bd = bloomDir(table, column)
+    // the sidecar reads footers: it keys the PHYSICAL column name
+    val pc = physName(colmapOf(lines), column)
+    val bd = bloomDir(table, pc)
     val existing =
       if (f.exists(bd))
         Some(spark.read.parquet(bd.toString).localCheckpoint(true))
@@ -2266,16 +2884,18 @@ object Snapshots {
         (math.log(2) * math.log(2))).toLong)
     val rd = schemaOf(lines) match {
       case Some(s) => spark.read
-        .schema(types.StructType(s.fields.filter(_.name == column)))
+        .schema(physSchema(
+          types.StructType(s.fields.filter(_.name == column)),
+          colmapOf(lines)))
         .parquet(missing.toIndexedSeq: _*)
       case None => spark.read.parquet(missing.toIndexedSeq: _*)
-        .select(col(column))
+        .select(col(pc))
     }
     val bloomAgg = org.apache.spark.sql.graft.ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(
           org.apache.spark.sql.graft.ColumnBridge.expression(
-            xxhash64(col(column))),
+            xxhash64(col(pc))),
           org.apache.spark.sql.catalyst.expressions.Literal(
             expectedItemsPerFile),
           org.apache.spark.sql.catalyst.expressions.Literal(numBits))
@@ -2313,12 +2933,17 @@ object Snapshots {
       .map(n => f.makeQualified(new Path(dataDir(table), n)).toString)
     if (files.isEmpty) return spark.emptyDataFrame
     val schema = schemaOf(lines)
+    val colmap = colmapOf(lines)
     def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
       schema match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case Some(s) =>
+          val df = spark.read.schema(physSchema(s, colmap))
+            .parquet(paths: _*)
+          if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
         case None => spark.read.parquet(paths: _*)
       })
-    val bd = bloomDir(table, column)
+    val pc = physName(colmap, column)
+    val bd = bloomDir(table, pc)
     if (!f.exists(bd) || keys.isEmpty) {
       lastBloomPruned = None
       return rd(files)
@@ -2329,7 +2954,7 @@ object Snapshots {
       .map(_.dataType)
       .getOrElse(rd(files.take(1)).schema(column).dataType)
     val canon = files.map(p => graft.operators.Layout.canonFile(p) -> p)
-    val keep = bloomSurvivors(spark, table, column, colType, keys,
+    val keep = bloomSurvivors(spark, table, pc, colType, keys,
       canon.map(_._1)).toSet
     val chosen = canon.collect { case (c, orig) if keep(c) => orig }
     lastBloomPruned = Some((chosen.size, files.size))
@@ -2394,14 +3019,20 @@ object Snapshots {
     */
   def pruneFilesByFilters(spark: SparkSession, table: String,
       names: Seq[String], schema: Option[types.StructType],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      colmap: Map[String, String] = Map.empty,
+      partition: Option[(String, String)] = None): Seq[String] = {
     import org.apache.spark.sql.sources._
     if (names.isEmpty || filters.isEmpty) return names
     val dd = dataDir(table).toString
-    val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
+    // sidecars key PHYSICAL names; filters speak logical
+    val statsCols0 = graft.operators.Layout.statsManifestCols(spark, dd)
       .getOrElse(Nil).toSet
-    val bloomCols = bloomIndexedColumns(spark, table).toSet
-    if (statsCols.isEmpty && bloomCols.isEmpty) return names
+    val bloomCols0 = bloomIndexedColumns(spark, table).toSet
+    def statsCols(c: String) = statsCols0(physName(colmap, c))
+    def bloomCols(c: String) = bloomCols0(physName(colmap, c))
+    if (statsCols0.isEmpty && bloomCols0.isEmpty && partition.isEmpty)
+      return names
     val (canon, byCanon) = canonCandidates(spark, table, names)
     // point-set probes compare only where the stats manifest's typed
     // encoding is exact driver-side (numerics as double, strings and
@@ -2414,17 +3045,36 @@ object Snapshots {
       else None
     }
     var live = canon
-    def statsBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit =
+    // DIRECTORY leg: the declared partition transform prunes canonical
+    // URIs too (the `__gp=` component survives qualification)
+    def partBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit =
+      if (partition.exists(_._1 == c) && live.nonEmpty)
+        live = pruneEntriesByPartition(partition, Seq((c, lo, hi)), live)
+    def partAnyOf(c: String, vs: Seq[Any]): Unit =
+      partition.filter(_._1 == c && live.nonEmpty)
+        .foreach { case (_, kind) =>
+          val rendered = vs.filter(_ != null).map(partProbeValue(kind, _))
+          // one unrenderable member means any entry might hold it
+          if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
+            val set = rendered.flatten.toSet
+            live = live.filter(e =>
+              partValueOf(e).forall(set.contains))
+          }
+        }
+    def statsBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      partBounds(c, lo, hi)
       if (statsCols(c) && live.nonEmpty)
-        live = graft.operators.Layout.selectByStatsBounds(spark, dd, c,
-          lo, hi, live)
+        live = graft.operators.Layout.selectByStatsBounds(spark, dd,
+          physName(colmap, c), lo, hi, live)
+    }
     def bloomProbe(c: String, vs: Seq[Any]): Unit =
       if (bloomCols(c) && live.nonEmpty) {
         val keys = vs.filter(_ != null)
         val colType = schema.flatMap(_.fields.find(_.name == c))
           .map(_.dataType)
         if (keys.nonEmpty && colType.isDefined)
-          live = bloomSurvivors(spark, table, c, colType.get, keys, live)
+          live = bloomSurvivors(spark, table, physName(colmap, c),
+            colType.get, keys, live)
       }
     def walk(f: Filter): Unit = f match {
       case EqualTo(a, v) if v != null =>
@@ -2432,10 +3082,11 @@ object Snapshots {
       case EqualNullSafe(a, v) if v != null =>
         statsBounds(a, Some(v), Some(v)); bloomProbe(a, Seq(v))
       case In(a, vs) =>
+        partAnyOf(a, vs.toSeq)
         if (statsCols(a) && live.nonEmpty)
           statsComparable(vs.toSeq).foreach { v =>
-            live = graft.operators.Layout.selectByStatsAnyOf(spark, dd, a,
-              v, live)
+            live = graft.operators.Layout.selectByStatsAnyOf(spark, dd,
+              physName(colmap, a), v, live)
           }
         bloomProbe(a, vs.toSeq)
       case GreaterThan(a, v) => statsBounds(a, Some(v), None)
@@ -2495,7 +3146,7 @@ object Snapshots {
     * `batchId` must be monotonic per stream (Structured Streaming's
     * contract). Returns (head version, whether THIS call committed).
     */
-  def commitStreamAppend(spark: SparkSession, batch: DataFrame,
+  def commitStreamAppend(spark: SparkSession, batch0: DataFrame,
       table: String, streamId: String, batchId: Long,
       maxRetries: Int = 10): (Long, Boolean) = {
     require(!streamId.contains("\n"), "streamId must be single-line")
@@ -2504,11 +3155,15 @@ object Snapshots {
     // fail-fast schema + constraint + tombstone checks before staging
     // (see commit)
     var validated = manifestLines(spark, table, currentVersion(spark, table))
+    val batch = fillWriteDefaults(batch0, schemaOf(validated))
     evolveSchema(schemaOf(validated), batch.schema)
     refuseTombstonedKeys(spark, table, validated, batch)
     refuseDroppedColumns(batch, table, validated)
     enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
-    val newFiles = stageData(spark, batch, table)
+    val stagedColmap = colmapOf(validated)
+    val stagedPart = partRawOf(validated)
+    val newFiles = stageData(spark, batch, table, stagedColmap,
+      partitionOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -2526,6 +3181,14 @@ object Snapshots {
           if (checksOf(lines) != checksOf(validated))
             enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
           refuseDroppedColumns(batch, table, lines)
+          if (colmapOf(lines) != stagedColmap)
+            throw new IllegalStateException(
+              s"stream append to $table raced a concurrent RENAME " +
+                "COLUMN — the staged files carry stale physical names")
+          if (partRawOf(lines) != stagedPart)
+            throw new IllegalStateException(
+              s"stream append to $table raced a partition-transform " +
+                "change — staged entries carry stale prefixes")
           evolveSchema(schemaOf(lines), batch.schema)
         } catch { case e: Throwable =>
           newFiles.foreach(n => f.delete(new Path(dataDir(table), n), false))
@@ -2547,7 +3210,8 @@ object Snapshots {
         Some(evolved),
         marks + (streamId -> batchId), filesOf(lines) ++ newFiles,
         "streamAppend", checksOf(lines),
-        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))
+        tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+        colmapOf(lines), partRawOf(lines))
       if (claimManifest(spark, table, head + 1, content))
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
@@ -2596,7 +3260,7 @@ object Snapshots {
           contentOf(schemaOf(target), marksOf(headLines), filesOf(target),
             "restore", checksOf(headLines),
             tombstonesOf(target), tombstoneColOf(target),
-            droppedOf(target))))
+            droppedOf(target), colmapOf(target), partRawOf(target))))
         return head + 1
       attempt += 1
     }
@@ -2648,7 +3312,10 @@ object Snapshots {
     val lines = manifestLines(spark, src, srcV)
     val f = fs(spark, dataDir(src))
     val refs = filesOf(lines).map { n =>
-      if (n.contains("/")) n // already foreign: carry verbatim
+      // foreign = qualified URI or absolute path; a PARTITIONED relative
+      // entry (`__gp=.../f.parquet`) is local and must qualify like a
+      // bare name (two-arg Path resolves the subdir)
+      if (n.contains(":/") || n.startsWith("/")) n
       else f.makeQualified(new Path(dataDir(src), n)).toString
     }
     val tombs = tombstonesOf(lines)
@@ -2664,7 +3331,8 @@ object Snapshots {
     }
     require(claimManifest(spark, dst, 1L,
       contentOf(schemaOf(lines), marksOf(lines), refs, "clone",
-        checksOf(lines), tombs, tombstoneColOf(lines), droppedOf(lines))),
+        checksOf(lines), tombs, tombstoneColOf(lines), droppedOf(lines),
+        colmapOf(lines), partRawOf(lines))),
       s"clone target $dst already has a v1 manifest")
     1L
   }
@@ -2775,13 +3443,16 @@ object Snapshots {
       }
     }
     var validated = lines0
-    val batch = readSrc(todo0)
+    val batch = fillWriteDefaults(readSrc(todo0), schemaOf(validated))
     evolveSchema(schemaOf(validated), batch.schema)
     refuseTombstonedKeys(spark, table, validated, batch)
     refuseDroppedColumns(batch, table, validated)
     enforceChecks(batch, checksOf(validated), table, schemaOf(validated))
     val rows = batch.count()
-    val newFiles = stageData(spark, batch, table)
+    val stagedColmap = colmapOf(validated)
+    val stagedPart = partRawOf(validated)
+    val newFiles = stageData(spark, batch, table, stagedColmap,
+      partitionOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     def dropStaged(): Unit =
@@ -2810,6 +3481,14 @@ object Snapshots {
           if (checksOf(lines) != checksOf(validated))
             enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
           refuseDroppedColumns(batch, table, lines)
+          if (colmapOf(lines) != stagedColmap)
+            throw new IllegalStateException(
+              s"COPY INTO $table raced a concurrent RENAME COLUMN — " +
+                "the staged files carry stale physical names; re-run")
+          if (partRawOf(lines) != stagedPart)
+            throw new IllegalStateException(
+              s"COPY INTO $table raced a partition-transform change — " +
+                "staged entries carry stale prefixes; re-run")
           evolveSchema(schemaOf(lines), batch.schema)
         } catch { case e: Throwable => dropStaged(); throw e }
       validated = lines
@@ -2818,7 +3497,8 @@ object Snapshots {
       if (claimManifest(spark, table, head + 1,
           contentOf(Some(evolved), marks ++ loadMarks,
             filesOf(lines) ++ newFiles, "copyInto", checksOf(lines),
-            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines))))
+            tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+            colmapOf(lines), partRawOf(lines))))
         return (head + 1, todo0.size, rows)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
     }
@@ -2887,10 +3567,12 @@ object Snapshots {
         // rebuild: one full re-mirror of the source head (the replica
         // lagged past retention, or is empty) — O(src) by definition
         val state = read(spark, src, Some(srcHead))
-        val newFiles = stageData(spark, state, dst)
+        val newFiles = stageData(spark, state, dst, Map.empty,
+          partitionOf(lines))
         if (claimManifest(spark, dst, head + 1,
             contentOf(Some(state.schema), marks + (sid -> srcHead),
-              newFiles, "replicaSync", checksOf(lines))))
+              newFiles, "replicaSync", checksOf(lines),
+              partition = partRawOf(lines))))
           return (from, srcHead, mode)
         // lost the race: computed against a stale replica head — drop
         // the orphans and recompute (single-writer replicas never hit
@@ -2913,7 +3595,8 @@ object Snapshots {
         if (claimManifest(spark, dst, head + 1,
             contentOf(Some(schema), marks + (sid -> srcHead),
               cow.carried ++ cow.newFiles, "replicaSync", checksOf(lines),
-              cow.tombstones, cow.tombstoneCol, droppedOf(lines))))
+              cow.tombstones, cow.tombstoneCol, droppedOf(lines),
+              colmapOf(lines), partRawOf(lines))))
           return (from, srcHead, mode)
         cow.newFiles.foreach(n =>
           f.delete(new Path(dataDir(dst), n), false))
@@ -2961,10 +3644,25 @@ object Snapshots {
     val f = fs(spark, dd)
     if (!f.exists(dd)) return Nil
     val now = System.currentTimeMillis()
-    val deleted = f.listStatus(dd).filter(_.isFile)
-      .filter(s => now - s.getModificationTime >= minAgeMs)
-      .map(_.getPath).filterNot(p => referenced.contains(p.getName))
-      .map { p => if (!dryRun) f.delete(p, false); p.getName }.toSeq
+    // RECURSIVE census keyed by data-dir-relative path: partitioned
+    // entries (`__gp=.../f.parquet`) reconcile exactly like flat ones;
+    // sidecar trees (underscore/dot components) are never touched
+    val ddQ = f.makeQualified(dd).toString + "/"
+    val deleted = {
+      val it = f.listFiles(dd, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = f.makeQualified(st.getPath).toString.stripPrefix(ddQ)
+        if (st.isFile && !rel.split('/').exists(c =>
+            (c.startsWith("_") && !c.startsWith(PartPrefix)) ||
+              c.startsWith(".")) &&
+          now - st.getModificationTime >= minAgeMs)
+          buf += ((st.getPath, rel))
+      }
+      buf.toSeq.filterNot { case (_, rel) => referenced.contains(rel) }
+        .map { case (p, rel) => if (!dryRun) f.delete(p, false); rel }
+    }
     // tombstone sidecars age out exactly like data files: unreferenced by
     // any retained manifest (materialized, or their version expired)
     val td = tombstoneDir(table)

@@ -977,4 +977,264 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t).count() == 8L,
       "DROP CONSTRAINT resurrected lazily-deleted rows")
   }
+
+  test("RENAME COLUMN: metadata-only column mapping — reads, writes, time travel") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "score"), t) // v1
+    val v2 = Snapshots.commitRenameColumn(spark, t, "v", "label")
+    assert(v2 == 2L)
+    // metadata-only: the same files serve both versions
+    assert(Snapshots.filesAt(spark, t, 1L) == Snapshots.filesAt(spark, t, 2L))
+    // head serves the LOGICAL name with the ORIGINAL values (a naive
+    // declared-schema read would resolve `label` as all-NULL)
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "label", "score"))
+    assert(head.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b"))
+    // time travel serves each version's OWN names
+    assert(Snapshots.read(spark, t, Some(1L)).columns.toSeq ==
+      Seq("id", "v", "score"))
+    // appends ingest under the new name (staged physical, served logical)
+    Snapshots.commitAppend(spark,
+      Seq((3L, "c", 3.0)).toDF("id", "label", "score"), t) // v3
+    assert(Snapshots.read(spark, t).filter(col("label") === "c").count() == 1)
+    assert(Snapshots.read(spark, t).filter(col("label").isNull).count() == 0,
+      "a renamed column must never read as NULL")
+    // the OLD name is ledgered: batches carrying it and ADD COLUMNS refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark,
+        Seq((9L, "x", 9.0, "old")).toDF("id", "label", "score", "v"), t)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAddColumns(spark, t,
+        Seq(org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+    }
+    // copy-on-write DML under the mapping: merge bumps one key, delete
+    // removes one — logical-space semantics, physical-space files
+    Snapshots.commitMerge(spark,
+      Seq((2L, "B", 2.5)).toDF("id", "label", "score"), t, Seq("id"))
+    Snapshots.commitDelete(spark, t, Seq(1L), "id")
+    val after = Snapshots.read(spark, t).select("id", "label", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(after == Set((2L, "B", 2.5), (3L, "c", 3.0)))
+    // rowDiff across the merge window speaks logical names too
+    val feed = Snapshots.rowDiff(spark, t, 3L, 4L, Seq("id"))
+    assert(feed.columns.contains("label") && !feed.columns.contains("v"))
+    // rename BACK to the physical name is legal (it is this column's own
+    // data) and un-ledgers the name
+    val vb = Snapshots.commitRenameColumn(spark, t, "label", "v")
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "v", "score"))
+    assert(Snapshots.read(spark, t).filter(col("v") === "B").count() == 1)
+    Snapshots.commitRenameColumn(spark, t, "v", "label") // forward again
+    // a full-rewrite OPTIMIZE normalizes physical names: colmap + ledger
+    // clear, so the old name becomes a legitimate fresh column
+    assert(Snapshots.compactData(spark, t, targetFiles = 1,
+      minFiles = 1).nonEmpty)
+    assert(Snapshots.read(spark, t).filter(col("label") === "B").count() == 1,
+      "full rewrite must preserve renamed-column values")
+    Snapshots.commitAddColumns(spark, t,
+      Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val fresh = Snapshots.read(spark, t)
+    assert(fresh.columns.toSeq == Seq("id", "label", "score", "v"))
+    assert(fresh.filter(col("v").isNotNull).count() == 0,
+      "re-added name after OPTIMIZE must read fresh NULLs, never old data")
+    assert(vb == 6L)
+  }
+
+  test("RENAME COLUMN refusals: dropped names, tombstone keys, CHECK mentions, races") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "score"), t)
+    // renaming ONTO a dropped name would resurrect its data
+    Snapshots.commitDropColumn(spark, t, "score")
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, t, "v", "score")
+    }
+    assert(e1.getMessage.contains("DROPPED"))
+    // pending tombstones key on the column -> refuse (sidecar holds the
+    // old name); other columns still rename
+    Snapshots.commitDeleteLazy(spark, t, Seq(2L), "id")
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, t, "id", "ident")
+    }
+    assert(e2.getMessage.contains("tombstone"))
+    Snapshots.commitRenameColumn(spark, t, "v", "label")
+    assert(Snapshots.read(spark, t).count() == 1L,
+      "rename must carry pending tombstones")
+    assert(Snapshots.compactData(spark, t, targetFiles = 1,
+      minFiles = 1).nonEmpty) // materialize tombstones
+    // CHECK mentions -> refuse (expression strings do not rewrite)
+    Snapshots.addCheckConstraint(spark, t, "lab_ok", "label IS NOT NULL")
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, t, "label", "tag")
+    }
+    assert(e3.getMessage.contains("lab_ok"))
+    Snapshots.dropCheckConstraint(spark, t, "lab_ok")
+    // a rename landing while an append is staged refuses the append
+    // loudly and reclaims its files (stale physical names)
+    try {
+      Snapshots.raceHookForTests = () => {
+        Snapshots.commitRenameColumn(spark, t, "label", "tag")
+        Snapshots.raceHookForTests = () => ()
+      }
+      // the staged batch does not carry any renamed column, so the
+      // ledger can't catch it — the colmap-drift guard must
+      val e4 = intercept[IllegalStateException] {
+        Snapshots.commitAppend(spark, Seq(7L).toDF("id"), t)
+      }
+      assert(e4.getMessage.contains("RENAME"))
+      // a batch CARRYING the now-retired name refuses via the ledger
+      val e5 = intercept[IllegalArgumentException] {
+        Snapshots.commitAppend(spark,
+          Seq((8L, "h")).toDF("id", "label"), t)
+      }
+      assert(e5.getMessage.contains("DROPPED"))
+    } finally Snapshots.raceHookForTests = () => ()
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "tag"))
+  }
+
+  test("column DEFAULTs: ADD COLUMNS DEFAULT back-fills landed rows, SET DEFAULT governs writes") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) // v1
+    // metadata-only: ADD COLUMNS ... DEFAULT via SQL, zero files moved
+    val r = spark.sql(s"ALTER TABLE '$t' ADD COLUMNS " +
+      "(status STRING DEFAULT 'open', bonus DOUBLE DEFAULT 0.5)").head
+    assert(r.getLong(0) == 2L)
+    assert(Snapshots.filesAt(spark, t, 1L) == Snapshots.filesAt(spark, t, 2L))
+    // the LOAD-BEARING contract: files that physically LACK the column
+    // serve the folded default straight from the parquet reader — the
+    // landed v1 rows read 'open'/0.5, NOT NULL, with zero data movement
+    val head = Snapshots.read(spark, t)
+    assert(head.filter(col("status") === "open").count() == 2)
+    assert(head.filter(col("bonus") === 0.5).count() == 2)
+    assert(head.filter(col("status").isNull).count() == 0)
+    // write semantics: a batch OMITTING a defaulted column lands the
+    // default; a batch carrying it (even NULL) lands what it says
+    Snapshots.commitAppend(spark, Seq(3L).toDF("id"), t) // v3
+    assert(Snapshots.read(spark, t).filter(col("id") === 3L)
+      .select("status", "bonus").head match {
+        case row => row.getString(0) == "open" && row.getDouble(1) == 0.5
+      })
+    Snapshots.commitAppend(spark,
+      Seq((4L, null.asInstanceOf[String])).toDF("id", "status"), t) // v4
+    val r4 = Snapshots.read(spark, t).filter(col("id") === 4L).head
+    assert(r4.isNullAt(r4.fieldIndex("status")),
+      "an EXPLICIT NULL must stay NULL — defaults fill only missing columns")
+    // SET DEFAULT changes FUTURE writes only
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN status SET DEFAULT 'late'")
+      .collect()
+    Snapshots.commitAppend(spark, Seq(5L).toDF("id"), t)
+    assert(Snapshots.read(spark, t).filter(col("id") === 5L)
+      .select("status").head.getString(0) == "late")
+    assert(Snapshots.read(spark, t).filter(col("id") === 3L)
+      .select("status").head.getString(0) == "open",
+      "SET DEFAULT must not rewrite landed rows")
+    // DROP DEFAULT: writes missing the column land NULL again; the
+    // ADD-time EXISTS_DEFAULT keeps serving pre-column files
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN status DROP DEFAULT").collect()
+    Snapshots.commitAppend(spark, Seq(6L).toDF("id"), t)
+    val r6 = Snapshots.read(spark, t).filter(col("id") === 6L).head
+    assert(r6.isNullAt(r6.fieldIndex("status")))
+    assert(Snapshots.read(spark, t).filter(col("id") === 1L)
+      .select("status").head.getString(0) == "open",
+      "DROP DEFAULT must not strip the landed-rows EXISTS_DEFAULT")
+    // time travel: v1 has no default columns at all
+    assert(Snapshots.read(spark, t, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // CHECK constraints see defaulted values: declaring NOT NULL on the
+    // defaulted column validates the whole head (the v1 rows would fail
+    // if defaults read as NULL)... and a non-foldable default refuses
+    Snapshots.addCheckConstraint(spark, t, "bonus_pos", "bonus >= 0")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ALTER COLUMN bonus SET DEFAULT rand()")
+        .collect()
+    }
+    // DML through the copy-on-write engine preserves served defaults
+    spark.sql(s"UPDATE '$t' SET bonus = 9.9 WHERE id = 1").collect()
+    val u = Snapshots.read(spark, t).filter(col("id") === 1L)
+      .select("status", "bonus").head
+    assert(u.getString(0) == "open" && u.getDouble(1) == 9.9)
+    // catalog SQL serves defaults too (the reader-level fill is
+    // plan-independent)
+    val root = new java.io.File(t).getParent
+    spark.conf.set("spark.sql.catalog.gdef",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdef.root", root)
+    assert(spark.sql("SELECT status FROM gdef.t WHERE id = 2")
+      .head.getString(0) == "open")
+  }
+
+  test("partition transforms: dir-level skipping, metadata expiry, vacuum, OPTIMIZE restage") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val t = freshTable()
+    val rows = spark.range(0, 800).toDF("id")
+      .withColumn("d", date_add(to_date(lit("2024-01-01")),
+        (col("id") % 8).cast("int")))
+      .withColumn("v", col("id") * 2)
+      .localCheckpoint(true)
+    // v1 lands FLAT (pre-transform files are legal and always read)
+    Snapshots.commitAppend(spark, rows.filter(col("id") < 100), t)
+    val r = spark.sql(s"ALTER TABLE '$t' SET PARTITION (date(d))").head
+    assert(r.getLong(0) == 2L && r.getString(1) == "date(d)")
+    // v3 lands PARTITIONED: entries carry __gp=<date>/ prefixes
+    Snapshots.commitAppend(spark, rows.filter(col("id") >= 100), t)
+    val entries = Snapshots.filesAt(spark, t, 3L)
+    assert(entries.exists(_.startsWith("__gp=2024-01-0")),
+      s"expected partition-prefixed entries, got ${entries.take(3)}")
+    assert(Snapshots.read(spark, t).count() == 800)
+    // whole-partition retention expiry: ONE metadata commit, no reads;
+    // flat (pre-transform) files are KEPT — they cannot prove their age
+    val e = spark.sql(
+      s"ALTER TABLE '$t' EXPIRE PARTITIONS OLDER THAN '2024-01-03'").head
+    assert(e.getLong(0) == 4L && e.getInt(1) > 0)
+    // partitioned ids 100..799: residues 0/1 (dates 01-01, 01-02) are
+    // 87 rows each; every flat v1 row (ids < 100, all dates) survives
+    assert(Snapshots.read(spark, t).count() == 800 - 174,
+      "expiry must drop exactly the old PREFIXED partitions")
+    val flatV3 = Snapshots.filesAt(spark, t, 3L)
+      .filterNot(_.startsWith("__gp=")).toSet
+    assert(Snapshots.filesAt(spark, t, 4L).count(flatV3) == flatV3.size,
+      "expiry must carry every un-prefixed entry")
+    // predicate DELETE prunes by DIRECTORY before any footer opens:
+    // only the matching partition (plus the flat v1 files) probes
+    val (v5, deleted) = Snapshots.commitDeleteWhere(spark, t,
+      col("d") === lit(java.sql.Date.valueOf("2024-01-07")))
+    assert(v5 == 5L && deleted == 100)
+    val (cand, total) = Snapshots.lastWherePruned.get
+    assert(cand < total, s"partition prune opened $cand of $total")
+    assert(Snapshots.read(spark, t).count() == 526)
+    // vacuum reclaims the expired partition files RECURSIVELY
+    val reclaimed = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(reclaimed.exists(_.startsWith("__gp=")),
+      s"vacuum must reclaim partitioned files, got $reclaimed")
+    assert(Snapshots.read(spark, t).count() == 526)
+    // OPTIMIZE full rewrite re-stages EVERYTHING under the transform:
+    // the flat v1 debt gains prefixes (and future prunes cover it)
+    assert(Snapshots.compactData(spark, t, targetFiles = 4,
+      minFiles = 1).nonEmpty)
+    val after = Snapshots.filesAt(spark, t,
+      Snapshots.currentVersion(spark, t))
+    assert(after.forall(_.startsWith("__gp=")),
+      s"full rewrite must re-stage under the transform: $after")
+    assert(Snapshots.read(spark, t).count() == 526)
+    // refusals: the partition column neither drops nor renames, and a
+    // DIFFERENT transform refuses while prefixed entries are referenced
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, t, "d") }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, t, "d", "dt") }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitSetPartition(spark, t, "d", "month") }
+    // the delete slice rewrote under the transform too
+    assert(Snapshots.filesAt(spark, t, 5L).forall(e =>
+      e.startsWith("__gp=") || flatV3(e)),
+      "copy-on-write rewrites must stage under the transform")
+  }
 }
