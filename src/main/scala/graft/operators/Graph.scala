@@ -127,20 +127,33 @@ object Graph {
     * the join form, ~80M at sf0.1) is never materialized; the whole
     * count is one codegen pass of per-row array intersections over
     * |E| rows. 4× faster than the wedge-join form at sf0.1 (1.3s vs
-    * 5.5s warm). Beyond broadcastable |V|·sqrt(|E|) adjacency, swap
-    * the hints for shuffled joins on u then v — same plan shape.
-    * Returns one (n_triangles) row.
+    * 5.5s warm). Returns one (n_triangles) row.
+    *
+    * SCALE FALLBACK (auto-selected): the broadcast adjacency is
+    * |V|·O(sqrt |E|) and outgrows an executor around 100× the sf0.1
+    * edge count — past `maxBroadcastEdges` oriented edges (one count
+    * of the caller-cached frame, a metadata-cheap decision) the SAME
+    * plan shape runs with SHUFFLED hash joins on u then v instead of
+    * broadcast hints: identical census, bounded per-task memory, two
+    * exchanges. GraphSpec pins both selections to identical output.
     */
-  def triangleCount(oriented: DataFrame): DataFrame = {
+  def triangleCount(oriented: DataFrame,
+      maxBroadcastEdges: Long = 4000000L): DataFrame = {
     val adj = oriented.groupBy(col("u"))
       .agg(collect_list(col("v")).as("nbrs"))
     val au = adj.select(col("u").as("ju"), col("nbrs").as("nu"))
     val av = adj.select(col("u").as("jv"), col("nbrs").as("nv"))
+    val broadcastable = oriented.count() <= maxBroadcastEdges
+    def side(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df)
+      // shuffle-hash over sort-merge: the adjacency side builds a hash
+      // table per partition instead of sorting |E| wedge rows
+      else df.hint("shuffle_hash")
     // inner join on v drops edges whose head has no out-neighbors —
     // those close no triangle, so the sum is unaffected
     oriented
-      .join(broadcast(au), col("u") === col("ju"))
-      .join(broadcast(av), col("v") === col("jv"))
+      .join(side(au), col("u") === col("ju"))
+      .join(side(av), col("v") === col("jv"))
       .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))), lit(0L))
         .as("n_triangles"))
   }

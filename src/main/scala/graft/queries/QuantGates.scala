@@ -812,7 +812,55 @@ object QuantGates {
         .orderBy("set_op")
     })
 
-  val all: Seq[QueryDef] = Seq(qcQuantGates, qcIvfRecallCurve, qcHllAccuracy,
+  /** The a23 RFM quintiles' 100 TB SCALE TWIN, gated: a23's global
+    * ntile is a dimension sort (one row per customer) — past
+    * broadcastable customer counts the published substitution is
+    * approx-quantile CUTPOINTS broadcast back as a segment expression
+    * (no global sort, no window). This gate runs BOTH segmentations of
+    * the monetary dimension and bounds their disagreement at the
+    * sketch's rank-error contract: approxQuantile(eps) misranks at
+    * most eps·n rows per cutpoint, and ntile's ties-broken-by-key
+    * order can flip at most one tie class per boundary — so
+    * disagreements ≤ 4·(tieSlack + 2·eps·n). A drifting sketch, a
+    * mis-sided boundary, or a wrong substitution turns the round red.
+    */
+  val qcRfmApprox = QueryDef(
+    "qc_rfm_approx",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val eps = 1e-4
+      val base = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("monetary"))
+        .localCheckpoint(true) // dimension-sized; consumed three times
+      val n = base.count()
+      // the scale path: 4 cutpoints from the sketch, broadcast back as
+      // ONE segment expression — no global sort anywhere
+      val cuts = base.stat.approxQuantile("monetary",
+        Array(0.2, 0.4, 0.6, 0.8), eps)
+      val approxSeg = cuts.foldLeft(lit(1))((acc, c) =>
+        acc + when(col("monetary") > c, 1).otherwise(0))
+      val exact = base.select(col("o_custkey"), col("monetary"),
+        ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey")))
+          .as("ex"))
+        .withColumn("ap", approxSeg)
+      val perQ = exact.groupBy(col("ex").as("quintile"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("ap") === col("ex"), 0L).otherwise(1L))
+            .as("disagree"))
+        .orderBy("quintile").collect()
+      val disagreeTotal = perQ.map(_.getLong(2)).sum
+      val bound = 4.0 * (2.0 + 2.0 * eps * n)
+      perQ.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          disagreeTotal, bound, disagreeTotal <= bound))
+        .toDF("quintile", "n_exact", "disagree", "disagree_total",
+          "bound", "pass")
+    })
+
+  val all: Seq[QueryDef] = Seq(qcQuantGates, qcRfmApprox, qcIvfRecallCurve, qcHllAccuracy,
     qcPqRecallCurve, qcHashUniformity, qcQuantileAccuracy, qcPpjoinCandidates,
     qcTrimInvariants, qcHllRolling, qcKllRolling, qcThetaSets)
 }

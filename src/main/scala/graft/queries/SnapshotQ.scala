@@ -1440,6 +1440,85 @@ object SnapshotQ {
           lit("head").as("part")))
     })
 
+  /** CHANGE-FEED STREAMING (sources/SnapshotStreamSource
+    * `readChangeFeed=true` — the Delta CDF-streaming idea): a live
+    * micro-batch stream tails the source table's commit log and
+    * receives the FULL row-exact feed — initial-snapshot and append
+    * windows as `insert`, copy-on-write delete windows as `delete`
+    * PRE-IMAGES, merge windows as both update images — so a downstream
+    * mirror can maintain itself (deletes included) entirely by stream,
+    * where the plain source intentionally serves post-images only. The
+    * collected feed lands in a second snapshot table through the
+    * exactly-once stream-commit path; emitted rows are that table's
+    * contents, fully DuckDB-oracled from orders alone — a lost window,
+    * replayed batch, double-served image, or swallowed delete lands in
+    * the diff.
+    */
+  val snapCdfStream = QueryDef(
+    "snap_cdf_stream",
+    Some("""SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4) AS price,
+           |       'insert' AS change FROM orders
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4), 'delete'
+           |FROM orders WHERE o_orderkey % 10 = 3
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE), 4), 'update_preimage'
+           |FROM orders WHERE o_orderkey % 10 = 7
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       round(CAST(o_totalprice AS DOUBLE) * 1.1, 4),
+           |       'update_postimage'
+           |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .localCheckpoint(true) // three commits + a key collect consume it
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_cdfs").toString
+      val src = root + "/src"
+      val dst = root + "/dst"
+      Snapshots.commitAppend(spark, // v1: the initial snapshot window
+        orders.filter(col("o_orderkey") % 2 === 0), src)
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", src).option("keys", "o_orderkey")
+        .option("readChangeFeed", "true").load()
+        .writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("snap_cdfs_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              bid: Long) =>
+            if (!b.isEmpty)
+              Snapshots.commitStreamAppend(spark, b.toDF(), dst,
+                "snap_cdf_stream", bid)
+            ()
+        }
+        .start()
+      q.processAllAvailable() // initial snapshot: even-half inserts
+      Snapshots.commitAppend(spark, // append window: odd-half inserts
+        orders.filter(col("o_orderkey") % 2 === 1), src)
+      q.processAllAvailable()
+      val doomed = orders.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      Snapshots.commitDelete(spark, src, doomed, "o_orderkey")
+      q.processAllAvailable() // delete window: PRE-IMAGES flow
+      Snapshots.commitMerge(spark,
+        orders.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+        src, Seq("o_orderkey"))
+      q.processAllAvailable() // merge window: both update images flow
+      q.stop()
+      Snapshots.read(spark, dst)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("price"),
+          col("_change_type").as("change"))
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
@@ -1447,5 +1526,6 @@ object SnapshotQ {
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
-      snapCatalogSkip, snapRename, snapDefault, snapPartition)
+      snapCatalogSkip, snapRename, snapDefault, snapPartition,
+      snapCdfStream)
 }

@@ -89,6 +89,9 @@ class SnapshotStreamProvider extends StreamSourceProvider
     new SnapshotStreamSink(sqlContext.sparkSession, t, sid)
   }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -96,9 +99,18 @@ class SnapshotStreamProvider extends StreamSourceProvider
     val t = pathOf(parameters)
     val head = Snapshots.currentVersion(spark, t)
     require(head > 0, s"no snapshot table at $t (no committed version)")
-    (shortName(), schema.getOrElse(
+    val base = schema.getOrElse(
       Snapshots.schemaAt(spark, t, head)
-        .getOrElse(Snapshots.read(spark, t).schema)))
+        .getOrElse(Snapshots.read(spark, t).schema))
+    // CDF mode appends the change-type discriminator (the Delta
+    // readChangeFeed convention): inserts, delete PRE-IMAGES, and both
+    // update images flow — the full row-exact feed a downstream mirror
+    // needs to self-maintain without syncReplica
+    val out = if (!cdfOf(parameters)) base
+      else StructType(base.fields.filterNot(_.name == "_change_type") :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -112,12 +124,17 @@ class SnapshotStreamProvider extends StreamSourceProvider
     val maxBytes = parameters.get("maxBytesPerBatch").map(_.toLong)
     maxBytes.foreach(m => require(m > 0,
       s"maxBytesPerBatch must be positive, got $m"))
+    val cdf = cdfOf(parameters)
+    val keys = parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
+      .getOrElse(Nil)
+    require(!cdf || keys.nonEmpty,
+      "readChangeFeed=true needs option(\"keys\", ...) — rewrite " +
+        "windows classify rows by key")
     new SnapshotStreamSource(spark, t,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
-        .getOrElse(Nil),
+      keys,
       parameters.get("startingVersion").map(_.toLong),
-      maxVersions, maxBytes)
+      maxVersions, maxBytes, cdf)
   }
 }
 
@@ -137,7 +154,8 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     schema0: StructType, keys: Seq[String],
     startingVersion: Option[Long],
     maxVersionsPerBatch: Option[Long] = None,
-    maxBytesPerBatch: Option[Long] = None) extends Source {
+    maxBytesPerBatch: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
   override def schema: StructType = schema0
 
@@ -224,6 +242,20 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
         .as(f.name)
     }: _*)
 
+  /** CDF conform: data columns conform as usual; the discriminator is
+    * the frame's own `change_type` (rewrite windows) or a constant
+    * (snapshots and appends are pure inserts).
+    */
+  private def conformCdf(df: DataFrame, changeType: Option[String])
+      : DataFrame = {
+    val tagged = changeType match {
+      case Some(ct) => df.withColumn("_change_type",
+        org.apache.spark.sql.functions.lit(ct))
+      case None => df.withColumnRenamed("change_type", "_change_type")
+    }
+    conform(tagged)
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
     // every served (or recovery-replayed) window advances the admission
@@ -231,13 +263,16 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     cursor = Some(cursor.fold(to)(math.max(_, to)))
     val fromOpt = start.map(versionOf).orElse(startingVersion)
     val from = fromOpt.getOrElse(to) // no start, no override → snapshot at `to`
+    def snapshotAt(v: Long): DataFrame = {
+      val snap = Snapshots.read(spark, table, Some(v))
+      if (readChangeFeed) conformCdf(snap, Some("insert")) else conform(snap)
+    }
     if (fromOpt.isEmpty)
       // initial batch: the FULL applied snapshot at the end version —
       // tombstones filtered, pinned (later commits can't change it)
-      return asStreaming(conform(Snapshots.read(spark, table, Some(to))))
+      return asStreaming(snapshotAt(to))
     if (from >= to)
-      return asStreaming(
-        conform(Snapshots.read(spark, table, Some(to))).limit(0))
+      return asStreaming(snapshotAt(to).limit(0))
     require(from == 0 || Snapshots.hasVersion(spark, table, from),
       s"stream offset v$from of $table was vacuumed away — the window " +
         "cannot be served exactly; restart the stream fresh")
@@ -246,21 +281,29 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     val steps = ((from + 1) to to).map { v =>
       val stepFrom = v - 1
       if (stepFrom == 0)
-        conform(Snapshots.read(spark, table, Some(v)))
+        snapshotAt(v)
       else {
         val appendOnly =
           Snapshots.removedFiles(spark, table, stepFrom, v).isEmpty &&
             Snapshots.sameTombstones(spark, table, stepFrom, v)
-        if (appendOnly)
-          conform(Snapshots.incrementalRead(spark, table, stepFrom, v))
-        else {
+        if (appendOnly) {
+          val inc = Snapshots.incrementalRead(spark, table, stepFrom, v)
+          if (readChangeFeed) conformCdf(inc, Some("insert"))
+          else conform(inc)
+        } else {
           require(keys.nonEmpty,
             s"step v$stepFrom->v$v of $table rewrote files and the " +
               "stream declared no keys — post-images cannot be " +
               "identified; pass option(\"keys\", ...) to stream " +
               "rewrite windows as row-exact upserts, or keep the " +
               "table append-only for this consumer")
-          conform(Snapshots.rowDiff(spark, table, stepFrom, v, keys)
+          val feed = Snapshots.rowDiff(spark, table, stepFrom, v, keys)
+          if (readChangeFeed)
+            // FULL feed: inserts, delete PRE-IMAGES, both update images
+            // — the opt-in that lets a downstream mirror apply deletes
+            // by stream instead of syncReplica
+            conformCdf(feed, None)
+          else conform(feed
             .filter(col("change_type").isin("insert", "update_postimage"))
             .drop("change_type"))
         }

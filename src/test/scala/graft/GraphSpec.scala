@@ -136,4 +136,25 @@ class GraphSpec extends AnyFunSuite {
     assert(ScopedCache.liveCount == live0,
       s"cache generations grew: $live0 -> ${ScopedCache.liveCount}")
   }
+
+  test("triangleCount: shuffled-join fallback matches the broadcast census exactly") {
+    import org.apache.spark.sql.functions.col
+    // K4 plus pendant edges plus a disjoint triangle: 5 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("pa", "pb")
+    val oriented = Graph.orientByDegree(edges, Graph.degrees(edges))
+      .localCheckpoint(true)
+    val viaBroadcast = Graph.triangleCount(oriented)
+    val viaShuffle = Graph.triangleCount(oriented, maxBroadcastEdges = 0L)
+    assert(viaBroadcast.head.getLong(0) == 5L)
+    assert(viaShuffle.head.getLong(0) == 5L,
+      "the shuffled fallback must produce the identical census")
+    // the threshold actually changes the physical strategy
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val shuffledPlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!shuffledPlan.contains("BroadcastHashJoin"),
+      s"fallback still broadcasts:\n${shuffledPlan.take(600)}")
+  }
 }

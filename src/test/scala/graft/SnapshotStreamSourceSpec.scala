@@ -244,4 +244,88 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keys") ||
       e.getCause.getMessage.contains("keys"))
   }
+
+  test("readChangeFeed: deletes flow as pre-images exactly once across a checkpoint restart") {
+    val root = Files.createTempDirectory("graft_strcdf").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), t) // v1
+    val seen = mutable.ArrayBuffer.empty[(Long, String, String)]
+    def run(phases: (() => Unit)*): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", t).option("keys", "id")
+        .option("readChangeFeed", "true")
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck")
+        .queryName("cdf_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val rows = b.select("id", "v", "_change_type").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+            seen.synchronized { seen ++= rows }
+            ()
+        }.start()
+      try phases.foreach { p => p(); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // phase 1: initial snapshot (10 inserts), then a copy-on-write
+    // DELETE window whose pre-images must flow
+    run(
+      () => (),
+      () => { Snapshots.commitDelete(spark, t, Seq(3L, 4L), "id"); () })
+    assert(seen.count(_._3 == "insert") == 10)
+    assert(seen.filter(_._3 == "delete").map(_._1).toSet == Set(3L, 4L))
+    // phase 2 happens while the stream is DOWN: a merge bump and a
+    // merge-on-read lazy delete — the restarted stream must serve both
+    // windows exactly once from the checkpoint
+    Snapshots.commitMerge(spark,
+      Seq((5L, "V5")).toDF("id", "v"), t, Seq("id")) // v3
+    Snapshots.commitDeleteLazy(spark, t, Seq(6L), "id") // v4: no files move
+    run(() => ())
+    assert(seen.count(_._3 == "delete") == 3, s"got $seen")
+    assert(seen.filter(_._3 == "delete").map(_._1).toSet == Set(3L, 4L, 6L),
+      "the lazy-delete window must emit its pre-image exactly once")
+    assert(seen.collect {
+      case (5L, v, "update_preimage") => v }.toSeq == Seq("v5"))
+    assert(seen.collect {
+      case (5L, v, "update_postimage") => v }.toSeq == Seq("V5"))
+    // no double-served rows anywhere
+    assert(seen.size == seen.toSet.size, s"duplicates in $seen")
+    // admission caps still bound CDF batches: a fresh startingVersion=0
+    // replay capped at 1 version/batch serves one window per batch
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("path", t).option("keys", "id")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1")
+      .load().writeStream
+      .option("checkpointLocation", root + "/ck2")
+      .queryName("cdf2_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val n = b.count()
+          if (n > 0) { nBatches.incrementAndGet(); total.addAndGet(n) }
+          ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(nBatches.get() == 4, s"expected 4 capped windows, got $nBatches")
+    assert(total.get() == seen.size.toLong,
+      "a capped replay must serve the same exactly-once CDF rows")
+    // refusal: CDF without keys is rejected at source construction
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("path", t).option("readChangeFeed", "true")
+        .load().writeStream
+        .option("checkpointLocation", root + "/ck3")
+        .format("noop").start().processAllAvailable()
+    }
+    assert(e2.getMessage.contains("keys") ||
+      Option(e2.getCause).exists(_.getMessage.contains("keys")))
+  }
 }
