@@ -48,6 +48,9 @@ object Forecast {
         sum(when(Fns.isWeekend(col("ts")), 0L).otherwise(1L)).cast("double")
           .as("weekday_trip_count"))
       .withColumn("is_weekend", Fns.isWeekend(col("trip_date")).cast("double"))
+    // unpartitioned on purpose: the frame is the daily census
+    // (calendar-sized at any scale) — WindowExec's single-partition
+    // warning is expected and harmless here and in this file's siblings
     val w = Window.orderBy(col("trip_date"))
     daily
       .withColumn("avg_fare_lag1", lag(col("avg_fare"), 1).over(w))

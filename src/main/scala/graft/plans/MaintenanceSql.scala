@@ -430,7 +430,11 @@ final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
       nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = true)(),
     AttributeReference("stats_columns", StringType, nullable = false)(),
-    AttributeReference("bloom_columns", StringType, nullable = false)())
+    AttributeReference("bloom_columns", StringType, nullable = false)(),
+    AttributeReference("partition_transform", StringType,
+      nullable = false)(),
+    AttributeReference("renamed_columns", StringType, nullable = false)(),
+    AttributeReference("default_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = target.resolve(spark)
     MaintenanceSql.requireTable(spark, path, "DESCRIBE DETAIL")
@@ -454,8 +458,17 @@ final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
       .map(_.sorted.mkString(",")).getOrElse("")
     val bloomCols = Snapshots.bloomIndexedColumns(spark, path)
       .mkString(",")
+    // layout/mapping audit: the declared transform, live renames
+    // (logical->physical), and the columns carrying a write DEFAULT
+    val partitionT = Snapshots.partitionAt(spark, path, head)
+      .map { case (c, k) => s"$k($c)" }.getOrElse("")
+    val renamed = Snapshots.colmapAt(spark, path, head).toSeq.sorted
+      .map { case (l, ph) => s"$l<-$ph" }.mkString(",")
+    val defaults = Snapshots.columnDefaults(spark, path, Some(head))
+      .toSeq.sortBy(_._1).map { case (c, d) => s"$c=$d" }.mkString(",")
     Seq(Row(path, head, files.size, bytes, schema, checks.size,
-      tombs.size, instant, statsCols, bloomCols))
+      tombs.size, instant, statsCols, bloomCols, partitionT, renamed,
+      defaults))
   }
 }
 

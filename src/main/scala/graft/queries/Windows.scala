@@ -41,6 +41,10 @@ object Windows {
             |       lag(avg_value, 7) OVER (ORDER BY day) AS lag7
             |FROM daily""".stripMargin),
     (spark, dir) => {
+      // UNPARTITIONED window, intentionally: the frame is the DAY
+      // CENSUS (~30 rows/month at any corpus scale — calendar-sized,
+      // never fact-sized), so WindowExec's single-partition warning is
+      // expected and harmless here and in this file's siblings
       val w = Window.orderBy(col("day"))
       dailyRevenue(spark, dir)
         .select(col("day"), col("avg_value"),

@@ -334,7 +334,19 @@ object Maintenance {
         val head = Snapshots.currentVersion(spark, t.path)
         if (head == 0) None
         else {
-          val n = Snapshots.filesAt(spark, t.path, head).size
+          // declared-transform RETENTION leg: retainDays on a
+          // partitioned snapshot table expires whole partitions as ONE
+          // metadata commit before the compaction check runs — the
+          // DatePartitioned policy's expirePartitions rebased onto the
+          // protocol's own transform (flat/identity tables skip)
+          val expireMsg = t.retainDays.flatMap { rd =>
+            Snapshots.expireRetainedDays(spark, t.path, rd).map {
+              case (v, k) =>
+                s"expired $k partition file(s) of ${t.path} at v$v"
+            }
+          }
+          val n = Snapshots.filesAt(spark, t.path,
+            Snapshots.currentVersion(spark, t.path)).size
           // pending lazy-delete tombstones always trigger the OPTIMIZE:
           // the scheduled materialization is what turns a logical GDPR
           // erasure into a physical one on a bounded deadline
@@ -387,7 +399,8 @@ object Maintenance {
               s"bloomed $k new file(s) on $c" }.mkString("; ") +
               s" of ${t.path}")
           }
-          val msgs = Seq(optimized, vacMsg, statsMsg, bloomMsg).flatten
+          val msgs =
+            Seq(expireMsg, optimized, vacMsg, statsMsg, bloomMsg).flatten
           if (msgs.isEmpty) None else Some(msgs.mkString("; "))
         }
       case kind =>

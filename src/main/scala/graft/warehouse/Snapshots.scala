@@ -377,6 +377,34 @@ object Snapshots {
       s"expirePartitions on $table failed after $maxRetries attempts")
   }
 
+  /** Data-relative retention for PARTITIONED snapshot tables — the
+    * maintenance policy's expiry leg rebased onto the declared
+    * transform: expire whole partitions older than (newest partition
+    * value − (retainDays−1)), measured from the table's OWN newest
+    * partition (deterministic and replayable, the same discipline as
+    * the Hive-layout policy). Only date/month transforms carry an age;
+    * identity transforms and flat tables return None. Metadata-only
+    * ([[commitExpirePartitions]]); vacuum reclaims the bytes later.
+    */
+  def expireRetainedDays(spark: SparkSession, table: String,
+      retainDays: Int): Option[(Long, Int)] = {
+    require(retainDays > 0, "retainDays must be positive")
+    val head = currentVersion(spark, table)
+    if (head == 0) return None
+    val lines = manifestLines(spark, table, head)
+    partitionOf(lines).filter(p => p._2 == "date" || p._2 == "month")
+      .flatMap { case (_, kind) =>
+        val newest = filesOf(lines).flatMap(partValueOf).maxOption
+        newest.flatMap { nv =>
+          val newestDay = java.time.LocalDate.parse(
+            if (kind == "month") nv + "-01" else nv)
+          val cutoff = newestDay.minusDays(retainDays - 1L).toString
+          val (v, n) = commitExpirePartitions(spark, table, cutoff)
+          if (n == 0) None else Some((v, n))
+        }
+      }
+  }
+
   /** Subset of `entries` the declared partition transform cannot rule
     * out for conjunctive per-column bounds: only bounds on the
     * partition COLUMN prune, un-prefixed entries always survive, and a

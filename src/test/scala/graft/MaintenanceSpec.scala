@@ -930,4 +930,31 @@ class MaintenanceSpec extends AnyFunSuite {
       .contains("young-orphan.parquet"),
       "an immediate vacuum reclaims the orphan")
   }
+
+  test("snapshot policy: retainDays expires whole declared partitions, data-relative") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    import Maintenance.{MaintenanceTarget, TableKind}
+    import graft.warehouse.Snapshots
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_maint_part").toString + "/t"
+    val rows = spark.range(0, 500).toDF("id")
+      .withColumn("d", date_add(to_date(lit("2024-05-01")),
+        (col("id") % 10).cast("int")))
+    Snapshots.commitAppend(spark, rows.limit(1), t) // v1: seed
+    Snapshots.commitSetPartition(spark, t, "d", "date") // v2
+    Snapshots.commitAppend(spark, rows, t) // v3: 10 day-partitions
+    val target = MaintenanceTarget(t, TableKind.Snapshot,
+      maxDataFiles = 10000, retainDays = Some(3),
+      vacuumMinAgeMs = 0L, keepVersions = 1)
+    val msg = Maintenance.maintainIfNeeded(spark, target)
+    assert(msg.exists(_.contains("expired")), s"got $msg")
+    // newest day is 2024-05-10; retainDays=3 keeps 05-08..05-10 among
+    // PARTITIONED rows; the flat v1 seed row survives (cannot prove age)
+    val kept = Snapshots.read(spark, t)
+    assert(kept.filter(col("d") >= "2024-05-08").count() == 150)
+    assert(kept.count() == 151)
+    // idempotent: a re-run expires nothing new
+    assert(Maintenance.maintainIfNeeded(spark, target)
+      .forall(m => !m.contains("expired")))
+  }
 }

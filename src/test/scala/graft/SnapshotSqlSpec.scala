@@ -597,6 +597,23 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(d.getTimestamp(7) != null)
     // no sidecar indexes declared yet: both audit columns empty
     assert(d.getString(8) == "" && d.getString(9) == "")
+    // layout/mapping audit columns: empty on a plain table...
+    assert(d.getString(10) == "" && d.getString(11) == "" &&
+      d.getString(12) == "")
+    // ...and populated after the layout DDL lands (tombstones must
+    // materialize before the rename; the partition column may not
+    // rename, so map `x`)
+    assert(Snapshots.compactData(spark, t, targetFiles = 1,
+      minFiles = 1).nonEmpty)
+    spark.sql(s"ALTER TABLE '$t' SET PARTITION (identity(id))").collect()
+    spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT x_pos").collect()
+    spark.sql(s"ALTER TABLE '$t' RENAME COLUMN x TO score").collect()
+    spark.sql(s"ALTER TABLE '$t' ADD COLUMNS (tag STRING DEFAULT 'n/a')")
+      .collect()
+    val d2 = spark.sql(s"DESC DETAIL '$t'").head
+    assert(d2.getString(10) == "identity(id)")
+    assert(d2.getString(11) == "score<-x")
+    assert(d2.getString(12) == "tag='n/a'")
     // a missing table refuses loudly, like the DML statements
     val e = intercept[Exception] {
       spark.sql("DESCRIBE DETAIL '/tmp/graft_no_such_detail'").collect()
