@@ -424,6 +424,80 @@ object ExplainCheck {
       if (!pass) bad += 1
       println(f"salted_join              ${if (pass) "PLAN_OK " else "PLAN_BAD"} rows=$n (plain=$plain)")
     }
+    // catalog-SQL file-skipping: the sidecar prune fires during filter
+    // pushdown (driver-side, before the scan exists), filters STILL push
+    // into the parquet scan, and the hook records a strict subset
+    locally {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_cskip").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 8000).toDF("id")
+          .repartitionByRange(8, org.apache.spark.sql.functions.col("id")), t)
+      graft.warehouse.Snapshots.extendStats(spark, t, Seq("id"))
+      spark.conf.set("spark.sql.catalog.gexpl",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexpl.root", root)
+      val df = spark.sql("SELECT id FROM gexpl.t WHERE id < 500")
+      val n = df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val pruned = graft.warehouse.Snapshots.lastCatalogPruned
+      val pass = n == 500L && plan.contains("PushedFilters") &&
+        plan.contains("LessThan(id,500") &&
+        pruned.exists(pr => pr._1 < pr._2)
+      if (!pass) { bad += 1; println(s"pruned=$pruned\n" + plan.take(2000)) }
+      println(f"snap_catalog_prune       ${if (pass) "PLAN_OK " else "PLAN_BAD"} sidecar file-skip + pushdown intact (${pruned.getOrElse((-1, -1))})")
+    }
+    // column mapping through the catalog: the physical scan re-labels to
+    // logical names, pushdown on an UNRENAMED column is untouched, and
+    // the renamed column reads its values (never all-NULL)
+    locally {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_ren").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+      graft.warehouse.Snapshots.commitRenameColumn(spark, t, "v", "label")
+      spark.conf.set("spark.sql.catalog.gexpr",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexpr.root", root)
+      val df = spark.sql(
+        "SELECT label FROM gexpr.t WHERE id = 7 AND label IS NOT NULL")
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val pass = rows.map(_.getString(0)).toSeq == Seq("v7") &&
+        plan.contains("EqualTo(id,7")
+      if (!pass) { bad += 1; println(plan.take(2000)) }
+      println(f"snap_colmap_scan         ${if (pass) "PLAN_OK " else "PLAN_BAD"} logical names served, unrenamed pushdown intact")
+    }
+    // declared partition transform: a pushed date bound skips whole
+    // __gp= directories before the scan is constructed
+    locally {
+      import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_part").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 1).toDF("id")
+          .withColumn("d", to_date(lit("2024-06-01"))), t)
+      graft.warehouse.Snapshots.commitSetPartition(spark, t, "d", "date")
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 800).toDF("id")
+          .withColumn("d", date_add(to_date(lit("2024-06-01")),
+            (col("id") % 8).cast("int"))), t)
+      spark.conf.set("spark.sql.catalog.gexpp",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexpp.root", root)
+      val df = spark.sql(
+        "SELECT count(*) FROM gexpp.t WHERE d = DATE '2024-06-05'")
+      val n = df.head.getLong(0)
+      val pruned = graft.warehouse.Snapshots.lastCatalogPruned
+      val pass = n == 100L && pruned.exists(pr => pr._1 < pr._2)
+      if (!pass) { bad += 1; println(s"n=$n pruned=$pruned") }
+      println(f"snap_partition_prune     ${if (pass) "PLAN_OK " else "PLAN_BAD"} directory skip before the scan (${pruned.getOrElse((-1, -1))})")
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.
