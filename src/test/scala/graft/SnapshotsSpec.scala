@@ -1237,4 +1237,34 @@ class SnapshotsSpec extends AnyFunSuite {
       e.startsWith("__gp=") || flatV3(e)),
       "copy-on-write rewrites must stage under the transform")
   }
+
+  test("OPTIMIZE ZORDER composes with a declared partition transform") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val t = freshTable()
+    val rows = spark.range(0, 1000).toDF("id")
+      .withColumn("d", date_add(to_date(lit("2024-07-01")),
+        (col("id") % 4).cast("int")))
+      .withColumn("x", (col("id") * 37 % 1000))
+      .withColumn("y", (col("id") * 91 % 1000))
+    Snapshots.commitAppend(spark, rows.limit(1), t)
+    Snapshots.commitSetPartition(spark, t, "d", "date")
+    Snapshots.commitAppend(spark, rows, t)
+    // the clustering rewrite must still land under partition dirs: the
+    // curve repartition decides TASKS, the transform decides DIRS
+    assert(Snapshots.compactData(spark, t, targetFiles = 4, minFiles = 1,
+      zorderBy = Seq("x", "y")).nonEmpty)
+    val head = Snapshots.currentVersion(spark, t)
+    val entries = Snapshots.filesAt(spark, t, head)
+    assert(entries.forall(_.startsWith("__gp=2024-07-0")),
+      s"zorder rewrite escaped the transform: ${entries.take(3)}")
+    assert(entries.map(e => e.substring(0, e.indexOf('/'))).distinct
+      .size == 4, "all four day-partitions must survive the rewrite")
+    assert(Snapshots.read(spark, t).count() == 1001)
+    // stats over the clustered partitioned layout still prune box reads
+    Snapshots.extendStats(spark, t, Seq("x", "y"))
+    val box = col("x") <= 99 && col("y") <= 99
+    assert(Snapshots.readPruned(spark, t,
+        Seq(("x", 0, 99), ("y", 0, 99))).filter(box).count() ==
+      Snapshots.read(spark, t).filter(box).count())
+  }
 }
