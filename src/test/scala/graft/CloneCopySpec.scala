@@ -343,4 +343,46 @@ class CloneCopySpec extends AnyFunSuite {
       Snapshots.commitCopyInto(spark, t, root + "/missing")
     }
   }
+
+  test("clone of a PARTITIONED table: foreign __gp= refs read, prune, and expire") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_clone_part").toString
+    val src = root + "/src"
+    val rows = spark.range(0, 800).toDF("id")
+      .withColumn("d", date_add(to_date(lit("2024-08-01")),
+        (col("id") % 8).cast("int")))
+    Snapshots.commitAppend(spark, rows.limit(1), src)
+    Snapshots.commitSetPartition(spark, src, "d", "date")
+    Snapshots.commitAppend(spark, rows, src)
+    val dst = root + "/fork"
+    Snapshots.cloneTable(spark, src, dst)
+    // foreign refs carry the __gp= component inside qualified URIs
+    assert(Snapshots.filesAt(spark, dst, 1L)
+      .exists(e => e.contains(":/") && e.contains("__gp=")),
+      "clone must reference the source's partitioned files by URI")
+    assert(Snapshots.read(spark, dst).count() == 801)
+    // catalog-SQL pruning works on the FORK exactly like the source
+    spark.conf.set("spark.sql.catalog.gclp",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gclp.root", root)
+    assert(spark.sql(
+      "SELECT count(*) FROM gclp.fork WHERE d = DATE '2024-08-05'")
+      .head.getLong(0) == 100L)
+    assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2),
+      "partition dirs must prune through foreign refs")
+    // whole-partition expiry on the clone is metadata-only and LOCAL:
+    // the source head never moves, its files never vacuum away
+    val (v2, n) = Snapshots.commitExpirePartitions(spark, dst,
+      "2024-08-07")
+    assert(v2 == 2L && n > 0)
+    assert(Snapshots.read(spark, dst).filter(col("d") < "2024-08-07")
+      .count() == 1, "only the un-prefixed seed row survives below cutoff")
+    assert(Snapshots.currentVersion(spark, src) == 3L &&
+      Snapshots.read(spark, src).count() == 801,
+      "clone expiry must not leak into the source")
+    assert(Snapshots.vacuum(spark, dst, keepVersions = 1).isEmpty,
+      "the clone's vacuum must never reach foreign bytes")
+    assert(Snapshots.read(spark, src).count() == 801)
+  }
 }
