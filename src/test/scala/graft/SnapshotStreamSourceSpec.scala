@@ -317,6 +317,35 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(nBatches.get() == 4, s"expected 4 capped windows, got $nBatches")
     assert(total.get() == seen.size.toLong,
       "a capped replay must serve the same exactly-once CDF rows")
+    // a PARTITIONED table tails like any other: the append window's
+    // prefixed entries resolve through the same two-arg Path reads
+    val pt = Files.createTempDirectory("graft_strpart").toString + "/pt"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "2024-09-01"), (2L, "2024-09-02")).toDF("id", "d")
+        .selectExpr("id", "CAST(d AS DATE) AS d"), pt)
+    Snapshots.commitSetPartition(spark, pt, "d", "date")
+    val got = mutable.ArrayBuffer.empty[Long]
+    val qp = spark.readStream.format("graft-snapshot")
+      .option("path", pt).load().writeStream
+      .option("checkpointLocation", pt + "_ck")
+      .queryName("strpart_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          got.synchronized { got ++= b.collect().map(_.getLong(0)) }
+          ()
+      }.start()
+    try {
+      qp.processAllAvailable()
+      Snapshots.commitAppend(spark,
+        Seq((3L, "2024-09-03"), (4L, "2024-09-04")).toDF("id", "d")
+          .selectExpr("id", "CAST(d AS DATE) AS d"), pt)
+      qp.processAllAvailable()
+    } finally qp.stop()
+    assert(got.sorted == Seq(1L, 2L, 3L, 4L),
+      s"partitioned append window mis-served: $got")
+
     // refusal: CDF without keys is rejected at source construction
     val e2 = intercept[Exception] {
       spark.readStream.format("graft-snapshot")
