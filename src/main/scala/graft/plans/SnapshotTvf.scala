@@ -145,6 +145,21 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_partitions(t[, version])` — the partition census
+    * relation: one row per `__gp=` value of the version (plus a
+    * `<flat>` row for pre-transform entries) with file and byte
+    * counts. Metadata-only; what an operator joins/filters before
+    * `EXPIRE PARTITIONS OLDER THAN`.
+    */
+  private def parts(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1 || exprs.size == 2,
+      "snapshot_partitions(table[, version])")
+    val spark = SparkSession.active
+    val path = resolve(spark, str(exprs(0), "table"))
+    val v = if (exprs.size == 2) Some(long(exprs(1), "version")) else None
+    Snapshots.partitionCensus(spark, path, v).queryExecution.logical
+  }
+
   /** The (identifier, info, builder) triples for injectTableFunction. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
@@ -156,5 +171,8 @@ object SnapshotTvf {
     (FunctionIdentifier("snapshot_history"),
       new ExpressionInfo(getClass.getName, "snapshot_history"), hist _),
     (FunctionIdentifier("snapshot_lookup"),
-      new ExpressionInfo(getClass.getName, "snapshot_lookup"), lookup _))
+      new ExpressionInfo(getClass.getName, "snapshot_lookup"), lookup _),
+    (FunctionIdentifier("snapshot_partitions"),
+      new ExpressionInfo(getClass.getName, "snapshot_partitions"),
+      parts _))
 }

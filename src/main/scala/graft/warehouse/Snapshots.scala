@@ -405,6 +405,31 @@ object Snapshots {
       }
   }
 
+  /** Partition census of a version: one row per partition value —
+    * (partition, num_files, size_bytes) — plus a `<flat>` row for
+    * un-prefixed (pre-transform) entries. Metadata-only: one manifest
+    * read and a getFileStatus per entry, never a data read — the audit
+    * an operator consults before `EXPIRE PARTITIONS OLDER THAN`.
+    */
+  def partitionCensus(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(currentVersion(spark, table))
+    require(v > 0, s"no snapshot table at $table")
+    val lines = manifestLines(spark, table, v)
+    val dd = dataDir(table)
+    val f = fs(spark, dd)
+    filesOf(lines).map { n =>
+      val bytes =
+        try f.getFileStatus(new Path(dd, n)).getLen
+        catch { case _: Exception => 0L }
+      (partValueOf(n).getOrElse("<flat>"), bytes)
+    }.groupBy(_._1).toSeq
+      .map { case (pv, xs) => (pv, xs.size.toLong, xs.map(_._2).sum) }
+      .sortBy(_._1)
+      .toDF("partition", "num_files", "size_bytes")
+  }
+
   /** Subset of `entries` the declared partition transform cannot rule
     * out for conjunctive per-column bounds: only bounds on the
     * partition COLUMN prune, un-prefixed entries always survive, and a

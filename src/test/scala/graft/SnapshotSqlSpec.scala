@@ -720,4 +720,34 @@ class SnapshotSqlSpec extends AnyFunSuite {
         .collect()
     }
   }
+  test("snapshot_partitions TVF: the partition census as a FROM-clause relation") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val t = Files.createTempDirectory("graft_snapsql_pc").toString + "/t"
+    Snapshots.commitAppend(spark,
+      Seq((0L, "2024-10-01")).toDF("id", "d")
+        .selectExpr("id", "CAST(d AS DATE) AS d"), t) // flat seed
+    spark.sql(s"ALTER TABLE '$t' SET PARTITION (date(d))").collect()
+    Snapshots.commitAppend(spark, spark.range(1, 401).toDF("id")
+      .withColumn("d", date_add(to_date(lit("2024-10-01")),
+        (col("id") % 4).cast("int"))), t)
+    val census = spark.sql(
+      s"SELECT * FROM snapshot_partitions('$t') ORDER BY partition")
+      .collect()
+    val byPart = census.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byPart.keySet == Set("<flat>", "2024-10-01", "2024-10-02",
+      "2024-10-03", "2024-10-04"))
+    assert(byPart.values.forall { case (files, bytes) =>
+      files > 0 && bytes > 0 })
+    // it composes like any relation: the retention plan in one query
+    assert(spark.sql(
+      s"""SELECT sum(num_files) FROM snapshot_partitions('$t')
+         |WHERE partition <> '<flat>' AND partition < '2024-10-03'"""
+        .stripMargin).head.getLong(0) ==
+      byPart("2024-10-01")._1 + byPart("2024-10-02")._1)
+    // a pinned version censuses ITS entries (the flat-only v1)
+    assert(spark.sql(
+      s"SELECT partition FROM snapshot_partitions('$t', 1)").collect()
+      .map(_.getString(0)).toSeq == Seq("<flat>"))
+  }
 }
