@@ -198,11 +198,27 @@ object Layout {
 
   val statsDir = "_graft_stats"
 
-  /** Canonical URI spelling — input_file_name() and DataFrame.inputFiles
-    * render the same file differently (file:/// vs file:/).
+  /** Canonical URI spelling of a RAW path string — input_file_name() and
+    * DataFrame.inputFiles render the same file differently (file:/// vs
+    * file:/). For raw spellings (manifest entries qualified through
+    * Path) this is the identity up to scheme normalization.
     */
   private[graft] def canonFile(s: String): String =
     new org.apache.hadoop.fs.Path(s).toString
+
+  /** Canonical spelling of a URI-ENCODED file string. input_file_name(),
+    * DataFrame.inputFiles and the sidecar manifests' persisted `file`
+    * columns all render percent-ENCODED URIs — a literal '%' in a path
+    * (e.g. an escaped partition dir `__gp=t%3A1`) arrives as "%25".
+    * One strict decode lands on the spelling [[canonFile]] gives the
+    * raw path; the two only diverge on URI-special chars, which is
+    * exactly when mixing them up mis-keys a sidecar row or maps a
+    * probed file back to no manifest entry (a delete/merge would
+    * silently no-op). Strings that don't parse as URIs fall back raw.
+    */
+  private[graft] def canonUri(s: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+    catch { case _: Exception => canonFile(s) }
 
   /** The per-file min/max aggregate columns of a manifest (one builder,
     * shared by write and incremental append so the encodings can never
@@ -303,10 +319,10 @@ object Layout {
         // lazy plan would still be reading from
         val existing = spark.read.parquet(mPath).localCheckpoint(true)
         val known = existing.select("file").collect()
-          .map(r => canonFile(r.getString(0))).toSet
+          .map(r => canonUri(r.getString(0))).toSet
         val candidates = files.map(_.map(canonFile))
           .getOrElse(spark.read.parquet(path).inputFiles
-            .map(canonFile).toSeq)
+            .map(canonUri).toSeq)
         val missing = candidates.filterNot(known)
         if (missing.isEmpty) 0
         else {
@@ -346,8 +362,8 @@ object Layout {
     // FOREIGN entries alive — a directory listing would wrongly expire
     // every reference outside the table's own data dir
     val live = files.map(_.map(canonFile).toSet)
-      .getOrElse(spark.read.parquet(path).inputFiles.map(canonFile).toSet)
-    val kept = rows.filter(r => live(canonFile(r.getString(fileIdx))))
+      .getOrElse(spark.read.parquet(path).inputFiles.map(canonUri).toSet)
+    val kept = rows.filter(r => live(canonUri(r.getString(fileIdx))))
     if (kept.length == rows.length) return 0
     spark.createDataFrame(
         java.util.Arrays.asList(kept: _*), existing.schema)
@@ -390,9 +406,9 @@ object Layout {
       .reduce(_ && _)
     val manifest = spark.read.parquet(s"$path/$statsDir")
     val known = manifest.select("file").collect()
-      .map(r => canonFile(r.getString(0))).toSet
+      .map(r => canonUri(r.getString(0))).toSet
     val selected = manifest.filter(keep)
-      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+      .select("file").collect().map(r => canonUri(r.getString(0))).toSet
     live.filter(f => selected(f) || !known(f))
   }
 
@@ -414,9 +430,9 @@ object Layout {
       col(s"${c}__min").isNull || col(s"${c}__max").isNull
     val manifest = spark.read.parquet(s"$path/$statsDir")
     val known = manifest.select("file").collect()
-      .map(r => canonFile(r.getString(0))).toSet
+      .map(r => canonUri(r.getString(0))).toSet
     val selected = manifest.filter(keep)
-      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+      .select("file").collect().map(r => canonUri(r.getString(0))).toSet
     live.filter(f => selected(f) || !known(f))
   }
 
@@ -446,9 +462,9 @@ object Layout {
       minC.isNull || maxC.isNull
     val manifest = spark.read.parquet(s"$path/$statsDir")
     val known = manifest.select("file").collect()
-      .map(r => canonFile(r.getString(0))).toSet
+      .map(r => canonUri(r.getString(0))).toSet
     val selected = manifest.filter(keep)
-      .select("file").collect().map(r => canonFile(r.getString(0))).toSet
+      .select("file").collect().map(r => canonUri(r.getString(0))).toSet
     live.filter(f => selected(f) || !known(f))
   }
 
@@ -457,7 +473,7 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(path, statsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { lastStatsPruned = None; return spark.read.parquet(path) }
-    val live = spark.read.parquet(path).inputFiles.map(canonFile).toSeq
+    val live = spark.read.parquet(path).inputFiles.map(canonUri).toSeq
     val chosen = selectByStats(spark, path, ranges, live)
     lastStatsPruned = Some((chosen.length, live.length))
     if (chosen.isEmpty)

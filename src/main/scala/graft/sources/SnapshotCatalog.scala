@@ -288,11 +288,10 @@ class SnapshotCatalog extends TableCatalog {
     val t = tablePath(ident)
     require(Snapshots.currentVersion(spark, t) == 0,
       s"table ${ident.name()} already exists at $t")
-    Snapshots.commitAppend(spark,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), t)
-    declared.foreach { case (c, k) =>
-      Snapshots.commitSetPartition(spark, t, c, k) }
+    // ONE atomic claim carries schema AND transform: DDL must never be
+    // two commits (a crash between them would strand the table without
+    // its declared layout, a racing append could slip in flat)
+    Snapshots.commitCreate(spark, t, schema, declared)
     loadTable(ident)
   }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -258,6 +258,33 @@ object Snapshots {
   private val PartitionKinds = Set("identity", "date", "month")
   private[warehouse] val PartPrefix = "__gp="
 
+  /** The dynamic-partition writer's null sentinel: a row whose transform
+    * rendered NULL (null column value, or a failed date cast) lands
+    * here. Its age and order are UNDEFINED — every pruner keeps it and
+    * partition expiry never drops it.
+    */
+  private[warehouse] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Date/month transforms need a column whose ordering IS the
+    * truncation's. A string column orders lexicographically, not by
+    * parse (" 2021-06-15" casts to a 2021 partition yet sorts before
+    * "2020-01-01"), so a dir-value comparison against it would prune
+    * files that hold matching rows; only date/timestamp columns
+    * qualify. Identity takes any type.
+    */
+  private def requirePartitionable(schema: types.StructType,
+      column: String, kind: String): Unit = {
+    require(schema.fieldNames.contains(column), s"no column $column")
+    if (kind != "identity") {
+      val dt = schema(column).dataType
+      require(dt == types.DateType || dt == types.TimestampType ||
+          dt == types.TimestampNTZType,
+        s"$kind($column) needs a date/timestamp column, not " +
+          s"${dt.simpleString} — string order is not the truncation " +
+          "order the pruner assumes; use identity, or cast at ingest")
+    }
+  }
+
   /** The partition-transform Column of a logical frame. */
   private def partitionExpr(c: String, kind: String)
       : org.apache.spark.sql.Column = {
@@ -279,7 +306,13 @@ object Snapshots {
     else {
       val rest = entry.substring(i + PartPrefix.length)
       val cut = rest.indexOf('/')
-      if (cut < 0) None else Some(rest.substring(0, cut))
+      // dir fragments land ESCAPED (the dynamic-partition writer turns
+      // ':','%','=',… into %XX) while probes render RAW values — the
+      // comparison space is the unescaped one, or an identity partition
+      // holding any escapable char would be wrongly pruned
+      if (cut < 0) None
+      else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(rest.substring(0, cut)))
     }
   }
 
@@ -309,8 +342,7 @@ object Snapshots {
       val lines = manifestLines(spark, table, head)
       val prior = schemaOf(lines)
         .getOrElse(read(spark, table, Some(head)).schema)
-      require(prior.fieldNames.contains(column),
-        s"no column $column on $table")
+      requirePartitionable(prior, column, kind)
       partitionOf(lines) match {
         case Some((c, k)) if c == column && k == kind => return head // no-op
         case Some((c, k)) =>
@@ -334,6 +366,31 @@ object Snapshots {
       s"setPartition on $table failed after $maxRetries attempts")
   }
 
+  /** Create v1 of a NEW snapshot table as ONE atomic claim carrying the
+    * declared schema AND (optionally) the partition transform — the DDL
+    * face's `CREATE TABLE ... PARTITIONED BY` must not be two commits,
+    * or a crash (or a racing flat append) between them leaves the table
+    * live without its declared layout. Exactly one of two racing
+    * creators claims v1; the loser gets a loud refusal, never a merge.
+    */
+  def commitCreate(spark: SparkSession, table: String,
+      schema: types.StructType,
+      partition: Option[(String, String)] = None): Long = {
+    partition.foreach { case (c, k) =>
+      require(PartitionKinds(k),
+        s"partition kind $k not in ${PartitionKinds.mkString("/")}")
+      requirePartitionable(schema, c, k)
+    }
+    require(currentVersion(spark, table) == 0,
+      s"table already exists at $table")
+    val claimed = claimManifest(spark, table, 1L,
+      contentOf(Some(schema), Map.empty, Nil, "createTable",
+        partition = partition.map { case (c, k) => s"$c:$k" }))
+    require(claimed,
+      s"create of $table lost the claim race — the table now exists")
+    1L
+  }
+
   /** Drop every WHOLE PARTITION older than `cutoff` as ONE metadata
     * commit (op `expirePartitions`) — the retention path a partitioned
     * 100 TB table runs: entries whose `__gp=` value sorts strictly
@@ -355,12 +412,19 @@ object Snapshots {
       val (pc, kind) = partitionOf(lines).getOrElse(
         throw new IllegalArgumentException(
           s"$table declares no partition transform — nothing to expire"))
+      // "older than" needs an AGE order: date/month truncations have
+      // one (ISO string order); identity values don't ('10' < '9'
+      // lexicographically — expiry would drop the wrong partitions)
+      require(kind != "identity",
+        s"EXPIRE PARTITIONS on identity($pc): identity values carry no " +
+          "age order — only date/month transforms expire")
       val cut = partProbeValue(kind, cutoff).getOrElse(
         throw new IllegalArgumentException(
           s"cutoff $cutoff does not render under $kind($pc)"))
       val files = filesOf(lines)
+      // the null partition can't prove its age — never expire it
       val (doomed, kept) = files.partition(e =>
-        partValueOf(e).exists(_ < cut))
+        partValueOf(e).exists(v => v != NullPartition && v < cut))
       if (doomed.isEmpty) return (head, 0)
       // a pending tombstone key may live in a doomed partition — the
       // tombstones CARRY (anti-join of a gone row is a no-op, never a
@@ -394,7 +458,13 @@ object Snapshots {
     val lines = manifestLines(spark, table, head)
     partitionOf(lines).filter(p => p._2 == "date" || p._2 == "month")
       .flatMap { case (_, kind) =>
-        val newest = filesOf(lines).flatMap(partValueOf).maxOption
+        // only values in the transform's ISO shape carry an age: the
+        // null-partition sentinel sorts ABOVE every date ('_' > '9')
+        // and would wedge the parse below on one null row
+        val shape =
+          if (kind == "month") """\d{4}-\d{2}""" else """\d{4}-\d{2}-\d{2}"""
+        val newest = filesOf(lines).flatMap(partValueOf)
+          .filter(_.matches(shape)).maxOption
         newest.flatMap { nv =>
           val newestDay = java.time.LocalDate.parse(
             if (kind == "month") nv + "-01" else nv)
@@ -449,6 +519,7 @@ object Snapshots {
       else entries.filter { e =>
         partValueOf(e) match {
           case None => true // flat/foreign/pre-transform: always read
+          case Some(NullPartition) => true // null rendering has no order
           case Some(v) => relevant.forall { case (_, lo, hi) =>
             lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
               hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
@@ -1673,7 +1744,8 @@ object Snapshots {
         val rendered = vals0.filter(_ != null).map(partProbeValue(kind, _))
         if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
           val set = rendered.flatten.toSet
-          candidates0.filter(e => partValueOf(e).forall(set.contains))
+          candidates0.filter(e => partValueOf(e).forall(v =>
+            v == NullPartition || set.contains(v)))
         } else candidates0
       case _ => candidates0
     }
@@ -1873,7 +1945,7 @@ object Snapshots {
       candidates: Seq[String], probedUris: Iterable[String]): Set[String] = {
     val canonMap = canonCandidates(spark, table, candidates)._2
     probedUris.map(u => canonMap.getOrElse(
-      graft.operators.Layout.canonFile(u), new Path(u).getName)).toSet
+      graft.operators.Layout.canonUri(u), new Path(u).getName)).toSet
   }
 
   /** The staged outcome of one file-granular copy-on-write pass (see
@@ -2911,14 +2983,14 @@ object Snapshots {
     val rawKnown = existing
       .map(_.select("file").collect().map(_.getString(0)).toSeq)
       .getOrElse(Nil)
-    val known = rawKnown.map(graft.operators.Layout.canonFile).toSet
+    val known = rawKnown.map(graft.operators.Layout.canonUri).toSet
     val liveCanon = files.map(graft.operators.Layout.canonFile).toSet
     // expire entries for files the head no longer references (a rewrite
     // replaced them) — the sidecar twin of pruneStatsManifestEntries;
     // pinned-version reads of those files simply fall back to "always
     // read", the same staleness contract as stats
     val dead = rawKnown
-      .filterNot(r => liveCanon(graft.operators.Layout.canonFile(r)))
+      .filterNot(r => liveCanon(graft.operators.Layout.canonUri(r)))
     val missing = files.map(graft.operators.Layout.canonFile)
       .filterNot(known)
     if (missing.isEmpty && dead.isEmpty) return 0
@@ -3032,7 +3104,7 @@ object Snapshots {
       .select(xxhash64(col("k").cast(colType))).collect().map(_.getLong(0))
     val blooms = spark.read.parquet(bd.toString)
       .select("file", "bloom").collect()
-      .map(r => graft.operators.Layout.canonFile(r.getString(0)) ->
+      .map(r => graft.operators.Layout.canonUri(r.getString(0)) ->
         r.getAs[Array[Byte]]("bloom")).toMap
     live.filter { c =>
       blooms.get(c) match {
@@ -3110,8 +3182,8 @@ object Snapshots {
           // one unrenderable member means any entry might hold it
           if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
             val set = rendered.flatten.toSet
-            live = live.filter(e =>
-              partValueOf(e).forall(set.contains))
+            live = live.filter(e => partValueOf(e).forall(v =>
+              v == NullPartition || set.contains(v)))
           }
         }
     def statsBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit = {

@@ -88,7 +88,8 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // history carries the protocol ops — the SQL writer is a first-class
     // committer, not a side door
     assert(Snapshots.history(spark, t).select("op").collect()
-      .map(_.getString(0)).toSeq == Seq("append", "append", "append"))
+      .map(_.getString(0)).toSeq ==
+        Seq("append", "append", "createTable"))
     // INSERT OVERWRITE = commitOverwrite: one new version, old readable
     spark.sql("INSERT OVERWRITE gw.t VALUES (99, 'z')")
     assert(spark.sql("SELECT id FROM gw.t").collect()
@@ -302,9 +303,13 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 400L)
     assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
     // a PINNED version prunes like the head (the VERDICT's 1-of-N proof
-    // at a version): append more, pin v3, prune still bites
+    // at a version): append more, pin v2 (CREATE is ONE atomic commit —
+    // schema + transform together — so the first INSERT is v2), prune
+    // still bites
+    assert(Snapshots.currentVersion(spark, t) == 2L,
+      "CREATE TABLE ... PARTITIONED BY must be ONE commit")
     spark.sql("INSERT INTO gpart.t SELECT id + 10000, d FROM gpart_src")
-    assert(spark.sql("SELECT count(*) FROM gpart.t VERSION AS OF 3 " +
+    assert(spark.sql("SELECT count(*) FROM gpart.t VERSION AS OF 2 " +
       "WHERE d = DATE '2024-03-05'").head.getLong(0) == 200L)
     assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
     // unsupported transforms refuse loudly

@@ -1267,4 +1267,96 @@ class SnapshotsSpec extends AnyFunSuite {
         Seq(("x", 0, 99), ("y", 0, 99))).filter(box).count() ==
       Snapshots.read(spark, t).filter(box).count())
   }
+
+  test("identity partitions on escapable values: probes compare the UNESCAPED dir value") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // ':' and '%' are chars the dynamic-partition writer escapes to %XX
+    // in dir names; the pruners must compare raw values, or the file
+    // holding the matching rows silently disappears from SELECTs
+    val rows = spark.range(0, 400).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions
+        .concat_ws(":", org.apache.spark.sql.functions.lit("t"),
+          (col("id") % 4).cast("string")))
+    Snapshots.commitAppend(spark, rows.filter(col("id") === 0L), t)
+    Snapshots.commitSetPartition(spark, t, "k", "identity")
+    Snapshots.commitAppend(spark, rows, t)
+    val entries = Snapshots.filesAt(spark, t, 3L)
+    assert(entries.exists(_.contains("%3A")),
+      s"expected ESCAPED ':' in dir fragments, got ${entries.take(3)}")
+    // the key-list read path prunes to the right partition AND returns
+    // the right rows (pre-fix: escaped-vs-raw mismatch dropped them all)
+    val hit = Snapshots.readPrunedByKeys(spark, t, "k", Seq("t:2"))
+      .filter(col("k") === "t:2")
+    assert(hit.count() == 100L)
+    // predicate delete probes the raw value too: exactly one partition
+    // (plus the flat seed file) is candidate, and the delete lands
+    val (_, deleted) = Snapshots.commitDeleteWhere(spark, t,
+      col("k") === "t:1")
+    assert(deleted == 100L, s"escaped-dir probe lost the delete: $deleted")
+    val (cand, total) = Snapshots.lastWherePruned.get
+    assert(cand < total, s"identity partition prune opened $cand of $total")
+    assert(Snapshots.read(spark, t).filter(col("k") === "t:1").count() ==
+      0L)
+    assert(Snapshots.read(spark, t).count() == 301L)
+  }
+
+  test("null partition rows land in the sentinel dir and survive pruning and expiry") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date, when}
+    val t = freshTable()
+    val rows = spark.range(0, 500).toDF("id")
+      .withColumn("d", when(col("id") % 5 === 0, lit(null))
+        .otherwise(date_add(to_date(lit("2024-01-01")),
+          (col("id") % 4).cast("int"))).cast("date"))
+    // flat seed: id=0 → null d (deterministic, unlike limit(1))
+    Snapshots.commitAppend(spark, rows.filter(col("id") === 0L), t)
+    Snapshots.commitSetPartition(spark, t, "d", "date")
+    Snapshots.commitAppend(spark, rows, t)
+    val census = Snapshots.partitionCensus(spark, t).collect()
+      .map(_.getString(0)).toSet
+    assert(census.contains("__HIVE_DEFAULT_PARTITION__"),
+      s"null renderings must land in the sentinel dir, got $census")
+    // retention math must not choke on the sentinel ('_' sorts above
+    // every digit — pre-fix the LocalDate.parse threw and wedged the
+    // whole maintenance run) and must never expire it
+    val r = Snapshots.expireRetainedDays(spark, t, 1)
+    assert(r.nonEmpty, "retention must fire against the newest DATED dir")
+    val after = Snapshots.read(spark, t)
+    // every null-d row survives: 100 sentinel rows + the flat seed
+    assert(after.filter(col("d").isNull).count() == 101L,
+      "expiry must keep every sentinel (null) row")
+    // newest dated partition (2024-01-04: ids ≡ 3 mod 4 minus the null
+    // fifths = 125 − 25) is the retention anchor and survives
+    assert(after.filter(col("d") === lit(java.sql.Date.valueOf(
+      "2024-01-04"))).count() == 100L)
+    assert(after.filter(col("d") < lit(java.sql.Date.valueOf(
+      "2024-01-04"))).count() == 0L, "older dated partitions expire")
+    // an explicit cutoff ABOVE every date still keeps the sentinel
+    val (_, n) = Snapshots.commitExpirePartitions(spark, t, "2030-01-01")
+    assert(n > 0)
+    assert(Snapshots.read(spark, t).filter(col("d").isNull).count() ==
+      101L, "EXPIRE PARTITIONS must never drop the null sentinel")
+  }
+
+  test("partition transform guards: date/month refuse string columns, identity refuses EXPIRE") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    Snapshots.commitAppend(spark,
+      Seq((1L, "2024-01-01", "a")).toDF("id", "s", "k"), t)
+    // a string column orders lexicographically, not by the truncation
+    // the pruner assumes (" 2024-06-15" casts to 2024 yet sorts before
+    // "2020-01-01") — date/month on strings must refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.commitSetPartition(spark, t, "s", "date") }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitSetPartition(spark, t, "s", "month") }
+    // identity on any type is fine — but identity values carry no AGE
+    // order ('10' < '9' lexicographically), so EXPIRE refuses
+    Snapshots.commitSetPartition(spark, t, "k", "identity")
+    Snapshots.commitAppend(spark,
+      Seq((2L, "2024-01-02", "b")).toDF("id", "s", "k"), t)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitExpirePartitions(spark, t, "c") }
+    assert(Snapshots.read(spark, t).count() == 2L)
+  }
 }
