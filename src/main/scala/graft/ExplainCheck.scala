@@ -498,6 +498,40 @@ object ExplainCheck {
       if (!pass) { bad += 1; println(s"n=$n pruned=$pruned") }
       println(f"snap_partition_prune     ${if (pass) "PLAN_OK " else "PLAN_BAD"} directory skip before the scan (${pruned.getOrElse((-1, -1))})")
     }
+    // runtime join-key file skipping: with NO literal fact predicate,
+    // the broadcast dim's key set re-prunes the fact scan at execution
+    // (SupportsRuntimeV2Filtering) — the plan carries the dynamic
+    // pruning expression and the runtime hook shows a strict subset
+    locally {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_rt").toString
+      val t = root + "/fact"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 8000).toDF("k")
+          .repartitionByRange(8, col("k")), t)
+      graft.warehouse.Snapshots.extendStats(spark, t, Seq("k"))
+      spark.conf.set("spark.sql.catalog.gexrt",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexrt.root", root)
+      spark.range(0, 8000, 500).toDF("k")
+        .withColumn("seg", (col("k") / 500 % 4).cast("int"))
+        .createOrReplaceTempView("gexrt_dim")
+      graft.warehouse.Snapshots.lastRuntimePruned = None
+      val df = spark.sql(
+        """SELECT f.k FROM gexrt.fact f
+          |JOIN gexrt_dim d ON f.k = d.k WHERE d.seg = 1""".stripMargin)
+      val rows = df.collect().map(_.getLong(0)).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      val pruned = graft.warehouse.Snapshots.lastRuntimePruned
+      val pass = rows == Set(500L, 2500L, 4500L, 6500L) &&
+        (plan.contains("dynamicpruning") ||
+          plan.contains("RuntimeFilters")) &&
+        pruned.exists(pr => pr._1 < pr._2)
+      if (!pass) { bad += 1; println(s"rows=$rows pruned=$pruned\n" +
+        plan.take(2000)) }
+      println(f"snap_runtime_skip        ${if (pass) "PLAN_OK " else "PLAN_BAD"} broadcast key set re-prunes at execution (${pruned.getOrElse((-1, -1))})")
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.

@@ -1243,6 +1243,79 @@ object SnapshotQ {
       rangeLeg.unionByName(pointLeg)
     })
 
+  /** RUNTIME join-key file skipping (SupportsRuntimeV2Filtering on the
+    * catalog scan): the canonical warehouse shape — `fact JOIN dim ON k
+    * WHERE dim.selective` with NO literal fact predicate anywhere — on
+    * a range-clustered, stats+Bloom-indexed fact table. Planning-time
+    * pushdown sees nothing to prune (asserted: the static hook reports
+    * 16 of 16); at execution the broadcast dim's surviving key set is
+    * pushed back into the scan and re-prunes the file list through the
+    * same sidecar algebra (asserted: strict subset, ≤ 4 of 16). Rows
+    * are fully DuckDB-oracled — the dim derives from orders alone
+    * (row_number ranks, seg = rn % 4), so an unsound runtime prune that
+    * drops a file holding a surviving key is a hash mismatch, not just
+    * a slow read.
+    */
+  val snapRuntimeSkip = QueryDef(
+    "snap_runtime_skip",
+    Some("""SELECT f.o_orderkey, f.o_custkey
+           |FROM orders f
+           |JOIN (SELECT k, rn % 4 AS seg FROM (
+           |        SELECT o_orderkey AS k,
+           |               row_number() OVER (ORDER BY o_orderkey) AS rn
+           |        FROM orders) WHERE rn <= 20) d
+           |  ON f.o_orderkey = d.k
+           |WHERE d.seg = 1""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_rtskip").toString
+      val ft = root + "/fact"
+      Snapshots.commitAppend(spark,
+        orders.repartitionByRange(16, col("o_orderkey")), ft)
+      spark.sql(s"CREATE STATS INDEX ON '$ft' (o_orderkey)").collect()
+      spark.sql(s"CREATE BLOOM INDEX ON '$ft' (o_orderkey)").collect()
+      val cat = s"grts_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dimView = s"rtskip_dim_$u"
+      // the dim must be a SMALL relation with KNOWN stats AND a
+      // surviving Filter node: a window over a checkpointed frame
+      // estimates at default size and never broadcasts; a LocalRelation
+      // constant-folds the selective filter away and dynamic pruning
+      // sees no filtering side. A 20-row parquet dim gives both.
+      import spark.implicits._
+      orders.orderBy(col("o_orderkey")).limit(20)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), (i + 1) % 4) }.toSeq
+        .toDF("k", "seg").coalesce(1)
+        .write.parquet(root + "/dim_parquet")
+      spark.read.parquet(root + "/dim_parquet")
+        .createOrReplaceTempView(dimView)
+      Snapshots.lastRuntimePruned = None
+      val out = spark.sql(
+        s"""SELECT f.o_orderkey, f.o_custkey
+           |FROM $cat.fact f JOIN $dimView d ON f.o_orderkey = d.k
+           |WHERE d.seg = 1""".stripMargin)
+        .localCheckpoint(true) // execute NOW: the hooks below must see
+                               // THIS join's static + runtime prunes
+      val (sc, sn) = Snapshots.lastCatalogPruned.getOrElse(
+        throw new IllegalStateException("catalog scan never planned"))
+      require(sn == 16 && sc == sn,
+        s"static pushdown pruned $sc of $sn — the query must carry no " +
+          "prunable fact predicate (that would mask the runtime path)")
+      val (rk, rn) = Snapshots.lastRuntimePruned.getOrElse(
+        throw new IllegalStateException(
+          "broadcast key set never reached the catalog scan"))
+      require(rn == 16 && rk < rn && rk <= 4,
+        s"runtime key set opened $rk of $rn fact files — no skip")
+      out
+    })
+
   /** RENAME COLUMN lifecycle (Snapshots.commitRenameColumn + the SQL
     * verb — metadata-only column mapping): rename on a populated table
     * (v2 — zero data moves, asserted in-query by comparing file lists),
@@ -1526,6 +1599,6 @@ object SnapshotQ {
       snapSqlRowLevel, snapSqlEvolve, snapSmallCompact, snapStreamSource,
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
-      snapCatalogSkip, snapRename, snapDefault, snapPartition,
-      snapCdfStream)
+      snapCatalogSkip, snapRuntimeSkip, snapRename, snapDefault,
+      snapPartition, snapCdfStream)
 }

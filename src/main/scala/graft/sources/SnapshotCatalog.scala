@@ -364,6 +364,22 @@ object SnapshotCatalog {
         .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
     private var inner: FileScanBuilder = builderFor(files)
+    // builder state the RUNTIME re-prune replays on its rebuilt scan:
+    // the statically-surviving entries, the pushed conjuncts, and the
+    // pruned projection (SupportsRuntimeV2Filtering arrives at
+    // execution time, long after this builder finished)
+    private var liveEntries: Seq[String] = entries
+    private var pushedCatalyst: Seq[Expression] = Nil
+    private var requiredLogical: Option[StructType] = None
+    private var aggPushed = false
+
+    private def pathsFor(keep: Set[String]): Seq[String] = {
+      val paths = entries.zip(files).collect { case (n, p) if keep(n) => p }
+      // an empty selection still needs a well-typed scan: the declared
+      // schema serves it; without one (legacy no-header table) keep a
+      // file and let the re-applied filter drop its rows
+      if (paths.isEmpty && declared.isEmpty) files.take(1) else paths
+    }
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       // V1-translatable conjuncts drive the sidecar prune (the same
@@ -377,34 +393,122 @@ object SnapshotCatalog {
       val kept = Snapshots.pruneFilesByFilters(spark, table, entries,
         declared, translated, colmap, partition)
       Snapshots.lastCatalogPruned = Some((kept.size, entries.size))
-      if (kept.size < entries.size) {
-        val keep = kept.toSet
-        val paths = entries.zip(files).collect { case (n, p) if keep(n) => p }
-        // an empty selection still needs a well-typed scan: the declared
-        // schema serves it; without one (legacy no-header table) keep a
-        // file and let the re-applied filter drop its rows
-        inner = builderFor(
-          if (paths.isEmpty && declared.isEmpty) files.take(1) else paths)
-      }
+      liveEntries = kept
+      pushedCatalyst = filters
+      if (kept.size < entries.size) inner = builderFor(pathsFor(kept.toSet))
       inner.pushFilters(filters)
     }
     override def pushedFilters: Array[Predicate] = inner.pushedFilters
-    override def pruneColumns(required: StructType): Unit =
+    override def pruneColumns(required: StructType): Unit = {
+      requiredLogical = Some(required)
       inner.pruneColumns(toPhys(required))
-    override def pushAggregation(agg: Aggregation): Boolean =
-      colmap.isEmpty && (inner match {
+    }
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      aggPushed = colmap.isEmpty && (inner match {
         case a: SupportsPushDownAggregates => a.pushAggregation(agg)
         case _ => false
       })
+      aggPushed
+    }
     override def supportCompletePushDown(agg: Aggregation): Boolean =
       colmap.isEmpty && (inner match {
         case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
         case _ => false
       })
-    override def build(): Scan = {
-      val s = inner.build()
+
+    /** The runtime re-prune's scan factory: same builder recipe, same
+      * pushed filters and projection, a smaller file list.
+      */
+    private def rebuildFor(keep: Set[String]): Scan = {
+      val b = builderFor(pathsFor(keep))
+      b.pushFilters(pushedCatalyst)
+      requiredLogical.foreach(r => b.pruneColumns(toPhys(r)))
+      val s = b.build()
       if (colmap.isEmpty) s
       else new SnapshotCatalog.LogicalNameScan(s, physToLogical)
+    }
+
+    override def build(): Scan = {
+      val s0 = inner.build()
+      val s = if (colmap.isEmpty) s0
+        else new SnapshotCatalog.LogicalNameScan(s0, physToLogical)
+      // a pushed aggregate rewrites the scan's output to the agg values
+      // — a runtime file re-prune under it would change RESULTS, not
+      // just IO (partial MIN of fewer files), so it opts out
+      if (aggPushed) s
+      else new SnapshotCatalog.RuntimeFilterableScan(spark, table,
+        liveEntries, declared, colmap, partition, s, rebuildFor)
+    }
+  }
+
+  /** Catalog scan face that accepts RUNTIME filters — the join-key sets
+    * Spark pushes at execution time when a dimension side is broadcast
+    * (`SupportsRuntimeV2Filtering`): the key set re-prunes the file
+    * list through the same sidecar algebra as static pushdown
+    * (stats ranges, Bloom verdicts, partition dirs), so the canonical
+    * warehouse shape `fact JOIN dim ON k WHERE dim.selective` opens
+    * only the fact files that can hold a surviving key — with NO
+    * literal fact predicate in the query at all. At 100 TB this is the
+    * difference between scanning the fact table and scanning the join's
+    * working set.
+    *
+    * Sound like every other pruner here: only translatable predicates
+    * prune, a failed translation keeps everything, Spark re-applies the
+    * join itself — a sidecar false positive costs one extra file read.
+    * `filterAttributes` advertises only prunable columns that survive
+    * the projection (Spark RESOLVES each against the scan's output and
+    * throws on a miss).
+    */
+  private[sources] class RuntimeFilterableScan(spark: SparkSession,
+      table: String, baseEntries: Seq[String],
+      declared: Option[StructType], colmap: Map[String, String],
+      partition: Option[(String, String)], initial: Scan,
+      rebuild: Set[String] => Scan)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    @volatile private var current: Scan = initial
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+      val visible = readSchema().fieldNames.toSet
+      Snapshots.prunableColumns(spark, table, colmap, partition)
+        .filter(visible)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
+
+    override def filter(predicates: Array[Predicate]): Unit = {
+      val v1 = predicates.toSeq.flatMap(
+        org.apache.spark.sql.graft.ColumnBridge.predicateToV1)
+      if (v1.isEmpty) return
+      val kept = Snapshots.pruneFilesByFilters(spark, table, baseEntries,
+        declared, v1, colmap, partition)
+      Snapshots.lastRuntimePruned = Some((kept.size, baseEntries.size))
+      if (kept.size < baseEntries.size) current = rebuild(kept.toSet)
+    }
+
+    // the projection never changes under a runtime file re-prune — the
+    // INITIAL scan's schema stays authoritative (a rebuilt empty
+    // selection must not surface a different shape)
+    override def readSchema(): StructType = initial.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      current.toBatch
+    override def description(): String = current.description()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      initial.supportedCustomMetrics()
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = current match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     }
   }
 

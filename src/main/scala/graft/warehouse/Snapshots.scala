@@ -3124,6 +3124,31 @@ object Snapshots {
     */
   @volatile var lastCatalogPruned: Option[(Int, Int)] = None
 
+  /** Spec hook: (files kept, files candidate) of the last RUNTIME
+    * re-prune — a broadcast-side join-key set pushed into a catalog
+    * scan at execution time (SupportsRuntimeV2Filtering). None until
+    * one fires.
+    */
+  @volatile var lastRuntimePruned: Option[(Int, Int)] = None
+
+  /** Logical columns on which driver-side file skipping can act for
+    * `table`: the declared partition column plus every stats-manifested
+    * and Bloom-indexed column (sidecars key PHYSICAL names; the names
+    * returned are logical). What the DSv2 catalog scan advertises as
+    * its runtime-filter attributes — a join keyed on any of these can
+    * push its broadcast-side key set back into the file list.
+    */
+  def prunableColumns(spark: SparkSession, table: String,
+      colmap: Map[String, String],
+      partition: Option[(String, String)]): Seq[String] = {
+    val physToLogical = colmap.map(_.swap)
+    val stats = graft.operators.Layout
+      .statsManifestCols(spark, dataDir(table).toString).getOrElse(Nil)
+    val bloom = bloomIndexedColumns(spark, table)
+    (partition.map(_._1).toSeq ++
+      (stats ++ bloom).map(p => physToLogical.getOrElse(p, p))).distinct
+  }
+
   /** Driver-side file skipping from PUSHED-DOWN source filters — the
     * same prune [[readPruned]] / [[readPrunedByKeys]] perform, but
     * triggered by plain catalog SQL (`SELECT ... FROM snap.t WHERE k =

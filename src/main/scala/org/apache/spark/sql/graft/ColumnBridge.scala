@@ -33,6 +33,17 @@ object ColumnBridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** V2 connector `Predicate` → V1 `sources.Filter` (Spark's own
+    * `PredicateUtils.toV1`, `private[sql]`) — how RUNTIME-pushed
+    * join-key sets (SupportsRuntimeV2Filtering) reach the snapshot
+    * sidecar pruners, which speak the V1 filter algebra. None when
+    * untranslatable.
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** DataFrame from a custom LogicalPlan (Dataset.ofRows is private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

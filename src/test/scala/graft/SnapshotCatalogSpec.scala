@@ -220,6 +220,45 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
   }
 
+  test("runtime join-key file skipping: a broadcast dim's key set re-prunes the fact scan") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_snapcat_rt").toString
+    spark.conf.set("spark.sql.catalog.grt",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grt.root", root)
+    // fact: 16 range-clustered files, stats + Bloom on the join key —
+    // NO literal fact predicate anywhere in the query below
+    val ft = root + "/fact"
+    Snapshots.commitAppend(spark, spark.range(0, 16000).toDF("k")
+      .withColumn("v", col("k") * 3)
+      .repartitionByRange(16, col("k")), ft)
+    Snapshots.extendStats(spark, ft, Seq("k"))
+    Snapshots.extendBloom(spark, ft, "k")
+    // dim: tiny, selective filter → broadcast side of the join
+    spark.range(0, 16000, 1000).toDF("k")
+      .withColumn("seg", (col("k") / 1000 % 4).cast("int"))
+      .createOrReplaceTempView("grt_dim")
+    Snapshots.lastRuntimePruned = None
+    val got = spark.sql(
+      """SELECT f.k, f.v FROM grt.fact f
+        |JOIN grt_dim d ON f.k = d.k
+        |WHERE d.seg = 1""".stripMargin).collect()
+    assert(got.map(_.getLong(0)).toSet ==
+      Set(1000L, 5000L, 9000L, 13000L) &&
+      got.forall(r => r.getLong(1) == r.getLong(0) * 3))
+    val (rk, rn) = Snapshots.lastRuntimePruned.getOrElse(
+      fail("runtime filter never reached the catalog scan"))
+    assert(rk < rn && rk <= 4,
+      s"broadcast key set opened $rk of $rn fact files — no runtime skip")
+    // the executed plan carries the runtime filter on the fact scan
+    val plan = spark.sql(
+      """SELECT f.k FROM grt.fact f JOIN grt_dim d ON f.k = d.k
+        |WHERE d.seg = 1""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilters"),
+      s"no runtime filter in plan:\n${plan.take(1200)}")
+  }
+
   test("RENAME COLUMN: SQL verb + catalog reads serve logical names over physical files") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_snapcat_ren").toString
