@@ -294,8 +294,68 @@ class SnapshotCatalog extends TableCatalog {
     Snapshots.commitCreate(spark, t, schema, declared)
     loadTable(ident)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** ALTER on snapshot tables accepts COLUMN DEFAULTs at analysis
+    * (Spark gates `CREATE/ALTER ... DEFAULT` syntax on this). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
+  /** Stock Spark `ALTER TABLE snap.t ...` mapped onto the commit
+    * protocol's metadata-only evolution commits — a Spark user types the
+    * STANDARD syntax and gets the same atomic manifest claims as the
+    * engine's own SQL verbs (plans/MaintenanceSql.scala): RENAME COLUMN
+    * → column mapping, ADD COLUMN(S) (+DEFAULT) → declared-schema
+    * append, DROP COLUMN → dropped-name ledger, ALTER COLUMN TYPE →
+    * safe-upcast widening, SET/DROP DEFAULT → field-metadata commit.
+    * Each change is one commit (multi-change statements apply in
+    * order); nested fields and everything else (positions, comments,
+    * properties) refuse loudly rather than silently no-op.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tablePath(ident)
+    if (Snapshots.currentVersion(spark, t) == 0)
+      throw new NoSuchTableException(ident)
+    def one(fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1) readOnly(
+        s"ALTER TABLE on nested field ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        Snapshots.commitRenameColumn(spark, t, one(r.fieldNames()),
+          r.newName())
+      case a: TableChange.AddColumn =>
+        val name = one(a.fieldNames())
+        val field = org.apache.spark.sql.types
+          .StructField(name, a.dataType(), nullable = true)
+        val defaults = Option(a.defaultValue())
+          .map(dv => name -> dv.getSql).toMap
+        Snapshots.commitAddColumns(spark, t, Seq(field),
+          defaults = defaults)
+        ()
+      case d: TableChange.DeleteColumn =>
+        Snapshots.commitDropColumn(spark, t, one(d.fieldNames()))
+      case u: TableChange.UpdateColumnType =>
+        Snapshots.commitWidenColumn(spark, t, one(u.fieldNames()),
+          u.newDataType())
+      case u: TableChange.UpdateColumnDefaultValue =>
+        val col = one(u.fieldNames())
+        Option(u.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty)) match {
+          case Some(sql) =>
+            Snapshots.commitSetColumnDefault(spark, t, col, sql)
+          case None => Snapshots.commitDropColumnDefault(spark, t, col)
+        }
+        ()
+      case n: TableChange.UpdateColumnNullability =>
+        // declared schemas are nullable throughout (parquet name-based
+        // resolution serves missing columns as NULLs) — relaxing to
+        // nullable is a no-op; tightening is a constraint's job
+        if (!n.nullable()) readOnly(
+          "ALTER COLUMN SET NOT NULL (declare a CHECK constraint)")
+      case other => readOnly(s"ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
   /** `DROP TABLE snap.t` — removes the whole table tree (manifests,
     * data, sidecars). Prior versions go with it; this is the table-level
     * destructor, not a data delete (that's DELETE/VACUUM).
@@ -403,16 +463,49 @@ object SnapshotCatalog {
       requiredLogical = Some(required)
       inner.pruneColumns(toPhys(required))
     }
+    /** The Aggregation with its field references renamed logical →
+      * physical, so footer-stats pushdown works on RENAMED columns too
+      * (the inner parquet builder sees only physical names). Spark maps
+      * the scan's agg output back POSITIONALLY, so the physical-
+      * flavored output labels are cosmetic. None when any shape is
+      * outside the translatable set (parquet's own MIN/MAX/COUNT/
+      * COUNT(*) plus bare-column group-bys) — the caller then refuses
+      * and the aggregate runs post-scan, exactly as before.
+      */
+    private def toPhysAgg(agg: Aggregation): Option[Aggregation] = {
+      import org.apache.spark.sql.connector.{expressions => v2x}
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      if (colmap.isEmpty) return Some(agg)
+      def physRef(e: v2x.Expression): Option[v2x.NamedReference] = e match {
+        case r: v2x.NamedReference if r.fieldNames().length == 1 =>
+          Some(v2x.Expressions.column(
+            colmap.getOrElse(r.fieldNames()(0), r.fieldNames()(0))))
+        case _ => None
+      }
+      val aggs = agg.aggregateExpressions().toSeq.map {
+        case m: Min => physRef(m.column()).map(new Min(_))
+        case m: Max => physRef(m.column()).map(new Max(_))
+        case c: Count => physRef(c.column())
+          .map(new Count(_, c.isDistinct))
+        case c: CountStar => Some(c)
+        case _ => None
+      }
+      val groups = agg.groupByExpressions().toSeq.map(physRef)
+      if (aggs.forall(_.isDefined) && groups.forall(_.isDefined))
+        Some(new Aggregation(aggs.flatten.toArray[AggregateFunc],
+          groups.flatten.toArray[v2x.Expression]))
+      else None
+    }
     override def pushAggregation(agg: Aggregation): Boolean = {
-      aggPushed = colmap.isEmpty && (inner match {
-        case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      aggPushed = toPhysAgg(agg).exists(pa => inner match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(pa)
         case _ => false
       })
       aggPushed
     }
     override def supportCompletePushDown(agg: Aggregation): Boolean =
-      colmap.isEmpty && (inner match {
-        case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      toPhysAgg(agg).exists(pa => inner match {
+        case a: SupportsPushDownAggregates => a.supportCompletePushDown(pa)
         case _ => false
       })
 

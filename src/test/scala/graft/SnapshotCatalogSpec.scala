@@ -220,6 +220,84 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
   }
 
+  test("aggregate pushdown translates through column mapping: footer stats answer MIN/MAX/COUNT on renamed columns") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_snapcat_agg").toString
+    spark.conf.set("spark.sql.catalog.gagg",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gagg.root", root)
+    val t = root + "/t"
+    Snapshots.commitAppend(spark, spark.range(0, 16000).toDF("id")
+      .withColumn("g", (col("id") % 4).cast("int")), t)
+    spark.sql(s"ALTER TABLE '$t' RENAME COLUMN id TO key").collect()
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.sql(
+        "SELECT min(key) AS lo, max(key) AS hi, count(*) AS n FROM gagg.t")
+      val r = agg.head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 15999L &&
+        r.getLong(2) == 16000L,
+        s"agg under rename answered wrong: $r")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(") &&
+        plan.contains("COUNT(*)"),
+        s"aggregate not pushed under column mapping:\n${plan.take(1500)}")
+      // group-by aggregates stay correct (parquet only pushes group-bys
+      // on Hive partition columns, which this layout doesn't expose —
+      // the translated refusal must not corrupt the post-scan path)
+      val g = spark.sql(
+        "SELECT g, min(key) AS lo FROM gagg.t GROUP BY g ORDER BY g")
+      assert(g.collect().map(r0 => (r0.getInt(0), r0.getLong(1))).toSeq ==
+        Seq((0, 0L), (1, 1L), (2, 2L), (3, 3L)))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("stock Spark ALTER TABLE syntax maps onto the protocol's evolution commits") {
+    val root = Files.createTempDirectory("graft_snapcat_alter").toString
+    spark.conf.set("spark.sql.catalog.galt",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.root", root)
+    val t = root + "/t"
+    spark.sql("CREATE TABLE galt.t (id INT, v STRING)")
+    spark.sql("INSERT INTO galt.t VALUES (1, 'a'), (2, 'b')")
+    // RENAME COLUMN → column mapping (values survive, never all-NULL)
+    spark.sql("ALTER TABLE galt.t RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM galt.t WHERE id = 1")
+      .head.getString(0) == "a")
+    // ADD COLUMN with DEFAULT → declared-schema append; landed files
+    // serve the folded default with zero rewrites
+    spark.sql("ALTER TABLE galt.t ADD COLUMN bonus DOUBLE DEFAULT 1.5")
+    assert(spark.sql("SELECT bonus FROM galt.t WHERE id = 2")
+      .head.getDouble(0) == 1.5)
+    // widen INT → BIGINT (safe upcast, metadata-only)
+    spark.sql("ALTER TABLE galt.t ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql("SELECT id FROM galt.t WHERE label = 'a'")
+      .head.getLong(0) == 1L)
+    // SET DEFAULT governs future writes; DROP DEFAULT reverts to NULL
+    spark.sql("ALTER TABLE galt.t ALTER COLUMN bonus SET DEFAULT 9.0")
+    spark.sql("INSERT INTO galt.t (id, label) VALUES (3, 'c')")
+    assert(spark.sql("SELECT bonus FROM galt.t WHERE id = 3")
+      .head.getDouble(0) == 9.0)
+    spark.sql("ALTER TABLE galt.t ALTER COLUMN bonus DROP DEFAULT")
+    spark.sql("INSERT INTO galt.t (id, label) VALUES (4, 'd')")
+    assert(spark.sql("SELECT bonus FROM galt.t WHERE id = 4").head.isNullAt(0))
+    // pre-drop-default rows keep serving their file-level default
+    assert(spark.sql("SELECT bonus FROM galt.t WHERE id = 2")
+      .head.getDouble(0) == 1.5)
+    // DROP COLUMN → dropped-name ledger. label is a RENAME of v, so the
+    // ledger records the PHYSICAL name: re-adding `v` refuses while
+    // pre-drop files are carried (name-based parquet resolution would
+    // resurrect the old values); the logical `label` is free to reuse
+    spark.sql("ALTER TABLE galt.t DROP COLUMN label")
+    assert(!spark.sql("SELECT * FROM galt.t").columns.contains("label"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ADD COLUMN v STRING") }
+    // unsupported shapes refuse loudly, never silently no-op
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ALTER COLUMN id COMMENT 'x'") }
+    assert(Snapshots.currentVersion(spark, t) >= 8L)
+  }
+
   test("runtime join-key file skipping: a broadcast dim's key set re-prunes the fact scan") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_snapcat_rt").toString
