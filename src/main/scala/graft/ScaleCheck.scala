@@ -331,6 +331,45 @@ object ScaleCheck {
       }
     }
 
+    // ------- delta-manifest scale gate: steady-state commit BYTES must
+    // be O(batch), not O(table files) — claimManifest writes #base/#add
+    // deltas between checkpoints, so a 1-file append's manifest stays
+    // ~flat while the referenced-file count grows 10×. Measured in
+    // BYTES (deterministic), not seconds; head-resolve time rides along
+    // as a bounded sanity ratio (checkpoint + ≤16 deltas either way).
+    if (only.forall(_.contains("snap_manifest_delta"))) {
+      import graft.warehouse.Snapshots
+      def commitBytes(nFiles: Int): (Long, Double) = {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_scale_mdelta").toString + "/t"
+        Snapshots.commitAppend(spark,
+          spark.range(0, nFiles * 100L).toDF("id")
+            .repartition(nFiles, col("id")), table)
+        Snapshots.commitAppend(spark,
+          spark.range(0, 10).toDF("id").repartition(1), table)
+        val mf = new org.apache.hadoop.fs.Path(
+          table, "_manifests/v00000002.manifest")
+        val bytes = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(mf).getLen
+        Snapshots.invalidateTable(table) // force a cold resolve
+        val t0 = System.nanoTime()
+        require(Snapshots.filesAt(spark, table, 2L).size == nFiles + 1)
+        (bytes, (System.nanoTime() - t0) / 1e9)
+      }
+      val gateName = "snap_manifest_delta"
+      try {
+        val (bSmall, _) = commitBytes(40)
+        val (bBig, tResolve) = commitBytes(400)
+        val ratio = bBig.toDouble / math.max(bSmall, 1L)
+        val violation = ratio > 3.0 || tResolve > 10.0
+        if (violation) bad += 1
+        println(f"$gateName%-26s small=${bSmall}B big=${bBig}B ratio=$ratio%6.1f ${if (violation) "SCALE_BAD" else "ok"} (append commit bytes vs 10x referenced files)")
+      } catch { case e: Throwable =>
+        bad += 1
+        println(f"$gateName%-26s FAILED ${e.getMessage}")
+      }
+    }
+
     println(if (bad == 0) "ALL_SCALE_OK" else s"$bad SCALE CHECKS FAILED")
     spark.stop()
     if (bad > 0) sys.exit(1)
