@@ -532,6 +532,44 @@ object ExplainCheck {
         plan.take(2000)) }
       println(f"snap_runtime_skip        ${if (pass) "PLAN_OK " else "PLAN_BAD"} broadcast key set re-prunes at execution (${pruned.getOrElse((-1, -1))})")
     }
+    // declared identity transform reported as a storage partitioning
+    // (SupportsReportPartitioning + HasPartitionKey): a group-by on the
+    // partition column plans with NO Exchange — the table's hottest
+    // aggregation shuffle, gone
+    locally {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_kg").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitCreate(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cat",
+            org.apache.spark.sql.types.StringType))),
+        Seq(("cat", "identity")))
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 4000).toDF("id")
+          .withColumn("cat", org.apache.spark.sql.functions
+            .concat(org.apache.spark.sql.functions.lit("c"),
+              (col("id") % 8).cast("string"))), t)
+      spark.conf.set("spark.sql.catalog.gexkg",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexkg.root", root)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val df = spark.sql(
+          "SELECT cat, count(*) AS n FROM gexkg.t GROUP BY cat")
+        val rows = df.collect().map(r => r.getString(0) -> r.getLong(1))
+          .toMap
+        val plan = df.queryExecution.executedPlan.toString
+        val pass = rows.size == 8 && rows.values.forall(_ == 500L) &&
+          !plan.contains("Exchange")
+        if (!pass) { bad += 1; println(s"rows=$rows\n" + plan.take(2000)) }
+        println(f"snap_keygroup_agg        ${if (pass) "PLAN_OK " else "PLAN_BAD"} partition-column group-by plans Exchange-free")
+      } finally
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.

@@ -130,7 +130,10 @@ object MaintenanceSql {
   // O(entries) whole-partition retention expiry
   private val SetPartitionRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
-      """\s+SET\s+PARTITION\s*\(\s*(\w+)\s*\(\s*(`?\w+`?)\s*\)\s*\)\s*;?\s*$""").r
+      """\s+SET\s+PARTITION\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  // one transform item: `kind(col)` or a bare `col` (identity)
+  private val PartItemRe = """(?i)^\s*(\w+)\s*\(\s*(`?\w+`?)\s*\)\s*$""".r
+  private val PartBareRe = """^\s*(`?\w+`?)\s*$""".r
   private val ExpirePartitionsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+EXPIRE\s+PARTITIONS\s+OLDER\s+THAN\s+'([^']+)'\s*;?\s*$""").r
@@ -253,10 +256,17 @@ object MaintenanceSql {
         Some(DropSnapshotConstraint(SnapTarget(target), name))
       case AddColumnsRe(target, cols) if ours(target) =>
         Some(AddSnapshotColumns(SnapTarget(target), cols.trim))
-      case SetPartitionRe(target, kind, col) if ours(target) =>
-        Some(SetSnapshotPartition(SnapTarget(target),
-          col.stripPrefix("`").stripSuffix("`"),
-          kind.toLowerCase(java.util.Locale.ROOT)))
+      case SetPartitionRe(target, body) if ours(target) &&
+          body.split(",").forall(i => PartItemRe.findFirstIn(i).isDefined ||
+            PartBareRe.findFirstIn(i).isDefined) =>
+        val transforms = body.split(",").toSeq.map {
+          case PartItemRe(kind, col) =>
+            (col.stripPrefix("`").stripSuffix("`"),
+              kind.toLowerCase(java.util.Locale.ROOT))
+          case PartBareRe(col) =>
+            (col.stripPrefix("`").stripSuffix("`"), "identity")
+        }
+        Some(SetSnapshotPartition(SnapTarget(target), transforms))
       case ExpirePartitionsRe(target, cutoff) if ours(target) =>
         Some(ExpireSnapshotPartitions(SnapTarget(target), cutoff))
       case SetDefaultRe(target, col, dflt) if ours(target) =>
@@ -460,8 +470,8 @@ final case class DescribeSnapshotDetail(target: MaintenanceSql.SnapTarget)
       .mkString(",")
     // layout/mapping audit: the declared transform, live renames
     // (logical->physical), and the columns carrying a write DEFAULT
-    val partitionT = Snapshots.partitionAt(spark, path, head)
-      .map { case (c, k) => s"$k($c)" }.getOrElse("")
+    val partitionT = Snapshots.partitionsAt(spark, path, head)
+      .map { case (c, k) => s"$k($c)" }.mkString("/")
     val renamed = Snapshots.colmapAt(spark, path, head).toSeq.sorted
       .map { case (l, ph) => s"$l<-$ph" }.mkString(",")
     val defaults = Snapshots.columnDefaults(spark, path, Some(head))
@@ -582,24 +592,27 @@ final case class AddSnapshotColumns(target: MaintenanceSql.SnapTarget,
   }
 }
 
-/** `ALTER TABLE t SET PARTITION (date(col))` →
-  * Snapshots.commitSetPartition: declares the table's partition
-  * transform (identity|date|month) as a metadata-only commit — later
-  * commits land under `__gp=<value>` dirs, predicates on the column
-  * prune by DIRECTORY before stats/Bloom, and whole partitions expire
-  * as one metadata commit; files landed before stay flat and always
-  * read (OPTIMIZE re-stages them under the transform).
+/** `ALTER TABLE t SET PARTITION (date(col))` — or a COMPOSITE list,
+  * `SET PARTITION (month(d), source)` (bare column = identity) →
+  * Snapshots.commitSetPartitions: declares the table's partition
+  * transforms (identity|date|month per level) as a metadata-only
+  * commit — later commits land under nested `__gp=`/`__gp2=` dirs,
+  * predicates on the columns prune by DIRECTORY before stats/Bloom
+  * (levels intersect), and whole partitions expire as one metadata
+  * commit; files landed before stay flat and always read (OPTIMIZE
+  * re-stages them under the transforms).
   */
 final case class SetSnapshotPartition(target: MaintenanceSql.SnapTarget,
-    column: String, kind: String) extends LeafRunnableCommand {
+    transforms: Seq[(String, String)]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("partition", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = target.resolve(spark)
     MaintenanceSql.requireTable(spark, path, "ALTER TABLE SET PARTITION")
-    Seq(Row(graft.warehouse.Snapshots.commitSetPartition(spark, path,
-      column, kind), s"$kind($column)"))
+    Seq(Row(graft.warehouse.Snapshots.commitSetPartitions(spark, path,
+      transforms.map { case (c, k) => (c, k) }),
+      transforms.map { case (c, k) => s"$k($c)" }.mkString("/")))
   }
 }
 

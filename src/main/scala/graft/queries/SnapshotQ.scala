@@ -1464,7 +1464,15 @@ object SnapshotQ {
            |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 'head'
            |FROM orders
            |WHERE o_orderkey % 2 = 0
-           |   OR o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin),
+           |   OR o_orderdate >= TIMESTAMP '1997-01-01'
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey,
+           |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 'composite'
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |  AND o_orderdate >= TIMESTAMP '1997-06-01'
+           |  AND o_orderpriority = '1-URGENT'""".stripMargin),
     (spark, dir) => {
       val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val orders = Tables.orders(spark, dir)
@@ -1507,10 +1515,45 @@ object SnapshotQ {
         s"ALTER TABLE '$t' EXPIRE PARTITIONS OLDER THAN '1997-01-01'").head
       require(e.getLong(0) == 4L && e.getInt(1) > 0,
         s"expected a non-empty v4 expiry, got $e")
+      // COMPOSITE transform (two nesting levels, the 1-of-N proof at
+      // level 2): month(o_orderdate) dirs holding identity(priority)
+      // subdirs — a conjunctive predicate on BOTH columns intersects
+      // the levels' verdicts and opens a strict subset
+      val ct = root + "/ct"
+      val slice = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      Snapshots.commitCreate(spark, ct, slice.schema,
+        Seq(("o_orderdate", "month"), ("o_orderpriority", "identity")))
+      // co-locate each leaf dir in one task before staging: partitionBy
+      // writes one file per (task × dir) — unclustered input would fan
+      // a 24-month × 5-priority layout into thousands of tiny files
+      Snapshots.commitAppend(spark, slice.repartition(24,
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
+        col("o_orderpriority")), ct)
+      require(Snapshots.filesAt(spark, ct, 2L).forall(en =>
+          en.contains("__gp=") && en.contains("__gp2=")),
+        "composite append must land under nested __gp=/__gp2= dirs")
+      val composite = spark.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
+           |'composite' AS part
+           |FROM $cat.ct
+           |WHERE o_orderdate >= '1997-06-01'
+           |  AND o_orderpriority = '1-URGENT'""".stripMargin)
+        .localCheckpoint(true)
+      val (cc, cn) = Snapshots.lastCatalogPruned.getOrElse(
+        throw new IllegalStateException("composite dirs not consulted"))
+      require(cc < cn && cc * 3 <= cn,
+        s"composite predicate opened $cc of $cn files — the levels' " +
+          "verdicts must intersect")
       pinned.unionByName(Snapshots.read(spark, t)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate").cast("date").cast("string").as("odate"),
           lit("head").as("part")))
+        .unionByName(composite)
     })
 
   /** CHANGE-FEED STREAMING (sources/SnapshotStreamSource
@@ -1592,6 +1635,64 @@ object SnapshotQ {
           col("_change_type").as("change"))
     })
 
+  /** Key-grouped storage partitioning through the catalog
+    * (SupportsReportPartitioning over the declared IDENTITY transform,
+    * sources/SnapshotCatalog.scala): a plain-SQL GROUP BY on the
+    * partition column must plan with NO Exchange — the `__gp=` dirs
+    * already cluster the data, and the scan's HasPartitionKey input
+    * partitions tell the planner so. Asserted in-query on the executed
+    * plan; rows are fully DuckDB-oracled from orders alone (exact
+    * integer aggregates — a grouping served from a LYING partition key
+    * drops or double-counts whole partitions and lands in the diff).
+    * At 100 TB this is the fact table's hottest aggregation running
+    * shuffle-free.
+    */
+  val snapKeyGroupAgg = QueryDef(
+    "snap_keygroup_agg",
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_kg").toString
+      val t = root + "/kgt"
+      Snapshots.commitCreate(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType))),
+        Seq(("o_orderpriority", "identity")))
+      // one task per priority: the staged layout is 5 dirs × few files,
+      // and the key-grouped scan plans one group per priority
+      Snapshots.commitAppend(spark,
+        orders.repartition(8, col("o_orderpriority")), t)
+      val cat = s"gkga_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val agg = spark.sql(
+          s"""SELECT o_orderpriority AS priority, count(*) AS n,
+             |       sum(o_orderkey) AS key_sum, min(o_orderkey) AS min_key,
+             |       max(o_orderkey) AS max_key
+             |FROM $cat.kgt GROUP BY o_orderpriority""".stripMargin)
+        val out = agg.localCheckpoint(true) // execute under the conf
+        val plan = agg.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "group-by on the identity partition column must plan " +
+            s"Exchange-free:\n${plan.take(1500)}")
+        out
+      } finally
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
@@ -1600,5 +1701,5 @@ object SnapshotQ {
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
       snapCatalogSkip, snapRuntimeSkip, snapRename, snapDefault,
-      snapPartition, snapCdfStream)
+      snapPartition, snapCdfStream, snapKeyGroupAgg)
 }

@@ -116,7 +116,7 @@ class SnapshotCatalog extends TableCatalog {
     // declared schema is LOGICAL — the scan builder reads physical and
     // re-labels positionally (see PruningScanBuilder)
     val colmap = Snapshots.colmapAt(spark, t, version)
-    val partition = Snapshots.partitionAt(spark, t, version)
+    val partition = Snapshots.partitionsAt(spark, t, version)
     if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
     val scanName = s"${name()}.${ident.name()}@v$version"
     val inner = ParquetTable(scanName, spark,
@@ -149,7 +149,8 @@ class SnapshotCatalog extends TableCatalog {
         override def schema(): StructType = inner.schema
         override def capabilities(): util.Set[TableCapability] =
           Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-            TableCapability.TRUNCATE).asJava
+            TableCapability.TRUNCATE,
+            TableCapability.STREAMING_WRITE).asJava
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
           pruningScanBuilder(options)
@@ -201,6 +202,21 @@ class SnapshotCatalog extends TableCatalog {
                       ()
                     }
                   }
+                // `writeStream.toTable("snap.t")` — executors stage,
+                // each epoch is ONE exactly-once protocol commit (see
+                // SnapshotStreamingWrite). Append only: complete mode
+                // arrives as truncate() and refuses here.
+                override def toStreaming: org.apache.spark.sql.connector
+                    .write.streaming.StreamingWrite = {
+                  if (overwrite) throw new UnsupportedOperationException(
+                    "outputMode('complete') is not supported on " +
+                      "snapshot tables — append only (an overwrite per " +
+                      "epoch would churn the whole table; aggregate " +
+                      "via foreachBatch + commitOverwrite if you mean " +
+                      "it)")
+                  new SnapshotStreamingWrite(sp, t, info.queryId(),
+                    info.schema())
+                }
               }
           }
       }
@@ -268,9 +284,10 @@ class SnapshotCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.length <= 1,
-      "snapshot tables take at most one partition transform")
-    val declared = partitions.headOption.map { tr =>
+    require(partitions.length <= 3,
+      "snapshot tables take at most three partition transforms " +
+        "(nested __gp=/__gp2=/__gp3= dirs)")
+    val declared = partitions.toSeq.map { tr =>
       val col = tr.references().headOption
         .map(_.fieldNames().mkString("."))
         .getOrElse(throw new UnsupportedOperationException(
@@ -397,7 +414,7 @@ object SnapshotCatalog {
   private[sources] class PruningScanBuilder(spark: SparkSession,
       table: String, scanName: String, entries: Seq[String],
       files: Seq[String], declared: Option[StructType],
-      colmap: Map[String, String], partition: Option[(String, String)],
+      colmap: Map[String, String], partition: Seq[(String, String)],
       options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -555,13 +572,104 @@ object SnapshotCatalog {
   private[sources] class RuntimeFilterableScan(spark: SparkSession,
       table: String, baseEntries: Seq[String],
       declared: Option[StructType], colmap: Map[String, String],
-      partition: Option[(String, String)], initial: Scan,
+      partition: Seq[(String, String)], initial: Scan,
       rebuild: Set[String] => Scan)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
     @volatile private var current: Scan = initial
+    @volatile private var live: Seq[String] = baseEntries
+
+    /** The declared IDENTITY transform as a reported storage
+      * partitioning (`SupportsReportPartitioning`): the `__gp=` dirs
+      * already cluster the data by the partition column, so a group-by
+      * or storage-partitioned join keyed on it needs NO Exchange — at
+      * 100 TB that is the whole shuffle of the table's hottest
+      * aggregation, gone. One (key row → entries) group per distinct
+      * dir value, computed once per scan from the STATICALLY-pruned
+      * entry list.
+      *
+      * Reported only when every condition makes the keys TRUTHFUL —
+      * a storage-partitioned join trusts them for correctness, not just
+      * for placement:
+      *   - v2 bucketing is on (Spark ignores the report otherwise, and
+      *     per-group planning would cost driver time for nothing);
+      *   - the transform is VALUE-PRESERVING: identity on any type, or
+      *     a `date` transform on a DateType column (casting a date to
+      *     date IS identity, so the daily dirs of the canonical
+      *     date-partitioned fact table cluster by the exact column
+      *     value). A date transform on a TIMESTAMP truncates — coarser
+      *     than the column, its clustering EXPRESSION would need a
+      *     FunctionCatalog face — and month always truncates; neither
+      *     reports;
+      *   - every live entry carries a `__gp=` prefix (one flat
+      *     pre-transform file has an unknown key);
+      *   - the partition column survives the projection (the planner
+      *     resolves the clustering key against the scan's output);
+      *   - every dir value round-trips through a non-ANSI cast to the
+      *     column's type (the null-sentinel dir maps to a null key; a
+      *     non-sentinel value casting to null would LIE to a join).
+      */
+    private lazy val staticGroups
+        : Option[(String, Seq[(org.apache.spark.sql.catalyst.InternalRow,
+          Seq[String])])] =
+      for {
+        pcKind <- partition match {
+          case Seq((c, k)) => Some((c, k))
+          case _ => None // composite layouts report nothing
+        }
+        (pc, kind) = pcKind
+        if spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+          "false") == "true"
+        if readSchema().fieldNames.contains(pc)
+        dt <- declared.flatMap(_.fields.find(_.name == pc)).map(_.dataType)
+        if kind == "identity" || (kind == "date" &&
+          dt == org.apache.spark.sql.types.DateType)
+        groups <- keyGroupsOf(baseEntries, dt)
+        if groups.size > 1 // a single group is SinglePartition anyway
+      } yield (pc, groups)
+
+    /** (key row → member entries) per distinct dir value, sorted for
+      * deterministic planning; None as soon as any entry's key is
+      * unknown or untruthful.
+      */
+    private def keyGroupsOf(entries: Seq[String],
+        dt: org.apache.spark.sql.types.DataType)
+        : Option[Seq[(org.apache.spark.sql.catalyst.InternalRow,
+          Seq[String])]] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      val valued = entries.map(e => Snapshots.partitionDirValue(e).map((e, _)))
+      if (valued.exists(_.isEmpty)) return None
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      val groups = valued.flatten.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (v, es) =>
+          val key: Any =
+            if (v == Snapshots.NullPartition) null
+            else Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+                .fromString(v), org.apache.spark.sql.types.StringType),
+              dt, zone, org.apache.spark.sql.catalyst.expressions
+                .EvalMode.LEGACY).eval(null)
+          if (key == null && v != Snapshots.NullPartition) return None
+          (new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](key)), es.map(_._1))
+        }
+      Some(groups)
+    }
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      staticGroups match {
+        case Some((pc, groups)) =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .KeyGroupedPartitioning(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(pc)), groups.size)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(0)
+      }
 
     override def filterAttributes()
         : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -579,7 +687,10 @@ object SnapshotCatalog {
       val kept = Snapshots.pruneFilesByFilters(spark, table, baseEntries,
         declared, v1, colmap, partition)
       Snapshots.lastRuntimePruned = Some((kept.size, baseEntries.size))
-      if (kept.size < baseEntries.size) current = rebuild(kept.toSet)
+      if (kept.size < baseEntries.size) {
+        live = kept
+        current = rebuild(kept.toSet)
+      }
     }
 
     // the projection never changes under a runtime file re-prune — the
@@ -587,7 +698,21 @@ object SnapshotCatalog {
     // selection must not surface a different shape)
     override def readSchema(): StructType = initial.readSchema()
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
-      current.toBatch
+      staticGroups match {
+        case None => current.toBatch
+        case Some((_, groups)) =>
+          // grouped planning from the LIVE entry set: a runtime filter
+          // may have arrived since the report — a key whose entries all
+          // died simply plans no partitions (Spark restores missing
+          // keys as empty partitions under the subset rule), and every
+          // surviving partition still carries its HasPartitionKey
+          val liveSet = live.toSet
+          val alive = groups
+            .map { case (k, es) => (k, es.filter(liveSet)) }
+            .filter(_._2.nonEmpty)
+          new KeyGroupedBatch(
+            alive.map { case (k, es) => (k, rebuild(es.toSet).toBatch) })
+      }
     override def description(): String = current.description()
     override def supportedCustomMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -603,6 +728,72 @@ object SnapshotCatalog {
           java.util.OptionalLong.empty()
       }
     }
+  }
+
+  /** Batch face of a key-grouped catalog scan: one inner parquet batch
+    * per distinct partition value, every emitted input partition
+    * stamped with its group's key row (`HasPartitionKey`) so Spark's
+    * v2-bucketing machinery can co-locate by key — a group-by or
+    * storage-partitioned join on the partition column plans with NO
+    * Exchange. A file split never crosses a group (each group is its
+    * own parquet scan over its own dir's files), so the key is exact
+    * for every row the partition yields.
+    */
+  private[sources] class KeyGroupedBatch(
+      groups: Seq[(org.apache.spark.sql.catalyst.InternalRow,
+        org.apache.spark.sql.connector.read.Batch)])
+    extends org.apache.spark.sql.connector.read.Batch {
+
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] =
+      groups.zipWithIndex.flatMap { case ((key, b), gi) =>
+        b.planInputPartitions().map(p => KeyedInputPartition(key, gi, p))
+      }.toArray
+
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new DispatchingReaderFactory(
+        groups.map(_._2.createReaderFactory()).toArray)
+  }
+
+  /** An inner scan's input partition plus the partition-value key row
+    * its group reported, and the group index its reader factory lives
+    * at ([[DispatchingReaderFactory]]).
+    */
+  private[sources] case class KeyedInputPartition(
+      key: org.apache.spark.sql.catalyst.InternalRow, group: Int,
+      inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+      key
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Routes each [[KeyedInputPartition]] to its own group's parquet
+    * reader factory, delegating the columnar decision so vectorized
+    * reads survive the wrapping.
+    */
+  private[sources] class DispatchingReaderFactory(
+      factories: Array[org.apache.spark.sql.connector.read
+        .PartitionReaderFactory])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    private def un(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p.asInstanceOf[KeyedInputPartition]
+    override def createReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      factories(un(p).group).createReader(un(p).inner)
+    override def createColumnarReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] =
+      factories(un(p).group).createColumnarReader(un(p).inner)
+    override def supportColumnarReads(
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+      factories(un(p).group).supportColumnarReads(un(p).inner)
   }
 
   /** Scan face for column-mapped tables: the wrapped parquet scan reads

@@ -239,21 +239,38 @@ object Snapshots {
     * files, and foreign refs all read identically. Carried forward by
     * every commit, like the colmap.
     */
-  private def partitionOf(lines: Seq[String]): Option[(String, String)] =
-    lines.find(_.startsWith(PartitionHeader)).map { h =>
-      val rest = h.stripPrefix(PartitionHeader)
-      val cut = rest.indexOf(':')
-      (rest.substring(0, cut), rest.substring(cut + 1))
+  /** ALL declared partition transforms of a manifest, outermost dir
+    * level first. The header is `#partition:c1:k1[;c2:k2...]` — one pair
+    * per nesting level (`__gp=`, `__gp2=`, ...), ';'-joined so a
+    * single-transform header reads exactly as it always has.
+    */
+  private def partitionsOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.find(_.startsWith(PartitionHeader)).toSeq.flatMap { h =>
+      h.stripPrefix(PartitionHeader).split(";", -1).toSeq.map { pair =>
+        val cut = pair.lastIndexOf(':')
+        (pair.substring(0, cut), pair.substring(cut + 1))
+      }
     }
+
+  /** The PRIMARY (outermost) transform — the single-transform view most
+    * call sites need; composite-aware code uses [[partitionsOf]].
+    */
+  private def partitionOf(lines: Seq[String]): Option[(String, String)] =
+    partitionsOf(lines).headOption
 
   private def partRawOf(lines: Seq[String]): Option[String] =
     lines.find(_.startsWith(PartitionHeader))
       .map(_.stripPrefix(PartitionHeader))
 
-  /** [[partitionOf]] of a version — the DSv2 catalog's pruning face. */
+  /** [[partitionOf]] of a version — the primary transform. */
   def partitionAt(spark: SparkSession, table: String,
       version: Long): Option[(String, String)] =
-    partitionOf(manifestLines(spark, table, version))
+    partitionsAt(spark, table, version).headOption
+
+  /** [[partitionsOf]] of a version — the DSv2 catalog's pruning face. */
+  def partitionsAt(spark: SparkSession, table: String,
+      version: Long): Seq[(String, String)] =
+    partitionsOf(manifestLines(spark, table, version))
 
   private val PartitionKinds = Set("identity", "date", "month")
   private[warehouse] val PartPrefix = "__gp="
@@ -263,7 +280,16 @@ object Snapshots {
     * here. Its age and order are UNDEFINED — every pruner keeps it and
     * partition expiry never drops it.
     */
-  private[warehouse] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+  private[graft] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** [[partValueOf]] for the DSv2 catalog's key-grouped reporting face
+    * (sources/SnapshotCatalog.scala): the UNESCAPED `__gp=` dir value of
+    * a manifest entry, None for flat/pre-transform/foreign entries
+    * (whose partition value is unknown — a scan holding any such entry
+    * must not report a partitioning).
+    */
+  private[graft] def partitionDirValue(entry: String): Option[String] =
+    partValueOf(entry)
 
   /** Date/month transforms need a column whose ordering IS the
     * truncation's. A string column orders lexicographically, not by
@@ -296,25 +322,34 @@ object Snapshots {
     }
   }
 
-  /** Partition value of a manifest entry: Some(v) when the entry lands
-    * under a `__gp=` dir, None for flat/pre-transform/foreign entries
-    * (which every pruner must ALWAYS read — the stats staleness rule).
+  /** Dir-column name of nesting level `i` (what the staging writer
+    * partitions by) and its dir-fragment prefix: `__gp=` for the
+    * primary, `__gp2=`/`__gp3=`... beneath it.
     */
-  private def partValueOf(entry: String): Option[String] = {
-    val i = entry.indexOf(PartPrefix)
-    if (i < 0) None
-    else {
-      val rest = entry.substring(i + PartPrefix.length)
-      val cut = rest.indexOf('/')
+  private def partLevelCol(i: Int): String =
+    if (i == 0) "__gp" else s"__gp${i + 1}"
+  private def partLevelPrefix(i: Int): String = partLevelCol(i) + "="
+
+  /** Partition value of a manifest entry at nesting level `level`:
+    * Some(v) when the entry lands under that level's `__gpN=` dir, None
+    * for flat/pre-transform/foreign entries (which every pruner must
+    * ALWAYS read — the stats staleness rule). Component-wise parse, so
+    * a shallow clone's qualified foreign URIs resolve too.
+    */
+  private def partValueAt(entry: String, level: Int): Option[String] = {
+    val prefix = partLevelPrefix(level)
+    entry.split('/').dropRight(1).find(_.startsWith(prefix))
       // dir fragments land ESCAPED (the dynamic-partition writer turns
       // ':','%','=',… into %XX) while probes render RAW values — the
       // comparison space is the unescaped one, or an identity partition
       // holding any escapable char would be wrongly pruned
-      if (cut < 0) None
-      else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(rest.substring(0, cut)))
-    }
+      .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(c.substring(prefix.length)))
   }
+
+  /** [[partValueAt]] of the primary level. */
+  private def partValueOf(entry: String): Option[String] =
+    partValueAt(entry, 0)
 
   /** Declare the table's partition transform as a METADATA-ONLY commit
     * (op `setPartition`): from the NEXT commit on, staged files land
@@ -332,9 +367,30 @@ object Snapshots {
     * must be identity/date/month-transformable.
     */
   def commitSetPartition(spark: SparkSession, table: String, column: String,
-      kind: String, maxRetries: Int = 10): Long = {
-    require(PartitionKinds(kind),
-      s"partition kind $kind not in ${PartitionKinds.mkString("/")}")
+      kind: String, maxRetries: Int = 10): Long =
+    commitSetPartitions(spark, table, Seq((column, kind)), maxRetries)
+
+  /** [[commitSetPartition]] for COMPOSITE transforms: up to three
+    * nesting levels, outermost first — rows land under
+    * `data/__gp=<k1(c1)>/__gp2=<k2(c2)>/...`, every pruning leg
+    * intersects across levels, and partition expiry keys on the first
+    * date/month level. Same declaration rules per level (identity any
+    * type, date/month only on date/timestamp columns) and the same
+    * change-refusal while prefixed entries are referenced.
+    */
+  def commitSetPartitions(spark: SparkSession, table: String,
+      transforms: Seq[(String, String)], maxRetries: Int = 10): Long = {
+    require(transforms.nonEmpty && transforms.size <= 3,
+      s"1..3 partition transforms, got ${transforms.size}")
+    require(transforms.map(_._1).distinct.size == transforms.size,
+      "partition columns must be distinct")
+    transforms.foreach { case (c, k) =>
+      require(PartitionKinds(k),
+        s"partition kind $k not in ${PartitionKinds.mkString("/")}")
+      require(!c.contains(":") && !c.contains(";") && !c.contains("\n"),
+        s"partition column '$c' must be colon/semicolon/newline-free " +
+          "(the transform header is ':'/';' delimited)")
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion(spark, table)
@@ -342,23 +398,23 @@ object Snapshots {
       val lines = manifestLines(spark, table, head)
       val prior = schemaOf(lines)
         .getOrElse(read(spark, table, Some(head)).schema)
-      requirePartitionable(prior, column, kind)
-      partitionOf(lines) match {
-        case Some((c, k)) if c == column && k == kind => return head // no-op
-        case Some((c, k)) =>
+      transforms.foreach { case (c, k) => requirePartitionable(prior, c, k) }
+      partitionsOf(lines) match {
+        case declared if declared == transforms => return head // no-op
+        case declared if declared.nonEmpty =>
           require(!filesOf(lines).exists(_.contains(PartPrefix)),
-            s"$table already has prefixed entries under $k($c) — their " +
-              "dir values would be misinterpreted under " +
-              s"$kind($column); OPTIMIZE (full rewrite) after changing " +
-              "is not enough, change is refused while prefixed entries " +
-              "are referenced")
-        case None => ()
+            s"$table already has prefixed entries under " +
+              s"${declared.map { case (c, k) => s"$k($c)" }.mkString("/")}" +
+              " — their dir values would be misinterpreted under " +
+              s"${transforms.map { case (c, k) => s"$k($c)" }.mkString("/")}" +
+              "; change is refused while prefixed entries are referenced")
+        case _ => ()
       }
       if (claimManifest(spark, table, head + 1,
           contentOf(schemaOf(lines), marksOf(lines), filesOf(lines),
             "setPartition", checksOf(lines), tombstonesOf(lines),
             tombstoneColOf(lines), droppedOf(lines), colmapOf(lines),
-            Some(s"$column:$kind"))))
+            Some(transforms.map { case (c, k) => s"$c:$k" }.mkString(";")))))
         return head + 1
       attempt += 1
     }
@@ -375,17 +431,24 @@ object Snapshots {
     */
   def commitCreate(spark: SparkSession, table: String,
       schema: types.StructType,
-      partition: Option[(String, String)] = None): Long = {
+      partition: Seq[(String, String)] = Nil): Long = {
+    require(partition.size <= 3, "at most three partition transforms")
+    require(partition.map(_._1).distinct.size == partition.size,
+      "partition columns must be distinct")
     partition.foreach { case (c, k) =>
       require(PartitionKinds(k),
         s"partition kind $k not in ${PartitionKinds.mkString("/")}")
+      require(!c.contains(":") && !c.contains(";") && !c.contains("\n"),
+        s"partition column '$c' must be colon/semicolon/newline-free")
       requirePartitionable(schema, c, k)
     }
     require(currentVersion(spark, table) == 0,
       s"table already exists at $table")
     val claimed = claimManifest(spark, table, 1L,
       contentOf(Some(schema), Map.empty, Nil, "createTable",
-        partition = partition.map { case (c, k) => s"$c:$k" }))
+        partition = if (partition.isEmpty) None
+          else Some(partition.map { case (c, k) => s"$c:$k" }
+            .mkString(";"))))
     require(claimed,
       s"create of $table lost the claim race — the table now exists")
     1L
@@ -409,22 +472,26 @@ object Snapshots {
       val head = currentVersion(spark, table)
       require(head > 0, s"no snapshot table at $table")
       val lines = manifestLines(spark, table, head)
-      val (pc, kind) = partitionOf(lines).getOrElse(
-        throw new IllegalArgumentException(
-          s"$table declares no partition transform — nothing to expire"))
+      val declared = partitionsOf(lines)
+      require(declared.nonEmpty, s"$table declares no partition " +
+        "transform — nothing to expire")
       // "older than" needs an AGE order: date/month truncations have
       // one (ISO string order); identity values don't ('10' < '9'
-      // lexicographically — expiry would drop the wrong partitions)
-      require(kind != "identity",
-        s"EXPIRE PARTITIONS on identity($pc): identity values carry no " +
-          "age order — only date/month transforms expire")
+      // lexicographically — expiry would drop the wrong partitions).
+      // Composite layouts expire on their FIRST date/month level.
+      val ((pc, kind), level) = declared.zipWithIndex
+        .find(p => p._1._2 == "date" || p._1._2 == "month").getOrElse(
+          throw new IllegalArgumentException(
+            s"EXPIRE PARTITIONS on ${declared.map { case (c, k) =>
+              s"$k($c)" }.mkString("/")}: identity values carry no " +
+              "age order — only date/month transforms expire"))
       val cut = partProbeValue(kind, cutoff).getOrElse(
         throw new IllegalArgumentException(
           s"cutoff $cutoff does not render under $kind($pc)"))
       val files = filesOf(lines)
       // the null partition can't prove its age — never expire it
       val (doomed, kept) = files.partition(e =>
-        partValueOf(e).exists(v => v != NullPartition && v < cut))
+        partValueAt(e, level).exists(v => v != NullPartition && v < cut))
       if (doomed.isEmpty) return (head, 0)
       // a pending tombstone key may live in a doomed partition — the
       // tombstones CARRY (anti-join of a gone row is a no-op, never a
@@ -456,14 +523,15 @@ object Snapshots {
     val head = currentVersion(spark, table)
     if (head == 0) return None
     val lines = manifestLines(spark, table, head)
-    partitionOf(lines).filter(p => p._2 == "date" || p._2 == "month")
-      .flatMap { case (_, kind) =>
+    partitionsOf(lines).zipWithIndex
+      .find(p => p._1._2 == "date" || p._1._2 == "month")
+      .flatMap { case ((_, kind), level) =>
         // only values in the transform's ISO shape carry an age: the
         // null-partition sentinel sorts ABOVE every date ('_' > '9')
         // and would wedge the parse below on one null row
         val shape =
           if (kind == "month") """\d{4}-\d{2}""" else """\d{4}-\d{2}-\d{2}"""
-        val newest = filesOf(lines).flatMap(partValueOf)
+        val newest = filesOf(lines).flatMap(partValueAt(_, level))
           .filter(_.matches(shape)).maxOption
         newest.flatMap { nv =>
           val newestDay = java.time.LocalDate.parse(
@@ -493,7 +561,15 @@ object Snapshots {
       val bytes =
         try f.getFileStatus(new Path(dd, n)).getLen
         catch { case _: Exception => 0L }
-      (partValueOf(n).getOrElse("<flat>"), bytes)
+      // composite layouts census one row per LEAF partition — all
+      // levels' unescaped values joined ("2024-06/eu"), exactly the
+      // retention/audit granularity the nested dirs give
+      val levels = n.split('/').dropRight(1)
+        .filter(_.matches("""__gp\d*=.*"""))
+        .map(c => org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            c.substring(c.indexOf('=') + 1)))
+      (if (levels.isEmpty) "<flat>" else levels.mkString("/"), bytes)
     }.groupBy(_._1).toSeq
       .map { case (pv, xs) => (pv, xs.size.toLong, xs.map(_._2).sum) }
       .sortBy(_._1)
@@ -509,24 +585,27 @@ object Snapshots {
     * ISO string order.
     */
   private def pruneEntriesByPartition(
-      partition: Option[(String, String)],
+      partitions: Seq[(String, String)],
       bounds: Seq[(String, Option[Any], Option[Any])],
-      entries: Seq[String]): Seq[String] = partition match {
-    case None => entries
-    case Some((pc, kind)) =>
-      val relevant = bounds.filter(_._1 == pc)
-      if (relevant.isEmpty) entries
-      else entries.filter { e =>
-        partValueOf(e) match {
-          case None => true // flat/foreign/pre-transform: always read
-          case Some(NullPartition) => true // null rendering has no order
-          case Some(v) => relevant.forall { case (_, lo, hi) =>
-            lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
-              hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
+      entries: Seq[String]): Seq[String] =
+    // composite layouts INTERSECT the levels' verdicts: each level
+    // prunes independently on its own column's bounds, and an entry
+    // survives only if no level can rule it out
+    partitions.zipWithIndex.foldLeft(entries) {
+      case (live, ((pc, kind), level)) =>
+        val relevant = bounds.filter(_._1 == pc)
+        if (relevant.isEmpty || live.isEmpty) live
+        else live.filter { e =>
+          partValueAt(e, level) match {
+            case None => true // flat/foreign/pre-transform: always read
+            case Some(NullPartition) => true // null rendering has no order
+            case Some(v) => relevant.forall { case (_, lo, hi) =>
+              lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
+                hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
+            }
           }
         }
-      }
-  }
+    }
 
   /** The transform's rendering of a driver-side probe value, in the
     * same form [[partitionExpr]] writes into dir names — None when the
@@ -1005,7 +1084,7 @@ object Snapshots {
         s"no column $column on $table")
       require(prior.fields.length > 1,
         s"cannot drop the last column of $table")
-      require(!partitionOf(lines).exists(_._1 == column),
+      require(!partitionsOf(lines).exists(_._1 == column),
         s"column $column is $table's declared partition column")
       require(!(tombstonesOf(lines).nonEmpty &&
           tombstoneColOf(lines).contains(column)),
@@ -1167,7 +1246,7 @@ object Snapshots {
         s"column $from keys ${tombstonesOf(lines).size} pending " +
           s"lazy-delete tombstone file(s) on $table — OPTIMIZE to " +
           "materialize them first")
-      require(!partitionOf(lines).exists(_._1 == from),
+      require(!partitionsOf(lines).exists(_._1 == from),
         s"column $from is $table's declared partition column — the " +
           "transform header does not rewrite")
       val mention = ("(?i)\\b" +
@@ -1449,26 +1528,31 @@ object Snapshots {
     */
   private def stageData(spark: SparkSession, batch0: DataFrame,
       table: String, colmap: Map[String, String],
-      partition: Option[(String, String)] = None): Seq[String] = {
+      partition: Seq[(String, String)] = Nil): Seq[String] = {
     val dd = dataDir(table)
     val f = fs(spark, dd)
     val staging = new Path(table, s"_staging-${java.util.UUID.randomUUID}")
-    // the declared transform routes rows into __gp=<value> dirs — the
-    // DIRECTORY is a pruning hint and a retention unit; the column
-    // itself STAYS in every file (no read path ever re-derives values
-    // from paths). A batch lacking the column stages flat (its entries
-    // carry no prefix, so every pruner always reads them — sound).
-    partition.filter(p => batch0.columns.contains(p._1)) match {
-      case Some((c, kind)) =>
-        toPhysical(batch0.withColumn("__gp", partitionExpr(c, kind)), colmap)
-          .write.partitionBy("__gp").parquet(staging.toString)
-      case None =>
-        toPhysical(batch0, colmap).write.parquet(staging.toString)
-    }
+    // the declared transforms route rows into nested __gp=/__gp2=/...
+    // dirs — the DIRECTORY is a pruning hint and a retention unit; the
+    // columns themselves STAY in every file (no read path ever
+    // re-derives values from paths). A batch missing ANY transform
+    // column stages flat (its entries carry no prefix, so every pruner
+    // always reads them — sound).
+    val routed = partition
+      .filter(_ => partition.forall(p => batch0.columns.contains(p._1)))
+    if (routed.nonEmpty) {
+      val withDirs = routed.zipWithIndex.foldLeft(batch0) {
+        case (df, ((c, kind), i)) =>
+          df.withColumn(partLevelCol(i), partitionExpr(c, kind))
+      }
+      toPhysical(withDirs, colmap).write
+        .partitionBy(routed.indices.map(partLevelCol): _*)
+        .parquet(staging.toString)
+    } else toPhysical(batch0, colmap).write.parquet(staging.toString)
     f.mkdirs(dd)
-    // collect staged files RECURSIVELY, keeping the partition dir in the
-    // manifest entry (relative paths resolve through two-arg Path like
-    // bare names do)
+    // collect staged files RECURSIVELY, keeping the partition dirs in
+    // the manifest entry (relative paths resolve through two-arg Path
+    // like bare names do)
     val staged = {
       val it = f.listFiles(staging, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -1480,9 +1564,12 @@ object Snapshots {
       buf.toSeq
     }
     val newFiles = staged.map { p =>
-      val dir = p.getParent.getName
-      val rel = if (dir.startsWith(PartPrefix)) dir + "/" else ""
-      if (rel.nonEmpty) f.mkdirs(new Path(dd, dir))
+      // walk up every __gpN= ancestor (nested composite dirs)
+      val dirs = Iterator.iterate(p.getParent)(_.getParent)
+        .takeWhile(d => d != null && d.getName.matches("""__gp\d*=.*"""))
+        .map(_.getName).toSeq.reverse
+      val rel = if (dirs.isEmpty) "" else dirs.mkString("/") + "/"
+      if (rel.nonEmpty) f.mkdirs(new Path(dd, dirs.mkString("/")))
       val target = new Path(dd, s"$rel${java.util.UUID.randomUUID}.parquet")
       require(f.rename(p, target), s"failed to stage $p")
       rel + target.getName
@@ -1592,7 +1679,7 @@ object Snapshots {
     // the partition transform is LAYOUT POLICY and survives overwrite
     val stagedPart = partRawOf(validated)
     val newFiles = stageData(spark, batch, table, stagedColmap,
-      partitionOf(validated))
+      partitionsOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     def dropStaged(): Unit =
@@ -1736,15 +1823,17 @@ object Snapshots {
     val dd = dataDir(table).toString
     val headLines = manifestLines(spark, table,
       currentVersion(spark, table))
-    // DIRECTORY leg: a key-list probe on the partition column keeps only
+    // DIRECTORY leg: a key-list probe on a partition column keeps only
     // partitions that can hold at least one key (one unrenderable key
-    // keeps everything — sound)
-    val candidates = partitionOf(headLines) match {
-      case Some((pc, kind)) if pc == kc0 =>
+    // keeps everything — sound); composite layouts probe the LEVEL the
+    // key column governs
+    val candidates = partitionsOf(headLines).zipWithIndex
+      .find(_._1._1 == kc0) match {
+      case Some(((_, kind), level)) =>
         val rendered = vals0.filter(_ != null).map(partProbeValue(kind, _))
         if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
           val set = rendered.flatten.toSet
-          candidates0.filter(e => partValueOf(e).forall(v =>
+          candidates0.filter(e => partValueAt(e, level).forall(v =>
             v == NullPartition || set.contains(v)))
         } else candidates0
       case _ => candidates0
@@ -1905,7 +1994,7 @@ object Snapshots {
     // the predicate's own bounds with zero sidecar reads (the bounds'
     // typed encodings — ISO strings for dates — are exactly the dir
     // rendering)
-    var cand = pruneEntriesByPartition(partitionOf(headLines), bounds0,
+    var cand = pruneEntriesByPartition(partitionsOf(headLines), bounds0,
       candidates)
     val dd = dataDir(table).toString
     val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
@@ -2006,7 +2095,7 @@ object Snapshots {
     val colmap = colmapOf(lines)
     if (files.isEmpty)
       return CowResult(
-        stageData(spark, upserts, table, colmap, partitionOf(lines)),
+        stageData(spark, upserts, table, colmap, partitionsOf(lines)),
         Nil, Nil, None, Nil)
     // single-column keys (the common case) probe via a literal IN-list
     // when the touch-set is bounded: the predicate pushes into the
@@ -2081,7 +2170,7 @@ object Snapshots {
         }
       }
     val newFiles = stageData(spark, merged, table, colmap,
-      partitionOf(lines))
+      partitionsOf(lines))
     val (tombs, tombCol, stagedTombs) = (tk, reasserted) match {
       case (None, _) => (Nil, None, Nil)
       case (Some(_), None) => // untouched pending state carries verbatim
@@ -2278,7 +2367,7 @@ object Snapshots {
       // every declared CHECK before a manifest claims them
       enforceChecks(rewritten, checksOf(lines), table, schema)
       val newFiles = stageData(spark, rewritten, table, colmapOf(lines),
-        partitionOf(lines))
+        partitionsOf(lines))
       if (claimManifest(spark, table, head + 1,
           contentOf(schema, marksOf(lines),
             files.filterNot(affected) ++ newFiles, "update",
@@ -2336,7 +2425,7 @@ object Snapshots {
       // whose predicate is undecided — SQL DELETE keeps them
       val kept = aff.filter(!coalesce(predicate, lit(false)))
       val newFiles = stageData(spark, kept, table, colmapOf(lines),
-        partitionOf(lines))
+        partitionsOf(lines))
       val manifest = contentOf(schema, marksOf(lines),
         files.filterNot(affected) ++ newFiles, "delete", checksOf(lines),
         tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
@@ -2414,7 +2503,7 @@ object Snapshots {
       // frame verbatim) — the colmap clears with the ledger below; the
       // partition transform is layout policy and the restage honors it
       val newFiles = stageData(spark, rewritten, table, Map.empty,
-        partitionOf(lines))
+        partitionsOf(lines))
       // the full rewrite is the materialization point: no tombstones,
       // and the dropped-name ledger CLEARS (every surviving file was
       // re-staged under the declared schema — pre-drop values are gone)
@@ -2489,7 +2578,7 @@ object Snapshots {
           colmapOf(lines)))
         .repartition(nOut)
       val newFiles = stageData(spark, packed, table, colmapOf(lines),
-        partitionOf(lines))
+        partitionsOf(lines))
       // PARTIAL pack: carried files may still hold pre-drop values, so
       // the dropped-name ledger carries (unlike the full rewrite above)
       if (claimManifest(spark, table, head + 1,
@@ -3140,12 +3229,12 @@ object Snapshots {
     */
   def prunableColumns(spark: SparkSession, table: String,
       colmap: Map[String, String],
-      partition: Option[(String, String)]): Seq[String] = {
+      partition: Seq[(String, String)]): Seq[String] = {
     val physToLogical = colmap.map(_.swap)
     val stats = graft.operators.Layout
       .statsManifestCols(spark, dataDir(table).toString).getOrElse(Nil)
     val bloom = bloomIndexedColumns(spark, table)
-    (partition.map(_._1).toSeq ++
+    (partition.map(_._1) ++
       (stats ++ bloom).map(p => physToLogical.getOrElse(p, p))).distinct
   }
 
@@ -3171,7 +3260,7 @@ object Snapshots {
       names: Seq[String], schema: Option[types.StructType],
       filters: Seq[org.apache.spark.sql.sources.Filter],
       colmap: Map[String, String] = Map.empty,
-      partition: Option[(String, String)] = None): Seq[String] = {
+      partition: Seq[(String, String)] = Nil): Seq[String] = {
     import org.apache.spark.sql.sources._
     if (names.isEmpty || filters.isEmpty) return names
     val dd = dataDir(table).toString
@@ -3201,13 +3290,14 @@ object Snapshots {
       if (partition.exists(_._1 == c) && live.nonEmpty)
         live = pruneEntriesByPartition(partition, Seq((c, lo, hi)), live)
     def partAnyOf(c: String, vs: Seq[Any]): Unit =
-      partition.filter(_._1 == c && live.nonEmpty)
-        .foreach { case (_, kind) =>
+      partition.zipWithIndex
+        .find(p => p._1._1 == c && live.nonEmpty)
+        .foreach { case ((_, kind), level) =>
           val rendered = vs.filter(_ != null).map(partProbeValue(kind, _))
           // one unrenderable member means any entry might hold it
           if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
             val set = rendered.flatten.toSet
-            live = live.filter(e => partValueOf(e).forall(v =>
+            live = live.filter(e => partValueAt(e, level).forall(v =>
               v == NullPartition || set.contains(v)))
           }
         }
@@ -3313,7 +3403,7 @@ object Snapshots {
     val stagedColmap = colmapOf(validated)
     val stagedPart = partRawOf(validated)
     val newFiles = stageData(spark, batch, table, stagedColmap,
-      partitionOf(validated))
+      partitionsOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     var attempt = 0
@@ -3366,6 +3456,106 @@ object Snapshots {
         return (head + 1, true)
       attempt += 1 // lost to an unrelated writer: re-read head and retry
     }
+    throw new IllegalStateException(
+      s"stream commit $streamId/$batchId to $table failed after " +
+        s"$maxRetries attempts")
+  }
+
+  /** The claim half of the NATIVE streaming sink
+    * (`writeStream.toTable("snap.t")`, sources/SnapshotStreamingWrite
+    * .scala): executors already wrote `staged` parquet files (unique
+    * names under `data/`, unreferenced — invisible to readers), and the
+    * driver's epoch commit publishes them under the same
+    * (streamId, batchId) watermark semantics as [[commitStreamAppend]]
+    * — state and data in ONE atomic manifest claim, idempotent under
+    * Structured Streaming's restart replay. Validation (schema
+    * evolution, CHECK constraints, tombstone refusal, dropped-name
+    * ledger) runs by READING THE STAGED FILES BACK — a distributed scan
+    * of only the new batch, O(batch) at any table size; any refusal
+    * deletes the staged files before surfacing.
+    *
+    * `stagedColmap` is the column mapping the WRITERS staged under
+    * (fetched when the write was built): a rename that lands between
+    * build and commit refuses — the staged files carry stale physical
+    * names. Likewise `stagedPartition` (the raw `#partition:` header at
+    * build): prefixed entries staged under a transform that changed in
+    * between would have their dir values misinterpreted by every
+    * pruner, so they refuse; FLAT entries are sound under any declared
+    * transform (every pruner always reads them) and commit regardless.
+    * DEFAULTed columns must be present in the staged schema — the data
+    * is already on disk, so the sink cannot materialize defaults; a
+    * missing defaulted column refuses loudly at commit.
+    */
+  def commitStagedStreamAppend(spark: SparkSession, table: String,
+      staged: Seq[String], stagedColmap: Map[String, String],
+      streamId: String, batchId: Long,
+      stagedPartition: Option[String] = None,
+      maxRetries: Int = 10): (Long, Boolean) = {
+    require(!streamId.contains("\n"), "streamId must be single-line")
+    if (staged.isEmpty) return (currentVersion(spark, table), false)
+    val f = fs(spark, dataDir(table))
+    def dropStaged(): Unit =
+      staged.foreach(n => f.delete(new Path(dataDir(table), n), false))
+    if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) {
+      dropStaged(); return (currentVersion(spark, table), false)
+    }
+    val paths = staged.map(n => new Path(dataDir(table), n).toString)
+    // the staged files hold PHYSICAL names; validation (and schema
+    // evolution) speak logical — read back through the writers' colmap
+    val physToLogical = stagedColmap.map(_.swap)
+    val read0 = spark.read.parquet(paths: _*)
+    val batch =
+      if (physToLogical.isEmpty) read0
+      else read0.withColumnsRenamed(physToLogical.filter {
+        case (p, l) => p != l && read0.columns.contains(p)
+      })
+    def validate(lines: Seq[String]): types.StructType =
+      try {
+        schemaOf(lines).foreach { s =>
+          val missing = s.fields
+            .filter(fl => fl.metadata.contains(CurrentDefaultKey) &&
+              !batch.columns.contains(fl.name)).map(_.name)
+          require(missing.isEmpty,
+            s"stream batch omits DEFAULTed column(s) " +
+              s"${missing.mkString(", ")} of $table — the native sink " +
+              "cannot materialize defaults into already-written files; " +
+              "select them explicitly (or sink via foreachBatch + " +
+              "commitStreamAppend)")
+        }
+        refuseTombstonedKeys(spark, table, lines, batch)
+        refuseDroppedColumns(batch, table, lines)
+        enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+        if (colmapOf(lines) != stagedColmap)
+          throw new IllegalStateException(
+            s"stream append to $table raced a concurrent RENAME COLUMN " +
+              "— the staged files carry stale physical names")
+        if (staged.exists(_.contains(PartPrefix)) &&
+            partRawOf(lines) != stagedPartition)
+          throw new IllegalStateException(
+            s"stream append to $table raced a partition-transform " +
+              "change — the staged entries carry stale dir prefixes")
+        evolveSchema(schemaOf(lines), batch.schema)
+      } catch { case e: Throwable => dropStaged(); throw e }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
+      val evolved = validate(lines)
+      val marks = marksOf(lines)
+      if (marks.get(streamId)
+          .orElse(lastCommittedBatch(spark, table, streamId))
+          .exists(_ >= batchId)) {
+        dropStaged(); return (head, false) // a twin won while we validated
+      }
+      if (claimManifest(spark, table, head + 1, contentOf(
+          Some(evolved), marks + (streamId -> batchId),
+          filesOf(lines) ++ staged, "streamAppend", checksOf(lines),
+          tombstonesOf(lines), tombstoneColOf(lines), droppedOf(lines),
+          colmapOf(lines), partRawOf(lines))))
+        return (head + 1, true)
+      attempt += 1
+    }
+    dropStaged()
     throw new IllegalStateException(
       s"stream commit $streamId/$batchId to $table failed after " +
         s"$maxRetries attempts")
@@ -3602,7 +3792,7 @@ object Snapshots {
     val stagedColmap = colmapOf(validated)
     val stagedPart = partRawOf(validated)
     val newFiles = stageData(spark, batch, table, stagedColmap,
-      partitionOf(validated))
+      partitionsOf(validated))
     raceHookForTests()
     val f = fs(spark, dataDir(table))
     def dropStaged(): Unit =
@@ -3718,7 +3908,7 @@ object Snapshots {
         // lagged past retention, or is empty) — O(src) by definition
         val state = read(spark, src, Some(srcHead))
         val newFiles = stageData(spark, state, dst, Map.empty,
-          partitionOf(lines))
+          partitionsOf(lines))
         if (claimManifest(spark, dst, head + 1,
             contentOf(Some(state.schema), marks + (sid -> srcHead),
               newFiles, "replicaSync", checksOf(lines),

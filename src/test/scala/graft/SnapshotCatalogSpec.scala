@@ -473,4 +473,112 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
     assert(copied == instants, s"history drifted: $copied vs $instants")
   }
+
+  test("SupportsReportPartitioning: group-by on the identity partition column plans NO Exchange") {
+    val root = Files.createTempDirectory("graft_snapcat_kg").toString
+    spark.conf.set("spark.sql.catalog.gkg",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gkg.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // values exercise the ESCAPED-dir path (':' percent-escapes) and
+      // a NULL partition row (the sentinel dir must key as null)
+      spark.sql(
+        "CREATE TABLE gkg.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+      Seq.tabulate(400)(i =>
+          (i.toLong, if (i % 5 == 4) null else s"c:${i % 5}"))
+        .toDF("id", "cat")
+        .createOrReplaceTempView("gkg_src")
+      spark.sql("INSERT INTO gkg.t SELECT id, cat FROM gkg_src")
+      spark.sql("INSERT INTO gkg.t SELECT id + 1000, cat FROM gkg_src")
+
+      val agg = spark.sql(
+        "SELECT cat, count(*) AS n FROM gkg.t GROUP BY cat")
+      val rows = agg.collect().map(r => Option(r.getString(0)) ->
+        r.getLong(1)).toMap
+      assert(rows == Map(Some("c:0") -> 160L, Some("c:1") -> 160L,
+        Some("c:2") -> 160L, Some("c:3") -> 160L, None -> 160L))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"group-by on the partition column must not shuffle:\n" +
+          plan.take(2000))
+
+      // a NON-partition group-by on the same table still shuffles (the
+      // report must not lie about clustering it doesn't have)
+      val other = spark.sql(
+        "SELECT id % 3 AS g, count(*) AS n FROM gkg.t GROUP BY id % 3")
+      other.collect()
+      assert(other.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+
+      // a table with FLAT pre-transform entries is ineligible: unknown
+      // keys must never report a partitioning (results stay correct,
+      // the plan just shuffles)
+      val t2 = root + "/flatfirst"
+      Snapshots.commitAppend(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), t2)
+      Snapshots.commitSetPartition(spark, t2, "cat", "identity")
+      Snapshots.commitAppend(spark,
+        Seq((3L, "a"), (4L, "c")).toDF("id", "cat"), t2)
+      val mixed = spark.sql(
+        "SELECT cat, count(*) AS n FROM gkg.flatfirst GROUP BY cat")
+      assert(mixed.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      assert(mixed.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "flat entries have unknown keys — the scan must not report")
+
+      // storage-partitioned self-join on the partition key: both sides
+      // report the same key groups — ZERO Exchange of any kind once
+      // broadcast is off (the SPJ zips the key-aligned partitions)
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spj = spark.sql(
+        """SELECT a.cat, count(*) AS pairs
+          |FROM (SELECT cat, count(*) AS n FROM gkg.t GROUP BY cat) a
+          |JOIN (SELECT cat, count(*) AS n FROM gkg.t GROUP BY cat) b
+          |  ON a.cat = b.cat
+          |GROUP BY a.cat""".stripMargin)
+      val spjRows = spj.collect()
+      assert(spjRows.length == 4 && spjRows.forall(_.getLong(1) == 1L))
+      assert(!spj.queryExecution.executedPlan.toString.contains("Exchange"),
+        "equi-join of two key-grouped aggregates must not shuffle:\n" +
+          spj.queryExecution.executedPlan.toString.take(2000))
+
+      // a date transform on a DATE column is value-preserving (cast
+      // date→date = identity): the canonical daily-partitioned fact
+      // table groups by its date column Exchange-free too
+      val td = root + "/daily"
+      val daily = spark.range(0, 300).toDF("id")
+        .selectExpr("id", "date_add(DATE '2024-06-01', " +
+          "CAST(id % 6 AS INT)) AS d")
+      Snapshots.commitCreate(spark, td, daily.schema,
+        Seq(("d", "date")))
+      Snapshots.commitAppend(spark, daily, td)
+      val dAgg = spark.sql(
+        "SELECT d, count(*) AS n FROM gkg.daily GROUP BY d")
+      assert(dAgg.collect().map(_.getLong(1)).toSeq == Seq.fill(6)(50L))
+      assert(!dAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "date-typed daily partitions must group Exchange-free:\n" +
+          dAgg.queryExecution.executedPlan.toString.take(2000))
+      // ...while a date transform on a TIMESTAMP column truncates —
+      // coarser than the column — and must NOT report (correct rows,
+      // shuffled plan)
+      val tt = root + "/ts"
+      val tsRows = spark.range(0, 100).toDF("id")
+        .selectExpr("id", "timestamp_seconds(1700000000 + id * 7200) AS t")
+      Snapshots.commitCreate(spark, tt, tsRows.schema, Seq(("t", "date")))
+      Snapshots.commitAppend(spark, tsRows, tt)
+      val tAgg = spark.sql(
+        "SELECT t, count(*) AS n FROM gkg.ts GROUP BY t")
+      assert(tAgg.collect().map(_.getLong(1)).sum == 100L)
+      assert(tAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "timestamp dirs truncate — the scan must not claim clustering")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -357,4 +357,146 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keys") ||
       Option(e2.getCause).exists(_.getMessage.contains("keys")))
   }
+
+  test("native STREAMING_WRITE: writeStream.toTable commits exactly-once epochs through the protocol") {
+    // DataStreamWriter.toTable resolves the catalog through the
+    // THREAD-LOCAL SQLConf (unlike spark.sql, it never wraps in
+    // withActive) — pin this thread's active session, or a concurrent
+    // suite swapping the DEFAULT session (ScaleSpec's dedicated-session
+    // AQE test) makes 'gsw' resolve against the wrong conf
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val root = Files.createTempDirectory("graft_strtot").toString
+    val in = new java.io.File(root + "/in"); in.mkdirs()
+    def stage(k: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root + s"/tmp$k"
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(in.toString, s"b$k.parquet"))
+      ()
+    }
+    spark.conf.set("spark.sql.catalog.gsw",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsw.root", root)
+    stage(0, Seq((1L, "a"), (2L, "b")))
+    def runOnce(ck: String): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .parquet(in.toString)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .queryName("snaptot_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .toTable("gsw.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(root + "/ck")
+    val t = root + "/t"
+    assert(Snapshots.read(spark, t).count() == 2)
+    // restart on the SAME checkpoint with one new input file: exactly
+    // the new micro-batch lands as one more protocol commit — the
+    // (queryId, epochId) watermark rides the manifest, so the replayed
+    // epoch 0 commits nothing
+    stage(1, Seq((3L, "c")))
+    runOnce(root + "/ck")
+    assert(Snapshots.read(spark, t).count() == 3,
+      "epoch replay after restart must not double-land")
+    assert(spark.sql("SELECT count(*) FROM gsw.t").head.getLong(0) == 3)
+
+    // the staged files are EXECUTOR-written parquet under data/ — no
+    // driver collect anywhere: verify the bytes read back through both
+    // the Scala API and catalog SQL under the same schema
+    assert(spark.sql("SELECT v FROM gsw.t WHERE id = 3").head
+      .getString(0) == "c")
+
+    // column mapping composes: rename, then stream under the NEW
+    // logical name — files stage physical, reads serve logical
+    Snapshots.commitRenameColumn(spark, t, "v", "label")
+    val q2 = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .parquet(in.toString)
+      .selectExpr("id + 100 AS id", "v AS label")
+      .writeStream
+      .option("checkpointLocation", root + "/ck_ren")
+      .queryName("snaptot_ren_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .toTable("gsw.t")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.sql(
+      "SELECT label FROM gsw.t WHERE id = 103").head.getString(0) == "c")
+    assert(Snapshots.read(spark, t).count() == 6)
+
+    // a CHECK constraint refuses the whole epoch and reclaims staging:
+    // the query dies loudly, no partial rows land
+    Snapshots.addCheckConstraint(spark, t, "pos_id", "id > 0")
+    val before = Snapshots.read(spark, t).count()
+    stage(2, Seq((-5L, "bad")))
+    val e = intercept[Exception] {
+      val q3 = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .parquet(in.toString)
+        .selectExpr("id", "v AS label")
+        .writeStream
+        .option("checkpointLocation", root + "/ck_chk")
+        .queryName("snaptot_chk_" +
+          java.util.UUID.randomUUID.toString.replace("-", ""))
+        .toTable("gsw.t")
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def mentions(t0: Throwable): Boolean =
+      t0 != null && (Option(t0.getMessage).exists(_.contains("pos_id")) ||
+        mentions(t0.getCause))
+    assert(mentions(e), s"constraint must surface: ${e.getMessage}")
+    assert(Snapshots.read(spark, t).count() == before,
+      "a refused epoch must land nothing")
+
+    // a PARTITIONED table streams into its __gp= dirs (not flat): the
+    // staged entries prune and expire exactly like batch-landed ones
+    val pt = root + "/pt"
+    graft.warehouse.Snapshots.commitCreate(spark, pt,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      Seq(("v", "identity")))
+    val q5 = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .parquet(in.toString)
+      .filter("id > 0")
+      .writeStream
+      .option("checkpointLocation", root + "/ck_part")
+      .queryName("snaptot_part_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .toTable("gsw.pt")
+    try q5.processAllAvailable() finally q5.stop()
+    val head = graft.warehouse.Snapshots.currentVersion(spark, pt)
+    val pEntries = graft.warehouse.Snapshots.filesAt(spark, pt, head)
+    assert(pEntries.nonEmpty && pEntries.forall(_.startsWith("__gp=")),
+      s"stream staging must route into partition dirs, got " +
+        pEntries.take(3))
+    assert(spark.sql("SELECT count(*) FROM gsw.pt WHERE v = 'c'")
+      .head.getLong(0) == 1L)
+    assert(graft.warehouse.Snapshots.lastCatalogPruned
+      .exists(p => p._1 < p._2),
+      "streamed partition dirs must prune catalog scans")
+
+    // complete mode refuses loudly — append is the native sink's shape
+    val e2 = intercept[Exception] {
+      val q4 = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .parquet(in.toString)
+        .groupBy().count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", root + "/ck_cm")
+        .toTable("gsw.agg")
+      try q4.processAllAvailable() finally q4.stop()
+    }
+    def completeRefused(t0: Throwable): Boolean =
+      t0 != null && (Option(t0.getMessage)
+        .exists(m => m.contains("complete") || m.contains("append")) ||
+        completeRefused(t0.getCause))
+    assert(completeRefused(e2), s"got: ${e2.getMessage}")
+  }
 }

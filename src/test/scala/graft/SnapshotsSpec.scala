@@ -1359,4 +1359,67 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.commitExpirePartitions(spark, t, "c") }
     assert(Snapshots.read(spark, t).count() == 2L)
   }
+
+  test("composite partition transforms: nested dirs, intersecting prune legs, level-aware expiry") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val t = freshTable()
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"2024-0${1 + i % 3}-0${1 + i % 9}", s"src${i % 4}")
+    }.toDF("id", "d", "source")
+      .select(col("id"), to_date(col("d")).as("d"), col("source"))
+      .repartition(4, col("source")).localCheckpoint(true)
+    Snapshots.commitCreate(spark, t, df.schema,
+      Seq(("d", "month"), ("source", "identity")))
+    Snapshots.commitAppend(spark, df, t)
+    val entries = Snapshots.filesAt(spark, t, 2L)
+    assert(entries.forall(e => e.contains("__gp=") && e.contains("__gp2=")),
+      s"nested dirs expected, got ${entries.take(3)}")
+    assert(Snapshots.read(spark, t).count() == 200)
+    // census: one row per LEAF partition (month/source)
+    val census = Snapshots.partitionCensus(spark, t).collect()
+      .map(_.getString(0)).toSet
+    assert(census.contains("2024-01/src0") && census.size == 12,
+      s"got $census")
+    // a copy-on-write predicate DELETE on BOTH columns probes only the
+    // one leaf dir the intersection leaves alive
+    val nBefore = Snapshots.filesAt(spark, t, 2L).size
+    val (v3, deleted) = Snapshots.commitDeleteWhere(spark, t,
+      col("d") === lit(java.sql.Date.valueOf("2024-02-05")) &&
+        col("source") === "src1")
+    val expected = df.filter(col("d") === "2024-02-05" &&
+      col("source") === "src1").count()
+    assert(v3 == 3L && deleted == expected && deleted > 0)
+    val (cand, total) = Snapshots.lastWherePruned.get
+    assert(total == nBefore && cand * 3 <= total,
+      s"composite conjunction probed $cand of $total — the levels' " +
+        "verdicts must intersect")
+    // expiry keys on the first date/month level: whole months drop,
+    // every source beneath surviving months stays
+    val (v4, dropped) = Snapshots.commitExpirePartitions(spark, t,
+      java.sql.Date.valueOf("2024-02-01"))
+    assert(v4 == 4L && dropped > 0)
+    val left = Snapshots.read(spark, t).localCheckpoint(true)
+    assert(left.filter(col("d") < "2024-02-01").count() == 0)
+    assert(left.filter(col("d") >= "2024-02-01").count() ==
+      df.filter(col("d") >= "2024-02-01").count() - deleted)
+    assert(left.select("source").distinct().count() == 4)
+    // changing a declared composite while prefixed entries exist refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.commitSetPartitions(spark, t,
+        Seq(("source", "identity"), ("d", "month")))
+    }
+    // a batch missing ONE transform column stages flat — and flat
+    // entries always survive every prune (soundness)
+    Snapshots.commitAppend(spark,
+      Seq((900L, java.sql.Date.valueOf("2024-01-15")))
+        .toDF("id", "d"), t)
+    assert(Snapshots.filesAt(spark, t, 5L).exists(e =>
+      !e.contains("__gp=")))
+    val (v6, del2) = Snapshots.commitDeleteWhere(spark, t,
+      col("d") === lit(java.sql.Date.valueOf("2024-03-03")) &&
+        col("source") === "src2")
+    assert(del2 > 0, "the flat entry must not block later deletes")
+    assert(Snapshots.read(spark, t).filter(col("id") === 900L)
+      .count() == 1, "flat-staged rows survive unrelated deletes")
+  }
 }
