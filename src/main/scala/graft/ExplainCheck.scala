@@ -570,6 +570,32 @@ object ExplainCheck {
       } finally
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
+    // metadata-only aggregates: COUNT/MIN/MAX on a stats-indexed table
+    // answered from the sidecar — the plan carries the zero-IO scan
+    // node, never a parquet scan
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_magg").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 5000).toDF("id")
+          .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+        t)
+      graft.warehouse.Snapshots.extendStats(spark, t, Seq("id"))
+      spark.conf.set("spark.sql.catalog.gexma",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexma.root", root)
+      val df = spark.sql(
+        "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM gexma.t")
+      val r = df.collect()(0)
+      val plan = df.queryExecution.executedPlan.toString
+      val pass = r.getLong(0) == 5000L && r.getLong(1) == 0L &&
+        r.getLong(2) == 4999L && plan.contains("GraftStatsAggScan") &&
+        !plan.contains("ParquetScan") &&
+        graft.warehouse.Snapshots.lastAggAnswered.contains(3)
+      if (!pass) { bad += 1; println(s"row=$r\n" + plan.take(1500)) }
+      println(f"snap_stats_agg           ${if (pass) "PLAN_OK " else "PLAN_BAD"} census answered from the sidecar, zero files opened")
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.

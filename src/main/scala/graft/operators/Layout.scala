@@ -229,6 +229,9 @@ object Layout {
     */
   private def statsAggs(schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String]): Seq[Column] =
+    // per-file row count first: COUNT(*) (and AVG reconstruction)
+    // answer from the manifest alone — the metadata-only aggregate path
+    count(lit(1L)).cast("long").as("__count") +:
     cols.flatMap { c =>
       schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType => Seq(
@@ -337,11 +340,39 @@ object Layout {
           val fresh = freshRead
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
-          existing.unionByName(fresh).coalesce(1)
+          // pre-__count manifests lack the count column: their rows
+          // keep a NULL count (pruning unaffected; the metadata-only
+          // aggregate path requires full nonnull coverage and refuses)
+          existing.unionByName(fresh, allowMissingColumns = true)
+            .coalesce(1)
             .write.mode("overwrite").parquet(mPath)
           missing.length
         }
     }
+
+  /** The stats-manifest rows covering EXACTLY the given canonical file
+    * URIs — the metadata-only aggregate path's input: None when the
+    * manifest is missing or ANY file is uncovered (an answer from
+    * partial coverage would be silently wrong, never just slow).
+    * Returns (schema, row per file) with rows keyed like
+    * [[selectByStatsBounds]] (canonical `input_file_name()` URIs).
+    */
+  private[graft] def statsRowsFor(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      canonFiles: Seq[String])
+      : Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] = {
+    val p = new org.apache.hadoop.fs.Path(path, statsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val manifest = spark.read.parquet(p.toString)
+    val byFile = manifest.collect()
+      .map(r => canonUri(r.getString(manifest.schema.fieldIndex("file")))
+        -> r).toMap
+    val rows = canonFiles.map(byFile.get)
+    if (rows.exists(_.isEmpty)) None
+    else Some((manifest.schema, rows.flatten))
+  }
 
   /** Drop manifest entries whose data file no longer exists — the cheap
     * maintenance after a pure directory drop (partition expiry):

@@ -1693,6 +1693,61 @@ object SnapshotQ {
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     })
 
+  /** METADATA-ONLY aggregates through the catalog
+    * (SnapshotCatalog.statsAggAnswer): `SELECT count(*), min, max` over
+    * a stats-indexed snapshot table answered ENTIRELY from the
+    * `_graft_stats` sidecar — zero data files opened, zero tasks
+    * launched; at 100 TB the table census costs one driver-side read
+    * of a manifest with one row per file. Asserted in-query: the
+    * answered-aggs hook fired for all 7 expressions AND the plan
+    * carries the zero-IO scan node instead of a parquet scan. Rows are
+    * fully DuckDB-oracled from orders — a stale sidecar row, a lossy
+    * decode, or a wrong null convention is a value mismatch, not just
+    * a slow plan.
+    */
+  val snapStatsAgg = QueryDef(
+    "snap_stats_agg",
+    Some("""SELECT count(*) AS n,
+           |       CAST(min(o_orderkey) AS BIGINT) AS min_k,
+           |       CAST(max(o_orderkey) AS BIGINT) AS max_k,
+           |       min(o_orderpriority) AS min_p,
+           |       max(o_orderpriority) AS max_p,
+           |       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_d,
+           |       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_d
+           |FROM orders""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_magg").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark, orders.repartition(8), t)
+      Snapshots.extendStats(spark, t,
+        Seq("o_orderkey", "o_orderpriority", "o_orderdate"))
+      val cat = s"gmag_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val q = spark.sql(
+        s"""SELECT count(*) AS n,
+           |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+           |       min(o_orderpriority) AS min_p,
+           |       max(o_orderpriority) AS max_p,
+           |       CAST(min(o_orderdate) AS STRING) AS min_d,
+           |       CAST(max(o_orderdate) AS STRING) AS max_d
+           |FROM $cat.t""".stripMargin)
+      val out = q.localCheckpoint(true) // execute NOW: hook + plan below
+      require(Snapshots.lastAggAnswered.contains(7),
+        s"stats sidecar must answer all 7 aggregates, got " +
+          s"${Snapshots.lastAggAnswered}")
+      require(q.queryExecution.executedPlan.toString
+          .contains("GraftStatsAggScan"),
+        "the plan must carry the zero-IO stats scan, not a parquet scan")
+      out
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
@@ -1701,5 +1756,5 @@ object SnapshotQ {
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
       snapCatalogSkip, snapRuntimeSkip, snapRename, snapDefault,
-      snapPartition, snapCdfStream, snapKeyGroupAgg)
+      snapPartition, snapCdfStream, snapKeyGroupAgg, snapStatsAgg)
 }

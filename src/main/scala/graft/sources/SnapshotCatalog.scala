@@ -424,6 +424,7 @@ object SnapshotCatalog {
     // this scan has consulted no sidecar yet (spec hook hygiene: a scan
     // with nothing pushed must not inherit the previous scan's verdict)
     Snapshots.lastCatalogPruned = None
+    Snapshots.lastAggAnswered = None
 
     // column mapping: the parquet scan reads PHYSICAL names (renamed
     // columns would resolve all-NULL under the logical ones); rows are
@@ -513,7 +514,22 @@ object SnapshotCatalog {
           groups.flatten.toArray[v2x.Expression]))
       else None
     }
+    // a fully metadata-answered aggregation (stats sidecar, zero data
+    // files — see SnapshotCatalog.statsAggAnswer); only attempted when
+    // NO filter was pushed (a filtered count/min over whole-file stats
+    // would be wrong, not just slow)
+    private var statsServed
+        : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+      None
+    private def tryStatsAnswer(agg: Aggregation)
+        : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+      if (pushedCatalyst.nonEmpty) None
+      else SnapshotCatalog.statsAggAnswer(spark, table, entries, colmap,
+        declared, agg)
+
     override def pushAggregation(agg: Aggregation): Boolean = {
+      statsServed = tryStatsAnswer(agg)
+      if (statsServed.isDefined) { aggPushed = true; return true }
       aggPushed = toPhysAgg(agg).exists(pa => inner match {
         case a: SupportsPushDownAggregates => a.pushAggregation(pa)
         case _ => false
@@ -521,6 +537,7 @@ object SnapshotCatalog {
       aggPushed
     }
     override def supportCompletePushDown(agg: Aggregation): Boolean =
+      tryStatsAnswer(agg).isDefined ||
       toPhysAgg(agg).exists(pa => inner match {
         case a: SupportsPushDownAggregates => a.supportCompletePushDown(pa)
         case _ => false
@@ -539,6 +556,10 @@ object SnapshotCatalog {
     }
 
     override def build(): Scan = {
+      statsServed.foreach { case (schema, row) =>
+        Snapshots.lastAggAnswered = Some(schema.fields.length)
+        return new SnapshotCatalog.StatsAggScan(schema, row)
+      }
       val s0 = inner.build()
       val s = if (colmap.isEmpty) s0
         else new SnapshotCatalog.LogicalNameScan(s0, physToLogical)
@@ -728,6 +749,170 @@ object SnapshotCatalog {
           java.util.OptionalLong.empty()
       }
     }
+  }
+
+  /** METADATA-ONLY aggregate answer: COUNT(*) / MIN / MAX with no
+    * filters and no grouping, computed ENTIRELY from the `_graft_stats`
+    * sidecar — the Delta/Iceberg "answer from the log" idea. At 100 TB
+    * `SELECT count(*), min(k), max(k) FROM snap.fact` becomes one
+    * driver-side read of a manifest with one row per file: zero data
+    * files opened, zero tasks launched.
+    *
+    * Refuses (→ the footer-pushdown path) unless the answer is provably
+    * EXACT:
+    *   - every entry of the scanned version has a stats row, and (for
+    *     COUNT) a nonnull `__count` (pre-count manifests refuse);
+    *   - MIN/MAX columns are stats-covered and their sidecar encoding
+    *     round-trips losslessly to the column type: integrals within
+    *     the double's 2^53 exact range, float/double as stored, strings
+    *     compared as UTF8String BYTES (Spark's ordering — a Java
+    *     String.compareTo would mis-order surrogate pairs), dates via
+    *     their ISO strings. Timestamps and decimals refuse (their
+    *     sidecar rendering is lossy).
+    * NULL file stats contribute nothing to MIN/MAX (an all-null or
+    * empty file), matching Spark's null-ignoring aggregates; an overall
+    * empty/all-null table answers NULL.
+    */
+  private[sources] def statsAggAnswer(spark: SparkSession, table: String,
+      entries: Seq[String], colmap: Map[String, String],
+      declared: Option[StructType], agg: Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty) return None
+    val schema = declared.getOrElse(return None)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // shape check BEFORE touching the sidecar
+    val shapes: Seq[Either[Unit, (String, Boolean)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Left(())
+        case m: Min => colOf(m.column()).map((_, true))
+          .map(Right(_)).getOrElse(return None)
+        case m: Max => colOf(m.column()).map((_, false))
+          .map(Right(_)).getOrElse(return None)
+        case _ => return None
+      }
+    def decodable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => true
+      case StringType | DateType => true
+      case _ => false
+    }
+    shapes.foreach {
+      case Right((c, _)) =>
+        val f = schema.fields.find(_.name == c).getOrElse(return None)
+        if (!decodable(f.dataType)) return None
+      case _ => ()
+    }
+    val (statsSchema, rows) = Snapshots.statsAggRows(spark, table, entries)
+      .getOrElse(return None)
+    def idx(n: String): Option[Int] =
+      if (statsSchema.fieldNames.contains(n))
+        Some(statsSchema.fieldIndex(n))
+      else None
+    def minMax(c: String, isMin: Boolean): Option[Any] = {
+      val phys = colmap.getOrElse(c, c)
+      val i = idx(s"${phys}__${if (isMin) "min" else "max"}")
+        .getOrElse(return None)
+      val dt = schema.fields.find(_.name == c).get.dataType
+      val vals = rows.map(_.get(i)).filter(_ != null)
+      if (vals.isEmpty) return Some(null)
+      val best: Any = dt match {
+        case StringType =>
+          val us = vals.map(v =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              v.asInstanceOf[String]))
+          if (isMin) us.min else us.max
+        case DateType =>
+          // ISO strings order chronologically; decode the winner
+          val s = vals.map(_.asInstanceOf[String])
+          val w = if (isMin) s.min else s.max
+          try Integer.valueOf(
+            java.time.LocalDate.parse(w).toEpochDay.toInt)
+          catch { case _: Exception => return None }
+        case _ =>
+          val d = vals.map(_.asInstanceOf[Double])
+          val w = if (isMin) d.min else d.max
+          dt match {
+            case DoubleType => java.lang.Double.valueOf(w)
+            case FloatType => java.lang.Float.valueOf(w.toFloat)
+            case _ => // integral: exact only inside the double's range
+              if (w != math.rint(w) || math.abs(w) > (1L << 53).toDouble)
+                return None
+              dt match {
+                case LongType => java.lang.Long.valueOf(w.toLong)
+                case IntegerType => Integer.valueOf(w.toInt)
+                case ShortType => java.lang.Short.valueOf(w.toShort)
+                case _ => java.lang.Byte.valueOf(w.toByte)
+              }
+          }
+      }
+      Some(best)
+    }
+    lazy val totalCount: Option[Long] = idx("__count").flatMap { i =>
+      val cs = rows.map(_.get(i))
+      if (cs.exists(_ == null)) None
+      else Some(cs.map(_.asInstanceOf[Long]).sum)
+    }
+    val out = shapes.map {
+      case Left(()) =>
+        val n = totalCount.getOrElse(return None)
+        (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(n): Any)
+      case Right((c, isMin)) =>
+        val dt = schema.fields.find(_.name == c).get.dataType
+        val v = minMax(c, isMin).getOrElse(return None)
+        (StructField(s"${if (isMin) "min" else "max"}($c)", dt), v)
+    }
+    Some((StructType(out.map(_._1)),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        out.map(_._2).toArray)))
+  }
+
+  /** One-row, zero-IO scan serving a metadata-answered aggregate
+    * ([[statsAggAnswer]]) — what `build()` returns when the whole
+    * aggregation was answered from the stats sidecar.
+    */
+  private[sources] class StatsAggScan(schema: StructType,
+      row: org.apache.spark.sql.catalyst.InternalRow)
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"GraftStatsAggScan[${schema.fieldNames.mkString(", ")}]"
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] =
+      Array(StatsAggPartition(row))
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new StatsAggReaderFactory
+  }
+
+  private[sources] case class StatsAggPartition(
+      row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+  private[sources] class StatsAggReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    override def createReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private val row = p.asInstanceOf[StatsAggPartition].row
+        private var served = false
+        override def next(): Boolean =
+          if (served) false else { served = true; true }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+        override def close(): Unit = ()
+      }
   }
 
   /** Batch face of a key-grouped catalog scan: one inner parquet batch

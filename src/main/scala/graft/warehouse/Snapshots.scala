@@ -2010,6 +2010,25 @@ object Snapshots {
     }.map(byCanon)
   }
 
+  /** Spec/assert hook: number of aggregate expressions the last catalog
+    * scan answered ENTIRELY from the stats sidecar (zero data files
+    * opened); None when the metadata-only path did not serve.
+    */
+  @volatile var lastAggAnswered: Option[Int] = None
+
+  /** The stats-sidecar rows for a VERSION's entry list, aligned —
+    * None when any entry is uncovered (the metadata-only aggregate
+    * path must refuse, not approximate). One driver-side read of the
+    * (tiny) manifest; zero data files are touched.
+    */
+  private[graft] def statsAggRows(spark: SparkSession, table: String,
+      entries: Seq[String])
+      : Option[(types.StructType, Seq[org.apache.spark.sql.Row])] = {
+    val (canon, _) = canonCandidates(spark, table, entries)
+    graft.operators.Layout.statsRowsFor(spark, dataDir(table).toString,
+      canon)
+  }
+
   /** (qualified canonical URIs, URI -> bare name) of a candidate list —
     * the stats manifest keys files by `input_file_name()` URI while
     * manifests carry bare names.

@@ -474,6 +474,70 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(copied == instants, s"history drifted: $copied vs $instants")
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from the stats sidecar, zero files opened") {
+    val root = Files.createTempDirectory("graft_snapcat_magg").toString
+    val t = root + "/t"
+    val df = (1 to 500).map(i =>
+        (i.toLong, s"s${i % 7}", java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i % 90)),
+          java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${i % 60}")))
+      .toDF("k", "s", "d", "ts").repartition(6)
+    Snapshots.commitAppend(spark, df, t)
+    Snapshots.extendStats(spark, t, Seq("k", "s", "d"))
+    spark.conf.set("spark.sql.catalog.gma",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gma.root", root)
+    val q = spark.sql(
+      """SELECT count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |       min(s) AS min_s, max(s) AS max_s,
+        |       min(d) AS min_d, max(d) AS max_d
+        |FROM gma.t""".stripMargin)
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getString(4), r.getDate(5).toString, r.getDate(6).toString) ==
+      ((500L, 1L, 500L, "s0", "s6", "2024-01-01", "2024-03-30")))
+    assert(Snapshots.lastAggAnswered.contains(7),
+      s"stats sidecar must answer all 7 aggs, got " +
+        s"${Snapshots.lastAggAnswered}")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftStatsAggScan"),
+      "the plan must carry the zero-IO scan, not a parquet scan")
+
+    // a WHERE clause opts out (whole-file stats can't answer filtered
+    // aggregates) — correct rows via the normal path
+    val f = spark.sql("SELECT count(*) FROM gma.t WHERE k <= 10")
+    assert(f.head.getLong(0) == 10L)
+    assert(Snapshots.lastAggAnswered.isEmpty)
+
+    // a timestamp MIN refuses (lossy sidecar rendering) — normal path
+    val ts = spark.sql("SELECT min(ts) AS m FROM gma.t")
+    assert(ts.head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(Snapshots.lastAggAnswered.isEmpty)
+
+    // an append the sidecar does not cover yet breaks coverage: the
+    // metadata path refuses rather than undercounting
+    Snapshots.commitAppend(spark,
+      Seq((1000L, "zz", java.sql.Date.valueOf("2025-01-01"),
+        java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+        .toDF("k", "s", "d", "ts"), t)
+    val q2 = spark.sql("SELECT count(*) AS n, max(k) AS mk FROM gma.t")
+    assert(q2.head.getLong(0) == 501L && q2.head.getLong(1) == 1000L)
+    assert(Snapshots.lastAggAnswered.isEmpty,
+      "uncovered entries must refuse the metadata answer")
+    // ...and re-extending the stats restores it
+    Snapshots.extendStats(spark, t, Seq("k", "s", "d"))
+    val q3 = spark.sql("SELECT count(*) AS n, max(k) AS mk FROM gma.t")
+    assert(q3.head.getLong(0) == 501L && q3.head.getLong(1) == 1000L)
+    assert(Snapshots.lastAggAnswered.contains(2))
+
+    // time travel answers from the SAME sidecar, per-version entry list
+    val v1 = spark.sql(
+      "SELECT count(*) AS n, max(k) AS mk FROM gma.t VERSION AS OF 1")
+    assert(v1.head.getLong(0) == 500L && v1.head.getLong(1) == 500L)
+    assert(Snapshots.lastAggAnswered.contains(2))
+  }
+
   test("SupportsReportPartitioning: group-by on the identity partition column plans NO Exchange") {
     val root = Files.createTempDirectory("graft_snapcat_kg").toString
     spark.conf.set("spark.sql.catalog.gkg",
