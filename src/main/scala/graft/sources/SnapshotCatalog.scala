@@ -738,15 +738,38 @@ object SnapshotCatalog {
     override def supportedCustomMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       initial.supportedCustomMetrics()
+    // EXACT row count from the stats sidecar's per-file __count when
+    // every live entry is covered: the planner's join-strategy and AQE
+    // decisions run on real cardinality instead of a bytes-only guess.
+    // One driver-side read of the tiny manifest, cached per scan;
+    // sizeInBytes still comes from the parquet scan.
+    private lazy val exactRows: Option[Long] =
+      Snapshots.statsAggRows(spark, table, baseEntries)
+        .flatMap { case (schema, rows) =>
+          if (!schema.fieldNames.contains("__count")) None
+          else {
+            val i = schema.fieldIndex("__count")
+            val cs = rows.map(_.get(i))
+            if (cs.exists(_ == null)) None
+            else Some(cs.map(_.asInstanceOf[Long]).sum)
+          }
+        }
+
     override def estimateStatistics()
-        : org.apache.spark.sql.connector.read.Statistics = current match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val inner = current match {
+        case s: org.apache.spark.sql.connector.read
+            .SupportsReportStatistics => Some(s.estimateStatistics())
+        case _ => None
+      }
+      new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+          inner.map(_.sizeInBytes())
+            .getOrElse(java.util.OptionalLong.empty())
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
+          exactRows.map(java.util.OptionalLong.of)
+            .orElse(inner.map(_.numRows()))
+            .getOrElse(java.util.OptionalLong.empty())
       }
     }
   }

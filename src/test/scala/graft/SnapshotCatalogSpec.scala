@@ -536,6 +536,25 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "SELECT count(*) AS n, max(k) AS mk FROM gma.t VERSION AS OF 1")
     assert(v1.head.getLong(0) == 500L && v1.head.getLong(1) == 500L)
     assert(Snapshots.lastAggAnswered.contains(2))
+
+    // the scan reports the EXACT row count to the planner from the
+    // same per-file __count — join strategy and AQE run on real
+    // cardinality, not a bytes-only guess
+    import org.apache.spark.sql.connector.catalog.{Identifier,
+      SupportsRead, TableCatalog}
+    val scan = spark.sessionState.catalogManager.catalog("gma")
+      .asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array.empty, "t"))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    val st = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().isPresent && st.numRows().getAsLong == 501L,
+      s"exact numRows expected, got ${st.numRows()}")
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0L)
   }
 
   test("SupportsReportPartitioning: group-by on the identity partition column plans NO Exchange") {
