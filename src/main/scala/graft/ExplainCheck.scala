@@ -596,6 +596,82 @@ object ExplainCheck {
       if (!pass) { bad += 1; println(s"row=$r\n" + plan.take(1500)) }
       println(f"snap_stats_agg           ${if (pass) "PLAN_OK " else "PLAN_BAD"} census answered from the sidecar, zero files opened")
     }
+    // LIMIT/TopN file-list pruning: a bare LIMIT keeps a count-covering
+    // file prefix; ORDER BY ... LIMIT keeps only files the sidecar
+    // cannot rule out of the global top-k — both partial pushdowns, so
+    // Spark's own Limit/TakeOrdered still guards semantics above
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_topn").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 8000).toDF("id")
+          .repartitionByRange(16, org.apache.spark.sql.functions.col("id")),
+        t)
+      graft.warehouse.Snapshots.extendStats(spark, t, Seq("id"))
+      spark.conf.set("spark.sql.catalog.gexlt",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexlt.root", root)
+      val lim = spark.sql("SELECT * FROM gexlt.t LIMIT 700")
+      val nLim = lim.count()
+      val limPruned = graft.warehouse.Snapshots.lastLimitPruned
+      val top = spark.sql("SELECT id FROM gexlt.t ORDER BY id DESC LIMIT 5")
+      val topRows = top.collect().map(_.getLong(0)).toSeq
+      val topPruned = graft.warehouse.Snapshots.lastTopNPruned
+      val topPlan = top.queryExecution.executedPlan.toString
+      val pass = nLim == 700L &&
+        limPruned.exists { case (k, n) => n == 16 && k <= 2 } &&
+        topRows == Seq(7999L, 7998L, 7997L, 7996L, 7995L) &&
+        topPruned.exists { case (k, n) => n == 16 && k <= 2 } &&
+        topPlan.contains("TakeOrderedAndProject")
+      if (!pass) { bad += 1
+        println(s"nLim=$nLim lim=$limPruned top=$topRows topPruned=" +
+          s"$topPruned\n" + topPlan.take(1200)) }
+      println(f"snap_limit_topn_skip     ${if (pass) "PLAN_OK " else "PLAN_BAD"} LIMIT reads a file prefix, ORDER BY+LIMIT reads the tail files")
+    }
+    // storage-partitioned join over bucket transforms: two tables
+    // bucketed bucket(8, k) join on k with NO Exchange on either side —
+    // the catalog's FunctionCatalog face resolves the bucket function
+    // the planner matches across the scans
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_spj").toString
+      spark.conf.set("spark.sql.catalog.gexspj",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexspj.root", root)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import org.apache.spark.sql.types._
+        graft.warehouse.Snapshots.commitCreate(spark, root + "/a",
+          StructType(Seq(StructField("k", LongType),
+            StructField("v", LongType))), Seq(("k", "bucket8")))
+        graft.warehouse.Snapshots.commitCreate(spark, root + "/b",
+          StructType(Seq(StructField("k", LongType),
+            StructField("w", LongType))), Seq(("k", "bucket8")))
+        graft.warehouse.Snapshots.commitAppend(spark,
+          spark.range(0, 4000).selectExpr("id % 500 AS k", "id AS v"),
+          root + "/a")
+        graft.warehouse.Snapshots.commitAppend(spark,
+          spark.range(0, 500).selectExpr("id AS k", "id * 10 AS w"),
+          root + "/b")
+        val j = spark.sql(
+          "SELECT a.k, a.v, b.w FROM gexspj.a a JOIN gexspj.b b " +
+            "ON a.k = b.k")
+        val n = j.count()
+        val plan = j.queryExecution.executedPlan.toString
+        val pass = n == 4000L && !plan.contains("Exchange")
+        if (!pass) { bad += 1; println(s"n=$n\n" + plan.take(2500)) }
+        println(f"snap_bucket_spj          ${if (pass) "PLAN_OK " else "PLAN_BAD"} bucket(8,k)-clustered join plans Exchange-free")
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.

@@ -233,13 +233,21 @@ object Layout {
     // answer from the manifest alone — the metadata-only aggregate path
     count(lit(1L)).cast("long").as("__count") +:
     cols.flatMap { c =>
+      // per-column NULL count alongside min/max: COUNT(col) answers
+      // from the manifest, and the ORDER BY file pruner needs exact
+      // non-null cardinalities (nulls sort to one end — a bound-only
+      // prune that miscounted them would drop top-k rows, not just IO).
+      // Older manifests lack the column; incremental appends leave
+      // their rows NULL (unionByName) and every consumer refuses then.
+      val nulls =
+        (count(lit(1L)) - count(col(c))).cast("long").as(s"${c}__nulls")
       schema(c).dataType match {
         case _: org.apache.spark.sql.types.NumericType => Seq(
           min(col(c)).cast("double").as(s"${c}__min"),
-          max(col(c)).cast("double").as(s"${c}__max"))
+          max(col(c)).cast("double").as(s"${c}__max"), nulls)
         case _ => Seq(
           min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
+          max(col(c)).cast("string").as(s"${c}__max"), nulls)
       }
     }
 
@@ -350,6 +358,17 @@ object Layout {
         }
     }
 
+  // (statsDir fingerprint → (schema, uri → stats row)): ONE collect of
+  // the manifest serves every planning consumer of a scan — limit
+  // truncation, topN prune, metadata aggregates and row-count stats
+  // each probe the same rows; re-collecting per probe would quadruple
+  // driver planning IO. Fingerprint = the sidecar files' (name, len,
+  // mtime), so any rewrite/append invalidates; bounded, cleared
+  // wholesale past the cap (correctness never depends on a hit).
+  private val statsRowsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, org.apache.spark.sql.types.StructType,
+      Map[String, org.apache.spark.sql.Row])]
+
   /** The stats-manifest rows covering EXACTLY the given canonical file
     * URIs — the metadata-only aggregate path's input: None when the
     * manifest is missing or ANY file is uncovered (an answer from
@@ -365,13 +384,25 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(path, statsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val manifest = spark.read.parquet(p.toString)
-    val byFile = manifest.collect()
-      .map(r => canonUri(r.getString(manifest.schema.fieldIndex("file")))
-        -> r).toMap
+    val fp = fs.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+        s"${st.getModificationTime}")
+      .sorted.mkString(";")
+    val key = p.toString
+    val (schema, byFile) = statsRowsCache.get(key) match {
+      case Some((cachedFp, s, m)) if cachedFp == fp => (s, m)
+      case _ =>
+        val manifest = spark.read.parquet(p.toString)
+        val m = manifest.collect()
+          .map(r => canonUri(
+            r.getString(manifest.schema.fieldIndex("file"))) -> r).toMap
+        if (statsRowsCache.size > 256) statsRowsCache.clear()
+        statsRowsCache.put(key, (fp, manifest.schema, m))
+        (manifest.schema, m)
+    }
     val rows = canonFiles.map(byFile.get)
     if (rows.exists(_.isEmpty)) None
-    else Some((manifest.schema, rows.flatten))
+    else Some((schema, rows.flatten))
   }
 
   /** Drop manifest entries whose data file no longer exists — the cheap

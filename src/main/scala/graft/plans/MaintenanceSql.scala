@@ -131,9 +131,30 @@ object MaintenanceSql {
   private val SetPartitionRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+SET\s+PARTITION\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
-  // one transform item: `kind(col)` or a bare `col` (identity)
+  // one transform item: `kind(col)`, `bucket(N, col)`, or a bare `col`
+  // (identity)
   private val PartItemRe = """(?i)^\s*(\w+)\s*\(\s*(`?\w+`?)\s*\)\s*$""".r
+  private val PartBucketRe =
+    """(?i)^\s*bucket\s*\(\s*(\d+)\s*,\s*(`?\w+`?)\s*\)\s*$""".r
   private val PartBareRe = """^\s*(`?\w+`?)\s*$""".r
+
+  /** Top-level comma split of a SET PARTITION body — paren-aware, so
+    * `bucket(8, k), date(d)` splits into its two items, not at the
+    * bucket arity comma.
+    */
+  private def splitPartItems(body: String): Seq[String] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => items += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    items += sb.toString
+    items.toSeq
+  }
   private val ExpirePartitionsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
       """\s+EXPIRE\s+PARTITIONS\s+OLDER\s+THAN\s+'([^']+)'\s*;?\s*$""").r
@@ -257,9 +278,13 @@ object MaintenanceSql {
       case AddColumnsRe(target, cols) if ours(target) =>
         Some(AddSnapshotColumns(SnapTarget(target), cols.trim))
       case SetPartitionRe(target, body) if ours(target) &&
-          body.split(",").forall(i => PartItemRe.findFirstIn(i).isDefined ||
+          splitPartItems(body).forall(i =>
+            PartBucketRe.findFirstIn(i).isDefined ||
+            PartItemRe.findFirstIn(i).isDefined ||
             PartBareRe.findFirstIn(i).isDefined) =>
-        val transforms = body.split(",").toSeq.map {
+        val transforms = splitPartItems(body).map {
+          case PartBucketRe(n, col) =>
+            (col.stripPrefix("`").stripSuffix("`"), s"bucket$n")
           case PartItemRe(kind, col) =>
             (col.stripPrefix("`").stripSuffix("`"),
               kind.toLowerCase(java.util.Locale.ROOT))
@@ -593,9 +618,10 @@ final case class AddSnapshotColumns(target: MaintenanceSql.SnapTarget,
 }
 
 /** `ALTER TABLE t SET PARTITION (date(col))` — or a COMPOSITE list,
-  * `SET PARTITION (month(d), source)` (bare column = identity) →
+  * `SET PARTITION (month(d), source)` (bare column = identity), or
+  * hash clustering, `SET PARTITION (bucket(8, k))` →
   * Snapshots.commitSetPartitions: declares the table's partition
-  * transforms (identity|date|month per level) as a metadata-only
+  * transforms (identity|date|month|bucket<N> per level) as a metadata-only
   * commit — later commits land under nested `__gp=`/`__gp2=` dirs,
   * predicates on the columns prune by DIRECTORY before stats/Bloom
   * (levels intersect), and whole partitions expire as one metadata

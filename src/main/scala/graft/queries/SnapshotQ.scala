@@ -1748,6 +1748,177 @@ object SnapshotQ {
       out
     })
 
+  /** LIMIT file truncation (SupportsPushDownLimit on the catalog scan):
+    * `SELECT * FROM snap.t LIMIT n` keeps only the shortest file PREFIX
+    * whose sidecar `__count`s sum to ≥ n — on a million-file table a
+    * LIMIT 10 peek opens one file, not one per partition planned. The
+    * row set a LIMIT returns is nondeterministic by SQL semantics, so
+    * the graded output is the COUNT of the limited subquery (987 <
+    * every fixture's orders rowcount → deterministically 987), with
+    * the file-skip asserted in-query via the lastLimitPruned hook and
+    * a second, filtered leg proving the truncation OPTS OUT when a
+    * predicate is pushed (whole-file counts say nothing about matching
+    * rows — truncating there would silently under-fill the LIMIT).
+    */
+  val snapLimitSkip = QueryDef(
+    "snap_limit_skip",
+    Some("""SELECT count(*) AS n_lim, 'prefix' AS leg
+           |FROM (SELECT * FROM orders LIMIT 987)
+           |UNION ALL
+           |SELECT count(*) AS n_lim, 'filtered' AS leg
+           |FROM (SELECT * FROM orders
+           |      WHERE o_orderkey % 100 = 7 LIMIT 11)""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_lskip").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark, orders.repartition(16), t)
+      spark.sql(s"CREATE STATS INDEX ON '$t' (o_orderkey)").collect()
+      val cat = s"glsk_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val prefix = spark.sql(
+        s"""SELECT count(*) AS n_lim, 'prefix' AS leg
+           |FROM (SELECT * FROM $cat.t LIMIT 987)""".stripMargin)
+        .localCheckpoint(true) // pin: the hook must see THIS scan
+      val (lk, ln) = Snapshots.lastLimitPruned.getOrElse(
+        throw new IllegalStateException(
+          "LIMIT never truncated the file list"))
+      require(ln == 16 && lk < ln,
+        s"LIMIT opened $lk of $ln files — no prefix truncation")
+      // filtered leg: the modulo predicate is NOT sidecar-prunable
+      // (every file's range matches) but IS pushed — truncation must
+      // refuse, and the 11 matching rows still arrive
+      val filtered = spark.sql(
+        s"""SELECT count(*) AS n_lim, 'filtered' AS leg
+           |FROM (SELECT * FROM $cat.t
+           |      WHERE o_orderkey % 100 = 7 LIMIT 11)""".stripMargin)
+        .localCheckpoint(true)
+      require(Snapshots.lastLimitPruned.isEmpty,
+        "a filtered LIMIT must not truncate the file list")
+      prefix.unionByName(filtered)
+    })
+
+  /** TopN file pruning (SupportsPushDownTopN on the catalog scan):
+    * `ORDER BY k LIMIT n` keeps only the files the sidecar cannot rule
+    * out of the global top n — on a time-clustered 100 TB table the
+    * canonical "latest k events" probe reads the tail files, not the
+    * table. Both directions graded on a range-clustered fact table
+    * (ASC and DESC each keep ≤ 2 of 16 files, asserted in-query via
+    * lastTopNPruned); o_orderkey is unique so the row sets are
+    * deterministic and fully DuckDB-oracled — an unsound prune that
+    * drops a file holding a top-20 key is a hash mismatch.
+    */
+  val snapTopnSkip = QueryDef(
+    "snap_topn_skip",
+    Some("""SELECT o_orderkey, o_custkey, 'asc' AS leg
+           |FROM (SELECT o_orderkey, o_custkey FROM orders
+           |      ORDER BY o_orderkey LIMIT 20)
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, 'desc' AS leg
+           |FROM (SELECT o_orderkey, o_custkey FROM orders
+           |      ORDER BY o_orderkey DESC LIMIT 20)""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_tskip").toString
+      val t = root + "/t"
+      Snapshots.commitAppend(spark,
+        orders.repartitionByRange(16, col("o_orderkey")), t)
+      spark.sql(s"CREATE STATS INDEX ON '$t' (o_orderkey)").collect()
+      val cat = s"gtsk_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def leg(order: String, tag: String) = {
+        val df = spark.sql(
+          s"""SELECT o_orderkey, o_custkey, '$tag' AS leg
+             |FROM $cat.t ORDER BY o_orderkey $order LIMIT 20""".stripMargin)
+          .localCheckpoint(true) // pin: the hook must see THIS scan
+        val (tk, tn) = Snapshots.lastTopNPruned.getOrElse(
+          throw new IllegalStateException(
+            s"$tag topN never pruned the file list"))
+        require(tn == 16 && tk <= 2,
+          s"$tag top-20 opened $tk of $tn range-clustered files")
+        df
+      }
+      leg("ASC", "asc").unionByName(leg("DESC", "desc"))
+    })
+
+  /** STORAGE-PARTITIONED JOIN over bucket transforms — the co-located
+    * fact-dim join a 100 TB warehouse lives on: both tables declared
+    * `PARTITIONED BY (bucket(8, key))` (`#partition:` bucket kind →
+    * `__gp=<murmur3 pmod 8>` dirs), the catalog scan reports
+    * KeyGroupedPartitioning over the catalog-resolved `bucket` V2
+    * function (SnapshotCatalog.BucketUnbound — the FunctionCatalog
+    * face), and the join on the bucket column plans with NO Exchange on
+    * EITHER side (asserted in-query). The modulo filter is not
+    * sidecar-prunable, so it re-applies post-scan without disturbing
+    * the clustering. Rows fully DuckDB-oracled from orders × customer —
+    * a lying bucket report (dir value ≠ function output for any row)
+    * would co-locate wrong keys and surface as missing/duplicate join
+    * rows, not just a slow plan.
+    */
+  val snapBucketSpj = QueryDef(
+    "snap_bucket_spj",
+    Some("""SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE o.o_orderkey % 91 = 0""".stripMargin),
+    (spark, dir) => {
+      val u = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")).localCheckpoint(true)
+      val customer = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")).localCheckpoint(true)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_spj").toString
+      import org.apache.spark.sql.types._
+      Snapshots.commitCreate(spark, root + "/fact",
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))),
+        Seq(("o_custkey", "bucket8")))
+      Snapshots.commitAppend(spark, orders, root + "/fact")
+      Snapshots.commitCreate(spark, root + "/dim",
+        StructType(Seq(StructField("c_custkey", LongType),
+          StructField("c_mktsegment", StringType))),
+        Seq(("c_custkey", "bucket8")))
+      Snapshots.commitAppend(spark, customer, root + "/dim")
+      val cat = s"gspj_$u"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.sql(
+          s"""SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+             |FROM $cat.fact o JOIN $cat.dim c
+             |  ON o.o_custkey = c.c_custkey
+             |WHERE o.o_orderkey % 91 = 0""".stripMargin)
+        val out = j.localCheckpoint(true) // execute under the confs
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "bucket(8, key)-partitioned join must plan Exchange-free " +
+            s"on both sides:\n${plan.take(2000)}")
+        out
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    })
+
   val all: Seq[QueryDef] =
     Seq(snapChangeFeed, snapTimeTravel, snapSqlMaintenance, snapReplica,
       snapRestore, snapTvfChanges, snapLazyDelete, snapConstraints,
@@ -1756,5 +1927,6 @@ object SnapshotQ {
       snapStreamSink, snapStreamBacklog, snapDetail, snapClone,
       snapCopyInto, snapConvert, snapDropColumn, snapBloomLookup,
       snapCatalogSkip, snapRuntimeSkip, snapRename, snapDefault,
-      snapPartition, snapCdfStream, snapKeyGroupAgg, snapStatsAgg)
+      snapPartition, snapCdfStream, snapKeyGroupAgg, snapStatsAgg,
+      snapLimitSkip, snapTopnSkip, snapBucketSpj)
 }

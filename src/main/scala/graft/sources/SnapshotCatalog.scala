@@ -60,7 +60,7 @@ import graft.warehouse.Snapshots
   * (`VERSION/TIMESTAMP AS OF`) remain read-only — history is immutable;
   * ALTER/RENAME still refuse (constraints have their own SQL face).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -275,11 +275,12 @@ class SnapshotCatalog extends TableCatalog {
   /** `CREATE TABLE snap.t (...) [PARTITIONED BY (<transform>(col))]` —
     * commits v1 through the protocol: an empty batch under the declared
     * schema, so the schema header rides the manifest and `INSERT INTO`
-    * / CTAS continue the timeline normally. One identity/days/months
-    * transform is accepted and declared on the table (v2 metadata
-    * commit — directory-level file skipping + O(entries) partition
-    * expiry); anything else refuses (finer clustering is OPTIMIZE
-    * ZORDER BY's job).
+    * / CTAS continue the timeline normally. Up to three
+    * identity/days/months/bucket(N, col) transforms are accepted and
+    * declared on the table as ONE atomic create (directory-level file
+    * skipping, O(entries) partition expiry, and — for bucket — the
+    * storage-partitioned-join layout); anything else refuses (finer
+    * clustering is OPTIMIZE ZORDER BY's job).
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -296,9 +297,20 @@ class SnapshotCatalog extends TableCatalog {
         case "identity" => "identity"
         case "days" | "day" | "date" => "date"
         case "months" | "month" => "month"
+        case "bucket" =>
+          val n = tr.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType ==
+                  org.apache.spark.sql.types.IntegerType =>
+              l.value().asInstanceOf[Int]
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"bucket transform needs an integer bucket count: $tr"))
+          require(n > 0 && n <= 999999, s"bucket count $n out of range")
+          s"bucket$n"
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform $other — " +
-            "identity/days/months only (cluster with OPTIMIZE ZORDER BY)")
+            "identity/days/months/bucket only (cluster with OPTIMIZE " +
+            "ZORDER BY)")
       }
       (col, kind)
     }
@@ -391,9 +403,81 @@ class SnapshotCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  /** The catalog's V2 FUNCTION face (`FunctionCatalog`) — what lets
+    * Spark's planner resolve the `bucket` partition transform of a
+    * bucketed snapshot table into a bound function, which is the
+    * prerequisite for STORAGE-PARTITIONED JOINS: two tables bucketed
+    * `bucket(N, k)` join on `k` with no Exchange on either side.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      SnapshotCatalog.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 object SnapshotCatalog {
+
+  /** The `bucket(N, col)` V2 function: murmur3 (seed 42 — Spark's own
+    * `hash()`) of the column's internal value, pmod N — EXACTLY the
+    * expression the partitioned writer routes dirs with
+    * (Snapshots.partitionExpr), so the bucket ids the scan reports as
+    * partition keys, the dirs on disk, and what the planner computes
+    * when it evaluates this function all agree. Binding is per column
+    * type (int/bigint/string/date — the types bucket declaration
+    * accepts); `canonicalName` keys on the type so two bucketed tables
+    * of the same catalog class compare equal in the storage-partitioned
+    * join's compatibility check.
+    */
+  private[graft] object BucketUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    import org.apache.spark.sql.types._
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col): murmur3(col, seed 42) pmod numBuckets"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType,
+        s"bucket expects (int numBuckets, col), got $inputType")
+      val dt = inputType.fields(1).dataType
+      require(dt == IntegerType || dt == LongType || dt == StringType ||
+        dt == DateType,
+        s"bucket column must be int/bigint/string/date, got " +
+          dt.catalogString)
+      BoundBucket(dt)
+    }
+  }
+
+  private[graft] final case class BoundBucket(
+      dt: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+    import org.apache.spark.sql.types._
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${dt.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      val n = input.getInt(0)
+      // hash(NULL) keeps the seed — matching the SQL hash(), whose
+      // null child leaves the running hash at 42
+      val h: Int =
+        if (input.isNullAt(1)) 42
+        else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(1, dt), dt, 42L).toInt
+      Integer.valueOf(((h % n) + n) % n)
+    }
+  }
 
   /** ScanBuilder that intersects the scanned VERSION's file list with
     * the `_graft_stats` range bounds and per-file Bloom verdicts derived
@@ -419,12 +503,16 @@ object SnapshotCatalog {
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
     // this scan has consulted no sidecar yet (spec hook hygiene: a scan
     // with nothing pushed must not inherit the previous scan's verdict)
     Snapshots.lastCatalogPruned = None
     Snapshots.lastAggAnswered = None
+    Snapshots.lastLimitPruned = None
+    Snapshots.lastTopNPruned = None
 
     // column mapping: the parquet scan reads PHYSICAL names (renamed
     // columns would resolve all-NULL under the logical ones); rows are
@@ -543,6 +631,82 @@ object SnapshotCatalog {
         case _ => false
       })
 
+    // a LIMIT/TopN truncation proved a file subset sufficient for the
+    // query's k rows; a later runtime join-key re-prune of that subset
+    // could drop rows the LIMIT is entitled to, so build() disables it
+    private var truncated = false
+
+    // both pushdowns are PARTIAL by design: the scan only shrinks the
+    // file list, Spark's own Limit/TakeOrdered still runs above
+    override def isPartiallyPushed(): Boolean = true
+
+    /** `LIMIT n` truncates the FILE LIST: when the stats sidecar holds a
+      * nonnull `__count` for every live entry (and nothing else was
+      * pushed — a filter or aggregate changes what "n rows" means), the
+      * scan keeps only the shortest entry prefix whose counts sum to
+      * ≥ n. `SELECT * FROM snap.t LIMIT 10` on a million-file table
+      * opens one file; Spark's own Limit still runs above (partial
+      * pushdown), so serving ≥ n rows is all the contract requires.
+      */
+    override def pushLimit(limit: Int): Boolean = {
+      if (limit <= 0 || pushedCatalyst.nonEmpty || aggPushed) return false
+      val (ss, rows) = Snapshots.statsAggRows(spark, table, liveEntries)
+        .getOrElse(return false)
+      if (!ss.fieldNames.contains("__count")) return false
+      val ci = ss.fieldIndex("__count")
+      if (rows.exists(_.isNullAt(ci))) return false
+      val counts = rows.map(_.getLong(ci))
+      var cum = 0L; var n = 0
+      while (n < counts.length && cum < limit) { cum += counts(n); n += 1 }
+      if (cum >= limit && n < liveEntries.size) {
+        val keep = liveEntries.take(n)
+        Snapshots.lastLimitPruned = Some((keep.size, liveEntries.size))
+        liveEntries = keep
+        truncated = true
+        inner = builderFor(pathsFor(keep.toSet))
+      }
+      true
+    }
+
+    /** `ORDER BY c [ASC|DESC] LIMIT k` prunes files that provably
+      * cannot reach the top k — the sidecar min/max/count/nulls prove
+      * k rows rank better-or-equal than a threshold T, and every file
+      * whose BEST possible row ranks strictly worse than T is skipped.
+      * Pruning keys on the PRIMARY sort key alone (sound: exclusion is
+      * strict dominance on the first key, which decides lexicographic
+      * order before any tie-break). Spark re-sorts the survivors
+      * (partial pushdown), so a kept-too-much is only IO. At 100 TB,
+      * "latest k events" on a time-clustered table reads the tail
+      * files, not the table.
+      */
+    override def pushTopN(
+        orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+        limit: Int): Boolean = {
+      if (limit <= 0 || pushedCatalyst.nonEmpty || aggPushed) return false
+      val o = orders.headOption.getOrElse(return false)
+      val colName = o.expression() match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames().length == 1 => r.fieldNames()(0)
+        case _ => return false
+      }
+      val field = declared.flatMap(_.fields.find(_.name == colName))
+        .getOrElse(return false)
+      val keep = SnapshotCatalog.topNKeepEntries(spark, table, liveEntries,
+        colmap.getOrElse(colName, colName), field.dataType,
+        asc = o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        nullsFirst = o.nullOrdering() ==
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST,
+        k = limit).getOrElse(return false)
+      if (keep.size < liveEntries.size) {
+        Snapshots.lastTopNPruned = Some((keep.size, liveEntries.size))
+        liveEntries = keep
+        truncated = true
+        inner = builderFor(pathsFor(keep.toSet))
+      }
+      true
+    }
+
     /** The runtime re-prune's scan factory: same builder recipe, same
       * pushed filters and projection, a smaller file list.
       */
@@ -568,7 +732,8 @@ object SnapshotCatalog {
       // just IO (partial MIN of fewer files), so it opts out
       if (aggPushed) s
       else new SnapshotCatalog.RuntimeFilterableScan(spark, table,
-        liveEntries, declared, colmap, partition, s, rebuildFor)
+        liveEntries, declared, colmap, partition, s, rebuildFor,
+        allowRuntimeFilter = !truncated)
     }
   }
 
@@ -594,7 +759,7 @@ object SnapshotCatalog {
       table: String, baseEntries: Seq[String],
       declared: Option[StructType], colmap: Map[String, String],
       partition: Seq[(String, String)], initial: Scan,
-      rebuild: Set[String] => Scan)
+      rebuild: Set[String] => Scan, allowRuntimeFilter: Boolean = true)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -634,8 +799,8 @@ object SnapshotCatalog {
       *     non-sentinel value casting to null would LIE to a join).
       */
     private lazy val staticGroups
-        : Option[(String, Seq[(org.apache.spark.sql.catalyst.InternalRow,
-          Seq[String])])] =
+        : Option[(org.apache.spark.sql.connector.expressions.Transform,
+          Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
       for {
         pcKind <- partition match {
           case Seq((c, k)) => Some((c, k))
@@ -646,11 +811,26 @@ object SnapshotCatalog {
           "false") == "true"
         if readSchema().fieldNames.contains(pc)
         dt <- declared.flatMap(_.fields.find(_.name == pc)).map(_.dataType)
+        bucketN = Snapshots.bucketModulus(kind)
         if kind == "identity" || (kind == "date" &&
-          dt == org.apache.spark.sql.types.DateType)
-        groups <- keyGroupsOf(baseEntries, dt)
+          dt == org.apache.spark.sql.types.DateType) || bucketN.isDefined
+        // a bucket dir IS the transform's output: the reported key is
+        // the int bucket id and the clustering expression is the
+        // catalog-resolvable bucket(N, col) (FunctionCatalog face) —
+        // what a storage-partitioned join matches across tables
+        keyType = bucketN.map(_ =>
+            org.apache.spark.sql.types.IntegerType
+              : org.apache.spark.sql.types.DataType)
+          .getOrElse(dt)
+        groups <- keyGroupsOf(baseEntries, keyType)
         if groups.size > 1 // a single group is SinglePartition anyway
-      } yield (pc, groups)
+        expr = bucketN match {
+          case Some(n) => org.apache.spark.sql.connector.expressions
+            .Expressions.bucket(n, pc)
+          case None => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(pc)
+        }
+      } yield (expr, groups)
 
     /** (key row → member entries) per distinct dir value, sorted for
       * deterministic planning; None as soon as any entry's key is
@@ -682,11 +862,11 @@ object SnapshotCatalog {
     override def outputPartitioning()
         : org.apache.spark.sql.connector.read.partitioning.Partitioning =
       staticGroups match {
-        case Some((pc, groups)) =>
+        case Some((expr, groups)) =>
           new org.apache.spark.sql.connector.read.partitioning
             .KeyGroupedPartitioning(
-              Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(pc)), groups.size)
+              Array[org.apache.spark.sql.connector.expressions.Expression](
+                expr), groups.size)
         case None =>
           new org.apache.spark.sql.connector.read.partitioning
             .UnknownPartitioning(0)
@@ -702,6 +882,9 @@ object SnapshotCatalog {
     }
 
     override def filter(predicates: Array[Predicate]): Unit = {
+      // a LIMIT/TopN-truncated file list must not shrink further: the
+      // kept subset is exactly sufficient for the query's k rows
+      if (!allowRuntimeFilter) return
       val v1 = predicates.toSeq.flatMap(
         org.apache.spark.sql.graft.ColumnBridge.predicateToV1)
       if (v1.isEmpty) return
@@ -774,12 +957,133 @@ object SnapshotCatalog {
     }
   }
 
-  /** METADATA-ONLY aggregate answer: COUNT(*) / MIN / MAX with no
-    * filters and no grouping, computed ENTIRELY from the `_graft_stats`
-    * sidecar — the Delta/Iceberg "answer from the log" idea. At 100 TB
-    * `SELECT count(*), min(k), max(k) FROM snap.fact` becomes one
-    * driver-side read of a manifest with one row per file: zero data
-    * files opened, zero tasks launched.
+  /** The entries of a catalog scan that can still hold a row of the
+    * global `ORDER BY <col> LIMIT k` answer, decided entirely from the
+    * stats sidecar; None when the sidecar cannot prove a SOUND prune
+    * (missing file coverage, pre-`__nulls` manifest, undecodable
+    * encoding) — the caller then reads everything.
+    *
+    * Soundness, phrased for ASC (DESC mirrors through the flipped
+    * comparator): sort files by their WORST value bound (max + slack),
+    * accumulate guaranteed-rank rows until k are proven — under NULLS
+    * FIRST every row of a file counts (nulls rank ahead of all
+    * values), under NULLS LAST only the non-null rows do. T = the
+    * worst bound among the counted files; every counted file survives
+    * the prune by construction (its best bound ≤ its worst ≤ T). A
+    * file whose BEST bound (min − slack) ranks strictly worse than T
+    * is outranked by those ≥ k surviving rows for EVERY row it holds,
+    * so dropping it cannot change any valid top-k answer. Files with
+    * nulls are never dropped under NULLS FIRST; under NULLS LAST the k
+    * counted rows are non-null and outrank any null, so even an
+    * all-null file drops. Bounds widen by one ulp on long/decimal
+    * columns (their sidecar double encoding may round either way);
+    * date/timestamp string bounds refuse on a leading '-' (negative
+    * years do not sort lexicographically).
+    */
+  private[sources] def topNKeepEntries(spark: SparkSession, table: String,
+      entries: Seq[String], physCol: String,
+      dt: org.apache.spark.sql.types.DataType, asc: Boolean,
+      nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    import org.apache.spark.sql.types._
+    val numeric = dt.isInstanceOf[NumericType]
+    if (!numeric && dt != StringType && dt != DateType &&
+      dt != TimestampType) return None
+    val (ss, rows) = Snapshots.statsAggRows(spark, table, entries)
+      .getOrElse(return None)
+    def idxOpt(n: String): Option[Int] =
+      if (ss.fieldNames.contains(n)) Some(ss.fieldIndex(n)) else None
+    val ci = idxOpt("__count").getOrElse(return None)
+    val ni = idxOpt(s"${physCol}__nulls").getOrElse(return None)
+    val li = idxOpt(s"${physCol}__min").getOrElse(return None)
+    val hi = idxOpt(s"${physCol}__max").getOrElse(return None)
+    val widen: Double => Double = dt match {
+      case LongType | _: DecimalType => v => Math.ulp(v)
+      case _ => _ => 0.0 // int/short/byte/float/double cast exactly
+    }
+    // (entry, rows, non-null rows, best rank bound, worst rank bound);
+    // bounds None for files with no non-null value
+    final case class FS(entry: String, count: Long, nonNulls: Long,
+        best: Option[Any], worst: Option[Any])
+    val fss = entries.zip(rows).map { case (e, r) =>
+      if (r.isNullAt(ci) || r.isNullAt(ni)) return None
+      val count = r.getLong(ci)
+      val nonNulls = count - r.getLong(ni)
+      if (nonNulls < 0) return None
+      if (nonNulls == 0) FS(e, count, 0L, None, None)
+      else if (r.isNullAt(li) || r.isNullAt(hi)) return None
+      else if (numeric) {
+        val lo = r.getDouble(li); val hiV = r.getDouble(hi)
+        val (b, w) = if (asc) (lo - widen(lo), hiV + widen(hiV))
+          else (hiV + widen(hiV), lo - widen(lo))
+        FS(e, count, nonNulls, Some(b), Some(w))
+      } else {
+        val lo = r.getString(li); val hiV = r.getString(hi)
+        if (dt != StringType && (lo.startsWith("-") || hiV.startsWith("-")))
+          return None
+        val (b, w) = if (asc) (lo, hiV) else (hiV, lo)
+        FS(e, count, nonNulls, Some(b), Some(w))
+      }
+    }
+    Some(topNKeepStats(
+      fss.map(f => (f.entry, f.count, f.nonNulls, f.best, f.worst)),
+      numeric, asc, nullsFirst, k))
+  }
+
+  /** Pure core of [[topNKeepEntries]] — the counting/exclusion algebra
+    * over already-decoded, direction-widened per-file stats
+    * `(entry, count, nonNulls, bestBound, worstBound)` (bounds None for
+    * files with no non-null value; Double when `numeric`, String
+    * otherwise). Separated so PropertySpec can fuzz it against a
+    * brute-force top-k over synthetic row multisets.
+    */
+  private[graft] def topNKeepStats(
+      fss: Seq[(String, Long, Long, Option[Any], Option[Any])],
+      numeric: Boolean, asc: Boolean, nullsFirst: Boolean,
+      k: Int): Seq[String] = {
+    // better(a, b) < 0 ⇔ a ranks strictly before b in the output order
+    val cmpVal: (Any, Any) => Int =
+      if (numeric) (a, b) => java.lang.Double
+        .compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      else (a, b) => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
+    def better(a: Any, b: Any): Int = if (asc) cmpVal(a, b) else -cmpVal(a, b)
+    // counting phase: prove k rows at rank ≤ T
+    val (boundless, bounded) = fss.partition(_._5.isEmpty)
+    var cum: Long =
+      if (nullsFirst) boundless.map(_._2).sum else 0L
+    var t: Option[Any] = None
+    val it = bounded.sortWith((x, y) => better(x._5.get, y._5.get) < 0)
+      .iterator
+    while (cum < k && it.hasNext) {
+      val f = it.next()
+      cum += (if (nullsFirst) f._2 else f._3)
+      t = Some(f._5.get)
+    }
+    if (cum < k) return fss.map(_._1) // cannot prove k rows: keep all
+    fss.filter { case (_, count, nonNulls, best, _) =>
+      val hasNulls = count - nonNulls > 0
+      if (nullsFirst && hasNulls) true // its nulls rank ahead of T
+      else best match {
+        case None => false // empty or outranked all-null file
+        case Some(b) => t match {
+          case None => false // k nulls outrank every value row
+          case Some(tv) => better(b, tv) <= 0
+        }
+      }
+    }.map(_._1)
+  }
+
+  /** METADATA-ONLY aggregate answer: COUNT(*) / COUNT(col) / MIN / MAX
+    * with no filters and no grouping, computed ENTIRELY from the
+    * `_graft_stats` sidecar — the Delta/Iceberg "answer from the log"
+    * idea. At 100 TB `SELECT count(*), min(k), max(k) FROM snap.fact`
+    * becomes one driver-side read of a manifest with one row per file:
+    * zero data files opened, zero tasks launched. COUNT(col) rides the
+    * sidecar's per-column null counts (Σ(__count − col__nulls)) — any
+    * column type, but only manifests written since `__nulls` landed
+    * (older rows keep NULL there and refuse).
     *
     * Refuses (→ the footer-pushdown path) unless the answer is provably
     * EXACT:
@@ -811,10 +1115,15 @@ object SnapshotCatalog {
         Some(r.fieldNames()(0))
       case _ => None
     }
-    // shape check BEFORE touching the sidecar
-    val shapes: Seq[Either[Unit, (String, Boolean)]] =
+    // shape check BEFORE touching the sidecar: Left(None) = COUNT(*),
+    // Left(Some(c)) = COUNT(c) (answered as Σ(__count − c__nulls) — any
+    // column type, provided the sidecar tracks its null counts),
+    // Right((c, isMin)) = MIN/MAX
+    val shapes: Seq[Either[Option[String], (String, Boolean)]] =
       agg.aggregateExpressions().toSeq.map {
-        case _: CountStar => Left(())
+        case _: CountStar => Left(None)
+        case c: Count if !c.isDistinct =>
+          Left(Some(colOf(c.column()).getOrElse(return None)))
         case m: Min => colOf(m.column()).map((_, true))
           .map(Right(_)).getOrElse(return None)
         case m: Max => colOf(m.column()).map((_, false))
@@ -883,10 +1192,27 @@ object SnapshotCatalog {
       if (cs.exists(_ == null)) None
       else Some(cs.map(_.asInstanceOf[Long]).sum)
     }
+    def nonNullCount(c: String): Option[Long] = {
+      val phys = colmap.getOrElse(c, c)
+      for {
+        ti <- idx("__count")
+        ui <- idx(s"${phys}__nulls")
+        sums <- {
+          val pairs = rows.map(r => (r.get(ti), r.get(ui)))
+          if (pairs.exists(p => p._1 == null || p._2 == null)) None
+          else Some(pairs.map(p =>
+            p._1.asInstanceOf[Long] - p._2.asInstanceOf[Long]).sum)
+        }
+      } yield sums
+    }
     val out = shapes.map {
-      case Left(()) =>
+      case Left(None) =>
         val n = totalCount.getOrElse(return None)
         (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(n): Any)
+      case Left(Some(c)) =>
+        val n = nonNullCount(c).getOrElse(return None)
+        (StructField(s"count($c)", LongType, nullable = false),
           java.lang.Long.valueOf(n): Any)
       case Right((c, isMin)) =>
         val dt = schema.fields.find(_.name == c).get.dataType

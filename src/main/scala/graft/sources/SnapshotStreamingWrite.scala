@@ -169,12 +169,25 @@ private[sources] class SnapshotStreamDataWriter(
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY),
             StringType, z,
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
-        case _ => // month
+        case "month" =>
           Substring(Cast(Cast(bound, DateType, z,
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY),
             StringType, z,
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY),
             Literal(1, IntegerType), Literal(7, IntegerType))
+        case b =>
+          // bucket<N>: murmur3 (seed 42) pmod N — identical to the
+          // batch stager's pmod(hash(col), N). Anything unknown must
+          // REFUSE here, not render as some other kind: a wrong dir
+          // value is a silently wrong prune later, not a slow read
+          val n = Snapshots.bucketModulus(b).getOrElse(
+            throw new IllegalArgumentException(
+              s"unknown partition kind $b in streaming writer"))
+          Cast(org.apache.spark.sql.catalyst.expressions.Pmod(
+            new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+              Seq(bound), 42),
+            Literal(n, IntegerType)), StringType, z,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
       }
   }
 

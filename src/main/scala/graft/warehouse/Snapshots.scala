@@ -230,7 +230,9 @@ object Snapshots {
   // ------------------------------------------------------------------
 
   /** The version's declared partition transform (`#partition:` header):
-    * (column, kind) with kind ∈ identity | date | month. Data files of
+    * (column, kind) with kind ∈ identity | date | month | bucket<N>
+    * (murmur3 pmod N hash clustering — the storage-partitioned-join
+    * layout). Data files of
     * partitioned commits land under `data/__gp=<transform(col)>/...`
     * and their manifest entries carry the dir prefix — the DIRECTORY is
     * a pruning hint and a retention unit; the column itself stays IN
@@ -273,6 +275,18 @@ object Snapshots {
     partitionsOf(manifestLines(spark, table, version))
 
   private val PartitionKinds = Set("identity", "date", "month")
+
+  /** `bucket<N>` kinds carry their modulus in the kind string (the
+    * `#partition:` header stays a flat `col:kind` pair); None for the
+    * fixed kinds.
+    */
+  private[graft] def bucketModulus(kind: String): Option[Int] =
+    if (kind.matches("bucket[1-9]\\d{0,5}")) Some(kind.drop(6).toInt)
+    else None
+
+  private def validPartitionKind(kind: String): Boolean =
+    PartitionKinds(kind) || bucketModulus(kind).isDefined
+
   private[warehouse] val PartPrefix = "__gp="
 
   /** The dynamic-partition writer's null sentinel: a row whose transform
@@ -301,7 +315,17 @@ object Snapshots {
   private def requirePartitionable(schema: types.StructType,
       column: String, kind: String): Unit = {
     require(schema.fieldNames.contains(column), s"no column $column")
-    if (kind != "identity") {
+    if (bucketModulus(kind).isDefined) {
+      // bucket dirs are murmur3 hashes of the column's INTERNAL value:
+      // the probe renderer and the V2 bucket function must reproduce
+      // the writer's hash from a driver-side value, so only the types
+      // with an unambiguous external→internal mapping qualify
+      val dt = schema(column).dataType
+      require(dt == types.IntegerType || dt == types.LongType ||
+          dt == types.StringType || dt == types.DateType,
+        s"$kind($column) needs an int/bigint/string/date column, not " +
+          s"${dt.simpleString}")
+    } else if (kind != "identity") {
       val dt = schema(column).dataType
       require(dt == types.DateType || dt == types.TimestampType ||
           dt == types.TimestampNTZType,
@@ -314,11 +338,16 @@ object Snapshots {
   /** The partition-transform Column of a logical frame. */
   private def partitionExpr(c: String, kind: String)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.functions.{col, date_format, hash, lit,
+      pmod}
     kind match {
       case "identity" => col(c).cast("string")
       case "date" => col(c).cast("date").cast("string")
       case "month" => date_format(col(c).cast("date"), "yyyy-MM")
+      case b => // bucket<N>: murmur3 (seed 42, Spark's own hash()) mod N
+        val n = bucketModulus(b).getOrElse(
+          throw new IllegalArgumentException(s"unknown partition kind $b"))
+        pmod(hash(col(c)), lit(n)).cast("string")
     }
   }
 
@@ -385,8 +414,9 @@ object Snapshots {
     require(transforms.map(_._1).distinct.size == transforms.size,
       "partition columns must be distinct")
     transforms.foreach { case (c, k) =>
-      require(PartitionKinds(k),
-        s"partition kind $k not in ${PartitionKinds.mkString("/")}")
+      require(validPartitionKind(k),
+        s"partition kind $k not in " +
+          s"${PartitionKinds.mkString("/")}/bucket<N>")
       require(!c.contains(":") && !c.contains(";") && !c.contains("\n"),
         s"partition column '$c' must be colon/semicolon/newline-free " +
           "(the transform header is ':'/';' delimited)")
@@ -436,8 +466,9 @@ object Snapshots {
     require(partition.map(_._1).distinct.size == partition.size,
       "partition columns must be distinct")
     partition.foreach { case (c, k) =>
-      require(PartitionKinds(k),
-        s"partition kind $k not in ${PartitionKinds.mkString("/")}")
+      require(validPartitionKind(k),
+        s"partition kind $k not in " +
+          s"${PartitionKinds.mkString("/")}/bucket<N>")
       require(!c.contains(":") && !c.contains(";") && !c.contains("\n"),
         s"partition column '$c' must be colon/semicolon/newline-free")
       requirePartitionable(schema, c, k)
@@ -584,10 +615,30 @@ object Snapshots {
     * `trunc(col) >= trunc(lo)` — the dir-value comparison is sound in
     * ISO string order.
     */
+  /** An external probe value's class hashes IDENTICALLY to the bucket
+    * column's internal encoding — the guard that keeps bucket rendering
+    * type-strict: an Integer probe murmur3s through hashInt while a
+    * LongType column's dirs hashed hashLong, so the same NUMBER lands a
+    * different bucket and an unchecked prune would drop matching rows.
+    * No declared type (legacy header-less table) → never prune.
+    * DateType accepts Date/LocalDate (both render through the epoch-day
+    * hashInt the writer used).
+    */
+  private def bucketProbeTypeOk(dt: Option[types.DataType],
+      v: Any): Boolean = dt match {
+    case Some(types.IntegerType) => v.isInstanceOf[java.lang.Integer]
+    case Some(types.LongType) => v.isInstanceOf[java.lang.Long]
+    case Some(types.StringType) => v.isInstanceOf[String]
+    case Some(types.DateType) => v.isInstanceOf[java.sql.Date] ||
+      v.isInstanceOf[java.time.LocalDate]
+    case _ => false
+  }
+
   private def pruneEntriesByPartition(
       partitions: Seq[(String, String)],
       bounds: Seq[(String, Option[Any], Option[Any])],
-      entries: Seq[String]): Seq[String] =
+      entries: Seq[String],
+      schema: Option[types.StructType] = None): Seq[String] =
     // composite layouts INTERSECT the levels' verdicts: each level
     // prunes independently on its own column's bounds, and an entry
     // survives only if no level can rule it out
@@ -599,10 +650,25 @@ object Snapshots {
           partValueAt(e, level) match {
             case None => true // flat/foreign/pre-transform: always read
             case Some(NullPartition) => true // null rendering has no order
-            case Some(v) => relevant.forall { case (_, lo, hi) =>
-              lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
-                hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
-            }
+            case Some(v) =>
+              // bucket dirs carry NO range order (hash ids): only an
+              // exact equality bound (lo == hi) whose value class
+              // matches the column's declared type may prune — the
+              // probed value's bucket either is this dir or isn't
+              if (bucketModulus(kind).isDefined) {
+                val dt = schema.flatMap(_.fields.find(_.name == pc))
+                  .map(_.dataType)
+                relevant.forall {
+                  case (_, Some(l), Some(h))
+                      if l == h && bucketProbeTypeOk(dt, l) =>
+                    partProbeValue(kind, l).forall(b => v == b)
+                  case _ => true
+                }
+              }
+              else relevant.forall { case (_, lo, hi) =>
+                lo.flatMap(partProbeValue(kind, _)).forall(l => v >= l) &&
+                  hi.flatMap(partProbeValue(kind, _)).forall(h => v <= h)
+              }
           }
         }
     }
@@ -635,6 +701,35 @@ object Snapshots {
       }
       case "date" => dateStr
       case "month" => dateStr.map(_.take(7))
+      case b if bucketModulus(b).isDefined =>
+        // EQUALITY-ONLY semantics: the rendering is the probed value's
+        // bucket id — meaningful for = / IN membership, never for
+        // ranges (pruneEntriesByPartition guards). The hash must
+        // reproduce the writer's `pmod(hash(col), N)` from the
+        // EXTERNAL value, so only the classes with one internal form
+        // render; a mismatch (e.g. Integer probe on a LongType column)
+        // cannot happen for pushed filters — Spark casts literals to
+        // the column type before translation.
+        bucketModulus(b).flatMap { n =>
+          import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          import org.apache.spark.sql.{types => T}
+          val h: Option[Int] = v match {
+            case i: java.lang.Integer => Some(Murmur3HashFunction
+              .hash(i.intValue(), T.IntegerType, 42L).toInt)
+            case l: java.lang.Long => Some(Murmur3HashFunction
+              .hash(l.longValue(), T.LongType, 42L).toInt)
+            case s: String => Some(Murmur3HashFunction.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              T.StringType, 42L).toInt)
+            case d: java.sql.Date => Some(Murmur3HashFunction.hash(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .fromJavaDate(d), T.DateType, 42L).toInt)
+            case ld: java.time.LocalDate => Some(Murmur3HashFunction
+              .hash(ld.toEpochDay.toInt, T.DateType, 42L).toInt)
+            case _ => None
+          }
+          h.map(x => (((x % n) + n) % n).toString)
+        }
     }
   }
 
@@ -1545,7 +1640,21 @@ object Snapshots {
         case (df, ((c, kind), i)) =>
           df.withColumn(partLevelCol(i), partitionExpr(c, kind))
       }
-      toPhysical(withDirs, colmap).write
+      // OPTIMIZED WRITES (spark.graft.optimizeWrite=true): shuffle rows
+      // to their partition dirs before staging, so a commit lands ONE
+      // file per live dir instead of (tasks × dirs) small files — the
+      // Delta optimized-write idea. Off by default: the extra shuffle
+      // is the wrong trade for small batches, and OPTIMIZE compacts
+      // after the fact either way. A hot dir still lands one task's
+      // file; skewed ingest belongs to OPTIMIZE/ZORDER, not the stager.
+      val shaped =
+        if (spark.conf.getOption("spark.graft.optimizeWrite")
+            .contains("true"))
+          withDirs.repartition(
+            routed.indices.map(i => org.apache.spark.sql.functions
+              .col(partLevelCol(i))): _*)
+        else withDirs
+      toPhysical(shaped, colmap).write
         .partitionBy(routed.indices.map(partLevelCol): _*)
         .parquet(staging.toString)
     } else toPhysical(batch0, colmap).write.parquet(staging.toString)
@@ -1830,12 +1939,21 @@ object Snapshots {
     val candidates = partitionsOf(headLines).zipWithIndex
       .find(_._1._1 == kc0) match {
       case Some(((_, kind), level)) =>
-        val rendered = vals0.filter(_ != null).map(partProbeValue(kind, _))
-        if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
-          val set = rendered.flatten.toSet
-          candidates0.filter(e => partValueAt(e, level).forall(v =>
-            v == NullPartition || set.contains(v)))
-        } else candidates0
+        val nn = vals0.filter(_ != null)
+        // bucket rendering is type-strict (hashInt vs hashLong): a key
+        // class mismatching the declared column type keeps everything
+        val dt = schemaOf(headLines)
+          .flatMap(_.fields.find(_.name == kc0)).map(_.dataType)
+        if (bucketModulus(kind).isDefined &&
+            !nn.forall(bucketProbeTypeOk(dt, _))) candidates0
+        else {
+          val rendered = nn.map(partProbeValue(kind, _))
+          if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
+            val set = rendered.flatten.toSet
+            candidates0.filter(e => partValueAt(e, level).forall(v =>
+              v == NullPartition || set.contains(v)))
+          } else candidates0
+        }
       case _ => candidates0
     }
     if (candidates.isEmpty) return candidates
@@ -1995,7 +2113,7 @@ object Snapshots {
     // typed encodings — ISO strings for dates — are exactly the dir
     // rendering)
     var cand = pruneEntriesByPartition(partitionsOf(headLines), bounds0,
-      candidates)
+      candidates, Some(s))
     val dd = dataDir(table).toString
     val statsCols = graft.operators.Layout.statsManifestCols(spark, dd)
       .getOrElse(return cand).toSet
@@ -3239,6 +3357,21 @@ object Snapshots {
     */
   @volatile var lastRuntimePruned: Option[(Int, Int)] = None
 
+  /** Spec hook: (files kept, files candidate) of the last catalog scan
+    * whose file list was TRUNCATED by a pushed LIMIT — the stats
+    * sidecar's per-file row counts prove a prefix of files already
+    * holds `limit` rows, so the rest are never opened. None until one
+    * fires.
+    */
+  @volatile var lastLimitPruned: Option[(Int, Int)] = None
+
+  /** Spec hook: (files kept, files candidate) of the last catalog scan
+    * pruned by a pushed ORDER BY ... LIMIT (TopN): files provably
+    * outranked by `limit` rows from better-bounded files are skipped.
+    * None until one fires.
+    */
+  @volatile var lastTopNPruned: Option[(Int, Int)] = None
+
   /** Logical columns on which driver-side file skipping can act for
     * `table`: the declared partition column plus every stats-manifested
     * and Bloom-indexed column (sidecars key PHYSICAL names; the names
@@ -3257,6 +3390,19 @@ object Snapshots {
       (stats ++ bloom).map(p => physToLogical.getOrElse(p, p))).distinct
   }
 
+  /** Inclusive upper bound for the `LIKE 'p%'` range: the prefix with
+    * its last bumpable char incremented and the tail dropped — every
+    * string starting with `p` sorts strictly below it. None (unbounded)
+    * when any char sits at or above the surrogate range, where a UTF-16
+    * unit bump is not the code-point successor.
+    */
+  private def prefixUpperBound(p: String): Option[String] = {
+    if (p.exists(_ >= 0xD800.toChar)) return None
+    val i = p.lastIndexWhere(_ < 0xD7FF.toChar)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   /** Driver-side file skipping from PUSHED-DOWN source filters — the
     * same prune [[readPruned]] / [[readPrunedByKeys]] perform, but
     * triggered by plain catalog SQL (`SELECT ... FROM snap.t WHERE k =
@@ -3270,9 +3416,11 @@ object Snapshots {
     * (=, <, <=, >, >=) prune via the `_graft_stats` manifest with
     * NULL-stats/uncovered files always kept, equality/IN probes on a
     * Bloom-indexed column prune via the per-file sidecar (no false
-    * negatives by contract), and every other shape — OR, NOT, LIKE,
-    * unindexed columns, types whose driver-side rendering differs from
-    * the stats encoding (timestamps) — keeps its files. Spark
+    * negatives by contract), `LIKE 'p%'` prunes as the
+    * range [p, bumped-prefix) on string stats, and every other shape —
+    * OR, NOT, other string ops, unindexed columns, types whose
+    * driver-side rendering differs from the stats encoding
+    * (timestamps) — keeps its files. Spark
     * re-applies every pushed filter post-scan regardless.
     */
   def pruneFilesByFilters(spark: SparkSession, table: String,
@@ -3307,17 +3455,27 @@ object Snapshots {
     // URIs too (the `__gp=` component survives qualification)
     def partBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit =
       if (partition.exists(_._1 == c) && live.nonEmpty)
-        live = pruneEntriesByPartition(partition, Seq((c, lo, hi)), live)
+        live = pruneEntriesByPartition(partition, Seq((c, lo, hi)), live,
+          schema)
     def partAnyOf(c: String, vs: Seq[Any]): Unit =
       partition.zipWithIndex
         .find(p => p._1._1 == c && live.nonEmpty)
         .foreach { case ((_, kind), level) =>
-          val rendered = vs.filter(_ != null).map(partProbeValue(kind, _))
-          // one unrenderable member means any entry might hold it
-          if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
-            val set = rendered.flatten.toSet
-            live = live.filter(e => partValueAt(e, level).forall(v =>
-              v == NullPartition || set.contains(v)))
+          val nn = vs.filter(_ != null)
+          // bucket rendering is type-strict (hashInt vs hashLong) — a
+          // probe class mismatching the declared column type must keep
+          // everything, never hash into the wrong bucket
+          val dt = schema.flatMap(_.fields.find(_.name == c))
+            .map(_.dataType)
+          if (bucketModulus(kind).isEmpty ||
+              nn.forall(bucketProbeTypeOk(dt, _))) {
+            val rendered = nn.map(partProbeValue(kind, _))
+            // one unrenderable member means any entry might hold it
+            if (rendered.nonEmpty && rendered.forall(_.isDefined)) {
+              val set = rendered.flatten.toSet
+              live = live.filter(e => partValueAt(e, level).forall(v =>
+                v == NullPartition || set.contains(v)))
+            }
           }
         }
     def statsBounds(c: String, lo: Option[Any], hi: Option[Any]): Unit = {
@@ -3352,6 +3510,14 @@ object Snapshots {
       case GreaterThanOrEqual(a, v) => statsBounds(a, Some(v), None)
       case LessThan(a, v) => statsBounds(a, None, Some(v))
       case LessThanOrEqual(a, v) => statsBounds(a, None, Some(v))
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        // LIKE 'p%' is the range [p, nextPrefix(p)): every match is
+        // ≥ p and < the prefix with its last char bumped, so the stats
+        // sidecar's string min/max prune prefix probes file-level.
+        // Restricted to strings below the surrogate range — bumping a
+        // UTF-16 unit into (or past) a surrogate would not be the
+        // code-point successor UTF8String's byte order assumes.
+        statsBounds(a, Some(p), prefixUpperBound(p))
       case And(l, r) => walk(l); walk(r)
       case _ => () // OR / NOT / string ops / unknown: keep (sound)
     }

@@ -209,4 +209,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopN file pruning: 500 fuzzed trials against brute-force top-k under all four orderings") {
+    // the pure pruning core (SnapshotCatalog.topNKeepStats) must never
+    // drop a file holding a true top-k row: after pruning, the top-k of
+    // the KEPT rows must equal the top-k of ALL rows as a value
+    // multiset, for every direction x null-ordering, with ties, nulls,
+    // empty and all-null files in the mix
+    val rnd2 = new scala.util.Random(1234)
+    for (trial <- 1 to 500) {
+      val nf = 1 + rnd2.nextInt(8)
+      val files = Seq.tabulate(nf) { i =>
+        val n = rnd2.nextInt(7)
+        (s"f$i", Seq.fill(n)(
+          if (rnd2.nextInt(5) == 0) None
+          else Some(rnd2.nextInt(10).toLong)))
+      }
+      val asc = rnd2.nextBoolean(); val nullsFirst = rnd2.nextBoolean()
+      val k = 1 + rnd2.nextInt(10)
+      val stats = files.map { case (e, rows) =>
+        val vals = rows.flatten
+        val (best, worst): (Option[Any], Option[Any]) =
+          if (vals.isEmpty) (None, None)
+          else {
+            val lo = vals.min.toDouble - Math.ulp(vals.min.toDouble)
+            val hi = vals.max.toDouble + Math.ulp(vals.max.toDouble)
+            if (asc) (Some(lo), Some(hi)) else (Some(hi), Some(lo))
+          }
+        (e, rows.size.toLong, vals.size.toLong, best, worst)
+      }
+      val kept = graft.sources.SnapshotCatalog
+        .topNKeepStats(stats, numeric = true, asc, nullsFirst, k).toSet
+      def rank(rows: Seq[Option[Long]]): Seq[Option[Long]] = {
+        val (nulls, vals) = rows.partition(_.isEmpty)
+        val sorted = if (asc) vals.sortBy(_.get) else vals.sortBy(v => -v.get)
+        if (nullsFirst) nulls ++ sorted else sorted ++ nulls
+      }
+      val trueTop = rank(files.flatMap(_._2)).take(k)
+      val keptTop = rank(files.filter(f => kept(f._1)).flatMap(_._2)).take(k)
+      assert(trueTop == keptTop,
+        s"trial $trial asc=$asc nullsFirst=$nullsFirst k=$k " +
+          s"files=$files kept=$kept")
+    }
+  }
 }

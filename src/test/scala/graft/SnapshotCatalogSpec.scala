@@ -429,10 +429,11 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gpart.t VERSION AS OF 2 " +
       "WHERE d = DATE '2024-03-05'").head.getLong(0) == 200L)
     assert(Snapshots.lastCatalogPruned.exists(p => p._1 < p._2))
-    // unsupported transforms refuse loudly
+    // unsupported transforms refuse loudly (bucket is supported now —
+    // see the SPJ tests; years/hours still refuse)
     intercept[Exception] {
       spark.sql("CREATE TABLE gpart.t2 (id BIGINT, d DATE) " +
-        "PARTITIONED BY (bucket(8, id))")
+        "PARTITIONED BY (years(d))")
     }
   }
 
@@ -663,5 +664,372 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("bucket(N, col): storage-partitioned join plans NO Exchange; point probes prune to the bucket dir") {
+    val root = Files.createTempDirectory("graft_snapcat_spj").toString
+    spark.conf.set("spark.sql.catalog.gspj",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE gspj.fact (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("CREATE TABLE gspj.dim (k BIGINT, name STRING) " +
+        "PARTITIONED BY (bucket(8, k))")
+      ((1 to 400).map(i => (java.lang.Long.valueOf((i % 50).toLong),
+          i * 1.0)) :+ ((null.asInstanceOf[java.lang.Long], -1.0)))
+        .toDF("k", "v").createOrReplaceTempView("spj_f")
+      (0 to 49).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+        .createOrReplaceTempView("spj_d")
+      spark.sql("INSERT INTO gspj.fact SELECT * FROM spj_f")
+      spark.sql("INSERT INTO gspj.dim SELECT * FROM spj_d")
+
+      // the canonical co-located fact-dim join: both sides bucketed
+      // bucket(8, k), joined on k — storage-partitioned join, NO
+      // Exchange on either side (the null-k fact row drops out of the
+      // inner join but must not break the key-grouped report)
+      val j = spark.sql(
+        """SELECT f.k, f.v, d.name
+          |FROM gspj.fact f JOIN gspj.dim d ON f.k = d.k""".stripMargin)
+      assert(j.count() == 400L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(3000)}")
+
+      // group-by on the bucket column rides the same clustering
+      val g = spark.sql(
+        "SELECT k, count(*) AS n FROM gspj.fact GROUP BY k")
+      assert(g.collect().length == 51) // 50 keys + the null group
+      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+
+      // point probe prunes to the key's bucket dir (no stats index —
+      // the DIRECTORY leg alone must skip)
+      val p = spark.sql("SELECT k, v FROM gspj.fact WHERE k = 7")
+      assert(p.count() == 8L)
+      val (pk, pn) = Snapshots.lastCatalogPruned.getOrElse(
+        fail("catalog scan never consulted the partition leg"))
+      assert(pk < pn, s"bucket point probe opened $pk of $pn files")
+
+      // IN probes prune to the probed buckets; RANGE predicates must
+      // NOT prune (hash ids carry no order) — rows prove both
+      assert(spark.sql(
+        "SELECT k FROM gspj.fact WHERE k IN (3, 9)").count() == 16L)
+      assert(spark.sql(
+        "SELECT k FROM gspj.fact WHERE k >= 48").count() == 16L)
+      val (rk, rn) = Snapshots.lastCatalogPruned.get
+      assert(rk == rn, s"a range predicate over hash buckets pruned " +
+        s"$rk of $rn — unsound")
+
+      // the V2 bucket function agrees with the writer's dirs: every
+      // dir value equals the bound function of a row it holds
+      val fn = graft.sources.SnapshotCatalog.BoundBucket(
+        org.apache.spark.sql.types.LongType)
+      val byBucket = spark.sql("SELECT k FROM gspj.fact").collect()
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).distinct
+        .groupBy(k => fn.produceResult(
+          org.apache.spark.sql.catalyst.InternalRow(8, k)).intValue())
+      val dirs = new java.io.File(s"$root/fact/data").listFiles()
+        .filter(_.getName.startsWith("__gp=")).map(_.getName).sorted
+      assert(dirs.nonEmpty &&
+        dirs.map(_.stripPrefix("__gp=").toInt).toSet ==
+          byBucket.keySet.union(Set(fn.produceResult(
+            org.apache.spark.sql.catalyst.InternalRow(8, null))
+            .intValue())),
+        s"dirs $dirs vs computed buckets ${byBucket.keySet}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucket probes are type-strict: a probe class mismatching the column type never prunes") {
+    val root = Files.createTempDirectory("graft_snapcat_bts").toString
+    val t = root + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    Snapshots.commitCreate(spark, t, schema, Seq(("k", "bucket4")))
+    Snapshots.commitAppend(spark,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t)
+    val entries = Snapshots.filesAt(spark, t,
+      Snapshots.currentVersion(spark, t))
+    assert(entries.forall(_.startsWith("__gp=")))
+    import org.apache.spark.sql.sources.EqualTo
+    // an Integer probe on the LongType column hashes through hashInt,
+    // not the hashLong the dirs were routed with — it must keep ALL
+    // files, never hash into the wrong bucket
+    val keptInt = Snapshots.pruneFilesByFilters(spark, t, entries,
+      Some(schema), Seq(EqualTo("k", 7: Int)), Map.empty,
+      Seq(("k", "bucket4")))
+    assert(keptInt == entries,
+      s"mismatched probe class pruned ${keptInt.size} of " +
+        s"${entries.size} — unsound")
+    // the correctly-typed probe prunes to the key's bucket
+    val keptLong = Snapshots.pruneFilesByFilters(spark, t, entries,
+      Some(schema), Seq(EqualTo("k", 7L)), Map.empty,
+      Seq(("k", "bucket4")))
+    assert(keptLong.size < entries.size && keptLong.nonEmpty)
+  }
+
+  test("shuffle-one-side SPJ: a plain frame joins a bucketed table shuffling ONLY the plain side") {
+    val root = Files.createTempDirectory("graft_snapcat_spj1").toString
+    spark.conf.set("spark.sql.catalog.gsp1",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp1.root", root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE gsp1.fact (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k))")
+      (1 to 300).map(i => ((i % 40).toLong, i * 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("sp1_f")
+      spark.sql("INSERT INTO gsp1.fact SELECT * FROM sp1_f")
+      // the dim stays a PLAIN parquet view: no bucket layout at all
+      (0 to 39).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+        .coalesce(2).write.parquet(root + "/plain_dim")
+      spark.read.parquet(root + "/plain_dim")
+        .createOrReplaceTempView("sp1_d")
+      val j = spark.sql(
+        """SELECT f.k, f.v, d.name
+          |FROM gsp1.fact f JOIN sp1_d d ON f.k = d.k""".stripMargin)
+      assert(j.count() == 300L)
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected ONE Exchange (the plain side re-bucketed through " +
+          s"the V2 bucket function), got $exchanges:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("SET PARTITION (bucket(N, col)) SQL verb: future commits route to bucket dirs, composite stays paren-aware") {
+    val root = Files.createTempDirectory("graft_snapcat_bsql").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t)
+    val r = spark.sql(s"ALTER TABLE '$t' SET PARTITION (bucket(4, k))")
+      .collect()(0)
+    assert(r.getString(1) == "bucket4(k)")
+    Snapshots.commitAppend(spark,
+      (101 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t)
+    val files = Snapshots.filesAt(spark, t,
+      Snapshots.currentVersion(spark, t))
+    assert(files.exists(_.startsWith("__gp=")) &&
+      files.exists(!_.startsWith("__gp=")),
+      s"post-declaration files must carry bucket dirs: $files")
+    assert(Snapshots.read(spark, t).count() == 200L)
+    // pre-transform flat files always read: a point probe still
+    // returns rows that live flat
+    assert(Snapshots.read(spark, t).where("k = 5").count() == 1L)
+
+    // composite with a bucket item: the body splitter must not break
+    // at the bucket arity comma
+    val t2 = root + "/t2"
+    Snapshots.commitAppend(spark,
+      Seq((1L, "a", java.sql.Date.valueOf("2024-01-02")))
+        .toDF("k", "s", "d"), t2)
+    val r2 = spark.sql(
+      s"ALTER TABLE '$t2' SET PARTITION (bucket(8, k), date(d))")
+      .collect()(0)
+    assert(r2.getString(1) == "bucket8(k)/date(d)")
+    Snapshots.commitAppend(spark,
+      Seq((2L, "b", java.sql.Date.valueOf("2024-01-03")))
+        .toDF("k", "s", "d"), t2)
+    val f2 = Snapshots.filesAt(spark, t2,
+      Snapshots.currentVersion(spark, t2))
+    assert(f2.exists(e => e.contains("__gp=") && e.contains("__gp2=")),
+      s"composite bucket+date dirs expected: $f2")
+
+    // EXPIRE PARTITIONS keys on the date level, never the bucket ids
+    val (_, dropped) = Snapshots.commitExpirePartitions(spark, t2,
+      java.sql.Date.valueOf("2024-01-03"))
+    assert(dropped == 0, "the 2024-01-03 partition is not older than " +
+      "the cutoff; bucket ids must never expire")
+  }
+
+  test("LIMIT pushdown truncates the file list from sidecar counts; filters and small tables opt out") {
+    val root = Files.createTempDirectory("graft_snapcat_lim").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(10), t)
+    Snapshots.extendStats(spark, t, Seq("k"))
+    spark.conf.set("spark.sql.catalog.glim",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glim.root", root)
+
+    // 250 rows need 2 of the 10 ~200-row files
+    val q = spark.sql("SELECT * FROM glim.t LIMIT 250")
+    assert(q.count() == 250L)
+    val (kept, total) = Snapshots.lastLimitPruned.getOrElse(
+      fail("limit never truncated the file list"))
+    assert(total == 10 && kept < 10 && kept >= 2,
+      s"expected a short prefix, got $kept of $total")
+
+    // a limit the whole table cannot fill keeps every file
+    assert(spark.sql("SELECT * FROM glim.t LIMIT 99999").count() == 2000L)
+    assert(Snapshots.lastLimitPruned.isEmpty)
+
+    // a pushed filter opts out: whole-file counts say nothing about
+    // how many MATCHING rows a prefix holds
+    val f = spark.sql("SELECT * FROM glim.t WHERE k > 1990 LIMIT 5")
+    assert(f.count() == 5L)
+    assert(Snapshots.lastLimitPruned.isEmpty,
+      "a filtered limit must not truncate the file list")
+
+    // an append the sidecar does not cover yet refuses (no counts)
+    Snapshots.commitAppend(spark, Seq((9999L, "x")).toDF("k", "v"), t)
+    assert(spark.sql("SELECT * FROM glim.t LIMIT 10").count() == 10L)
+    assert(Snapshots.lastLimitPruned.isEmpty)
+  }
+
+  test("TopN pushdown prunes outranked files: ASC/DESC, null ordering, strings, ties stay sound") {
+    val root = Files.createTempDirectory("graft_snapcat_topn").toString
+    val t = root + "/t"
+    // range-clustered longs 1..1000 across 10 files, plus 7 NULL keys
+    // (range partitioning sorts nulls first) and a string column whose
+    // order disagrees with the long order
+    val base = (1 to 1000).map(i =>
+      (java.lang.Long.valueOf(i.toLong), f"s${1000 - i}%04d")) ++
+      (1 to 7).map(i => (null.asInstanceOf[java.lang.Long], s"n$i"))
+    Snapshots.commitAppend(spark,
+      base.toDF("k", "s").repartitionByRange(10, $"k"), t)
+    Snapshots.extendStats(spark, t, Seq("k", "s"))
+    spark.conf.set("spark.sql.catalog.gtopn",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtopn.root", root)
+
+    // DESC (default NULLS LAST): only the tail file(s) can hold 1000..996
+    val d = spark.sql(
+      "SELECT k FROM gtopn.t ORDER BY k DESC LIMIT 5")
+    assert(d.collect().map(_.getLong(0)).toSeq ==
+      Seq(1000L, 999L, 998L, 997L, 996L))
+    val (dk, dn) = Snapshots.lastTopNPruned.getOrElse(
+      fail("DESC topN never pruned"))
+    assert(dn == 10 && dk <= 2, s"DESC kept $dk of $dn")
+
+    // ASC (default NULLS FIRST): the 7 nulls rank first, then 1..3 —
+    // every file holding nulls must survive alongside the low file
+    val a = spark.sql("SELECT k FROM gtopn.t ORDER BY k LIMIT 10")
+    val got = a.collect().map(r => if (r.isNullAt(0)) None else
+      Some(r.getLong(0))).toSeq
+    assert(got.take(7).forall(_.isEmpty) &&
+      got.drop(7) == Seq(Some(1L), Some(2L), Some(3L)))
+    val (ak, an) = Snapshots.lastTopNPruned.getOrElse(
+      fail("ASC topN never pruned"))
+    assert(an == 10 && ak < 10, s"ASC kept $ak of $an")
+
+    // ASC NULLS LAST: nulls outranked by 1..10 — the null file is
+    // prunable and nulls never surface
+    val anl = spark.sql(
+      "SELECT k FROM gtopn.t ORDER BY k ASC NULLS LAST LIMIT 10")
+    assert(anl.collect().map(_.getLong(0)).toSeq == (1L to 10L))
+
+    // string column: UTF8 order — "n*" (the null-k file) sorts before
+    // every "s*", so the prune must keep that file; rows come back exact
+    val s = spark.sql("SELECT s FROM gtopn.t ORDER BY s LIMIT 3")
+    assert(s.collect().map(_.getString(0)).toSeq == Seq("n1", "n2", "n3"))
+
+    // a sort EXPRESSION (not a bare column) opts out, rows stay exact
+    val e = spark.sql(
+      "SELECT k FROM gtopn.t ORDER BY k + 0 DESC LIMIT 3")
+    assert(e.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
+
+    // secondary sort keys ride along: pruning keys on the primary
+    val m = spark.sql(
+      "SELECT k, s FROM gtopn.t ORDER BY k DESC, s ASC LIMIT 3")
+    assert(m.collect().map(_.getLong(0)).toSeq == Seq(1000L, 999L, 998L))
+  }
+
+  test("LIKE 'p%' prunes files through string stats as the [p, bumped-prefix) range") {
+    val root = Files.createTempDirectory("graft_snapcat_pfx").toString
+    val t = root + "/t"
+    // prefix-clustered strings: aa000..zz999-ish via two leading chars
+    val rows = for (c1 <- 'a' to 'j'; i <- 0 until 100)
+      yield (s"$c1${('a' + i % 5).toChar}$i", i.toLong)
+    Snapshots.commitAppend(spark,
+      rows.toDF("s", "n").repartitionByRange(10, $"s"), t)
+    Snapshots.extendStats(spark, t, Seq("s"))
+    spark.conf.set("spark.sql.catalog.gpfx",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpfx.root", root)
+    val q = spark.sql("SELECT s, n FROM gpfx.t WHERE s LIKE 'cb%'")
+    assert(q.count() == 20L) // c1='c', second char 'b' → i%5==1
+    val (pk, pn) = Snapshots.lastCatalogPruned.getOrElse(
+      fail("prefix probe never consulted the sidecar"))
+    assert(pn == 10 && pk <= 2,
+      s"LIKE 'cb%' opened $pk of $pn range-clustered files")
+    // boundary prefix at the top of the range still returns every row
+    assert(spark.sql(
+      "SELECT s FROM gpfx.t WHERE s LIKE 'j%'").count() == 100L)
+  }
+
+  test("optimized writes: spark.graft.optimizeWrite lands one file per partition dir per commit") {
+    val root = Files.createTempDirectory("graft_snapcat_ow").toString
+    def commitWide(t: String): Seq[String] = {
+      Snapshots.commitCreate(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType))),
+        Seq(("g", "identity")))
+      Snapshots.commitAppend(spark,
+        (1 to 400).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g")
+          .repartition(8), t) // 8 tasks × 4 dirs without the shuffle
+      Snapshots.filesAt(spark, t, Snapshots.currentVersion(spark, t))
+    }
+    val loose = commitWide(root + "/loose")
+    assert(loose.size > 4, s"expected tasks×dirs files, got $loose")
+    spark.conf.set("spark.graft.optimizeWrite", "true")
+    try {
+      val tight = commitWide(root + "/tight")
+      assert(tight.size == 4,
+        s"optimized write must land one file per dir, got $tight")
+      assert(Snapshots.read(spark, root + "/tight").count() == 400L)
+    } finally spark.conf.unset("spark.graft.optimizeWrite")
+  }
+
+  test("COUNT(col) answers from the sidecar null counts, zero files opened") {
+    val root = Files.createTempDirectory("graft_snapcat_ccol").toString
+    val t = root + "/t"
+    Snapshots.commitAppend(spark,
+      (1 to 300).map(i => (i.toLong,
+        if (i % 3 == 0) null else s"v$i")).toDF("k", "v")
+        .repartition(5), t)
+    Snapshots.extendStats(spark, t, Seq("k", "v"))
+    spark.conf.set("spark.sql.catalog.gccol",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gccol.root", root)
+    val q = spark.sql(
+      "SELECT count(v) AS nv, count(k) AS nk, count(*) AS n FROM gccol.t")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((200L, 300L, 300L)))
+    assert(Snapshots.lastAggAnswered.contains(3),
+      s"count(col) must answer from the sidecar, got " +
+        s"${Snapshots.lastAggAnswered}")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftStatsAggScan"))
+    // count(DISTINCT col) refuses the metadata path, stays correct
+    val d = spark.sql("SELECT count(DISTINCT v) AS dv FROM gccol.t")
+    assert(d.head.getLong(0) == 200L)
+    assert(Snapshots.lastAggAnswered.isEmpty)
   }
 }
