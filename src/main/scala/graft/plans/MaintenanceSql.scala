@@ -317,15 +317,17 @@ object MaintenanceSql {
         Some(DeleteSnapshotWhere(SnapTarget(target), predicate.trim))
       case DeleteAllRe(target) => // quoted paths only: every row
         Some(DeleteSnapshotWhere(SnapTarget(target), "true"))
-      // UPDATE/MERGE take owned identifiers too (ours() gate): our DSv2
-      // catalog has no SupportsRowLevelOperations seat, so delegating
-      // `UPDATE snap.t` to Spark would FAIL where the quoted-path form
-      // works — the parser face serves both spellings of the same
-      // copy-on-write commit. Unowned identifiers delegate verbatim.
-      case UpdateRe(target, sets, predicate) if ours(target) =>
+      // UPDATE/MERGE on QUOTED PATHS stay the engine's verbs (a path
+      // has no catalog seat for Spark to resolve); catalog IDENTIFIERS
+      // delegate to Spark's own row-level machinery — the catalog now
+      // implements SupportsRowLevelOperations (sources/
+      // SnapshotRowLevel.scala), so stock `UPDATE snap.t` / `MERGE
+      // INTO snap.t` (including rich clause forms this verb never
+      // parsed) plan as sidecar-pruned copy-on-write ReplaceData.
+      case UpdateRe(target, sets, predicate) if target.startsWith("'") =>
         Some(UpdateSnapshotWhere(SnapTarget(target), sets.trim,
           Option(predicate).map(_.trim).orNull)) // null = no WHERE
-      case MergeRe(target, source, keys, _) if ours(target) =>
+      case MergeRe(target, source, keys, _) if target.startsWith("'") =>
         Some(MergeSnapshot(SnapTarget(target), source.trim,
           keys.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq))

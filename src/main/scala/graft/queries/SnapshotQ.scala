@@ -620,17 +620,20 @@ object SnapshotQ {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     })
 
-  /** Row-level SQL on CATALOG IDENTIFIERS (plans/MaintenanceSql via the
-    * ours() parser gate): the same UPDATE and MERGE INTO that work on
-    * quoted paths run against `<catalog>.<table>` names resolved through
-    * `spark.sql.catalog.<name>.root` — closing the SQL face's last
-    * asymmetry (Spark's own UPDATE/MERGE would refuse: the DSv2 catalog
-    * has no row-level-operation seat). The lifecycle is pure SQL on the
-    * identifier: UPDATE bumps the %10=7 slice 10% (v2), MERGE upserts
-    * bumped-key updates plus shifted inserts (v3), and the emitted rows
-    * read back through the catalog's own SQL face — fully DuckDB-oracled
-    * from orders alone; a lost update, double-applied merge, or a
-    * commit that bypassed the protocol lands in the diff.
+  /** Row-level SQL on CATALOG IDENTIFIERS through STOCK Spark: the
+    * catalog implements SupportsRowLevelOperations (sources/
+    * SnapshotRowLevel.scala), so `UPDATE <catalog>.<table>` and `MERGE
+    * INTO <catalog>.<table>` resolve through Spark's own group-based
+    * rewrite — copy-on-write ReplaceData whose scan is the
+    * sidecar-pruned catalog scan and whose write is the protocol's
+    * group-replace claim (Snapshots.commitReplaceEntries). No engine
+    * parser involved: this is the statement a stock Spark user types.
+    * The lifecycle: UPDATE bumps the %10=7 slice 10% (v2), MERGE
+    * upserts bumped-key updates plus shifted inserts (v3), and the
+    * emitted rows read back through the catalog's SQL face — fully
+    * DuckDB-oracled from orders alone; a lost update, double-applied
+    * merge, duplicated rewrite (un-removed originals) or a commit that
+    * bypassed the protocol lands in the diff.
     */
   val snapSqlRowLevel = QueryDef(
     "snap_sql_rowlevel",
@@ -657,14 +660,14 @@ object SnapshotQ {
         classOf[graft.sources.SnapshotCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       Snapshots.commitAppend(spark, orders, root + "/t")
-      // v2: identifier UPDATE — 10% bump on the %10=7 slice
-      val ru = spark.sql(s"UPDATE $cat.t SET " +
+      // v2: STOCK identifier UPDATE (Spark's row-level rewrite) — 10%
+      // bump on the %10=7 slice
+      spark.sql(s"UPDATE $cat.t SET " +
         "o_totalprice = o_totalprice * 1.1 WHERE o_orderkey % 10 = 7")
-        .head
-      require(ru.getLong(0) == 2L && ru.getLong(1) > 0,
-        s"identifier UPDATE must commit v2 with rows, got $ru")
-      // v3: identifier MERGE — a further 10% bump on the same keys
-      // (compounding to 1.21x, so a silently-skipped statement is
+      require(Snapshots.currentVersion(spark, root + "/t") == 2L,
+        "stock UPDATE must land exactly one replaceData commit")
+      // v3: STOCK identifier MERGE — a further 10% bump on the same
+      // keys (compounding to 1.21x, so a silently-skipped statement is
       // visible) plus shifted inserts
       val view = s"rl_src_$u"
       orders.filter(col("o_orderkey") % 10 === 7)
@@ -672,10 +675,11 @@ object SnapshotQ {
         .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
         .createOrReplaceTempView(view)
-      val rm = spark.sql(s"MERGE INTO $cat.t USING $view ON (o_orderkey) " +
+      spark.sql(s"MERGE INTO $cat.t t USING $view s " +
+        "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-        .head
-      require(rm.getLong(0) == 3L, s"identifier MERGE must commit v3, got $rm")
+      require(Snapshots.currentVersion(spark, root + "/t") == 3L,
+        "stock MERGE must land exactly one replaceData commit")
       spark.sql(s"""SELECT o_orderkey, o_custkey,
                    |round(o_totalprice, 4) AS o_totalprice
                    |FROM $cat.t""".stripMargin)

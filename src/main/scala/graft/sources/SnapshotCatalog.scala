@@ -144,7 +144,25 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     else {
       val sp = spark
       new Table with SupportsRead with SupportsWrite
-          with SupportsDelete {
+          with SupportsDelete
+          with SupportsRowLevelOperations {
+        /** STOCK Spark `UPDATE` / `MERGE INTO` / non-translatable
+          * `DELETE` (SupportsRowLevelOperations): Spark rewrites the
+          * statement into ReplaceData over a copy-on-write group scan
+          * — the scan is the ordinary sidecar-pruned catalog scan (so
+          * static predicates AND runtime group filters skip files
+          * through stats/Bloom/partition dirs), and the write commits
+          * through the protocol's group-replace claim
+          * (Snapshots.commitReplaceEntries). Translatable DELETEs
+          * still collapse to the metadata-only SupportsDelete path
+          * (Spark's OptimizeMetadataOnlyDeleteFromTable).
+          */
+        override def newRowLevelOperationBuilder(
+            info: org.apache.spark.sql.connector.write
+              .RowLevelOperationInfo)
+            : org.apache.spark.sql.connector.write
+              .RowLevelOperationBuilder =
+          () => new SnapshotRowLevelOperation(sp, t, info.command())
         override def name(): String = inner.name
         override def schema(): StructType = inner.schema
         override def capabilities(): util.Set[TableCapability] =
@@ -499,7 +517,9 @@ object SnapshotCatalog {
       table: String, scanName: String, entries: Seq[String],
       files: Seq[String], declared: Option[StructType],
       colmap: Map[String, String], partition: Seq[(String, String)],
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap,
+      onBuild: Scan => Unit = _ => (),
+      groupFilterOnly: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -562,9 +582,18 @@ object SnapshotCatalog {
       liveEntries = kept
       pushedCatalyst = filters
       if (kept.size < entries.size) inner = builderFor(pathsFor(kept.toSet))
-      inner.pushFilters(filters)
+      // a ROW-LEVEL operation's pushed condition is a GROUP hint, not a
+      // row filter: the scan must return EVERY row of every kept file
+      // (Spark rewrites whole groups — a parquet record- or row-group-
+      // level filter here would silently DROP the carried rows of a
+      // partially-matching file from the rewrite). File-level sidecar
+      // skipping above stays sound: an excluded file is not replaced,
+      // so its rows survive untouched.
+      if (groupFilterOnly) filters
+      else inner.pushFilters(filters)
     }
-    override def pushedFilters: Array[Predicate] = inner.pushedFilters
+    override def pushedFilters: Array[Predicate] =
+      if (groupFilterOnly) Array.empty else inner.pushedFilters
     override def pruneColumns(required: StructType): Unit = {
       requiredLogical = Some(required)
       inner.pruneColumns(toPhys(required))
@@ -712,7 +741,7 @@ object SnapshotCatalog {
       */
     private def rebuildFor(keep: Set[String]): Scan = {
       val b = builderFor(pathsFor(keep))
-      b.pushFilters(pushedCatalyst)
+      if (!groupFilterOnly) b.pushFilters(pushedCatalyst)
       requiredLogical.foreach(r => b.pruneColumns(toPhys(r)))
       val s = b.build()
       if (colmap.isEmpty) s
@@ -722,7 +751,9 @@ object SnapshotCatalog {
     override def build(): Scan = {
       statsServed.foreach { case (schema, row) =>
         Snapshots.lastAggAnswered = Some(schema.fields.length)
-        return new SnapshotCatalog.StatsAggScan(schema, row)
+        val scan = new SnapshotCatalog.StatsAggScan(schema, row)
+        onBuild(scan)
+        return scan
       }
       val s0 = inner.build()
       val s = if (colmap.isEmpty) s0
@@ -730,10 +761,13 @@ object SnapshotCatalog {
       // a pushed aggregate rewrites the scan's output to the agg values
       // — a runtime file re-prune under it would change RESULTS, not
       // just IO (partial MIN of fewer files), so it opts out
-      if (aggPushed) s
-      else new SnapshotCatalog.RuntimeFilterableScan(spark, table,
-        liveEntries, declared, colmap, partition, s, rebuildFor,
-        allowRuntimeFilter = !truncated)
+      val built =
+        if (aggPushed) s
+        else new SnapshotCatalog.RuntimeFilterableScan(spark, table,
+          liveEntries, declared, colmap, partition, s, rebuildFor,
+          allowRuntimeFilter = !truncated)
+      onBuild(built)
+      built
     }
   }
 
@@ -767,6 +801,20 @@ object SnapshotCatalog {
 
     @volatile private var current: Scan = initial
     @volatile private var live: Seq[String] = baseEntries
+
+    /** The entry set this scan will actually read — static prune plus
+      * any runtime re-prune that already arrived. What the row-level
+      * REPLACE commit removes (sources/SnapshotRowLevel.scala).
+      */
+    private[sources] def currentEntries: Seq[String] = live
+
+    /** True once Spark pushed a runtime filter into this scan — the
+      * row-level operation's discriminator between its ReplaceData READ
+      * scan (group-filtered at execution) and the group-filter
+      * SUBQUERY's scan of the same table (never filtered). Set before
+      * any early return: the invocation is the signal, not the prune.
+      */
+    @volatile private[sources] var runtimeFilterInvoked = false
 
     /** The declared IDENTITY transform as a reported storage
       * partitioning (`SupportsReportPartitioning`): the `__gp=` dirs
@@ -882,6 +930,7 @@ object SnapshotCatalog {
     }
 
     override def filter(predicates: Array[Predicate]): Unit = {
+      runtimeFilterInvoked = true
       // a LIMIT/TopN-truncated file list must not shrink further: the
       // kept subset is exactly sufficient for the query's k rows
       if (!allowRuntimeFilter) return

@@ -3746,6 +3746,95 @@ object Snapshots {
         s"$maxRetries attempts")
   }
 
+  /** GROUP-REPLACE commit — the protocol seat for STOCK Spark row-level
+    * SQL (`UPDATE` / `MERGE INTO` / copy-on-write `DELETE` through the
+    * catalog's SupportsRowLevelOperations face, sources/
+    * SnapshotRowLevel.scala): the already-staged files REPLACE exactly
+    * `replaced` (the files the operation's scan read — Spark rewrote
+    * their surviving rows), every other file carries by name, one
+    * atomic claim publishes. Validation mirrors the staged stream
+    * commit: checks/tombstoned-keys/dropped-columns enforced on the
+    * staged rows read back through the writers' colmap; a racing
+    * RENAME or partition-transform change refuses (stale physical
+    * names / dir values).
+    *
+    * CONFLICTS refuse, never merge: if any replaced file is no longer
+    * referenced at claim time (a concurrent rewrite/delete/OPTIMIZE
+    * churned it) or pending tombstones appeared since the scan, the
+    * staged files are reclaimed and a ConcurrentModificationException
+    * surfaces — the Delta/Iceberg write-conflict discipline. Racing
+    * APPENDS are fine (their files are not replaced; the operation ran
+    * on its snapshot — ordinary snapshot isolation).
+    */
+  def commitReplaceEntries(spark: SparkSession, table: String,
+      replaced: Seq[String], staged: Seq[String],
+      stagedColmap: Map[String, String],
+      stagedPartition: Option[String] = None,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dataDir(table))
+    def dropStaged(): Unit =
+      staged.foreach(n => f.delete(new Path(dataDir(table), n), false))
+    if (replaced.isEmpty && staged.isEmpty)
+      return currentVersion(spark, table) // nothing scanned, nothing written
+    val replacedSet = replaced.toSet
+    def validate(lines: Seq[String]): Option[types.StructType] =
+      try {
+        if (colmapOf(lines) != stagedColmap)
+          throw new IllegalStateException(
+            s"row-level write to $table raced a concurrent RENAME " +
+              "COLUMN — the staged files carry stale physical names")
+        if (staged.exists(_.contains(PartPrefix)) &&
+            partRawOf(lines) != stagedPartition)
+          throw new IllegalStateException(
+            s"row-level write to $table raced a partition-transform " +
+              "change — the staged entries carry stale dir prefixes")
+        if (tombstonesOf(lines).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level write to $table raced a lazy DELETE — pending " +
+              "tombstones landed after the operation's scan")
+        if (staged.isEmpty) schemaOf(lines) // all scanned rows deleted
+        else {
+          val paths = staged.map(n => new Path(dataDir(table), n).toString)
+          val physToLogical = stagedColmap.map(_.swap)
+          val read0 = spark.read.parquet(paths: _*)
+          val batch =
+            if (physToLogical.isEmpty) read0
+            else read0.withColumnsRenamed(physToLogical.filter {
+              case (p, l) => p != l && read0.columns.contains(p)
+            })
+          refuseDroppedColumns(batch, table, lines)
+          enforceChecks(batch, checksOf(lines), table, schemaOf(lines))
+          Some(evolveSchema(schemaOf(lines), batch.schema))
+        }
+      } catch { case e: Throwable => dropStaged(); throw e }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, table)
+      val lines = manifestLines(spark, table, head)
+      val files = filesOf(lines)
+      val gone = replaced.filterNot(files.toSet)
+      if (gone.nonEmpty) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"row-level write to $table conflicts with a concurrent " +
+            s"commit: ${gone.size} of the ${replaced.size} scanned " +
+            "file(s) are no longer referenced at the head — re-run the " +
+            "statement against the new snapshot")
+      }
+      val evolved = validate(lines)
+      if (claimManifest(spark, table, head + 1, contentOf(
+          evolved, marksOf(lines),
+          files.filterNot(replacedSet) ++ staged, "replaceData",
+          checksOf(lines), tombstonesOf(lines), tombstoneColOf(lines),
+          droppedOf(lines), colmapOf(lines), partRawOf(lines))))
+        return head + 1
+      attempt += 1
+    }
+    dropStaged()
+    throw new IllegalStateException(
+      s"row-level replace on $table failed after $maxRetries attempts")
+  }
+
   /** RESTORE: roll the table back to `toVersion`'s state as a NEW commit
     * — the time-travel undo (Delta's RESTORE TABLE). ZERO-COPY: the new
     * manifest re-references `toVersion`'s still-retained data files by

@@ -416,7 +416,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("UPDATE and MERGE INTO owned catalog identifiers run the protocol's commits") {
+  test("UPDATE and MERGE INTO owned catalog identifiers run STOCK Spark row-level plans onto the protocol") {
     val root = Files.createTempDirectory("graft_snapsql_rl").toString
     val t = root + "/t"
     Snapshots.commitAppend(spark,
@@ -424,25 +424,26 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gsqlrl",
       classOf[graft.sources.SnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.gsqlrl.root", root)
-    // identifier UPDATE — the same copy-on-write commit the quoted-path
-    // form runs (Spark's own UPDATE would refuse: no row-level-op seat)
-    val ru = spark.sql("UPDATE gsqlrl.t SET x = x + 1 WHERE id <= 2").head
-    assert(ru.getLong(0) == 2L && ru.getLong(1) == 2L)
+    // identifier UPDATE — Spark's OWN row-level rewrite (the parser no
+    // longer intercepts identifiers; the catalog has a
+    // SupportsRowLevelOperations seat), committed as replaceData
+    spark.sql("UPDATE gsqlrl.t SET x = x + 1 WHERE id <= 2")
     assert(spark.sql("SELECT x FROM gsqlrl.t WHERE id = 1").head
       .getDouble(0) == 11.0)
-    // identifier MERGE — the keyed upsert through the same engine
+    // identifier MERGE — stock resolution too (explicit ON condition)
     Seq((3L, 999.0), (9L, 90.0)).toDF("id", "x")
       .createOrReplaceTempView("graft_rl_src")
-    val rm = spark.sql("MERGE INTO gsqlrl.t USING graft_rl_src ON (id) " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").head
-    assert(rm.getLong(0) == 3L && rm.getLong(1) == 2L)
+    spark.sql("MERGE INTO gsqlrl.t t USING graft_rl_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     val st = spark.sql("SELECT id, x FROM gsqlrl.t").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(st.size == 7 && st(3L) == 999.0 && st(9L) == 90.0 &&
       st(1L) == 11.0)
     // the commits are first-class history (no side door)
     assert(Snapshots.history(spark, t).select("op").collect()
-      .map(_.getString(0)).toSeq == Seq("merge", "update", "append"))
+      .map(_.getString(0)).toSeq ==
+      Seq("replaceData", "replaceData", "append"))
     // UNOWNED identifiers keep delegating to Spark (vanilla failure
     // modes, never our resolver's)
     spark.range(3).createOrReplaceTempView("graft_rl_plain")
