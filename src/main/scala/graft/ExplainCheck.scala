@@ -672,6 +672,35 @@ object ExplainCheck {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }
+    // stock row-level SQL is GROUP-GRANULAR copy-on-write: an UPDATE
+    // whose condition the stats sidecar can prune rewrites only the
+    // matching range files — untouched files carry BY NAME through the
+    // replace commit, and no row is lost across the partial-file cut
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_rl").toString
+      val t = root + "/t"
+      graft.warehouse.Snapshots.commitAppend(spark,
+        spark.range(0, 4000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+          .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+        t)
+      graft.warehouse.Snapshots.extendStats(spark, t, Seq("id"))
+      spark.conf.set("spark.sql.catalog.gexrl",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gexrl.root", root)
+      val before = graft.warehouse.Snapshots.filesAt(spark, t, 1L)
+      spark.sql("UPDATE gexrl.t SET v = v + 10000 WHERE id < 750")
+      val after = graft.warehouse.Snapshots.filesAt(spark, t, 2L)
+      val carried = after.toSet.intersect(before.toSet)
+      val r = spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN v >= 10000 THEN 1 ELSE 0 " +
+          "END) AS bumped FROM gexrl.t").collect()(0)
+      val pass = before.size == 8 && carried.size >= 6 &&
+        r.getLong(0) == 4000L && r.getLong(1) == 750L
+      if (!pass) { bad += 1
+        println(s"before=${before.size} carried=${carried.size} r=$r") }
+      println(f"snap_rowlevel_cow        ${if (pass) "PLAN_OK " else "PLAN_BAD"} stock UPDATE rewrites only matching files, zero rows lost")
+    }
     // registry-wide lambda lint (the dev gate TextFns/Text scaladoc points
     // at): no registered query's optimized plan may re-tokenize per array
     // element inside a HOF lambda — the O(len²) class that shipped twice.
