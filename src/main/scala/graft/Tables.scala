@@ -26,8 +26,25 @@ object Tables {
   /** Dimension tables that should always be on the broadcast side of a join. */
   val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-inferred schema per fixture path, memoized per JVM — the
+    * fixtures are immutable, so re-inferring the same footer on every
+    * `load` call (hundreds of times across a bench run) is repeated
+    * metadata I/O for a constant answer. Data reads are untouched:
+    * `spark.read.schema(s).parquet(path)` scans the same bytes, it just
+    * skips the inference step (same memo discipline as
+    * [[saneEventDirs]]). Schema-on-read is preserved — the first load
+    * of a path still reads the real footer.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val s = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

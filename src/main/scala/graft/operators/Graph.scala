@@ -47,19 +47,35 @@ object Graph {
       edges: DataFrame,
       iterations: Int,
       damping: Double = 0.85,
-      iterDp: Int = 10): DataFrame = {
+      iterDp: Int = 10,
+      cacheTag: String = "default"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // generation-bounded caches (graft.ScopedCache): nodes (|V|) and the
-    // weighted edge set (|E|) are reused every superstep; both are far
-    // smaller than the joins that build them
-    val nodes = graft.ScopedCache.replace("pagerank.nodes",
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst")))
+    // generation-bounded caches (graft.ScopedCache): the edge set (|E|)
+    // plus nodes (|V|) and the out-weight-joined edges, all reused every
+    // superstep and far smaller than the joins that build them. EDGES
+    // MUST BE CACHED FIRST: nodes (distinct), outw (groupBy) and ew
+    // (join) each re-reference the edge frame, so an uncached `edges`
+    // re-ran its entire upstream build (a 4-way fact join for the trade
+    // graph, the full pair census for TextRank) three times per call —
+    // measured 2-3× of the whole query's cost (guide §1.2: don't
+    // compute things twice before tuning anything else)
+    // cache keys carry the CALLER's tag: two operators ranking different
+    // graphs (the trade graph, the TextRank co-occurrence graph) are two
+    // different cached artifacts — one shared key made them evict each
+    // other on every alternation, so neither ever kept its edge set warm
+    val edgesC = graft.ScopedCache.replace(s"pagerank.$cacheTag.edges", edges)
+    // endpoints via ONE explode scan, not union(select src, select dst):
+    // a union's two branches scan the cached edges concurrently, and on
+    // the FIRST materialization that race computes every partition of
+    // the (expensive) edge build twice
+    val nodes = graft.ScopedCache.replace(s"pagerank.$cacheTag.nodes",
+      edgesC.select(explode(array(col("src"), col("dst"))).as("node"))
         .distinct())
     val n = nodes.count().toDouble
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val outw = edgesC.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // (src, dst, w, ow) — reused every superstep
-    val ew = graft.ScopedCache.replace("pagerank.ew", edges.join(outw, "src"))
+    val ew = graft.ScopedCache.replace(s"pagerank.$cacheTag.ew",
+      edgesC.join(outw, "src"))
 
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))

@@ -74,7 +74,8 @@ object GraphQ {
             |       GROUP BY 1)
             |SELECT node, round(r, 6) AS pagerank FROM r3""".stripMargin),
     (spark, dir) =>
-      Graph.pageRank(tradeEdges(spark, dir), iterations = 3, damping = 0.85, iterDp = 10)
+      Graph.pageRank(tradeEdges(spark, dir), iterations = 3, damping = 0.85,
+          iterDp = 10, cacheTag = "trade")
         .select(col("node"), round(col("r"), 6).as("pagerank")))
 
   /** G2: exact triangle census of the part co-purchase graph (parts

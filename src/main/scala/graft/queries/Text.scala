@@ -1115,25 +1115,42 @@ object Text {
            |            LEFT JOIN r2 ON r2.node = e.src GROUP BY 1)
            |SELECT node AS token, round(r, 6) AS textrank FROM r3""".stripMargin),
     (spark, dir) => {
-      // forward window as lead() pairs — O(tokens), never the O(tokens ×
-      // width) banded self-join the declarative oracle states
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val tk = Tables.documents(spark, dir)
-        .select(col("doc_id"), posexplode(TextFns.tokens(col("text")))
-          .as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-      val pairs = tk
-        .withColumn("n1", lead(col("tok"), 1).over(w))
-        .withColumn("n2", lead(col("tok"), 2).over(w))
-      val pr = pairs.select(col("tok").as("src"), col("n1").as("dst"))
-        .union(pairs.select(col("tok"), col("n2")))
+      // forward window as array offsets — O(tokens), never the O(tokens ×
+      // width) banded self-join the declarative oracle states. The token
+      // array already carries the order, so the (tok, +1) and (tok, +2)
+      // pairs come from zip_with against slices of the SAME array: one
+      // codegen'd explode straight off the scan, where the previous
+      // lead()-window form paid an Exchange + per-doc sort of every
+      // token first (guide §2.4: remove shuffles outright). zip_with
+      // pads the shorter slice with nulls — exactly lead()'s
+      // end-of-doc semantics — and the null/self-pair filter is
+      // unchanged, so the pair multiset is identical.
+      val wArr = col("w")
+      // indexed transform + try_element_at: O(1) lookahead per token with
+      // no intermediate array copies (slice/zip_with would allocate two
+      // array copies per doc per offset); try_element_at returns NULL
+      // past the end — lead()'s end-of-doc semantics
+      def offsetPairs(k: Int) = transform(wArr,
+        (x, i) => struct(x.as("src"),
+          try_element_at(wArr, i + lit(k + 1)).as("dst")))
+      val pr = Tables.documents(spark, dir)
+        .select(TextFns.tokens(col("text")).as("w"))
+        .select(explode(concat(offsetPairs(1), offsetPairs(2))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
         .filter(col("dst").isNotNull && col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
-      val e = pr.select(col("src"), col("dst"), col("c"))
-        .union(pr.select(col("dst"), col("src"), col("c")))
+      // symmetrize via a 2-struct explode instead of union(pr, pr.swap):
+      // a union evaluates the pair census once per branch — the explode
+      // form reads it once (guide §1.2: don't compute things twice)
+      val e = pr.select(explode(array(
+          struct(col("src"), col("dst"), col("c")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("c"))))
+          .as("x"))
+        .select(col("x.src").as("src"), col("x.dst").as("dst"),
+          col("x.c").as("c"))
         .groupBy(col("src"), col("dst")).agg(sum(col("c")).cast("double").as("w"))
-      graft.operators.Graph.pageRank(e, iterations = 3, damping = 0.85, iterDp = 10)
+      graft.operators.Graph.pageRank(e, iterations = 3, damping = 0.85,
+        iterDp = 10, cacheTag = "textrank")
         .select(col("node").as("token"), round(col("r"), 6).as("textrank"))
     })
 

@@ -544,10 +544,53 @@ object SnapshotCatalog {
         f.copy(name = colmap.getOrElse(f.name, f.name))))
     private val physDeclared = declared.map(toPhys)
 
+    /** One driver-side `getFileStatus` per manifest file, fetched once
+      * per scan build and served to every (re)built index below —
+      * `ParquetTable`'s own `InMemoryFileIndex` would instead re-LIST
+      * the path set on every construction, and above the
+      * parallelPartitionDiscovery threshold (32) that is a whole Spark
+      * job with one task per file, run twice per pruned read (once for
+      * the initial builder, once for the post-prune rebuild). The
+      * manifest already knows the files; re-discovering them is pure
+      * overhead at any scale (guide §6: manifest metadata avoids
+      * listing).
+      */
+    private lazy val statusByPath: Map[Path, org.apache.hadoop.fs.FileStatus] = {
+      val ps = files.map(new Path(_))
+      val f = ps.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ps.zip(graft.warehouse.ManifestFileIndex
+        .statusesOf(f, ps.head.getParent, files)).toMap
+    }
+    private object PinnedStatusCache
+      extends org.apache.spark.sql.execution.datasources.FileStatusCache {
+      override def getLeafFiles(path: Path)
+          : Option[Array[org.apache.hadoop.fs.FileStatus]] =
+        statusByPath.get(path).map(Array(_))
+      override def putLeafFiles(path: Path,
+          leafFiles: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
+
     private def builderFor(paths: Seq[String]): FileScanBuilder =
-      ParquetTable(scanName, spark, CaseInsensitiveStringMap.empty(),
-        paths, physDeclared, classOf[ParquetFileFormat])
-        .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+      physDeclared match {
+        case Some(ds) =>
+          // pre-fetched statuses + an empty partition spec: the index
+          // construction does zero FS work and zero partition inference
+          // (explicit file roots never infer partitions — same contract
+          // as ParquetTable over explicit paths)
+          val index = new org.apache.spark.sql.execution.datasources
+            .InMemoryFileIndex(spark, paths.map(new Path(_)),
+              Map.empty[String, String], Some(ds), PinnedStatusCache,
+              Some(org.apache.spark.sql.execution.datasources
+                .PartitionSpec.emptySpec), None)
+          new org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScanBuilder(spark, index, ds, ds, options)
+        case None => // legacy no-schema table: footer inference needs
+          // ParquetTable's own discovery path
+          ParquetTable(scanName, spark, CaseInsensitiveStringMap.empty(),
+            paths, physDeclared, classOf[ParquetFileFormat])
+            .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+      }
 
     private var inner: FileScanBuilder = builderFor(files)
     // builder state the RUNTIME re-prune replays on its rebuilt scan:

@@ -983,13 +983,50 @@ object Snapshots {
   private def readWithSchema(spark: SparkSession, table: String,
       names: Seq[String], schema: Option[types.StructType],
       colmap: Map[String, String]): DataFrame = {
-    val paths = names.map(n => new Path(dataDir(table), n).toString)
     schema match {
       case Some(s) =>
-        val df = spark.read.schema(physSchema(s, colmap)).parquet(paths: _*)
+        val df = readFileList(spark, table, names, physSchema(s, colmap))
         if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
-      case None => spark.read.parquet(paths: _*)
+      case None => // legacy manifests without a declared schema: parquet
+        // footer inference is the only source of truth — keep Spark's own
+        // discovery path for them
+        spark.read.parquet(
+          names.map(n => new Path(dataDir(table), n).toString): _*)
     }
+  }
+
+  /** Scan exactly `names` under the given PHYSICAL schema through a
+    * manifest-backed [[ManifestFileIndex]]: no file-listing job, no
+    * footer schema inference — the manifest is the index (guide §6).
+    * Same FileSourceScanExec, pushdown and pruning as a plain
+    * `spark.read.schema(...).parquet(paths)`.
+    */
+  private def readFileList(spark: SparkSession, table: String,
+      names: Seq[String], phys: types.StructType): DataFrame = {
+    val dd = dataDir(table)
+    val f = fs(spark, dd)
+    val index = new ManifestFileIndex(dd,
+      ManifestFileIndex.statusesOf(f, dd, names))
+    // force-nullable mirrors DataFrameReader.schema(...)'s asNullable:
+    // schema-evolved files missing a later column must serve NULL, not
+    // refuse the read
+    def asNullable(dt: types.DataType): types.DataType = dt match {
+      case s: types.StructType => types.StructType(s.fields.map(fd =>
+        fd.copy(dataType = asNullable(fd.dataType), nullable = true)))
+      case a: types.ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: types.MapType =>
+        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case x => x
+    }
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, types.StructType(Nil),
+      asNullable(phys).asInstanceOf[types.StructType], None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat, Map.empty[String, String])(spark)
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel, isStreaming = false))
   }
 
   // ------------------------------------------------------------------
@@ -3124,13 +3161,7 @@ object Snapshots {
     val schema = schemaOf(lines)
     val colmap = colmapOf(lines)
     def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
-      schema match {
-        case Some(s) =>
-          val df = spark.read.schema(physSchema(s, colmap))
-            .parquet(paths: _*)
-          if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
-        case None => spark.read.parquet(paths: _*)
-      })
+      readWithSchema(spark, table, paths, schema, colmap))
     val dd = dataDir(table).toString
     if (graft.operators.Layout.statsManifestCols(spark, dd).isEmpty) {
       graft.operators.Layout.lastStatsPruned = None
@@ -3234,11 +3265,11 @@ object Snapshots {
       -expectedItemsPerFile.toDouble * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong)
     val rd = schemaOf(lines) match {
-      case Some(s) => spark.read
-        .schema(physSchema(
+      case Some(s) => readFileList(spark, table,
+        missing.toIndexedSeq,
+        physSchema(
           types.StructType(s.fields.filter(_.name == column)),
           colmapOf(lines)))
-        .parquet(missing.toIndexedSeq: _*)
       case None => spark.read.parquet(missing.toIndexedSeq: _*)
         .select(col(pc))
     }
@@ -3286,13 +3317,7 @@ object Snapshots {
     val schema = schemaOf(lines)
     val colmap = colmapOf(lines)
     def rd(paths: Seq[String]) = applyTombstones(spark, table, lines,
-      schema match {
-        case Some(s) =>
-          val df = spark.read.schema(physSchema(s, colmap))
-            .parquet(paths: _*)
-          if (colmap.isEmpty) df else df.toDF(s.fieldNames.toIndexedSeq: _*)
-        case None => spark.read.parquet(paths: _*)
-      })
+      readWithSchema(spark, table, paths, schema, colmap))
     val pc = physName(colmap, column)
     val bd = bloomDir(table, pc)
     if (!f.exists(bd) || keys.isEmpty) {
