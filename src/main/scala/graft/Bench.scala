@@ -58,6 +58,15 @@ object Bench {
       .filter(q => only.forall(_.contains(q._1)))
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // CACHE-HONESTY (r18): operators that ScopedCache intermediates
+      // (pagerank, triangles, textrank, kmeans, pipe_*) would otherwise
+      // serve a later timed run from an earlier run's blocks — pass 2
+      // of min-of-2, or a sibling query sharing a key within one pass —
+      // and the reported number would be warm. Memoised intermediates
+      // across timed invocations are result caching, not optimization:
+      // every timed invocation starts cache-cold and computes from the
+      // parquet inputs. (Within-invocation reuse is untouched.)
+      ScopedCache.clear()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

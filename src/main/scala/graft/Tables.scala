@@ -33,15 +33,24 @@ object Tables {
     * `spark.read.schema(s).parquet(path)` scans the same bytes, it just
     * skips the inference step (same memo discipline as
     * [[saneEventDirs]]). Schema-on-read is preserved — the first load
-    * of a path still reads the real footer.
+    * of a path still reads the real footer. Keyed by
+    * (path, mtime, length): a fixture REGENERATED in the same JVM (test
+    * reruns, refreshed dirs) gets a fresh inference instead of silently
+    * reading nulls/miscasts under the stale schema — the status probe is
+    * one metadata round-trip, the cost class of the open the read does
+    * anyway.
     */
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val s = schemaMemo.computeIfAbsent(path,
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    val s = schemaMemo.computeIfAbsent(
+      (path, st.getModificationTime, st.getLen),
       _ => spark.read.parquet(path).schema)
     spark.read.schema(s).parquet(path)
   }

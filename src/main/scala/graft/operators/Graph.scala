@@ -154,14 +154,18 @@ object Graph {
     * exchanges. GraphSpec pins both selections to identical output.
     */
   def triangleCount(oriented: DataFrame,
-      maxBroadcastEdges: Long = 4000000L): DataFrame = {
+      maxBroadcastEdges: Long = 4000000L,
+      cacheTag: String = "default"): DataFrame = {
     // ONE cached adjacency build: au/av are the same |V|-row table under
     // two aliases, and without the cache each leg ran its own
     // collect_list aggregation over |E| edges and built its own
     // broadcast (two ObjectHashAggregates + two exchanges in the
     // executed plan). sort_array makes the lists ascending —
-    // deterministic, and the contract the merge-count probe needs
-    val adj = graft.ScopedCache.replace("triangles.adj",
+    // deterministic, and the contract the merge-count probe needs.
+    // The cache key carries the CALLER's tag like pageRank's does: two
+    // callers counting different graphs must not evict each other's
+    // adjacency on every alternation.
+    val adj = graft.ScopedCache.replace(s"triangles.$cacheTag.adj",
       oriented.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs")))
     val au = adj.select(col("u").as("ju"), col("nbrs").as("nu"))

@@ -30,14 +30,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull=false is the statically-checkable slice of the sorted
+    // duplicate-free contract: eval/codegen read elements via raw
+    // getLong/getInt, so a null element would silently count as 0 —
+    // refuse at analysis instead (collect_list-built adjacency lists are
+    // containsNull=false by construction; anything else is a misuse)
     (left.dataType, right.dataType) match {
-      case (ArrayType(lt, _), ArrayType(rt, _))
+      case (ArrayType(lt, false), ArrayType(rt, false))
           if lt == rt && (lt == LongType || lt == IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires two array<int>|array<bigint> arguments " +
-          s"of the same type, got ${left.dataType.sql} and " +
-          s"${right.dataType.sql}")
+          s"of the same type with non-nullable elements, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
     }
   }
 

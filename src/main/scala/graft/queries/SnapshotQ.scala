@@ -27,6 +27,25 @@ import graft.warehouse.Snapshots
   */
 object SnapshotQ {
 
+  /** Force PLANNING — analysis + optimization + physical planning,
+    * which is where DSv2 pushdown runs and the `Snapshots.last*Pruned` /
+    * `lastAggAnswered` spec hooks are set — WITHOUT executing. The
+    * caller asserts its hook right after; the frame stays LAZY, so the
+    * final sink computes it exactly once instead of paying an eager
+    * `localCheckpoint` job here plus a block re-read there (guide §1.2:
+    * the checkpoint was a whole extra pass whose only job was setting a
+    * planning-time hook; snap_partition alone carried two of them and
+    * its final plan scanned `ExistingRDD` checkpoint blocks instead of
+    * parquet). Hooks that only fire at EXECUTION (runtime join-key
+    * filtering) and plan gates scoped to a temporarily-set conf keep
+    * their eager pin — see snap_runtime_skip / snap_keygroup_agg.
+    */
+  private def planned(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    df.queryExecution.executedPlan
+    df
+  }
+
   val snapChangeFeed = QueryDef(
     "snap_change_feed",
     Some("""SELECT o_orderkey, o_custkey,
@@ -1171,8 +1190,9 @@ object SnapshotQ {
         .filter(col("o_orderkey").isInCollection(keys))
         .withColumn("o_totalprice", round(col("o_totalprice"), 4))
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .localCheckpoint(true) // pin: the hook assert below must see
-                               // THIS read's prune, executed exactly once
+      // the hook below sees THIS read's prune: readPrunedByKeys probes
+      // the bloom sidecar eagerly at build time (driver-side), so the
+      // frame can stay lazy — the sink computes it exactly once
       val (chosen, total) = Snapshots.lastBloomPruned.getOrElse(
         throw new IllegalStateException("bloom index not consulted"))
       require(total == 16 && chosen < total,
@@ -1227,19 +1247,17 @@ object SnapshotQ {
       val cut = orders.agg(min(col("o_orderkey"))).head.getLong(0) + 1000L
       val keys = orders.orderBy("o_orderkey").limit(3)
         .collect().map(_.getLong(0))
-      val rangeLeg = spark.sql(
+      val rangeLeg = planned(spark.sql( // pin: the hook below must see
         s"""SELECT o_orderkey, o_custkey, 'range' AS part
-           |FROM $cat.ranget WHERE o_orderkey < $cut""".stripMargin)
-        .localCheckpoint(true) // pin: the hook below must see THIS plan
+           |FROM $cat.ranget WHERE o_orderkey < $cut""".stripMargin))
       val (rc, rn) = Snapshots.lastCatalogPruned.getOrElse(
         throw new IllegalStateException("stats sidecar not consulted"))
       require(rn == 16 && rc < rn,
         s"range predicate opened $rc of $rn files — no skip")
-      val pointLeg = spark.sql(
+      val pointLeg = planned(spark.sql(
         s"""SELECT o_orderkey, o_custkey, 'point' AS part
            |FROM $cat.bloomt
-           |WHERE o_orderkey IN (${keys.mkString(", ")})""".stripMargin)
-        .localCheckpoint(true)
+           |WHERE o_orderkey IN (${keys.mkString(", ")})""".stripMargin))
       val (bc, bn) = Snapshots.lastCatalogPruned.getOrElse(
         throw new IllegalStateException("bloom sidecar not consulted"))
       require(bn == 16 && bc < bn,
@@ -1504,13 +1522,12 @@ object SnapshotQ {
       // the 1-of-N proof: a PINNED catalog-SQL read with a pushed date
       // predicate opens only the recent months (plus the flat files,
       // which can never be skipped) — strict subset, asserted in-query
-      val pinned = spark.sql(
+      val pinned = planned(spark.sql( // pin: the hook must see THIS plan
         s"""SELECT o_orderkey, o_custkey,
            |CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
            |'pinned_recent' AS part
            |FROM $cat.t VERSION AS OF 3
-           |WHERE o_orderdate >= '2000-06-01'""".stripMargin)
-        .localCheckpoint(true) // pin: the hook must see THIS plan
+           |WHERE o_orderdate >= '2000-06-01'""".stripMargin))
       val (pc, pn) = Snapshots.lastCatalogPruned.getOrElse(
         throw new IllegalStateException("partition dirs not consulted"))
       require(pc < pn, s"date predicate opened $pc of $pn files — no skip")
@@ -1540,14 +1557,13 @@ object SnapshotQ {
       require(Snapshots.filesAt(spark, ct, 2L).forall(en =>
           en.contains("__gp=") && en.contains("__gp2=")),
         "composite append must land under nested __gp=/__gp2= dirs")
-      val composite = spark.sql(
+      val composite = planned(spark.sql(
         s"""SELECT o_orderkey, o_custkey,
            |CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
            |'composite' AS part
            |FROM $cat.ct
            |WHERE o_orderdate >= '1997-06-01'
-           |  AND o_orderpriority = '1-URGENT'""".stripMargin)
-        .localCheckpoint(true)
+           |  AND o_orderpriority = '1-URGENT'""".stripMargin))
       val (cc, cn) = Snapshots.lastCatalogPruned.getOrElse(
         throw new IllegalStateException("composite dirs not consulted"))
       require(cc < cn && cc * 3 <= cn,
@@ -1742,7 +1758,10 @@ object SnapshotQ {
            |       CAST(min(o_orderdate) AS STRING) AS min_d,
            |       CAST(max(o_orderdate) AS STRING) AS max_d
            |FROM $cat.t""".stripMargin)
-      val out = q.localCheckpoint(true) // execute NOW: hook + plan below
+      val out = planned(q) // plan NOW: hook + plan gate below are both
+                           // planning-time (the stats scan answers at
+                           // pushAggregation; executedPlan is inspectable
+                           // unexecuted)
       require(Snapshots.lastAggAnswered.contains(7),
         s"stats sidecar must answer all 7 aggregates, got " +
           s"${Snapshots.lastAggAnswered}")
@@ -1786,10 +1805,9 @@ object SnapshotQ {
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.SnapshotCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      val prefix = spark.sql(
+      val prefix = planned(spark.sql( // pin: the hook must see THIS scan
         s"""SELECT count(*) AS n_lim, 'prefix' AS leg
-           |FROM (SELECT * FROM $cat.t LIMIT 987)""".stripMargin)
-        .localCheckpoint(true) // pin: the hook must see THIS scan
+           |FROM (SELECT * FROM $cat.t LIMIT 987)""".stripMargin))
       val (lk, ln) = Snapshots.lastLimitPruned.getOrElse(
         throw new IllegalStateException(
           "LIMIT never truncated the file list"))
@@ -1798,11 +1816,10 @@ object SnapshotQ {
       // filtered leg: the modulo predicate is NOT sidecar-prunable
       // (every file's range matches) but IS pushed — truncation must
       // refuse, and the 11 matching rows still arrive
-      val filtered = spark.sql(
+      val filtered = planned(spark.sql(
         s"""SELECT count(*) AS n_lim, 'filtered' AS leg
            |FROM (SELECT * FROM $cat.t
-           |      WHERE o_orderkey % 100 = 7 LIMIT 11)""".stripMargin)
-        .localCheckpoint(true)
+           |      WHERE o_orderkey % 100 = 7 LIMIT 11)""".stripMargin))
       require(Snapshots.lastLimitPruned.isEmpty,
         "a filtered LIMIT must not truncate the file list")
       prefix.unionByName(filtered)
@@ -1843,10 +1860,9 @@ object SnapshotQ {
         classOf[graft.sources.SnapshotCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       def leg(order: String, tag: String) = {
-        val df = spark.sql(
+        val df = planned(spark.sql( // pin: the hook must see THIS scan
           s"""SELECT o_orderkey, o_custkey, '$tag' AS leg
-             |FROM $cat.t ORDER BY o_orderkey $order LIMIT 20""".stripMargin)
-          .localCheckpoint(true) // pin: the hook must see THIS scan
+             |FROM $cat.t ORDER BY o_orderkey $order LIMIT 20""".stripMargin))
         val (tk, tn) = Snapshots.lastTopNPruned.getOrElse(
           throw new IllegalStateException(
             s"$tag topN never pruned the file list"))

@@ -351,15 +351,24 @@ object Text {
     */
   private[graft] def bigramFrame(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val n = size(col("w"))
-    // when-guard because slice() rejects a negative length (n = 0 docs).
-    val bgs = when(n >= 2,
-      zip_with(slice(col("w"), lit(1), n - 1), slice(col("w"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
+    // indexed transform + try_element_at (the textrank census pattern):
+    // O(1) lookahead per token, no intermediate array copies — the
+    // previous slice/zip_with form allocated two array copies per doc
+    // just to align neighbours. try_element_at is NULL past the end, so
+    // the not-null filter keeps exactly positions 1..n-1 — the same
+    // bigram multiset (docs with < 2 tokens yield nothing either way).
+    // `w1` rides along for the scorer: deriving it back out of `b` via
+    // split() was a per-occurrence re-tokenization (consumers that only
+    // need `b` prune it before any shuffle).
+    val w = col("w")
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(bgs).as("b"))
+      .select(col("doc_id"), explode(transform(w, (x, i) =>
+        struct(x.as("w1"), try_element_at(w, i + lit(2)).as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("p.w1"), col("p.w2")).as("b"),
+        col("p.w1").as("w1"))
   }
 
   /** Apply the broadcast hint only when the count table's ESTIMATED
@@ -491,8 +500,7 @@ object Text {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val m = lmModel(trainDocs)
     val v = m.vDf.head.getLong(0) // vocab size: bounded driver probe
-    bigramFrame(docs)
-      .withColumn("w1", split(col("b"), " ").getItem(0))
+    bigramFrame(docs) // carries w1 — no per-occurrence split() re-parse
       .join(broadcastIfFits(m.cb, "b", m.maxBytes), Seq("b"), "left")
       .join(broadcastIfFits(m.cw, "w1", m.maxBytes), Seq("w1"), "left")
       .select(col("doc_id"),
@@ -531,14 +539,25 @@ object Text {
 
   private[graft] def trigramFrame(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // one indexed transform emits each occurrence's THREE tokens as a
+    // struct (try_element_at NULL past the end bounds i at n-2, exactly
+    // the slice form's range) — the previous shape built the trigram
+    // string from zip_with'd slices and then split() it BACK apart per
+    // occurrence to derive the context keys: a per-row re-tokenization
+    // plus three array allocations per doc, all gone here. Key strings
+    // concatenate once in the post-explode projection (codegen'd).
+    val w = col("w")
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(trigramArray(col("w"))).as("t"))
-      .select(col("doc_id"), col("t"), split(col("t"), " ").as("p"))
-      .select(col("doc_id"), col("t"),
-        concat_ws(" ", col("p").getItem(0), col("p").getItem(1)).as("b12"),
-        concat_ws(" ", col("p").getItem(1), col("p").getItem(2)).as("b23"),
-        col("p").getItem(1).as("w2"))
+      .select(col("doc_id"), explode(transform(w, (x, i) =>
+        struct(x.as("w1"), try_element_at(w, i + lit(2)).as("w2"),
+          try_element_at(w, i + lit(3)).as("w3")))).as("p"))
+      .filter(col("p.w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("p.w1"), col("p.w2"), col("p.w3")).as("t"),
+        concat_ws(" ", col("p.w1"), col("p.w2")).as("b12"),
+        concat_ws(" ", col("p.w2"), col("p.w3")).as("b23"),
+        col("p.w2").as("w2"))
   }
 
   /** Jelinek-Mercer interpolated trigram LM scoring: the trigram MLE

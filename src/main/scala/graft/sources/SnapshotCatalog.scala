@@ -557,9 +557,9 @@ object SnapshotCatalog {
       */
     private lazy val statusByPath: Map[Path, org.apache.hadoop.fs.FileStatus] = {
       val ps = files.map(new Path(_))
-      val f = ps.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
       ps.zip(graft.warehouse.ManifestFileIndex
-        .statusesOf(f, ps.head.getParent, files)).toMap
+        .statusesOf(spark.sparkContext.hadoopConfiguration,
+          ps.head.getParent, files)).toMap
     }
     private object PinnedStatusCache
       extends org.apache.spark.sql.execution.datasources.FileStatusCache {

@@ -1,6 +1,7 @@
 package graft.warehouse
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
@@ -19,10 +20,15 @@ import org.apache.spark.sql.types.StructType
   * schema: zero listing jobs, zero inference, identical scan semantics
   * (FileSourceScanExec with full pushdown/pruning over the same files).
   *
-  * Statuses are fetched driver-side at construction — one
-  * `getFileStatus` per file, threaded past 64 files. At 100 TB the next
-  * step is manifests that RECORD file sizes (Iceberg manifest entries) so
-  * even these probes vanish; the index's shape is unchanged by that.
+  * File SIZES come from the manifest itself (`#fsz:` entries, recorded
+  * at commit time — the Iceberg manifest-entry idea), so a read of a
+  * size-manifested table performs ZERO driver-side `getFileStatus`
+  * round-trips: at 100 TB / millions of files on an object store each
+  * probe is a metadata RPC and the per-file probing this replaced was
+  * the next listing-shaped bottleneck. Files whose size the manifest
+  * does not know (legacy manifests, foreign shallow-clone refs written
+  * before the size ledger) fall back to one probe each — per-path
+  * filesystem resolution, so foreign scheme/authority URIs work.
   */
 private[graft] class ManifestFileIndex(
     root: Path, statuses: Array[FileStatus]) extends FileIndex {
@@ -37,27 +43,80 @@ private[graft] class ManifestFileIndex(
 }
 
 private[graft] object ManifestFileIndex {
-  /** One `FileStatus` per manifest entry (entries resolve against `dd`
-    * like the reader's two-arg Path does, so qualified foreign URIs from
-    * shallow clones work unchanged). Threaded past 64 files — each probe
-    * is a metadata round-trip, independent by construction.
+
+  /** Resolved-path → byte length of data files whose size is KNOWN
+    * without a filesystem probe: recorded when a file is staged (the
+    * writer held its FileStatus anyway), when a manifest carrying
+    * `#fsz:` entries is resolved, and when a fallback probe answers.
+    * Data files are immutable once staged (UUID names, never rewritten
+    * in place), so an entry can never go stale; bounded and cleared
+    * wholesale past the cap — correctness never depends on a hit.
     */
-  def statusesOf(f: FileSystem, dd: Path, names: Seq[String]): Array[FileStatus] = {
-    val paths = names.map(n => new Path(dd, n))
-    if (paths.size <= 64) paths.map(f.getFileStatus).toArray
+  private val knownSizes =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Spec hook: total driver-side `getFileStatus` fallback probes issued
+    * by [[statusesOf]] since JVM start. A warm read of a size-manifested
+    * table must not advance it.
+    */
+  private[graft] val probeCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def recordSize(p: Path, len: Long): Unit = {
+    if (knownSizes.size > 262144) knownSizes.clear()
+    knownSizes.put(p.toString, len)
+  }
+
+  private[graft] def knownSize(p: Path): Option[Long] =
+    knownSizes.get(p.toString)
+
+  /** Spec hook: forget every staged/probed size, simulating a FRESH
+    * process that knows only what the manifests say.
+    */
+  private[graft] def clearSizes(): Unit = knownSizes.clear()
+
+  /** One `FileStatus` per manifest entry (entries resolve against `dd`
+    * like the reader's two-arg Path does; a fully-qualified foreign URI
+    * from a shallow clone overrides `dd` and resolves its OWN
+    * filesystem — never the table's, whose `checkPath` would refuse a
+    * foreign scheme/authority). Manifest-recorded sizes build the
+    * status directly — zero filesystem round-trips; unknown sizes fall
+    * back to one `getFileStatus` each, threaded past 64 files.
+    */
+  def statusesOf(conf: Configuration, dd: Path,
+      names: Seq[String]): Array[FileStatus] = {
+    val out = new Array[FileStatus](names.size)
+    val misses = scala.collection.mutable.ArrayBuffer.empty[(Path, Int)]
+    names.zipWithIndex.foreach { case (n, i) =>
+      val p = new Path(dd, n)
+      knownSize(p) match {
+        case Some(len) =>
+          // block size/replication/mtime are not consulted by the scan:
+          // split planning uses maxPartitionBytes over getLen, and the
+          // parquet reader seeks by length — both exact from the ledger
+          out(i) = new FileStatus(len, false, 1, 33554432L, 0L,
+            p.getFileSystem(conf).makeQualified(p))
+        case None => misses += ((p, i))
+      }
+    }
+    def probe(p: Path): FileStatus = {
+      probeCount.incrementAndGet()
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      recordSize(p, st.getLen)
+      st
+    }
+    if (misses.size <= 64) misses.foreach { case (p, i) => out(i) = probe(p) }
     else {
-      val out = new Array[FileStatus](paths.size)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, Runtime.getRuntime.availableProcessors()))
       try {
-        val futures = paths.zipWithIndex.map { case (p, i) =>
+        val futures = misses.map { case (p, i) =>
           pool.submit(new Runnable {
-            def run(): Unit = out(i) = f.getFileStatus(p)
+            def run(): Unit = out(i) = probe(p)
           })
         }
         futures.foreach(_.get())
       } finally pool.shutdown()
-      out
     }
+    out
   }
 }

@@ -126,17 +126,34 @@ object Snapshots {
         if (fs(spark, cp).exists(cp)) readAll(cp)
         else {
           val base = bh.stripPrefix(BaseHeader).toLong
-          val baseFiles = filesOf(manifestLines(spark, table, base))
+          val baseLines = manifestLines(spark, table, base)
+          val baseFiles = filesOf(baseLines)
           val adds = raw.filter(_.startsWith(AddHeader))
             .map(_.stripPrefix(AddHeader))
           val removes = raw.filter(_.startsWith(RemoveHeader))
             .map(_.stripPrefix(RemoveHeader)).toSet
-          // every delta carries ALL non-file headers in full (they are
-          // small and bounded) — only the file list is delta-encoded
+          val kept = baseFiles.filterNot(removes) ++ adds
+          // the size ledger is delta-encoded like the file list (#fsz
+          // for adds only — O(table) size lines per delta would defeat
+          // the O(batch) commit-bytes contract): canonical form carries
+          // base sizes for surviving files plus the delta's own
+          val sizes = fileSizesOf(baseLines) ++ fileSizesOf(raw)
+          val fsz = kept.flatMap(n =>
+            sizes.get(n).map(l => s"$FszHeader$l:$n"))
+          // every delta carries ALL other non-file headers in full
+          // (they are small and bounded) — only the file list and its
+          // size ledger are delta-encoded
           raw.filter(l => l.startsWith("#") && !l.startsWith(BaseHeader) &&
-            !l.startsWith(AddHeader) && !l.startsWith(RemoveHeader)) ++
-            (baseFiles.filterNot(removes) ++ adds)
+            !l.startsWith(AddHeader) && !l.startsWith(RemoveHeader) &&
+            !l.startsWith(FszHeader)) ++ fsz ++ kept
         }
+    }
+    // seed the probe-free read path: resolved sizes are as authoritative
+    // as claim-time ones (the ledger travels with the manifest, so a
+    // table written by ANOTHER process reads probe-free too)
+    val dd = dataDir(table)
+    fileSizesOf(lines).foreach { case (n, l) =>
+      ManifestFileIndex.recordSize(new Path(dd, n), l)
     }
     if (resolvedManifests.size > 4096) resolvedManifests.clear()
     resolvedManifests.put(key, lines)
@@ -588,10 +605,11 @@ object Snapshots {
     val lines = manifestLines(spark, table, v)
     val dd = dataDir(table)
     val f = fs(spark, dd)
+    val ledger = fileSizesOf(lines) // probe-free for size-manifested tables
     filesOf(lines).map { n =>
-      val bytes =
+      val bytes = ledger.getOrElse(n,
         try f.getFileStatus(new Path(dd, n)).getLen
-        catch { case _: Exception => 0L }
+        catch { case _: Exception => 0L })
       // composite layouts census one row per LEAF partition — all
       // levels' unescaped values joined ("2024-06/eu"), exactly the
       // retention/audit granularity the nested dirs give
@@ -761,6 +779,11 @@ object Snapshots {
   def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
     filesOf(manifestLines(spark, table, version))
 
+  /** Spec hook: the version's `#fsz:` size ledger (entry → bytes). */
+  private[graft] def fileSizesAt(spark: SparkSession, table: String,
+      version: Long): Map[String, Long] =
+    fileSizesOf(manifestLines(spark, table, version))
+
   // ------------------------------------------------------------------
   // Schema evolution (manifest-recorded)
   // ------------------------------------------------------------------
@@ -779,6 +802,20 @@ object Snapshots {
   private val BaseHeader = "#base:"
   private val AddHeader = "#add:"
   private val RemoveHeader = "#remove:"
+  // per-file byte length, `#fsz:<len>:<entry>` — recorded at claim time
+  // (Iceberg-manifest-entry style) so readers build FileStatuses with
+  // ZERO per-file getFileStatus probes (ManifestFiles.statusesOf). Like
+  // the file list itself, delta manifests carry #fsz for ADDS only;
+  // resolution re-derives the rest from the base chain.
+  private val FszHeader = "#fsz:"
+
+  /** entry → byte length recorded in the lines' `#fsz:` ledger. */
+  private def fileSizesOf(lines: Seq[String]): Map[String, Long] =
+    lines.iterator.filter(_.startsWith(FszHeader)).map { h =>
+      val rest = h.stripPrefix(FszHeader)
+      val cut = rest.indexOf(':')
+      rest.substring(cut + 1) -> rest.substring(0, cut).toLong
+    }.toMap
 
   /** A full checkpoint rides alongside every Nth claimed manifest (and
     * vacuum backfills one at the new retention floor), bounding delta-
@@ -1004,9 +1041,9 @@ object Snapshots {
   private def readFileList(spark: SparkSession, table: String,
       names: Seq[String], phys: types.StructType): DataFrame = {
     val dd = dataDir(table)
-    val f = fs(spark, dd)
     val index = new ManifestFileIndex(dd,
-      ManifestFileIndex.statusesOf(f, dd, names))
+      ManifestFileIndex.statusesOf(
+        spark.sparkContext.hadoopConfiguration, dd, names))
     // force-nullable mirrors DataFrameReader.schema(...)'s asNullable:
     // schema-evolved files missing a later column must serve NULL, not
     // refuse the read
@@ -1701,15 +1738,15 @@ object Snapshots {
     // like bare names do)
     val staged = {
       val it = f.listFiles(staging, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          buf += st.getPath
+          buf += ((st.getPath, st.getLen))
       }
       buf.toSeq
     }
-    val newFiles = staged.map { p =>
+    val newFiles = staged.map { case (p, len) =>
       // walk up every __gpN= ancestor (nested composite dirs)
       val dirs = Iterator.iterate(p.getParent)(_.getParent)
         .takeWhile(d => d != null && d.getName.matches("""__gp\d*=.*"""))
@@ -1718,6 +1755,9 @@ object Snapshots {
       if (rel.nonEmpty) f.mkdirs(new Path(dd, dirs.mkString("/")))
       val target = new Path(dd, s"$rel${java.util.UUID.randomUUID}.parquet")
       require(f.rename(p, target), s"failed to stage $p")
+      // the stager held this file's status anyway — feed the size
+      // ledger so the claim never re-probes it (rename keeps length)
+      ManifestFileIndex.recordSize(target, len)
       rel + target.getName
     }
     f.delete(staging, true)
@@ -1751,9 +1791,34 @@ object Snapshots {
       version: Long, content: String): Boolean = {
     val f = fs(spark, manifestDir(table))
     f.mkdirs(manifestDir(table))
+    // enrich the claim with the per-file size ledger (#fsz): staged
+    // files were recorded by stageData, carried files by the parent's
+    // resolution — steady state costs ZERO filesystem probes here, and
+    // every read of this version then builds its FileStatuses without
+    // per-file getFileStatus round-trips (ManifestFiles.statusesOf).
+    // Best-effort per file: an unknowable size (foreign ref the probe
+    // can't reach) just means that file keeps the probing fallback.
+    val (canonical, canonicalLines) = {
+      val lines0 = content.split("\n", -1).toSeq
+        .filterNot(_.startsWith(FszHeader)) // normalize re-published lines
+      val files = filesOf(lines0)
+      val dd = dataDir(table)
+      val fsz = files.flatMap { n =>
+        val p = new Path(dd, n)
+        ManifestFileIndex.knownSize(p).orElse {
+          try {
+            val st = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+            ManifestFileIndex.recordSize(p, st.getLen)
+            Some(st.getLen)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.map(l => s"$FszHeader$l:$n")
+      }
+      val all = lines0.filter(_.startsWith("#")) ++ fsz ++ files
+      (all.mkString("\n"), all)
+    }
     val physical = {
-      val lines = content.split("\n", -1).toSeq
-      val files = filesOf(lines)
+      val files = filesOf(canonicalLines)
       val baseFiles =
         if (version <= 1) Nil
         else filesOf(manifestLines(spark, table, version - 1))
@@ -1761,11 +1826,17 @@ object Snapshots {
       val fileSet = files.toSet
       val adds = files.filterNot(baseSet)
       val removes = baseFiles.filterNot(fileSet)
-      if (version <= 1 || adds.size + removes.size + 1 >= files.size) content
-      else (lines.filter(_.startsWith("#")) ++
-        Seq(BaseHeader + (version - 1)) ++
-        adds.map(AddHeader + _) ++ removes.map(RemoveHeader + _))
-        .mkString("\n")
+      if (version <= 1 || adds.size + removes.size + 1 >= files.size)
+        canonical
+      else {
+        val sizes = fileSizesOf(canonicalLines)
+        (canonicalLines.filter(l =>
+          l.startsWith("#") && !l.startsWith(FszHeader)) ++
+          Seq(BaseHeader + (version - 1)) ++
+          adds.flatMap(n => sizes.get(n).map(l => s"$FszHeader$l:$n")) ++
+          adds.map(AddHeader + _) ++ removes.map(RemoveHeader + _))
+          .mkString("\n")
+      }
     }
     def writeAtomic(target: Path, body: String): Boolean = {
       val tmp = new Path(manifestDir(table),
@@ -1788,9 +1859,9 @@ object Snapshots {
     if (claimed) {
       // the canonical lines are known exactly — seed the resolver cache
       resolvedManifests.put((new Path(table).toString, version),
-        content.split("\n", -1).toSeq)
+        canonicalLines)
       if (version % CheckpointInterval == 0)
-        writeAtomic(checkpointPath(table, version), content)
+        writeAtomic(checkpointPath(table, version), canonical)
     }
     claimed
   }
@@ -2660,8 +2731,9 @@ object Snapshots {
       val nOut =
         if (targetFiles > 0) targetFiles
         else {
-          val bytes = filesOf(lines)
-            .map(n => f.getFileStatus(new Path(dataDir(table), n)).getLen).sum
+          val ledger = fileSizesOf(lines) // probe-free when manifested
+          val bytes = filesOf(lines).map(n => ledger.getOrElse(n,
+            f.getFileStatus(new Path(dataDir(table), n)).getLen)).sum
           math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         }
       // the rewrite is the APPLIED state and the claim carries no
