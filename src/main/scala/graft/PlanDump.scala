@@ -33,6 +33,8 @@ object PlanDump {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.warehouse.FastLocalFileSystem].getName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -71,13 +73,15 @@ object PlanDump {
       def snap(): (Int, Int, Long) = (jobs, tasks, taskMs)
     }
     spark.sparkContext.addSparkListener(L)
-    Files.createDirectories(Paths.get("plans", "r17"))
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANDUMP_DIR", "r18")
+    Files.createDirectories(Paths.get("plans", planDir))
 
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         throw new IllegalArgumentException(s"unknown query $n"))
       var plan: String = ""
       (1 to 2).foreach { run =>
+        ScopedCache.clear() // mirror Bench's cache-cold timed invocations
         val (j0, k0, m0) = L.snap()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -92,7 +96,7 @@ object PlanDump {
         if (run == 2)
           plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       }
-      Files.write(Paths.get("plans", "r17", s"${n}_$stage.txt"),
+      Files.write(Paths.get("plans", planDir, s"${n}_$stage.txt"),
         plan.getBytes("UTF-8"))
     }
     spark.stop()

@@ -258,6 +258,8 @@ object GraftSession {
       // Tables.normalizeEventTs; set ONCE here instead of mutating the
       // shared session conf per read (action-at-a-distance)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.warehouse.FastLocalFileSystem].getName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

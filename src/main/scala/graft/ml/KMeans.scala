@@ -36,6 +36,7 @@ object KMeans {
     * no full sort, no RNG.
     */
   def hashSeeds(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    // the window ranks the ALREADY-LIMITED k rows — k-bounded frame
     val w = Window.orderBy(col("hk"), col("vec_id"))
     df.select(col(idCol).as("vec_id"), Sampling.hexVal(col(idCol)).as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(k)
@@ -46,9 +47,16 @@ object KMeans {
     val d = pts.join(broadcast(centroids), "pos")
       .groupBy(col("vec_id"), col("cluster"))
       .agg(round(sum((col("x") - col("v")) * (col("x") - col("v"))), 6).as("d"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cluster"))
-    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("d"))
+    // argmin as min(struct(d, cluster)) — struct ordering IS the
+    // (d, cluster) tiebreak the row_number window used, but as a
+    // DeclarativeAggregate it partial-aggregates map-side (k candidate
+    // rows per point collapse before the exchange) and needs no per-
+    // point sort; the window form shuffled all k rows and sorted them
+    // just to keep rank 1 (guide §2.3: aggregate before you shuffle)
+    d.groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.d").as("d"))
   }
 
   private def update(pts: DataFrame, asg: DataFrame): DataFrame =

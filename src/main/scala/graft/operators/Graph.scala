@@ -92,15 +92,27 @@ object Graph {
 
   /** Undirected co-occurrence edges from item groups: every unordered
     * pair of distinct `itemCol` values sharing a `groupCol` value, with
-    * the co-occurrence count as weight. One self-join shuffled on the
-    * group key — the market-basket primitive.
+    * the co-occurrence count as weight — the market-basket primitive.
+    *
+    * Shape: ONE exchange (the group-key aggregation), then the pairs
+    * explode out of each group's sorted item array — position pairs
+    * i < j with w(i) < w(j) are exactly the self-join's row pairs
+    * (sortedness puts every copy of the smaller value first, so a value
+    * pair {x < y} contributes cnt(x)·cnt(y) either way; equal values
+    * are excluded by the strict `<` in both forms). The previous
+    * self-join form shuffled the input TWICE (both join legs) plus the
+    * pair aggregation's exchange, and materialized the join machinery
+    * per row; groups are order-sized (bounded), so the per-group pair
+    * explode is cheap codegen (guide §2.4: remove shuffles outright).
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("g"), col(itemCol).as("pa"))
-    val b = df.select(col(groupCol).as("g"), col(itemCol).as("pb"))
-    a.join(b, "g")
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
+    val it = col("it")
+    df.groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(col(itemCol))).as("it"))
+      .select(explode(flatten(transform(it, (x, i) =>
+        transform(filter(slice(it, i + lit(2), size(it)), y => y > x),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("w"))
   }
 
@@ -113,10 +125,14 @@ object Graph {
   def orientByDegree(edges: DataFrame): DataFrame =
     orientByDegree(edges, degrees(edges))
 
-  /** Degree table of an undirected (pa, pb) edge set. */
+  /** Degree table of an undirected (pa, pb) edge set. Endpoints via ONE
+    * explode scan, not union(select pa, select pb) — a union's two
+    * branches scan the (cached) edge frame twice, racing to compute
+    * every partition twice on the first materialization (the same
+    * lesson as pageRank's nodes).
+    */
   def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("pa").as("p"))
-      .union(edges.select(col("pb")))
+    edges.select(explode(array(col("pa"), col("pb"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
 
   /** Orientation against a precomputed degree table (so callers that

@@ -74,7 +74,7 @@ object Packing {
       .groupBy("bucket")
       .agg(sum(col(tokenCol).cast("long")).as("bucket_tokens"))
       .withColumn("bucket_offset",
-        coalesce(
+        coalesce( // bucket census: ≤ targetBuckets rows by construction
           sum(col("bucket_tokens")).over(
             Window.orderBy(col("bucket"))
               .rowsBetween(Window.unboundedPreceding, -1)),

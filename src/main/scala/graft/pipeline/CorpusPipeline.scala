@@ -175,6 +175,7 @@ object CorpusPipeline {
       .map { case ((_, stage, rows), i) => (i + 1, stage, rows) }
       .toDF("stage_no", "stage", "rows")
       .withColumn("dropped", lag(col("rows"), 1, n0).over(
+        // stage-count-sized frame (≤ 7 rows) — bounded by construction
         org.apache.spark.sql.expressions.Window.orderBy(col("stage_no"))) - col("rows"))
 
     Result(curated, report)

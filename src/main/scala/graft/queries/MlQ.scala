@@ -244,7 +244,8 @@ object MlQ {
         .select(col("day"), col("ydec").cast("double").as("y"),
           (col("a") + col("b") * col("xi").cast("double")).as("yhat"))
       scored
-        .withColumn("bin", ntile(5).over(
+        .withColumn("bin", ntile(5).over( // day-census frame (calendar-
+          // bounded at any scale — the Windows.scala daily discipline)
           Window.orderBy(round(col("yhat"), 2), col("day"))))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_days"),

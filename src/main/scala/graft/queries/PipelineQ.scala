@@ -261,6 +261,8 @@ object PipelineQ {
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
       val tot = st.agg(floor(lit(0.6) * sum(col("tokens"))).cast("long")
         .as("budget"))
+      // unpartitioned over the per-SOURCE census (|sources| rows —
+      // bounded by the catalog of sources, never by documents)
       val byTok = Window.orderBy(col("tokens"), col("source"))
       val r = st
         .withColumn("rn", row_number().over(byTok).cast("long"))

@@ -672,6 +672,8 @@ object QuantGates {
         .select(to_date(col("ts")).as("day"), col("user_id"))
       val daily = ev.groupBy(col("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      // metadata-scale window (one row per day) — single partition is
+      // deliberate; the sketches, not the events, flow through it
       def cumW = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val approx = daily
@@ -844,6 +846,9 @@ object QuantGates {
       val approxSeg = cuts.foldLeft(lit(1))((acc, c) =>
         acc + when(col("monetary") > c, 1).otherwise(0))
       val exact = base.select(col("o_custkey"), col("monetary"),
+        // the EXACT global quintile is this gate's reference arm — the
+        // single-partition sort is the point (the approx arm above is
+        // the scale path the gate certifies against it)
         ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey")))
           .as("ex"))
         .withColumn("ap", approxSeg)

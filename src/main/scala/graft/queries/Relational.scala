@@ -1054,6 +1054,9 @@ object Relational {
           datediff(col("d"), col("last_order")).cast("long").as("recency_days"),
           col("frequency"), col("monetary"))
       import org.apache.spark.sql.expressions.Window
+      // unpartitioned BY CONTRACT: global quintiles are a total order
+      // over the customer census (|customers|-sized, never fact-sized);
+      // the single-partition WindowExec warning is expected here
       val s = base.select(col("monetary"),
         ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))).as("r"),
         ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f"),
@@ -1149,6 +1152,8 @@ object Relational {
       val rt = u.groupBy(col("dur_days").as("t_days"))
         .agg(sum(col("observed")).cast("long").as("n_events"),
           count(lit(1)).as("n_exits"))
+      // unpartitioned over the DAY-GRAIN lifetime table (|distinct
+      // t_days| rows — calendar-bounded at any scale)
       val km = rt.select(col("t_days"), col("n_events"),
         sum(col("n_exits")).over(Window.orderBy(col("t_days").desc)).as("n_risk"))
       val h = km.filter(col("n_events") > 0)

@@ -371,26 +371,8 @@ object Text {
         col("p.w1").as("w1"))
   }
 
-  /** Apply the broadcast hint only when the count table's ESTIMATED
-    * BROADCAST BYTES fit `maxBytes` — otherwise leave the join strategy
-    * to the planner (shuffle hash / sort-merge on the bigram key), which
-    * is the correct degradation for open vocabularies where a forced
-    * broadcast would OOM the driver. Estimated bytes = sum of key octet
-    * lengths + 48 B/row (UnsafeRow null bitmap + offset/size word +
-    * padded key + the count long, plus hash-relation entry overhead) — a
-    * row count alone is a loose proxy because bigram keys vary 10–100+
-    * bytes and 4M string rows can be hundreds of MB as a hash relation.
-    * The census itself is one agg over an already-materialized,
-    * vocab-scale table (never corpus-scale) — the same bounded-probe
-    * pattern as `Sampling.mixtureThresholds`.
-    */
-  private def broadcastIfFits(df: org.apache.spark.sql.DataFrame,
-      keyCol: String, maxBytes: Long): org.apache.spark.sql.DataFrame = {
-    val est = df.agg(count(lit(1)).as("n"),
-      sum(octet_length(col(keyCol)).cast("long")).as("kb")).head
-    val keyBytes = if (est.isNullAt(1)) 0L else est.getLong(1)
-    if (keyBytes + est.getLong(0) * 48L <= maxBytes) broadcast(df) else df
-  }
+  // (the per-table broadcastIfFits census was folded into LmModel's
+  // one grouped census job — see LmModel.hinted)
 
   /** CCNet-style n-gram LM quality scoring: train an add-one-smoothed
     * bigram model on the `doc_id % 5 != 0` split, score EVERY document by
@@ -460,27 +442,84 @@ object Text {
     * trigram scorer's two extra lookups without rebuilding.
     */
   private final case class LmModel(
-      bg: org.apache.spark.sql.DataFrame,
       cw: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame,
       vDf: org.apache.spark.sql.DataFrame,
-      maxBytes: Long)
+      c3: Option[org.apache.spark.sql.DataFrame],
+      maxBytes: Long,
+      census: Map[Int, (Long, Long)]) {
+    /** Apply the broadcast hint only when the count table's ESTIMATED
+      * BROADCAST BYTES fit `maxBytes` — otherwise leave the join
+      * strategy to the planner (shuffle hash / sort-merge on the bigram
+      * key), the correct degradation for open vocabularies where a
+      * forced broadcast would OOM the driver. Estimated bytes = sum of
+      * key octet lengths + 48 B/row (UnsafeRow null bitmap +
+      * offset/size word + padded key + the count long, plus
+      * hash-relation entry overhead) — a row count alone is a loose
+      * proxy because n-gram keys vary 10–100+ bytes. The numbers come
+      * from the model build's ONE grouped census job over the
+      * materialized count table (the trigram scorer previously paid
+      * four separate census jobs, two of them over the same cb data
+      * under different aliases).
+      */
+    def hinted(df: org.apache.spark.sql.DataFrame, kind: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val (n, kb) = census.getOrElse(kind, (0L, 0L))
+      if (kb + n * 48L <= maxBytes) broadcast(df) else df
+    }
+  }
 
-  private def lmModel(docs: org.apache.spark.sql.DataFrame): LmModel = {
+  private def lmModel(docs: org.apache.spark.sql.DataFrame,
+      withTrigrams: Boolean = false): LmModel = {
     val spark = docs.sparkSession
     val maxBytes = spark.conf.getOption("graft.lm.broadcastMaxBytes")
       .map(_.toLong).getOrElse(256L << 20)
-    val bg = bigramFrame(docs)
-    val trainTok = docs
+    // ONE pass over the train split materializes EVERY count table the
+    // scorer needs: unigrams, bigrams (and trigrams, when the
+    // interpolated model asks) explode out of the same token-array scan
+    // as (kind, key) rows into one shuffle and one checkpoint job. The
+    // previous shape paid a separate scan + shuffle + checkpoint PER
+    // table — at 100 TB that is n extra full corpus reads; at bench
+    // scale it was 2-3 extra jobs of fixed overhead per model build
+    // (guide §1.2: don't read the input more often than the algorithm
+    // needs). Key strings ride a `when` guard (NULL past the array
+    // end), so the per-order counts are exactly the per-table explodes'.
+    val w = col("w")
+    def gramStructs(kind: Int, n: Int) = transform(w, (x, i) => {
+      val key = n match {
+        case 1 => x
+        case 2 => when(try_element_at(w, i + lit(2)).isNotNull,
+          concat_ws(" ", x, try_element_at(w, i + lit(2))))
+        case 3 => when(try_element_at(w, i + lit(3)).isNotNull,
+          concat_ws(" ", x, try_element_at(w, i + lit(2)),
+            try_element_at(w, i + lit(3))))
+      }
+      struct(lit(kind).as("kind"), key.as("key"))
+    })
+    val legs = Seq(gramStructs(0, 1), gramStructs(1, 2)) ++
+      (if (withTrigrams) Seq(gramStructs(2, 3)) else Nil)
+    val counts = graft.operators.Materialize.stable(docs
       .filter(col("doc_id") % 5 =!= 0)
-      .select(explode(TextFns.tokens(col("text"))).as("w1"))
-    val cw = graft.operators.Materialize.stable(
-      trainTok.groupBy("w1").agg(count(lit(1)).as("cwc")))
+      .select(TextFns.tokens(col("text")).as("w"))
+      .select(explode(concat(legs: _*)).as("p"))
+      .filter(col("p.key").isNotNull)
+      .groupBy(col("p.kind").as("kind"), col("p.key").as("key"))
+      .agg(count(lit(1)).as("c")))
+    val cw = counts.filter(col("kind") === 0)
+      .select(col("key").as("w1"), col("c").as("cwc"))
+    val cb = counts.filter(col("kind") === 1)
+      .select(col("key").as("b"), col("c").as("cbc"))
+    val c3 = if (withTrigrams) Some(counts.filter(col("kind") === 2)
+      .select(col("key").as("t"), col("c").as("c3c"))) else None
     val vDf = cw.agg(count(lit(1)).as("v"))
-    val cb = graft.operators.Materialize.stable(
-      bg.filter(col("doc_id") % 5 =!= 0)
-        .groupBy("b").agg(count(lit(1)).as("cbc")))
-    LmModel(bg, cw, cb, vDf, maxBytes)
+    val census = counts.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("key")).cast("long")).as("kb"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toMap
+    LmModel(cw, cb, vDf, c3, maxBytes, census)
   }
 
   private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame)
@@ -501,8 +540,8 @@ object Text {
     val m = lmModel(trainDocs)
     val v = m.vDf.head.getLong(0) // vocab size: bounded driver probe
     bigramFrame(docs) // carries w1 — no per-occurrence split() re-parse
-      .join(broadcastIfFits(m.cb, "b", m.maxBytes), Seq("b"), "left")
-      .join(broadcastIfFits(m.cw, "w1", m.maxBytes), Seq("w1"), "left")
+      .join(m.hinted(m.cb, 1), Seq("b"), "left")
+      .join(m.hinted(m.cw, 0), Seq("w1"), "left")
       .select(col("doc_id"),
         coalesce(col("cbc"), lit(0L)).as("cbi"),
         coalesce(col("cwc"), lit(0L)).as("cwi"), lit(v).as("v"))
@@ -622,11 +661,9 @@ object Text {
 
   private[graft] def trigramScores(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val m = lmModel(docs)
+    val m = lmModel(docs, withTrigrams = true)
     val tg = trigramFrame(docs)
-    val c3 = graft.operators.Materialize.stable(
-      tg.filter(col("doc_id") % 5 =!= 0)
-        .groupBy("t").agg(count(lit(1)).as("c3c")))
+    val c3 = m.c3.get // folded into the model's one-pass count build
     val cb12 = m.cb.withColumnRenamed("b", "b12").withColumnRenamed("cbc", "c12c")
     val cb23 = m.cb.withColumnRenamed("b", "b23").withColumnRenamed("cbc", "c23c")
     val cw2 = m.cw.withColumnRenamed("w1", "w2").withColumnRenamed("cwc", "cw2c")
@@ -634,10 +671,10 @@ object Text {
       lit(0.7) * col("c3i") / col("c12i")).otherwise(lit(0.0))
     val pBi = lit(0.3) * (col("c23i") + lit(1.0)) / (col("cw2i") + col("v"))
     tg
-      .join(broadcastIfFits(c3, "t", m.maxBytes), Seq("t"), "left")
-      .join(broadcastIfFits(cb12, "b12", m.maxBytes), Seq("b12"), "left")
-      .join(broadcastIfFits(cb23, "b23", m.maxBytes), Seq("b23"), "left")
-      .join(broadcastIfFits(cw2, "w2", m.maxBytes), Seq("w2"), "left")
+      .join(m.hinted(c3, 2), Seq("t"), "left")
+      .join(m.hinted(cb12, 1), Seq("b12"), "left")
+      .join(m.hinted(cb23, 1), Seq("b23"), "left")
+      .join(m.hinted(cw2, 0), Seq("w2"), "left")
       .crossJoin(broadcast(m.vDf)) // one row by construction
       .select(col("doc_id"),
         coalesce(col("c3c"), lit(0L)).as("c3i"),
@@ -918,6 +955,8 @@ object Text {
             |SELECT t, CAST(sum(nw) OVER (ORDER BY t) AS BIGINT) AS vocab
             |FROM b""".stripMargin),
     (spark, dir) => {
+      // unpartitioned over the BUCKET census (one row per 50-doc-id
+      // bucket — 50× smaller than the corpus and curve-shaped output)
       val cum = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       Tables.documents(spark, dir)
@@ -1006,7 +1045,7 @@ object Text {
       val nTerms = freq.agg(count(lit(1)).as("n_terms"))
       val top = freq
         .orderBy(col("f").desc, col("term")).limit(1000)
-        .withColumn("r",
+        .withColumn("r", // ranks the ALREADY-LIMITED rows — k-bounded
           row_number().over(Window.orderBy(col("f").desc, col("term")))
             .cast("long"))
         .select(log(col("r").cast("double")).as("lx"),

@@ -119,9 +119,32 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     val partition = Snapshots.partitionsAt(spark, t, version)
     if (files.isEmpty && schema.isEmpty) throw new NoSuchTableException(ident)
     val scanName = s"${name()}.${ident.name()}@v$version"
-    val inner = ParquetTable(scanName, spark,
+    // a DECLARED schema answers the Table face directly (asNullable —
+    // the same shape FileTable would serve); forcing ParquetTable's
+    // schema instead ran its OWN InMemoryFileIndex over every file,
+    // i.e. one full listing job per loadTable (~200-300 ms per catalog
+    // query at fixture scale, a real object-store LIST at 100 TB) for
+    // an answer the manifest already holds. Legacy no-schema tables
+    // keep ParquetTable's footer-inference path — `inner` stays lazy
+    // so declared tables never construct it.
+    lazy val inner = ParquetTable(scanName, spark,
       CaseInsensitiveStringMap.empty(), files, schema,
       classOf[ParquetFileFormat])
+    def forceNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = forceNullable(a.elementType),
+          containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = forceNullable(m.valueType),
+          valueContainsNull = true)
+      case x => x
+    }
+    val tableSchema: StructType =
+      schema.map(s => forceNullable(s).asInstanceOf[StructType])
+        .getOrElse(inner.schema)
     // every read face scans through the sidecar-pruning builder: pushed
     // filters skip files via _graft_stats / per-file Blooms before the
     // parquet scan is constructed (see PruningScanBuilder)
@@ -133,8 +156,8 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     // the writable face routes inserts through the commit protocol
     if (!writable)
       new Table with SupportsRead {
-        override def name(): String = inner.name
-        override def schema(): StructType = inner.schema
+        override def name(): String = scanName
+        override def schema(): StructType = tableSchema
         override def capabilities(): util.Set[TableCapability] =
           Set(TableCapability.BATCH_READ).asJava
         override def newScanBuilder(
@@ -163,8 +186,8 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
             : org.apache.spark.sql.connector.write
               .RowLevelOperationBuilder =
           () => new SnapshotRowLevelOperation(sp, t, info.command())
-        override def name(): String = inner.name
-        override def schema(): StructType = inner.schema
+        override def name(): String = scanName
+        override def schema(): StructType = tableSchema
         override def capabilities(): util.Set[TableCapability] =
           Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
             TableCapability.TRUNCATE,
@@ -557,6 +580,11 @@ object SnapshotCatalog {
       */
     private lazy val statusByPath: Map[Path, org.apache.hadoop.fs.FileStatus] = {
       val ps = files.map(new Path(_))
+      // keyed by the RAW constructor paths: InMemoryFileIndex.
+      // listLeafFiles consults the cache with rootPathsSpecified
+      // verbatim (no qualification before the lookup — verified against
+      // the 4.1 bytecode), so the keys must match what builderFor
+      // passes in
       ps.zip(graft.warehouse.ManifestFileIndex
         .statusesOf(spark.sparkContext.hadoopConfiguration,
           ps.head.getParent, files)).toMap

@@ -60,6 +60,26 @@ object Snapshots {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursive file walk via `listStatus` — deliberately NOT
+    * `FileSystem.listFiles`: that API wraps every entry in a
+    * `LocatedFileStatus`, whose constructor EAGERLY loads permissions,
+    * and on a local FS without native Hadoop IO each load forks an
+    * `ls -ld` subprocess PER FILE (jstack'd as the dominant driver cost
+    * of every commit's staging walk — seconds per multi-file commit).
+    * `listStatus` keeps permissions lazy and never forks; block
+    * locations are irrelevant driver-side.
+    */
+  private def walkFiles(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    def go(d: Path): Unit = f.listStatus(d).foreach { st =>
+      if (st.isDirectory) go(st.getPath) else buf += st
+    }
+    go(dir)
+    buf.toSeq
+  }
+
   private def manifestDir(table: String) = new Path(table, "_manifests")
   private def dataDir(table: String) = new Path(table, "data")
 
@@ -1736,16 +1756,9 @@ object Snapshots {
     // collect staged files RECURSIVELY, keeping the partition dirs in
     // the manifest entry (relative paths resolve through two-arg Path
     // like bare names do)
-    val staged = {
-      val it = f.listFiles(staging, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          buf += ((st.getPath, st.getLen))
-      }
-      buf.toSeq
-    }
+    val staged = walkFiles(f, staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath, st.getLen))
     val newFiles = staged.map { case (p, len) =>
       // walk up every __gpN= ancestor (nested composite dirs)
       val dirs = Iterator.iterate(p.getParent)(_.getParent)
@@ -2798,19 +2811,14 @@ object Snapshots {
       // entries (`__gp=.../f.parquet`) size like flat ones; sidecar
       // dirs (underscore) and foreign refs (absent) stay out
       val ddQ = f.makeQualified(dataDir(table)).toString + "/"
-      val sizes = {
-        val it = f.listFiles(dataDir(table), true)
-        val buf = scala.collection.mutable.Map.empty[String, Long]
-        while (it.hasNext) {
-          val st = it.next()
-          val rel = f.makeQualified(st.getPath).toString.stripPrefix(ddQ)
-          if (st.isFile && !rel.split('/').exists(c =>
-              (c.startsWith("_") && !c.startsWith(PartPrefix)) ||
-                c.startsWith(".")))
-            buf(rel) = st.getLen
-        }
-        buf.toMap
-      }
+      val sizes = walkFiles(f, dataDir(table)).flatMap { st =>
+        val rel = f.makeQualified(st.getPath).toString.stripPrefix(ddQ)
+        if (st.isFile && !rel.split('/').exists(c =>
+            (c.startsWith("_") && !c.startsWith(PartPrefix)) ||
+              c.startsWith(".")))
+          Some(rel -> st.getLen)
+        else None
+      }.toMap
       val small = files.filter(n => sizes.get(n).exists(_ < smallBytes))
       if (small.isEmpty || small.size < minSmall) return None
       val carried = files.filterNot(small.toSet)
@@ -4359,21 +4367,16 @@ object Snapshots {
     // entries (`__gp=.../f.parquet`) reconcile exactly like flat ones;
     // sidecar trees (underscore/dot components) are never touched
     val ddQ = f.makeQualified(dd).toString + "/"
-    val deleted = {
-      val it = f.listFiles(dd, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
-      while (it.hasNext) {
-        val st = it.next()
+    val deleted = walkFiles(f, dd).flatMap { st =>
         val rel = f.makeQualified(st.getPath).toString.stripPrefix(ddQ)
         if (st.isFile && !rel.split('/').exists(c =>
             (c.startsWith("_") && !c.startsWith(PartPrefix)) ||
               c.startsWith(".")) &&
           now - st.getModificationTime >= minAgeMs)
-          buf += ((st.getPath, rel))
-      }
-      buf.toSeq.filterNot { case (_, rel) => referenced.contains(rel) }
-        .map { case (p, rel) => if (!dryRun) f.delete(p, false); rel }
-    }
+          Some((st.getPath, rel))
+        else None
+      }.filterNot { case (_, rel) => referenced.contains(rel) }
+      .map { case (p, rel) => if (!dryRun) f.delete(p, false); rel }
     // tombstone sidecars age out exactly like data files: unreferenced by
     // any retained manifest (materialized, or their version expired)
     val td = tombstoneDir(table)
